@@ -1,0 +1,65 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed as a full action (count of the result) so the
+whole plan — scan, shuffle, agg, join — runs; timings exclude session
+startup and the one-time warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from python_mapreduce_spark.registry import all_queries
+from python_mapreduce_spark.session import get_spark
+
+#: Headline set: one per operator family, heaviest variants.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q_filter_project",
+    "q_count_distinct",
+    "q_topk_orders",
+    "q_rollup",
+    "q_json_extract",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    # Warmup: JVM/codegen/Arrow spin-up, not representative of steady state.
+    registry[names[0]].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        registry[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

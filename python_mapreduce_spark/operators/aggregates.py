@@ -1,0 +1,93 @@
+"""Aggregation operators.
+
+Reference equivalents: the sort -> group-by-key -> whole-group reduce
+pipeline (disk_sort.py:39-75 + reducer.py:73-93). The reference has NO
+map-side combine — every (k, v) crosses the shuffle (SURVEY.md §2.1
+"notably absent"). Spark's hash aggregation is partial+final
+automatically, which is the single biggest scale win over the reference:
+at 100 TB a sum over a low-cardinality key shuffles a few rows per
+partition instead of the whole table.
+
+All helpers keep expressions JVM-side (pyspark.sql.functions) so they
+stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from python_mapreduce_spark.functions.scalar import dround
+
+
+def group_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    """groupBy + aggregate (reference O8+O14+O17+O18 collapsed into one op).
+
+    Spark plans this as partial hash-agg -> shuffle on ``keys`` -> final
+    hash-agg, spilling via Tungsten when groups exceed memory — replacing
+    the reference's external merge sort (disk_sort.py:77-97) and DiskList
+    oversized-group escape hatch (disk_list.py:6-63).
+    """
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def distinct_rows(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """DISTINCT — the reference's "emit (value, 1), reduce once per group"
+    pattern (SURVEY.md §2.2). Partial aggregation dedupes map-side first."""
+    return (df.select(*cols) if cols else df).distinct()
+
+
+def count_distinct_by(
+    df: DataFrame, keys: Sequence[str], col: str, *, approx: bool = False, rsd: float = 0.05
+) -> DataFrame:
+    """COUNT(DISTINCT col) per key; ``approx=True`` -> HLL++ sketch,
+    the scale path (one pass, no distinct shuffle) for 100 TB cardinality
+    estimation. The reference can only do the exact two-job version."""
+    agg = (
+        F.approx_count_distinct(col, rsd) if approx else F.countDistinct(col)
+    ).alias(f"{'approx_' if approx else ''}n_{col}")
+    return df.groupBy(*keys).agg(agg)
+
+
+def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    """ROLLUP — hierarchical subtotals. Absent in the reference (single
+    grouping key per job, SURVEY.md §2.2); one shuffle in Spark."""
+    return df.rollup(*keys).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    """CUBE — all grouping-set combinations."""
+    return df.cube(*keys).agg(*aggs)
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """Flagship query: TPC-H Q1-style pricing summary over lineitem.
+
+    Exercises the reference's entire physical pipeline in one declarative
+    plan: scan -> pushed-down filter -> project -> partial agg -> shuffle
+    on (returnflag, linestatus) -> final agg -> sort (SURVEY.md §7
+    "minimum end-to-end slice").
+
+    Doubles are rounded via :func:`dround` so results are bit-stable
+    across engines and partition orderings (float sums are order-
+    sensitive; engine ROUND semantics differ — see functions/scalar.py).
+    """
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dround(F.sum("l_quantity")).alias("sum_qty"),
+            dround(F.sum("l_extendedprice")).alias("sum_base_price"),
+            dround(F.sum(disc_price)).alias("sum_disc_price"),
+            dround(F.sum(charge)).alias("sum_charge"),
+            dround(F.avg("l_quantity")).alias("avg_qty"),
+            dround(F.avg("l_extendedprice")).alias("avg_price"),
+            dround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

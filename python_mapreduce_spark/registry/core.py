@@ -1,0 +1,421 @@
+"""Core relational queries: scan/filter/project/sample, aggregation,
+distinct, sort/limit, set ops, grouping sets, scalar functions.
+
+Reference coverage (SURVEY.md §2.2): projection and filtering are map-fn
+patterns (README.txt:254-261); distinct is "emit (value,1), reduce once";
+sampling is file-level downsample (mapper.py:103-108); union is multi-dir
+scan (mapper.py:75-78); everything else (rollup/cube, global sort,
+grouping sets) is absent from the reference and a capability upgrade.
+
+Oracle-parity conventions: double aggregates go through dround /
+sql_dround (bit-deterministic cross-engine rounding, functions/scalar.py)
+and every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_mapreduce_spark.functions.scalar import dround, sql_dround
+from python_mapreduce_spark.operators.aggregates import (
+    count_distinct_by,
+    cube_agg,
+    distinct_rows,
+    group_agg,
+    pricing_summary,
+    rollup_agg,
+)
+from python_mapreduce_spark.registry import Query
+from python_mapreduce_spark.registry._util import table
+
+
+# --- flagship -------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pricing_summary(table(spark, sf_dir, "lineitem"))
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dround('sum(l_quantity)')}                                       AS sum_qty,
+       {sql_dround('sum(l_extendedprice)')}                                  AS sum_base_price,
+       {sql_dround('sum(l_extendedprice * (1 - l_discount))')}               AS sum_disc_price,
+       {sql_dround('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))')} AS sum_charge,
+       {sql_dround('avg(l_quantity)')}                                       AS avg_qty,
+       {sql_dround('avg(l_extendedprice)')}                                  AS avg_price,
+       {sql_dround('avg(l_discount)', 4)}                                    AS avg_disc,
+       count(*)                                                              AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- filter / project / sample -------------------------------------------
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") > 30) & (F.col("l_discount") < 0.05)).select(
+        "l_orderkey",
+        "l_linenumber",
+        dround(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+SQL_FILTER_PROJECT = f"""
+SELECT l_orderkey, l_linenumber,
+       {sql_dround('l_extendedprice * (1 - l_discount)')} AS net_price
+FROM lineitem
+WHERE l_quantity > 30 AND l_discount < 0.05
+"""
+
+
+def q_sample_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic downsample (reference O5's testing facility,
+    # mapper.py:103-108; README.txt:24) expressed as a key-mod filter so
+    # the oracle can reproduce it exactly. Row-level df.sample(fraction)
+    # is the production path (see operators/relational.py).
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.pmod(F.col("l_orderkey"), F.lit(20)) == 0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dround(F.sum("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+SQL_SAMPLE_AGG = f"""
+SELECT l_returnflag, count(*) AS n_rows, {sql_dround('sum(l_quantity)')} AS sum_qty
+FROM lineitem WHERE l_orderkey % 20 = 0
+GROUP BY l_returnflag
+"""
+
+
+# --- distinct / count-distinct --------------------------------------------
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinct_rows(table(spark, sf_dir, "lineitem"), ["l_returnflag", "l_linestatus"])
+
+
+SQL_DISTINCT = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return count_distinct_by(table(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_partkey")
+
+
+SQL_COUNT_DISTINCT = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_l_partkey
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- global sort + limit (top-k) -------------------------------------------
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Global total-order sort is absent in the reference (hash-split
+    # partitions, SURVEY.md §2.2 "Sort (global)"). Spark range-partitions
+    # the sort; LIMIT is pushed into a TakeOrderedAndProject at scale.
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", dround(F.col("o_totalprice")).alias("total"), "o_orderstatus")
+        .limit(10)
+    )
+
+
+SQL_TOPK_ORDERS = f"""
+SELECT o_orderkey, {sql_dround('o_totalprice')} AS total, o_orderstatus
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# --- date-bucketed aggregation ---------------------------------------------
+
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return group_agg(
+        o.withColumn("month", F.date_format("o_orderdate", "yyyy-MM")),
+        ["month"],
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.sum("o_totalprice")).alias("sum_total"),
+            dround(F.avg("o_totalprice")).alias("avg_total"),
+        ],
+    )
+
+
+SQL_ORDERS_BY_MONTH = f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       count(*) AS n_orders,
+       {sql_dround('sum(o_totalprice)')} AS sum_total,
+       {sql_dround('avg(o_totalprice)')} AS avg_total
+FROM orders GROUP BY 1
+"""
+
+
+# --- rollup / cube / grouping sets ------------------------------------------
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            dround(F.sum("l_quantity")).alias("sum_qty"),
+        ],
+    ).select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+        "n_rows",
+        "sum_qty",
+    )
+
+
+SQL_ROLLUP = f"""
+SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+       coalesce(l_linestatus, 'ALL') AS lstatus,
+       count(*) AS n_rows,
+       {sql_dround('sum(l_quantity)')} AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return cube_agg(
+        o,
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.sum("o_totalprice")).alias("sum_total"),
+        ],
+    ).select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "n_orders",
+        "sum_total",
+    )
+
+
+SQL_CUBE = f"""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       {sql_dround('sum(o_totalprice)')} AS sum_total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+               coalesce(l_linestatus, 'ALL') AS lstatus,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+       coalesce(l_linestatus, 'ALL') AS lstatus,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+# --- set operators -----------------------------------------------------------
+
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reference: union = concatenating input_dirs into one bag
+    # (mapper.py:75-78); set-union requires the tag-and-reduce pattern.
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+SQL_UNION = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+SQL_INTERSECT = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.distinct().subtract(s.distinct())
+
+
+SQL_EXCEPT = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# --- scalar function veneer ---------------------------------------------------
+
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_head"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.size(F.split("p_name", " ")).cast("long").alias("n_words"),
+    )
+
+
+SQL_SCALAR_STRING = """
+SELECT p_partkey,
+       upper(p_name)                   AS name_upper,
+       length(p_name)                  AS name_len,
+       substr(p_name, 1, 8)            AS name_head,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       len(string_split(p_name, ' '))  AS n_words
+FROM part
+"""
+
+
+def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d_str"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+    )
+
+
+SQL_SCALAR_DATETIME = """
+SELECT o_orderkey,
+       year(o_orderdate)                                       AS yr,
+       month(o_orderdate)                                      AS mon,
+       day(o_orderdate)                                        AS dom,
+       quarter(o_orderdate)                                    AS qtr,
+       strftime(o_orderdate, '%Y-%m-%d')                       AS d_str,
+       date_diff('day', DATE '1995-01-01', o_orderdate::DATE)  AS days_since
+FROM orders
+"""
+
+
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        dround(F.sqrt("p_retailprice"), 6).alias("sqrt_price"),
+        dround(F.log("p_retailprice"), 6).alias("ln_price"),
+        F.pow("p_size", F.lit(2)).cast("long").alias("size_sq"),
+        F.abs(F.col("p_size") - 25).cast("long").alias("size_dev"),
+        F.ceil("p_retailprice").cast("long").alias("price_ceil"),
+        F.floor("p_retailprice").cast("long").alias("price_floor"),
+    )
+
+
+SQL_SCALAR_MATH = f"""
+SELECT p_partkey,
+       {sql_dround('sqrt(p_retailprice)', 6)}    AS sqrt_price,
+       {sql_dround('ln(p_retailprice)', 6)}      AS ln_price,
+       CAST(pow(p_size, 2) AS BIGINT)            AS size_sq,
+       CAST(abs(p_size - 25) AS BIGINT)          AS size_dev,
+       CAST(ceil(p_retailprice) AS BIGINT)       AS price_ceil,
+       CAST(floor(p_retailprice) AS BIGINT)      AS price_floor
+FROM part
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's values are schemaless ujson blobs (shuffler.py:75);
+    # the Spark-native pattern keeps a JSON-string column and extracts
+    # lazily (SURVEY.md §1.4 "schemaless dynamic typing"). from_json with
+    # an explicit schema parses once, typed (get_json_object benchmarked
+    # 20-60x slower here for the same plan).
+    e = table(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.from_json("props", "k BIGINT")["k"])
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"), dround(F.sum("value")).alias("sum_value"))
+    )
+
+
+SQL_JSON_EXTRACT = f"""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       count(*) AS n,
+       {sql_dround('sum(value)')} AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    tier = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    return c.groupBy(tier.alias("tier")).agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        dround(F.avg("c_acctbal")).alias("avg_bal"),
+    )
+
+
+SQL_CASE_WHEN = f"""
+SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END AS tier,
+       count(*) AS n_cust,
+       {sql_dround('avg(c_acctbal)')} AS avg_bal
+FROM customer GROUP BY 1
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "q01_pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY, "TPC-H Q1-style flagship"),
+    "q_filter_project": Query(q_filter_project, SQL_FILTER_PROJECT, "filter + projection, pushed to scan"),
+    "q_sample_agg": Query(q_sample_agg, SQL_SAMPLE_AGG, "deterministic downsample + agg (O5)"),
+    "q_distinct": Query(q_distinct, SQL_DISTINCT, "DISTINCT pairs"),
+    "q_count_distinct": Query(q_count_distinct, SQL_COUNT_DISTINCT, "exact count-distinct per key"),
+    "q_topk_orders": Query(q_topk_orders, SQL_TOPK_ORDERS, "global sort + limit"),
+    "q_orders_by_month": Query(q_orders_by_month, SQL_ORDERS_BY_MONTH, "date-bucketed agg"),
+    "q_rollup": Query(q_rollup, SQL_ROLLUP, "ROLLUP subtotals"),
+    "q_cube": Query(q_cube, SQL_CUBE, "CUBE over two dims"),
+    "q_grouping_sets": Query(q_grouping_sets, SQL_GROUPING_SETS, "GROUPING SETS"),
+    "q_union": Query(q_union, SQL_UNION, "set union"),
+    "q_intersect": Query(q_intersect, SQL_INTERSECT, "set intersect"),
+    "q_except": Query(q_except, SQL_EXCEPT, "set except"),
+    "q_scalar_string": Query(q_scalar_string, SQL_SCALAR_STRING, "string function veneer"),
+    "q_scalar_datetime": Query(q_scalar_datetime, SQL_SCALAR_DATETIME, "datetime function veneer"),
+    "q_scalar_math": Query(q_scalar_math, SQL_SCALAR_MATH, "math function veneer"),
+    "q_json_extract": Query(q_json_extract, SQL_JSON_EXTRACT, "schemaless JSON payload extraction"),
+    "q_case_when": Query(q_case_when, SQL_CASE_WHEN, "CASE/conditional buckets"),
+}

@@ -1,0 +1,94 @@
+"""SparkSession factory and runtime tuning.
+
+The reference's "cluster config" is a hand-written .cfg of ports, dirs and
+memory budgets (reference configs.py:6-48); its parallelism is
+locations x 25 workers (configs.py:24). Here the equivalent surface is a
+SparkSession with scale-aware defaults: AQE for runtime re-planning
+(partition coalescing, skew-join splitting, join-strategy switching),
+Arrow for every Python<->JVM hop, and shuffle partitions sized to the
+environment rather than Spark's legacy 200.
+
+Two entry points:
+  * get_spark()  — build a session (used by tests / bench / standalone).
+  * tune(spark)  — apply the *runtime-settable* subset to an existing
+    session (used when a harness hands us its own session).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that can be applied to a live session (spark.conf.set).
+_RUNTIME_CONF: dict[str, str] = {
+    # Deterministic timestamp semantics; required for oracle comparison
+    # (DuckDB timestamps are UTC-naive).
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime partition coalescing, skew-join splitting, dynamic
+    # join-strategy switch. At 100 TB this is what rescues a bad static
+    # partition count or a skewed key.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow-vectorize every pandas_udf / applyInPandas / toPandas hop.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: keep permissive SQL semantics matching both the schemaless
+    # reference (bad records -> null, not job abort) and DuckDB defaults
+    # for the comparisons we run.
+    "spark.sql.ansi.enabled": "false",
+    # Parquet TIMESTAMP(NANOS) (e.g. events.ts) is otherwise an illegal
+    # type for Spark; surface it as nanos-since-epoch longs and let the
+    # reader normalize (sources/readers.py::load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+# Confs that must be set before the JVM starts (session build time only).
+_BUILD_CONF: dict[str, str] = {
+    # local[N] -> the driver is the only JVM; give it the machine.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.default.parallelism": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.ui.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Bigger Arrow batches amortize Python worker round-trips.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "100000",
+}
+
+
+def default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    return f"local[{cpus}]" if cpus else "local[*]"
+
+
+def get_spark(
+    app_name: str = "python-mapreduce-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a tuned SparkSession.
+
+    Safe to call repeatedly — Spark returns the existing session, and we
+    re-apply the runtime confs to it.
+    """
+    builder = SparkSession.builder.appName(app_name).master(master or default_master())
+    for k, v in {**_BUILD_CONF, **_RUNTIME_CONF, **(extra_conf or {})}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session.
+
+    Called at the top of every registry query so that a session created by
+    an external harness (whatever its build confs) still gets UTC
+    timestamps, AQE and Arrow.
+    """
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf locked by the host
+            pass
+    return spark

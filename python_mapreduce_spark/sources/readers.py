@@ -1,0 +1,142 @@
+"""Readers: scans over datasets and the table catalog.
+
+The reference's source model is "a dataset is a directory (or list of
+directories) of newline files, optionally gzipped" (reference
+mapper.py:75-94, scheduler.py:509). Spark's file sources subsume that:
+multi-path reads, glob filters, automatic .gz decompression, and —
+critically for 100 TB — driver-side split planning with locality instead
+of the reference's filename-hash file ownership (mapper.py:96-101).
+
+All readers accept a str or a list of str paths (the reference's
+``input_dirs`` list). Formats beyond text (csv/json/parquet) are a strict
+upgrade: the reference parses raw lines in user map functions
+(mapper.py:58-59).
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: The driver-generated benchmark tables (TESTDATA.md).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _paths(paths: str | Sequence[str]) -> list[str]:
+    return [paths] if isinstance(paths, str) else list(paths)
+
+
+def read_text(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    *,
+    whole_text: bool = False,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Line-oriented text scan (reference O1+O2, mapper.py:75-94).
+
+    ``.gz`` inputs decompress automatically (the reference special-cases
+    this at mapper.py:87-90; Spark's text source does it natively).
+    Returns a single ``value: string`` column — the reference's "raw line
+    into the map function" contract (mapper.py:58-59).
+    """
+    reader = spark.read
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.text(_paths(paths), wholetext=whole_text)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    *,
+    schema=None,
+    corrupt_column: str | None = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines scan — the reference's ujson item files (shuffler.py:75).
+
+    PERMISSIVE mode lands unparseable lines in ``corrupt_column`` rather
+    than failing the job — the declarative version of the reference's
+    LINE_ERROR capture (reducer.py:58-64).
+    """
+    reader = spark.read.option("mode", "PERMISSIVE")
+    if corrupt_column:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_column)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(_paths(paths))
+
+
+def read_csv(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    *,
+    schema=None,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV scan. Explicit schema preferred at scale (inference = extra pass)."""
+    reader = spark.read.option("header", header).option("sep", sep)
+    reader = reader.schema(schema) if schema is not None else reader.option("inferSchema", "true")
+    return reader.csv(_paths(paths))
+
+
+def read_parquet(spark: SparkSession, paths: str | Sequence[str]) -> DataFrame:
+    """Columnar scan — predicate pushdown + column pruning reach the footer."""
+    return spark.read.parquet(*_paths(paths))
+
+
+def sample_files(paths: Sequence[str], fraction: float, seed: int = 42) -> list[str]:
+    """File-level Bernoulli downsample (reference O5, mapper.py:103-108).
+
+    The reference includes each whole input FILE with probability
+    ``downsample``; row-level `df.sample` is usually better, but this
+    preserves the exact file-granularity semantics when needed (e.g.
+    sampling log directories where files are time-buckets).
+    """
+    rng = random.Random(seed)
+    return [p for p in paths if rng.random() < fraction]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one benchmark table from a scale-factor directory.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
+    reads as nanos-since-epoch longs (``nanosAsLong`` conf, session.py);
+    normalize to a microsecond TimestampType here (truncating division,
+    matching DuckDB's ns->us cast) so downstream operators see a real
+    timestamp column.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415 - avoid module-level cycle
+
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: Sequence[str] = TABLES) -> dict[str, DataFrame]:
+    """Load benchmark tables keyed by name."""
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: Sequence[str] = TABLES) -> None:
+    """Register the benchmark tables as temp views for spark.sql queries."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
