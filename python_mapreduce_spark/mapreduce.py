@@ -1,0 +1,131 @@
+"""MapReduce compatibility facade.
+
+The reference's entire query surface is two user-supplied Python
+functions: ``map_function(line, aux) -> [(key, value), ...]`` run over
+input lines (reference mapper.py:41-73, template README.txt:254-261) and
+``reduce_function(group, aux) -> [items]`` run over each sorted key group
+(reducer.py:73-93, template README.txt:286-291), with a JSON auxiliary
+document broadcast to every task (mapper.py:150-157).
+
+This module re-expresses that surface over DataFrames so any reference
+program ports line-for-line:
+
+  * :func:`flat_map`       ≈ the map phase (O6) — mapInPandas, Arrow-batched
+  * :func:`reduce_groups`  ≈ sort+group+reduce (O14+O17+O18) — applyInPandas
+  * :func:`broadcast_aux`  ≈ auxiliary data (O22) — a real Spark broadcast
+  * :func:`run_mapreduce`  ≈ one whole reference job (scan -> map ->
+    shuffle -> reduce), minus the cluster babysitting (SURVEY.md §3)
+
+Scale contract: both hooks run arbitrary Python, which is the slow path
+by design — this is the escape hatch, not the default. Anything
+expressible as built-in DataFrame ops should use the named operators in
+``operators/``. ``reduce_groups`` materializes one key group per pandas
+DataFrame (unlike the reference's DiskList streaming escape hatch,
+disk_list.py:6-63); for groups that can exceed executor memory, use an
+algebraic rewrite or ``rdd.groupByKey`` iterators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Iterator, Sequence
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _field_names(schema: str) -> list[str]:
+    """Column names from a DDL schema string ('token string, n long')."""
+    return [part.strip().split()[0] for part in schema.split(",")]
+
+
+def broadcast_aux(spark: SparkSession, aux: Any):
+    """Ship auxiliary data to every task (reference O22).
+
+    The reference re-reads a JSON file from shared disk in every map and
+    reduce task (mapper.py:150-157, reducer.py:141-148); a Spark
+    broadcast ships it once per executor.
+    """
+    return spark.sparkContext.broadcast(aux)
+
+
+def flat_map(
+    df: DataFrame,
+    fn: Callable[[tuple, Any], Iterable[tuple]],
+    schema: str,
+    aux: Any = None,
+) -> DataFrame:
+    """The reference map phase (O6): one input row -> zero or more output
+    rows.
+
+    ``fn(row, aux)`` receives each input row as a tuple (single-column
+    inputs are unwrapped to the bare value, matching the reference's
+    "raw line in" contract, mapper.py:58-59) and returns an iterable of
+    output tuples matching ``schema``. Rows flow through Arrow batches;
+    only the user function itself is per-row Python.
+    """
+    out_cols = _field_names(schema)
+    in_cols = df.columns
+    unwrap = len(in_cols) == 1
+    b = broadcast_aux(df.sparkSession, aux)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a = b.value
+        for pdf in batches:
+            out: list[tuple] = []
+            for row in pdf.itertuples(index=False, name=None):
+                out.extend(fn(row[0] if unwrap else row, a))
+            if out:
+                yield pd.DataFrame(out, columns=out_cols)
+
+    return df.mapInPandas(gen, schema)
+
+
+def reduce_groups(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    fn: Callable[[tuple, pd.DataFrame, Any], Iterable[tuple] | pd.DataFrame],
+    schema: str,
+    aux: Any = None,
+) -> DataFrame:
+    """The reference reduce phase (O17+O18): the whole group for one key,
+    as one call.
+
+    ``fn(key, group_pdf, aux)`` sees every row for ``key`` at once —
+    exactly the reference's sorted-group contract (disk_sort.py:39-75) —
+    and returns output tuples or a pandas DataFrame matching ``schema``.
+    Row order within the group is NOT deterministic (shuffle arrival
+    order); order-sensitive reduces must sort ``group_pdf`` themselves,
+    and float summations should use ``math.fsum`` for order-independent
+    exactness.
+    """
+    key_cols = [keys] if isinstance(keys, str) else list(keys)
+    out_cols = _field_names(schema)
+    b = broadcast_aux(df.sparkSession, aux)
+
+    def apply(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = fn(key, pdf, b.value)
+        if isinstance(out, pd.DataFrame):
+            return out
+        return pd.DataFrame(list(out), columns=out_cols)
+
+    return df.groupBy(*key_cols).applyInPandas(apply, schema)
+
+
+def run_mapreduce(
+    df: DataFrame,
+    map_fn: Callable[[tuple, Any], Iterable[tuple]],
+    map_schema: str,
+    reduce_fn: Callable[[tuple, pd.DataFrame, Any], Iterable[tuple] | pd.DataFrame],
+    reduce_schema: str,
+    aux: Any = None,
+    key: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """One reference job end-to-end: map -> shuffle on the first output
+    column -> whole-group reduce (the fixed physical pipeline of
+    SURVEY.md §0: scan -> flatMap -> hash shuffle -> sort -> group ->
+    reduce). Key defaults to the first map-output column, matching
+    ``item[0]`` (reference mapper.py:61)."""
+    mapped = flat_map(df, map_fn, map_schema, aux=aux)
+    group_key = key if key is not None else _field_names(map_schema)[0]
+    return reduce_groups(mapped, group_key, reduce_fn, reduce_schema, aux=aux)

@@ -1,0 +1,140 @@
+"""Join operators.
+
+The reference implements NO join operator: equi-joins are the user-written
+"repartition join" pattern (both inputs mapped to (join_key, tagged_value),
+reduce pairs the tagged sides — SURVEY.md §2.2, enabled by multi-dir input
+at mapper.py:26,77), and map-side joins are the auxiliary-data dict probed
+inside map functions (mapper.py:150-157). Non-equi joins require manual
+key discretization. Here every variant is a named operator and Catalyst
+picks the physical strategy (broadcast-hash / shuffled-hash / sort-merge /
+broadcast-nested-loop), with AQE switching at runtime.
+
+Scale notes (100 TB):
+  * ``broadcast_join`` pins the small side onto every executor — the
+    declarative version of the reference's aux-data pattern; no shuffle of
+    the big side at all.
+  * ``asof_join`` is the union+window formulation: ONE shuffle on the key,
+    no pandas, no per-group materialization — works for billions of rows
+    per key-partition since the window is a streaming last() scan.
+  * theta/range joins go through BroadcastNestedLoopJoin, which is only
+    sane when one side is broadcast-small; ``range_join`` documents the
+    bucketized-equi-join rewrite for the big-big case.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def equi_join(
+    left: DataFrame, right: DataFrame, on: str | Sequence[str] | Column, how: str = "inner"
+) -> DataFrame:
+    """Equi-join (reference: reduce-side repartition join pattern).
+
+    ``how`` covers inner/left/right/full/left_semi/left_anti — the
+    reference expresses semi/anti/outer by tag-and-reduce emission rules
+    (SURVEY.md §2.2 "Joins — semi / anti / outer").
+    """
+    return left.join(right, on=on, how=how)
+
+
+def broadcast_join(
+    big: DataFrame, small: DataFrame, on: str | Sequence[str] | Column, how: str = "inner"
+) -> DataFrame:
+    """Map-side join: explicit broadcast of the small side (reference:
+    auxiliary-data dict probed in the map fn, mapper.py:150-157)."""
+    return big.join(F.broadcast(small), on=on, how=how)
+
+
+def theta_join(left: DataFrame, right: DataFrame, condition: Column) -> DataFrame:
+    """Arbitrary-predicate join — absent in the reference (hash partition
+    on exact key only, shuffler.py:71-77). Plans as BroadcastNestedLoopJoin
+    when a side is small; keep the small side on the right."""
+    return left.join(right, on=condition, how="inner")
+
+
+def range_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    value: str,
+    lo: str,
+    hi: str,
+    *,
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows to [lo, hi) ranges.
+
+    Broadcast-NLJ path: fine whenever ``ranges`` is dimension-sized (tiers,
+    buckets, calendars). For big-big range joins, pre-bucketize both sides
+    to a common grid and equi-join on bucket id first — that turns an
+    O(n*m) NLJ into a shuffle join plus a residual filter.
+    """
+    cond = (F.col(value) >= F.col(lo)) & (F.col(value) < F.col(hi))
+    return facts.join(F.broadcast(ranges), on=cond, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    *,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` within the same key.
+
+    Spark lacks a native as-of join (SURVEY.md §2.2 "Joins — theta /
+    range / as-of"). This is the scalable formulation: tag and union both
+    sides, then a single window partitioned by key and ordered by
+    (ts, side) carries the most recent right-side values forward with
+    ``last(..., ignorenulls=True)``. One shuffle, no pandas, streams at
+    any per-key cardinality — unlike merge_asof-in-applyInPandas, which
+    materializes a whole key group per batch.
+
+    Right rows sort before left rows at equal timestamps, so a right row
+    AT the left timestamp matches (<= semantics, same as DuckDB ASOF).
+    Key columns must exist under the same names on both sides. Returns
+    all left columns plus ``<right_col><suffix>`` for each requested
+    right column.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    lhs = left.select(
+        *left.columns,
+        F.lit(1).alias("__side"),
+        F.col(left_ts).alias("__ts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    rhs = right.select(
+        *[
+            F.col(c).alias(c)
+            if c in keys
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+        ],
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = rhs.unionByName(lhs).select(
+        *left.columns,
+        F.col("__side"),
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")

@@ -1,5 +1,115 @@
-"""Placeholder — filled in as operators land."""
+"""MapReduce-facade queries: reference-style user map/reduce programs
+running through the compatibility layer (mapreduce.py).
 
+These prove the reference's native surface — arbitrary Python
+``map(line, aux)`` / ``reduce(group, aux)`` with broadcast auxiliary
+data (README.txt:254-293) — executes correctly on the Spark engine, with
+DuckDB oracles over the equivalent relational formulation.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_mapreduce_spark.mapreduce import flat_map, run_mapreduce
 from python_mapreduce_spark.registry import Query
+from python_mapreduce_spark.registry._util import table
 
-QUERIES: dict[str, Query] = {}
+_TOKEN_RE = re.compile(r"[a-z]+")
+
+
+def q_mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's canonical example is an incremental wordcount
+    # (README.txt:18). Same program here: map emits (token, 1) per line,
+    # reduce sums the group — via the facade's full pipeline.
+    docs = table(spark, sf_dir, "documents").select("text")
+
+    def map_fn(line, aux):
+        return [(tok, 1) for tok in _TOKEN_RE.findall(line.lower())]
+
+    def reduce_fn(key, group, aux):
+        return [(key[0], int(group["n"].sum()))]
+
+    return run_mapreduce(
+        docs, map_fn, "token string, n long", reduce_fn, "token string, cnt long"
+    )
+
+
+SQL_MR_WORDCOUNT = """
+SELECT token, count(*) AS cnt
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+      FROM documents)
+GROUP BY token
+"""
+
+
+def q_mr_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Whole-group reduce with non-algebraic-looking logic: per return
+    # flag, quantity-weighted average price. math.fsum gives an exactly-
+    # rounded, order-independent sum, so the result is deterministic
+    # despite nondeterministic row order within the group.
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+    def map_fn(row, aux):
+        flag, qty, price = row
+        return [(flag, qty, qty * price)]
+
+    def reduce_fn(key, group, aux):
+        wsum = math.fsum(group["wprice"].tolist())
+        qsum = math.fsum(group["qty"].tolist())
+        wavg = math.floor(wsum / qsum * 100.0 + 0.5) / 100.0
+        return [(key[0], wavg)]
+
+    return run_mapreduce(
+        li,
+        map_fn,
+        "flag string, qty double, wprice double",
+        reduce_fn,
+        "flag string, weighted_avg_price double",
+    )
+
+
+SQL_MR_WEIGHTED_AVG = """
+SELECT l_returnflag AS flag,
+       floor(sum(l_quantity * l_extendedprice) / sum(l_quantity) * 100.0 + 0.5) / 100.0
+         AS weighted_avg_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_mr_aux_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's map-side broadcast join: small side shipped as the
+    # auxiliary JSON document, probed per row in the map fn
+    # (mapper.py:150-157). Dimension collect is driver-side by design —
+    # that IS the aux-data pattern (25 nation rows, never the fact side).
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation_map = {
+        int(r.n_nationkey): r.n_name for r in table(spark, sf_dir, "nation").collect()
+    }
+
+    def map_fn(row, aux):
+        _, nationkey = row
+        return [(aux.get(int(nationkey), "UNKNOWN"), 1)]
+
+    mapped = flat_map(s, map_fn, "n_name string, one long", aux=nation_map)
+    return mapped.groupBy("n_name").agg(F.count(F.lit(1)).alias("n_suppliers"))
+
+
+SQL_MR_AUX_JOIN = """
+SELECT n_name, count(*) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "q_mr_wordcount": Query(q_mr_wordcount, SQL_MR_WORDCOUNT, "facade map+reduce wordcount"),
+    "q_mr_weighted_avg": Query(q_mr_weighted_avg, SQL_MR_WEIGHTED_AVG, "whole-group reduce, fsum"),
+    "q_mr_aux_join": Query(q_mr_aux_join, SQL_MR_AUX_JOIN, "aux-data map-side join"),
+}

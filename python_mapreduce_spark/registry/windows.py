@@ -1,5 +1,160 @@
-"""Placeholder — filled in as operators land."""
+"""Window/analytic queries: ranking, running aggregates, lag/lead,
+frames, distribution functions, sessionization.
 
+Reference coverage: all of these are hand-written loops inside the user
+reduce function over the sorted group (SURVEY.md §2.2 "Window functions";
+sorted-group iteration at disk_sort.py:39-75). Here they are single-pass
+window operators over one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from python_mapreduce_spark.functions.scalar import dround, sql_dround
+from python_mapreduce_spark.operators.windows import (
+    lag_delta,
+    moving_avg,
+    running_agg,
+    sessionize,
+    topk_per_group,
+)
 from python_mapreduce_spark.registry import Query
+from python_mapreduce_spark.registry._util import table
 
-QUERIES: dict[str, Query] = {}
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return topk_per_group(
+        li,
+        ["l_suppkey"],
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        k=3,
+    ).select(
+        "l_suppkey",
+        F.col("rn").cast("long").alias("rn"),
+        "l_orderkey",
+        "l_linenumber",
+        dround("l_extendedprice").alias("price"),
+    )
+
+
+SQL_WINDOW_TOPK = f"""
+SELECT l_suppkey, rn, l_orderkey, l_linenumber, {sql_dround('l_extendedprice')} AS price
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+  FROM lineitem)
+WHERE rn <= 3
+"""
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return running_agg(
+        o,
+        ["o_custkey"],
+        [F.col("o_orderdate"), F.col("o_orderkey")],
+        "o_totalprice",
+        out="running_total",
+    ).select("o_custkey", "o_orderkey", dround("running_total").alias("running_total"))
+
+
+SQL_WINDOW_RUNNING = f"""
+SELECT o_custkey, o_orderkey,
+       {sql_dround('''sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS running_total
+FROM orders
+"""
+
+
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return lag_delta(
+        e, ["user_id"], [F.col("ts"), F.col("event_id")], "value", out="delta"
+    ).select("event_id", "user_id", dround("delta").alias("delta"))
+
+
+SQL_WINDOW_LAG = f"""
+SELECT event_id, user_id,
+       {sql_dround('''value - lag(value, 1) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)''')} AS delta
+FROM events
+"""
+
+
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return moving_avg(
+        o, ["o_custkey"], [F.col("o_orderdate"), F.col("o_orderkey")], "o_totalprice", 3
+    ).select("o_custkey", "o_orderkey", dround("mavg").alias("mavg3"))
+
+
+SQL_WINDOW_MOVING_AVG = f"""
+SELECT o_custkey, o_orderkey,
+       {sql_dround('''avg(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)''')} AS mavg3
+FROM orders
+"""
+
+
+def q_window_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        dround(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+SQL_WINDOW_RANK_DIST = f"""
+SELECT c_custkey,
+       ntile(4)       OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+       rank()         OVER (ORDER BY c_acctbal, c_custkey) AS rnk,
+       {sql_dround('percent_rank() OVER (ORDER BY c_acctbal, c_custkey)', 6)} AS pct_rank
+FROM customer
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gap-based sessions (1h) per user over the events stream — the batch
+    # twin of streaming session windows (registry/streaming.py).
+    e = table(spark, sf_dir, "events")
+    s = sessionize(
+        e, ["user_id"], "ts", [F.col("ts"), F.col("event_id")], gap_ms=3_600_000
+    )
+    return s.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts, 1) OVER w IS NULL
+                OR date_diff('millisecond', lag(ts, 1) OVER w, ts) > 3600000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "q_window_topk": Query(q_window_topk, SQL_WINDOW_TOPK, "top-k per group via row_number"),
+    "q_window_running": Query(q_window_running, SQL_WINDOW_RUNNING, "running sum per key"),
+    "q_window_lag": Query(q_window_lag, SQL_WINDOW_LAG, "lag delta per key"),
+    "q_window_moving_avg": Query(q_window_moving_avg, SQL_WINDOW_MOVING_AVG, "3-row moving avg"),
+    "q_window_rank_dist": Query(q_window_rank_dist, SQL_WINDOW_RANK_DIST, "ntile/rank/percent_rank"),
+    "q_sessionize": Query(q_sessionize, SQL_SESSIONIZE, "gap-based sessionization"),
+}
