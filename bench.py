@@ -28,7 +28,20 @@ HEADLINE = [
     "q_topk_orders",
     "q_rollup",
     "q_json_extract",
+    "q05_region_revenue",
+    "q_join_asof",
+    "q_window_topk",
+    "q_sessionize",
+    "q_mr_wordcount",
+    "q_dedup_minhash",
+    "q_sim_topk",
+    "q_text_stats",
 ]
+
+#: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings
+#: measure steady-state execution, not Janino compile time (irrelevant at
+#: cluster scale, dominant on a cold local JVM).
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
 
 def main() -> None:
@@ -39,8 +52,8 @@ def main() -> None:
     registry = all_queries()
     names = [n for n in HEADLINE if n in registry]
 
-    # Warmup: JVM/codegen/Arrow spin-up, not representative of steady state.
-    registry[names[0]].fn(spark, sf_dir).count()
+    for name in names:
+        registry[name].fn(spark, WARMUP_SF_DIR).count()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -1,0 +1,222 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (the point of each algorithm):
+  * exact         — one hash shuffle on the normalized key; partial agg
+                    dedupes map-side first.
+  * ngram_jaccard — token-postings self-join: only documents SHARING a
+                    shingle ever meet, so cost is sum of squared posting
+                    lengths, not n^2. Hot shingles are the skew risk —
+                    cap or drop stop-shingles in production.
+  * minhash_lsh   — constant-size signatures (k hashes) per doc, then
+                    banded bucket join: candidates ~ true near-dups, cost
+                    independent of corpus pair count. THE 100 TB path.
+  * simhash       — one 64-bit fingerprint per doc; hamming-ball lookup.
+  * embedding     — cosine threshold pairs; all-pairs only for dimension-
+                    sized inputs, LSH-bucketed otherwise (similarity.py).
+
+All hashes are Spark's deterministic xxhash64 with literal per-plane
+seeds — rerunning at any parallelism gives identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from python_mapreduce_spark.functions.scalar import dround
+from python_mapreduce_spark.llm.text import shingle_sets
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str, *, normalized: bool = True) -> DataFrame:
+    """Exact dedup: keep the smallest id per (normalized) text.
+
+    The reference pattern would be "emit (text, id), reduce keeps min" —
+    here it's one hash aggregation with map-side partial min.
+    """
+    key = (
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+        if normalized
+        else F.col(text_col)
+    )
+    return (
+        df.select(key.alias("text_key"), F.col(id_col))
+        .groupBy("text_key")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via postings self-join.
+
+    explode -> (shingle, id) postings -> self-join on shingle ->
+    intersection counts -> |A∪B| = |A|+|B|-|A∩B|. Only co-shingled pairs
+    are materialized.
+    """
+    sets_ = shingle_sets(df, id_col, text_col, n).filter(F.size("shingles") > 0)
+    sizes = sets_.select("id", F.size("shingles").cast("long").alias("sz"))
+    posts = sets_.select("id", F.explode("shingles").alias("shingle"))
+    a, b = posts.alias("a"), posts.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("id1") == F.col("sa.id"))
+        .join(sb, F.col("id2") == F.col("sb.id"))
+        .select(
+            "id1",
+            "id2",
+            dround(
+                F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    sets_: DataFrame, *, num_hashes: int = 32
+) -> DataFrame:
+    """(id, array of k minhashes) from (id, shingles).
+
+    h_i(s) = xxhash64(i, s) — k independent deterministic hash functions;
+    the signature is the per-doc min of each. One explode + one groupBy.
+    """
+    posts = sets_.filter(F.size("shingles") > 0).select(
+        "id", F.explode("shingles").alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = posts.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, bands: int = 8, rows: int = 4
+) -> DataFrame:
+    """Banded LSH: docs agreeing on ALL rows of any band become a pair.
+
+    Band key = xxhash64(band_id, slice of signature); pairs emerge from a
+    self-join on (band, key) — the shuffle groups only probable near-dups
+    together. P(candidate) = 1 - (1 - j^rows)^bands.
+    """
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.lit(bi), F.concat_ws(",", F.slice("sig", bi * rows + 1, rows))
+                        ).alias("bkey"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bkey")
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH candidates, then exact-Jaccard verification.
+
+    Output equals the exact pair set wherever LSH recall holds (near 1
+    for j >= threshold with these defaults); cost scales with candidates,
+    not corpus pairs.
+    """
+    sets_ = shingle_sets(df, id_col, text_col, n)
+    cand = lsh_candidate_pairs(
+        minhash_signatures(sets_, num_hashes=num_hashes), bands=bands, rows=rows
+    )
+    sa, sb = sets_.alias("sa"), sets_.alias("sb")
+    return (
+        cand.join(sa, F.col("id1") == F.col("sa.id"))
+        .join(sb, F.col("id2") == F.col("sb.id"))
+        .select(
+            "id1",
+            "id2",
+            dround(
+                F.size(F.array_intersect("sa.shingles", "sb.shingles"))
+                / F.size(F.array_union("sa.shingles", "sb.shingles")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    Per token: xxhash64 bits vote +1/-1 per position; fingerprint bit k
+    is the sign of the vote sum. Implemented as 64 conditional-sum
+    aggregates over the exploded token stream — all JVM expressions.
+    """
+    from python_mapreduce_spark.functions.scalar import tokenize
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{k}")
+            for k in range(64)
+        ]
+    )
+    fp = None
+    for k in range(64):
+        bit = F.when(F.col(f"v{k}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << k).cast("long") if k < 63 else -bit * F.lit(1 << 62).cast("long") * 2
+        fp = term if fp is None else fp + term
+    return votes.select("id", fp.alias("simhash64"))
+
+
+def embedding_dedup_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, *, threshold: float = 0.4
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a threshold.
+
+    All-pairs formulation — correct for dimension-sized inputs; for
+    corpus-scale embedding sets, route through
+    similarity.hyperplane_lsh_buckets first and compare within buckets.
+    """
+    from python_mapreduce_spark.llm.similarity import cosine
+
+    a = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", dround(cosine(F.col("v1"), F.col("v2")), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,120 @@
+"""Text analysis operators: shingling, stats, quality, language ID,
+fingerprinting.
+
+All JVM-side (regexp + array higher-order functions) — no Python in the
+row path, so these run at scan speed and stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from python_mapreduce_spark.functions.scalar import dround, tokenize
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately small and deterministic — the operator pattern
+#: (broadcast stopwords -> token join -> per-doc argmax) is the product;
+#: swap in real lists for production.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "que", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, distinct word n-gram shingles) — the substrate for Jaccard /
+    MinHash dedup.
+
+    Uses pyspark.ml.feature.NGram (Scala-side linear scan) rather than a
+    ``transform(sequence, i -> slice(...))`` expression: Spark evaluates
+    higher-order-function lambdas interpreted per element, which made the
+    expression form O(tokens^2) Java-object churn — ~75x slower here for
+    the same output.
+    """
+    from pyspark.ml.feature import NGram  # noqa: PLC0415 - optional ml dependency
+
+    toks = df.select(F.col(id_col).alias("id"), tokenize(text_col).alias("__toks"))
+    grams = NGram(n=n, inputCol="__toks", outputCol="__grams").transform(toks)
+    return grams.select("id", F.array_distinct("__grams").alias("shingles"))
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document stats: chars, tokens, alpha/punct ratios, stopword
+    ratio — the standard quality-filter signals."""
+    lower = F.lower(F.col(text_col))
+    toks = tokenize(text_col)
+    n_chars = F.length(text_col).cast("long")
+    n_alpha = F.length(F.regexp_replace(lower, "[^a-z]", "")).cast("long")
+    n_punct = F.length(F.regexp_replace(lower, "[a-z ]", "")).cast("long")
+    en = STOPWORDS["en"]
+    stop_count = F.size(F.filter(toks, lambda t: t.isin(*en))).cast("long")
+    n_toks = F.size(toks).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        dround(n_alpha / F.greatest(n_toks, F.lit(1)), 4).alias("avg_token_len"),
+        dround(n_punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
+        dround(stop_count / F.greatest(n_toks, F.lit(1)), 4).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Composite quality score in [0, 1]: length saturation + low
+    punctuation + natural stopword density. Deterministic arithmetic —
+    reproducible across engines and runs."""
+    stats = text_stats(df, id_col, text_col)
+    score = (
+        0.4 * F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (F.lit(1.0) - F.col("punct_ratio"))
+        + 0.3 * F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0))
+    )
+    return stats.select(F.col(id_col), dround(score, 4).alias("quality"))
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-vote language ID.
+
+    Tokens join a broadcast stopword table; the per-(doc, lang) hit count
+    feeds a per-doc argmax (ties broken by language code; no hits ->
+    'unknown'). At 100 TB this is one broadcast join plus one shuffle on
+    doc id.
+    """
+    spark = df.sparkSession
+    sw = spark.createDataFrame(
+        [(lang, w) for lang, words in STOPWORDS.items() for w in words],
+        "lang string, word string",
+    )
+    toks = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("word"))
+    votes = (
+        toks.join(F.broadcast(sw), "word")
+        .groupBy(id_col, "lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("hits").desc(), F.col("lang"))
+    best = votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return df.select(F.col(id_col)).join(best, id_col, "left").select(
+        F.col(id_col), F.coalesce("lang", F.lit("unknown")).alias("pred_lang")
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace-normalized MD5 document fingerprint — the exact-dedup
+    key that survives formatting noise."""
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(F.col(id_col), F.md5(normalized).alias("fp"))
+
+
+def token_counts(df: DataFrame, group_cols: Sequence[str], text_col: str) -> DataFrame:
+    """Total token counts per group (corpus accounting)."""
+    return df.groupBy(*group_cols).agg(
+        F.sum(F.size(tokenize(text_col))).cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
