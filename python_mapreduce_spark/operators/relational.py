@@ -1,0 +1,45 @@
+"""Row-level relational operators: project, filter, sample, union, limit.
+
+Reference equivalents are all map-fn patterns (SURVEY.md §2.2):
+projection = reshaping the emitted value, filtering = returning [] for a
+line, sampling = file-level Bernoulli (O5), union = multi-dir scan. Here
+they are trivially thin wrappers — their value is naming the capability
+surface and carrying the scale notes; Catalyst does the heavy lifting
+(pushdown, pruning) because the plan is declarative.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+
+
+def project(df: DataFrame, cols: Sequence[str | Column]) -> DataFrame:
+    """Column pruning reaches the scan (ReadSchema in explain())."""
+    return df.select(*cols)
+
+
+def filter_rows(df: DataFrame, predicate: Column | str) -> DataFrame:
+    """Predicate pushdown reaches the scan (PushedFilters in explain())."""
+    return df.filter(predicate)
+
+
+def sample_rows(df: DataFrame, fraction: float, *, seed: int = 42) -> DataFrame:
+    """Row-level Bernoulli sample — finer-grained than the reference's
+    whole-file downsample (O5, mapper.py:103-108); see
+    sources.readers.sample_files for the file-granularity variant."""
+    return df.sample(fraction=fraction, seed=seed)
+
+
+def union_all(frames: Sequence[DataFrame]) -> DataFrame:
+    """Bag union by column name — the reference's multi-dir input concat
+    (mapper.py:75-78), schema-safe."""
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def limit_rows(df: DataFrame, n: int) -> DataFrame:
+    """LIMIT; with an orderBy upstream Spark plans TakeOrderedAndProject
+    (per-partition top-n, then one merge — no global sort materialized)."""
+    return df.limit(n)

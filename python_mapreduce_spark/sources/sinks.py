@@ -1,0 +1,87 @@
+"""Sinks: partitioned file writers with rotation and compression.
+
+Reference equivalent O21 (reducer.py:90-139): ujson part-files rotated
+every ``max_number_dumped_items_reducer`` items, optional gzip, uuid part
+names. Spark's writers subsume all of it: ``maxRecordsPerFile`` is the
+rotation knob, codecs cover compression, and partitioned layout
+(``partitionBy``) adds the directory-pruning structure the reference
+lacks — at 100 TB, partition columns are what lets downstream scans skip
+data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def _writer(
+    df: DataFrame,
+    mode: str,
+    compression: str | None,
+    max_records_per_file: int | None,
+    partition_by: Sequence[str] | None,
+):
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    return w
+
+
+def write_json(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    compression: str | None = None,
+    max_records_per_file: int | None = None,
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """JSON-lines sink — the reference's native output format
+    (ujson lines, reducer.py:91), with rotation + gzip via options."""
+    _writer(df, mode, compression, max_records_per_file, partition_by).json(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    header: bool = True,
+    compression: str | None = None,
+    max_records_per_file: int | None = None,
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    _writer(df, mode, compression, max_records_per_file, partition_by).option(
+        "header", header
+    ).csv(path)
+
+
+def write_text(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    compression: str | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Single-string-column text sink (reference line files)."""
+    _writer(df, mode, compression, max_records_per_file, None).text(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    compression: str | None = "snappy",
+    max_records_per_file: int | None = None,
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Columnar sink — the scale default (pushdown + pruning on re-read)."""
+    _writer(df, mode, compression, max_records_per_file, partition_by).parquet(path)

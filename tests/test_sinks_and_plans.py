@@ -1,0 +1,87 @@
+"""Sinks (rotation/compression/partitioning roundtrips) and plan
+assertions (pushdown, pruning, broadcast) — the scale contracts that
+small-data value checks can't see."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    from python_mapreduce_spark.sources.readers import load_table
+
+    return load_table(spark, sf_dir, "lineitem")
+
+
+def test_json_roundtrip_with_gzip(spark, lineitem, tmp_path):
+    from python_mapreduce_spark.sources.readers import read_jsonl
+    from python_mapreduce_spark.sources.sinks import write_json
+
+    out = str(tmp_path / "j")
+    df = lineitem.select("l_orderkey", "l_quantity", "l_returnflag")
+    write_json(df, out, compression="gzip")
+    assert glob.glob(os.path.join(out, "*.json.gz"))
+    back = read_jsonl(spark, out)
+    assert back.count() == df.count()
+    assert set(back.columns) >= {"l_orderkey", "l_quantity", "l_returnflag"}
+
+
+def test_rotation_caps_records_per_file(lineitem, tmp_path):
+    from python_mapreduce_spark.sources.sinks import write_parquet
+
+    out = str(tmp_path / "rot")
+    df = lineitem.limit(1000).coalesce(1)
+    write_parquet(df, out, max_records_per_file=100)
+    files = glob.glob(os.path.join(out, "*.parquet"))
+    assert len(files) >= 10  # 1000 rows / 100 per file
+
+
+def test_partitioned_layout_enables_pruning(spark, lineitem, tmp_path):
+    from python_mapreduce_spark.plans.explain import formatted_plan
+    from python_mapreduce_spark.sources.sinks import write_parquet
+
+    out = str(tmp_path / "part")
+    write_parquet(lineitem.limit(2000), out, partition_by=["l_returnflag"])
+    assert glob.glob(os.path.join(out, "l_returnflag=*"))
+    scan = spark.read.parquet(out).filter(F.col("l_returnflag") == "A")
+    # Partition filter must prune directories, not filter rows post-scan.
+    assert "PartitionFilters" in formatted_plan(scan)
+
+
+def test_filter_and_projection_reach_the_scan(spark, sf_dir):
+    from python_mapreduce_spark.plans.explain import pushed_filters, read_schema_columns
+    from python_mapreduce_spark.registry.core import q_filter_project
+
+    df = q_filter_project(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed and "l_discount" in pushed
+    cols = read_schema_columns(df)
+    # Column pruning: the scan reads only what the query needs.
+    assert set(cols) == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    }
+
+
+def test_star_join_goes_broadcast(spark, sf_dir):
+    from python_mapreduce_spark.plans.explain import has_broadcast_join
+    from python_mapreduce_spark.registry.joins import q_join_broadcast
+
+    assert has_broadcast_join(q_join_broadcast(spark, sf_dir))
+
+
+def test_topk_plans_without_global_sort(spark, sf_dir):
+    from python_mapreduce_spark.plans.explain import formatted_plan
+    from python_mapreduce_spark.registry.core import q_topk_orders
+
+    plan = formatted_plan(q_topk_orders(spark, sf_dir))
+    # orderBy+limit must become TakeOrderedAndProject, not a full Sort.
+    assert "TakeOrderedAndProject" in plan

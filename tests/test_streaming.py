@@ -1,0 +1,111 @@
+"""Incremental-ingest semantics: exactly-once file tracking, additive
+recombination, restart behavior — the guarantees the reference's
+delete-then-rewrite ledger (reference mapper.py:116-143) cannot make
+(SURVEY.md §7 risks: "crash between = data loss; our streaming checkpoint
+version must be strictly better, verify with a kill/resume test").
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def events(spark, sf_dir):
+    from python_mapreduce_spark.sources.readers import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+def test_incremental_passes_are_exactly_once_and_additive(spark, events, tmp_path):
+    from python_mapreduce_spark.streaming.incremental import collect_incremental_counts
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+
+    half_a.write.mode("append").parquet(in_dir)
+    p1 = collect_incremental_counts(spark, in_dir, ckpt, ["event_type"], "value")
+    assert p1["n"].sum() == half_a.count()
+
+    # No new files -> a re-run processes NOTHING (exactly-once per file).
+    p_rerun = collect_incremental_counts(spark, in_dir, ckpt, ["event_type"], "value")
+    assert p_rerun.empty or p_rerun["n"].sum() == 0
+
+    half_b.write.mode("append").parquet(in_dir)
+    p2 = collect_incremental_counts(spark, in_dir, ckpt, ["event_type"], "value")
+    assert p2["n"].sum() == half_b.count()
+
+    # f(A+B) = f(A) + f(B): recombined partials equal the one-shot batch.
+    combined = (
+        pd.concat([p1, p2], ignore_index=True).groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum")
+        )
+    )
+    batch = (
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .toPandas()
+    )
+    merged = combined.merge(batch, on="event_type", suffixes=("_inc", "_batch"))
+    assert (merged["n_inc"] == merged["n_batch"]).all()
+    assert (abs(merged["s_inc"] - merged["s_batch"]) < 1e-6).all()
+
+
+def test_restart_from_checkpoint_does_not_reprocess(spark, events, tmp_path):
+    # Simulate kill/resume: a fresh streaming query object against the
+    # same checkpoint must pick up only unseen files.
+    from python_mapreduce_spark.streaming.incremental import collect_incremental_counts
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    events.limit(100).write.mode("append").parquet(in_dir)
+    p1 = collect_incremental_counts(spark, in_dir, ckpt, ["event_type"], "value")
+    total_first = p1["n"].sum()
+    assert total_first == 100
+
+    # "Restart": brand-new pass (new query instance) over the same
+    # checkpoint — nothing new to do.
+    p2 = collect_incremental_counts(spark, in_dir, ckpt, ["event_type"], "value")
+    assert p2.empty or p2["n"].sum() == 0
+
+
+def test_streaming_append_session_windows_close_with_watermark(spark, events, tmp_path):
+    # Append-mode session windows: with the watermark past every event
+    # (AvailableNow drains the source, then advances the watermark), all
+    # sessions finalize and match the batch session_window computation.
+    from python_mapreduce_spark.streaming.incremental import (
+        file_stream,
+        normalize_event_ts,
+        run_stream_to_memory,
+    )
+    from python_mapreduce_spark.streaming.windows import session_agg
+
+    in_dir = str(tmp_path / "in")
+    events.write.mode("append").parquet(in_dir)
+    stream = normalize_event_ts(file_stream(spark, in_dir))
+    agg = session_agg(
+        stream, "ts", "1 hour", ["user_id"], [F.count(F.lit(1)).alias("n")],
+        watermark="0 seconds",
+    )
+    out = run_stream_to_memory(
+        agg, output_mode="append", checkpoint_dir=str(tmp_path / "ckpt")
+    ).toPandas()
+
+    batch_df = session_agg(
+        events, "ts", "1 hour", ["user_id"], [F.count(F.lit(1)).alias("n")]
+    ).select("user_id", F.col("win.start").alias("start"), F.col("win.end").alias("end"), "n")
+    batch = batch_df.toPandas()
+
+    # Sessions whose end is beyond the final watermark (= max event time
+    # with 0s delay) legitimately stay open and unemitted; everything
+    # else must match the batch computation exactly.
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    open_sessions = batch[batch["end"] > max_ts]
+    closed = batch[batch["end"] <= max_ts]
+    assert len(out) == len(closed)
+    assert out["n"].sum() == closed["n"].sum()
+    assert len(batch) - len(out) == len(open_sessions)
