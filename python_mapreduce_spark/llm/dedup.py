@@ -210,13 +210,15 @@ def embedding_dedup_pairs(
     All-pairs formulation — correct for dimension-sized inputs; for
     corpus-scale embedding sets, route through
     similarity.hyperplane_lsh_buckets first and compare within buckets.
+    Scoring via the vectorized pandas cosine (see similarity.py: the
+    JVM HOF fold is interpreted per element, ~50x slower).
     """
-    from python_mapreduce_spark.llm.similarity import cosine
+    from python_mapreduce_spark.llm.similarity import cos_pair_udf
 
     a = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
     b = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
     return (
         a.join(b, F.col("id1") < F.col("id2"))
-        .select("id1", "id2", dround(cosine(F.col("v1"), F.col("v2")), 6).alias("cos"))
+        .select("id1", "id2", cos_pair_udf()(F.col("v1"), F.col("v2")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )

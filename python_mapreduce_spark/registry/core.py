@@ -399,8 +399,138 @@ FROM customer GROUP BY 1
 """
 
 
+# --- pivot -------------------------------------------------------------------
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dround(F.sum("l_quantity")))
+    )
+    return p.select("l_returnflag", F.col("F").alias("ls_f"), F.col("O").alias("ls_o"))
+
+
+SQL_PIVOT = f"""
+SELECT l_returnflag,
+       {sql_dround("sum(l_quantity) FILTER (WHERE l_linestatus = 'F')")} AS ls_f,
+       {sql_dround("sum(l_quantity) FILTER (WHERE l_linestatus = 'O')")} AS ls_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- scalar subquery -----------------------------------------------------------
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n_big
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+SQL_SCALAR_SUBQUERY = """
+SELECT o_orderstatus, count(*) AS n_big
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+GROUP BY o_orderstatus
+"""
+
+
+# --- exact percentiles ----------------------------------------------------------
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact interpolated percentiles (Spark `percentile` == DuckDB
+    # quantile_cont). The approximate variant (percentile_approx /
+    # approx_count_distinct sketches) is q_approx_distinct — sketch
+    # internals differ per engine, so that one is pytest-pinned instead.
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               transform(percentile(o_totalprice, array(0.25D, 0.5D, 0.75D)),
+                         x -> floor(x * 100.0D + 0.5D) / 100.0D) AS price_quartiles
+        FROM orders GROUP BY o_orderstatus
+        """
+    )
+
+
+SQL_PERCENTILES = """
+SELECT o_orderstatus,
+       list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
+                      x -> floor(x * 100.0 + 0.5) / 100.0) AS price_quartiles
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --- TPC-H Q6-style forecast revenue --------------------------------------------
+
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dround(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+    )
+
+
+SQL_Q06 = f"""
+SELECT {sql_dround('sum(l_extendedprice * l_discount)')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- salted aggregation (skew pattern) ------------------------------------------
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Three hot keys over the whole table = the skew fixture
+    # (FIXTURES.md B.5). Salting must not change the answer.
+    from python_mapreduce_spark.operators.aggregates import salted_group_agg
+
+    li = table(spark, sf_dir, "lineitem")
+    out = salted_group_agg(li, ["l_returnflag"], "l_quantity", salt_buckets=8)
+    return out.select(
+        "l_returnflag", dround("sum_l_quantity").alias("sum_qty"), "n_rows"
+    )
+
+
+SQL_SALTED_AGG = f"""
+SELECT l_returnflag, {sql_dround('sum(l_quantity)')} AS sum_qty, count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- approximate distinct (sketch; pytest-pinned) -------------------------------
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HLL++ sketch — the one-pass cardinality path for 100 TB. Sketch
+    # values are engine-specific, so no SQL oracle; tests assert <5%
+    # relative error vs the exact count (tests/test_operators.py).
+    li = table(spark, sf_dir, "lineitem")
+    return count_distinct_by(li, ["l_returnflag"], "l_partkey", approx=True)
+
+
 QUERIES: dict[str, Query] = {
     "q01_pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY, "TPC-H Q1-style flagship"),
+    "q_pivot": Query(q_pivot, SQL_PIVOT, "pivot to columns"),
+    "q_scalar_subquery": Query(q_scalar_subquery, SQL_SCALAR_SUBQUERY, "scalar subquery filter"),
+    "q_percentiles": Query(q_percentiles, SQL_PERCENTILES, "exact interpolated percentiles"),
+    "q06_forecast_revenue": Query(q06_forecast_revenue, SQL_Q06, "TPC-H Q6-style filter agg"),
+    "q_salted_agg": Query(q_salted_agg, SQL_SALTED_AGG, "two-stage salted agg (skew)"),
+    "q_approx_distinct": Query(q_approx_distinct, None, "HLL++ approx count-distinct"),
     "q_filter_project": Query(q_filter_project, SQL_FILTER_PROJECT, "filter + projection, pushed to scan"),
     "q_sample_agg": Query(q_sample_agg, SQL_SAMPLE_AGG, "deterministic downsample + agg (O5)"),
     "q_distinct": Query(q_distinct, SQL_DISTINCT, "DISTINCT pairs"),

@@ -24,7 +24,8 @@ from python_mapreduce_spark.operators.joins import (
 from python_mapreduce_spark.registry import Query
 from python_mapreduce_spark.registry._util import table
 
-_REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _revenue():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 def q_join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,7 +34,7 @@ def q_join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         equi_join(li, o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
-            dround(F.sum(_REVENUE)).alias("revenue"),
+            dround(F.sum(_revenue())).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -67,7 +68,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey") == r.r_regionkey,
         )
         .groupBy("r_name", "n_name")
-        .agg(dround(F.sum(_REVENUE)).alias("revenue"))
+        .agg(dround(F.sum(_revenue())).alias("revenue"))
     )
 
 
@@ -216,7 +217,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderpriority")
-        .agg(dround(F.sum(_REVENUE)).alias("revenue"))
+        .agg(dround(F.sum(_revenue())).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -255,7 +256,7 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(dround(F.sum(_REVENUE)).alias("revenue"))
+        .agg(dround(F.sum(_revenue())).alias("revenue"))
     )
 
 

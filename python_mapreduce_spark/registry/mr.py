@@ -108,8 +108,41 @@ GROUP BY n_name
 """
 
 
+def q_mr_wordcount_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's NATIVE input path end-to-end: newline text files,
+    # gzip-compressed (mapper.py:87-94), scanned as raw lines and fed to
+    # the user map function. Fixture derived from documents.text per
+    # FIXTURES.md B.1; same oracle as the parquet wordcount because the
+    # token multiset survives the round-trip.
+    import tempfile
+
+    from python_mapreduce_spark.sources.readers import read_text
+    from python_mapreduce_spark.sources.sinks import write_text
+
+    from python_mapreduce_spark.session import tune
+
+    tune(spark)
+    out_dir = tempfile.mkdtemp(prefix="wc_gz_")
+    docs = table(spark, sf_dir, "documents").select("text")
+    write_text(docs, out_dir, compression="gzip")
+    lines = read_text(spark, out_dir)
+
+    def map_fn(line, aux):
+        return [(tok, 1) for tok in _TOKEN_RE.findall(line.lower())]
+
+    def reduce_fn(key, group, aux):
+        return [(key[0], int(group["n"].sum()))]
+
+    return run_mapreduce(
+        lines, map_fn, "token string, n long", reduce_fn, "token string, cnt long"
+    )
+
+
 QUERIES: dict[str, Query] = {
     "q_mr_wordcount": Query(q_mr_wordcount, SQL_MR_WORDCOUNT, "facade map+reduce wordcount"),
+    "q_mr_wordcount_gz": Query(
+        q_mr_wordcount_gz, SQL_MR_WORDCOUNT, "gzip text-line scan through the facade"
+    ),
     "q_mr_weighted_avg": Query(q_mr_weighted_avg, SQL_MR_WEIGHTED_AVG, "whole-group reduce, fsum"),
     "q_mr_aux_join": Query(q_mr_aux_join, SQL_MR_AUX_JOIN, "aux-data map-side join"),
 }

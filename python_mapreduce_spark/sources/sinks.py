@@ -85,3 +85,29 @@ def write_parquet(
 ) -> None:
     """Columnar sink — the scale default (pushdown + pruning on re-read)."""
     _writer(df, mode, compression, max_records_per_file, partition_by).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    *,
+    buckets: int,
+    key: str | Sequence[str],
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed (optionally bucket-sorted) managed table.
+
+    THE shuffle-elimination tool for repeated big-big joins: two tables
+    bucketed on the same key with the same bucket count join with NO
+    Exchange — each task zips bucket i with bucket i. At 100 TB, paying
+    one bucketed write to remove a shuffle from every downstream join is
+    the standard trade. (The reference cannot express this: its hash
+    partitioning exists only inside a single job's shuffle,
+    shuffler.py:71-77.)
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.mode(mode).bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(name)

@@ -16,9 +16,21 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from python_mapreduce_spark.session import get_spark
 
-    s = get_spark("pytest", master="local[8]", extra_conf={"spark.sql.shuffle.partitions": "8"})
+    s = get_spark(
+        "pytest",
+        master="local[8]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": "8",
+            # Fresh warehouse per session: the in-memory catalog forgets
+            # tables between sessions but their directories persist, and
+            # saveAsTable refuses to reuse an existing location.
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="wh_"),
+        },
+    )
     yield s
 
 

@@ -1,0 +1,94 @@
+"""Operator-level unit tests: bucketed co-located joins, approximate
+sketches, as-of semantics on hand-built micro-data, file sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tables):
+    from python_mapreduce_spark.plans.explain import formatted_plan
+    from python_mapreduce_spark.sources.sinks import write_bucketed_table
+
+    write_bucketed_table(
+        tables["lineitem"].select("l_orderkey", "l_quantity"),
+        "li_bucketed",
+        buckets=4,
+        key="l_orderkey",
+    )
+    write_bucketed_table(
+        tables["orders"].select("o_orderkey", "o_totalprice"),
+        "o_bucketed",
+        buckets=4,
+        key="o_orderkey",
+    )
+    li, o = spark.table("li_bucketed"), spark.table("o_bucketed")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        # Bucketed-on-key tables co-locate: no shuffle on either side.
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_approx_count_distinct_within_5pct(tables):
+    li = tables["lineitem"]
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag").agg(F.countDistinct("l_partkey").alias("n")).collect()
+    }
+    approx = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.05).alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.05
+
+
+def test_asof_join_on_known_micro_data(spark):
+    from python_mapreduce_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 25, 101), (2, 5, 102)], "k long, t long, lid long"
+    ).select("k", F.timestamp_micros("t").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [(1, 10, 900), (1, 20, 901), (2, 9, 902)], "k long, t long, rid long"
+    ).select("k", F.timestamp_micros("t").alias("ts"), "rid")
+    out = {
+        r.lid: r.rid_asof
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts", right_cols=["rid"]
+        ).collect()
+    }
+    # lid 100 at t=10 matches rid 900 AT the same instant (<= semantics);
+    # lid 101 at t=25 takes the latest earlier (901); lid 102 at t=5 has
+    # no earlier right row -> null.
+    assert out == {100: 900, 101: 901, 102: None}
+
+
+def test_sample_files_is_deterministic():
+    from python_mapreduce_spark.sources.readers import sample_files
+
+    paths = [f"f{i}" for i in range(1000)]
+    s1 = sample_files(paths, 0.1, seed=7)
+    s2 = sample_files(paths, 0.1, seed=7)
+    assert s1 == s2
+    assert 50 < len(s1) < 200  # Bernoulli around 10%
+
+
+def test_union_all_by_name(spark):
+    from python_mapreduce_spark.operators.relational import union_all
+
+    a = spark.createDataFrame([(1, "x")], "id long, v string")
+    b = spark.createDataFrame([("y", 2)], "v string, id long")  # reordered cols
+    out = union_all([a, b]).collect()
+    assert sorted((r.id, r.v) for r in out) == [(1, "x"), (2, "y")]
