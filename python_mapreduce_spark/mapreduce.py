@@ -112,6 +112,26 @@ def reduce_groups(
     return df.groupBy(*key_cols).applyInPandas(apply, schema)
 
 
+def to_pairs(df: DataFrame, key_col: str, value_cols: Sequence[str] | None = None):
+    """Expose a DataFrame as the reference's raw (key, value) RDD surface
+    (item = (key, value), README.txt:259-261; key = item[0],
+    mapper.py:61).
+
+    Only for genuinely imperative per-partition logic — everything
+    relational should stay in DataFrames where Catalyst can see it.
+    """
+    cols = value_cols or [c for c in df.columns if c != key_col]
+    return df.rdd.map(lambda row: (row[key_col], tuple(row[c] for c in cols)))
+
+
+def pairs_to_df(pairs, schema: str) -> DataFrame:
+    """Back from (key, value-tuple) pairs to a typed DataFrame."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    return spark.createDataFrame(pairs.map(lambda kv: (kv[0], *kv[1])), schema)
+
+
 def run_mapreduce(
     df: DataFrame,
     map_fn: Callable[[tuple, Any], Iterable[tuple]],

@@ -36,6 +36,7 @@ def all_queries() -> dict[str, Query]:
     """Aggregate every category module's QUERIES dict (stable order)."""
     from python_mapreduce_spark.registry import (  # noqa: PLC0415 - lazy, avoids import cycles
         core,
+        extra,
         joins,
         llm,
         mr,
@@ -44,7 +45,7 @@ def all_queries() -> dict[str, Query]:
     )
 
     out: dict[str, Query] = {}
-    for mod in (core, joins, windows, mr, llm, streaming):
+    for mod in (core, extra, joins, windows, mr, llm, streaming):
         for name, q in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")

@@ -1,0 +1,246 @@
+"""Second-wave relational coverage: bag set-ops, ordered collect
+aggregates, posexplode (UDTF analog), null handling, mode, and further
+TPC-H-style classics (Q4/Q12/Q14 adaptations to this schema).
+
+Reference coverage: all user patterns inside map/reduce (SURVEY.md §2.2)
+— explode is the flatMap output fan-out (O6), collect is a whole-group
+reduce building a list, set-ops are tag-and-reduce emission rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_mapreduce_spark.functions.scalar import dround, sql_dround, tokenize
+from python_mapreduce_spark.registry import Query
+from python_mapreduce_spark.registry._util import table
+
+
+# --- bag (ALL) set operators --------------------------------------------------
+
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = table(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k"))
+    b = table(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
+    return a.intersectAll(b).groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_INTERSECT_ALL = """
+SELECT k, count(*) AS n FROM (
+  SELECT l_suppkey AS k FROM lineitem
+  INTERSECT ALL
+  SELECT s_suppkey AS k FROM supplier
+) GROUP BY k
+"""
+
+
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multiset difference: lineitem suppkey occurrences minus one per
+    # matching supplier row.
+    a = table(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k"))
+    b = table(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
+    return a.exceptAll(b).groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_EXCEPT_ALL = """
+SELECT k, count(*) AS n FROM (
+  SELECT l_suppkey AS k FROM lineitem
+  EXCEPT ALL
+  SELECT s_suppkey AS k FROM supplier
+) GROUP BY k
+"""
+
+
+# --- collect_list / collect_set (ordered for determinism) -----------------------
+
+def q_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Whole-group list building — the reference's reduce returning a list
+    # per key. Sorted so output is order-insensitive-hash stable.
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.slice(F.sort_array(F.collect_list("o_custkey")), 1, 5).alias("first_custkeys"),
+    )
+
+
+SQL_COLLECT_AGG = """
+SELECT o_orderpriority,
+       list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+       list_sort(list(o_custkey))[1:5] AS first_custkeys
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --- posexplode (UDTF / flatMap fan-out analog) ---------------------------------
+
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = d.select("doc_id", tokenize("text").alias("toks"))
+    return toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+
+
+SQL_POSEXPLODE = """
+SELECT doc_id,
+       unnest(generate_series(0, len(toks) - 1)) AS pos,
+       unnest(toks) AS tok
+FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+      FROM documents WHERE doc_id < 50)
+"""
+
+
+# --- null handling (fillna / coalesce over outer join) --------------------------
+
+def q_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    last_order = o.groupBy("o_custkey").agg(F.max("o_totalprice").alias("max_price"))
+    joined = c.join(last_order, c.c_custkey == last_order.o_custkey, "left")
+    return joined.fillna({"max_price": -1.0}).select(
+        "c_custkey", dround("max_price").alias("max_price")
+    )
+
+
+SQL_FILLNA = f"""
+SELECT c_custkey,
+       {sql_dround('coalesce(mp.max_price, -1.0)')} AS max_price
+FROM customer
+LEFT JOIN (SELECT o_custkey, max(o_totalprice) AS max_price
+           FROM orders GROUP BY o_custkey) mp
+  ON c_custkey = mp.o_custkey
+"""
+
+
+# --- mode (most frequent value) -------------------------------------------------
+
+def q_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark's mode() breaks frequency ties arbitrarily; make the answer
+    # well-defined via explicit count + deterministic tiebreak instead.
+    e = table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event"), "cnt")
+    )
+
+
+SQL_MODE_AGG = """
+SELECT user_id, event_type AS top_event, cnt FROM (
+  SELECT user_id, event_type, count(*) AS cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type)
+WHERE rn = 1
+"""
+
+
+# --- TPC-H-style classics -------------------------------------------------------
+
+def q04_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q4 adaptation: orders (in a date range) having at least one line
+    # item shipped more than 60 days after the order date, counted by
+    # priority — EXISTS-style semi join.
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.datediff("l_shipdate", "o_orderdate") > 60)
+        .select("l_orderkey")
+        .distinct()
+    )
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_Q04 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND date_diff('day', o_orderdate::DATE, l_shipdate::DATE) > 60)
+GROUP BY o_orderpriority
+"""
+
+
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q12 adaptation (no shipmode column): per line status, how many
+    # high- vs low-priority orders' items shipped in 1997 — conditional
+    # counts over a fact-fact join.
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_priority"),
+            F.sum(1 - high).alias("low_priority"),
+        )
+    )
+
+
+SQL_Q12 = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_priority,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+         AS low_priority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q14 adaptation: share of 1997 revenue from PROMO-type parts —
+    # conditional aggregate ratio over a broadcast dim join.
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(dround(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_share_pct"))
+    )
+
+
+SQL_Q14 = f"""
+SELECT {sql_dround('''100.0 * sum(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount))''', 4)} AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "q_intersect_all": Query(q_intersect_all, SQL_INTERSECT_ALL, "bag intersect"),
+    "q_except_all": Query(q_except_all, SQL_EXCEPT_ALL, "bag except"),
+    "q_collect_agg": Query(q_collect_agg, SQL_COLLECT_AGG, "ordered collect_list/set"),
+    "q_posexplode": Query(q_posexplode, SQL_POSEXPLODE, "posexplode fan-out (UDTF analog)"),
+    "q_fillna": Query(q_fillna, SQL_FILLNA, "null fill over outer join"),
+    "q_mode_agg": Query(q_mode_agg, SQL_MODE_AGG, "per-key mode w/ deterministic ties"),
+    "q04_priority_check": Query(q04_priority_check, SQL_Q04, "TPC-H Q4-style EXISTS"),
+    "q12_priority_by_status": Query(q12_priority_by_status, SQL_Q12, "TPC-H Q12-style conditional counts"),
+    "q14_promo_share": Query(q14_promo_share, SQL_Q14, "TPC-H Q14-style ratio"),
+}

@@ -85,6 +85,19 @@ def test_sample_files_is_deterministic():
     assert 50 < len(s1) < 200  # Bernoulli around 10%
 
 
+def test_rdd_pair_surface_roundtrip(spark, tables):
+    from python_mapreduce_spark.mapreduce import pairs_to_df, to_pairs
+
+    nation = tables["nation"]
+    pairs = to_pairs(nation, "n_regionkey", ["n_nationkey", "n_name"])
+    # imperative pair-level logic (the reference's native surface)
+    counted = pairs.mapValues(lambda v: 1).reduceByKey(lambda a, b: a + b)
+    back = pairs_to_df(counted.map(lambda kv: (kv[0], (kv[1],))), "regionkey int, n long")
+    expected = {r.n_regionkey: r.n for r in nation.groupBy("n_regionkey").count().withColumnRenamed("count", "n").collect()}
+    got = {r.regionkey: r.n for r in back.collect()}
+    assert got == expected
+
+
 def test_union_all_by_name(spark):
     from python_mapreduce_spark.operators.relational import union_all
 
