@@ -30,6 +30,24 @@ def sql_dround(expr: str, scale: int = 2) -> str:
     return f"floor(({expr}) * {m} + 0.5) / {m}"
 
 
+def dsum(col: Column, scale: int = 2) -> Column:
+    """Order-independent rounded SUM for money-like doubles.
+
+    Products of 2-decimal inputs are exact 4-6-decimal decimals, so their
+    float sums land EXACTLY on the half-cent boundary ~1% of the time —
+    and then Spark's partition-order-dependent summation vs the oracle's
+    sequential sum flips the rounded cent nondeterministically. Summing
+    in DECIMAL(18,6) is exact and associative: same result at any
+    parallelism, in any engine. Cast back to double, then dround.
+    """
+    return dround(F.sum(col.cast("decimal(18,6)")).cast("double"), scale)
+
+
+def sql_dsum(expr: str, scale: int = 2) -> str:
+    """The ANSI-SQL twin of :func:`dsum`."""
+    return sql_dround(f"CAST(sum(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)", scale)
+
+
 def tokenize(col: Column | str, pattern: str = "[a-z]+") -> Column:
     """Lowercase + extract word tokens (shared by text/dedup operators).
 

@@ -19,7 +19,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from python_mapreduce_spark.functions.scalar import dround
+from python_mapreduce_spark.functions.scalar import dround, dsum
 
 
 def group_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
@@ -107,9 +107,9 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dround(F.sum("l_quantity")).alias("sum_qty"),
-            dround(F.sum("l_extendedprice")).alias("sum_base_price"),
-            dround(F.sum(disc_price)).alias("sum_disc_price"),
-            dround(F.sum(charge)).alias("sum_charge"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
             dround(F.avg("l_quantity")).alias("avg_qty"),
             dround(F.avg("l_extendedprice")).alias("avg_price"),
             dround(F.avg("l_discount"), 4).alias("avg_disc"),

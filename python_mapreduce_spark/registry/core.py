@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_mapreduce_spark.functions.scalar import dround, sql_dround
+from python_mapreduce_spark.functions.scalar import dround, dsum, sql_dround, sql_dsum
 from python_mapreduce_spark.operators.aggregates import (
     count_distinct_by,
     cube_agg,
@@ -39,9 +39,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PRICING_SUMMARY = f"""
 SELECT l_returnflag, l_linestatus,
        {sql_dround('sum(l_quantity)')}                                       AS sum_qty,
-       {sql_dround('sum(l_extendedprice)')}                                  AS sum_base_price,
-       {sql_dround('sum(l_extendedprice * (1 - l_discount))')}               AS sum_disc_price,
-       {sql_dround('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))')} AS sum_charge,
+       {sql_dsum('l_extendedprice')}                                  AS sum_base_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')}               AS sum_disc_price,
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
        {sql_dround('avg(l_quantity)')}                                       AS avg_qty,
        {sql_dround('avg(l_extendedprice)')}                                  AS avg_price,
        {sql_dround('avg(l_discount)', 4)}                                    AS avg_disc,
@@ -479,12 +479,12 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(dround(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
 
 
 SQL_Q06 = f"""
-SELECT {sql_dround('sum(l_extendedprice * l_discount)')} AS revenue
+SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_mapreduce_spark.functions.scalar import dround, sql_dround, tokenize
+from python_mapreduce_spark.functions.scalar import dround, dsum, sql_dround, sql_dsum, tokenize
 from python_mapreduce_spark.registry import Query
 from python_mapreduce_spark.registry._util import table
 
@@ -233,8 +233,86 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 """
 
 
+def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q7 adaptation: shipping volume between supplier-nation and
+    # customer-nation pairs for 1997 — two dim joins on both fact sides.
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(dsum(rev).alias("volume"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+SQL_Q07 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS volume,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND n1.n_name != n2.n_name
+GROUP BY 1, 2
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q10 adaptation: top 20 customers by revenue lost to returns —
+    # filtered fact join + top-k on the rounded measure.
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(dsum(rev).alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_Q10 = f"""
+SELECT c_custkey, c_name, c_mktsegment,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS lost_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_intersect_all": Query(q_intersect_all, SQL_INTERSECT_ALL, "bag intersect"),
+    "q07_nation_volume": Query(q07_nation_volume, SQL_Q07, "TPC-H Q7-style nation pairs"),
+    "q10_returned_items": Query(q10_returned_items, SQL_Q10, "TPC-H Q10-style top-20"),
     "q_except_all": Query(q_except_all, SQL_EXCEPT_ALL, "bag except"),
     "q_collect_agg": Query(q_collect_agg, SQL_COLLECT_AGG, "ordered collect_list/set"),
     "q_posexplode": Query(q_posexplode, SQL_POSEXPLODE, "posexplode fan-out (UDTF analog)"),

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_mapreduce_spark.functions.scalar import dround, sql_dround
+from python_mapreduce_spark.functions.scalar import dround, dsum, sql_dround, sql_dsum
 from python_mapreduce_spark.operators.joins import (
     asof_join,
     broadcast_join,
@@ -34,7 +34,7 @@ def q_join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         equi_join(li, o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
-            dround(F.sum(_revenue())).alias("revenue"),
+            dsum(_revenue()).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -42,7 +42,7 @@ def q_join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_JOIN_EQUI = f"""
 SELECT o_orderpriority,
-       {sql_dround('sum(l_extendedprice * (1 - l_discount))')} AS revenue,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
@@ -68,13 +68,13 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey") == r.r_regionkey,
         )
         .groupBy("r_name", "n_name")
-        .agg(dround(F.sum(_revenue())).alias("revenue"))
+        .agg(dsum(_revenue()).alias("revenue"))
     )
 
 
 SQL_JOIN_BROADCAST = f"""
 SELECT r_name, n_name,
-       {sql_dround('sum(l_extendedprice * (1 - l_discount))')} AS revenue
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
@@ -217,7 +217,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderpriority")
-        .agg(dround(F.sum(_revenue())).alias("revenue"))
+        .agg(dsum(_revenue()).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -225,7 +225,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_Q03 = f"""
 SELECT l_orderkey, o_orderpriority,
-       {sql_dround('sum(l_extendedprice * (1 - l_discount))')} AS revenue
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -256,12 +256,12 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(dround(F.sum(_revenue())).alias("revenue"))
+        .agg(dsum(_revenue()).alias("revenue"))
     )
 
 
 SQL_Q05 = f"""
-SELECT n_name, {sql_dround('sum(l_extendedprice * (1 - l_discount))')} AS revenue
+SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

@@ -1,0 +1,76 @@
+"""IO edge coverage: CSV roundtrip, corrupt-record capture (the
+reference's LINE_ERROR path, reducer.py:58-64), stratified sampling,
+scalar UDF registration (the reference's dynamic function registry, O7)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_csv_roundtrip_with_schema(spark, tables, tmp_path):
+    from python_mapreduce_spark.sources.readers import read_csv
+    from python_mapreduce_spark.sources.sinks import write_csv
+
+    df = tables["nation"]
+    out = str(tmp_path / "csv")
+    write_csv(df, out)
+    back = read_csv(spark, out, schema=df.schema)
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in df.collect()
+    )
+
+
+def test_corrupt_jsonl_lands_in_corrupt_column(spark, tmp_path):
+    # PERMISSIVE mode: bad lines become rows with _corrupt_record set,
+    # not job failures — the declarative version of LINE_ERROR capture.
+    p = tmp_path / "lines.json"
+    p.write_text('{"a": 1}\n{"a": 2}\nnot json at all\n{"a": 3}\n')
+    from python_mapreduce_spark.sources.readers import read_jsonl
+
+    schema = "a long, _corrupt_record string"
+    df = read_jsonl(spark, str(p), schema=schema).cache()
+    assert df.count() == 4
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
+    assert df.filter(F.col("a").isNotNull()).count() == 3
+
+
+def test_stratified_sample_by_key(tables):
+    li = tables["lineitem"]
+    fractions = {"A": 0.5, "N": 0.1, "R": 0.0}
+    sampled = li.sampleBy("l_returnflag", fractions, seed=42)
+    counts = {
+        r.l_returnflag: r.n
+        for r in sampled.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    totals = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert "R" not in counts  # fraction 0 -> excluded
+    assert 0.3 < counts["A"] / totals["A"] < 0.7
+    assert 0.02 < counts["N"] / totals["N"] < 0.25
+
+
+def test_scalar_udf_registration_in_sql(spark, tables):
+    # The reference resolves user functions by name from a per-project
+    # registry (O7, mapper.py:44-53); Spark's equivalent is
+    # spark.udf.register making the function callable from SQL.
+    @F.pandas_udf("double")
+    def net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1 - discount)
+
+    spark.udf.register("net_price", net_price)
+    tables["lineitem"].createOrReplaceTempView("li_udf_test")
+    got = spark.sql(
+        "SELECT sum(net_price(l_extendedprice, l_discount)) AS s FROM li_udf_test"
+    ).collect()[0].s
+    expected = (
+        tables["lineitem"]
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert abs(got - expected) < 1e-6 * abs(expected)
