@@ -34,8 +34,11 @@ HEADLINE = [
     "q_sessionize",
     "q_mr_wordcount",
     "q_dedup_minhash",
+    "q_dedup_jaccard",
     "q_sim_topk",
     "q_text_stats",
+    "q07_nation_volume",
+    "q_stream_tumbling",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

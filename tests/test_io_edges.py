@@ -37,6 +37,20 @@ def test_corrupt_jsonl_lands_in_corrupt_column(spark, tmp_path):
     assert df.filter(F.col("a").isNotNull()).count() == 3
 
 
+def test_multi_dir_scan_unions_inputs(spark, tables, tmp_path):
+    # The reference's dataset = a LIST of directories scanned into one
+    # bag (mapper.py:26, 75-78); Spark readers take path lists natively.
+    from python_mapreduce_spark.sources.readers import read_text
+    from python_mapreduce_spark.sources.sinks import write_text
+
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    docs = tables["documents"].select("text")
+    docs.limit(10).write.mode("overwrite").text(d1)
+    docs.limit(25).write.mode("overwrite").text(d2)
+    combined = read_text(spark, [d1, d2])
+    assert combined.count() == 35
+
+
 def test_stratified_sample_by_key(tables):
     li = tables["lineitem"]
     fractions = {"A": 0.5, "N": 0.1, "R": 0.0}
