@@ -85,17 +85,28 @@ def minhash_signatures(
     """(id, array of k minhashes) from (id, shingles).
 
     h_i(s) = xxhash64(i, s) — k independent deterministic hash functions;
-    the signature is the per-doc min of each. One explode + one groupBy.
+    the signature is the per-doc min of each. Shaped as a NARROW plan:
+    explode (shingle x hash-index) then a single min agg on (id, i),
+    rather than k wide min-agg columns. Map-side partial min collapses
+    the k-fold row expansion to k rows per doc before the shuffle, and
+    the tiny generated agg loop stays comfortably JIT-compilable — the
+    wide form's giant whole-stage-codegen method intermittently ran
+    interpreted (10-50x slower) while the JIT queue was backed up.
     """
     posts = sets_.filter(F.size("shingles") > 0).select(
         "id", F.explode("shingles").alias("shingle")
     )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = posts.groupBy("id").agg(*aggs)
-    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    expanded = posts.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i"),
+        F.xxhash64("i", "shingle").alias("h"),
+    )
+    mins = expanded.groupBy("id", "i").agg(F.min("h").alias("mh"))
+    return (
+        mins.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("s"))
+        .select("id", F.transform("s", lambda x: x["mh"]).alias("sig"))
+    )
 
 
 def lsh_candidate_pairs(
@@ -178,28 +189,34 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 
     Per token: xxhash64 bits vote +1/-1 per position; fingerprint bit k
-    is the sign of the vote sum. Implemented as 64 conditional-sum
-    aggregates over the exploded token stream — all JVM expressions.
+    is the sign of the vote sum. Shaped as a NARROW plan (explode the
+    64 bit positions, one sum agg on (id, k), then one sum assembling
+    the fingerprint) instead of 64 wide agg columns — same values, but
+    the generated agg loop stays small enough to always JIT. Bit 63
+    falls out of Java's shift wrap: shiftleft(1L, 63) IS the
+    two's-complement value of the sign bit.
     """
     from python_mapreduce_spark.functions.scalar import tokenize
 
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
-    votes = toks.groupBy("id").agg(
-        *[
+    votes = (
+        toks.select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("k"),
+            F.col("h"),
+        )
+        .groupBy("id", "k")
+        .agg(
             F.sum(
-                F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{k}")
-            for k in range(64)
-        ]
+                F.when(F.expr("(shiftright(h, k) & 1) = 1"), 1).otherwise(-1)
+            ).alias("v")
+        )
     )
-    fp = None
-    for k in range(64):
-        bit = F.when(F.col(f"v{k}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << k).cast("long") if k < 63 else -bit * F.lit(1 << 62).cast("long") * 2
-        fp = term if fp is None else fp + term
-    return votes.select("id", fp.alias("simhash64"))
+    bit = F.when(F.col("v") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    term = bit * F.expr("shiftleft(1L, k)")
+    return votes.groupBy("id").agg(F.sum(term).alias("simhash64"))
 
 
 def embedding_dedup_pairs(

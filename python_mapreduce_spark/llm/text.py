@@ -30,17 +30,26 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     """(id, distinct word n-gram shingles) — the substrate for Jaccard /
     MinHash dedup.
 
-    Uses pyspark.ml.feature.NGram (Scala-side linear scan) rather than a
-    ``transform(sequence, i -> slice(...))`` expression: Spark evaluates
-    higher-order-function lambdas interpreted per element, which made the
-    expression form O(tokens^2) Java-object churn — ~75x slower here for
-    the same output.
-    """
-    from pyspark.ml.feature import NGram  # noqa: PLC0415 - optional ml dependency
+    Implemented as ONE Catalyst regex pass: join the tokens with single
+    spaces, then extract every overlapping n-token window with a
+    lookahead capture — ``(?=(tok tok tok))tok`` matches once per window
+    start and captures the whole window without consuming it. Stays
+    inside whole-stage codegen with zero per-row object conversion.
 
-    toks = df.select(F.col(id_col).alias("id"), tokenize(text_col).alias("__toks"))
-    grams = NGram(n=n, inputCol="__toks", outputCol="__grams").transform(toks)
-    return grams.select("id", F.array_distinct("__grams").alias("shingles"))
+    Two rejected alternatives, both measured much slower here:
+    ``transform(sequence, i -> slice(...))`` (higher-order-function
+    lambdas evaluate interpreted per element — O(tokens^2) object churn,
+    ~75x), and pyspark.ml.feature.NGram (a ScalaUDF whose
+    ExpressionEncoder boxes every token to java.lang.String and back per
+    row — the per-row cost is dominated by conversion, not the n-gram
+    scan).
+    """
+    token, sep = "[a-z]+", " "
+    window = sep.join([token] * n)
+    pattern = f"(?=({window})){token}{sep}"
+    joined = F.array_join(tokenize(text_col), sep)
+    grams = F.regexp_extract_all(joined, F.lit(pattern), F.lit(1))
+    return df.select(F.col(id_col).alias("id"), F.array_distinct(grams).alias("shingles"))
 
 
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

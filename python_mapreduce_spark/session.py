@@ -31,6 +31,13 @@ _RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalesces on shuffle-READ size, which is blind to join/explode
+    # fan-out inside the stage: a 2 MB postings shuffle that joins into
+    # millions of pairs gets squeezed onto one core. A small floor keeps
+    # tiny shuffles spread across the cluster; at scale partitions are
+    # far above both this floor and the 64 MB advisory target, so the
+    # setting only affects the small-input regime it is meant for.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     # Arrow-vectorize every pandas_udf / applyInPandas / toPandas hop.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # ANSI off: keep permissive SQL semantics matching both the schemaless
