@@ -41,11 +41,12 @@ def all_queries() -> dict[str, Query]:
         llm,
         mr,
         streaming,
+        tpch2,
         windows,
     )
 
     out: dict[str, Query] = {}
-    for mod in (core, extra, joins, windows, mr, llm, streaming):
+    for mod in (core, extra, tpch2, joins, windows, mr, llm, streaming):
         for name, q in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")

@@ -73,6 +73,50 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sliding windows (1h length, 30m slide): every event lands in two
+    # overlapping windows. Same streaming pass as q_stream_tumbling —
+    # the slide only changes the window-assignment expression.
+    from python_mapreduce_spark.session import tune
+
+    tune(spark)
+    stream = normalize_event_ts(_events_stream(spark, sf_dir))
+    agg = tumbling_agg(
+        stream,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n"), dround(F.sum("value")).alias("sum_value")],
+        watermark="1 hour",
+        slide="30 minutes",
+    )
+    out = run_stream_to_memory(agg, output_mode="complete")
+    return out.select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+# Each event belongs to the two 30-min-grid windows covering it: the one
+# starting at its own 30-min bucket and the one starting 30 min earlier.
+SQL_STREAM_SLIDING = f"""
+WITH assigned AS (
+  SELECT unnest([date_trunc('hour', ts) + INTERVAL (CASE WHEN minute(ts) >= 30 THEN 30 ELSE 0 END) MINUTE,
+                 date_trunc('hour', ts) + INTERVAL (CASE WHEN minute(ts) >= 30 THEN 0 ELSE -30 END) MINUTE])
+           AS win_start,
+         event_type, value
+  FROM events
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n,
+       {sql_dround('sum(value)')} AS sum_value
+FROM assigned GROUP BY 1, 2
+"""
+
+
 def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The reference's incremental contract end-to-end: land half the
     # files, run a checkpointed pass; land the rest, run another pass
@@ -168,6 +212,9 @@ FROM events GROUP BY event_type
 QUERIES: dict[str, Query] = {
     "q_stream_tumbling": Query(
         q_stream_tumbling, SQL_STREAM_TUMBLING, "streamed tumbling-window agg (AvailableNow)"
+    ),
+    "q_stream_sliding": Query(
+        q_stream_sliding, SQL_STREAM_SLIDING, "sliding-window agg (1h window, 30m slide)"
     ),
     "q_stream_incremental": Query(
         q_stream_incremental, SQL_STREAM_INCREMENTAL, "checkpointed incremental passes, additive"

@@ -102,6 +102,12 @@ def read_parquet(spark: SparkSession, paths: str | Sequence[str]) -> DataFrame:
     return spark.read.parquet(*_paths(paths))
 
 
+def read_orc(spark: SparkSession, paths: str | Sequence[str]) -> DataFrame:
+    """ORC scan — same pushdown/pruning guarantees as parquet, for
+    interchange with Hive-era data lakes."""
+    return spark.read.orc(*_paths(paths))
+
+
 def sample_files(paths: Sequence[str], fraction: float, seed: int = 42) -> list[str]:
     """File-level Bernoulli downsample (reference O5, mapper.py:103-108).
 

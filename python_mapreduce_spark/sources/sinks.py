@@ -87,6 +87,19 @@ def write_parquet(
     _writer(df, mode, compression, max_records_per_file, partition_by).parquet(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    compression: str | None = "zstd",
+    max_records_per_file: int | None = None,
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """ORC sink — columnar alternative for Hive-ecosystem interchange."""
+    _writer(df, mode, compression, max_records_per_file, partition_by).orc(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,

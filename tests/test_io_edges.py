@@ -88,3 +88,40 @@ def test_scalar_udf_registration_in_sql(spark, tables):
         .s
     )
     assert abs(got - expected) < 1e-6 * abs(expected)
+
+
+def test_orc_roundtrip_partitioned(spark, tables, tmp_path):
+    # ORC sink/scan parity with parquet (SURVEY.md §2.2 scans/sinks row):
+    # partitioned layout prunes directories, values survive the roundtrip.
+    from python_mapreduce_spark.sources.readers import read_orc
+    from python_mapreduce_spark.sources.sinks import write_orc
+
+    li = tables["lineitem"].select("l_orderkey", "l_quantity", "l_returnflag")
+    path = str(tmp_path / "orc")
+    write_orc(li, path, partition_by=["l_returnflag"])
+    back = read_orc(spark, path)
+    assert back.count() == li.count()
+    # partition column round-trips as a directory key
+    flags = {r.l_returnflag for r in back.select("l_returnflag").distinct().collect()}
+    assert flags == {r.l_returnflag for r in li.select("l_returnflag").distinct().collect()}
+    # partition pruning: the flag filter becomes a PartitionFilter on the
+    # scan (directory pruning), not a row filter
+    one = back.filter(F.col("l_returnflag") == "A")
+    assert one.count() == li.filter(F.col("l_returnflag") == "A").count()
+    explained = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in explained and "l_returnflag" in explained.split("PartitionFilters")[1][:120]
+
+
+def test_parquet_rotation_max_records_per_file(tables, tmp_path):
+    # Reference O21 rotates output every N items (reducer.py:90-139);
+    # Spark's maxRecordsPerFile is the same knob.
+    import glob
+
+    from python_mapreduce_spark.sources.sinks import write_parquet
+
+    df = tables["orders"].select("o_orderkey", "o_totalprice")
+    n = df.count()
+    path = str(tmp_path / "rotated")
+    write_parquet(df.coalesce(1), path, max_records_per_file=100)
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) >= n // 100  # one part per 100 records (per task)
