@@ -38,6 +38,9 @@ HEADLINE = [
     "q_sim_topk",
     "q_text_stats",
     "q07_nation_volume",
+    "q13_order_count_dist",
+    "q19_disjunctive_revenue",
+    "q_window_range_frame",
     "q_stream_tumbling",
 ]
 

@@ -138,3 +138,37 @@ def asof_join(
         ],
     )
     return carried.filter(F.col("__side") == 1).drop("__side")
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    *,
+    salt_buckets: int = 8,
+    salt_source: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the skewed side salted and the other side replicated.
+
+    For hot join keys (one key = one straggler reducer), append a salt to
+    the skewed side's key and explode the other side across every salt
+    value, so one hot key spreads over ``salt_buckets`` tasks. Salt is
+    derived deterministically (hash of ``salt_source``, default: the
+    whole-row hash) so reruns partition identically.
+
+    Prefer AQE's skew-join splitting (on by default here,
+    session.py) — it needs no replication and reacts to measured skew.
+    Reach for explicit salting when the skew is known AND the replicated
+    side is small but above the broadcast threshold, or when a
+    deterministic layout must be pinned across engine versions. The
+    replicated side's size cost is x``salt_buckets`` — keep it the
+    dimension side.
+    """
+    src = F.col(salt_source) if salt_source else F.xxhash64(*skewed.columns)
+    lhs = skewed.withColumn("__salt", F.pmod(src, F.lit(salt_buckets)).cast("int"))
+    rhs = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = lhs.join(rhs, on=[key, "__salt"], how=how)
+    return out.drop("__salt")

@@ -138,7 +138,42 @@ def q_mr_wordcount_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mr_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Python UDTF (Spark 4): the reference's "map fn emits a LIST of
+    # records per input" (mapper.py:59-62) as a first-class SQL table
+    # function, applied per row via LATERAL. Row-at-a-time Python — the
+    # facade's compatibility path, not the perf path (the relational
+    # equivalent is explode(regexp_extract_all(...)), q_posexplode).
+    from pyspark.sql.functions import udtf  # noqa: PLC0415 - Spark >= 4 surface
+
+    @udtf(returnType="doc_id bigint, pos bigint, token string")
+    class TokenizeUDTF:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF protocol
+            for i, tok in enumerate(_TOKEN_RE.findall((text or "").lower()), start=1):
+                yield doc_id, i, tok
+
+    spark.udtf.register("tokenize_udtf", TokenizeUDTF)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("__mr_udtf_docs")
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.token "
+        "FROM __mr_udtf_docs AS d, LATERAL tokenize_udtf(d.doc_id, d.text) t"
+    )
+
+
+SQL_MR_UDTF_TOKENS = """
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+           FROM documents)
+SELECT doc_id,
+       CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+       unnest(toks) AS token
+FROM t
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "q_mr_udtf_tokens": Query(
+        q_mr_udtf_tokens, SQL_MR_UDTF_TOKENS, "Python UDTF via LATERAL (map-fn fan-out)"
+    ),
     "q_mr_wordcount": Query(q_mr_wordcount, SQL_MR_WORDCOUNT, "facade map+reduce wordcount"),
     "q_mr_wordcount_gz": Query(
         q_mr_wordcount_gz, SQL_MR_WORDCOUNT, "gzip text-line scan through the facade"

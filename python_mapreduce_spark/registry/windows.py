@@ -103,6 +103,41 @@ FROM orders
 """
 
 
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Time-RANGE frame (vs the row-count frame above): per supplier, the
+    # trailing-3-day shipped-quantity sum at each lineitem's ship date.
+    # Spark range frames need a numeric order key -> epoch seconds;
+    # bounds are inclusive on both engines, and equal timestamps are
+    # peers (every row at the same instant sees the same frame), so no
+    # tiebreak is needed for determinism. Summarized to per-supplier
+    # peak demand so the result is dimension-sized.
+    li = table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.unix_timestamp("l_shipdate"))
+        .rangeBetween(-3 * 86400, 0)
+    )
+    rolled = li.select(
+        "l_suppkey", F.sum("l_quantity").over(w).alias("qty_3d")
+    )
+    return rolled.groupBy("l_suppkey").agg(
+        dround(F.max("qty_3d"), 1).alias("peak_qty_3d")
+    )
+
+
+SQL_WINDOW_RANGE_FRAME = f"""
+WITH rolled AS (
+  SELECT l_suppkey,
+         sum(l_quantity) OVER (
+           PARTITION BY l_suppkey ORDER BY l_shipdate
+           RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW) AS qty_3d
+  FROM lineitem
+)
+SELECT l_suppkey, {sql_dround('max(qty_3d)', 1)} AS peak_qty_3d
+FROM rolled GROUP BY l_suppkey
+"""
+
+
 def q_window_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
@@ -155,6 +190,9 @@ QUERIES: dict[str, Query] = {
     "q_window_running": Query(q_window_running, SQL_WINDOW_RUNNING, "running sum per key"),
     "q_window_lag": Query(q_window_lag, SQL_WINDOW_LAG, "lag delta per key"),
     "q_window_moving_avg": Query(q_window_moving_avg, SQL_WINDOW_MOVING_AVG, "3-row moving avg"),
+    "q_window_range_frame": Query(
+        q_window_range_frame, SQL_WINDOW_RANGE_FRAME, "time-RANGE frame (trailing 3-day sum)"
+    ),
     "q_window_rank_dist": Query(q_window_rank_dist, SQL_WINDOW_RANK_DIST, "ntile/rank/percent_rank"),
     "q_sessionize": Query(q_sessionize, SQL_SESSIONIZE, "gap-based sessionization"),
 }

@@ -105,3 +105,29 @@ def test_union_all_by_name(spark):
     b = spark.createDataFrame([("y", 2)], "v string, id long")  # reordered cols
     out = union_all([a, b]).collect()
     assert sorted((r.id, r.v) for r in out) == [(1, "x"), (2, "y")]
+
+
+def test_salted_join_matches_plain_join(tables):
+    # Salting changes the physical layout, never the result: the salted
+    # equi-join must equal the plain join on every row (skew toolkit,
+    # complements AQE skew splitting — see operators/joins.py).
+    from python_mapreduce_spark.operators.joins import salted_join
+
+    li = tables["lineitem"].select(F.col("l_suppkey").alias("k"), "l_quantity")
+    s = tables["supplier"].select(F.col("s_suppkey").alias("k"), "s_name")
+    plain = (
+        li.join(s, "k")
+        .groupBy("k", "s_name")
+        .agg(F.sum("l_quantity").alias("q"), F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        salted_join(li, s, "k", salt_buckets=8)
+        .groupBy("k", "s_name")
+        .agg(F.sum("l_quantity").alias("q"), F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # outer flavor: left rows with no match survive exactly once per row
+    lonely = li.limit(50).withColumn("k", F.col("k") + 1000)
+    left = salted_join(lonely, s, "k", salt_buckets=4, how="left")
+    assert left.count() == 50
+    assert left.filter(F.col("s_name").isNull()).count() == 50
