@@ -43,3 +43,29 @@ def limit_rows(df: DataFrame, n: int) -> DataFrame:
     """LIMIT; with an orderBy upstream Spark plans TakeOrderedAndProject
     (per-partition top-n, then one merge — no global sort materialized)."""
     return df.limit(n)
+
+
+def repartition_and_sort(
+    df: DataFrame,
+    key: str | Sequence[str],
+    *,
+    num_partitions: int | None = None,
+    order: Sequence[str | Column] | None = None,
+) -> DataFrame:
+    """Hash-partition by key, sort within each partition — the reference's
+    exact output contract: reducer output is grouped and key-ordered PER
+    PARTITION with no order across partitions (external sort O14
+    disk_sort.py:32-97 feeding hash partitions O8 shuffler.py:71-77).
+
+    At scale this is the cheap ordering: one shuffle, per-partition
+    sorts, no global range exchange. Use global ``orderBy`` only when a
+    total order is genuinely required (it adds a range-partitioning pass
+    over a sampled key distribution).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    out = (
+        df.repartition(num_partitions, *keys)
+        if num_partitions
+        else df.repartition(*keys)
+    )
+    return out.sortWithinPartitions(*(order or keys))

@@ -131,3 +131,27 @@ def test_salted_join_matches_plain_join(tables):
     left = salted_join(lonely, s, "k", salt_buckets=4, how="left")
     assert left.count() == 50
     assert left.filter(F.col("s_name").isNull()).count() == 50
+
+
+def test_repartition_and_sort_partition_contract(tables):
+    # Reference semantics (O8+O14): same key -> same partition; keys
+    # non-decreasing within a partition; no global order promised.
+    from python_mapreduce_spark.operators.relational import repartition_and_sort
+
+    li = tables["lineitem"].select("l_suppkey", "l_quantity")
+    out = repartition_and_sort(li, "l_suppkey", num_partitions=8)
+    rows = out.select(
+        F.spark_partition_id().alias("pid"), "l_suppkey"
+    ).collect()
+    by_pid: dict[int, list] = {}
+    for r in rows:
+        by_pid.setdefault(r.pid, []).append(r.l_suppkey)
+    # within-partition key order
+    for ks in by_pid.values():
+        assert ks == sorted(ks)
+    # key -> exactly one partition
+    owner = {}
+    for pid, ks in by_pid.items():
+        for k in set(ks):
+            assert owner.setdefault(k, pid) == pid
+    assert len(by_pid) > 1

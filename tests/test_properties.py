@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis): operators whose correctness has a
+trusted independent formulation are checked on randomized inputs, not
+just fixtures — the reference's behavior-space is user programs, so edge
+shapes (dup timestamps, empty keys, one-sided keys) matter.
+
+Spark session startup dominates per-example cost, so each property runs
+a moderate number of examples against one shared session.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+_ts = st.integers(min_value=0, max_value=50)
+_key = st.sampled_from(["a", "b", "c"])
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(st.tuples(_key, _ts), min_size=1, max_size=12),
+    right=st.lists(st.tuples(_key, _ts, st.integers(-100, 100)), max_size=12),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    # The window-based distributed as-of join (operators/joins.py) must
+    # agree with pandas.merge_asof (backward, by-key, <= semantics) on
+    # arbitrary key/timestamp shapes: duplicate timestamps, keys missing
+    # on one side, empty right side.
+    ldf = spark.createDataFrame(
+        [(k, t) for k, t in left], "k string, ts long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, v) for k, t, v in right], "k string, ts long, v long"
+    )
+    from python_mapreduce_spark.operators.joins import asof_join
+
+    got = (
+        asof_join(ldf, rdf, "k", "ts", "ts", ["v"])
+        .orderBy("k", "ts")
+        .toPandas()
+    )
+
+    lp = pd.DataFrame(left, columns=["k", "ts"]).sort_values("ts", kind="stable")
+    rp = (
+        pd.DataFrame(right, columns=["k", "ts", "v"])
+        if right
+        else pd.DataFrame({"k": pd.Series(dtype=object), "ts": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")})
+    )
+    # merge_asof with duplicate right timestamps takes the LAST right row
+    # at each ts; make that deterministic by keeping only the last v per
+    # (k, ts) — which is also what the window formulation's
+    # last(ignorenulls) yields for right rows sorted by insertion order.
+    rp = rp.groupby(["k", "ts"], as_index=False).last().sort_values("ts", kind="stable")
+    exp = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    exp = exp.sort_values(["k", "ts"], kind="stable").reset_index(drop=True)
+
+    got_vals = [
+        (r.k, r.ts, None if pd.isna(r.v_asof) else int(r.v_asof))
+        for r in got.itertuples()
+    ]
+    exp_vals = [
+        (r.k, r.ts, None if pd.isna(r.v) else int(r.v))
+        for r in exp.itertuples()
+    ]
+    assert sorted(got_vals) == sorted(exp_vals)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dsum_is_partition_order_independent(spark, vals):
+    # dsum's DECIMAL(18,6) accumulation must give the identical rounded
+    # result at any parallelism — the money-sum determinism contract
+    # (functions/scalar.py).
+    from python_mapreduce_spark.functions.scalar import dsum
+
+    cents = [round(v, 2) for v in vals]
+    one = spark.createDataFrame([(v,) for v in cents], "x double").coalesce(1)
+    many = spark.createDataFrame([(v,) for v in cents], "x double").repartition(7)
+    a = one.agg(dsum(F.col("x")).alias("s")).collect()[0].s
+    b = many.agg(dsum(F.col("x")).alias("s")).collect()[0].s
+    assert a == b
