@@ -39,6 +39,58 @@ def union_all(frames: Sequence[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), frames)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    *,
+    seed: int = 42,
+    key: str | None = None,
+) -> DataFrame:
+    """Per-stratum sampling — the reference's downsample (O5,
+    mapper.py:103-108) upgraded from one global file-level rate to a
+    rate per stratum. Strata absent from ``fractions`` are dropped.
+
+    Two modes:
+      * ``key=None`` (production): ``df.sampleBy`` — per-row Bernoulli,
+        seeded, executed inside the scan stage (no shuffle).
+      * ``key='col'`` (deterministic): include a stratum's row when
+        ``key % round(1/fraction) == 0`` — exactly reproducible in any
+        engine, so results are oracle-comparable; with an entity key
+        (e.g. order key over lineitem) it samples whole entities, the
+        closest analog of the reference's whole-file inclusion.
+    Both are a pushed-down filter at any scale: no shuffle, no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    if key is None:
+        return df.sampleBy(strata_col, fractions, seed)
+    pred = None
+    for stratum, frac in fractions.items():
+        denom = max(1, round(1.0 / frac))
+        p = (F.col(strata_col) == stratum) & (
+            F.pmod(F.col(key), F.lit(denom)) == 0
+        )
+        pred = p if pred is None else (pred | p)
+    return df.filter(pred)
+
+
+def unpivot(
+    df: DataFrame,
+    ids: Sequence[str],
+    values: Sequence[str],
+    var_name: str = "measure",
+    value_name: str = "value",
+) -> DataFrame:
+    """Melt wide measure columns into (measure, value) rows — the
+    inverse of pivot, and the reference's map-fn pattern of emitting one
+    (metric_name, value) item per metric per line (O6 flatMap,
+    README.txt:254-261). Spark plans an Expand node: rows are fanned out
+    in the scan stage with no shuffle, no UDF, and column pruning still
+    reaches the scan for the melted subset."""
+    return df.unpivot(list(ids), list(values), var_name, value_name)
+
+
 def limit_rows(df: DataFrame, n: int) -> DataFrame:
     """LIMIT; with an orderBy upstream Spark plans TakeOrderedAndProject
     (per-partition top-n, then one merge — no global sort materialized)."""

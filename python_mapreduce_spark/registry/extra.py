@@ -309,8 +309,72 @@ LIMIT 20
 """
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Melt lineitem's four measure columns into (measure, value) rows
+    # (Expand node — scan-stage fan-out, no shuffle), then one
+    # partial+final agg per measure. DECIMAL sum for order-independence.
+    from python_mapreduce_spark.operators.relational import unpivot
+
+    li = table(spark, sf_dir, "lineitem")
+    long = unpivot(
+        li,
+        ["l_orderkey"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value")).alias("total"),
+    )
+
+
+SQL_UNPIVOT = f"""
+WITH long AS (
+  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+)
+SELECT measure, count(*) AS n, {sql_dsum('value')} AS total
+FROM long GROUP BY measure
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic stratified downsample (O5 upgraded to per-stratum
+    # rates): whole orders are sampled per return-flag stratum via
+    # key-mod so the oracle reproduces it exactly. The seeded sampleBy
+    # production path is unit-tested (tests/test_operators.py).
+    from python_mapreduce_spark.operators.relational import stratified_sample
+
+    li = table(spark, sf_dir, "lineitem")
+    sampled = stratified_sample(
+        li,
+        "l_returnflag",
+        {"A": 0.1, "N": 0.05, "R": 0.02},
+        key="l_orderkey",
+    )
+    return sampled.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dround(F.sum("l_quantity"), 1).alias("sum_qty"),
+    )
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT l_returnflag, count(*) AS n_rows, {sql_dround('sum(l_quantity)', 1)} AS sum_qty
+FROM lineitem
+WHERE (l_returnflag = 'A' AND l_orderkey % 10 = 0)
+   OR (l_returnflag = 'N' AND l_orderkey % 20 = 0)
+   OR (l_returnflag = 'R' AND l_orderkey % 50 = 0)
+GROUP BY l_returnflag
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_intersect_all": Query(q_intersect_all, SQL_INTERSECT_ALL, "bag intersect"),
+    "q_unpivot": Query(q_unpivot, SQL_UNPIVOT, "unpivot/melt (inverse of pivot)"),
+    "q_sample_stratified": Query(
+        q_sample_stratified, SQL_SAMPLE_STRATIFIED, "per-stratum downsample (O5 upgrade)"
+    ),
     "q07_nation_volume": Query(q07_nation_volume, SQL_Q07, "TPC-H Q7-style nation pairs"),
     "q10_returned_items": Query(q10_returned_items, SQL_Q10, "TPC-H Q10-style top-20"),
     "q_except_all": Query(q_except_all, SQL_EXCEPT_ALL, "bag except"),

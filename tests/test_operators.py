@@ -155,3 +155,45 @@ def test_repartition_and_sort_partition_contract(tables):
         for k in set(ks):
             assert owner.setdefault(k, pid) == pid
     assert len(by_pid) > 1
+
+
+def test_stratified_sample_modes(tables):
+    from python_mapreduce_spark.operators.relational import stratified_sample
+
+    li = tables["lineitem"]
+    fr = {"A": 0.5, "N": 0.1}
+
+    # production path: seeded Bernoulli per stratum
+    s = stratified_sample(li, "l_returnflag", fr, seed=7)
+    flags = {r.l_returnflag for r in s.select("l_returnflag").distinct().collect()}
+    assert flags <= {"A", "N"}  # stratum 'R' absent from fractions -> dropped
+    n_a = s.filter(F.col("l_returnflag") == "A").count()
+    tot_a = li.filter(F.col("l_returnflag") == "A").count()
+    assert 0 < n_a < tot_a
+    # seed-stable
+    assert stratified_sample(li, "l_returnflag", fr, seed=7).count() == s.count()
+
+    # deterministic path: exact key-mod inclusion, engine-independent
+    d = stratified_sample(li, "l_returnflag", fr, key="l_orderkey")
+    exp = li.filter(
+        ((F.col("l_returnflag") == "A") & (F.pmod("l_orderkey", F.lit(2)) == 0))
+        | ((F.col("l_returnflag") == "N") & (F.pmod("l_orderkey", F.lit(10)) == 0))
+    )
+    assert d.exceptAll(exp).count() == 0 and exp.exceptAll(d).count() == 0
+
+
+def test_unpivot_roundtrips_counts(tables):
+    from python_mapreduce_spark.operators.relational import unpivot
+    from python_mapreduce_spark.plans.explain import formatted_plan
+
+    li = tables["lineitem"]
+    long = unpivot(li, ["l_orderkey"], ["l_quantity", "l_discount"])
+    assert long.columns == ["l_orderkey", "measure", "value"]
+    assert long.count() == 2 * li.count()
+    # Expand in the scan stage, no shuffle introduced by the melt itself
+    assert "Expand" in formatted_plan(long)
+    back = long.groupBy("measure").count().collect()
+    assert {r.measure: r["count"] for r in back} == {
+        "l_quantity": li.count(),
+        "l_discount": li.count(),
+    }
