@@ -112,6 +112,48 @@ def reduce_groups(
     return df.groupBy(*key_cols).applyInPandas(apply, schema)
 
 
+def reduce_groups_streaming(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    fn: Callable[[tuple, Iterator[tuple], Any], Iterable[tuple]],
+    schema: str,
+    aux: Any = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Whole-group reduce for groups that may EXCEED executor memory —
+    the Spark twin of the reference's DiskList escape hatch
+    (disk_based_input, reducer.py:76-86, disk_list.py:6-63).
+
+    Where :func:`reduce_groups` materializes each group as one pandas
+    DataFrame, here ``fn(key, rows_iter, aux)`` receives the group as a
+    LAZY iterator of value tuples: PySpark's ``groupByKey`` backs it
+    with an external (spilling) merge, so a single huge group streams
+    from disk instead of OOM-ing — same contract the reference offers.
+
+    Slow path squared (pickled rows, no Arrow, no codegen): use only
+    when a group genuinely can't fit; prefer an algebraic rewrite
+    (partial aggregation) or :func:`reduce_groups` otherwise.
+    """
+    key_cols = [keys] if isinstance(keys, str) else list(keys)
+    val_cols = [c for c in df.columns if c not in key_cols]
+    b = broadcast_aux(df.sparkSession, aux)
+
+    def run(kv: tuple) -> Iterable[tuple]:
+        key, rows = kv
+        return fn(key, iter(rows), b.value)
+
+    pairs = df.rdd.map(
+        lambda row: (
+            tuple(row[k] for k in key_cols),
+            tuple(row[c] for c in val_cols),
+        )
+    )
+    grouped = (
+        pairs.groupByKey(num_partitions) if num_partitions else pairs.groupByKey()
+    )
+    return df.sparkSession.createDataFrame(grouped.flatMap(run), schema)
+
+
 def to_pairs(df: DataFrame, key_col: str, value_cols: Sequence[str] | None = None):
     """Expose a DataFrame as the reference's raw (key, value) RDD surface
     (item = (key, value), README.txt:259-261; key = item[0],

@@ -170,7 +170,42 @@ FROM t
 """
 
 
+def q_mr_stream_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Whole-group reduce through the SPILLING iterator path
+    # (reduce_groups_streaming) — the reference's disk_based_input
+    # contract (reducer.py:76-86): the reduce fn never holds the whole
+    # group, it streams it. One pass computes count/min/max per flag.
+    from python_mapreduce_spark.mapreduce import reduce_groups_streaming
+
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+
+    def reduce_fn(key, rows, aux):
+        n, lo, hi = 0, math.inf, -math.inf
+        for (qty,) in rows:
+            n += 1
+            lo = qty if qty < lo else lo
+            hi = qty if qty > hi else hi
+        return [(key[0], n, float(lo), float(hi))]
+
+    return reduce_groups_streaming(
+        li,
+        "l_returnflag",
+        reduce_fn,
+        "l_returnflag string, n_rows long, min_qty double, max_qty double",
+    )
+
+
+SQL_MR_STREAM_REDUCE = """
+SELECT l_returnflag, count(*) AS n_rows,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "q_mr_stream_reduce": Query(
+        q_mr_stream_reduce, SQL_MR_STREAM_REDUCE, "spill-backed streaming whole-group reduce"
+    ),
     "q_mr_udtf_tokens": Query(
         q_mr_udtf_tokens, SQL_MR_UDTF_TOKENS, "Python UDTF via LATERAL (map-fn fan-out)"
     ),

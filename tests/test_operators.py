@@ -197,3 +197,33 @@ def test_unpivot_roundtrips_counts(tables):
         "l_quantity": li.count(),
         "l_discount": li.count(),
     }
+
+
+def test_reduce_groups_streaming_matches_agg(tables):
+    from python_mapreduce_spark.mapreduce import reduce_groups_streaming
+
+    li = tables["lineitem"].select("l_returnflag", "l_quantity", "l_extendedprice")
+
+    def fn(key, rows, aux):
+        # consume the group strictly incrementally (never materialize)
+        n = 0
+        s = 0.0
+        for qty, _price in rows:
+            n += 1
+            s += qty
+        return [(key[0], n, aux["scale"] * s)]
+
+    got = reduce_groups_streaming(
+        li,
+        "l_returnflag",
+        fn,
+        "flag string, n long, scaled double",
+        aux={"scale": 2.0},
+    )
+    exp = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("l_quantity") * 2.0).alias("scaled"),
+    )
+    g = {r.flag: (r.n, round(r.scaled, 4)) for r in got.collect()}
+    e = {r.flag: (r.n, round(r.scaled, 4)) for r in exp.collect()}
+    assert g == e
