@@ -42,11 +42,12 @@ def all_queries() -> dict[str, Query]:
         mr,
         streaming,
         tpch2,
+        tpch3,
         windows,
     )
 
     out: dict[str, Query] = {}
-    for mod in (core, extra, tpch2, joins, windows, mr, llm, streaming):
+    for mod in (core, extra, tpch2, tpch3, joins, windows, mr, llm, streaming):
         for name, q in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")
