@@ -209,11 +209,13 @@ def q11_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy("l_partkey").agg(
         F.sum(rev.cast("decimal(18,6)")).alias("value_dec")
     )
-    total = per_part.agg(
-        (F.sum("value_dec").cast("double") * F.lit(0.0006)).alias("threshold")
-    )
+    # Global total as an unpartitioned window over the PART-sized rollup
+    # (not a second agg branch joined back — Catalyst would recompute
+    # per_part from lineitem, scanning the fact twice). The single-
+    # partition window only ever sees one row per part.
+    total = F.sum("value_dec").over(Window.partitionBy()).cast("double")
     return (
-        per_part.join(F.broadcast(total))
+        per_part.withColumn("threshold", total * F.lit(0.0006))
         .filter(F.col("value_dec").cast("double") > F.col("threshold"))
         .select("l_partkey", dround(F.col("value_dec").cast("double")).alias("value"))
     )
@@ -249,9 +251,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_dec")
         )
     )
-    top = rev.agg(F.max("total_dec").alias("max_dec"))
+    # Global max via unpartitioned window over the supplier-sized rollup
+    # — avoids the agg-branch-joined-back form that would scan lineitem
+    # twice (Catalyst doesn't share the rev subtree between branches).
+    max_dec = F.max("total_dec").over(Window.partitionBy())
     return (
-        rev.join(F.broadcast(top), rev.total_dec == F.col("max_dec"))
+        rev.withColumn("max_dec", max_dec)
+        .filter(F.col("total_dec") == F.col("max_dec"))
         .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
         .select(
             "s_suppkey", "s_name", dround(F.col("total_dec").cast("double")).alias("total_revenue")
@@ -367,15 +373,16 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("returned"))
     )
-    per_order = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("returned").alias("n_ret")
-    )
+    # Per-order totals as a WINDOW over the (order, supplier) rollup, not
+    # a groupBy + self-join back: Catalyst does not share the per_os
+    # subtree between branches, so the join form scans lineitem TWICE.
+    # The window keeps one fact scan; its extra exchange moves only
+    # order×supplier rows (≪ lineitem).
+    w = Window.partitionBy("l_orderkey")
     culprit = (
-        per_os.filter(F.col("returned") == 1)
-        .join(
-            per_order.filter((F.col("n_supp") > 1) & (F.col("n_ret") == 1)),
-            "l_orderkey",
-        )
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_ret", F.sum("returned").over(w))
+        .filter((F.col("returned") == 1) & (F.col("n_supp") > 1) & (F.col("n_ret") == 1))
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
