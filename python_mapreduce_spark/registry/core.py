@@ -399,6 +399,66 @@ FROM customer GROUP BY 1
 """
 
 
+# --- array / map scalar veneer ----------------------------------------------
+
+def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Array-function veneer (reference: arbitrary Python list handling
+    # inside map fns, README.txt:254-261): size, distinct+sort+slice,
+    # membership, element access — all JVM-side Catalyst expressions, no
+    # higher-order-function lambdas (those run interpreted — measured
+    # 50-75x penalty, README "Scale design").
+    from python_mapreduce_spark.functions.scalar import tokenize
+
+    d = table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.slice(F.array_sort(F.array_distinct(toks)), 1, 3).alias("first3"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.element_at(toks, 1).alias("first_tok"),
+    )
+
+
+SQL_SCALAR_ARRAY = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents
+)
+SELECT doc_id, len(toks) AS n_tokens,
+       list_slice(list_sort(list_distinct(toks)), 1, 3) AS first3,
+       list_contains(toks, 'the') AS has_the,
+       toks[1] AS first_tok
+FROM t
+"""
+
+
+def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Map-function veneer: construct, key-extract, enumerate keys. The
+    # schemaless-payload pattern (SURVEY.md §1.2) without JSON parsing.
+    o = table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("total"), F.col("o_totalprice"),
+        F.lit("key"), F.col("o_orderkey").cast("double"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "total").alias("total_val"),
+        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+    )
+
+
+SQL_SCALAR_MAP = """
+WITH t AS (
+  SELECT o_orderkey,
+         MAP {'total': o_totalprice, 'key': CAST(o_orderkey AS DOUBLE)} AS m
+  FROM orders
+)
+SELECT o_orderkey, m['total'][1] AS total_val,
+       list_sort(map_keys(m)) AS keys_sorted
+FROM t
+"""
+
+
 # --- pivot -------------------------------------------------------------------
 
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,4 +608,6 @@ QUERIES: dict[str, Query] = {
     "q_scalar_math": Query(q_scalar_math, SQL_SCALAR_MATH, "math function veneer"),
     "q_json_extract": Query(q_json_extract, SQL_JSON_EXTRACT, "schemaless JSON payload extraction"),
     "q_case_when": Query(q_case_when, SQL_CASE_WHEN, "CASE/conditional buckets"),
+    "q_scalar_array": Query(q_scalar_array, SQL_SCALAR_ARRAY, "array function veneer"),
+    "q_scalar_map": Query(q_scalar_map, SQL_SCALAR_MAP, "map function veneer"),
 }
