@@ -134,6 +134,122 @@ def hyperplane_lsh_buckets(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    nlist: int = 16,
+    iters: int = 2,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF coarse quantizer: (corpus rows tagged with a cluster id,
+    centroid matrix).
+
+    Deterministic distributed k-means on the unit sphere:
+      * init — the ``nlist`` corpus vectors with the smallest
+        xxhash64(id) (a seedless, order-independent pseudo-random draw);
+      * each Lloyd iteration is ONE corpus pass: mapInPandas emits
+        per-batch partial (cluster, sum_vec, n) rows — nlist-sized per
+        partition, so the driver-side combine touches KB, not the
+        corpus. The corpus itself never shuffles during training.
+
+    At 100 TB: centroids stay a broadcast ndarray (nlist x dim doubles);
+    assignment is a scan-stage matmul; only the final tagged output
+    carries a cluster column for the bucket join.
+    """
+    src = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    seed_pdf = (
+        src.withColumn("h", F.xxhash64("id")).orderBy("h").limit(nlist).toPandas()
+    )
+    cents = _unit_rows(seed_pdf["v"].values)  # nlist x dim
+
+    for _ in range(iters):
+        c_t = cents.T
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                v = _unit_rows(pdf["v"].values)
+                cl = np.argmax(v @ c_t, axis=1)
+                rows = []
+                for c in np.unique(cl):
+                    sel = v[cl == c]
+                    rows.append((int(c), sel.sum(axis=0).tolist(), len(sel)))
+                yield pd.DataFrame(rows, columns=["cluster", "sum_vec", "n"])
+
+        agg = src.mapInPandas(
+            partials, "cluster int, sum_vec array<double>, n long"
+        ).toPandas()
+        new = cents.copy()
+        for c, grp in agg.groupby("cluster"):
+            s = np.sum(np.vstack(grp["sum_vec"].values), axis=0)
+            norm = np.linalg.norm(s)
+            if norm > 0:
+                new[c] = s / norm
+        cents = new
+
+    c_t = cents.T
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["cluster"] = np.argmax(_unit_rows(pdf["v"].values) @ c_t, axis=1)
+            yield out
+
+    assigned = src.mapInPandas(assign, "id long, v array<float>, cluster int")
+    return assigned, cents
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine ranking restricted to each
+    query's ``nprobe`` nearest inverted lists.
+
+    The second scale path beside hyperplane LSH: the corpus is scanned
+    once to tag clusters, probes are a (query x nprobe) dimension-sized
+    broadcast, and scoring touches ~nprobe/nlist of the corpus. Recall
+    vs the brute-force oracle is pinned in pytest (not SQL-expressible —
+    centroids come from distributed float sums).
+    """
+    assigned, cents = ivf_assign(corpus, id_col, vec_col, nlist=nlist, iters=iters)
+    q_pdf = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("v")).toPandas()
+    q_unit = _unit_rows(q_pdf["v"].values)
+    order = np.argsort(-(q_unit @ cents.T), axis=1, kind="stable")[:, :nprobe]
+    probes = pd.DataFrame(
+        {
+            "query_id": np.repeat(q_pdf["qid"].to_numpy(), nprobe),
+            "q_vec": [q_pdf["v"].iloc[i] for i in np.repeat(np.arange(len(q_pdf)), nprobe)],
+            "cluster": order.ravel(),
+        }
+    )
+    spark = corpus.sparkSession
+    probe_df = spark.createDataFrame(probes).withColumnRenamed("query_id", query_id)
+    scored = (
+        assigned.join(F.broadcast(probe_df), on="cluster")
+        .filter(F.col(query_id) != F.col("id"))
+        .select(
+            query_id,
+            F.col("id").alias("neighbor_id"),
+            cos_pair_udf()(F.col("q_vec"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id, F.col("rn").cast("long").alias("rn"), "neighbor_id", "cos")
+    )
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

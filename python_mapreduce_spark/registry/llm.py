@@ -153,6 +153,17 @@ WHERE rn <= 5
 """
 
 
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF inverted-list ANN (second scale path): distributed k-means
+    # coarse quantizer, nprobe-bucket search. Not SQL-expressible
+    # (centroids from distributed float sums); recall pinned in pytest.
+    from python_mapreduce_spark.llm.similarity import ann_topk_ivf
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_topk_ivf(emb, queries, "vec_id", "embedding", k=5, nlist=8, nprobe=3)
+
+
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Approximate variant: numpy hyperplane signatures (seeded) are not
     # SQL-reproducible; recall vs q_sim_topk is asserted in pytest.
@@ -288,6 +299,7 @@ QUERIES: dict[str, Query] = {
     "q_dedup_embedding": Query(q_dedup_embedding, SQL_DEDUP_EMBEDDING, "cosine near-dup pairs"),
     "q_sim_topk": Query(q_sim_topk, SQL_SIM_TOPK, "brute-force cosine top-k"),
     "q_sim_ann_lsh": Query(q_sim_ann_lsh, None, "hyperplane-LSH approximate top-k"),
+    "q_sim_ann_ivf": Query(q_sim_ann_ivf, None, "IVF inverted-list approximate top-k"),
     "q_text_stats": Query(q_text_stats, SQL_TEXT_STATS, "per-doc text statistics"),
     "q_text_quality": Query(q_text_quality, SQL_TEXT_QUALITY, "composite quality score"),
     "q_text_langid": Query(q_text_langid, SQL_TEXT_LANGID, "stopword-vote language ID"),

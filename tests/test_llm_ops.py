@@ -103,3 +103,29 @@ def test_decode_image_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_ann_ivf_recall_and_exact_cosines(emb):
+    from python_mapreduce_spark.llm.similarity import ann_topk_ivf, cosine_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5).collect()
+    approx = ann_topk_ivf(
+        emb, queries, "vec_id", "embedding", k=5, nlist=8, nprobe=3
+    ).collect()
+
+    # shape contract: k results per query, ranked
+    per_q: dict[int, int] = {}
+    for r in approx:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert set(per_q.values()) == {5}
+
+    exact_pairs = {(r.query_id, r.neighbor_id): r.cos for r in exact}
+    approx_pairs = {(r.query_id, r.neighbor_id): r.cos for r in approx}
+    # cosines computed identically wherever pairs overlap
+    for pair, cos in approx_pairs.items():
+        if pair in exact_pairs:
+            assert exact_pairs[pair] == cos
+    # probing 3/8 lists must still recover a solid share of true top-k
+    overlap = len(set(approx_pairs) & set(exact_pairs))
+    assert overlap >= len(exact_pairs) // 3, (overlap, len(exact_pairs))
