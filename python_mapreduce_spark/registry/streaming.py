@@ -209,7 +209,91 @@ FROM events GROUP BY event_type
 """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stream-stream inner join with an event-time range: each click
+    # joined to the same user's purchases within the next 30 minutes.
+    # Both sides carry watermarks so join state is bounded (without the
+    # time bound + watermarks, stream-stream state grows forever — the
+    # 100 TB failure mode). AvailableNow makes the result equal the
+    # batch/oracle computation.
+    from python_mapreduce_spark.session import tune
+
+    tune(spark)
+    clicks = (
+        normalize_event_ts(_events_stream(spark, sf_dir))
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        normalize_event_ts(_events_stream(spark, sf_dir))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    out = run_stream_to_memory(joined, output_mode="append")
+    return out.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+SQL_STREAM_STREAM_JOIN = """
+SELECT c.user_id, count(*) AS n_pairs
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY c.user_id
+"""
+
+
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming deduplication with bounded state:
+    # dropDuplicatesWithinWatermark keeps one row per (user, type) seen
+    # within the watermark horizon and EXPIRES the key afterward — the
+    # scale-correct alternative to unbounded dropDuplicates state. All
+    # test events fit one horizon, so the result equals global DISTINCT.
+    from python_mapreduce_spark.session import tune
+
+    tune(spark)
+    stream = normalize_event_ts(_events_stream(spark, sf_dir))
+    deduped = (
+        stream.withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    out = run_stream_to_memory(deduped, output_mode="append")
+    return out.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+SQL_STREAM_DEDUP = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "q_stream_stream_join": Query(
+        q_stream_stream_join, SQL_STREAM_STREAM_JOIN, "watermarked stream-stream interval join"
+    ),
+    "q_stream_dedup_watermark": Query(
+        q_stream_dedup_watermark, SQL_STREAM_DEDUP, "dropDuplicatesWithinWatermark"
+    ),
     "q_stream_tumbling": Query(
         q_stream_tumbling, SQL_STREAM_TUMBLING, "streamed tumbling-window agg (AvailableNow)"
     ),
