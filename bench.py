@@ -42,6 +42,8 @@ HEADLINE = [
     "q19_disjunctive_revenue",
     "q_window_range_frame",
     "q_stream_tumbling",
+    "q08_market_share",
+    "q21_sole_returner",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings
