@@ -86,9 +86,12 @@ def asof_join(
     right_cols: Sequence[str],
     *,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right_ts <= left_ts`` within the same key.
+    ``right_ts <= left_ts`` within the same key (``direction=
+    'backward'``), or the earliest right row with ``right_ts >=
+    left_ts`` (``'forward'``) — pandas ``merge_asof`` directions.
 
     Spark lacks a native as-of join (SURVEY.md §2.2 "Joins — theta /
     range / as-of"). This is the scalable formulation: tag and union both
@@ -104,6 +107,8 @@ def asof_join(
     all left columns plus ``<right_col><suffix>`` for each requested
     right column.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [key] if isinstance(key, str) else list(key)
 
     lhs = left.select(
@@ -124,18 +129,35 @@ def asof_join(
         *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
     )
 
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__ts"), F.col("__side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # Right rows (side 0) sort BEFORE left rows at equal ts, so a
+        # right row AT the left timestamp is inside the trailing frame.
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts"), F.col("__side"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = [
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ]
+    else:
+        # Forward: left rows (side 1) sort BEFORE right rows at equal ts
+        # (descending side order), so an equal-ts right row is inside the
+        # leading frame; first(ignorenulls) picks the earliest >= match.
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts"), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = [
+            F.first(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ]
     carried = rhs.unionByName(lhs).select(
         *left.columns,
         F.col("__side"),
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
+        *carry,
     )
     return carried.filter(F.col("__side") == 1).drop("__side")
 

@@ -202,6 +202,36 @@ ASOF LEFT JOIN
 """
 
 
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Forward as-of: for each error event, the NEXT click by the same
+    # user at or after the error — same union+window plan, leading frame.
+    e = table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", "ts")
+    )
+    joined = asof_join(
+        errors,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_id"],
+        direction="forward",
+    )
+    return joined.select("event_id", "user_id", F.col("click_id_asof").alias("click_id"))
+
+
+SQL_JOIN_ASOF_FWD = """
+SELECT e.event_id, e.user_id, c.click_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN
+     (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts <= c.ts
+"""
+
+
 def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q3-style: segment filter -> 3-way join -> top 10 orders by
     # revenue. Orders/customer shuffle on their join keys; ordering by the
@@ -282,6 +312,7 @@ QUERIES: dict[str, Query] = {
     "q_join_theta": Query(q_join_theta, SQL_JOIN_THETA, "non-equi theta join (BNLJ)"),
     "q_join_range": Query(q_join_range, SQL_JOIN_RANGE, "range/interval join to tiers"),
     "q_join_asof": Query(q_join_asof, SQL_JOIN_ASOF, "as-of join via union+window"),
+    "q_join_asof_fwd": Query(q_join_asof_fwd, SQL_JOIN_ASOF_FWD, "forward as-of join"),
     "q03_shipping_priority": Query(q03_shipping_priority, SQL_Q03, "TPC-H Q3-style top-10"),
     "q05_region_revenue": Query(q05_region_revenue, SQL_Q05, "TPC-H Q5-style snowflake"),
 }

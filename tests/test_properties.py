@@ -99,3 +99,52 @@ def test_dsum_is_partition_order_independent(spark, vals):
     a = one.agg(dsum(F.col("x")).alias("s")).collect()[0].s
     b = many.agg(dsum(F.col("x")).alias("s")).collect()[0].s
     assert a == b
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(st.tuples(_key, _ts), min_size=1, max_size=12),
+    right=st.lists(st.tuples(_key, _ts, st.integers(-100, 100)), max_size=12),
+)
+def test_asof_join_forward_matches_pandas_merge_asof(spark, left, right):
+    # Forward direction: earliest right row with ts >= left ts. The right
+    # side is deduped to one row per (k, ts) BEFORE the join — with
+    # duplicate right timestamps both engines pick an arbitrary member,
+    # so the property is only well-defined on deduped input.
+    from python_mapreduce_spark.operators.joins import asof_join
+
+    rp = (
+        pd.DataFrame(right, columns=["k", "ts", "v"])
+        if right
+        else pd.DataFrame({"k": pd.Series(dtype=object), "ts": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")})
+    )
+    rp = rp.groupby(["k", "ts"], as_index=False).last().sort_values("ts", kind="stable")
+
+    ldf = spark.createDataFrame([(k, t) for k, t in left], "k string, ts long")
+    rdf = spark.createDataFrame(
+        [(r.k, int(r.ts), int(r.v)) for r in rp.itertuples()] or [],
+        "k string, ts long, v long",
+    )
+    got = (
+        asof_join(ldf, rdf, "k", "ts", "ts", ["v"], direction="forward")
+        .orderBy("k", "ts")
+        .toPandas()
+    )
+
+    lp = pd.DataFrame(left, columns=["k", "ts"]).sort_values("ts", kind="stable")
+    exp = pd.merge_asof(lp, rp, on="ts", by="k", direction="forward")
+    exp = exp.sort_values(["k", "ts"], kind="stable").reset_index(drop=True)
+
+    got_vals = [
+        (r.k, r.ts, None if pd.isna(r.v_asof) else int(r.v_asof))
+        for r in got.itertuples()
+    ]
+    exp_vals = [
+        (r.k, r.ts, None if pd.isna(r.v) else int(r.v))
+        for r in exp.itertuples()
+    ]
+    assert sorted(got_vals) == sorted(exp_vals)
