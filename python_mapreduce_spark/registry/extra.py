@@ -369,7 +369,64 @@ GROUP BY l_returnflag
 """
 
 
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Statistical aggregates (stddev/variance/correlation/covariance) —
+    # all partial+final JVM aggregates; rounded at 4-6 decimals to
+    # absorb engine-side summation-order drift in the low bits.
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dround(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        dround(F.var_samp("l_discount"), 6).alias("var_disc"),
+        dround(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        dround(F.covar_samp("l_quantity", "l_tax"), 6).alias("covar_qty_tax"),
+    )
+
+
+SQL_STATS_AGG = f"""
+SELECT l_returnflag,
+       {sql_dround('stddev_samp(l_quantity)', 4)} AS sd_qty,
+       {sql_dround('var_samp(l_discount)', 6)} AS var_disc,
+       {sql_dround('corr(l_quantity, l_extendedprice)', 6)} AS corr_qty_price,
+       {sql_dround('covar_samp(l_quantity, l_tax)', 6)} AS covar_qty_tax
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first_value / last_value / nth_value over a full-partition frame:
+    # each user's first, last, and second event value in time order.
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+    ).distinct()
+
+
+SQL_WINDOW_FIRSTLAST = """
+SELECT DISTINCT user_id,
+       first_value(value) OVER w AS first_val,
+       last_value(value)  OVER w AS last_val,
+       nth_value(value, 2) OVER w AS second_val
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "q_stats_agg": Query(q_stats_agg, SQL_STATS_AGG, "stddev/var/corr/covar aggregates"),
+    "q_window_firstlast": Query(
+        q_window_firstlast, SQL_WINDOW_FIRSTLAST, "first/last/nth_value full-frame window"
+    ),
     "q_intersect_all": Query(q_intersect_all, SQL_INTERSECT_ALL, "bag intersect"),
     "q_unpivot": Query(q_unpivot, SQL_UNPIVOT, "unpivot/melt (inverse of pivot)"),
     "q_sample_stratified": Query(
