@@ -1,0 +1,39 @@
+"""Plan-hygiene audit across the relational query registry.
+
+Every query's PHYSICAL plan is checked for the two patterns that
+silently destroy 100 TB scalability:
+
+  * ``BatchEvalPython`` — a row-at-a-time (non-Arrow) Python UDF in the
+    plan. The engine's contract is that Python only ever runs Arrow-
+    batched (``ArrowEvalPython`` / ``MapInPandas`` / ``FlatMapGroupsIn
+    Pandas``), so any appearance is a regression.
+  * ``CartesianProduct`` — an unconditioned cross join. Theta joins are
+    expected to plan as BroadcastNestedLoopJoin with the predicate
+    attached; a bare cartesian means a join condition was lost.
+
+Only the lazily-built relational modules are audited — llm/mr/streaming
+callables execute work (collect query vectors, run streams) at build
+time, and their Python stages are Arrow-batched by construction.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from python_mapreduce_spark.plans.explain import formatted_plan
+from python_mapreduce_spark.registry import core, extra, joins, tpch2, tpch3, windows
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_LAZY_MODULES = (core, extra, tpch2, tpch3, joins, windows)
+
+ALL_LAZY = [
+    (name, q) for mod in _LAZY_MODULES for name, q in mod.QUERIES.items()
+]
+
+
+@pytest.mark.parametrize("name,q", ALL_LAZY, ids=[n for n, _ in ALL_LAZY])
+def test_plan_has_no_scale_hazards(spark, name, q):
+    plan = formatted_plan(q.fn(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
+    assert "CartesianProduct" not in plan, f"{name}: unconditioned cross join in plan"
