@@ -422,8 +422,54 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_rollup_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ROLLUP with GROUPING() indicators — distinguishes "subtotal row"
+    # from "NULL-valued group" (the classic rollup ambiguity).
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_prio"),
+    )
+
+
+SQL_ROLLUP_GROUPING = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dense_rank + cume_dist — the remaining ranking/distribution
+    # functions (rank/percent_rank/ntile live in q_window_rank_dist).
+    from pyspark.sql.window import Window
+
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.dense_rank().over(Window.orderBy("c_mktsegment")).cast("long").alias("seg_rank"),
+        dround(
+            F.cume_dist().over(Window.orderBy("c_acctbal", "c_custkey")), 6
+        ).alias("bal_cume"),
+    )
+
+
+SQL_WINDOW_CUME = f"""
+SELECT c_custkey,
+       dense_rank() OVER (ORDER BY c_mktsegment) AS seg_rank,
+       {sql_dround('cume_dist() OVER (ORDER BY c_acctbal, c_custkey)', 6)} AS bal_cume
+FROM customer
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_stats_agg": Query(q_stats_agg, SQL_STATS_AGG, "stddev/var/corr/covar aggregates"),
+    "q_rollup_grouping": Query(
+        q_rollup_grouping, SQL_ROLLUP_GROUPING, "ROLLUP with GROUPING() indicators"
+    ),
+    "q_window_cume": Query(q_window_cume, SQL_WINDOW_CUME, "dense_rank + cume_dist"),
     "q_window_firstlast": Query(
         q_window_firstlast, SQL_WINDOW_FIRSTLAST, "first/last/nth_value full-frame window"
     ),
