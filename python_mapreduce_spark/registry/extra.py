@@ -444,6 +444,9 @@ FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dense_rank + cume_dist — the remaining ranking/distribution
     # functions (rank/percent_rank/ntile live in q_window_rank_dist).
+    # Unpartitioned windows imply a single-partition global sort: fine
+    # on dimension-sized inputs like customer; for fact-sized global
+    # ranking, pre-aggregate or bucket the order key first.
     from pyspark.sql.window import Window
 
     c = table(spark, sf_dir, "customer")
