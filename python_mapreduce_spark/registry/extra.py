@@ -467,8 +467,53 @@ FROM customer
 """
 
 
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # listagg/string_agg: ordered string concatenation per group —
+    # collect_list + array_sort + array_join keeps the agg partial+final
+    # and the ordering explicit (engines disagree on implicit order).
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+SQL_STRING_AGG = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_bool_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Boolean aggregates: every/any/conditional-count per group.
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.count_if(F.col("l_tax") == 0).alias("n_tax_free"),
+    )
+
+
+SQL_BOOL_AGG = """
+SELECT l_returnflag,
+       bool_and(l_quantity > 0) AS all_positive,
+       bool_or(l_discount > 0.09) AS any_deep_discount,
+       CAST(count_if(l_tax = 0) AS BIGINT) AS n_tax_free
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_stats_agg": Query(q_stats_agg, SQL_STATS_AGG, "stddev/var/corr/covar aggregates"),
+    "q_string_agg": Query(q_string_agg, SQL_STRING_AGG, "ordered string_agg/listagg"),
+    "q_bool_agg": Query(q_bool_agg, SQL_BOOL_AGG, "bool_and/bool_or/count_if"),
     "q_rollup_grouping": Query(
         q_rollup_grouping, SQL_ROLLUP_GROUPING, "ROLLUP with GROUPING() indicators"
     ),
