@@ -510,8 +510,46 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_median_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact median (interpolated at even counts in both engines).
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        dround(F.median("c_acctbal"), 4).alias("median_bal"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_MEDIAN_AGG = f"""
+SELECT c_mktsegment, {sql_dround('median(c_acctbal)', 4)} AS median_bal,
+       count(*) AS n
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pagination: total-ordered sort + OFFSET + LIMIT (page 2 of 10).
+    # The tiebreak makes the page identity deterministic; Spark plans
+    # a global sort only for the first offset+limit rows.
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(10)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", dround("o_totalprice").alias("price"))
+    )
+
+
+SQL_OFFSET_PAGE = f"""
+SELECT o_orderkey, o_custkey, {sql_dround('o_totalprice')} AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10 OFFSET 10
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_stats_agg": Query(q_stats_agg, SQL_STATS_AGG, "stddev/var/corr/covar aggregates"),
+    "q_median_agg": Query(q_median_agg, SQL_MEDIAN_AGG, "exact interpolated median"),
+    "q_offset_page": Query(q_offset_page, SQL_OFFSET_PAGE, "ordered LIMIT/OFFSET pagination"),
     "q_string_agg": Query(q_string_agg, SQL_STRING_AGG, "ordered string_agg/listagg"),
     "q_bool_agg": Query(q_bool_agg, SQL_BOOL_AGG, "bool_and/bool_or/count_if"),
     "q_rollup_grouping": Query(
