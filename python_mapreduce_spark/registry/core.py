@@ -573,6 +573,22 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --- approximate percentile (sketch; pytest-pinned) ----------------------------
+
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KLL-style quantile sketch (percentile_approx) — one-pass, fixed
+    # memory, mergeable across partitions: the 100 TB quantile path
+    # where exact percentiles would need a full sort. Sketch boundaries
+    # are engine-specific -> no SQL oracle; accuracy vs the exact
+    # interpolated percentiles is pinned in pytest.
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", [0.25, 0.5, 0.75], 10000
+        ).alias("price_quartiles")
+    )
+
+
 # --- approximate distinct (sketch; pytest-pinned) -------------------------------
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,6 +607,7 @@ QUERIES: dict[str, Query] = {
     "q06_forecast_revenue": Query(q06_forecast_revenue, SQL_Q06, "TPC-H Q6-style filter agg"),
     "q_salted_agg": Query(q_salted_agg, SQL_SALTED_AGG, "two-stage salted agg (skew)"),
     "q_approx_distinct": Query(q_approx_distinct, None, "HLL++ approx count-distinct"),
+    "q_approx_percentile": Query(q_approx_percentile, None, "quantile-sketch percentiles"),
     "q_filter_project": Query(q_filter_project, SQL_FILTER_PROJECT, "filter + projection, pushed to scan"),
     "q_sample_agg": Query(q_sample_agg, SQL_SAMPLE_AGG, "deterministic downsample + agg (O5)"),
     "q_distinct": Query(q_distinct, SQL_DISTINCT, "DISTINCT pairs"),

@@ -227,3 +227,25 @@ def test_reduce_groups_streaming_matches_agg(tables):
     g = {r.flag: (r.n, round(r.scaled, 4)) for r in got.collect()}
     e = {r.flag: (r.n, round(r.scaled, 4)) for r in exp.collect()}
     assert g == e
+
+
+def test_approx_percentile_close_to_exact(tables):
+    li = tables["lineitem"]
+    approx = {
+        r.l_returnflag: r.pq
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("pq")
+        )
+        .collect()
+    }
+    exact = {
+        r.l_returnflag: r.pq
+        for r in li.groupBy("l_returnflag")
+        .agg(F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75])).alias("pq"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for flag, a in approx.items():
+        for got, want in zip(a, exact[flag]):
+            assert abs(got - want) / max(abs(want), 1e-9) < 0.02, (flag, got, want)
