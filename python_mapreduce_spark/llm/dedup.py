@@ -47,17 +47,43 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str, *, normalized: bool =
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via postings self-join.
 
     explode -> (shingle, id) postings -> self-join on shingle ->
     intersection counts -> |A∪B| = |A|+|B|-|A∩B|. Only co-shingled pairs
     are materialized.
+
+    ``max_shingle_df`` is the 100 TB guard: a single stop-shingle shared
+    by f docs contributes f^2/2 join rows, so one shingle in 1% of a
+    100 TB corpus is quadratic on its own. With a cap, shingles whose
+    document frequency exceeds it are dropped from the shingle universe
+    BEFORE the self-join (set sizes are recomputed over the kept
+    shingles, so Jaccard stays a true Jaccard over the reduced universe).
+    The hot set has at most |postings|/cap members and Zipfian corpora
+    put it in the hundreds, so it broadcasts; the df computation itself
+    is a map-side-combined count per shingle, never a row shuffle.
     """
     sets_ = shingle_sets(df, id_col, text_col, n).filter(F.size("shingles") > 0)
-    sizes = sets_.select("id", F.size("shingles").cast("long").alias("sz"))
     posts = sets_.select("id", F.explode("shingles").alias("shingle"))
+    if max_shingle_df is not None:
+        hot = (
+            posts.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        posts = posts.join(F.broadcast(hot), "shingle", "left_anti")
+        sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    else:
+        sizes = sets_.select("id", F.size("shingles").cast("long").alias("sz"))
     a, b = posts.alias("a"), posts.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))

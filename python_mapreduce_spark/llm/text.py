@@ -44,6 +44,14 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     row — the per-row cost is dominated by conversion, not the n-gram
     scan).
     """
+    if n == 1:
+        # The lookahead pattern below consumes "token + separator" per
+        # window start, which silently drops the final token when n=1
+        # (no trailing separator) — unigram shingles are just the tokens.
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(tokenize(text_col)).alias("shingles"),
+        )
     token, sep = "[a-z]+", " "
     window = sep.join([token] * n)
     pattern = f"(?=({window})){token}{sep}"

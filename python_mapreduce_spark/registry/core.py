@@ -411,10 +411,16 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     toks = tokenize(F.col("text"))
+    # Array results are emitted as ','-joined strings: the driver's
+    # canonicalizer (pandas sort_values over every column) cannot hash
+    # ndarray cells, so complex-typed outputs must be stringified on both
+    # the Spark and DuckDB sides (CORRECTNESS_r01 lesson).
     return d.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
-        F.slice(F.array_sort(F.array_distinct(toks)), 1, 3).alias("first3"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ","
+        ).alias("first3"),
         F.array_contains(toks, "the").alias("has_the"),
         F.element_at(toks, 1).alias("first_tok"),
     )
@@ -425,7 +431,7 @@ WITH t AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents
 )
 SELECT doc_id, len(toks) AS n_tokens,
-       list_slice(list_sort(list_distinct(toks)), 1, 3) AS first3,
+       array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 3), ',') AS first3,
        list_contains(toks, 'the') AS has_the,
        toks[1] AS first_tok
 FROM t
@@ -443,7 +449,8 @@ def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.element_at(m, "total").alias("total_val"),
-        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        # stringified for the driver canonicalizer (see q_scalar_array)
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
     )
 
 
@@ -454,7 +461,7 @@ WITH t AS (
   FROM orders
 )
 SELECT o_orderkey, m['total'][1] AS total_val,
-       list_sort(map_keys(m)) AS keys_sorted
+       array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted
 FROM t
 """
 
@@ -508,12 +515,17 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantile_cont). The approximate variant (percentile_approx /
     # approx_count_distinct sketches) is q_approx_distinct — sketch
     # internals differ per engine, so that one is pytest-pinned instead.
+    # The quartile array is emitted as a ','-joined DECIMAL(18,2) string:
+    # the driver canonicalizer can't hash array cells, and decimal→string
+    # gives an identical text repr in both engines (double→string differs:
+    # Java scientific notation vs DuckDB plain).
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
         SELECT o_orderstatus,
-               transform(percentile(o_totalprice, array(0.25D, 0.5D, 0.75D)),
-                         x -> floor(x * 100.0D + 0.5D) / 100.0D) AS price_quartiles
+               array_join(transform(percentile(o_totalprice, array(0.25D, 0.5D, 0.75D)),
+                          x -> CAST(CAST(floor(x * 100.0D + 0.5D) / 100.0D
+                                    AS DECIMAL(18,2)) AS STRING)), ',') AS price_quartiles
         FROM orders GROUP BY o_orderstatus
         """
     )
@@ -521,8 +533,9 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PERCENTILES = """
 SELECT o_orderstatus,
-       list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
-                      x -> floor(x * 100.0 + 0.5) / 100.0) AS price_quartiles
+       array_to_string(list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
+                       x -> CAST(CAST(floor(x * 100.0 + 0.5) / 100.0
+                                 AS DECIMAL(18,2)) AS VARCHAR)), ',') AS price_quartiles
 FROM orders GROUP BY o_orderstatus
 """
 
@@ -577,26 +590,74 @@ FROM lineitem GROUP BY l_returnflag
 
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # KLL-style quantile sketch (percentile_approx) — one-pass, fixed
-    # memory, mergeable across partitions: the 100 TB quantile path
-    # where exact percentiles would need a full sort. Sketch boundaries
-    # are engine-specific -> no SQL oracle; accuracy vs the exact
-    # interpolated percentiles is pinned in pytest.
+    # memory, mergeable across partitions: the 100 TB quantile path where
+    # exact percentiles would need a full sort. Sketch boundaries are
+    # engine-specific, so the oracle contract is tolerance-style: emit the
+    # EXACT interpolated quartiles (DuckDB-replicable) plus a boolean
+    # asserting the sketch landed within 5% relative error of each — the
+    # oracle computes the exact quartiles and literal TRUE.
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.percentile_approx(
             "l_extendedprice", [0.25, 0.5, 0.75], 10000
-        ).alias("price_quartiles")
+        ).alias("approx_q"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))"
+        ).alias("exact_q"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.expr(
+            "array_join(transform(exact_q,"
+            " x -> CAST(CAST(floor(x * 100.0D + 0.5D) / 100.0D"
+            " AS DECIMAL(18,2)) AS STRING)), ',')"
+        ).alias("exact_quartiles"),
+        F.expr(
+            "forall(zip_with(approx_q, exact_q,"
+            " (a, e) -> abs(a - e) / e <= 0.05D), b -> b)"
+        ).alias("approx_ok"),
     )
 
 
-# --- approximate distinct (sketch; pytest-pinned) -------------------------------
+SQL_APPROX_PERCENTILE = """
+SELECT l_returnflag,
+       array_to_string(list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+                       x -> CAST(CAST(floor(x * 100.0 + 0.5) / 100.0
+                                 AS DECIMAL(18,2)) AS VARCHAR)), ',') AS exact_quartiles,
+       TRUE AS approx_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- approximate distinct (HLL++ sketch; tolerance-style oracle) ----------------
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HLL++ sketch — the one-pass cardinality path for 100 TB. Sketch
-    # values are engine-specific, so no SQL oracle; tests assert <5%
-    # relative error vs the exact count (tests/test_operators.py).
+    # values are engine-specific, so the oracle contract is tolerance-
+    # style: one pass computes both the exact per-key distinct count
+    # (DuckDB-replicable) and the sketch, and we emit a boolean asserting
+    # <=5% relative error (HLL++ at rsd 0.01 is deterministic — hash-based,
+    # no RNG). The standalone sketch operator stays pytest-pinned
+    # (count_distinct_by, tests/test_operators.py).
     li = table(spark, sf_dir, "lineitem")
-    return count_distinct_by(li, ["l_returnflag"], "l_partkey", approx=True)
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_exact"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("__approx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_exact",
+        (F.abs(F.col("__approx") - F.col("n_exact")) / F.col("n_exact") <= 0.05)
+        .alias("approx_ok"),
+    )
+
+
+SQL_APPROX_DISTINCT = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+       TRUE AS approx_ok
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 QUERIES: dict[str, Query] = {
@@ -606,8 +667,8 @@ QUERIES: dict[str, Query] = {
     "q_percentiles": Query(q_percentiles, SQL_PERCENTILES, "exact interpolated percentiles"),
     "q06_forecast_revenue": Query(q06_forecast_revenue, SQL_Q06, "TPC-H Q6-style filter agg"),
     "q_salted_agg": Query(q_salted_agg, SQL_SALTED_AGG, "two-stage salted agg (skew)"),
-    "q_approx_distinct": Query(q_approx_distinct, None, "HLL++ approx count-distinct"),
-    "q_approx_percentile": Query(q_approx_percentile, None, "quantile-sketch percentiles"),
+    "q_approx_distinct": Query(q_approx_distinct, SQL_APPROX_DISTINCT, "HLL++ approx count-distinct (tolerance oracle)"),
+    "q_approx_percentile": Query(q_approx_percentile, SQL_APPROX_PERCENTILE, "quantile-sketch percentiles (tolerance oracle)"),
     "q_filter_project": Query(q_filter_project, SQL_FILTER_PROJECT, "filter + projection, pushed to scan"),
     "q_sample_agg": Query(q_sample_agg, SQL_SAMPLE_AGG, "deterministic downsample + agg (O5)"),
     "q_distinct": Query(q_distinct, SQL_DISTINCT, "DISTINCT pairs"),

@@ -56,17 +56,27 @@ SELECT k, count(*) AS n FROM (
 def q_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Whole-group list building — the reference's reduce returning a list
     # per key. Sorted so output is order-insensitive-hash stable.
+    # Collected lists are emitted as ','-joined strings: the driver's
+    # canonicalizer can't hash array cells (CORRECTNESS_r01 lesson).
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
-        F.slice(F.sort_array(F.collect_list("o_custkey")), 1, 5).alias("first_custkeys"),
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",")
+        .alias("statuses"),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("o_custkey")), 1, 5),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("first_custkeys"),
     )
 
 
 SQL_COLLECT_AGG = """
 SELECT o_orderpriority,
-       list_sort(list_distinct(list(o_orderstatus))) AS statuses,
-       list_sort(list(o_custkey))[1:5] AS first_custkeys
+       array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+       array_to_string(list_transform(list_sort(list(o_custkey))[1:5],
+                       x -> CAST(x AS VARCHAR)), ',') AS first_custkeys
 FROM orders GROUP BY o_orderpriority
 """
 

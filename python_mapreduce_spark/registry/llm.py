@@ -71,6 +71,32 @@ SELECT id1, id2, jaccard FROM (
 ) WHERE jaccard >= 0.8
 """
 
+# Capped variant (df > 100 shingles dropped from the universe before the
+# self-join, set sizes recomputed over kept shingles) — the SQL mirror of
+# ngram_jaccard_pairs(max_shingle_df=100).
+_SQL_JACCARD_PAIRS_CAPPED = f"""
+WITH {_SQL_SHINGLES},
+posts0 AS (SELECT id, unnest(shingles) AS shingle FROM sets WHERE len(shingles) > 0),
+posts AS (
+  SELECT id, shingle FROM posts0
+  WHERE shingle IN (SELECT shingle FROM posts0 GROUP BY shingle HAVING count(*) <= 100)
+),
+sizes AS (SELECT id, count(*) AS sz FROM posts GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, jaccard FROM (
+  SELECT id1, id2,
+         floor(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) * 10000.0 + 0.5) / 10000.0
+           AS jaccard
+  FROM inter
+  JOIN sizes sa ON id1 = sa.id
+  JOIN sizes sb ON id2 = sb.id
+) WHERE jaccard >= 0.8
+"""
+
 
 # --- dedup -------------------------------------------------------------------
 
@@ -87,8 +113,13 @@ FROM documents GROUP BY 1
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_shingle_df is the 100 TB skew guard (one stop-shingle shared by
+    # 1% of the corpus makes the postings join quadratic); the SQL twin
+    # implements the same cap. On this corpus max df is ~25, so the cap
+    # drops nothing and the result equals the exact pair set.
     return ngram_jaccard_pairs(
-        table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.8
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.8, max_shingle_df=100,
     )
 
 
@@ -293,7 +324,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Query] = {
     "q_dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, "exact dedup on normalized text"),
-    "q_dedup_jaccard": Query(q_dedup_jaccard, _SQL_JACCARD_PAIRS, "3-gram Jaccard near-dup pairs"),
+    "q_dedup_jaccard": Query(q_dedup_jaccard, _SQL_JACCARD_PAIRS_CAPPED, "3-gram Jaccard near-dup pairs (df-capped)"),
     "q_dedup_minhash": Query(q_dedup_minhash, _SQL_JACCARD_PAIRS, "MinHash-LSH + exact verify"),
     "q_dedup_simhash": Query(q_dedup_simhash, None, "64-bit SimHash fingerprints"),
     "q_dedup_embedding": Query(q_dedup_embedding, SQL_DEDUP_EMBEDDING, "cosine near-dup pairs"),

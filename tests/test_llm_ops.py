@@ -129,3 +129,49 @@ def test_ann_ivf_recall_and_exact_cosines(emb):
     # probing 3/8 lists must still recover a solid share of true top-k
     overlap = len(set(approx_pairs) & set(exact_pairs))
     assert overlap >= len(exact_pairs) // 3, (overlap, len(exact_pairs))
+
+
+def test_jaccard_df_cap_drops_stop_shingles(spark):
+    # 40 docs sharing one universal shingle, each with a unique tail.
+    # Uncapped, every pair meets through the stop shingle — the postings
+    # join materializes all C(40,2) pairs. Capped, the stop shingle is
+    # dropped from the universe before the self-join and no pair is ever
+    # materialized: the quadratic blowup is gone at the source.
+    from python_mapreduce_spark.llm.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"lorem ipsum dolor unique{i} tail{i} word{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    uncapped = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.05)
+    assert uncapped.count() == 40 * 39 // 2
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.05, max_shingle_df=10
+    )
+    assert capped.count() == 0
+
+
+def test_jaccard_df_cap_noop_when_under_cap(docs):
+    # A cap higher than any real document frequency must be a semantic
+    # no-op — same pairs, same scores as the exact path.
+    from python_mapreduce_spark.llm.dedup import ngram_jaccard_pairs
+
+    exact = {
+        (r.id1, r.id2): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    capped = {
+        (r.id1, r.id2): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.8, max_shingle_df=10_000
+        ).collect()
+    }
+    assert exact and capped == exact
+
+
+def test_shingle_sets_n1_keeps_final_token(spark):
+    from python_mapreduce_spark.llm.text import shingle_sets
+
+    docs = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
+    [row] = shingle_sets(docs, "doc_id", "text", n=1).collect()
+    assert sorted(row.shingles) == ["alpha", "beta", "gamma"]

@@ -1,0 +1,73 @@
+"""Registry-order contract: the driver verifies a prefix window of
+``all_queries()`` (50 entries in round 1), so iteration order IS
+correctness coverage. Pin that the window spans every module and that
+every windowed query is oracle-checkable and canonicalizer-safe."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+from python_mapreduce_spark.registry import (
+    DRIVER_PRIORITY,
+    all_queries,
+    core,
+    extra,
+    joins,
+    llm,
+    mr,
+    streaming,
+    tpch2,
+    tpch3,
+    windows,
+)
+
+WINDOW = 50
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_priority_prefix_is_the_window():
+    names = list(all_queries())
+    assert names[: len(DRIVER_PRIORITY)] == list(DRIVER_PRIORITY)
+    assert len(DRIVER_PRIORITY) == WINDOW
+
+
+def test_window_spans_every_module():
+    window = set(DRIVER_PRIORITY)
+    for mod in (core, extra, tpch2, tpch3, joins, windows, mr, llm, streaming):
+        assert window & set(mod.QUERIES), f"no {mod.__name__} query in driver window"
+
+
+def test_window_queries_all_have_oracles():
+    qs = all_queries()
+    missing = [n for n in DRIVER_PRIORITY if qs[n].sql is None]
+    assert not missing, f"driver-window queries without SQL oracle: {missing}"
+
+
+def test_no_duplicate_or_dangling_priority_names():
+    qs = all_queries()
+    assert len(set(DRIVER_PRIORITY)) == len(DRIVER_PRIORITY)
+    assert set(DRIVER_PRIORITY) <= set(qs)
+
+
+def test_lazy_window_queries_emit_atomic_columns_only(spark):
+    # The driver canonicalizer (pandas sort_values over every column)
+    # crashes on array/map cells — every windowed query must emit atomic
+    # types. Lazy relational modules are checked here; llm/mr/streaming
+    # execute work at build time and are covered by tools/audit_schemas.py
+    # plus their own tests.
+    lazy = {}
+    for mod in (core, extra, tpch2, tpch3, joins, windows):
+        lazy.update(mod.QUERIES)
+    offenders = {}
+    for name in DRIVER_PRIORITY:
+        if name not in lazy:
+            continue
+        df = lazy[name].fn(spark, SF_DIR)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"complex-typed driver-window outputs: {offenders}"
