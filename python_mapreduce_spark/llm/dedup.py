@@ -248,13 +248,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def embedding_dedup_pairs(
     emb: DataFrame, id_col: str, vec_col: str, *, threshold: float = 0.4
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs above a threshold.
+    """Embedding-cosine near-dup pairs above a threshold — ALL-PAIRS form.
 
-    All-pairs formulation — correct for dimension-sized inputs; for
-    corpus-scale embedding sets, route through
-    similarity.hyperplane_lsh_buckets first and compare within buckets.
-    Scoring via the vectorized pandas cosine (see similarity.py: the
-    JVM HOF fold is interpreted per element, ~50x slower).
+    Correct for dimension-sized inputs and the small-input oracle for the
+    LSH-bucketed form below; at corpus scale use
+    ``embedding_dedup_pairs_lsh``. Scoring via the vectorized pandas
+    cosine (see similarity.py: the JVM HOF fold is interpreted per
+    element, ~50x slower).
     """
     from python_mapreduce_spark.llm.similarity import cos_pair_udf
 
@@ -262,6 +262,44 @@ def embedding_dedup_pairs(
     b = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
     return (
         a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", cos_pair_udf()(F.col("v1"), F.col("v2")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_dedup_pairs_lsh(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.4,
+    bands: int = 24,
+    rows_per_band: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via banded-LSH candidates + exact
+    verification — the corpus-scale path.
+
+    Banded hyperplane signatures meet through an equi-join on (band,
+    key) — never a nested loop — then only candidate pairs are scored,
+    so precision is exact and recall is the banding dial (per-pair miss
+    ~5e-6 at cos 0.4 with 24x2; see banded_lsh_candidate_pairs). On a
+    corpus with real near-dup structure (bimodal cosine) candidate count
+    tracks the true-dup count; on an adversarial corpus whose pair
+    cosines sit at the random background the candidate set degrades
+    toward all pairs — the cost floor is the data's, not the plan's.
+    """
+    from python_mapreduce_spark.llm.similarity import banded_lsh_candidate_pairs, cos_pair_udf
+
+    cand = banded_lsh_candidate_pairs(
+        emb, id_col, vec_col, bands=bands, rows_per_band=rows_per_band, dim=dim, seed=seed
+    )
+    a = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (
+        cand.join(a, "id1")
+        .join(b, "id2")
         .select("id1", "id2", cos_pair_udf()(F.col("v1"), F.col("v2")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )

@@ -94,12 +94,12 @@ def cosine_topk(
             nb, nq = sims.shape
             out = pd.DataFrame(
                 {
-                    "query_id": np.tile(q_ids, nb),
+                    query_id: np.tile(q_ids, nb),
                     "neighbor_id": np.repeat(ids, nq),
                     "cos": sims.ravel(),
                 }
             )
-            yield out[out["query_id"] != out["neighbor_id"]]
+            yield out[out[query_id] != out["neighbor_id"]]
 
     pairs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInPandas(
         score, f"{query_id} long, neighbor_id long, cos double"
@@ -131,6 +131,57 @@ def hyperplane_lsh_buckets(
 
     return emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), bucket_of(vec_col).alias("bucket")
+    )
+
+
+def banded_lsh_candidate_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    bands: int = 24,
+    rows_per_band: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus-vs-corpus candidate pairs via BANDED hyperplane LSH.
+
+    Same amplification trick as MinHash banding: ``bands * rows_per_band``
+    sign bits per vector, one integer key per band; vectors agreeing on
+    ALL bits of ANY band become a candidate pair through an equi-join on
+    (band, key). P(candidate) = 1 - (1 - p^rows)^bands with
+    p = 1 - theta/pi, so recall at a target cosine is a dial: 24x2 gives
+    per-pair miss ~5e-6 at cos 0.4, ~1e-9 at 0.7. Candidates are then
+    exact-verified, so precision is always total.
+
+    The corpus never meets itself outside matching band buckets — the
+    join is an equi-join (shuffle on band key), never a nested loop, and
+    survives a corpus where documents have true near-dup structure
+    (bimodal cosine) with candidate cost ~ true-dup count.
+    """
+    planes = bands * rows_per_band
+    plane_matrix = np.random.RandomState(seed).randn(dim, planes)
+    weights = 1 << np.arange(rows_per_band, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        bits = (np.vstack(vecs.values).astype(np.float64) @ plane_matrix) > 0
+        keyed = (bits.reshape(len(bits), bands, rows_per_band) * weights).sum(axis=2)
+        return pd.Series(list(keyed))
+
+    banded = emb.select(
+        F.col(id_col).alias("id"), band_keys(vec_col).alias("keys")
+    ).select("id", F.posexplode("keys").alias("band", "bkey"))
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+        .distinct()
     )
 
 

@@ -68,7 +68,7 @@ def salted_group_agg(
     value_col: str,
     *,
     salt_buckets: int = 8,
-    salt_col: str = "l_orderkey",
+    salt_col: str | None = None,
 ) -> DataFrame:
     """Two-stage salted sum for skewed keys.
 
@@ -77,8 +77,13 @@ def salted_group_agg(
     shuffle, then re-aggregates the tiny partial table. AQE's skew-join
     handling covers joins; this is the aggregation-side equivalent.
     Result is identical to the direct groupBy (verified by oracle).
+
+    The salt is a deterministic whole-row xxhash64 by default (works on
+    any DataFrame, same trick as salted_join); pass ``salt_col`` to
+    derive it from one column instead.
     """
-    salted = df.withColumn("__salt", F.pmod(F.col(salt_col), F.lit(salt_buckets)))
+    src = [F.col(salt_col)] if salt_col else [F.col(c) for c in df.columns]
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(*src), F.lit(salt_buckets)))
     partial = salted.groupBy(*keys, "__salt").agg(
         F.sum(value_col).alias("__psum"), F.count(F.lit(1)).alias("__pcnt")
     )

@@ -129,12 +129,20 @@ def asof_join(
         *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
     )
 
+    # When multiple right rows share (key, ts), the carried values must
+    # not depend on shuffle order (the repo's own total-order rule,
+    # operators/windows.py): the carried columns themselves join the
+    # window ordering as a tiebreak, so both directions deterministically
+    # pick the lexicographically GREATEST right-cols tuple at the tied
+    # timestamp.
+    tiebreak_cols = [f"{c}{suffix}" for c in right_cols]
     if direction == "backward":
         # Right rows (side 0) sort BEFORE left rows at equal ts, so a
-        # right row AT the left timestamp is inside the trailing frame.
+        # right row AT the left timestamp is inside the trailing frame;
+        # last(ignorenulls) over ascending tiebreaks picks the greatest.
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("__ts"), F.col("__side"))
+            .orderBy(F.col("__ts"), F.col("__side"), *[F.col(c).asc() for c in tiebreak_cols])
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         carry = [
@@ -144,10 +152,11 @@ def asof_join(
     else:
         # Forward: left rows (side 1) sort BEFORE right rows at equal ts
         # (descending side order), so an equal-ts right row is inside the
-        # leading frame; first(ignorenulls) picks the earliest >= match.
+        # leading frame; first(ignorenulls) over descending tiebreaks
+        # picks the greatest — same convention as backward.
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("__ts"), F.col("__side").desc())
+            .orderBy(F.col("__ts"), F.col("__side").desc(), *[F.col(c).desc() for c in tiebreak_cols])
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         carry = [

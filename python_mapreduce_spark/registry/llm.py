@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_mapreduce_spark.llm.dedup import (
-    embedding_dedup_pairs,
+    embedding_dedup_pairs_lsh,
     exact_dedup,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -142,7 +142,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_dedup_pairs(
+    # Banded-LSH candidates + exact verify (equi-join on band key, no
+    # nested loop) — the corpus-scale form. The all-pairs SQL twin is a
+    # valid oracle because per-pair recall miss is ~5e-6 at cos 0.4 with
+    # 24x2 banding (deterministic seeded planes; equality with all-pairs
+    # is also pinned in tests/test_llm_ops.py).
+    return embedding_dedup_pairs_lsh(
         table(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
     )
 

@@ -175,3 +175,55 @@ def test_shingle_sets_n1_keeps_final_token(spark):
     docs = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
     [row] = shingle_sets(docs, "doc_id", "text", n=1).collect()
     assert sorted(row.shingles) == ["alpha", "beta", "gamma"]
+
+
+def test_embedding_lsh_dedup_equals_all_pairs(emb):
+    from python_mapreduce_spark.llm.dedup import (
+        embedding_dedup_pairs,
+        embedding_dedup_pairs_lsh,
+    )
+
+    exact = {
+        (r.id1, r.id2): r.cos
+        for r in embedding_dedup_pairs(emb, "vec_id", "embedding").collect()
+    }
+    lsh = {
+        (r.id1, r.id2): r.cos
+        for r in embedding_dedup_pairs_lsh(emb, "vec_id", "embedding").collect()
+    }
+    assert exact, "fixture should contain qualifying pairs"
+    assert lsh == exact
+
+
+def test_embedding_lsh_prunes_on_bimodal_corpus(spark):
+    # The scale claim: on a corpus with real near-dup structure (planted
+    # high-cosine copies against a random background), banded LSH visits
+    # far fewer candidate pairs than all-pairs while catching every
+    # planted dup. 200 base vectors + 20 perturbed copies at cos ~0.99.
+    import numpy as np
+
+    from python_mapreduce_spark.llm.dedup import embedding_dedup_pairs_lsh
+    from python_mapreduce_spark.llm.similarity import banded_lsh_candidate_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(200, 64)
+    rows = [(i, base[i].astype(float).tolist()) for i in range(200)]
+    rows += [
+        (1000 + i, (base[i] + 0.05 * rng.randn(64)).astype(float).tolist())
+        for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # 6x8 banding: tight bands — planted pairs (p ~ 0.98 per bit) still
+    # collide with near-certainty, random pairs (p^8 ~ 0.004 per band,
+    # ~2% over 6 bands) almost never do.
+    n_cand = banded_lsh_candidate_pairs(
+        emb, "vec_id", "embedding", bands=6, rows_per_band=8
+    ).count()
+    n_all_pairs = 220 * 219 // 2
+    assert n_cand < n_all_pairs // 10, (n_cand, n_all_pairs)
+
+    found = embedding_dedup_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.9, bands=6, rows_per_band=8
+    ).collect()
+    assert {(r.id1, r.id2) for r in found} >= {(i, 1000 + i) for i in range(20)}

@@ -56,11 +56,11 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
         if right
         else pd.DataFrame({"k": pd.Series(dtype=object), "ts": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")})
     )
-    # merge_asof with duplicate right timestamps takes the LAST right row
-    # at each ts; make that deterministic by keeping only the last v per
-    # (k, ts) — which is also what the window formulation's
-    # last(ignorenulls) yields for right rows sorted by insertion order.
-    rp = rp.groupby(["k", "ts"], as_index=False).last().sort_values("ts", kind="stable")
+    # With duplicate right timestamps the window formulation
+    # deterministically carries the GREATEST v per (k, ts) (value
+    # tiebreak in the window ordering); reduce the pandas side the same
+    # way before merge_asof, whose own dup handling is insertion-order.
+    rp = rp.groupby(["k", "ts"], as_index=False).max().sort_values("ts", kind="stable")
     exp = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
     exp = exp.sort_values(["k", "ts"], kind="stable").reset_index(drop=True)
 
