@@ -63,15 +63,16 @@ def main() -> None:
     for name in names:
         registry[name].fn(spark, WARMUP_SF_DIR).count()
 
-    # Best-of-N: measures steady-state engine throughput. This virtual
+    # Best-of-3: measures steady-state engine throughput. This virtual
     # host has transient minutes-long slowdown waves (observed 10-50x on
     # identical plans with the box otherwise idle — storage/virtio
     # weather, not query cost; see README "benchmark methodology").
     # Every number reported is a real end-to-end run; taking the best of
-    # two passes, plus one extra attempt for anything still anomalously
-    # slow, keeps the recorded figure the reproducible one.
+    # three passes, plus one extra attempt for anything still anomalously
+    # slow, keeps the recorded figure the reproducible one and makes
+    # round-over-round regressions attributable to code, not weather.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in names:
             t0 = time.time()
             registry[name].fn(spark, sf_dir).count()

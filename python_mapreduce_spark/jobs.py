@@ -15,9 +15,10 @@ driver-side job-runner").
 
 from __future__ import annotations
 
+import subprocess
 import time
 import traceback
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -35,6 +36,36 @@ class Job:
     run_once: bool = False
     force_run: bool = False
     finished: bool = field(default=False, init=False)
+
+
+def script_job(
+    name: str,
+    argv: Sequence[str],
+    *,
+    priority: int = 0,
+    group: str | None = None,
+    run_once: bool = False,
+    force_run: bool = False,
+    timeout: float | None = None,
+) -> Job:
+    """The reference's 'script' job type (scheduler.py:106-125): run a
+    command in a subprocess; a nonzero exit is a job failure (stderr tail
+    carried in the raised error, so it lands in the queue's failure log).
+    """
+
+    def fn() -> str:
+        proc = subprocess.run(  # noqa: S603 - the command IS the job
+            list(argv), capture_output=True, text=True, timeout=timeout
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"script job {name!r} exited {proc.returncode}: {proc.stderr[-2000:]}"
+            )
+        return proc.stdout
+
+    return Job(
+        name, fn, priority=priority, group=group, run_once=run_once, force_run=force_run
+    )
 
 
 class JobQueue:

@@ -69,12 +69,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_range",
     "q_join_asof",
     "q_join_asof_fwd",
-    # window shapes
+    # window shapes (cume/firstlast were already green in r01's window)
     "q_window_topk",
     "q_window_running",
-    "q_window_lag",
     "q_window_range_frame",
     "q_sessionize",
+    # sinks (O21) had pytest-only coverage in r01
+    "q_sink_roundtrip",
     # map-reduce compatibility facade (the reference's native modality)
     "q_mr_stream_reduce",
     "q_mr_udtf_tokens",

@@ -81,6 +81,39 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# --- sink roundtrip (O21 driver coverage) ---------------------------------------
+
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Partitioned parquet sink -> scan -> aggregate (reference O21,
+    # reducer.py:90-139). The oracle runs the same aggregate on the
+    # SOURCE table, so anything the sink/scan roundtrip loses or mangles
+    # (partition-column encoding, compression, schema drift) breaks the
+    # hash match.
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from python_mapreduce_spark.sources.readers import read_parquet  # noqa: PLC0415
+    from python_mapreduce_spark.sources.sinks import write_parquet  # noqa: PLC0415
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="spark_sink_rt_"), "orders")
+    write_parquet(o, path, partition_by=["o_orderstatus"])
+    back = read_parquet(spark, path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_total"),
+    )
+
+
+SQL_SINK_ROUNDTRIP = f"""
+SELECT o_orderstatus, count(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS sum_total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 # --- posexplode (UDTF / flatMap fan-out analog) ---------------------------------
 
 def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,6 +611,7 @@ QUERIES: dict[str, Query] = {
     "q10_returned_items": Query(q10_returned_items, SQL_Q10, "TPC-H Q10-style top-20"),
     "q_except_all": Query(q_except_all, SQL_EXCEPT_ALL, "bag except"),
     "q_collect_agg": Query(q_collect_agg, SQL_COLLECT_AGG, "ordered collect_list/set"),
+    "q_sink_roundtrip": Query(q_sink_roundtrip, SQL_SINK_ROUNDTRIP, "partitioned parquet sink roundtrip (O21)"),
     "q_posexplode": Query(q_posexplode, SQL_POSEXPLODE, "posexplode fan-out (UDTF analog)"),
     "q_fillna": Query(q_fillna, SQL_FILLNA, "null fill over outer join"),
     "q_mode_agg": Query(q_mode_agg, SQL_MODE_AGG, "per-key mode w/ deterministic ties"),

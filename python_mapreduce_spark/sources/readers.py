@@ -39,6 +39,60 @@ def _paths(paths: str | Sequence[str]) -> list[str]:
     return [paths] if isinstance(paths, str) else list(paths)
 
 
+#: Suffixes that mark a file as still being written (writer conventions:
+#: Flink/Hadoop ``.inprogress``/``._COPYING_``, generic ``.tmp``).
+INFLIGHT_SUFFIXES: tuple[str, ...] = (".tmp", ".inprogress", "._COPYING_")
+
+
+def visible_files(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    *,
+    require_success: bool = False,
+    inflight_suffixes: Sequence[str] = INFLIGHT_SUFFIXES,
+) -> list[str]:
+    """Enumerate input files, skipping ones still being written (O4).
+
+    The reference actively lock-probes files and skips any still open by
+    a writer (mapper.py:159-181). Distributed filesystems have no flock,
+    so the Spark-native equivalent is convention-based visibility:
+
+      * files with an in-flight suffix (``.tmp``/``.inprogress``/...)
+        are skipped — writers write-then-rename;
+      * ``_``/``.``-prefixed files are skipped (Hadoop hidden/metadata);
+      * with ``require_success``, a directory is only eligible once its
+        ``_SUCCESS`` marker exists (the whole-job commit protocol).
+
+    Uses the Hadoop FileSystem API through the JVM gateway, so it works
+    for any scheme Spark can read (file://, hdfs://, s3a://); listing is
+    driver-side and O(files), the same cost Spark's own file index pays.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+
+    def eligible(name: str) -> bool:
+        if name.startswith(("_", ".")):
+            return False
+        return not any(name.endswith(s) for s in inflight_suffixes)
+
+    out: list[str] = []
+    for p in _paths(paths):
+        path = HPath(p)
+        fs = path.getFileSystem(hconf)
+        if not fs.exists(path):
+            continue
+        if fs.getFileStatus(path).isDirectory():
+            if require_success and not fs.exists(HPath(p, "_SUCCESS")):
+                continue
+            for st in fs.listStatus(path):
+                if not st.isDirectory() and eligible(st.getPath().getName()):
+                    out.append(st.getPath().toString())
+        elif eligible(path.getName()):
+            out.append(p)
+    return sorted(out)
+
+
 def read_text(
     spark: SparkSession,
     paths: str | Sequence[str],
@@ -46,6 +100,8 @@ def read_text(
     whole_text: bool = False,
     glob: str | None = None,
     recursive: bool = False,
+    visible_only: bool = False,
+    require_success: bool = False,
 ) -> DataFrame:
     """Line-oriented text scan (reference O1+O2, mapper.py:75-94).
 
@@ -53,7 +109,17 @@ def read_text(
     this at mapper.py:87-90; Spark's text source does it natively).
     Returns a single ``value: string`` column — the reference's "raw line
     into the map function" contract (mapper.py:58-59).
+
+    ``visible_only`` resolves inputs through :func:`visible_files` first,
+    skipping in-flight files (reference O4, mapper.py:159-181);
+    ``require_success`` additionally gates directories on ``_SUCCESS``.
     """
+    if visible_only or require_success:
+        paths = visible_files(spark, paths, require_success=require_success)
+        if not paths:
+            from pyspark.sql.types import StringType, StructField, StructType  # noqa: PLC0415
+
+            return spark.createDataFrame([], StructType([StructField("value", StringType())]))
     reader = spark.read
     if glob:
         reader = reader.option("pathGlobFilter", glob)

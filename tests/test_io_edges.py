@@ -125,3 +125,38 @@ def test_parquet_rotation_max_records_per_file(tables, tmp_path):
     write_parquet(df.coalesce(1), path, max_records_per_file=100)
     files = glob.glob(f"{path}/*.parquet")
     assert len(files) >= n // 100  # one part per 100 records (per task)
+
+
+def test_visible_files_skips_inflight(spark, tmp_path):
+    # Reference O4 (mapper.py:159-181): files still being written are
+    # skipped. The distributed-FS equivalent is convention-based
+    # visibility — in-flight suffixes, hidden/metadata prefixes, and an
+    # optional _SUCCESS commit gate.
+    from python_mapreduce_spark.sources.readers import read_text, visible_files
+
+    d = tmp_path / "incoming"
+    d.mkdir()
+    (d / "a.txt").write_text("one\ntwo\n")
+    (d / "b.txt").write_text("three\n")
+    (d / "c.txt.tmp").write_text("partial\n")
+    (d / "d.txt.inprogress").write_text("partial\n")
+    (d / "_committing").write_text("")
+    (d / ".hidden").write_text("nope\n")
+
+    vis = visible_files(spark, str(d))
+    assert [p.rsplit("/", 1)[1] for p in vis] == ["a.txt", "b.txt"]
+
+    got = read_text(spark, str(d), visible_only=True)
+    assert sorted(r.value for r in got.collect()) == ["one", "three", "two"]
+
+    # _SUCCESS gate: directory invisible until the commit marker lands
+    assert visible_files(spark, str(d), require_success=True) == []
+    assert read_text(spark, str(d), require_success=True).count() == 0
+    (d / "_SUCCESS").write_text("")
+    assert len(visible_files(spark, str(d), require_success=True)) == 2
+
+    # a bare file path still resolves (and in-flight bare files don't)
+    assert visible_files(spark, str(d / "a.txt")) == [str(d / "a.txt")]
+    assert visible_files(spark, str(d / "c.txt.tmp")) == []
+    # nonexistent paths are simply absent, not an error
+    assert visible_files(spark, str(tmp_path / "nope")) == []

@@ -55,3 +55,27 @@ def test_runtime_history_capped_at_50():
     for _ in range(60):
         q.run_cycle()
     assert len(q.runtimes["r"]) == 50
+
+
+def test_script_job_subprocess_success_and_failure():
+    # Reference 'script' job type parity (scheduler.py:106-125): commands
+    # run in a subprocess, nonzero exit fails the job and cascades its
+    # group like any other failure.
+    import sys
+
+    from python_mapreduce_spark.jobs import JobQueue, script_job
+
+    q = JobQueue()
+    q.submit(script_job("ok", [sys.executable, "-c", "print('hi')"], group="g"))
+    q.submit(
+        script_job(
+            "boom", [sys.executable, "-c", "import sys; sys.exit(3)"], group="g2"
+        )
+    )
+    q.submit(script_job("same_group", [sys.executable, "-c", "pass"], group="g2", priority=-1))
+    q.run()
+    assert "ok" in q.succeeded
+    assert [n for n, _ in q.failed] == ["boom"]
+    assert "exited 3" in q.failed[0][1] or "exited 3" in str(q.failed[0])
+    # group g2 cascade-deleted: same_group never ran
+    assert "same_group" not in q.succeeded
