@@ -311,15 +311,32 @@ def ann_topk_lsh(
     planes: int = 12,
     dim: int = 64,
     seed: int = 42,
+    probe_radius: int = 0,
     query_id: str = "query_id",
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the query's
-    LSH bucket. Recall is tunable via ``planes`` (fewer planes = bigger
-    buckets = higher recall, more compute); multi-probe is the production
-    knob."""
+    LSH bucket(s). Recall is tunable via ``planes`` (fewer planes =
+    bigger buckets = higher recall, more compute) and ``probe_radius``
+    — the multi-probe production knob: each query also probes every
+    bucket within that hamming distance of its own signature (radius r
+    adds sum_{i<=r} C(planes, i) probes per query). Probes multiply only
+    the dimension-sized broadcast query table; the corpus is still
+    scanned once and shuffled only for the final top-k."""
     cb = hyperplane_lsh_buckets(corpus, id_col, vec_col, planes=planes, dim=dim, seed=seed)
     qb = hyperplane_lsh_buckets(queries, id_col, vec_col, planes=planes, dim=dim, seed=seed)
     qb = qb.select(F.col("id").alias(query_id), F.col("vec").alias("q_vec"), "bucket")
+    if probe_radius > 0:
+        from itertools import combinations  # noqa: PLC0415
+
+        masks = [0]
+        for r in range(1, probe_radius + 1):
+            masks += [
+                sum(1 << b for b in bits) for bits in combinations(range(planes), r)
+            ]
+        qb = qb.withColumn(
+            "bucket",
+            F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])),
+        )
     scored = (
         cb.join(F.broadcast(qb), on="bucket")
         .filter(F.col(query_id) != F.col("id"))

@@ -68,7 +68,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_theta",
     "q_join_range",
     "q_join_asof",
-    "q_join_asof_fwd",
+    # (asof_fwd sits just past the window: backward asof + the hypothesis
+    # equivalence tests cover the operator pair)
     # window shapes (cume/firstlast were already green in r01's window)
     "q_window_topk",
     "q_window_running",
@@ -78,7 +79,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sink_roundtrip",
     # map-reduce compatibility facade (the reference's native modality)
     "q_mr_stream_reduce",
-    "q_mr_udtf_tokens",
     "q_mr_wordcount",
     "q_mr_wordcount_gz",
     "q_mr_weighted_avg",
@@ -89,6 +89,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_minhash",
     "q_dedup_embedding",
     "q_sim_topk",
+    "q_sim_ann_lsh_recall",
+    "q_sim_ann_ivf_recall",
     "q_text_stats",
     "q_text_langid",
     "q_text_fingerprint",

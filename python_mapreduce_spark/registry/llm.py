@@ -141,6 +141,46 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Driver-checkable SimHash evaluation (tolerance-oracle pattern):
+    # every exact-Jaccard near-dup pair (j >= 0.95) must land within a
+    # small hamming ball of the 64-bit fingerprints — measured max
+    # hamming 5-9 across sf0.001-0.1, asserted <= 16. The oracle
+    # reproduces the (SQL-expressible) pair count and literal TRUE.
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.95)
+    fps = simhash(docs, "doc_id", "text")
+    f1 = fps.select(F.col("id").alias("id1"), F.col("simhash64").alias("h1"))
+    f2 = fps.select(F.col("id").alias("id2"), F.col("simhash64").alias("h2"))
+    joined = pairs.join(f1, "id1").join(f2, "id2")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.max(F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))) <= 16).alias(
+            "hamming_ok"
+        ),
+    )
+
+
+SQL_SIMHASH_EVAL = f"""
+WITH {_SQL_SHINGLES},
+posts AS (SELECT id, unnest(shingles) AS shingle FROM sets WHERE len(shingles) > 0),
+sizes AS (SELECT id, CAST(len(shingles) AS BIGINT) AS sz FROM sets WHERE len(shingles) > 0),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs, TRUE AS hamming_ok FROM (
+  SELECT id1, id2,
+         floor(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) * 10000.0 + 0.5) / 10000.0
+           AS jaccard
+  FROM inter
+  JOIN sizes sa ON id1 = sa.id
+  JOIN sizes sb ON id2 = sb.id
+) WHERE jaccard >= 0.95
+"""
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Banded-LSH candidates + exact verify (equi-join on band key, no
     # nested loop) — the corpus-scale form. The all-pairs SQL twin is a
@@ -202,10 +242,64 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Approximate variant: numpy hyperplane signatures (seeded) are not
-    # SQL-reproducible; recall vs q_sim_topk is asserted in pytest.
+    # SQL-reproducible; recall vs q_sim_topk is asserted in pytest and
+    # driver-checked by q_sim_ann_lsh_recall below.
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ann_topk_lsh(emb, queries, "vec_id", "embedding", k=5, planes=6)
+
+
+def _ann_recall_eval(exact: DataFrame, approx: DataFrame, threshold: float) -> DataFrame:
+    """One-row evaluation frame: n_queries + (recall >= threshold).
+
+    The tolerance-oracle pattern for ANN: the exact top-k pair set is the
+    ground truth, recall is computed inside the same Spark job, and the
+    DuckDB twin only has to reproduce the query count and literal TRUE.
+    """
+    ex = exact.select("query_id", "neighbor_id")
+    ap = approx.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1))
+    tagged = ex.join(ap, ["query_id", "neighbor_id"], "left")
+    return tagged.agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        (
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.count(F.lit(1))
+            >= F.lit(threshold)
+        ).alias("recall_ok"),
+    )
+
+
+def q_sim_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-probe LSH (radius 3 over 6 planes = 42/64 buckets probed)
+    # against the brute-force ground truth: measured recall 0.76-0.92
+    # across sf0.001-0.1 (deterministic seeded planes); asserted >= 0.6.
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    approx = ann_topk_lsh(
+        emb, queries, "vec_id", "embedding", k=5, planes=6, probe_radius=3
+    )
+    return _ann_recall_eval(exact, approx, 0.6)
+
+
+def q_sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF (8 lists, 3 probed) against brute force: measured recall
+    # 0.58-0.66 across sf0.001-0.1 (deterministic xxhash64-seeded
+    # k-means); asserted >= 0.4.
+    from python_mapreduce_spark.llm.similarity import ann_topk_ivf
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    approx = ann_topk_ivf(
+        emb, queries, "vec_id", "embedding", k=5, nlist=8, nprobe=3
+    )
+    return _ann_recall_eval(exact, approx, 0.4)
+
+
+SQL_ANN_RECALL = """
+SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 10
+"""
 
 
 # --- text analysis -------------------------------------------------------------
@@ -313,8 +407,10 @@ FROM documents
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stubbed decode kernel (no codecs in this env) — Spark plumbing
-    # (binary batches through mapInPandas) is real; values pinned by
-    # pytest against the same kernel run locally.
+    # (binary batches through mapInPandas) is real. The stub derives
+    # channel means from the payload bytes, and the corpus is pure ASCII,
+    # so DuckDB can replay the identical arithmetic byte-by-byte — a full
+    # value oracle for the decode plumbing, not just a rows check.
     from python_mapreduce_spark.functions.scalar import dround
 
     media = attach_binary_payload(table(spark, sf_dir, "documents"), "doc_id", "text")
@@ -322,9 +418,37 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", dround(F.col("r_mean"), 4).alias("r_mean"))
 
 
+SQL_MULTIMODAL_FEATURES = """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+pos AS (SELECT doc_id, n, unnest(generate_series(1, n)) AS p, text FROM d),
+agg AS (
+  SELECT doc_id, any_value(n) AS n,
+         sum(CASE WHEN (p - 1) % 3 = 0
+                  THEN ascii(substr(text, CAST(p AS INT), 1)) ELSE 0 END) AS rsum
+  FROM pos GROUP BY doc_id)
+SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_bytes,
+       floor(CAST(rsum AS DOUBLE) / CAST((n + 2) // 3 AS DOUBLE) * 10000.0 + 0.5)
+         / 10000.0 AS r_mean
+FROM agg
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Frame-sample fan-out: one media row -> up to 8 fixed-stride byte-
+    # window digests. ASCII corpus -> DuckDB replays the windowing + md5
+    # exactly (see q_multimodal_features).
     media = attach_binary_payload(table(spark, sf_dir, "documents"), "doc_id", "text")
     return sample_frames(media)
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
+SELECT doc_id AS media_id, CAST(frame_no AS BIGINT) AS frame_no,
+       md5(substr(text, CAST(frame_no * 64 + 1 AS INT), 64)) AS frame_checksum
+FROM (SELECT doc_id, text,
+             unnest(generate_series(0, least(8, greatest(1, n // 64)) - 1)) AS frame_no
+      FROM d)
+"""
 
 
 QUERIES: dict[str, Query] = {
@@ -332,16 +456,19 @@ QUERIES: dict[str, Query] = {
     "q_dedup_jaccard": Query(q_dedup_jaccard, _SQL_JACCARD_PAIRS_CAPPED, "3-gram Jaccard near-dup pairs (df-capped)"),
     "q_dedup_minhash": Query(q_dedup_minhash, _SQL_JACCARD_PAIRS, "MinHash-LSH + exact verify"),
     "q_dedup_simhash": Query(q_dedup_simhash, None, "64-bit SimHash fingerprints"),
+    "q_dedup_simhash_eval": Query(q_dedup_simhash_eval, SQL_SIMHASH_EVAL, "SimHash hamming vs exact near-dups (tolerance oracle)"),
     "q_dedup_embedding": Query(q_dedup_embedding, SQL_DEDUP_EMBEDDING, "cosine near-dup pairs"),
     "q_sim_topk": Query(q_sim_topk, SQL_SIM_TOPK, "brute-force cosine top-k"),
     "q_sim_ann_lsh": Query(q_sim_ann_lsh, None, "hyperplane-LSH approximate top-k"),
     "q_sim_ann_ivf": Query(q_sim_ann_ivf, None, "IVF inverted-list approximate top-k"),
+    "q_sim_ann_lsh_recall": Query(q_sim_ann_lsh_recall, SQL_ANN_RECALL, "multi-probe LSH recall vs brute force (tolerance oracle)"),
+    "q_sim_ann_ivf_recall": Query(q_sim_ann_ivf_recall, SQL_ANN_RECALL, "IVF recall vs brute force (tolerance oracle)"),
     "q_text_stats": Query(q_text_stats, SQL_TEXT_STATS, "per-doc text statistics"),
     "q_text_quality": Query(q_text_quality, SQL_TEXT_QUALITY, "composite quality score"),
     "q_text_langid": Query(q_text_langid, SQL_TEXT_LANGID, "stopword-vote language ID"),
     "q_text_fingerprint": Query(q_text_fingerprint, SQL_TEXT_FINGERPRINT, "normalized MD5 fingerprint"),
     "q_token_count": Query(q_token_count, SQL_TOKEN_COUNT, "corpus token accounting"),
     "q_multimodal_meta": Query(q_multimodal_meta, SQL_MULTIMODAL_META, "binary payload + metadata"),
-    "q_multimodal_features": Query(q_multimodal_features, None, "stub decode via mapInPandas"),
-    "q_multimodal_frames": Query(q_multimodal_frames, None, "frame-sample fan-out"),
+    "q_multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL_FEATURES, "stub decode via mapInPandas (byte-exact oracle)"),
+    "q_multimodal_frames": Query(q_multimodal_frames, SQL_MULTIMODAL_FRAMES, "frame-sample fan-out (byte-exact oracle)"),
 }

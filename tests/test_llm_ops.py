@@ -227,3 +227,18 @@ def test_embedding_lsh_prunes_on_bimodal_corpus(spark):
         emb, "vec_id", "embedding", threshold=0.9, bands=6, rows_per_band=8
     ).collect()
     assert {(r.id1, r.id2) for r in found} >= {(i, 1000 + i) for i in range(20)}
+
+
+def test_embedding_lsh_plan_is_equi_join(emb):
+    # The 100 TB claim in plan form: the bucketed dedup meets the corpus
+    # with itself only through a hash-partitioned equi-join on band keys —
+    # never a nested loop or cartesian product.
+    from python_mapreduce_spark.llm.dedup import embedding_dedup_pairs_lsh
+    from python_mapreduce_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(embedding_dedup_pairs_lsh(emb, "vec_id", "embedding"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), plan
