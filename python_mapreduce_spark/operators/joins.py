@@ -17,8 +17,9 @@ Scale notes (100 TB):
     no pandas, no per-group materialization — works for billions of rows
     per key-partition since the window is a streaming last() scan.
   * theta/range joins go through BroadcastNestedLoopJoin, which is only
-    sane when one side is broadcast-small; ``range_join`` documents the
-    bucketized-equi-join rewrite for the big-big case.
+    sane when one side is broadcast-small; ``bucketed_range_join`` is the
+    big-big rewrite — a hash equi-join on a shared bucket grid plus a
+    residual filter, no nested loop.
 """
 
 from __future__ import annotations
@@ -75,6 +76,41 @@ def range_join(
     """
     cond = (F.col(value) >= F.col(lo)) & (F.col(value) < F.col(hi))
     return facts.join(F.broadcast(ranges), on=cond, how=how)
+
+
+def bucketed_range_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    value: str,
+    lo: str,
+    hi: str,
+    *,
+    bucket_width: float,
+) -> DataFrame:
+    """Big-big range join as a hash equi-join on a common bucket grid —
+    the 100 TB form of :func:`range_join`.
+
+    Each fact row maps to ONE bucket (``floor(value/width)``); each range
+    explodes to every bucket its [lo, hi) span overlaps; the equi-join on
+    bucket id hash-partitions both sides, and the exact range predicate
+    filters residual edge hits. A fact meets a range in exactly one
+    bucket (its own), so no dedup pass is needed.
+
+    Cost model: ranges expand by ~span/width rows (pick width ~ median
+    span), facts shuffle ONCE on bucket id, and no nested loop ever runs
+    — vs BroadcastNestedLoopJoin's |facts| x |ranges| comparisons, which
+    is only sane for dimension-sized range tables. Skewed grids (many
+    facts in one bucket) are AQE skew-split territory, same as any
+    shuffle join.
+    """
+    bucket = lambda c: F.floor(F.col(c) / F.lit(bucket_width)).cast("long")  # noqa: E731
+    f = facts.withColumn("__bucket", bucket(value))
+    r = ranges.withColumn(
+        "__bucket",
+        F.explode(F.sequence(bucket(lo), F.floor(F.col(hi) / F.lit(bucket_width)).cast("long"))),
+    )
+    cond = (F.col(value) >= F.col(lo)) & (F.col(value) < F.col(hi))
+    return f.join(r, on="__bucket", how="inner").filter(cond).drop("__bucket")
 
 
 def asof_join(

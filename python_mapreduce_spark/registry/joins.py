@@ -177,6 +177,25 @@ GROUP BY tier
 """
 
 
+def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same tiers, same answer as q_join_range, but via the big-big form:
+    # hash equi-join on a shared bucket grid + residual filter (no
+    # nested loop anywhere — asserted in tests). The oracle is the plain
+    # range-join SQL, so the rewrite must be result-identical.
+    from python_mapreduce_spark.operators.joins import bucketed_range_join
+
+    e = table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 200.0, "mid"), (200.0, 1000.0, "high")],
+        "lo double, hi double, tier string",
+    )
+    joined = bucketed_range_join(e, tiers, "value", "lo", "hi", bucket_width=50.0)
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dround(F.sum("value")).alias("sum_value"),
+    )
+
+
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # For each error event: the most recent click by the same user at or
     # before the error. Union+window formulation — one shuffle on
@@ -311,6 +330,7 @@ QUERIES: dict[str, Query] = {
     "q_join_outer": Query(q_join_outer, SQL_JOIN_OUTER, "left outer + null-aware agg"),
     "q_join_theta": Query(q_join_theta, SQL_JOIN_THETA, "non-equi theta join (BNLJ)"),
     "q_join_range": Query(q_join_range, SQL_JOIN_RANGE, "range/interval join to tiers"),
+    "q_join_range_bucketed": Query(q_join_range_bucketed, SQL_JOIN_RANGE, "big-big range join via bucket-grid equi-join"),
     "q_join_asof": Query(q_join_asof, SQL_JOIN_ASOF, "as-of join via union+window"),
     "q_join_asof_fwd": Query(q_join_asof_fwd, SQL_JOIN_ASOF_FWD, "forward as-of join"),
     "q03_shipping_priority": Query(q03_shipping_priority, SQL_Q03, "TPC-H Q3-style top-10"),

@@ -174,6 +174,25 @@ def read_orc(spark: SparkSession, paths: str | Sequence[str]) -> DataFrame:
     return spark.read.orc(*_paths(paths))
 
 
+def read_avro(spark: SparkSession, paths: str | Sequence[str]) -> DataFrame:
+    """Avro scan — row-oriented interchange (Kafka/schema-registry lakes).
+
+    Avro is an EXTERNAL Spark module (org.apache.spark:spark-avro); this
+    environment has no network to fetch it, so the reader is gated: it
+    raises a clear, actionable error instead of Spark's opaque
+    "failed to find data source" when the module is absent.
+    """
+    try:
+        return spark.read.format("avro").load(_paths(paths))
+    except Exception as e:  # noqa: BLE001 - classify, then re-raise
+        if "Failed to find data source: avro" in str(e):
+            raise NotImplementedError(
+                "spark-avro is not deployed in this environment; add "
+                "org.apache.spark:spark-avro_2.13 to spark.jars.packages"
+            ) from e
+        raise
+
+
 def sample_files(paths: Sequence[str], fraction: float, seed: int = 42) -> list[str]:
     """File-level Bernoulli downsample (reference O5, mapper.py:103-108).
 

@@ -100,6 +100,26 @@ def write_orc(
     _writer(df, mode, compression, max_records_per_file, partition_by).orc(path)
 
 
+def write_avro(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Avro sink — gated like sources.readers.read_avro (the spark-avro
+    module is external and absent in this environment)."""
+    try:
+        _writer(df, mode, None, None, partition_by).format("avro").save(path)
+    except Exception as e:  # noqa: BLE001 - classify, then re-raise
+        if "Failed to find data source: avro" in str(e):
+            raise NotImplementedError(
+                "spark-avro is not deployed in this environment; add "
+                "org.apache.spark:spark-avro_2.13 to spark.jars.packages"
+            ) from e
+        raise
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,

@@ -160,3 +160,19 @@ def test_visible_files_skips_inflight(spark, tmp_path):
     assert visible_files(spark, str(d / "c.txt.tmp")) == []
     # nonexistent paths are simply absent, not an error
     assert visible_files(spark, str(tmp_path / "nope")) == []
+
+
+def test_avro_io_is_cleanly_gated(spark, tmp_path):
+    # spark-avro is an external module with no offline deploy path here;
+    # the readers/sinks must fail with an actionable error, not Spark's
+    # opaque "failed to find data source".
+    import pytest
+
+    from python_mapreduce_spark.sources.readers import read_avro
+    from python_mapreduce_spark.sources.sinks import write_avro
+
+    df = spark.range(3)
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        write_avro(df, str(tmp_path / "a"))
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        read_avro(spark, str(tmp_path / "a"))

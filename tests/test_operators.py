@@ -249,3 +249,36 @@ def test_approx_percentile_close_to_exact(tables):
     for flag, a in approx.items():
         for got, want in zip(a, exact[flag]):
             assert abs(got - want) / max(abs(want), 1e-9) < 0.02, (flag, got, want)
+
+
+def test_bucketed_range_join_equals_nlj_and_avoids_nested_loop(spark, tables):
+    # The big-big range-join rewrite must be result-identical to the
+    # broadcast-NLJ form and must plan as a hash equi-join on the bucket
+    # grid — no nested loop, which is what dies at 100 TB.
+    from python_mapreduce_spark.operators.joins import bucketed_range_join, range_join
+    from python_mapreduce_spark.plans.explain import formatted_plan
+
+    e = tables["events"].select("event_id", "value")
+    tiers = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 200.0, "mid"), (200.0, 1000.0, "high")],
+        "lo double, hi double, tier string",
+    )
+    nlj = {
+        (r.event_id, r.tier)
+        for r in range_join(e, tiers, "value", "lo", "hi").collect()
+    }
+    # width deliberately misaligned with tier bounds to exercise the
+    # residual filter on edge buckets
+    bucketed = {
+        (r.event_id, r.tier)
+        for r in bucketed_range_join(
+            e, tiers, "value", "lo", "hi", bucket_width=37.0
+        ).collect()
+    }
+    assert bucketed == nlj and nlj
+
+    plan = formatted_plan(
+        bucketed_range_join(e, tiers, "value", "lo", "hi", bucket_width=37.0)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
