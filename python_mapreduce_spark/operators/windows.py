@@ -81,6 +81,62 @@ def moving_avg(
     return df.withColumn(out, F.avg(col).over(w))
 
 
+def global_row_number(
+    df: DataFrame,
+    order: Sequence[str],
+    *,
+    out: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global row_number over a total order — the 100 TB form
+    of ``Window.orderBy(...)`` (which funnels every row through ONE task).
+
+    Range-repartition on the order keys (Spark samples split points, so
+    partitions are balanced), sort within partitions, then number each
+    partition locally and add the broadcast prefix sum of partition
+    counts. The only driver-side data is one count per partition.
+
+    ``order`` must be a total order (append a unique tiebreak column) or
+    numbering is nondeterministic at duplicate keys — same contract as
+    every helper in this module.
+
+    The extra counting pass re-executes the upstream plan; at scale,
+    cache/checkpoint the input if it is expensive to recompute (the
+    alternative — a single-partition window — does not scale at all).
+    """
+    parts = df.repartitionByRange(
+        *( [num_partitions] if num_partitions else [] ), *[F.col(c) for c in order]
+    ).sortWithinPartitions(*order)
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in parts.groupBy(F.spark_partition_id().alias("__pid"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    # monotonically_increasing_id() == (partition_id << 33) + row index
+    # within the partition, assigned in partition order — which IS the
+    # sort order after sortWithinPartitions. Decomposing it gives the
+    # local rank with zero extra shuffles and no Window at all; the
+    # broadcast offset map turns it global. (The second-best formulation
+    # — a Window.partitionBy(partition_id) — re-shuffles the whole table
+    # on partition id because range partitioning doesn't satisfy the
+    # window's hash-clustering requirement; measured: 2 Exchanges vs 1.)
+    mid = F.monotonically_increasing_id()
+    local_ix = mid.bitwiseAND(F.lit((1 << 33) - 1))
+    pid_col = F.shiftrightunsigned(mid, 33).cast("int")
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), pid_col
+    )
+    return parts.withColumn(
+        out, (local_ix + F.coalesce(offset_expr, F.lit(0)) + 1).cast("long")
+    )
+
+
 def sessionize(
     df: DataFrame,
     keys: Sequence[str],

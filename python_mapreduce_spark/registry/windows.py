@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 
 from python_mapreduce_spark.functions.scalar import dround, sql_dround
 from python_mapreduce_spark.operators.windows import (
+    global_row_number,
     lag_delta,
     moving_avg,
     running_agg,
@@ -139,6 +140,10 @@ FROM rolled GROUP BY l_suppkey
 
 
 def q_window_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DEMO SHAPE: Window.orderBy with no partition key funnels the whole
+    # table through one task — fine for a dimension-sized input, dead at
+    # 100 TB. q_window_rank_scalable computes the identical answer with
+    # range partitioning (same oracle).
     c = table(spark, sf_dir, "customer")
     w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
     return c.select(
@@ -146,6 +151,30 @@ def q_window_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.rank().over(w).cast("long").alias("rnk"),
         dround(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+def q_window_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 100 TB form of global ranking: range-repartition on the order
+    # key, number each partition locally, add broadcast prefix offsets
+    # (operators/windows.py::global_row_number) — no single-partition
+    # window anywhere. rank == row_number here because the order carries
+    # a unique tiebreak (c_custkey); ntile/percent_rank are recovered
+    # arithmetically from (rn, n). Same oracle as q_window_rank_dist.
+    c = table(spark, sf_dir, "customer")
+    n = c.count()
+    ranked = global_row_number(c, ["c_acctbal", "c_custkey"], out="rnk")
+    rn = F.col("rnk")
+    k, size, extra = 4, n // 4, n % 4
+    boundary = extra * (size + 1)
+    quartile = F.when(rn <= F.lit(boundary), (rn - 1) / F.lit(size + 1)).otherwise(
+        F.lit(extra) + (rn - F.lit(boundary) - 1) / F.lit(max(size, 1))
+    )
+    return ranked.select(
+        "c_custkey",
+        (F.floor(quartile) + 1).cast("long").alias("quartile"),
+        rn.alias("rnk"),
+        dround((rn - 1) / F.lit(n - 1), 6).alias("pct_rank"),
     )
 
 
@@ -194,5 +223,6 @@ QUERIES: dict[str, Query] = {
         q_window_range_frame, SQL_WINDOW_RANGE_FRAME, "time-RANGE frame (trailing 3-day sum)"
     ),
     "q_window_rank_dist": Query(q_window_rank_dist, SQL_WINDOW_RANK_DIST, "ntile/rank/percent_rank"),
+    "q_window_rank_scalable": Query(q_window_rank_scalable, SQL_WINDOW_RANK_DIST, "distributed global rank (range-partitioned, no single-task window)"),
     "q_sessionize": Query(q_sessionize, SQL_SESSIONIZE, "gap-based sessionization"),
 }

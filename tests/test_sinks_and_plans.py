@@ -85,3 +85,19 @@ def test_topk_plans_without_global_sort(spark, sf_dir):
     plan = formatted_plan(q_topk_orders(spark, sf_dir))
     # orderBy+limit must become TakeOrderedAndProject, not a full Sort.
     assert "TakeOrderedAndProject" in plan
+
+
+def test_global_row_number_single_exchange_no_window(spark, tables):
+    # The distributed global-rank operator must cost exactly one range
+    # exchange + one local sort: no single-partition Window (the thing it
+    # replaces) and no second shuffle on partition id (the naive
+    # formulation's hidden cost — Window.partitionBy(pid) re-clusters).
+    from python_mapreduce_spark.operators.windows import global_row_number
+    from python_mapreduce_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(
+        global_row_number(tables["customer"], ["c_acctbal", "c_custkey"])
+    )
+    assert "Window" not in plan
+    assert plan.count("+- Exchange") == 1, plan
+    assert "SinglePartition" not in plan
