@@ -148,3 +148,67 @@ def test_asof_join_forward_matches_pandas_merge_asof(spark, left, right):
         for r in exp.itertuples()
     ]
     assert sorted(got_vals) == sorted(exp_vals)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    facts=st.lists(st.integers(-20, 120), min_size=1, max_size=25),
+    ranges=st.lists(
+        st.tuples(st.integers(-10, 100), st.integers(0, 40), st.integers(0, 2)),
+        min_size=1,
+        max_size=6,
+    ),
+    width=st.sampled_from([3.0, 7.0, 50.0]),
+)
+def test_bucketed_range_join_matches_nlj(spark, facts, ranges, width):
+    # The bucket-grid rewrite must equal the nested-loop range join on
+    # arbitrary (possibly overlapping, empty, or misaligned) ranges and
+    # any bucket width.
+    from python_mapreduce_spark.operators.joins import bucketed_range_join, range_join
+
+    fdf = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(facts)], "fid long, value double"
+    )
+    rdf = spark.createDataFrame(
+        [(float(lo), float(lo + span), f"r{tag}{j}") for j, (lo, span, tag) in enumerate(ranges)],
+        "lo double, hi double, tag string",
+    )
+    nlj = {
+        (r.fid, r.tag) for r in range_join(fdf, rdf, "value", "lo", "hi").collect()
+    }
+    bucketed = {
+        (r.fid, r.tag)
+        for r in bucketed_range_join(
+            fdf, rdf, "value", "lo", "hi", bucket_width=width
+        ).collect()
+    }
+    assert bucketed == nlj
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=40))
+def test_global_row_number_matches_sorted_enumeration(spark, vals):
+    # Distributed numbering must equal sorted enumeration for any input,
+    # including duplicate order-key values (tiebroken by id).
+    from python_mapreduce_spark.operators.windows import global_row_number
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    got = {
+        r.id: r.rn
+        for r in global_row_number(df, ["v", "id"], num_partitions=4).collect()
+    }
+    want = {
+        i: rn + 1
+        for rn, (i, _) in enumerate(sorted(enumerate(vals), key=lambda t: (t[1], t[0])))
+    }
+    assert got == want
