@@ -12,6 +12,7 @@ from __future__ import annotations
 import math
 import re
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -81,6 +82,34 @@ SELECT l_returnflag AS flag,
          AS weighted_avg_price
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+def q_mr_udaf_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The UDAF mode of the UDF surface (SURVEY.md §2.2 "UDF surface":
+    # grouped-agg pandas_udf ≈ the reference's algebraic reduce): a
+    # custom aggregate usable INSIDE groupBy().agg() beside built-ins,
+    # Arrow-batched per group. Same math as q_mr_weighted_avg (fsum =
+    # order-independent exactly-rounded sum), same oracle — but
+    # expressed as an aggregate function, not a whole-group reduce.
+    # Note the scale contract: grouped-agg pandas UDFs have no partial
+    # aggregation, so the full group shuffles — use built-ins when the
+    # aggregate is expressible. (pandas is imported at module level:
+    # pandas_udf resolves the signature via get_type_hints against the
+    # function's module globals, and postponed annotations make every
+    # hint a string needing that namespace.)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+    @F.pandas_udf("double")
+    def wavg(qty: pd.Series, price: pd.Series) -> float:
+        wsum = math.fsum((qty * price).tolist())
+        qsum = math.fsum(qty.tolist())
+        return math.floor(wsum / qsum * 100.0 + 0.5) / 100.0
+
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        wavg("l_quantity", "l_extendedprice").alias("weighted_avg_price")
+    )
 
 
 def q_mr_aux_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,6 +239,9 @@ QUERIES: dict[str, Query] = {
         q_mr_udtf_tokens, SQL_MR_UDTF_TOKENS, "Python UDTF via LATERAL (map-fn fan-out)"
     ),
     "q_mr_wordcount": Query(q_mr_wordcount, SQL_MR_WORDCOUNT, "facade map+reduce wordcount"),
+    "q_mr_udaf_wavg": Query(
+        q_mr_udaf_wavg, SQL_MR_WEIGHTED_AVG, "grouped-agg pandas UDAF inside groupBy().agg()"
+    ),
     "q_mr_wordcount_gz": Query(
         q_mr_wordcount_gz, SQL_MR_WORDCOUNT, "gzip text-line scan through the facade"
     ),
