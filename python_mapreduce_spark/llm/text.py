@@ -135,3 +135,21 @@ def token_counts(df: DataFrame, group_cols: Sequence[str], text_col: str) -> Dat
         F.sum(F.size(tokenize(text_col))).cast("long").alias("total_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+#: BPE-style pre-tokenizer segments (subword accounting): letter runs,
+#: single digits, single non-space punctuation — the GPT-2 pre-tokenizer
+#: shape, restricted to RE2-safe constructs so DuckDB oracles can replay
+#: it (RE2 has no lookaround/unicode property classes).
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_counts(df: DataFrame, group_cols: Sequence[str], text_col: str) -> DataFrame:
+    """Subword-style token accounting per group — the budget number an
+    LLM-training pipeline actually tracks (whitespace words undercount
+    punctuation/digit-heavy text)."""
+    n = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+    return df.groupBy(*group_cols).agg(
+        F.sum(n).cast("long").alias("total_bpe_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

@@ -390,6 +390,79 @@ FROM documents GROUP BY source
 """
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_mapreduce_spark.llm.text import bpe_token_counts
+
+    return bpe_token_counts(table(spark, sf_dir, "documents"), ["source"], "text")
+
+
+SQL_TOKEN_COUNT_BPE = r"""
+SELECT source,
+       CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')))
+            AS BIGINT) AS total_bpe_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+def q_pipeline_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # End-to-end training-shard preparation — the composition a real
+    # pipeline runs, as ONE declarative plan Catalyst optimizes whole:
+    # fingerprint-dedup (keep the smallest doc_id per normalized text),
+    # quality-filter the survivors, then per-source token/doc accounting.
+    # Each stage is an operator verified on its own elsewhere; this query
+    # verifies their composition.
+    from python_mapreduce_spark.llm.text import quality_score
+
+    d = table(spark, sf_dir, "documents")
+    keep = (
+        fingerprint(d, "doc_id", "text")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = d.join(keep, "doc_id")
+    q = quality_score(survivors, "doc_id", "text").filter(F.col("quality") >= 0.5)
+    kept = survivors.join(q.select("doc_id"), "doc_id")
+    return token_counts(kept, ["source"], "text").withColumnRenamed(
+        "total_tokens", "kept_tokens"
+    ).withColumnRenamed("n_docs", "kept_docs")
+
+
+SQL_PIPELINE_PREPARE = r"""
+WITH fp AS (
+  SELECT doc_id, source, text,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+survivors AS (SELECT f.* FROM fp f JOIN keep USING (doc_id)),
+stats AS (
+  SELECT doc_id, source, text,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         CAST(length(regexp_replace(lower(text), '[a-z ]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+              t -> t IN ('the','a','of','and','to','is'))) AS BIGINT) AS n_stop
+  FROM survivors
+),
+scored AS (
+  SELECT doc_id, source, text,
+         floor((0.4 * least(n_tokens / 100.0, 1.0)
+              + 0.3 * (1.0 - floor(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 10000.0 + 0.5) / 10000.0)
+              + 0.3 * least(floor(CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) * 10000.0 + 0.5) / 10000.0 * 4.0, 1.0))
+              * 10000.0 + 0.5) / 10000.0 AS quality
+  FROM stats
+)
+SELECT source,
+       CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS kept_tokens,
+       count(*) AS kept_docs
+FROM scored WHERE quality >= 0.5
+GROUP BY source
+"""
+
+
 # --- multimodal ----------------------------------------------------------------
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,6 +541,8 @@ QUERIES: dict[str, Query] = {
     "q_text_langid": Query(q_text_langid, SQL_TEXT_LANGID, "stopword-vote language ID"),
     "q_text_fingerprint": Query(q_text_fingerprint, SQL_TEXT_FINGERPRINT, "normalized MD5 fingerprint"),
     "q_token_count": Query(q_token_count, SQL_TOKEN_COUNT, "corpus token accounting"),
+    "q_token_count_bpe": Query(q_token_count_bpe, SQL_TOKEN_COUNT_BPE, "BPE-ish subword token accounting"),
+    "q_pipeline_prepare": Query(q_pipeline_prepare, SQL_PIPELINE_PREPARE, "end-to-end shard prep: dedup + quality filter + accounting"),
     "q_multimodal_meta": Query(q_multimodal_meta, SQL_MULTIMODAL_META, "binary payload + metadata"),
     "q_multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL_FEATURES, "stub decode via mapInPandas (byte-exact oracle)"),
     "q_multimodal_frames": Query(q_multimodal_frames, SQL_MULTIMODAL_FRAMES, "frame-sample fan-out (byte-exact oracle)"),
