@@ -74,13 +74,32 @@ def ngram_jaccard_pairs(
     sets_ = shingle_sets(df, id_col, text_col, n).filter(F.size("shingles") > 0)
     posts = sets_.select("id", F.explode("shingles").alias("shingle"))
     if max_shingle_df is not None:
-        hot = (
+        # The postings node is referenced FOUR times downstream (both
+        # self-join sides + both size branches) and Catalyst does not
+        # share subtrees, so a plan-side anti-join would recompute the
+        # df aggregation once per reference — four extra corpus passes
+        # at scale. Instead resolve the hot set ONCE, eagerly: it is
+        # small by construction (<= postings/cap, and Zipfian corpora
+        # put it in the hundreds), so it collects to the driver and
+        # each branch re-applies it as a literal filter on the explode
+        # output — zero extra shuffles per branch. If an adversarial
+        # corpus ever exceeds the collect guard, fall back to the
+        # plan-side broadcast anti-join (correct at any hot-set size,
+        # just not free).
+        hot_limit = 100_000
+        hot_df = (
             posts.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_shingle_df)
             .select("shingle")
         )
-        posts = posts.join(F.broadcast(hot), "shingle", "left_anti")
+        hot_rows = hot_df.limit(hot_limit + 1).collect()
+        if len(hot_rows) > hot_limit:
+            posts = posts.join(F.broadcast(hot_df), "shingle", "left_anti")
+        elif hot_rows:
+            posts = posts.filter(
+                ~F.col("shingle").isin([r["shingle"] for r in hot_rows])
+            )
         sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     else:
         sizes = sets_.select("id", F.size("shingles").cast("long").alias("sz"))
