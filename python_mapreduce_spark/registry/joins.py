@@ -177,6 +177,33 @@ GROUP BY tier
 """
 
 
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit skew-salted join (operators/joins.py::salted_join): the
+    # fact side's key gets a deterministic salt, the dimension side is
+    # replicated across all salt values, so one hot key spreads over 8
+    # tasks. The oracle is the PLAIN join — salting must not change the
+    # answer. (AQE skew-split is the first-choice mechanism; this is the
+    # pinned-layout variant.)
+    from python_mapreduce_spark.operators.joins import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(
+        li.withColumnRenamed("l_partkey", "p_partkey"), p, "p_partkey", salt_buckets=8
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dround(F.sum("l_quantity")).alias("sum_qty"),
+    )
+
+
+SQL_JOIN_SALTED = f"""
+SELECT p_brand, count(*) AS n_items, {sql_dround('sum(l_quantity)')} AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same tiers, same answer as q_join_range, but via the big-big form:
     # hash equi-join on a shared bucket grid + residual filter (no
@@ -331,6 +358,7 @@ QUERIES: dict[str, Query] = {
     "q_join_theta": Query(q_join_theta, SQL_JOIN_THETA, "non-equi theta join (BNLJ)"),
     "q_join_range": Query(q_join_range, SQL_JOIN_RANGE, "range/interval join to tiers"),
     "q_join_range_bucketed": Query(q_join_range_bucketed, SQL_JOIN_RANGE, "big-big range join via bucket-grid equi-join"),
+    "q_join_salted": Query(q_join_salted, SQL_JOIN_SALTED, "skew-salted join (oracle: plain join)"),
     "q_join_asof": Query(q_join_asof, SQL_JOIN_ASOF, "as-of join via union+window"),
     "q_join_asof_fwd": Query(q_join_asof_fwd, SQL_JOIN_ASOF_FWD, "forward as-of join"),
     "q03_shipping_priority": Query(q03_shipping_priority, SQL_Q03, "TPC-H Q3-style top-10"),
