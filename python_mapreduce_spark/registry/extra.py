@@ -435,6 +435,39 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Frequent-items sketch (Karp-Shenker-Papadimitriou via
+    # df.stat.freqItems) — one-pass, fixed memory, the heavy-hitters
+    # path for corpus analytics (hot sources/domains/tokens) at 100 TB.
+    # The sketch guarantees a SUPERSET of the true > support items, so
+    # the tolerance oracle is: exact heavy-hitter count (SQL-replicable)
+    # plus a boolean that every true heavy hitter appears in the sketch
+    # output. Deterministic (no RNG in the algorithm).
+    d = table(spark, sf_dir, "documents")
+    support = 0.03  # sources are ~uniform at ~5% each, so all qualify
+    sketch = [r for r in d.freqItems(["source"], support=support).collect()][0][0]
+    total = d.count()
+    exact = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > support * total)
+    )
+    return exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_heavy"),
+        F.coalesce(F.every(F.col("source").isin(list(sketch))), F.lit(True)).alias(
+            "all_found"
+        ),
+    )
+
+
+SQL_FREQ_ITEMS = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+t AS (SELECT count(*) AS total FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n_heavy, TRUE AS all_found
+FROM c, t WHERE n > 0.03 * total
+"""
+
+
 def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first_value / last_value / nth_value over a full-partition frame:
     # each user's first, last, and second event value in time order.
@@ -612,6 +645,7 @@ QUERIES: dict[str, Query] = {
     "q_except_all": Query(q_except_all, SQL_EXCEPT_ALL, "bag except"),
     "q_collect_agg": Query(q_collect_agg, SQL_COLLECT_AGG, "ordered collect_list/set"),
     "q_sink_roundtrip": Query(q_sink_roundtrip, SQL_SINK_ROUNDTRIP, "partitioned parquet sink roundtrip (O21)"),
+    "q_freq_items": Query(q_freq_items, SQL_FREQ_ITEMS, "frequent-items sketch (tolerance oracle)"),
     "q_posexplode": Query(q_posexplode, SQL_POSEXPLODE, "posexplode fan-out (UDTF analog)"),
     "q_fillna": Query(q_fillna, SQL_FILLNA, "null fill over outer join"),
     "q_mode_agg": Query(q_mode_agg, SQL_MODE_AGG, "per-key mode w/ deterministic ties"),
