@@ -97,6 +97,56 @@ def limit_rows(df: DataFrame, n: int) -> DataFrame:
     return df.limit(n)
 
 
+def upsert(base: DataFrame, updates: DataFrame, key: str | Sequence[str]) -> DataFrame:
+    """Keyed merge/upsert: rows from ``updates`` replace same-key rows in
+    ``base``; unmatched base rows pass through (MERGE semantics over
+    immutable files — lakehouse MERGE without a table format).
+
+    Shaped as ``updates UNION (base ANTI-JOIN updates)``: one shuffle on
+    the key (broadcast when updates is small — the common case of a
+    trickle of corrections against a 100 TB base), no full-outer join
+    and no per-column coalesce. Rewrite-on-write: pair with
+    ``write_parquet(partition_by=...)`` to rewrite only affected
+    partitions.
+
+    ``updates`` must be key-unique (enforce upstream with
+    ``dropDuplicates(key)``) — duplicate update keys would both survive.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    survivors = base.join(updates.select(*keys), on=keys, how="left_anti")
+    return updates.unionByName(survivors)
+
+
+def compact_files(
+    spark,
+    path: str,
+    *,
+    target_partitions: int,
+    fmt: str = "parquet",
+) -> int:
+    """Small-files compaction: rewrite a dataset directory into
+    ``target_partitions`` files (streaming sinks and incremental loads
+    accrete tiny files; scans then pay per-file open/footer cost —
+    the classic small-files tax at 100 TB).
+
+    Rewrite-to-temp then swap, so a concurrent reader never sees a
+    half-written directory. Returns the number of files written.
+    coalesce() (no shuffle) — compaction only merges, never splits.
+    """
+    import glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    tmp = f"{path.rstrip('/')}__compact_tmp"
+    df = spark.read.format(fmt).load(path)
+    df.coalesce(target_partitions).write.mode("overwrite").format(fmt).save(tmp)
+    old = f"{path.rstrip('/')}__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(glob.glob(f"{path}/*.{fmt}"))
+
+
 def repartition_and_sort(
     df: DataFrame,
     key: str | Sequence[str],

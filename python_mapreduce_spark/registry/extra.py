@@ -435,6 +435,45 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Keyed MERGE/upsert (operators/relational.py::upsert): a
+    # deterministic "corrections batch" (every 7th order, price doubled,
+    # status 'U') replaces same-key base rows; unmatched rows pass
+    # through. The oracle replays updates-UNION-(base-anti-updates) in
+    # SQL and aggregates the merged table.
+    from python_mapreduce_spark.operators.relational import upsert
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    merged = upsert(o, updates, "o_orderkey")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_total"),
+    )
+
+
+SQL_UPSERT = f"""
+WITH updates AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+merged AS (
+  SELECT * FROM updates
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+)
+SELECT o_orderstatus, count(*) AS n_orders, {sql_dsum('o_totalprice')} AS sum_total
+FROM merged GROUP BY o_orderstatus
+"""
+
+
 def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Frequent-items sketch (Karp-Shenker-Papadimitriou via
     # df.stat.freqItems) — one-pass, fixed memory, the heavy-hitters
@@ -646,6 +685,7 @@ QUERIES: dict[str, Query] = {
     "q_collect_agg": Query(q_collect_agg, SQL_COLLECT_AGG, "ordered collect_list/set"),
     "q_sink_roundtrip": Query(q_sink_roundtrip, SQL_SINK_ROUNDTRIP, "partitioned parquet sink roundtrip (O21)"),
     "q_freq_items": Query(q_freq_items, SQL_FREQ_ITEMS, "frequent-items sketch (tolerance oracle)"),
+    "q_upsert": Query(q_upsert, SQL_UPSERT, "keyed MERGE/upsert via anti-join union"),
     "q_posexplode": Query(q_posexplode, SQL_POSEXPLODE, "posexplode fan-out (UDTF analog)"),
     "q_fillna": Query(q_fillna, SQL_FILLNA, "null fill over outer join"),
     "q_mode_agg": Query(q_mode_agg, SQL_MODE_AGG, "per-key mode w/ deterministic ties"),

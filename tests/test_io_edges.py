@@ -176,3 +176,23 @@ def test_avro_io_is_cleanly_gated(spark, tmp_path):
         write_avro(df, str(tmp_path / "a"))
     with pytest.raises(NotImplementedError, match="spark-avro"):
         read_avro(spark, str(tmp_path / "a"))
+
+
+def test_compact_files_merges_small_files(spark, tables, tmp_path):
+    # Small-files compaction: many tiny parts -> few, values intact,
+    # swap is atomic-ish (old dir never half-visible under the path).
+    import glob
+
+    from python_mapreduce_spark.operators.relational import compact_files
+
+    df = tables["orders"].select("o_orderkey", "o_totalprice")
+    path = str(tmp_path / "shard")
+    df.repartition(16).write.parquet(path)
+    assert len(glob.glob(f"{path}/*.parquet")) == 16
+    n_before = df.count()
+
+    n_files = compact_files(spark, path, target_partitions=2)
+    assert n_files <= 2
+    back = spark.read.parquet(path)
+    assert back.count() == n_before
+    assert not glob.glob(f"{path}__compact_*")
