@@ -137,6 +137,46 @@ def token_counts(df: DataFrame, group_cols: Sequence[str], text_col: str) -> Dat
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the chunking
+    step before embedding/sequence-packing in a training pipeline.
+
+    One row per chunk: (id, chunk_no, chunk_text, n_chunk_tokens).
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; every document yields at least one
+    chunk. Pure Catalyst expressions; the per-document HOF transform
+    iterates over CHUNK COUNTS (a handful per doc), not tokens, so the
+    interpreted-lambda penalty documented in shingle_sets does not bite.
+    """
+    stride = chunk_tokens - overlap
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.slice(toks, (i * stride + 1).cast("int"), chunk_tokens),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.posexplode(chunks).alias("chunk_no", "c"))
+        .select(
+            "id",
+            F.col("chunk_no").cast("long").alias("chunk_no"),
+            F.array_join("c", " ").alias("chunk_text"),
+            F.size("c").cast("long").alias("n_chunk_tokens"),
+        )
+    )
+
+
 #: BPE-style pre-tokenizer segments (subword accounting): letter runs,
 #: single digits, single non-space punctuation — the GPT-2 pre-tokenizer
 #: shape, restricted to RE2-safe constructs so DuckDB oracles can replay

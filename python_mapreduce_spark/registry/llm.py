@@ -405,6 +405,35 @@ FROM documents GROUP BY source
 """
 
 
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Overlapping token-window chunking (64-token windows, 16 overlap) —
+    # the pre-embedding/sequence-packing fan-out. DuckDB replays the
+    # identical window arithmetic over the same tokenization.
+    from python_mapreduce_spark.llm.text import chunk_documents
+
+    return chunk_documents(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        chunk_tokens=64, overlap=16,
+    )
+
+
+SQL_DOC_CHUNKING = """
+WITH t AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+  FROM documents
+),
+c AS (
+  SELECT id, toks,
+         unnest(generate_series(0, greatest(CAST(ceil(CAST(len(toks) - 16 AS DOUBLE) / 48) AS BIGINT), 1) - 1)) AS chunk_no
+  FROM t
+)
+SELECT id, chunk_no,
+       array_to_string(toks[CAST(chunk_no * 48 + 1 AS BIGINT) : CAST(chunk_no * 48 + 64 AS BIGINT)], ' ') AS chunk_text,
+       CAST(len(toks[CAST(chunk_no * 48 + 1 AS BIGINT) : CAST(chunk_no * 48 + 64 AS BIGINT)]) AS BIGINT) AS n_chunk_tokens
+FROM c
+"""
+
+
 def q_pipeline_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     # End-to-end training-shard preparation — the composition a real
     # pipeline runs, as ONE declarative plan Catalyst optimizes whole:
@@ -543,6 +572,7 @@ QUERIES: dict[str, Query] = {
     "q_token_count": Query(q_token_count, SQL_TOKEN_COUNT, "corpus token accounting"),
     "q_token_count_bpe": Query(q_token_count_bpe, SQL_TOKEN_COUNT_BPE, "BPE-ish subword token accounting"),
     "q_pipeline_prepare": Query(q_pipeline_prepare, SQL_PIPELINE_PREPARE, "end-to-end shard prep: dedup + quality filter + accounting"),
+    "q_doc_chunking": Query(q_doc_chunking, SQL_DOC_CHUNKING, "overlapping token-window chunking"),
     "q_multimodal_meta": Query(q_multimodal_meta, SQL_MULTIMODAL_META, "binary payload + metadata"),
     "q_multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL_FEATURES, "stub decode via mapInPandas (byte-exact oracle)"),
     "q_multimodal_frames": Query(q_multimodal_frames, SQL_MULTIMODAL_FRAMES, "frame-sample fan-out (byte-exact oracle)"),

@@ -242,3 +242,27 @@ def test_embedding_lsh_plan_is_equi_join(emb):
     assert any(
         j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     ), plan
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from python_mapreduce_spark.llm.text import chunk_documents
+
+    mk = lambda i: f"w{chr(97 + i // 26)}{chr(97 + i % 26)}"  # noqa: E731
+    words = " ".join(mk(i) for i in range(100))
+    docs = spark.createDataFrame([(1, words), (2, "only three words")],
+                                 "doc_id long, text string")
+    rows = {
+        (r.id, r.chunk_no): (r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_documents(
+            docs, "doc_id", "text", chunk_tokens=40, overlap=10
+        ).collect()
+    }
+    # doc 1: 100 tokens, stride 30 -> ceil(90/30)=3 chunks
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    t0, n0 = rows[(1, 0)]
+    t1, n1 = rows[(1, 1)]
+    assert n0 == 40 and t0.startswith(mk(0)) and t0.endswith(mk(39))
+    # overlap: chunk 1 starts 10 tokens before chunk 0 ends
+    assert t1.startswith(mk(30))
+    # short doc: one chunk, whole text
+    assert rows[(2, 0)] == ("only three words", 3)
