@@ -28,20 +28,38 @@ from python_mapreduce_spark.functions.scalar import dround
 from python_mapreduce_spark.llm.text import shingle_sets
 
 
-def exact_dedup(df: DataFrame, id_col: str, text_col: str, *, normalized: bool = True) -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    normalized: bool = True,
+    key_mode: str = "hash",
+) -> DataFrame:
     """Exact dedup: keep the smallest id per (normalized) text.
 
     The reference pattern would be "emit (text, id), reduce keeps min" —
     here it's one hash aggregation with map-side partial min.
+
+    ``key_mode='hash'`` (default) groups on the md5 of the normalized
+    text: a 100 TB shuffle moves 32-byte keys instead of kilobyte
+    documents — the dominant cost of text-keyed dedup. Collisions would
+    merge distinct texts, at md5's ~2^-64 scale-irrelevant odds; pass
+    ``key_mode='text'`` for the literal-equality contract (and a
+    text-sized shuffle).
     """
-    key = (
+    if key_mode not in ("hash", "text"):
+        raise ValueError(f"key_mode must be hash|text, got {key_mode!r}")
+    norm = (
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
         if normalized
         else F.col(text_col)
     )
+    key = F.md5(norm) if key_mode == "hash" else norm
+    key_name = "text_fp" if key_mode == "hash" else "text_key"
     return (
-        df.select(key.alias("text_key"), F.col(id_col))
-        .groupBy("text_key")
+        df.select(key.alias(key_name), F.col(id_col))
+        .groupBy(key_name)
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
     )
 

@@ -101,11 +101,13 @@ SELECT id1, id2, jaccard FROM (
 # --- dedup -------------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hash key_mode: the 100 TB shuffle carries 32-byte md5 keys, not
+    # kilobyte documents (llm/dedup.py::exact_dedup).
     return exact_dedup(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 SQL_DEDUP_EXACT = r"""
-SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_key,
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_fp,
        min(doc_id) AS keep_id,
        count(*) AS n_copies
 FROM documents GROUP BY 1

@@ -266,3 +266,19 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert t1.startswith(mk(30))
     # short doc: one chunk, whole text
     assert rows[(2, 0)] == ("only three words", 3)
+
+
+def test_exact_dedup_hash_and_text_modes_agree(docs):
+    # The 32-byte hash-key shuffle must produce the same dedup decisions
+    # as the literal text-key contract (collisions are ~2^-64).
+    from python_mapreduce_spark.llm.dedup import exact_dedup
+
+    h = {
+        (r.keep_id, r.n_copies)
+        for r in exact_dedup(docs, "doc_id", "text").collect()
+    }
+    t = {
+        (r.keep_id, r.n_copies)
+        for r in exact_dedup(docs, "doc_id", "text", key_mode="text").collect()
+    }
+    assert h == t and h
