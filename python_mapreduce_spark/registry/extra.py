@@ -561,7 +561,8 @@ def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # functions (rank/percent_rank/ntile live in q_window_rank_dist).
     # Unpartitioned windows imply a single-partition global sort: fine
     # on dimension-sized inputs like customer; for fact-sized global
-    # ranking, pre-aggregate or bucket the order key first.
+    # ranking use operators/windows.py::global_row_number (range-
+    # partitioned, no single-task window — see q_window_rank_scalable).
     from pyspark.sql.window import Window
 
     c = table(spark, sf_dir, "customer")
