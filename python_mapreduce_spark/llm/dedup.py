@@ -304,6 +304,49 @@ def embedding_dedup_pairs(
     )
 
 
+def embedding_dedup_pairs_matmul(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All-pairs cosine dedup via broadcast matmul — the fast form when
+    the corpus unit matrix fits in executor memory (n x dim float64;
+    1M x 64 = 0.5 GB).
+
+    The corpus matrix is collected once and closed over (Spark ships it
+    with the task closure); the corpus then streams through mapInPandas
+    and each Arrow batch scores against the whole matrix with ONE BLAS
+    matmul, emitting only qualifying (id1 < id2) pairs. No join, no
+    shuffle, no per-pair vector transfer — the per-pair-UDF form moves
+    2 x dim doubles through Arrow per candidate, which is the dominant
+    cost (measured 30x slower than this at sf0.1). Same pattern as
+    similarity.cosine_topk; for corpora beyond broadcast size use
+    embedding_dedup_pairs_lsh.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from python_mapreduce_spark.llm.similarity import _round6, _unit_rows
+
+    pdf = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    ids = pdf["id"].to_numpy()
+    mat_t = _unit_rows(pdf["v"].values).T  # dim x n
+
+    def score(batches):
+        for b in batches:
+            bi = b["id"].to_numpy()
+            sims = _round6(_unit_rows(b["v"].values) @ mat_t)  # nb x n
+            mask = (sims >= threshold) & (bi[:, None] < ids[None, :])
+            r, c = np.nonzero(mask)
+            yield pd.DataFrame({"id1": bi[r], "id2": ids[c], "cos": sims[r, c]})
+
+    return emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInPandas(
+        score, "id1 long, id2 long, cos double"
+    )
+
+
 def embedding_dedup_pairs_lsh(
     emb: DataFrame,
     id_col: str,

@@ -282,3 +282,20 @@ def test_exact_dedup_hash_and_text_modes_agree(docs):
         for r in exact_dedup(docs, "doc_id", "text", key_mode="text").collect()
     }
     assert h == t and h
+
+
+def test_embedding_matmul_dedup_equals_all_pairs(emb):
+    from python_mapreduce_spark.llm.dedup import (
+        embedding_dedup_pairs,
+        embedding_dedup_pairs_matmul,
+    )
+
+    exact = {
+        (r.id1, r.id2): r.cos
+        for r in embedding_dedup_pairs(emb, "vec_id", "embedding").collect()
+    }
+    mm = {
+        (r.id1, r.id2): r.cos
+        for r in embedding_dedup_pairs_matmul(emb, "vec_id", "embedding").collect()
+    }
+    assert exact and mm == exact
