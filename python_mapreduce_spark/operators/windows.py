@@ -103,10 +103,25 @@ def global_row_number(
     The extra counting pass re-executes the upstream plan; at scale,
     cache/checkpoint the input if it is expensive to recompute (the
     alternative — a single-partition window — does not scale at all).
+
+    The range-partitioned input is materialized ONCE (localCheckpoint)
+    before the two passes: Spark's range exchange draws a fresh random
+    sample per job, so re-executing the plan for the counting pass and
+    the numbering pass lands rows in DIFFERENT partitions and corrupts
+    the offsets (observed at sf0.1: ranks shifted by a partition's worth
+    of drift; sf0.01 only passed because the sample covered every row).
+    Checkpoint storage is executor memory-and-disk — the same volume a
+    shuffle write costs. Split-point randomness never affects the
+    OUTPUT: the total order makes row numbers independent of where
+    partition boundaries fall.
     """
-    parts = df.repartitionByRange(
-        *( [num_partitions] if num_partitions else [] ), *[F.col(c) for c in order]
-    ).sortWithinPartitions(*order)
+    if num_partitions is None:
+        num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    parts = (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in order])
+        .sortWithinPartitions(*order)
+        .localCheckpoint(eager=True)
+    )
     counts = sorted(
         (r["__pid"], r["cnt"])
         for r in parts.groupBy(F.spark_partition_id().alias("__pid"))

@@ -282,3 +282,22 @@ def test_bucketed_range_join_equals_nlj_and_avoids_nested_loop(spark, tables):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_global_row_number_dense_under_partial_sampling(spark):
+    # Regression: Spark's range exchange draws a fresh random sample per
+    # job, so with input large enough that the sample is partial, the
+    # counting pass and numbering pass could land rows in different
+    # partitions — corrupting offsets into duplicate/missing ranks. The
+    # eager checkpoint pins one physical partitioning for both passes;
+    # numbering must be a dense 1..n permutation.
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.windows import global_row_number
+
+    df = spark.range(20000).select(
+        (F.col("id") * 2654435761 % 1000003).alias("v"), "id"
+    )
+    out = global_row_number(df, ["v", "id"], num_partitions=16)
+    rns = [r.rn for r in out.select("rn").collect()]
+    assert sorted(rns) == list(range(1, 20001))

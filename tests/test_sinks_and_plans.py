@@ -87,11 +87,13 @@ def test_topk_plans_without_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_global_row_number_single_exchange_no_window(spark, tables):
-    # The distributed global-rank operator must cost exactly one range
-    # exchange + one local sort: no single-partition Window (the thing it
-    # replaces) and no second shuffle on partition id (the naive
-    # formulation's hidden cost — Window.partitionBy(pid) re-clusters).
+def test_global_row_number_no_window_no_extra_shuffle(spark, tables):
+    # The distributed global-rank operator costs one range exchange (paid
+    # inside the eager checkpoint — the materialization that keeps the
+    # counting and numbering passes on identical partitions) and nothing
+    # after it: no single-partition Window (the thing it replaces) and no
+    # second shuffle on partition id (the naive Window.partitionBy(pid)
+    # formulation's hidden cost — it re-clusters the whole table).
     from python_mapreduce_spark.operators.windows import global_row_number
     from python_mapreduce_spark.plans.explain import formatted_plan
 
@@ -99,5 +101,5 @@ def test_global_row_number_single_exchange_no_window(spark, tables):
         global_row_number(tables["customer"], ["c_acctbal", "c_custkey"])
     )
     assert "Window" not in plan
-    assert plan.count("+- Exchange") == 1, plan
+    assert "Exchange" not in plan, plan  # post-checkpoint: pure map stage
     assert "SinglePartition" not in plan
