@@ -248,6 +248,66 @@ def minhash_dedup_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a pair graph via min-label propagation —
+    the clustering step that turns near-dup PAIRS into dedup GROUPS
+    (keep one document per component).
+
+    Each iteration every node adopts the smallest label among itself and
+    its neighbors; convergence takes O(component diameter) rounds, and
+    near-dup graphs are shallow (chains of copies), so a handful of
+    joins. Per round: one shuffle join + one min-agg, both map-side
+    combined; labels are localCheckpoint'ed to truncate lineage (an
+    iterative driver loop over lazy plans otherwise re-executes every
+    prior round each time). Deterministic: min() over ids.
+
+    Returns (node, cluster) where cluster = smallest node id in the
+    component. Raises if not converged within ``max_iter`` (diameter
+    bound, not data size — 25 handles any realistic dup graph).
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.a == labels.node)
+            .groupBy("b")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(nbr_min, labels.node == nbr_min.b, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("cluster"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 

@@ -137,6 +137,54 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pairs -> GROUPS: MinHash near-dup pairs fed through min-label
+    # propagation connected components (llm/dedup.py), emitting one row
+    # per dup cluster (smallest member id + size) — the step that decides
+    # which documents to keep. The oracle replays the exact-Jaccard pair
+    # graph and a recursive-CTE reachability closure in DuckDB.
+    from python_mapreduce_spark.llm.dedup import connected_components
+
+    pairs = minhash_dedup_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, num_hashes=32, bands=8, rows=4, threshold=0.8,
+    )
+    comps = connected_components(pairs.select("id1", "id2"))
+    return comps.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE
+{_SQL_SHINGLES},
+posts AS (SELECT id, unnest(shingles) AS shingle FROM sets WHERE len(shingles) > 0),
+sizes AS (SELECT id, CAST(len(shingles) AS BIGINT) AS sz FROM sets WHERE len(shingles) > 0),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2 FROM (
+    SELECT id1, id2,
+           floor(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) * 10000.0 + 0.5) / 10000.0
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON id1 = sa.id
+    JOIN sizes sb ON id2 = sb.id
+  ) WHERE jaccard >= 0.8
+),
+sym AS (SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+reach(node, label) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
+)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_members FROM (
+  SELECT node, min(label) AS cluster FROM reach GROUP BY node
+) GROUP BY cluster
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64-bit fingerprints from xxhash64 bit votes — not reproducible in
     # DuckDB (no xxhash64); pinned by tests/test_llm_ops.py instead
@@ -575,6 +623,7 @@ QUERIES: dict[str, Query] = {
     "q_dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, "exact dedup on normalized text"),
     "q_dedup_jaccard": Query(q_dedup_jaccard, _SQL_JACCARD_PAIRS_CAPPED, "3-gram Jaccard near-dup pairs (df-capped)"),
     "q_dedup_minhash": Query(q_dedup_minhash, _SQL_JACCARD_PAIRS, "MinHash-LSH + exact verify"),
+    "q_dedup_clusters": Query(q_dedup_clusters, SQL_DEDUP_CLUSTERS, "dup clusters via connected components"),
     "q_dedup_simhash": Query(q_dedup_simhash, None, "64-bit SimHash fingerprints"),
     "q_dedup_simhash_eval": Query(q_dedup_simhash_eval, SQL_SIMHASH_EVAL, "SimHash hamming vs exact near-dups (tolerance oracle)"),
     "q_dedup_embedding": Query(q_dedup_embedding, SQL_DEDUP_EMBEDDING, "cosine near-dup pairs (banded LSH)"),

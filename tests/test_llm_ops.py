@@ -299,3 +299,19 @@ def test_embedding_matmul_dedup_equals_all_pairs(emb):
         for r in embedding_dedup_pairs_matmul(emb, "vec_id", "embedding").collect()
     }
     assert exact and mm == exact
+
+
+def test_connected_components_chain_and_islands(spark):
+    # A 5-node chain (worst diameter per edge count), a 2-node island,
+    # and a singleton-free contract: only nodes that appear in edges are
+    # labeled; every component takes its smallest member as cluster id.
+    from python_mapreduce_spark.llm.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (10, 11)], "id1 long, id2 long"
+    )
+    got = {
+        r.node: r.cluster
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
