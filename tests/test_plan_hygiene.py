@@ -37,3 +37,28 @@ def test_plan_has_no_scale_hazards(spark, name, q):
     plan = formatted_plan(q.fn(spark, SF_DIR))
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
     assert "CartesianProduct" not in plan, f"{name}: unconditioned cross join in plan"
+
+
+# Lazily-built llm-module queries (pure Catalyst text analytics — the
+# eager ones collect query vectors / hot sets at build time and are
+# audited by their own plan tests instead).
+_LAZY_LLM = [
+    "q_text_stats",
+    "q_text_quality",
+    "q_text_langid",
+    "q_text_fingerprint",
+    "q_token_count",
+    "q_token_count_bpe",
+    "q_doc_chunking",
+    "q_pipeline_prepare",
+    "q_dedup_exact",
+]
+
+
+@pytest.mark.parametrize("name", _LAZY_LLM)
+def test_llm_text_plans_have_no_scale_hazards(spark, name):
+    from python_mapreduce_spark.registry import llm
+
+    plan = formatted_plan(llm.QUERIES[name].fn(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
+    assert "CartesianProduct" not in plan, f"{name}: unconditioned cross join in plan"
