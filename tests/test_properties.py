@@ -212,3 +212,41 @@ def test_global_row_number_matches_sorted_enumeration(spark, vals):
         for rn, (i, _) in enumerate(sorted(enumerate(vals), key=lambda t: (t[1], t[0])))
     }
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    # Distributed min-label propagation vs a trusted driver-side
+    # union-find on arbitrary graphs: self-loops, duplicate edges,
+    # multiple islands, chains.
+    from python_mapreduce_spark.llm.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "id1 long, id2 long")
+    got = {r.node: r.cluster for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
