@@ -111,6 +111,60 @@ def incremental_pass(
     q.awaitTermination()
 
 
+def stream_upsert_parquet(
+    spark: SparkSession,
+    input_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    key: str | list[str],
+    *,
+    fmt: str = "parquet",
+    schema=None,
+) -> None:
+    """Streaming MERGE sink: each micro-batch of corrections upserts into
+    a parquet target (operators/relational.py::upsert semantics — batch
+    rows replace same-key target rows, latest batch occurrence wins).
+
+    The production late-corrections pattern: a stream of record
+    revisions lands in ``input_dir``; the target stays a plain parquet
+    dataset any engine can read. foreachBatch + checkpoint give
+    exactly-once per input file; the target rewrite is write-to-temp
+    then swap, so a crash mid-batch leaves the old target intact and
+    the (uncommitted) batch replays on restart — idempotent because
+    upsert by key is.
+
+    At 100 TB, pair with a partitioned target and rewrite only affected
+    partitions; here the whole-dataset rewrite keeps the demo honest and
+    small.
+    """
+    import shutil  # noqa: PLC0415
+
+    from python_mapreduce_spark.operators.relational import upsert  # noqa: PLC0415
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def on_batch(batch: DataFrame, _epoch: int) -> None:
+        batch = batch.dropDuplicates(keys)
+        if os.path.isdir(target_dir):
+            current = spark.read.parquet(target_dir)
+            merged = upsert(current, batch, keys)
+        else:
+            merged = batch
+        tmp = f"{target_dir.rstrip('/')}__upsert_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{target_dir.rstrip('/')}__upsert_old"
+        if os.path.isdir(target_dir):
+            os.rename(target_dir, old)
+            os.rename(tmp, target_dir)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, target_dir)
+
+    incremental_pass(
+        spark, input_dir, checkpoint_dir, on_batch, fmt=fmt, schema=schema
+    )
+
+
 def collect_incremental_counts(
     spark: SparkSession,
     input_dir: str,

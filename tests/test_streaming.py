@@ -109,3 +109,46 @@ def test_streaming_append_session_windows_close_with_watermark(spark, events, tm
     assert len(out) == len(closed)
     assert out["n"].sum() == closed["n"].sum()
     assert len(batch) - len(out) == len(open_sessions)
+
+
+def test_stream_upsert_parquet_applies_corrections_exactly_once(spark, tmp_path):
+    # Corrections stream -> parquet MERGE target: three input batches
+    # (initial load, revision of one key + a new key, re-run with nothing
+    # new). Target must hold latest-per-key, re-runs must be no-ops, and
+    # the target stays a plain parquet dataset throughout.
+    from python_mapreduce_spark.streaming.incremental import stream_upsert_parquet
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        spark.createDataFrame(rows, "k long, v string").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(in_dir / name))
+
+    land("b1", [(1, "a"), (2, "b"), (3, "c")])
+    stream_upsert_parquet(
+        spark, f"{in_dir}/*", target, ckpt, "k",
+        schema="k long, v string",
+    )
+    assert {
+        (r.k, r.v) for r in spark.read.parquet(target).collect()
+    } == {(1, "a"), (2, "b"), (3, "c")}
+
+    land("b2", [(2, "B2"), (4, "d")])
+    stream_upsert_parquet(
+        spark, f"{in_dir}/*", target, ckpt, "k",
+        schema="k long, v string",
+    )
+    assert {
+        (r.k, r.v) for r in spark.read.parquet(target).collect()
+    } == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+
+    # nothing new: checkpoint skips all seen files, target unchanged
+    stream_upsert_parquet(
+        spark, f"{in_dir}/*", target, ckpt, "k",
+        schema="k long, v string",
+    )
+    assert spark.read.parquet(target).count() == 4
