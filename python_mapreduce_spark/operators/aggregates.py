@@ -93,6 +93,54 @@ def salted_group_agg(
     )
 
 
+def key_skew_report(
+    df: DataFrame, keys: Sequence[str], *, top_n: int = 5
+) -> DataFrame:
+    """One-row skew diagnostic for a prospective shuffle key: key count,
+    max/avg per-key row count, their ratio (the straggler factor — a
+    uniform key is ~1, a hot key is how much longer its reducer runs),
+    and the heaviest keys as a deterministic string.
+
+    The pre-flight check before a big groupBy/join at scale: a ratio in
+    the hundreds says salt (salted_group_agg / salted_join) or rely on
+    AQE skew splitting. Cost: one map-side-combined count per key, a
+    TakeOrderedAndProject for the heaviest keys (per-partition top-n,
+    never a global sort), and a one-row summary agg.
+    """
+    key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__cnt")).select(
+        key_str.alias("__k"), "__cnt"
+    )
+    summary = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("__cnt").cast("long").alias("max_per_key"),
+        dround(F.avg("__cnt"), 2).alias("avg_per_key"),
+        dround(F.max("__cnt") / F.avg("__cnt"), 2).alias("skew_ratio"),
+    )
+    ranked = counts.orderBy(F.col("__cnt").desc(), F.col("__k")).limit(top_n)
+    # re-sort the collected top-n (tiny) — collect_list order after a
+    # limit is not guaranteed
+    top_str = ranked.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__cnt"), F.col("__k"))),
+                    lambda a, b: F.when(a["__cnt"] > b["__cnt"], -1)
+                    .when(a["__cnt"] < b["__cnt"], 1)
+                    .otherwise(
+                        F.when(a["__k"] < b["__k"], -1)
+                        .when(a["__k"] > b["__k"], 1)
+                        .otherwise(0)
+                    ),
+                ),
+                lambda s: F.concat_ws(":", s["__k"], s["__cnt"].cast("string")),
+            ),
+            ",",
+        ).alias("top_keys")
+    )
+    return summary.crossJoin(top_str)
+
+
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
     """Flagship query: TPC-H Q1-style pricing summary over lineitem.
 

@@ -435,6 +435,39 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shuffle-key pre-flight diagnostic (operators/aggregates.py::
+    # key_skew_report): key cardinality, max/avg per-key rows, straggler
+    # ratio, heaviest keys — what you run BEFORE a 100 TB groupBy to
+    # decide between plain shuffle, salting, and AQE skew handling.
+    from python_mapreduce_spark.operators.aggregates import key_skew_report
+
+    return key_skew_report(
+        table(spark, sf_dir, "lineitem"), ["l_suppkey"], top_n=5
+    )
+
+
+SQL_SKEW_REPORT = f"""
+WITH c AS (
+  SELECT CAST(l_suppkey AS VARCHAR) AS k, count(*) AS cnt
+  FROM lineitem GROUP BY l_suppkey
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(cnt) AS BIGINT) AS max_per_key,
+         {sql_dround('avg(cnt)')} AS avg_per_key,
+         {sql_dround('CAST(max(cnt) AS DOUBLE) / avg(cnt)')} AS skew_ratio
+  FROM c
+),
+t AS (
+  SELECT array_to_string(list(k || ':' || CAST(cnt AS VARCHAR) ORDER BY cnt DESC, k), ',')
+           AS top_keys
+  FROM (SELECT * FROM c ORDER BY cnt DESC, k LIMIT 5)
+)
+SELECT * FROM s, t
+"""
+
+
 def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Keyed MERGE/upsert (operators/relational.py::upsert): a
     # deterministic "corrections batch" (every 7th order, price doubled,
@@ -687,6 +720,7 @@ QUERIES: dict[str, Query] = {
     "q_sink_roundtrip": Query(q_sink_roundtrip, SQL_SINK_ROUNDTRIP, "partitioned parquet sink roundtrip (O21)"),
     "q_freq_items": Query(q_freq_items, SQL_FREQ_ITEMS, "frequent-items sketch (tolerance oracle)"),
     "q_upsert": Query(q_upsert, SQL_UPSERT, "keyed MERGE/upsert via anti-join union"),
+    "q_skew_report": Query(q_skew_report, SQL_SKEW_REPORT, "shuffle-key skew diagnostic"),
     "q_posexplode": Query(q_posexplode, SQL_POSEXPLODE, "posexplode fan-out (UDTF analog)"),
     "q_fillna": Query(q_fillna, SQL_FILLNA, "null fill over outer join"),
     "q_mode_agg": Query(q_mode_agg, SQL_MODE_AGG, "per-key mode w/ deterministic ties"),
