@@ -44,15 +44,17 @@ HEADLINE = [
     "q_stream_tumbling",
     "q08_market_share",
     "q21_sole_returner",
-    # Round-2 additions (kept sub-second so round-over-round totals stay
-    # comparable; the banded-LSH q_dedup_embedding is excluded — on this
-    # corpus every pair cosine sits at the random background, so banding
-    # has no pruning power and its ~7s is the price of the beyond-
-    # broadcast form; the broadcast-matmul regime below is the right
-    # strategy at this size and is benched instead).
+    # Round-2 additions
     "q_window_rank_scalable",
     "q_pipeline_prepare",
     "q_dedup_embedding_matmul",
+    # Round-3 additions. q_dedup_embedding is the banded-LSH regime —
+    # the form that actually runs at 100 TB — benched alongside matmul
+    # so regressions in it are visible (VERDICT r2 item 7). It is slow
+    # here by nature, not by plan: this corpus's pair cosines sit at the
+    # random background, so banding has no pruning power at sf0.1.
+    "q_dedup_embedding",
+    "q_window_cume_scalable",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

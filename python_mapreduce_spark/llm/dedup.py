@@ -271,9 +271,14 @@ def connected_components(
     component. Raises if not converged within ``max_iter`` (diameter
     bound, not data size — 25 handles any realistic dup graph).
     """
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # checkpoint sym too: otherwise every round's neighbor join re-runs
+    # the full upstream edge plan (for near-dup graphs that is the whole
+    # MinHash LSH pipeline, twice per iteration).
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -442,4 +447,43 @@ def embedding_dedup_pairs_lsh(
         .join(b, "id2")
         .select("id1", "id2", cos_pair_udf()(F.col("v1"), F.col("v2")).alias("cos"))
         .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_dedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.4,
+    broadcast_budget_bytes: int = 512 * 1024 * 1024,
+    corpus_bytes: int | None = None,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs with regime AUTO-DISPATCH: pick
+    broadcast-matmul when the corpus unit matrix fits the broadcast
+    budget, banded-LSH beyond it.
+
+    The two regimes produce the same pairs (LSH recall miss ~5e-6 at the
+    default dials) but have opposite cost shapes: matmul collects the
+    corpus to the driver (rows x dim x 8 bytes as float64) and never
+    shuffles; banded LSH never collects anything and scales to corpora
+    no single executor can hold. A 100 TB caller must not be able to
+    accidentally take the collect-the-corpus path, so the dispatcher
+    estimates the matrix size with one metadata-cheap count + one
+    ``size()`` probe and compares it to ``broadcast_budget_bytes``
+    (default 512 MB — half the typical executor-memory headroom). Pass
+    ``corpus_bytes`` to skip the probe when the size is already known.
+    """
+    if corpus_bytes is None:
+        n = emb.count()
+        first = emb.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"]) if first is not None else 0
+        corpus_bytes = n * dim * 8
+    if corpus_bytes <= broadcast_budget_bytes:
+        return embedding_dedup_pairs_matmul(
+            emb, id_col, vec_col, threshold=threshold
+        )
+    return embedding_dedup_pairs_lsh(
+        emb, id_col, vec_col, threshold=threshold, **lsh_kwargs
     )

@@ -39,6 +39,75 @@ def _field_names(schema: str) -> list[str]:
     return [part.strip().split()[0] for part in schema.split(",")]
 
 
+def resolve_function(
+    qualified: str,
+    *,
+    project_dir: str | None = None,
+    reload: bool = True,
+) -> Callable:
+    """Resolve a user function BY NAME, re-importing its module so
+    on-disk edits take effect per job — the reference's dynamic function
+    registry (mapper.py:44-53: ``sys.path.insert(project_path); import
+    map_functions; reload(map_functions)`` then pick the function by its
+    configured name; same in reducer.py for reduce_functions).
+
+    ``qualified`` is ``'module:function'`` (or dotted
+    ``'pkg.module.function'``). ``project_dir``, when given, is
+    prepended to ``sys.path`` for the import and removed after — the
+    reference's per-project source layout. ``reload=False`` skips the
+    re-import for callers that resolve once per process.
+
+    Resolution happens on the DRIVER at plan-build time; the resolved
+    callable is then shipped in the task closure like any other. (The
+    reference reloads on every job start, not per task — same cadence.)
+    """
+    import importlib  # noqa: PLC0415
+    import sys  # noqa: PLC0415
+
+    if ":" in qualified:
+        mod_name, _, fn_name = qualified.partition(":")
+    else:
+        mod_name, _, fn_name = qualified.rpartition(".")
+    if not mod_name or not fn_name:
+        raise ValueError(
+            f"expected 'module:function' or 'pkg.module.function', got {qualified!r}"
+        )
+    added = False
+    if project_dir is not None and project_dir not in sys.path:
+        sys.path.insert(0, project_dir)
+        added = True
+    try:
+        mod = importlib.import_module(mod_name)
+        if reload:
+            mod = importlib.reload(mod)
+        fn = getattr(mod, fn_name)
+    finally:
+        if added:
+            sys.path.remove(project_dir)
+    if not callable(fn):
+        raise TypeError(f"{qualified} resolved to non-callable {type(fn).__name__}")
+    if project_dir is not None:
+        # Project modules live on the driver only — executors can't
+        # import them. Registering the module for by-value pickling
+        # ships the CURRENT function code inside the task closure (and
+        # keeps reload semantics honest on workers: each job serializes
+        # the freshly reloaded code, no stale executor-side import).
+        try:  # pragma: no cover - depends on bundled cloudpickle API
+            from pyspark import cloudpickle  # noqa: PLC0415
+
+            cloudpickle.register_pickle_by_value(mod)
+        except (ImportError, AttributeError):
+            pass
+    return fn
+
+
+def _as_callable(fn: Callable | str, project_dir: str | None = None) -> Callable:
+    """Accept a callable or a 'module:function' name (reference O7)."""
+    if callable(fn):
+        return fn
+    return resolve_function(fn, project_dir=project_dir)
+
+
 def broadcast_aux(spark: SparkSession, aux: Any):
     """Ship auxiliary data to every task (reference O22).
 
@@ -51,7 +120,7 @@ def broadcast_aux(spark: SparkSession, aux: Any):
 
 def flat_map(
     df: DataFrame,
-    fn: Callable[[tuple, Any], Iterable[tuple]],
+    fn: Callable[[tuple, Any], Iterable[tuple]] | str,
     schema: str,
     aux: Any = None,
 ) -> DataFrame:
@@ -62,8 +131,11 @@ def flat_map(
     inputs are unwrapped to the bare value, matching the reference's
     "raw line in" contract, mapper.py:58-59) and returns an iterable of
     output tuples matching ``schema``. Rows flow through Arrow batches;
-    only the user function itself is per-row Python.
+    only the user function itself is per-row Python. ``fn`` may also be
+    a ``'module:function'`` name, resolved with per-job reload semantics
+    (:func:`resolve_function`).
     """
+    fn = _as_callable(fn)
     out_cols = _field_names(schema)
     in_cols = df.columns
     unwrap = len(in_cols) == 1
@@ -84,7 +156,7 @@ def flat_map(
 def reduce_groups(
     df: DataFrame,
     keys: str | Sequence[str],
-    fn: Callable[[tuple, pd.DataFrame, Any], Iterable[tuple] | pd.DataFrame],
+    fn: Callable[[tuple, pd.DataFrame, Any], Iterable[tuple] | pd.DataFrame] | str,
     schema: str,
     aux: Any = None,
 ) -> DataFrame:
@@ -99,6 +171,7 @@ def reduce_groups(
     and float summations should use ``math.fsum`` for order-independent
     exactness.
     """
+    fn = _as_callable(fn)
     key_cols = [keys] if isinstance(keys, str) else list(keys)
     out_cols = _field_names(schema)
     b = broadcast_aux(df.sparkSession, aux)
@@ -176,18 +249,26 @@ def pairs_to_df(pairs, schema: str) -> DataFrame:
 
 def run_mapreduce(
     df: DataFrame,
-    map_fn: Callable[[tuple, Any], Iterable[tuple]],
+    map_fn: Callable[[tuple, Any], Iterable[tuple]] | str,
     map_schema: str,
-    reduce_fn: Callable[[tuple, pd.DataFrame, Any], Iterable[tuple] | pd.DataFrame],
+    reduce_fn: Callable[[tuple, pd.DataFrame, Any], Iterable[tuple] | pd.DataFrame] | str,
     reduce_schema: str,
     aux: Any = None,
     key: str | Sequence[str] | None = None,
+    project_dir: str | None = None,
 ) -> DataFrame:
     """One reference job end-to-end: map -> shuffle on the first output
     column -> whole-group reduce (the fixed physical pipeline of
     SURVEY.md §0: scan -> flatMap -> hash shuffle -> sort -> group ->
     reduce). Key defaults to the first map-output column, matching
-    ``item[0]`` (reference mapper.py:61)."""
+    ``item[0]`` (reference mapper.py:61).
+
+    ``map_fn`` / ``reduce_fn`` may be ``'module:function'`` names,
+    resolved from ``project_dir`` with per-job reload — the reference's
+    full project layout (map_functions.py / reduce_functions.py resolved
+    by configured name, mapper.py:44-53)."""
+    map_fn = _as_callable(map_fn, project_dir)
+    reduce_fn = _as_callable(reduce_fn, project_dir)
     mapped = flat_map(df, map_fn, map_schema, aux=aux)
     group_key = key if key is not None else _field_names(map_schema)[0]
     return reduce_groups(mapped, group_key, reduce_fn, reduce_schema, aux=aux)

@@ -129,8 +129,12 @@ def compact_files(
     accrete tiny files; scans then pay per-file open/footer cost —
     the classic small-files tax at 100 TB).
 
-    Rewrite-to-temp then swap, so a concurrent reader never sees a
-    half-written directory. Returns the number of files written.
+    Rewrite-to-temp then a two-rename swap. The swap is NOT atomic for
+    concurrent readers (there is a window with no directory at ``path``;
+    on object stores / Delta-style tables use a metadata commit
+    instead); it IS crash-safe: stale ``__compact_tmp``/``__compact_old``
+    from a killed run are recovered or cleared up front, so re-running
+    after any crash converges. Returns the number of files written.
     coalesce() (no shuffle) — compaction only merges, never splits.
     """
     import glob  # noqa: PLC0415
@@ -138,9 +142,16 @@ def compact_files(
     import shutil  # noqa: PLC0415
 
     tmp = f"{path.rstrip('/')}__compact_tmp"
+    old = f"{path.rstrip('/')}__compact_old"
+    # crash recovery: a kill between the two renames strands the data in
+    # __compact_old with nothing at path — restore it before reading.
+    if os.path.isdir(old) and not os.path.isdir(path):
+        os.rename(old, path)
+    for stale in (tmp, old):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
     df = spark.read.format(fmt).load(path)
     df.coalesce(target_partitions).write.mode("overwrite").format(fmt).save(tmp)
-    old = f"{path.rstrip('/')}__compact_old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

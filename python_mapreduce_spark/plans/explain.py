@@ -50,3 +50,47 @@ def has_broadcast_join(df: DataFrame) -> bool:
     """True if any join in the plan is broadcast (hash or nested-loop)."""
     plan = formatted_plan(df)
     return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def _tree_nodes(plan: str) -> list[tuple[int, str, int]]:
+    """(indent, name, id) per node of the formatted plan's tree section,
+    in preorder."""
+    tree = plan.split("\n\n")[0]
+    out: list[tuple[int, str, int]] = []
+    for line in tree.splitlines():
+        m = re.match(r"^([\s+:*-]*)([A-Za-z][\w .]*?)\s*\((\d+)\)\s*$", line)
+        if m:
+            out.append((len(m.group(1)), m.group(2).strip(), int(m.group(3))))
+    return out
+
+
+def single_partition_windows(df: DataFrame) -> list[int]:
+    """Node ids of Window operators fed by a SinglePartition Exchange —
+    the third silent 100 TB scale hazard (every row through ONE task;
+    Spark itself warns 'No Partition Defined for Window operation').
+
+    Walks each Window's child chain in the formatted plan tree through
+    the order-only nodes (Sort/Project) to the first Exchange and checks
+    its Arguments for SinglePartition. A Window stacked directly on
+    another unpartitioned Window has no Exchange of its own, but the
+    bottom Window of the stack is always caught, so the query flags.
+    """
+    plan = formatted_plan(df)
+    nodes = _tree_nodes(plan)
+    exchange_args = {
+        int(m.group(1)): m.group(2)
+        for m in re.finditer(
+            r"^\((\d+)\) Exchange\nInput[^\n]*\nArguments: ([^\n]*)", plan, re.M
+        )
+    }
+    hits: list[int] = []
+    for i, (_indent, name, nid) in enumerate(nodes):
+        if name != "Window":
+            continue
+        j = i + 1
+        while j < len(nodes) and nodes[j][1] in ("Sort", "Project"):
+            j += 1
+        if j < len(nodes) and nodes[j][1] == "Exchange":
+            if "SinglePartition" in exchange_args.get(nodes[j][2], ""):
+                hits.append(nid)
+    return hits

@@ -32,74 +32,78 @@ class Query:
     doc: str = ""
 
 
-# The driver verifies a prefix window of all_queries() (50 entries in round
-# 1), so iteration order IS correctness coverage. This list leads the dict
-# with (a) the rows that were red in CORRECTNESS_r01 (now fixed — must be
-# re-checked) and (b) one-or-more representatives of every module/category
-# that sat past round 1's window (joins, windows, mr, llm, streaming, the
-# unchecked TPC-H shapes). Everything else follows in module order, with
-# round-1-green queries last — if the window grows, it re-covers them.
+# The driver verifies a prefix window of all_queries() (50 entries per
+# round), so iteration order IS correctness coverage. Round-3 rotation
+# (VERDICT r2 item 1): the 30 registry entries that have never had a
+# driver row lead the window — after this round every one of the
+# registered queries has a cumulative driver-green row (r01∪r02∪r03).
+# The new q_window_cume_scalable follows, then the remaining slots go to
+# the entries whose code or input data changed this round (the q11/q15
+# exchange-reuse rewrite, the events.ts TIMESTAMP_NTZ regen, the
+# simhash/clusters/upsert ADVICE fixes' neighbors).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # red in r01, fixed in r02 (stringified complex cols / tolerance oracles)
-    "q_percentiles",
-    "q_approx_percentile",
-    "q_approx_distinct",
-    "q_scalar_array",
-    "q_scalar_map",
-    "q_collect_agg",
-    # TPC-H shapes with no r01 oracle row
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q22_dormant_customers",
-    "q02_min_cost_supplier",
-    "q08_market_share",
-    "q09_product_profit",
+    # -- never driver-checked (30) --
+    # TPC-H shapes (the only §2.2 workloads without a driver row ever)
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    # streaming: stateful/sliding/session/stream-stream
+    "q_stream_stateful_max",
+    "q_stream_sliding",
+    "q_stream_session_window",
+    "q_stream_stream_join",
+    # UDF surface modes (O7): Python UDTF + grouped-agg pandas UDAF
+    "q_mr_udtf_tokens",
+    "q_mr_udaf_wavg",
+    # dedup: clusters / simhash / matmul regime
+    "q_dedup_clusters",
+    "q_dedup_simhash",
+    "q_dedup_simhash_eval",
+    "q_dedup_embedding_matmul",
+    # ANN result sets (their recall twins were green in r02)
+    "q_sim_ann_lsh",
+    "q_sim_ann_ivf",
+    # windows: lag/moving-avg/rank demo + scalable twin
+    "q_window_lag",
+    "q_window_moving_avg",
+    "q_window_rank_dist",
+    "q_window_rank_scalable",
+    # joins: bucketed big-big range, salted, forward as-of
+    "q_join_range_bucketed",
+    "q_join_salted",
+    "q_join_asof_fwd",
+    # text/multimodal/pipeline
+    "q_text_quality",
+    "q_token_count_bpe",
+    "q_pipeline_prepare",
+    "q_doc_chunking",
+    "q_multimodal_features",
+    "q_multimodal_frames",
+    # sinks + diagnostics
+    "q_upsert",
+    "q_freq_items",
+    "q_skew_report",
+    # -- new this round --
+    "q_window_cume_scalable",
+    # -- changed this round (code or input data) --
     "q11_revenue_share",
     "q15_top_supplier",
-    "q16_supplier_counts",
-    "q20_volume_suppliers",
-    "q21_sole_returner",
-    # joins: every how= variant + theta/range/as-of
-    "q_join_equi",
-    "q_join_broadcast",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_outer",
-    "q_join_theta",
-    "q_join_range",
+    "q_window_cume",
+    "q_sessionize",
+    "q_stream_tumbling",
+    "q_stream_incremental",
+    "q_stream_dedup_watermark",
     "q_join_asof",
-    # (asof_fwd sits just past the window: backward asof + the hypothesis
-    # equivalence tests cover the operator pair)
-    # window shapes (cume/firstlast were already green in r01's window)
+    "q17_small_quantity_revenue",
+    "q_window_range_frame",
     "q_window_topk",
     "q_window_running",
-    "q_window_range_frame",
-    "q_sessionize",
-    # sinks (O21) had pytest-only coverage in r01
-    "q_sink_roundtrip",
-    # map-reduce compatibility facade (the reference's native modality)
-    "q_mr_stream_reduce",
-    "q_mr_wordcount",
-    "q_mr_wordcount_gz",
-    "q_mr_weighted_avg",
-    "q_mr_aux_join",
-    # LLM-pipeline operators (first-class graded)
     "q_dedup_exact",
     "q_dedup_jaccard",
     "q_dedup_minhash",
     "q_dedup_embedding",
     "q_sim_topk",
-    "q_sim_ann_lsh_recall",
-    "q_sim_ann_ivf_recall",
-    "q_text_stats",
-    "q_text_langid",
-    "q_text_fingerprint",
-    "q_token_count",
     "q_multimodal_meta",
-    # streaming representatives
-    "q_stream_tumbling",
-    "q_stream_incremental",
-    "q_stream_dedup_watermark",
+    "q01_pricing_summary",
 )
 
 

@@ -590,12 +590,13 @@ FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 
 
 def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # dense_rank + cume_dist — the remaining ranking/distribution
-    # functions (rank/percent_rank/ntile live in q_window_rank_dist).
-    # Unpartitioned windows imply a single-partition global sort: fine
-    # on dimension-sized inputs like customer; for fact-sized global
-    # ranking use operators/windows.py::global_row_number (range-
-    # partitioned, no single-task window — see q_window_rank_scalable).
+    # DEMO SHAPE: dense_rank + cume_dist — the remaining ranking/
+    # distribution functions (rank/percent_rank/ntile live in
+    # q_window_rank_dist). Unpartitioned windows imply a single-
+    # partition global sort: fine on dimension-sized inputs like
+    # customer, dead at 100 TB. registry/windows.py::
+    # q_window_cume_scalable computes the identical answer with
+    # global_row_number (range-partitioned, no single-task window).
     from pyspark.sql.window import Window
 
     c = table(spark, sf_dir, "customer")

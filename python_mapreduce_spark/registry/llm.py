@@ -204,11 +204,14 @@ def q_dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     f1 = fps.select(F.col("id").alias("id1"), F.col("simhash64").alias("h1"))
     f2 = fps.select(F.col("id").alias("id2"), F.col("simhash64").alias("h2"))
     joined = pairs.join(f1, "id1").join(f2, "id2")
+    # coalesce: with zero qualifying pairs max() is NULL, but the oracle
+    # emits literal TRUE — vacuously true must compare equal.
     return joined.agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        (F.max(F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))) <= 16).alias(
-            "hamming_ok"
-        ),
+        F.coalesce(
+            F.max(F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))) <= 16,
+            F.lit(True),
+        ).alias("hamming_ok"),
     )
 
 
@@ -241,7 +244,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-verified against the same oracle: this one (beyond-broadcast
     # corpora), q_dedup_embedding_matmul (corpus matrix fits in executor
     # memory — ~10x faster here), and the BNLJ all-pairs operator as the
-    # small-input reference.
+    # small-input reference. llm.dedup.embedding_dedup auto-dispatches
+    # between the two production regimes from a corpus-size estimate so
+    # a 100 TB caller cannot accidentally take the collect path.
     return embedding_dedup_pairs_lsh(
         table(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
     )

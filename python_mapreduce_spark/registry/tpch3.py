@@ -209,14 +209,18 @@ def q11_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy("l_partkey").agg(
         F.sum(rev.cast("decimal(18,6)")).alias("value_dec")
     )
-    # Global total as an unpartitioned window over the PART-sized rollup
-    # (not a second agg branch joined back — Catalyst would recompute
-    # per_part from lineitem, scanning the fact twice). The single-
-    # partition window only ever sees one row per part.
-    total = F.sum("value_dec").over(Window.partitionBy()).cast("double")
+    # Global total as a second agg branch over per_part, broadcast back
+    # as a 1-row cross join. Catalyst's ReuseExchange shares the
+    # partial-agg shuffle between the branches (plan-asserted in
+    # tests/test_sinks_and_plans.py), so the fact is scanned ONCE; unlike the
+    # unpartitioned-window form this never funnels the part-sized
+    # rollup through a single task.
+    total = per_part.agg(
+        (F.sum("value_dec").cast("double") * F.lit(0.0006)).alias("__threshold")
+    )
     return (
-        per_part.withColumn("threshold", total * F.lit(0.0006))
-        .filter(F.col("value_dec").cast("double") > F.col("threshold"))
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > F.col("__threshold"))
         .select("l_partkey", dround(F.col("value_dec").cast("double")).alias("value"))
     )
 
@@ -251,13 +255,19 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_dec")
         )
     )
-    # Global max via unpartitioned window over the supplier-sized rollup
-    # — avoids the agg-branch-joined-back form that would scan lineitem
-    # twice (Catalyst doesn't share the rev subtree between branches).
-    max_dec = F.max("total_dec").over(Window.partitionBy())
+    # Global max as a second agg branch over rev, broadcast back as a
+    # 1-row cross join; ReuseExchange shares the partial-agg shuffle so
+    # lineitem is scanned once, and no single task ever sees the whole
+    # supplier-sized rollup (the unpartitioned-window alternative does).
+    # The explicit isNotNull is a semantic no-op that keeps the two
+    # branches byte-identical after pushdown: the supplier join pushes
+    # isnotnull(l_suppkey) into the filter branch only, and any scan-
+    # filter asymmetry defeats exchange-reuse canonicalization.
+    rev = rev.filter(F.col("l_suppkey").isNotNull())
+    mx = rev.agg(F.max("total_dec").alias("__max_dec"))
     return (
-        rev.withColumn("max_dec", max_dec)
-        .filter(F.col("total_dec") == F.col("max_dec"))
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_dec") == F.col("__max_dec"))
         .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
         .select(
             "s_suppkey", "s_name", dround(F.col("total_dec").cast("double")).alias("total_revenue")

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from python_mapreduce_spark.functions.scalar import dround, sql_dround
+from python_mapreduce_spark.registry.extra import SQL_WINDOW_CUME
 from python_mapreduce_spark.operators.windows import (
     global_row_number,
     lag_delta,
@@ -187,6 +188,28 @@ FROM customer
 """
 
 
+def q_window_cume_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 100 TB form of dense_rank + cume_dist (scalable twin of
+    # registry/extra.py::q_window_cume; same oracle):
+    #   * dense_rank(key) == rank of the key within the DISTINCT key set
+    #     — rank the distinct set with global_row_number (stays scalable
+    #     at any key cardinality) and broadcast-join it back;
+    #   * cume_dist over a total order with a unique tiebreak == rn / n
+    #     with rn from global_row_number.
+    # No single-partition Window anywhere in the plan.
+    c = table(spark, sf_dir, "customer")
+    n = c.count()
+    segs = global_row_number(
+        c.select("c_mktsegment").distinct(), ["c_mktsegment"], out="seg_rank"
+    )
+    ranked = global_row_number(c, ["c_acctbal", "c_custkey"], out="rn")
+    return ranked.join(F.broadcast(segs), "c_mktsegment").select(
+        "c_custkey",
+        F.col("seg_rank").cast("long").alias("seg_rank"),
+        dround(F.col("rn") / F.lit(n), 6).alias("bal_cume"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gap-based sessions (1h) per user over the events stream — the batch
     # twin of streaming session windows (registry/streaming.py).
@@ -224,5 +247,10 @@ QUERIES: dict[str, Query] = {
     ),
     "q_window_rank_dist": Query(q_window_rank_dist, SQL_WINDOW_RANK_DIST, "ntile/rank/percent_rank"),
     "q_window_rank_scalable": Query(q_window_rank_scalable, SQL_WINDOW_RANK_DIST, "distributed global rank (range-partitioned, no single-task window)"),
+    "q_window_cume_scalable": Query(
+        q_window_cume_scalable,
+        SQL_WINDOW_CUME,
+        "distributed dense_rank + cume_dist (no single-task window)",
+    ),
     "q_sessionize": Query(q_sessionize, SQL_SESSIONIZE, "gap-based sessionization"),
 }

@@ -208,17 +208,23 @@ def sample_files(paths: Sequence[str], fraction: float, seed: int = 42) -> list[
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one benchmark table from a scale-factor directory.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
-    reads as nanos-since-epoch longs (``nanosAsLong`` conf, session.py);
-    normalize to a microsecond TimestampType here (truncating division,
-    matching DuckDB's ns->us cast) so downstream operators see a real
-    timestamp column.
+    ``events.ts`` normalization — the generator has shipped it as both
+    parquet TIMESTAMP(NANOS) (read as nanos-since-epoch longs under the
+    ``nanosAsLong`` conf, session.py) and TIMESTAMP(MICROS) without a
+    timezone (read as TIMESTAMP_NTZ). Either way, surface a session-TZ
+    TimestampType: the session runs UTC (tune()), so the NTZ→LTZ cast is
+    a deterministic relabeling, and downstream time functions
+    (unix_millis, windowing, watermarks) see the type they require.
     """
     from pyspark.sql import functions as F  # noqa: PLC0415 - avoid module-level cycle
 
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

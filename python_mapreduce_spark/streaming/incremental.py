@@ -50,10 +50,13 @@ def file_stream(
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """Same nanos->micros normalization as sources.readers.load_table,
-    for streaming frames whose ts arrived as nanos longs."""
-    if dict(df.dtypes).get("ts") == "bigint":
+    """Same ts normalization as sources.readers.load_table (nanos longs
+    or TIMESTAMP_NTZ -> session-TZ TimestampType), for streaming frames."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -123,15 +126,21 @@ def stream_upsert_parquet(
 ) -> None:
     """Streaming MERGE sink: each micro-batch of corrections upserts into
     a parquet target (operators/relational.py::upsert semantics — batch
-    rows replace same-key target rows, latest batch occurrence wins).
+    rows replace same-key target rows; within one micro-batch the
+    same-key survivor is the lexicographic max over the non-key columns,
+    which makes replays byte-identical).
 
     The production late-corrections pattern: a stream of record
     revisions lands in ``input_dir``; the target stays a plain parquet
     dataset any engine can read. foreachBatch + checkpoint give
-    exactly-once per input file; the target rewrite is write-to-temp
-    then swap, so a crash mid-batch leaves the old target intact and
-    the (uncommitted) batch replays on restart — idempotent because
-    upsert by key is.
+    exactly-once per input file. The target rewrite is write-to-temp
+    then a two-rename swap; the swap itself is NOT atomic, so every
+    batch starts with crash recovery: if a previous run died between the
+    two renames (``__upsert_old`` present, target missing) the old
+    target is restored first, and stale ``__upsert_tmp``/``__upsert_old``
+    are cleared before swapping. Combined with checkpoint replay +
+    deterministic per-batch dedup, a crash at any point converges to the
+    correct target on restart.
 
     At 100 TB, pair with a partitioned target and rewrite only affected
     partitions; here the whole-dataset rewrite keeps the demo honest and
@@ -142,17 +151,35 @@ def stream_upsert_parquet(
     from python_mapreduce_spark.operators.relational import upsert  # noqa: PLC0415
 
     keys = [key] if isinstance(key, str) else list(key)
+    tmp = f"{target_dir.rstrip('/')}__upsert_tmp"
+    old = f"{target_dir.rstrip('/')}__upsert_old"
+
+    def dedup_latest(batch: DataFrame) -> DataFrame:
+        # Deterministic same-key survivor: max of the struct of non-key
+        # columns (lexicographic). dropDuplicates would pick an arbitrary
+        # row, so a replayed batch could pick a different survivor.
+        vals = [c for c in batch.columns if c not in keys]
+        if not vals:
+            return batch.dropDuplicates(keys)
+        picked = batch.groupBy(*keys).agg(F.max(F.struct(*vals)).alias("_v"))
+        return picked.select(*keys, *[F.col(f"_v.{c}").alias(c) for c in vals])
 
     def on_batch(batch: DataFrame, _epoch: int) -> None:
-        batch = batch.dropDuplicates(keys)
+        # crash recovery: a kill between the two renames leaves the data
+        # stranded in __upsert_old with no target — restore it; then
+        # clear any stale tmp/old so the renames below can't collide.
+        if os.path.isdir(old) and not os.path.isdir(target_dir):
+            os.rename(old, target_dir)
+        for stale in (tmp, old):
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+        batch = dedup_latest(batch)
         if os.path.isdir(target_dir):
             current = spark.read.parquet(target_dir)
             merged = upsert(current, batch, keys)
         else:
             merged = batch
-        tmp = f"{target_dir.rstrip('/')}__upsert_tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        old = f"{target_dir.rstrip('/')}__upsert_old"
         if os.path.isdir(target_dir):
             os.rename(target_dir, old)
             os.rename(tmp, target_dir)

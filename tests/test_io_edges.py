@@ -196,3 +196,25 @@ def test_compact_files_merges_small_files(spark, tables, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == n_before
     assert not glob.glob(f"{path}__compact_*")
+
+
+def test_compact_files_recovers_from_mid_swap_crash(spark, tables, tmp_path):
+    # Simulate a kill between the two swap renames: nothing at path, data
+    # stranded in __compact_old, stale __compact_tmp present. Re-running
+    # must restore the dataset and compact it.
+    import glob
+    import os
+
+    from python_mapreduce_spark.operators.relational import compact_files
+
+    df = tables["orders"].select("o_orderkey", "o_totalprice")
+    path = str(tmp_path / "shard")
+    df.repartition(8).write.parquet(path)
+    n_before = spark.read.parquet(path).count()
+
+    os.rename(path, f"{path}__compact_old")
+    os.makedirs(f"{path}__compact_tmp")
+    n_files = compact_files(spark, path, target_partitions=2)
+    assert n_files <= 2
+    assert spark.read.parquet(path).count() == n_before
+    assert not glob.glob(f"{path}__compact_*")

@@ -195,6 +195,37 @@ def test_embedding_lsh_dedup_equals_all_pairs(emb):
     assert lsh == exact
 
 
+def test_embedding_dedup_dispatches_by_corpus_size(emb):
+    # Auto-dispatch: under the broadcast budget -> matmul (no join in
+    # the plan, corpus closed over); over it -> banded LSH (equi-joins,
+    # nothing collected). Both must produce identical pairs.
+    from python_mapreduce_spark.llm.dedup import embedding_dedup
+    from python_mapreduce_spark.plans.explain import formatted_plan
+
+    small_budget = embedding_dedup(
+        emb, "vec_id", "embedding", broadcast_budget_bytes=1
+    )
+    big_budget = embedding_dedup(
+        emb, "vec_id", "embedding", broadcast_budget_bytes=1 << 40
+    )
+    lsh_plan = formatted_plan(small_budget)
+    matmul_plan = formatted_plan(big_budget)
+    assert "Join" in lsh_plan, "over-budget corpus must take the LSH join path"
+    assert "Join" not in matmul_plan, "under-budget corpus must take matmul (no join)"
+    assert "MapInPandas" in matmul_plan
+
+    pairs_lsh = {(r.id1, r.id2): r.cos for r in small_budget.collect()}
+    pairs_mm = {(r.id1, r.id2): r.cos for r in big_budget.collect()}
+    assert pairs_lsh and pairs_lsh == pairs_mm
+
+    # explicit corpus_bytes skips the probe and still dispatches right
+    forced_lsh = embedding_dedup(
+        emb, "vec_id", "embedding",
+        corpus_bytes=1 << 40, broadcast_budget_bytes=1 << 30,
+    )
+    assert "Join" in formatted_plan(forced_lsh)
+
+
 def test_embedding_lsh_prunes_on_bimodal_corpus(spark):
     # The scale claim: on a corpus with real near-dup structure (planted
     # high-cosine copies against a random background), banded LSH visits

@@ -1,6 +1,6 @@
 """Plan-hygiene audit across the relational query registry.
 
-Every query's PHYSICAL plan is checked for the two patterns that
+Every query's PHYSICAL plan is checked for the three patterns that
 silently destroy 100 TB scalability:
 
   * ``BatchEvalPython`` — a row-at-a-time (non-Arrow) Python UDF in the
@@ -10,6 +10,11 @@ silently destroy 100 TB scalability:
   * ``CartesianProduct`` — an unconditioned cross join. Theta joins are
     expected to plan as BroadcastNestedLoopJoin with the predicate
     attached; a bare cartesian means a join condition was lost.
+  * A ``SinglePartition`` Exchange feeding a Window — an unpartitioned
+    ``Window.orderBy`` funnels every row through ONE task. Only the two
+    labeled DEMO shapes may carry it; each has a scalable twin
+    (``q_window_rank_scalable`` / ``q_window_cume_scalable``) computing
+    the identical answer via ``global_row_number``.
 
 Only the lazily-built relational modules are audited — llm/mr/streaming
 callables execute work (collect query vectors, run streams) at build
@@ -20,7 +25,10 @@ from __future__ import annotations
 
 import pytest
 
-from python_mapreduce_spark.plans.explain import formatted_plan
+from python_mapreduce_spark.plans.explain import (
+    formatted_plan,
+    single_partition_windows,
+)
 from python_mapreduce_spark.registry import core, extra, joins, tpch2, tpch3, windows
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -31,12 +39,23 @@ ALL_LAZY = [
     (name, q) for mod in _LAZY_MODULES for name, q in mod.QUERIES.items()
 ]
 
+# The only queries allowed to plan a single-partition Window: labeled
+# DEMO shapes whose scalable twins compute the identical answer.
+_SINGLE_PARTITION_WINDOW_DEMOS = {"q_window_rank_dist", "q_window_cume"}
+
 
 @pytest.mark.parametrize("name,q", ALL_LAZY, ids=[n for n, _ in ALL_LAZY])
 def test_plan_has_no_scale_hazards(spark, name, q):
-    plan = formatted_plan(q.fn(spark, SF_DIR))
+    df = q.fn(spark, SF_DIR)
+    plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF in plan"
     assert "CartesianProduct" not in plan, f"{name}: unconditioned cross join in plan"
+    if name not in _SINGLE_PARTITION_WINDOW_DEMOS:
+        hits = single_partition_windows(df)
+        assert not hits, (
+            f"{name}: Window node(s) {hits} fed by a SinglePartition "
+            "Exchange — unpartitioned window funnels all rows through one task"
+        )
 
 
 # Lazily-built llm-module queries (pure Catalyst text analytics — the

@@ -37,10 +37,22 @@ def test_window_spans_every_module():
         assert window & set(mod.QUERIES), f"no {mod.__name__} query in driver window"
 
 
+# The only registry entries with no DuckDB oracle: non-SQL-expressible
+# sketch/ANN result sets. Each has an oracle-checked eval twin
+# (q_dedup_simhash_eval, q_sim_ann_*_recall); the driver records a
+# rows-only check for the raw form. Round 3 deliberately puts them in
+# the window so they finally get that (weaker) driver row.
+ROWS_ONLY_OK = {"q_dedup_simhash", "q_sim_ann_lsh", "q_sim_ann_ivf"}
+
+
 def test_window_queries_all_have_oracles():
     qs = all_queries()
-    missing = [n for n in DRIVER_PRIORITY if qs[n].sql is None]
+    missing = [
+        n for n in DRIVER_PRIORITY if qs[n].sql is None and n not in ROWS_ONLY_OK
+    ]
     assert not missing, f"driver-window queries without SQL oracle: {missing}"
+    # every rows-only window entry must have an oracle-checked eval twin
+    assert {"q_dedup_simhash_eval", "q_sim_ann_lsh_recall", "q_sim_ann_ivf_recall"} <= set(qs)
 
 
 def test_no_duplicate_or_dangling_priority_names():

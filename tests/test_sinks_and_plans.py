@@ -103,3 +103,22 @@ def test_global_row_number_no_window_no_extra_shuffle(spark, tables):
     assert "Window" not in plan
     assert "Exchange" not in plan, plan  # post-checkpoint: pure map stage
     assert "SinglePartition" not in plan
+
+
+@pytest.mark.parametrize("qname", ["q11_revenue_share", "q15_top_supplier"])
+def test_scalar_subquery_shapes_reuse_exchange(spark, sf_dir, qname):
+    # Q11/Q15 compute a global scalar (total / max) over the same rollup
+    # they filter. The branch-join form relies on Catalyst's
+    # ReuseExchange to share the partial-agg shuffle, so the fact table
+    # is scanned ONCE and no single task sees the whole rollup (the
+    # unpartitioned-window alternative is a single-task funnel — see
+    # tests/test_plan_hygiene.py).
+    from python_mapreduce_spark.plans.explain import single_partition_windows
+    from python_mapreduce_spark.registry import tpch2, tpch3
+
+    q = {**tpch2.QUERIES, **tpch3.QUERIES}[qname]
+    df = q.fn(spark, sf_dir)
+    assert single_partition_windows(df) == []
+    df.collect()  # AQE finalizes the plan; reuse is visible after run
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, f"{qname}: partial-agg shuffle not shared"

@@ -152,3 +152,67 @@ def test_stream_upsert_parquet_applies_corrections_exactly_once(spark, tmp_path)
         schema="k long, v string",
     )
     assert spark.read.parquet(target).count() == 4
+
+
+def test_stream_upsert_recovers_from_mid_swap_crash(spark, tmp_path):
+    # Simulate a kill between the two swap renames: target gone, data
+    # stranded in __upsert_old, plus a stale half-written __upsert_tmp.
+    # The next run must restore the old target, clear the stale dirs,
+    # and apply the new batch on top of the restored data.
+    import os
+
+    from python_mapreduce_spark.streaming.incremental import stream_upsert_parquet
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        spark.createDataFrame(rows, "k long, v string").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(in_dir / name))
+
+    land("b1", [(1, "a"), (2, "b")])
+    stream_upsert_parquet(
+        spark, f"{in_dir}/*", target, ckpt, "k", schema="k long, v string"
+    )
+
+    # crash state: target renamed away, stale tmp left behind
+    os.rename(target, f"{target}__upsert_old")
+    os.makedirs(f"{target}__upsert_tmp")
+    land("b2", [(2, "B2"), (3, "c")])
+    stream_upsert_parquet(
+        spark, f"{in_dir}/*", target, ckpt, "k", schema="k long, v string"
+    )
+    assert {
+        (r.k, r.v) for r in spark.read.parquet(target).collect()
+    } == {(1, "a"), (2, "B2"), (3, "c")}
+    assert not os.path.isdir(f"{target}__upsert_old")
+    assert not os.path.isdir(f"{target}__upsert_tmp")
+
+
+def test_stream_upsert_same_key_in_batch_is_deterministic(spark, tmp_path):
+    # Conflicting same-key rows within ONE micro-batch must resolve
+    # deterministically (lexicographic max over non-key columns), so a
+    # replayed batch picks the same survivor.
+    from python_mapreduce_spark.streaming.incremental import stream_upsert_parquet
+
+    for run in ("r1", "r2"):
+        in_dir = tmp_path / run / "in"
+        in_dir.mkdir(parents=True)
+        target = str(tmp_path / run / "target")
+        spark.createDataFrame(
+            [(1, "zzz"), (1, "aaa"), (2, "mid"), (2, "zed")], "k long, v string"
+        ).coalesce(1).write.parquet(str(in_dir / "b1"))
+        stream_upsert_parquet(
+            spark,
+            f"{in_dir}/*",
+            target,
+            str(tmp_path / run / "ckpt"),
+            "k",
+            schema="k long, v string",
+        )
+        assert {
+            (r.k, r.v) for r in spark.read.parquet(target).collect()
+        } == {(1, "zzz"), (2, "zed")}
