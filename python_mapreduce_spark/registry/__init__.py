@@ -82,8 +82,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_upsert",
     "q_freq_items",
     "q_skew_report",
-    # -- new this round --
+    # -- new this round (q_window_cume_scalable = the scalable twin of
+    # the cume demo; q_dedup_embedding_auto = the regime dispatcher;
+    # q_visible_files/q_corrupt_capture/q_job_cascade give O4/O19/
+    # O27-O29 — previously pytest-only side-effect operators — their
+    # first oracle rows via deterministic-construction queries) --
     "q_window_cume_scalable",
+    "q_dedup_embedding_auto",
+    "q_visible_files",
+    "q_corrupt_capture",
+    "q_job_cascade",
     # -- changed this round (code or input data) --
     "q11_revenue_share",
     "q15_top_supplier",
@@ -95,14 +103,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_asof",
     "q17_small_quantity_revenue",
     "q_window_range_frame",
-    "q_window_topk",
     "q_window_running",
-    "q_dedup_exact",
     "q_dedup_jaccard",
     "q_dedup_minhash",
     "q_dedup_embedding",
-    "q_sim_topk",
-    "q_multimodal_meta",
     "q01_pricing_summary",
 )
 

@@ -696,6 +696,158 @@ LIMIT 10 OFFSET 10
 """
 
 
+def q_visible_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O4 driver-verifiable form: convention-based input visibility
+    # (reference mapper.py:159-181 lock-probe, re-expressed as
+    # write-then-rename + _SUCCESS gating — see sources/readers.py::
+    # visible_files). Nation rows land as per-region JSONL files:
+    # regions 0-2 committed in a _SUCCESS'd directory, region 3 as an
+    # in-flight ``.tmp`` (skipped), region 4 once as a hidden ``_`` file
+    # (skipped) and once in a directory with no _SUCCESS (skipped under
+    # require_success). Only regions 0-2 may reach the output; the
+    # oracle recomputes them straight from nation. The 25-row collect is
+    # contract-small (dimension table, same as the mr aux demo).
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from python_mapreduce_spark.sources.readers import (  # noqa: PLC0415
+        read_jsonl,
+        visible_files,
+    )
+
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey").collect()
+    by_region: dict[int, list] = {}
+    for r in nation:
+        by_region.setdefault(r.n_regionkey, []).append(r)
+
+    def write(path: str, rows: list) -> None:
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps({"k": r.n_nationkey, "region": r.n_regionkey}) + "\n")
+
+    base = tempfile.mkdtemp(prefix="spark_vis_")
+    landed = os.path.join(base, "landed")
+    os.makedirs(landed)
+    for k in (0, 1, 2):
+        write(os.path.join(landed, f"r{k}.jsonl"), by_region.get(k, []))
+    write(os.path.join(landed, "r3.jsonl.tmp"), by_region.get(3, []))
+    write(os.path.join(landed, "_r4.jsonl"), by_region.get(4, []))
+    open(os.path.join(landed, "_SUCCESS"), "w").close()
+    uncommitted = os.path.join(base, "uncommitted")
+    os.makedirs(uncommitted)
+    write(os.path.join(uncommitted, "r4.jsonl"), by_region.get(4, []))
+
+    files = visible_files(spark, [landed, uncommitted], require_success=True)
+    df = read_jsonl(spark, files, schema="k long, region long")
+    return df.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("k").alias("sum_key"),
+    )
+
+
+SQL_VISIBLE_FILES = """
+SELECT n_regionkey AS region, count(*) AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+FROM nation WHERE n_regionkey IN (0, 1, 2) GROUP BY n_regionkey
+"""
+
+
+def q_corrupt_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O19 driver-verifiable form: PERMISSIVE corrupt-record capture
+    # (reference LINE_ERROR, reducer.py:58-64). Orders under key 200
+    # land as JSONL with every 10th key written as a truncated record;
+    # the scan must route exactly those lines to _corrupt_record (null
+    # fields) and parse the rest. The oracle recomputes the partition
+    # from orders arithmetic — any captured-vs-parsed misclassification
+    # breaks all three outputs.
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from python_mapreduce_spark.sources.readers import read_jsonl  # noqa: PLC0415
+
+    rows = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 200)
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="spark_corrupt_"), "orders.jsonl")
+    with open(path, "w") as f:
+        for r in rows:
+            if r.o_orderkey % 10 == 0:
+                f.write('{"k": %d, "price": BROKEN\n' % r.o_orderkey)
+            else:
+                f.write(json.dumps({"k": r.o_orderkey, "price": r.o_totalprice}) + "\n")
+    df = read_jsonl(spark, path, schema="k long, price double, _corrupt_record string")
+    return df.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("good_rows"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("corrupt_rows"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("k"))).alias("sum_good_keys"),
+    )
+
+
+SQL_CORRUPT_CAPTURE = """
+SELECT CAST(count(*) FILTER (WHERE o_orderkey % 10 <> 0) AS BIGINT) AS good_rows,
+       CAST(count(*) FILTER (WHERE o_orderkey % 10 = 0) AS BIGINT) AS corrupt_rows,
+       CAST(sum(o_orderkey) FILTER (WHERE o_orderkey % 10 <> 0) AS BIGINT) AS sum_good_keys
+FROM orders WHERE o_orderkey < 200
+"""
+
+
+def q_job_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O27-O29 driver-verifiable form: the priority job queue runs real
+    # Spark actions — highest priority first, a planted failure cascade-
+    # deletes its whole group (the un-run 'enrich' job), independent
+    # jobs continue. Output = one row per job with its outcome and the
+    # count its action produced; the oracle states the required schedule
+    # and recomputes the counts from the same tables.
+    from python_mapreduce_spark.jobs import Job, JobQueue  # noqa: PLC0415
+
+    results: dict[str, int] = {}
+
+    def count_job(name: str, tbl: str):
+        def fn() -> None:
+            results[name] = table(spark, sf_dir, tbl).count()
+
+        return fn
+
+    def boom() -> None:
+        raise RuntimeError("planted failure")
+
+    q = JobQueue()
+    q.submit(Job("load_nation", count_job("load_nation", "nation"), priority=3))
+    q.submit(Job("load_region", count_job("load_region", "region"), priority=2, group="g1"))
+    q.submit(Job("bad_job", boom, priority=1, group="g1"))
+    q.submit(Job("enrich", count_job("enrich", "supplier"), priority=0, group="g1"))
+    q.submit(Job("summary", count_job("summary", "customer"), priority=-1))
+    q.run_cycle()
+
+    ok = set(q.succeeded)
+    rows = [
+        ("load_nation", "ok" if "load_nation" in ok else "WRONG", results.get("load_nation", -1), 1),
+        ("load_region", "ok" if "load_region" in ok else "WRONG", results.get("load_region", -1), 2),
+        ("bad_job", "failed" if any(n == "bad_job" for n, _ in q.failed) else "WRONG", -1, 3),
+        ("summary", "ok" if "summary" in ok else "WRONG", results.get("summary", -1), 4),
+        # cascaded away before its turn: must have neither run nor failed
+        ("enrich", "cascaded" if "enrich" not in ok and "enrich" not in results else "WRONG", -1, 0),
+    ]
+    return spark.createDataFrame(
+        rows, "job_name string, status string, result long, run_order long"
+    )
+
+
+SQL_JOB_CASCADE = """
+SELECT 'load_nation' AS job_name, 'ok' AS status,
+       CAST((SELECT count(*) FROM nation) AS BIGINT) AS result, CAST(1 AS BIGINT) AS run_order
+UNION ALL SELECT 'load_region', 'ok', CAST((SELECT count(*) FROM region) AS BIGINT), 2
+UNION ALL SELECT 'bad_job', 'failed', -1, 3
+UNION ALL SELECT 'summary', 'ok', CAST((SELECT count(*) FROM customer) AS BIGINT), 4
+UNION ALL SELECT 'enrich', 'cascaded', -1, 0
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_stats_agg": Query(q_stats_agg, SQL_STATS_AGG, "stddev/var/corr/covar aggregates"),
     "q_median_agg": Query(q_median_agg, SQL_MEDIAN_AGG, "exact interpolated median"),
@@ -728,4 +880,13 @@ QUERIES: dict[str, Query] = {
     "q04_priority_check": Query(q04_priority_check, SQL_Q04, "TPC-H Q4-style EXISTS"),
     "q12_priority_by_status": Query(q12_priority_by_status, SQL_Q12, "TPC-H Q12-style conditional counts"),
     "q14_promo_share": Query(q14_promo_share, SQL_Q14, "TPC-H Q14-style ratio"),
+    "q_visible_files": Query(
+        q_visible_files, SQL_VISIBLE_FILES, "in-flight/hidden/_SUCCESS file visibility (O4)"
+    ),
+    "q_corrupt_capture": Query(
+        q_corrupt_capture, SQL_CORRUPT_CAPTURE, "PERMISSIVE corrupt-record capture (O19)"
+    ),
+    "q_job_cascade": Query(
+        q_job_cascade, SQL_JOB_CASCADE, "priority job queue with failure cascade (O27-O29)"
+    ),
 }

@@ -263,6 +263,21 @@ def q_dedup_embedding_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The production entry point: llm.dedup.embedding_dedup estimates
+    # corpus-matrix size (rows x dim x 8) against a broadcast budget and
+    # picks matmul under it, banded LSH over it — so callers at any
+    # scale get a safe plan by default. At benchmark SFs the corpus is
+    # far under budget, so this exercises the probe + matmul arm against
+    # the same all-pairs oracle; the LSH arm and the dispatch boundary
+    # are pinned in tests/test_llm_ops.py.
+    from python_mapreduce_spark.llm.dedup import embedding_dedup  # noqa: PLC0415
+
+    return embedding_dedup(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+    )
+
+
 SQL_DEDUP_EMBEDDING = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT id1, id2, cos FROM (
@@ -633,6 +648,11 @@ QUERIES: dict[str, Query] = {
     "q_dedup_simhash_eval": Query(q_dedup_simhash_eval, SQL_SIMHASH_EVAL, "SimHash hamming vs exact near-dups (tolerance oracle)"),
     "q_dedup_embedding": Query(q_dedup_embedding, SQL_DEDUP_EMBEDDING, "cosine near-dup pairs (banded LSH)"),
     "q_dedup_embedding_matmul": Query(q_dedup_embedding_matmul, SQL_DEDUP_EMBEDDING, "cosine near-dup pairs (broadcast matmul)"),
+    "q_dedup_embedding_auto": Query(
+        q_dedup_embedding_auto,
+        SQL_DEDUP_EMBEDDING,
+        "cosine near-dup pairs (regime auto-dispatch)",
+    ),
     "q_sim_topk": Query(q_sim_topk, SQL_SIM_TOPK, "brute-force cosine top-k"),
     "q_sim_ann_lsh": Query(q_sim_ann_lsh, None, "hyperplane-LSH approximate top-k"),
     "q_sim_ann_ivf": Query(q_sim_ann_ivf, None, "IVF inverted-list approximate top-k"),
