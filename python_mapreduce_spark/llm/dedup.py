@@ -172,16 +172,15 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_keys(
     signatures: DataFrame, *, bands: int = 8, rows: int = 4
 ) -> DataFrame:
-    """Banded LSH: docs agreeing on ALL rows of any band become a pair.
-
-    Band key = xxhash64(band_id, slice of signature); pairs emerge from a
-    self-join on (band, key) — the shuffle groups only probable near-dups
-    together. P(candidate) = 1 - (1 - j^rows)^bands.
-    """
-    banded = signatures.select(
+    """(id, band, bkey) banded LSH keys from (id, sig) — the join/index
+    representation of a MinHash signature. Band key = xxhash64(band_id,
+    slice of signature): two docs share a (band, bkey) iff they agree on
+    every row of that band. This is also the dedup STATE format:
+    ``bands`` longs per doc, independent of document size."""
+    return signatures.select(
         "id",
         F.explode(
             F.array(
@@ -197,6 +196,17 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bkey")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, bands: int = 8, rows: int = 4
+) -> DataFrame:
+    """Banded LSH: docs agreeing on ALL rows of any band become a pair.
+
+    Pairs emerge from a self-join on (band, key) — the shuffle groups
+    only probable near-dups together. P(candidate) = 1 - (1 - j^rows)^bands.
+    """
+    banded = band_keys(signatures, bands=bands, rows=rows)
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(

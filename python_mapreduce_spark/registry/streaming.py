@@ -287,6 +287,77 @@ FROM events GROUP BY event_type
 """
 
 
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental corpus dedup end-to-end (streaming/dedup.py): land the
+    # low-id half of documents, run a checkpointed dedup pass; land the
+    # high-id half, run another pass that near-dup-filters ONLY the new
+    # files against the accumulated band-key state. The canonical-min
+    # rule (dup iff an exact-Jaccard >= 0.8 pair with a lower-id doc)
+    # makes the two-pass decisions equal the one-shot batch rule, which
+    # is what the oracle computes over the full documents table.
+    from python_mapreduce_spark.session import tune  # noqa: PLC0415
+    from python_mapreduce_spark.streaming.dedup import (  # noqa: PLC0415
+        incremental_minhash_dedup,
+    )
+
+    tune(spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    split = docs.count() // 2
+    work = tempfile.mkdtemp(prefix="incr_dedup_")
+    in_dir, state, ckpt = (
+        os.path.join(work, "in"),
+        os.path.join(work, "state"),
+        os.path.join(work, "ckpt"),
+    )
+
+    docs.filter(F.col("doc_id") < split).write.mode("append").parquet(in_dir)
+    p1 = incremental_minhash_dedup(spark, in_dir, state, ckpt)
+    docs.filter(F.col("doc_id") >= split).write.mode("append").parquet(in_dir)
+    p2 = incremental_minhash_dedup(spark, in_dir, state, ckpt)
+
+    import pandas as pd  # noqa: PLC0415
+
+    p1["pass"], p2["pass"] = 1, 2
+    decisions = spark.createDataFrame(
+        pd.concat([p1, p2], ignore_index=True), "id long, is_dup boolean, pass long"
+    )
+    return decisions.groupBy("pass").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+        F.sum(F.when(~F.col("is_dup"), F.col("id"))).alias("sum_survivor_ids"),
+    )
+
+
+from python_mapreduce_spark.registry.llm import _SQL_SHINGLES  # noqa: E402
+
+SQL_STREAM_INCR_DEDUP = f"""
+WITH {_SQL_SHINGLES},
+posts AS (SELECT id, unnest(shingles) AS shingle FROM sets WHERE len(shingles) > 0),
+sizes AS (SELECT id, CAST(len(shingles) AS BIGINT) AS sz FROM sets WHERE len(shingles) > 0),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+dups AS (
+  SELECT DISTINCT id2 AS id FROM inter
+  JOIN sizes sa ON id1 = sa.id
+  JOIN sizes sb ON id2 = sb.id
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+),
+flagged AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id < (SELECT count(*) // 2 FROM documents) THEN 1 ELSE 2 END AS pass,
+         doc_id IN (SELECT id FROM dups) AS is_dup
+  FROM documents
+)
+SELECT pass, count(*) AS n_docs,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       CAST(sum(CASE WHEN NOT is_dup THEN id END) AS BIGINT) AS sum_survivor_ids
+FROM flagged GROUP BY pass
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_stream_stream_join": Query(
         q_stream_stream_join, SQL_STREAM_STREAM_JOIN, "watermarked stream-stream interval join"
@@ -308,5 +379,10 @@ QUERIES: dict[str, Query] = {
     ),
     "q_stream_stateful_max": Query(
         q_stream_stateful_max, SQL_STREAM_STATEFUL_MAX, "applyInPandasWithState running max"
+    ),
+    "q_stream_incremental_dedup": Query(
+        q_stream_incremental_dedup,
+        SQL_STREAM_INCR_DEDUP,
+        "incremental corpus near-dup filter (band-key state, canonical-min rule)",
     ),
 }

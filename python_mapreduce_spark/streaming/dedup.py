@@ -1,0 +1,174 @@
+"""Incremental corpus deduplication: near-dup-filter NEW document files
+against everything already ingested.
+
+The production pattern for continuously-ingested training data: the
+corpus accretes file-by-file (crawl drops, vendor deliveries), and each
+ingest pass must decide "is this document a near-duplicate of anything
+seen so far" WITHOUT re-deduping the whole corpus. The reference's
+incremental contract (hold_state ledger, mapper.py:110-143) meets the
+MinHash-LSH dedup pipeline (llm/dedup.py):
+
+  * file ledger = a Structured Streaming checkpoint (AvailableNow, via
+    ``incremental_pass``) — each pass reads ONLY new files, exactly once;
+  * dedup state = the banded LSH keys of every seen document
+    ((id, band, bkey) — a fixed ``bands`` longs per doc, independent of
+    document size; 100 TB of text is ~billions of rows of 3 longs);
+  * candidate generation = equi-join of the new batch's band keys
+    against the state — the only corpus-sized work, and it is a hash
+    join on band keys, never a scan of old text;
+  * exact verification = re-read ONLY the candidate partners' text from
+    the corpus store (semi-join pushdown) and compute true Jaccard, so
+    precision is exact and banding only dials recall.
+
+Replay safety: the state append is at-least-once (a crash between
+append and checkpoint commit replays the batch), so candidate
+generation excludes the current batch's own ids from the state side —
+a replayed batch reaches the same decisions and its duplicate state
+rows only cost extra (deduplicated) candidates.
+
+Duplicate rule ("canonical-min"): a document is a duplicate iff it has
+a verified near-dup pair with ANY lower-id document — earlier-ingested
+docs (state) or lower-id docs in the same batch. The rule is
+order-deterministic and exactly SQL-expressible, which is what makes
+the operator oracle-checkable end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_mapreduce_spark.streaming.incremental import incremental_pass
+
+
+def incremental_minhash_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows: int = 4,
+    threshold: float = 0.8,
+    fmt: str = "parquet",
+    schema=None,
+    output_dir: str | None = None,
+) -> pd.DataFrame:
+    """One incremental dedup pass over files not seen by previous passes.
+
+    Decisions are one row per new document, ``(id, is_dup)`` —
+    ``is_dup`` true iff the doc has an exact-Jaccard >= ``threshold``
+    pair with a lower-id document anywhere in the corpus so far.
+    Appends the new docs' band keys to ``state_dir`` (ALL new docs,
+    duplicates included, so later chained copies still match the
+    canonical-min rule).
+
+    With ``output_dir`` the decisions are appended there as parquet and
+    an EMPTY pandas frame is returned — the at-scale mode (decisions
+    are corpus-sized; never drive them through the driver). Without it,
+    decisions come back as pandas — demo/test mode only.
+    """
+    from python_mapreduce_spark.llm.dedup import (  # noqa: PLC0415 - avoid cycle
+        band_keys,
+        minhash_signatures,
+    )
+    from python_mapreduce_spark.llm.text import shingle_sets  # noqa: PLC0415
+
+    decisions: list[pd.DataFrame] = []
+
+    def verify_pairs(cand: DataFrame, sets_a: DataFrame, sets_b: DataFrame) -> DataFrame:
+        """Exact Jaccard on candidate (id1, id2); keeps pairs >= threshold."""
+        a, b = sets_a.alias("va"), sets_b.alias("vb")
+        return (
+            cand.join(a, F.col("id1") == F.col("va.id"))
+            .join(b, F.col("id2") == F.col("vb.id"))
+            .select(
+                "id1",
+                "id2",
+                (
+                    F.size(F.array_intersect("va.shingles", "vb.shingles"))
+                    / F.size(F.array_union("va.shingles", "vb.shingles"))
+                ).alias("j"),
+            )
+            .filter(F.col("j") >= threshold)
+        )
+
+    def on_batch(batch: DataFrame, _epoch: int) -> None:
+        docs = batch.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        sets_new = shingle_sets(docs, "id", "text", n).localCheckpoint(eager=True)
+        banded_new = band_keys(
+            minhash_signatures(sets_new, num_hashes=num_hashes), bands=bands, rows=rows
+        ).localCheckpoint(eager=True)
+        new_ids = banded_new.select("id").distinct()
+
+        dup_vs_old = None
+        if os.path.isdir(state_dir):
+            # Exclude this batch's own ids from the state side: a
+            # replayed batch may already have appended them, and
+            # matching a doc to itself would flag everything.
+            state = (
+                spark.read.parquet(state_dir)
+                .join(new_ids, "id", "left_anti")
+                .select(F.col("id").alias("old_id"), "band", "bkey")
+            )
+            cand_old = (
+                banded_new.join(state, ["band", "bkey"])
+                .select(F.col("old_id").alias("id1"), F.col("id").alias("id2"))
+                .distinct()
+            )
+            # Exact verify needs the OLD partners' text: re-read only
+            # them from the corpus store (semi-join pushdown on id).
+            old_ids = cand_old.select(F.col("id1").alias("id")).distinct()
+            corpus = spark.read.format(fmt).load(input_dir).select(
+                F.col(id_col).alias("id"), F.col(text_col).alias("text")
+            )
+            sets_old = shingle_sets(
+                corpus.join(old_ids, "id", "left_semi"), "id", "text", n
+            )
+            dup_vs_old = verify_pairs(cand_old, sets_old, sets_new).select(
+                F.col("id2").alias("id")
+            )
+
+        # within-batch: lower id wins (same self-join as lsh_candidate_pairs)
+        l, r = banded_new.alias("l"), banded_new.alias("r")
+        cand_in = (
+            l.join(
+                r,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bkey") == F.col("r.bkey"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+            .distinct()
+        )
+        dup_in_batch = verify_pairs(cand_in, sets_new, sets_new).select(
+            F.col("id2").alias("id")
+        )
+
+        dups = dup_in_batch if dup_vs_old is None else dup_in_batch.unionByName(dup_vs_old)
+        dups = dups.distinct().withColumn("is_dup", F.lit(True))
+        out = (
+            docs.select("id")
+            .join(dups, "id", "left")
+            .select("id", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+        )
+        if output_dir is not None:
+            out.write.mode("append").parquet(output_dir)
+        else:
+            decisions.append(out.toPandas())
+        # state append AFTER decisions: at-least-once, replay-tolerant
+        banded_new.write.mode("append").parquet(state_dir)
+
+    incremental_pass(
+        spark, input_dir, checkpoint_dir, on_batch, fmt=fmt, schema=schema
+    )
+    if not decisions:
+        return pd.DataFrame(columns=["id", "is_dup"])
+    return pd.concat(decisions, ignore_index=True)

@@ -216,3 +216,64 @@ def test_stream_upsert_same_key_in_batch_is_deterministic(spark, tmp_path):
         assert {
             (r.k, r.v) for r in spark.read.parquet(target).collect()
         } == {(1, "zzz"), (2, "zed")}
+
+
+def test_incremental_dedup_matches_batch_rule(spark, tmp_path):
+    # Incremental corpus dedup: planted near-dups within a batch, across
+    # batches, and a chained copy-of-a-dropped-copy. The canonical-min
+    # rule (dup iff a >=0.8-Jaccard pair with a lower-id doc) must hold
+    # across passes exactly as a one-shot batch would compute it.
+    from python_mapreduce_spark.streaming.dedup import incremental_minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today "
+    other = "completely different content about spark engines and parquet files "
+    docs1 = [
+        (1, base * 5),
+        (2, base * 5 + "tail variation"),   # dup of 1 (same batch)
+        (3, other * 5),
+    ]
+    docs2 = [
+        (4, base * 5 + "another tail"),     # dup of 1/2 (prior batch)
+        (5, "entirely novel text with no overlap whatsoever in shingles " * 5),
+    ]
+    in_dir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(docs1, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    p1 = incremental_minhash_dedup(spark, in_dir, state, ckpt)
+    spark.createDataFrame(docs2, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    p2 = incremental_minhash_dedup(spark, in_dir, state, ckpt)
+
+    d1 = dict(zip(p1["id"], p1["is_dup"]))
+    d2 = dict(zip(p2["id"], p2["is_dup"]))
+    assert d1 == {1: False, 2: True, 3: False}
+    assert d2 == {4: True, 5: False}
+
+
+def test_incremental_dedup_replay_is_idempotent(spark, tmp_path):
+    # A crash between the state append and the checkpoint commit replays
+    # the batch with its OWN band keys already in the state. The
+    # batch-id exclusion must keep the replayed decisions identical —
+    # no doc may match itself. Simulated by re-running the same landed
+    # file against the already-appended state with a fresh checkpoint.
+    from python_mapreduce_spark.streaming.dedup import incremental_minhash_dedup
+
+    text = "some repeated content for the replay idempotence check " 
+    docs = [(1, text * 4), (2, text * 4 + "suffix"), (3, "unrelated words entirely " * 6)]
+    in_dir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    p1 = incremental_minhash_dedup(spark, in_dir, state, str(tmp_path / "ckpt1"))
+    # replay: same files, fresh checkpoint, state already holds their keys
+    p2 = incremental_minhash_dedup(spark, in_dir, state, str(tmp_path / "ckpt2"))
+
+    assert dict(zip(p1["id"], p1["is_dup"])) == {1: False, 2: True, 3: False}
+    assert dict(zip(p2["id"], p2["is_dup"])) == dict(zip(p1["id"], p1["is_dup"]))
