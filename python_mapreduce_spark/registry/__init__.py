@@ -92,6 +92,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_visible_files",
     "q_corrupt_capture",
     "q_job_cascade",
+    "q_stream_incremental_dedup",
     # -- changed this round (code or input data) --
     "q11_revenue_share",
     "q15_top_supplier",
@@ -103,7 +104,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_asof",
     "q17_small_quantity_revenue",
     "q_window_range_frame",
-    "q_window_running",
     "q_dedup_jaccard",
     "q_dedup_minhash",
     "q_dedup_embedding",
