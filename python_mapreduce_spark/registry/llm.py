@@ -37,6 +37,7 @@ from python_mapreduce_spark.llm.text import (
     text_stats,
     token_counts,
 )
+from python_mapreduce_spark.functions.scalar import dround
 from python_mapreduce_spark.registry import Query
 from python_mapreduce_spark.registry._util import table
 
@@ -464,6 +465,74 @@ FROM documents
 """
 
 
+def q_text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fuzzy (edit-distance) matching with blocking — the third dedup
+    # signal family next to shingle-Jaccard and embedding cosine. Same
+    # scale shape as every dedup operator here: a cheap blocking key
+    # (8-char lowercase prefix) turns the candidate step into an
+    # equi-join, and Levenshtein runs only within blocks — never
+    # all-pairs. Both engines implement classic Levenshtein, so the
+    # distances compare exactly.
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.lower("text"), 1, 32).alias("s"),
+        F.substring(F.lower("text"), 1, 8).alias("blk"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.levenshtein(F.col("a.s"), F.col("b.s")).cast("long").alias("lev"),
+        )
+        .filter(F.col("lev") <= 5)
+    )
+
+
+SQL_TEXT_FUZZY = """
+WITH d AS (
+  SELECT doc_id, substr(lower(text), 1, 32) AS s, substr(lower(text), 1, 8) AS blk
+  FROM documents
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS lev
+FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.s, b.s) <= 5
+"""
+
+
+def q_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Vector scalar math over the embedding column: L2 norm + dimension
+    # per vector via JVM-side higher-order functions (fold of x*x). HOFs
+    # run interpreted, which is why the HOT dedup/ANN paths use BLAS
+    # matmul instead (llm/similarity.py) — but for a one-pass per-row
+    # scalar the expression form keeps everything in the JVM with no
+    # Arrow hop at all.
+    emb = table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        dround(F.sqrt(sq_sum), 6).alias("l2_norm"),
+    )
+
+
+SQL_EMBEDDING_NORM = """
+SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+       floor(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+             * 1000000.0 + 0.5) / 1000000.0 AS l2_norm
+FROM embeddings
+"""
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(table(spark, sf_dir, "documents"), ["source"], "text")
 
@@ -662,6 +731,12 @@ QUERIES: dict[str, Query] = {
     "q_text_quality": Query(q_text_quality, SQL_TEXT_QUALITY, "composite quality score"),
     "q_text_langid": Query(q_text_langid, SQL_TEXT_LANGID, "stopword-vote language ID"),
     "q_text_fingerprint": Query(q_text_fingerprint, SQL_TEXT_FINGERPRINT, "normalized MD5 fingerprint"),
+    "q_text_fuzzy_match": Query(
+        q_text_fuzzy_match, SQL_TEXT_FUZZY, "edit-distance match with prefix blocking"
+    ),
+    "q_embedding_norm": Query(
+        q_embedding_norm, SQL_EMBEDDING_NORM, "vector L2 norm via JVM higher-order fold"
+    ),
     "q_token_count": Query(q_token_count, SQL_TOKEN_COUNT, "corpus token accounting"),
     "q_token_count_bpe": Query(q_token_count_bpe, SQL_TOKEN_COUNT_BPE, "BPE-ish subword token accounting"),
     "q_pipeline_prepare": Query(q_pipeline_prepare, SQL_PIPELINE_PREPARE, "end-to-end shard prep: dedup + quality filter + accounting"),

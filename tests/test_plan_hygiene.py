@@ -71,6 +71,8 @@ _LAZY_LLM = [
     "q_doc_chunking",
     "q_pipeline_prepare",
     "q_dedup_exact",
+    "q_text_fuzzy_match",
+    "q_embedding_norm",
 ]
 
 
