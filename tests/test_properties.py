@@ -250,3 +250,68 @@ def test_connected_components_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in parent}
     assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    # Docs assembled from a tiny word pool so near-dup pairs actually
+    # occur; the data parameter draws per-doc choices inside the test.
+    data=st.data(),
+    n_docs=st.integers(min_value=2, max_value=7),
+)
+def test_incremental_dedup_equals_batch_canonical_min(spark, tmp_path_factory, data, n_docs):
+    # The incremental corpus dedup (streaming/dedup.py) must reach the
+    # SAME decisions as the one-shot batch canonical-min rule (dup iff
+    # an exact-Jaccard >= 0.8 pair with a lower-id doc) on arbitrary
+    # corpora and an arbitrary ingest split — including all-in-first,
+    # all-in-second, chains of copies, and no-dup corpora. Banding is
+    # densified (16x2) so candidate recall at borderline j~0.8 is
+    # ~1-1e-7 — the default 8x4 misses ~1.5% of j=0.8 pairs, which
+    # would make this test flaky; precision is unaffected (exact
+    # verification filters false candidates).
+    from python_mapreduce_spark.llm.dedup import ngram_jaccard_pairs
+    from python_mapreduce_spark.streaming.dedup import incremental_minhash_dedup
+
+    base_words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    docs = []
+    for i in range(n_docs):
+        if i > 0 and data.draw(st.booleans(), label=f"copy_{i}"):
+            # near-copy of an earlier doc with a small suffix change
+            src = data.draw(st.integers(0, i - 1), label=f"src_{i}")
+            docs.append((i, docs[src][1] + " " + data.draw(st.sampled_from(base_words), label=f"suffix_{i}")))
+        else:
+            words = data.draw(
+                st.lists(st.sampled_from(base_words), min_size=12, max_size=20),
+                label=f"words_{i}",
+            )
+            docs.append((i, " ".join(words)))
+    split = data.draw(st.integers(0, n_docs), label="split")
+
+    tmp = tmp_path_factory.mktemp("incr_prop")
+    in_dir, state = str(tmp / "in"), str(tmp / "state")
+    frames = []
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    if split > 0:
+        ddf.filter(F.col("doc_id") < split).coalesce(1).write.mode("append").parquet(in_dir)
+        frames.append(
+            incremental_minhash_dedup(spark, in_dir, state, str(tmp / "ck"), bands=16, rows=2)
+        )
+    if split < n_docs:
+        ddf.filter(F.col("doc_id") >= split).coalesce(1).write.mode("append").parquet(in_dir)
+        frames.append(
+            incremental_minhash_dedup(spark, in_dir, state, str(tmp / "ck"), bands=16, rows=2)
+        )
+
+    got = {}
+    for f in frames:
+        got.update(dict(zip(f["id"], f["is_dup"])))
+
+    # ground truth: exact Jaccard pairs over the whole corpus
+    pairs = ngram_jaccard_pairs(ddf, "doc_id", "text", n=3, threshold=0.8).collect()
+    dup_ids = {r.id2 for r in pairs}
+    want = {i: (i in dup_ids) for i, _ in docs}
+    assert got == want
