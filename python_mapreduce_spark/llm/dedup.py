@@ -487,10 +487,16 @@ def embedding_dedup(
     """
     if corpus_bytes is None:
         n = emb.count()
-        first = emb.select(F.size(vec_col).alias("d")).first()
+        # size probe skips null vectors (size(NULL) is -1/NULL and would
+        # poison the estimate — a negative corpus_bytes mis-dispatches a
+        # huge corpus onto the collect path); an all-null corpus falls
+        # through to dim 0 and the safe (never-collect) LSH regime.
+        first = (
+            emb.select(F.size(vec_col).alias("d")).filter(F.col("d") > 0).first()
+        )
         dim = int(first["d"]) if first is not None else 0
         corpus_bytes = n * dim * 8
-    if corpus_bytes <= broadcast_budget_bytes:
+    if 0 < corpus_bytes <= broadcast_budget_bytes:
         return embedding_dedup_pairs_matmul(
             emb, id_col, vec_col, threshold=threshold
         )

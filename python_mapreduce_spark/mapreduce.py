@@ -123,6 +123,7 @@ def flat_map(
     fn: Callable[[tuple, Any], Iterable[tuple]] | str,
     schema: str,
     aux: Any = None,
+    project_dir: str | None = None,
 ) -> DataFrame:
     """The reference map phase (O6): one input row -> zero or more output
     rows.
@@ -132,10 +133,10 @@ def flat_map(
     "raw line in" contract, mapper.py:58-59) and returns an iterable of
     output tuples matching ``schema``. Rows flow through Arrow batches;
     only the user function itself is per-row Python. ``fn`` may also be
-    a ``'module:function'`` name, resolved with per-job reload semantics
-    (:func:`resolve_function`).
+    a ``'module:function'`` name, resolved from ``project_dir`` with
+    per-job reload semantics (:func:`resolve_function`).
     """
-    fn = _as_callable(fn)
+    fn = _as_callable(fn, project_dir)
     out_cols = _field_names(schema)
     in_cols = df.columns
     unwrap = len(in_cols) == 1
@@ -159,6 +160,7 @@ def reduce_groups(
     fn: Callable[[tuple, pd.DataFrame, Any], Iterable[tuple] | pd.DataFrame] | str,
     schema: str,
     aux: Any = None,
+    project_dir: str | None = None,
 ) -> DataFrame:
     """The reference reduce phase (O17+O18): the whole group for one key,
     as one call.
@@ -169,9 +171,10 @@ def reduce_groups(
     Row order within the group is NOT deterministic (shuffle arrival
     order); order-sensitive reduces must sort ``group_pdf`` themselves,
     and float summations should use ``math.fsum`` for order-independent
-    exactness.
+    exactness. ``fn`` may also be a ``'module:function'`` name, resolved
+    from ``project_dir`` with per-job reload (:func:`resolve_function`).
     """
-    fn = _as_callable(fn)
+    fn = _as_callable(fn, project_dir)
     key_cols = [keys] if isinstance(keys, str) else list(keys)
     out_cols = _field_names(schema)
     b = broadcast_aux(df.sparkSession, aux)

@@ -117,6 +117,40 @@ def upsert(base: DataFrame, updates: DataFrame, key: str | Sequence[str]) -> Dat
     return updates.unionByName(survivors)
 
 
+def recover_and_clear_swap(path: str, tmp: str, old: str) -> None:
+    """Crash recovery for the write-to-temp / two-rename swap protocol
+    (shared by :func:`compact_files` and the streaming upsert sink): if
+    a previous run died between the two renames — data stranded in
+    ``old`` with nothing at ``path`` — restore it; then clear any stale
+    ``tmp``/``old`` so the next swap's renames cannot collide."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    if os.path.isdir(old) and not os.path.isdir(path):
+        os.rename(old, path)
+    for stale in (tmp, old):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+
+
+def swap_into(path: str, tmp: str, old: str) -> None:
+    """The two-rename swap: move the current ``path`` (if any) aside to
+    ``old``, promote ``tmp``, drop ``old``. NOT atomic for concurrent
+    readers (there is a window with no directory at ``path``; on object
+    stores / Delta-style tables use a metadata commit instead); it IS
+    crash-safe when every run calls :func:`recover_and_clear_swap`
+    before writing ``tmp``."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    if os.path.isdir(path):
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, path)
+
+
 def compact_files(
     spark,
     path: str,
@@ -129,32 +163,20 @@ def compact_files(
     accrete tiny files; scans then pay per-file open/footer cost —
     the classic small-files tax at 100 TB).
 
-    Rewrite-to-temp then a two-rename swap. The swap is NOT atomic for
-    concurrent readers (there is a window with no directory at ``path``;
-    on object stores / Delta-style tables use a metadata commit
-    instead); it IS crash-safe: stale ``__compact_tmp``/``__compact_old``
-    from a killed run are recovered or cleared up front, so re-running
-    after any crash converges. Returns the number of files written.
-    coalesce() (no shuffle) — compaction only merges, never splits.
+    Rewrite-to-temp then the shared recover-and-swap protocol
+    (:func:`recover_and_clear_swap` / :func:`swap_into` — see their
+    docstrings for the atomicity caveat and crash contract). Returns
+    the number of files written. coalesce() (no shuffle) — compaction
+    only merges, never splits.
     """
     import glob  # noqa: PLC0415
-    import os  # noqa: PLC0415
-    import shutil  # noqa: PLC0415
 
     tmp = f"{path.rstrip('/')}__compact_tmp"
     old = f"{path.rstrip('/')}__compact_old"
-    # crash recovery: a kill between the two renames strands the data in
-    # __compact_old with nothing at path — restore it before reading.
-    if os.path.isdir(old) and not os.path.isdir(path):
-        os.rename(old, path)
-    for stale in (tmp, old):
-        if os.path.isdir(stale):
-            shutil.rmtree(stale)
+    recover_and_clear_swap(path, tmp, old)
     df = spark.read.format(fmt).load(path)
     df.coalesce(target_partitions).write.mode("overwrite").format(fmt).save(tmp)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    swap_into(path, tmp, old)
     return len(glob.glob(f"{path}/*.{fmt}"))
 
 

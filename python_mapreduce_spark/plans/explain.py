@@ -70,10 +70,12 @@ def single_partition_windows(df: DataFrame) -> list[int]:
     Spark itself warns 'No Partition Defined for Window operation').
 
     Walks each Window's child chain in the formatted plan tree through
-    the order-only nodes (Sort/Project) to the first Exchange and checks
-    its Arguments for SinglePartition. A Window stacked directly on
-    another unpartitioned Window has no Exchange of its own, but the
-    bottom Window of the stack is always caught, so the query flags.
+    the partitioning-preserving unary nodes (Sort/Project/Filter/
+    WindowGroupLimit) to the first Exchange (or ReusedExchange — its
+    Arguments echo the reused exchange's partitioning) and checks its
+    Arguments for SinglePartition. A Window stacked directly on another
+    unpartitioned Window has no Exchange of its own, but the bottom
+    Window of the stack is always caught, so the query flags.
     """
     plan = formatted_plan(df)
     nodes = _tree_nodes(plan)
@@ -83,14 +85,19 @@ def single_partition_windows(df: DataFrame) -> list[int]:
             r"^\((\d+)\) Exchange\nInput[^\n]*\nArguments: ([^\n]*)", plan, re.M
         )
     }
+    # A ReusedExchange carries no Arguments of its own; resolve it to
+    # the exchange it reuses.
+    for m in re.finditer(r"^\((\d+)\) ReusedExchange \[Reuses operator id: (\d+)\]", plan, re.M):
+        exchange_args[int(m.group(1))] = exchange_args.get(int(m.group(2)), "")
+    passthrough = ("Sort", "Project", "Filter", "WindowGroupLimit")
     hits: list[int] = []
     for i, (_indent, name, nid) in enumerate(nodes):
         if name != "Window":
             continue
         j = i + 1
-        while j < len(nodes) and nodes[j][1] in ("Sort", "Project"):
+        while j < len(nodes) and nodes[j][1] in passthrough:
             j += 1
-        if j < len(nodes) and nodes[j][1] == "Exchange":
+        if j < len(nodes) and nodes[j][1] in ("Exchange", "ReusedExchange"):
             if "SinglePartition" in exchange_args.get(nodes[j][2], ""):
                 hits.append(nid)
     return hits

@@ -806,14 +806,17 @@ def q_job_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_mapreduce_spark.jobs import Job, JobQueue  # noqa: PLC0415
 
     results: dict[str, int] = {}
+    ran: list[str] = []  # OBSERVED execution order — what the oracle grades
 
     def count_job(name: str, tbl: str):
         def fn() -> None:
+            ran.append(name)
             results[name] = table(spark, sf_dir, tbl).count()
 
         return fn
 
     def boom() -> None:
+        ran.append("bad_job")
         raise RuntimeError("planted failure")
 
     q = JobQueue()
@@ -824,14 +827,18 @@ def q_job_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.submit(Job("summary", count_job("summary", "customer"), priority=-1))
     q.run_cycle()
 
+    # run_order comes from the observed `ran` log (position+1; 0 = never
+    # ran), NOT from literals — if the priority sort ever broke, the
+    # orders would shift and the oracle hash would go red.
     ok = set(q.succeeded)
+    order = {name: i + 1 for i, name in enumerate(ran)}
     rows = [
-        ("load_nation", "ok" if "load_nation" in ok else "WRONG", results.get("load_nation", -1), 1),
-        ("load_region", "ok" if "load_region" in ok else "WRONG", results.get("load_region", -1), 2),
-        ("bad_job", "failed" if any(n == "bad_job" for n, _ in q.failed) else "WRONG", -1, 3),
-        ("summary", "ok" if "summary" in ok else "WRONG", results.get("summary", -1), 4),
+        ("load_nation", "ok" if "load_nation" in ok else "WRONG", results.get("load_nation", -1), order.get("load_nation", 0)),
+        ("load_region", "ok" if "load_region" in ok else "WRONG", results.get("load_region", -1), order.get("load_region", 0)),
+        ("bad_job", "failed" if any(n == "bad_job" for n, _ in q.failed) else "WRONG", -1, order.get("bad_job", 0)),
+        ("summary", "ok" if "summary" in ok else "WRONG", results.get("summary", -1), order.get("summary", 0)),
         # cascaded away before its turn: must have neither run nor failed
-        ("enrich", "cascaded" if "enrich" not in ok and "enrich" not in results else "WRONG", -1, 0),
+        ("enrich", "cascaded" if "enrich" not in ok and "enrich" not in results else "WRONG", -1, order.get("enrich", 0)),
     ]
     return spark.createDataFrame(
         rows, "job_name string, status string, result long, run_order long"

@@ -291,10 +291,11 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Incremental corpus dedup end-to-end (streaming/dedup.py): land the
     # low-id half of documents, run a checkpointed dedup pass; land the
     # high-id half, run another pass that near-dup-filters ONLY the new
-    # files against the accumulated band-key state. The canonical-min
-    # rule (dup iff an exact-Jaccard >= 0.8 pair with a lower-id doc)
-    # makes the two-pass decisions equal the one-shot batch rule, which
-    # is what the oracle computes over the full documents table.
+    # files against the accumulated band-key state. The operator's rule
+    # is first-seen-wins; because this ingest is monotone in doc_id, it
+    # coincides with the batch canonical-min rule (dup iff an
+    # exact-Jaccard >= 0.8 pair with a lower-id doc), which is what the
+    # oracle computes over the full documents table.
     from python_mapreduce_spark.session import tune  # noqa: PLC0415
     from python_mapreduce_spark.streaming.dedup import (  # noqa: PLC0415
         incremental_minhash_dedup,

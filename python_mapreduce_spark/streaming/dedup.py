@@ -26,11 +26,18 @@ generation excludes the current batch's own ids from the state side —
 a replayed batch reaches the same decisions and its duplicate state
 rows only cost extra (deduplicated) candidates.
 
-Duplicate rule ("canonical-min"): a document is a duplicate iff it has
-a verified near-dup pair with ANY lower-id document — earlier-ingested
-docs (state) or lower-id docs in the same batch. The rule is
-order-deterministic and exactly SQL-expressible, which is what makes
-the operator oracle-checkable end-to-end.
+Duplicate rule ("first-seen wins"): a document is a duplicate iff it
+has a verified near-dup pair with an EARLIER-SEEN document — anything
+in the state from prior passes, or a lower-id doc within the same
+batch. Decisions for already-ingested docs are final (they were
+emitted when their pass ran), so first-seen-wins is the only
+consistent incremental semantics: a late-arriving doc that duplicates
+an old one is the one dropped, whatever their ids. When ingest order
+is monotone in id — as in the registry query, which splits the corpus
+at an id threshold — first-seen-wins coincides with the batch
+"canonical-min" rule (dup iff a pair with any lower-id doc), which is
+exactly SQL-expressible and is what makes the operator
+oracle-checkable end-to-end.
 """
 
 from __future__ import annotations
@@ -65,10 +72,11 @@ def incremental_minhash_dedup(
 
     Decisions are one row per new document, ``(id, is_dup)`` —
     ``is_dup`` true iff the doc has an exact-Jaccard >= ``threshold``
-    pair with a lower-id document anywhere in the corpus so far.
+    pair with an earlier-seen document (prior passes' state, or a
+    lower-id doc in the same batch) — first-seen wins; see the module
+    docstring for when this equals the batch canonical-min rule.
     Appends the new docs' band keys to ``state_dir`` (ALL new docs,
-    duplicates included, so later chained copies still match the
-    canonical-min rule).
+    duplicates included, so later chained copies still match).
 
     With ``output_dir`` the decisions are appended there as parquet and
     an EMPTY pandas frame is returned — the at-scale mode (decisions

@@ -146,9 +146,11 @@ def stream_upsert_parquet(
     partitions; here the whole-dataset rewrite keeps the demo honest and
     small.
     """
-    import shutil  # noqa: PLC0415
-
-    from python_mapreduce_spark.operators.relational import upsert  # noqa: PLC0415
+    from python_mapreduce_spark.operators.relational import (  # noqa: PLC0415
+        recover_and_clear_swap,
+        swap_into,
+        upsert,
+    )
 
     keys = [key] if isinstance(key, str) else list(key)
     tmp = f"{target_dir.rstrip('/')}__upsert_tmp"
@@ -165,14 +167,7 @@ def stream_upsert_parquet(
         return picked.select(*keys, *[F.col(f"_v.{c}").alias(c) for c in vals])
 
     def on_batch(batch: DataFrame, _epoch: int) -> None:
-        # crash recovery: a kill between the two renames leaves the data
-        # stranded in __upsert_old with no target — restore it; then
-        # clear any stale tmp/old so the renames below can't collide.
-        if os.path.isdir(old) and not os.path.isdir(target_dir):
-            os.rename(old, target_dir)
-        for stale in (tmp, old):
-            if os.path.isdir(stale):
-                shutil.rmtree(stale)
+        recover_and_clear_swap(target_dir, tmp, old)
         batch = dedup_latest(batch)
         if os.path.isdir(target_dir):
             current = spark.read.parquet(target_dir)
@@ -180,12 +175,7 @@ def stream_upsert_parquet(
         else:
             merged = batch
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(target_dir):
-            os.rename(target_dir, old)
-            os.rename(tmp, target_dir)
-            shutil.rmtree(old)
-        else:
-            os.rename(tmp, target_dir)
+        swap_into(target_dir, tmp, old)
 
     incremental_pass(
         spark, input_dir, checkpoint_dir, on_batch, fmt=fmt, schema=schema
