@@ -78,6 +78,11 @@ def incremental_minhash_dedup(
     Appends the new docs' band keys to ``state_dir`` (ALL new docs,
     duplicates included, so later chained copies still match).
 
+    The state directory accretes one small parquet file set per pass —
+    the standard small-files tax; at scale, periodically run
+    ``operators.relational.compact_files(spark, state_dir, ...)``
+    between passes (its recover-and-swap protocol is crash-safe).
+
     With ``output_dir`` the decisions are appended there as parquet and
     an EMPTY pandas frame is returned — the at-scale mode (decisions
     are corpus-sized; never drive them through the driver). Without it,
