@@ -305,22 +305,29 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     split = docs.count() // 2
     work = tempfile.mkdtemp(prefix="incr_dedup_")
-    in_dir, state, ckpt = (
+    in_dir, state, ckpt, out_dir = (
         os.path.join(work, "in"),
         os.path.join(work, "state"),
         os.path.join(work, "ckpt"),
+        os.path.join(work, "decisions"),
     )
 
+    # bands=16, rows=2: candidate recall ~1-(1-0.8^2)^16 ≈ 1-1e-7 at the
+    # j=0.8 threshold (the default 8x4 misses ~1.5% of borderline
+    # pairs); exact verification keeps precision unchanged either way.
+    # output_dir= exercises the at-scale decision path: per-epoch
+    # parquet partitions written by the executors, never a pandas
+    # round-trip through the driver.
+    kw = {"bands": 16, "rows": 2, "output_dir": out_dir}
     docs.filter(F.col("doc_id") < split).write.mode("append").parquet(in_dir)
-    p1 = incremental_minhash_dedup(spark, in_dir, state, ckpt)
+    incremental_minhash_dedup(spark, in_dir, state, ckpt, **kw)
     docs.filter(F.col("doc_id") >= split).write.mode("append").parquet(in_dir)
-    p2 = incremental_minhash_dedup(spark, in_dir, state, ckpt)
+    incremental_minhash_dedup(spark, in_dir, state, ckpt, **kw)
 
-    import pandas as pd  # noqa: PLC0415
-
-    p1["pass"], p2["pass"] = 1, 2
-    decisions = spark.createDataFrame(
-        pd.concat([p1, p2], ignore_index=True), "id long, is_dup boolean, pass long"
+    # Read the decision output back as partitioned parquet. ingest_epoch
+    # is the shared checkpoint's batch ordinal (0-based), so pass = +1.
+    decisions = spark.read.parquet(out_dir).select(
+        "id", "is_dup", (F.col("ingest_epoch").cast("long") + 1).alias("pass")
     )
     return decisions.groupBy("pass").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -348,7 +355,7 @@ dups AS (
 ),
 flagged AS (
   SELECT doc_id AS id,
-         CASE WHEN doc_id < (SELECT count(*) // 2 FROM documents) THEN 1 ELSE 2 END AS pass,
+         CAST(CASE WHEN doc_id < (SELECT count(*) // 2 FROM documents) THEN 1 ELSE 2 END AS BIGINT) AS pass,
          doc_id IN (SELECT id FROM dups) AS is_dup
   FROM documents
 )

@@ -224,8 +224,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
+            require_utc_session(spark)
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def require_utc_session(spark: SparkSession) -> None:
+    """Guard for NTZ→LTZ casts: they are a pure relabeling ONLY when the
+    session timezone is UTC (the generator writes UTC wall-clock micros).
+    On any other timezone the cast would silently shift every event
+    instant, so fail loudly and point at the fix."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            f"events.ts is TIMESTAMP_NTZ and spark.sql.session.timeZone={tz!r}; "
+            "the NTZ->timestamp cast is only correct under UTC. Call "
+            "python_mapreduce_spark.session.tune(spark) (or set the conf to "
+            "'UTC') before loading events."
+        )
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: Sequence[str] = TABLES) -> dict[str, DataFrame]:

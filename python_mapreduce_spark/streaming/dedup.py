@@ -83,9 +83,15 @@ def incremental_minhash_dedup(
     ``operators.relational.compact_files(spark, state_dir, ...)``
     between passes (its recover-and-swap protocol is crash-safe).
 
-    With ``output_dir`` the decisions are appended there as parquet and
+    With ``output_dir`` the decisions are written there as parquet and
     an EMPTY pandas frame is returned — the at-scale mode (decisions
-    are corpus-sized; never drive them through the driver). Without it,
+    are corpus-sized; never drive them through the driver). Each
+    micro-batch writes its own hive-style partition
+    ``ingest_epoch=<epoch>/`` with mode=overwrite, so a crash-replay of
+    the batch overwrites the same partition instead of appending a
+    second copy: the decision output is exactly-once per epoch (read
+    back ``output_dir`` as partitioned parquet; ``ingest_epoch`` is the
+    pass ordinal of the shared checkpoint). Without ``output_dir``,
     decisions come back as pandas — demo/test mode only.
     """
     from python_mapreduce_spark.llm.dedup import (  # noqa: PLC0415 - avoid cycle
@@ -113,7 +119,7 @@ def incremental_minhash_dedup(
             .filter(F.col("j") >= threshold)
         )
 
-    def on_batch(batch: DataFrame, _epoch: int) -> None:
+    def on_batch(batch: DataFrame, epoch: int) -> None:
         docs = batch.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
         sets_new = shingle_sets(docs, "id", "text", n).localCheckpoint(eager=True)
         banded_new = band_keys(
@@ -173,7 +179,13 @@ def incremental_minhash_dedup(
             .select("id", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
         )
         if output_dir is not None:
-            out.write.mode("append").parquet(output_dir)
+            # Idempotent per-epoch partition: a replayed batch (crash
+            # between this write and the checkpoint commit) overwrites
+            # its own ingest_epoch=N directory rather than appending
+            # duplicate decision rows — exactly-once decision output.
+            out.write.mode("overwrite").parquet(
+                os.path.join(output_dir, f"ingest_epoch={epoch}")
+            )
         else:
             decisions.append(out.toPandas())
         # state append AFTER decisions: at-least-once, replay-tolerant

@@ -56,6 +56,11 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
+        from python_mapreduce_spark.sources.readers import (  # noqa: PLC0415
+            require_utc_session,
+        )
+
+        require_utc_session(df.sparkSession)
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
@@ -121,14 +126,21 @@ def stream_upsert_parquet(
     checkpoint_dir: str,
     key: str | list[str],
     *,
+    order_col: str | None = None,
     fmt: str = "parquet",
     schema=None,
 ) -> None:
     """Streaming MERGE sink: each micro-batch of corrections upserts into
     a parquet target (operators/relational.py::upsert semantics — batch
-    rows replace same-key target rows; within one micro-batch the
-    same-key survivor is the lexicographic max over the non-key columns,
-    which makes replays byte-identical).
+    rows replace same-key target rows). Within one micro-batch the
+    same-key survivor is chosen deterministically: with ``order_col``
+    (a version/timestamp column) the row with the greatest order value
+    wins, ties broken lexicographically over the remaining columns;
+    without it, the survivor is the lexicographic max over the struct of
+    non-key columns IN THEIR EXISTING ORDER — deterministic and
+    replay-stable, but column-order-dependent and unrelated to any
+    revision semantics, so pass ``order_col`` for corrections streams
+    where "latest wins" matters.
 
     The production late-corrections pattern: a stream of record
     revisions lands in ``input_dir``; the target stays a plain parquet
@@ -153,17 +165,36 @@ def stream_upsert_parquet(
     )
 
     keys = [key] if isinstance(key, str) else list(key)
+    if order_col is not None:
+        # Validate eagerly — a bad column raised inside foreachBatch
+        # would only surface wrapped in a StreamingQueryException.
+        cols = file_stream(spark, input_dir, fmt=fmt, schema=schema).columns
+        if order_col in keys or order_col not in cols:
+            raise ValueError(
+                f"order_col {order_col!r} must be a non-key input column "
+                f"(keys={keys}, columns={cols})"
+            )
     tmp = f"{target_dir.rstrip('/')}__upsert_tmp"
     old = f"{target_dir.rstrip('/')}__upsert_old"
 
     def dedup_latest(batch: DataFrame) -> DataFrame:
-        # Deterministic same-key survivor: max of the struct of non-key
-        # columns (lexicographic). dropDuplicates would pick an arbitrary
-        # row, so a replayed batch could pick a different survivor.
+        # Deterministic same-key survivor: max of a struct whose leading
+        # field is order_col (when given), so the latest revision wins
+        # and lexicographic comparison of the remaining columns only
+        # breaks exact ties. dropDuplicates would pick an arbitrary row,
+        # so a replayed batch could pick a different survivor.
         vals = [c for c in batch.columns if c not in keys]
         if not vals:
             return batch.dropDuplicates(keys)
-        picked = batch.groupBy(*keys).agg(F.max(F.struct(*vals)).alias("_v"))
+        ranked = vals
+        if order_col is not None:
+            if order_col not in vals:
+                raise ValueError(
+                    f"order_col {order_col!r} must be a non-key column of the "
+                    f"batch (non-key columns: {vals})"
+                )
+            ranked = [order_col, *[c for c in vals if c != order_col]]
+        picked = batch.groupBy(*keys).agg(F.max(F.struct(*ranked)).alias("_v"))
         return picked.select(*keys, *[F.col(f"_v.{c}").alias(c) for c in vals])
 
     def on_batch(batch: DataFrame, _epoch: int) -> None:

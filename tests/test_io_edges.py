@@ -218,3 +218,36 @@ def test_compact_files_recovers_from_mid_swap_crash(spark, tables, tmp_path):
     assert n_files <= 2
     assert spark.read.parquet(path).count() == n_before
     assert not glob.glob(f"{path}__compact_*")
+
+
+def test_ntz_load_requires_utc_session(spark, tmp_path):
+    # events.ts as TIMESTAMP_NTZ is relabeled to TimestampType only when
+    # the session timezone is UTC; any other timezone must fail loudly
+    # instead of silently shifting every instant.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from python_mapreduce_spark.sources.readers import load_table
+    from python_mapreduce_spark.streaming.incremental import normalize_event_ts
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    tbl = pa.table(
+        {"ts": pa.array([1_700_000_000_000_000], pa.timestamp("us")), "v": [1]}
+    )
+    pq.write_table(tbl, str(sf / "events.parquet"))
+
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(ValueError, match="UTC"):
+            load_table(spark, str(sf), "events")
+        ntz = spark.read.parquet(str(sf / "events.parquet"))
+        if dict(ntz.dtypes).get("ts") == "timestamp_ntz":
+            with pytest.raises(ValueError, match="UTC"):
+                normalize_event_ts(ntz)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ok = load_table(spark, str(sf), "events")
+        assert dict(ok.dtypes)["ts"] == "timestamp"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)

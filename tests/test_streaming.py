@@ -218,6 +218,88 @@ def test_stream_upsert_same_key_in_batch_is_deterministic(spark, tmp_path):
         } == {(1, "zzz"), (2, "zed")}
 
 
+def test_stream_upsert_order_col_beats_column_order(spark, tmp_path):
+    # With order_col, the latest revision wins even when the
+    # lexicographic struct-max over column order would pick the other
+    # row; ties on order_col still resolve deterministically.
+    from python_mapreduce_spark.streaming.incremental import stream_upsert_parquet
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    target = str(tmp_path / "target")
+    rows = [
+        (1, "zzz", 1),  # lexicographic winner on v, but stale version
+        (1, "aaa", 2),  # latest version must win
+        (2, "tie_aa", 5),
+        (2, "tie_zz", 5),  # version tie -> lexicographic max of v
+    ]
+    spark.createDataFrame(rows, "k long, v string, ver long").coalesce(1).write.parquet(
+        str(in_dir / "b1")
+    )
+    stream_upsert_parquet(
+        spark,
+        f"{in_dir}/*",
+        target,
+        str(tmp_path / "ckpt"),
+        "k",
+        order_col="ver",
+        schema="k long, v string, ver long",
+    )
+    assert {
+        (r.k, r.v, r.ver) for r in spark.read.parquet(target).collect()
+    } == {(1, "aaa", 2), (2, "tie_zz", 5)}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="order_col"):
+        stream_upsert_parquet(
+            spark,
+            f"{in_dir}/*",
+            str(tmp_path / "t2"),
+            str(tmp_path / "ckpt2"),
+            "k",
+            order_col="nope",
+            schema="k long, v string, ver long",
+        )
+
+
+def test_incremental_dedup_output_dir_is_exactly_once_per_epoch(spark, tmp_path):
+    # output_dir mode: decisions land in ingest_epoch=<N> partitions and
+    # a replayed batch (same files, fresh checkpoint writing the same
+    # epoch ordinal) OVERWRITES its partition instead of appending — the
+    # decision output holds no duplicate (id, is_dup) rows after replay.
+    from python_mapreduce_spark.streaming.dedup import incremental_minhash_dedup
+
+    text = "content for the exactly once decision output check "
+    docs = [(1, text * 4), (2, text * 4 + "suffix"), (3, "wholly different words " * 6)]
+    in_dir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    out_dir = str(tmp_path / "decisions")
+
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    p = incremental_minhash_dedup(
+        spark, in_dir, state, str(tmp_path / "ckpt1"), output_dir=out_dir
+    )
+    assert p.empty  # at-scale mode never drives decisions through pandas
+    first = {
+        (r.id, r.is_dup, r.ingest_epoch)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert {(i, d) for i, d, _ in first} == {(1, False), (2, True), (3, False)}
+
+    # replay: fresh checkpoint reprocesses the same files as epoch 0
+    incremental_minhash_dedup(
+        spark, in_dir, state, str(tmp_path / "ckpt2"), output_dir=out_dir
+    )
+    replayed = spark.read.parquet(out_dir)
+    assert replayed.count() == 3  # overwritten, not doubled
+    assert {
+        (r.id, r.is_dup, r.ingest_epoch) for r in replayed.collect()
+    } == first
+
+
 def test_incremental_dedup_matches_batch_rule(spark, tmp_path):
     # Incremental corpus dedup: planted near-dups within a batch, across
     # batches, and a chained copy-of-a-dropped-copy. The canonical-min
