@@ -65,7 +65,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # windows: lag/moving-avg/rank demo + scalable twin
     "q_window_lag",
     "q_window_moving_avg",
-    "q_window_rank_dist",
+    "q_window_rank_dist_demo",
     "q_window_rank_scalable",
     # joins: bucketed big-big range, salted, forward as-of
     "q_join_range_bucketed",
@@ -96,7 +96,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- changed this round (code or input data) --
     "q11_revenue_share",
     "q15_top_supplier",
-    "q_window_cume",
+    "q_window_cume_demo",
     "q_sessionize",
     "q_stream_tumbling",
     "q_stream_incremental",

@@ -589,10 +589,10 @@ FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
-def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_window_cume_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DEMO SHAPE: dense_rank + cume_dist — the remaining ranking/
     # distribution functions (rank/percent_rank/ntile live in
-    # q_window_rank_dist). Unpartitioned windows imply a single-
+    # q_window_rank_dist_demo). Unpartitioned windows imply a single-
     # partition global sort: fine on dimension-sized inputs like
     # customer, dead at 100 TB. registry/windows.py::
     # q_window_cume_scalable computes the identical answer with
@@ -864,7 +864,7 @@ QUERIES: dict[str, Query] = {
     "q_rollup_grouping": Query(
         q_rollup_grouping, SQL_ROLLUP_GROUPING, "ROLLUP with GROUPING() indicators"
     ),
-    "q_window_cume": Query(q_window_cume, SQL_WINDOW_CUME, "dense_rank + cume_dist"),
+    "q_window_cume_demo": Query(q_window_cume_demo, SQL_WINDOW_CUME, "dense_rank + cume_dist"),
     "q_window_firstlast": Query(
         q_window_firstlast, SQL_WINDOW_FIRSTLAST, "first/last/nth_value full-frame window"
     ),

@@ -194,25 +194,34 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Driver-checkable SimHash evaluation (tolerance-oracle pattern):
-    # every exact-Jaccard near-dup pair (j >= 0.95) must land within a
-    # small hamming ball of the 64-bit fingerprints — measured max
-    # hamming 5-9 across sf0.001-0.1, asserted <= 16. The oracle
-    # reproduces the (SQL-expressible) pair count and literal TRUE.
+    # Driver-checkable SimHash evaluation (tolerance-oracle pattern),
+    # per-pair: every exact-Jaccard near-dup pair (j >= 0.95) must land
+    # within a 16-bit hamming ball of the 64-bit fingerprints (measured
+    # max hamming 5-9 across sf0.001-0.1). The row carries the full
+    # per-pair accounting so a partially broken fingerprint cannot hide
+    # behind a single aggregate boolean:
+    #   * n_within_radius must equal n_pairs and n_beyond_radius must be
+    #     0 — ONE bad pair flips both counts against the oracle;
+    #   * max_hamming_clamped16 = max(max hamming, 16): deterministic 16
+    #     when healthy, and shows the actual offending magnitude on
+    #     failure. The oracle reproduces the (SQL-expressible) pair
+    #     count and the healthy literals.
     docs = table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.95)
     fps = simhash(docs, "doc_id", "text")
     f1 = fps.select(F.col("id").alias("id1"), F.col("simhash64").alias("h1"))
     f2 = fps.select(F.col("id").alias("id2"), F.col("simhash64").alias("h2"))
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
     joined = pairs.join(f1, "id1").join(f2, "id2")
-    # coalesce: with zero qualifying pairs max() is NULL, but the oracle
-    # emits literal TRUE — vacuously true must compare equal.
+    # coalesces: with zero qualifying pairs the sums/max are NULL, but
+    # the oracle emits literals — vacuously healthy must compare equal.
     return joined.agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.coalesce(
-            F.max(F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))) <= 16,
-            F.lit(True),
-        ).alias("hamming_ok"),
+        F.coalesce(F.sum((ham <= 16).cast("long")), F.lit(0)).alias("n_within_radius"),
+        F.coalesce(F.sum((ham > 16).cast("long")), F.lit(0)).alias("n_beyond_radius"),
+        F.greatest(F.coalesce(F.max(ham), F.lit(0)), F.lit(16))
+        .cast("long")
+        .alias("max_hamming_clamped16"),
     )
 
 
@@ -225,7 +234,11 @@ inter AS (
   FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY 1, 2
 )
-SELECT CAST(count(*) AS BIGINT) AS n_pairs, TRUE AS hamming_ok FROM (
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(*) AS BIGINT) AS n_within_radius,
+       CAST(0 AS BIGINT) AS n_beyond_radius,
+       CAST(16 AS BIGINT) AS max_hamming_clamped16
+FROM (
   SELECT id1, id2,
          floor(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) * 10000.0 + 0.5) / 10000.0
            AS jaccard
@@ -337,54 +350,66 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_recall_eval(exact: DataFrame, approx: DataFrame, threshold: float) -> DataFrame:
-    """One-row evaluation frame: n_queries + (recall >= threshold).
+    """One-row evaluation frame: n_queries + the recall floor.
 
-    The tolerance-oracle pattern for ANN: the exact top-k pair set is the
-    ground truth, recall is computed inside the same Spark job, and the
-    DuckDB twin only has to reproduce the query count and literal TRUE.
+    The tolerance-oracle pattern for ANN: the exact top-k pair set is
+    the ground truth and recall is computed inside the same Spark job.
+    ``recall_floor`` = least(recall, threshold): the threshold literal
+    when the floor holds (what the DuckDB twin emits), and the ACTUAL
+    deficient recall on failure — so a red row carries the magnitude of
+    the miss, not just a boolean.
     """
     ex = exact.select("query_id", "neighbor_id")
     ap = approx.select("query_id", "neighbor_id").withColumn("__hit", F.lit(1))
     tagged = ex.join(ap, ["query_id", "neighbor_id"], "left")
     return tagged.agg(
         F.countDistinct("query_id").cast("long").alias("n_queries"),
-        (
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.count(F.lit(1))
-            >= F.lit(threshold)
-        ).alias("recall_ok"),
+        F.least(
+            dround(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.count(F.lit(1)), 4
+            ),
+            F.lit(threshold),
+        ).alias("recall_floor"),
     )
 
 
 def q_sim_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Multi-probe LSH (radius 3 over 6 planes = 42/64 buckets probed)
-    # against the brute-force ground truth: measured recall 0.76-0.92
-    # across sf0.001-0.1 (deterministic seeded planes); asserted >= 0.6.
+    # Multi-probe LSH against the brute-force ground truth. Dials
+    # (tools/measure_ann_recall.py, r4): radius 4 over 6 planes = 57/64
+    # buckets probed; measured recall 0.92-1.00 across sf0.001/0.01/0.1
+    # x plane seeds {42, 7, 2024} (radius 3 measured 0.72-0.88 — below a
+    # meaningful floor); asserted >= 0.9. Probes multiply only the
+    # broadcast query table, so the high probe fraction is the correct
+    # price for a hard recall floor at these corpus sizes.
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5)
     approx = ann_topk_lsh(
-        emb, queries, "vec_id", "embedding", k=5, planes=6, probe_radius=3
+        emb, queries, "vec_id", "embedding", k=5, planes=6, probe_radius=4
     )
-    return _ann_recall_eval(exact, approx, 0.6)
+    return _ann_recall_eval(exact, approx, 0.9)
 
 
 def q_sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # IVF (8 lists, 3 probed) against brute force: measured recall
-    # 0.58-0.66 across sf0.001-0.1 (deterministic xxhash64-seeded
-    # k-means); asserted >= 0.4.
+    # IVF against brute force. Dials (tools/measure_ann_recall.py, r4):
+    # 8 lists, 6 probed, 3 Lloyd iterations; measured recall 0.92-0.94
+    # across sf0.001/0.01/0.1 (deterministic xxhash64-seeded k-means;
+    # the old 8/3/2 dials measured 0.58-0.66); asserted >= 0.8.
     from python_mapreduce_spark.llm.similarity import ann_topk_ivf
 
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5)
     approx = ann_topk_ivf(
-        emb, queries, "vec_id", "embedding", k=5, nlist=8, nprobe=3
+        emb, queries, "vec_id", "embedding", k=5, nlist=8, nprobe=6, iters=3
     )
-    return _ann_recall_eval(exact, approx, 0.4)
+    return _ann_recall_eval(exact, approx, 0.8)
 
 
-SQL_ANN_RECALL = """
-SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries, TRUE AS recall_ok
+def _sql_ann_recall(threshold: float) -> str:
+    return f"""
+SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+       CAST({threshold} AS DOUBLE) AS recall_floor
 FROM embeddings WHERE vec_id < 10
 """
 
@@ -725,8 +750,8 @@ QUERIES: dict[str, Query] = {
     "q_sim_topk": Query(q_sim_topk, SQL_SIM_TOPK, "brute-force cosine top-k"),
     "q_sim_ann_lsh": Query(q_sim_ann_lsh, None, "hyperplane-LSH approximate top-k"),
     "q_sim_ann_ivf": Query(q_sim_ann_ivf, None, "IVF inverted-list approximate top-k"),
-    "q_sim_ann_lsh_recall": Query(q_sim_ann_lsh_recall, SQL_ANN_RECALL, "multi-probe LSH recall vs brute force (tolerance oracle)"),
-    "q_sim_ann_ivf_recall": Query(q_sim_ann_ivf_recall, SQL_ANN_RECALL, "IVF recall vs brute force (tolerance oracle)"),
+    "q_sim_ann_lsh_recall": Query(q_sim_ann_lsh_recall, _sql_ann_recall(0.9), "multi-probe LSH recall vs brute force (tolerance oracle)"),
+    "q_sim_ann_ivf_recall": Query(q_sim_ann_ivf_recall, _sql_ann_recall(0.8), "IVF recall vs brute force (tolerance oracle)"),
     "q_text_stats": Query(q_text_stats, SQL_TEXT_STATS, "per-doc text statistics"),
     "q_text_quality": Query(q_text_quality, SQL_TEXT_QUALITY, "composite quality score"),
     "q_text_langid": Query(q_text_langid, SQL_TEXT_LANGID, "stopword-vote language ID"),

@@ -140,7 +140,7 @@ FROM rolled GROUP BY l_suppkey
 """
 
 
-def q_window_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_window_rank_dist_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DEMO SHAPE: Window.orderBy with no partition key funnels the whole
     # table through one task — fine for a dimension-sized input, dead at
     # 100 TB. q_window_rank_scalable computes the identical answer with
@@ -161,7 +161,7 @@ def q_window_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (operators/windows.py::global_row_number) — no single-partition
     # window anywhere. rank == row_number here because the order carries
     # a unique tiebreak (c_custkey); ntile/percent_rank are recovered
-    # arithmetically from (rn, n). Same oracle as q_window_rank_dist.
+    # arithmetically from (rn, n). Same oracle as q_window_rank_dist_demo.
     c = table(spark, sf_dir, "customer")
     n = c.count()
     ranked = global_row_number(c, ["c_acctbal", "c_custkey"], out="rnk")
@@ -190,7 +190,7 @@ FROM customer
 
 def q_window_cume_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The 100 TB form of dense_rank + cume_dist (scalable twin of
-    # registry/extra.py::q_window_cume; same oracle):
+    # registry/extra.py::q_window_cume_demo; same oracle):
     #   * dense_rank(key) == rank of the key within the DISTINCT key set
     #     — rank the distinct set with global_row_number (stays scalable
     #     at any key cardinality) and broadcast-join it back;
@@ -245,7 +245,7 @@ QUERIES: dict[str, Query] = {
     "q_window_range_frame": Query(
         q_window_range_frame, SQL_WINDOW_RANGE_FRAME, "time-RANGE frame (trailing 3-day sum)"
     ),
-    "q_window_rank_dist": Query(q_window_rank_dist, SQL_WINDOW_RANK_DIST, "ntile/rank/percent_rank"),
+    "q_window_rank_dist_demo": Query(q_window_rank_dist_demo, SQL_WINDOW_RANK_DIST, "ntile/rank/percent_rank"),
     "q_window_rank_scalable": Query(q_window_rank_scalable, SQL_WINDOW_RANK_DIST, "distributed global rank (range-partitioned, no single-task window)"),
     "q_window_cume_scalable": Query(
         q_window_cume_scalable,

@@ -41,7 +41,7 @@ ALL_LAZY = [
 
 # The only queries allowed to plan a single-partition Window: labeled
 # DEMO shapes whose scalable twins compute the identical answer.
-_SINGLE_PARTITION_WINDOW_DEMOS = {"q_window_rank_dist", "q_window_cume"}
+_SINGLE_PARTITION_WINDOW_DEMOS = {"q_window_rank_dist_demo", "q_window_cume_demo"}
 
 
 @pytest.mark.parametrize("name,q", ALL_LAZY, ids=[n for n, _ in ALL_LAZY])
