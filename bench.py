@@ -62,6 +62,51 @@ HEADLINE = [
 #: cluster scale, dominant on a cold local JVM).
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
+#: Host-drift calibration (VERDICT r3 item 5). Two rounds in a row the
+#: cross-round bench comparison needed manual "uniform shift" forensics
+#: after host reboots moved every timing by a constant factor. Anchors:
+#:   * duckdb_q01 — the DuckDB-side runtime of the Q01 oracle SQL over
+#:     the same parquet: a pure CPU+IO number with no JVM in the loop;
+#:   * spark_scan_agg — a fixed parquet scan + 2-agg on lineitem: the
+#:     smallest end-to-end Spark action.
+#: Reference values measured at sf0.1 on the round-4 host INSIDE a full
+#: bench run (the warmed-session context matters: the same scan-agg
+#: measures ~2x slower in a fresh session; two back-to-back bench runs
+#: agreed within 10% on both anchors). Each bench run re-measures both,
+#: reports the drift factor (geometric mean of the two anchor ratios),
+#: and emits queries_normalized = raw / drift so rounds compare on
+#: equal footing.
+CAL_REF = {"duckdb_q01": 0.077, "spark_scan_agg": 0.112}
+
+
+def _measure_calibration(spark, sf_dir: str, q01_sql: str) -> dict[str, float]:
+    import duckdb  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    best_duck = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        con.execute(q01_sql).fetchall()
+        best_duck = min(best_duck, time.time() - t0)
+
+    def scan_agg() -> None:
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+            F.sum("l_quantity"), F.count(F.lit(1))
+        ).collect()
+
+    scan_agg()  # warm
+    best_scan = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        scan_agg()
+        best_scan = min(best_scan, time.time() - t0)
+    return {"duckdb_q01": round(best_duck, 4), "spark_scan_agg": round(best_scan, 4)}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -96,6 +141,19 @@ def main() -> None:
             timings[name] = min(timings[name], time.time() - t0)
     timings = {k: round(v, 3) for k, v in timings.items()}
 
+    cal = _measure_calibration(spark, sf_dir, registry["q01_pricing_summary"].sql)
+    # Drift vs the pinned reference host: geometric mean of the two
+    # anchor ratios. CAL_REF is an sf0.1 measurement, so normalization
+    # only applies at sf0.1; other SFs report drift 1.0 (raw == norm).
+    if abs(sf - 0.1) < 1e-9:
+        drift = (
+            (cal["duckdb_q01"] / CAL_REF["duckdb_q01"])
+            * (cal["spark_scan_agg"] / CAL_REF["spark_scan_agg"])
+        ) ** 0.5
+    else:
+        drift = 1.0
+    normalized = {k: round(v / drift, 3) for k, v in timings.items()}
+
     print(
         json.dumps(
             {
@@ -104,6 +162,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration": {**cal, "reference": CAL_REF, "drift": round(drift, 3)},
+                "value_normalized": round(sum(normalized.values()), 3),
+                "queries_normalized": normalized,
             }
         )
     )

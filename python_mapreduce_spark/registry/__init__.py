@@ -33,81 +33,81 @@ class Query:
 
 
 # The driver verifies a prefix window of all_queries() (50 entries per
-# round), so iteration order IS correctness coverage. Round-3 rotation
-# (VERDICT r2 item 1): the 30 registry entries that have never had a
-# driver row lead the window — after this round every one of the
-# registered queries has a cumulative driver-green row (r01∪r02∪r03).
-# The new q_window_cume_scalable follows, then the remaining slots go to
-# the entries whose code or input data changed this round (the q11/q15
-# exchange-reuse rewrite, the events.ts TIMESTAMP_NTZ regen, the
-# simhash/clusters/upsert ADVICE fixes' neighbors).
+# round), so iteration order IS correctness coverage. Round-4 rotation
+# (VERDICT r3 item 1): lead with the only 2 entries that have never had
+# a driver row (landed after the r3 window was fixed), then refresh the
+# 41 queries whose only driver-green rows are from r01 — before the
+# driver regenerated testdata (events.ts NANOS→MICROS) — so that after
+# this round every registry entry has a hard row on the CURRENT data
+# (r03∪r04). The last 7 slots balance two pulls: queries whose code or
+# oracle changed this round (the tightened LSH recall floor, the
+# output_dir-path incremental dedup, the renamed window demos — the
+# cumulative driver record is name-keyed, so the new names need fresh
+# rows) and window breadth (one r02-stale entry from each module the
+# 43 freshness slots leave uncovered: tpch3, joins, mr). The remaining
+# changed entries (q_sim_ann_ivf_recall, q_dedup_simhash_eval,
+# q_stream_incremental) lead the tail at positions 51+ — all three are
+# replica-verified at sf0.01+sf0.1 this round, and the latter two
+# already hold r03 rows under unchanged names.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked (30) --
-    # TPC-H shapes (the only §2.2 workloads without a driver row ever)
-    "q03_shipping_priority",
-    "q05_region_revenue",
-    # streaming: stateful/sliding/session/stream-stream
-    "q_stream_stateful_max",
-    "q_stream_sliding",
-    "q_stream_session_window",
-    "q_stream_stream_join",
-    # UDF surface modes (O7): Python UDTF + grouped-agg pandas UDAF
-    "q_mr_udtf_tokens",
-    "q_mr_udaf_wavg",
-    # dedup: clusters / simhash / matmul regime
-    "q_dedup_clusters",
-    "q_dedup_simhash",
-    "q_dedup_simhash_eval",
-    "q_dedup_embedding_matmul",
-    # ANN result sets (their recall twins were green in r02)
-    "q_sim_ann_lsh",
-    "q_sim_ann_ivf",
-    # windows: lag/moving-avg/rank demo + scalable twin
-    "q_window_lag",
-    "q_window_moving_avg",
+    # -- never driver-checked (2) --
+    "q_text_fuzzy_match",
+    "q_embedding_norm",
+    # -- only driver row predates the testdata regen (41) --
+    "q_json_extract",
+    "q_orders_by_month",
+    "q_scalar_datetime",
+    "q_scalar_string",
+    "q_scalar_math",
+    "q_case_when",
+    "q_fillna",
+    "q_posexplode",
+    "q_filter_project",
+    "q_distinct",
+    "q_count_distinct",
+    "q_topk_orders",
+    "q_offset_page",
+    "q_union",
+    "q_intersect",
+    "q_intersect_all",
+    "q_except",
+    "q_except_all",
+    "q_pivot",
+    "q_unpivot",
+    "q_rollup",
+    "q_cube",
+    "q_grouping_sets",
+    "q_rollup_grouping",
+    "q_stats_agg",
+    "q_median_agg",
+    "q_mode_agg",
+    "q_string_agg",
+    "q_bool_agg",
+    "q_sample_agg",
+    "q_sample_stratified",
+    "q_salted_agg",
+    "q_scalar_subquery",
+    "q_window_firstlast",
+    "q04_priority_check",
+    "q06_forecast_revenue",
+    "q07_nation_volume",
+    "q10_returned_items",
+    "q12_priority_by_status",
+    "q13_order_count_dist",
+    "q14_promo_share",
+    # -- changed this round (oracle tightened / path rerouted / renamed)
+    # plus module breadth (stalest r02 entry of each uncovered module) --
+    "q_sim_ann_lsh_recall",
     "q_window_rank_dist_demo",
-    "q_window_rank_scalable",
-    # joins: bucketed big-big range, salted, forward as-of
-    "q_join_range_bucketed",
-    "q_join_salted",
-    "q_join_asof_fwd",
-    # text/multimodal/pipeline
-    "q_text_quality",
-    "q_token_count_bpe",
-    "q_pipeline_prepare",
-    "q_doc_chunking",
-    "q_multimodal_features",
-    "q_multimodal_frames",
-    # sinks + diagnostics
-    "q_upsert",
-    "q_freq_items",
-    "q_skew_report",
-    # -- new this round (q_window_cume_scalable = the scalable twin of
-    # the cume demo; q_dedup_embedding_auto = the regime dispatcher;
-    # q_visible_files/q_corrupt_capture/q_job_cascade give O4/O19/
-    # O27-O29 — previously pytest-only side-effect operators — their
-    # first oracle rows via deterministic-construction queries) --
-    "q_window_cume_scalable",
-    "q_dedup_embedding_auto",
-    "q_visible_files",
-    "q_corrupt_capture",
-    "q_job_cascade",
-    "q_stream_incremental_dedup",
-    # -- changed this round (code or input data) --
-    "q11_revenue_share",
-    "q15_top_supplier",
     "q_window_cume_demo",
-    "q_sessionize",
-    "q_stream_tumbling",
+    "q_stream_incremental_dedup",
+    "q02_min_cost_supplier",
+    "q_join_theta",
+    "q_mr_wordcount",
+    # -- tail head: first in line beyond the 50-entry window --
+    "q_sim_ann_ivf_recall",
+    "q_dedup_simhash_eval",
     "q_stream_incremental",
-    "q_stream_dedup_watermark",
-    "q_join_asof",
-    "q17_small_quantity_revenue",
-    "q_window_range_frame",
-    "q_dedup_jaccard",
-    "q_dedup_minhash",
-    "q_dedup_embedding",
-    "q01_pricing_summary",
 )
 
 

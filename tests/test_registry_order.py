@@ -28,7 +28,11 @@ SF_DIR = "/root/testdata/sf0.001"
 def test_priority_prefix_is_the_window():
     names = list(all_queries())
     assert names[: len(DRIVER_PRIORITY)] == list(DRIVER_PRIORITY)
-    assert len(DRIVER_PRIORITY) == WINDOW
+    # The first WINDOW entries are what the driver checks; entries past
+    # that are an explicitly-ordered tail head (next in line if the
+    # window ever widens), so the list may exceed WINDOW but not fall
+    # short of it.
+    assert len(DRIVER_PRIORITY) >= WINDOW
 
 
 def test_window_spans_every_module():
