@@ -127,18 +127,26 @@ def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     events = table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="incr_")
-    in_dir, ckpt = os.path.join(work, "in"), os.path.join(work, "ckpt")
-
-    events.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(in_dir)
-    p1 = collect_incremental_counts(spark, in_dir, ckpt, ["event_type"], "value")
-    events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(in_dir)
-    p2 = collect_incremental_counts(spark, in_dir, ckpt, ["event_type"], "value")
-
-    import pandas as pd
-
-    partials = spark.createDataFrame(
-        pd.concat([p1, p2], ignore_index=True), "event_type string, n long, s double"
+    in_dir, ckpt, out_dir = (
+        os.path.join(work, "in"),
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "partials"),
     )
+
+    # output_dir= exercises the at-scale partial-aggregate path: each
+    # pass writes its partials to an idempotent ingest_epoch partition;
+    # the running total is a sum over the read-back partitions, and no
+    # partial ever visits the driver.
+    events.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(in_dir)
+    collect_incremental_counts(
+        spark, in_dir, ckpt, ["event_type"], "value", output_dir=out_dir
+    )
+    events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(in_dir)
+    collect_incremental_counts(
+        spark, in_dir, ckpt, ["event_type"], "value", output_dir=out_dir
+    )
+
+    partials = spark.read.parquet(out_dir)
     return partials.groupBy("event_type").agg(
         F.sum("n").alias("n_events"), dround(F.sum("s")).alias("sum_value")
     )

@@ -219,19 +219,35 @@ def collect_incremental_counts(
     checkpoint_dir: str,
     keys: list[str],
     value_col: str,
+    *,
+    output_dir: str | None = None,
 ) -> pd.DataFrame:
-    """Run one incremental pass aggregating count+sum per key; returns the
-    partial aggregate for THIS pass's new files (additive with prior
-    passes — the f(A+B) = f(A)+f(B) contract, README.txt:18)."""
+    """Run one incremental pass aggregating count+sum per key; the
+    partial aggregate covers THIS pass's new files (additive with prior
+    passes — the f(A+B) = f(A)+f(B) contract, README.txt:18).
+
+    With ``output_dir`` the partials are written as parquet into a
+    hive-style ``ingest_epoch=<epoch>/`` partition (mode=overwrite, so a
+    crash-replay of the batch overwrites rather than double-appends —
+    exactly-once per epoch) and an EMPTY frame is returned; summing the
+    read-back partitions gives the running total without any partial
+    ever visiting the driver — the at-scale mode for high-cardinality
+    keys. Without it, partials come back as pandas (keys are
+    contract-small: event types, dates)."""
     parts: list[pd.DataFrame] = []
 
-    def on_batch(batch: DataFrame, _epoch: int) -> None:
+    def on_batch(batch: DataFrame, epoch: int) -> None:
         agg = (
             normalize_event_ts(batch)
             .groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("s"))
         )
-        parts.append(agg.toPandas())
+        if output_dir is not None:
+            agg.write.mode("overwrite").parquet(
+                os.path.join(output_dir, f"ingest_epoch={epoch}")
+            )
+        else:
+            parts.append(agg.toPandas())
 
     incremental_pass(spark, input_dir, checkpoint_dir, on_batch)
     if not parts:

@@ -73,6 +73,33 @@ def test_restart_from_checkpoint_does_not_reprocess(spark, events, tmp_path):
     assert p2.empty or p2["n"].sum() == 0
 
 
+def test_incremental_counts_output_dir_partials_are_exactly_once(spark, events, tmp_path):
+    # output_dir mode: partials land in ingest_epoch partitions instead
+    # of the driver, and a replayed pass (fresh checkpoint, same files,
+    # same epoch ordinal) overwrites its partition — summing the
+    # read-back never double-counts.
+    from python_mapreduce_spark.streaming.incremental import collect_incremental_counts
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    events.limit(100).write.mode("append").parquet(in_dir)
+    p = collect_incremental_counts(
+        spark, in_dir, str(tmp_path / "ck1"), ["event_type"], "value",
+        output_dir=out_dir,
+    )
+    assert p.empty  # partials never visit the driver in at-scale mode
+    first = spark.read.parquet(out_dir)
+    assert first.agg(F.sum("n")).collect()[0][0] == 100
+
+    # replay with a fresh checkpoint: epoch 0 partition is overwritten
+    collect_incremental_counts(
+        spark, in_dir, str(tmp_path / "ck2"), ["event_type"], "value",
+        output_dir=out_dir,
+    )
+    back = spark.read.parquet(out_dir)
+    assert back.agg(F.sum("n")).collect()[0][0] == 100
+    assert back.select("ingest_epoch").distinct().count() == 1
+
+
 def test_streaming_append_session_windows_close_with_watermark(spark, events, tmp_path):
     # Append-mode session windows: with the watermark past every event
     # (AvailableNow drains the source, then advances the watermark), all
