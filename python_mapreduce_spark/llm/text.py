@@ -193,3 +193,108 @@ def bpe_token_counts(df: DataFrame, group_cols: Sequence[str], text_col: str) ->
         F.sum(n).cast("long").alias("total_bpe_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
+    """Per-document intra-repetition: total vs distinct word n-grams and
+    the duplicate fraction — the Gopher/C4-style quality filter that
+    drops boilerplate and degenerate (looping) generations. Beyond the
+    reference surface (SURVEY.md §2.2 north-star extensions).
+
+    Same one-regex-pass n-gram extraction as :func:`shingle_sets`, kept
+    UN-deduplicated so the duplicate fraction is measurable; stays inside
+    whole-stage codegen. At 100 TB this is a pure map — no shuffle.
+    """
+    token, sep = "[a-z]+", " "
+    if n == 1:
+        grams = tokenize(text_col)
+    else:
+        window = sep.join([token] * n)
+        pattern = f"(?=({window})){token}{sep}"
+        grams = F.regexp_extract_all(
+            F.array_join(tokenize(text_col), sep), F.lit(pattern), F.lit(1)
+        )
+    n_grams = F.size(grams).cast("long")
+    n_distinct = F.size(F.array_distinct(grams)).cast("long")
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        dround(
+            (n_grams - n_distinct) / F.greatest(n_grams, F.lit(1)).cast("double"), 4
+        ).alias("rep_ratio"),
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination check: per corpus document, the fraction
+    of its distinct word n-grams that appear anywhere in ``eval_set`` —
+    the standard train/test-overlap audit run before training. Beyond
+    the reference surface (SURVEY.md §2.2 north-star extensions).
+
+    Plan shape for 100 TB: the eval side is benchmark-sized by contract,
+    so its distinct n-gram set is BROADCAST and the corpus streams
+    through a map-side hash join — the corpus is scanned once, never
+    shuffled on text; the only shuffle is the per-doc count aggregation
+    keyed by doc id. Long n-grams (default 8) make background collisions
+    negligible, so nonzero overlap means genuine leakage.
+    """
+    c = shingle_sets(corpus, id_col, text_col, n)
+    ev = (
+        shingle_sets(eval_set, id_col, text_col, n)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    sizes = c.select("id", F.size("shingles").cast("long").alias("n_grams"))
+    posts = c.select("id", F.explode("shingles").alias("g"))
+    hits = posts.join(F.broadcast(ev), "g").groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_contaminated")
+    )
+    return sizes.join(hits, "id", "left").select(
+        "id",
+        "n_grams",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        dround(
+            F.coalesce("n_contaminated", F.lit(0))
+            / F.greatest("n_grams", F.lit(1)).cast("double"),
+            4,
+        ).alias("contamination"),
+    )
+
+
+#: PII patterns chosen to parse identically under Java regex (Spark) and
+#: RE2 (DuckDB): plain character classes, no backrefs or lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+1-555-[0-9]{4}"
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII detection + redaction: email and NANP-style
+    phone spans are counted and replaced with typed placeholders; emits
+    (id, n_emails, n_phones, redacted_len, redacted text). Beyond the
+    reference surface (SURVEY.md §2.2 north-star extensions).
+
+    Pure Catalyst regexp pass — a map with no shuffle at any scale. The
+    pattern set is deliberately small and deterministic; the operator
+    shape (count + replace + audit columns) is the product — swap in
+    production pattern packs (SSNs, IBANs, addresses) the same way.
+    """
+    text = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), F.lit(0))).cast("long")
+    n_phones = F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), F.lit(0))).cast("long")
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+        redacted.alias("redacted"),
+    )

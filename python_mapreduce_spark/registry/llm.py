@@ -33,11 +33,14 @@ from python_mapreduce_spark.llm.similarity import ann_topk_lsh, cosine_topk
 from python_mapreduce_spark.llm.text import (
     fingerprint,
     language_id,
+    ngram_contamination,
+    pii_scrub,
     quality_score,
+    repetition_stats,
     text_stats,
     token_counts,
 )
-from python_mapreduce_spark.functions.scalar import dround
+from python_mapreduce_spark.functions.scalar import dround, sql_dround
 from python_mapreduce_spark.registry import Query
 from python_mapreduce_spark.registry._util import table
 
@@ -733,6 +736,111 @@ FROM (SELECT doc_id, text,
 """
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher/C4-style intra-document repetition filter: duplicate 2-gram
+    # fraction per doc (llm/text.py::repetition_stats). A pure Catalyst
+    # map — no shuffle at any scale.
+    return repetition_stats(table(spark, sf_dir, "documents"), "doc_id", "text", n=2)
+
+
+SQL_DOC_REPETITION = f"""
+WITH grams AS (
+  SELECT doc_id AS id,
+         list_transform(
+           generate_series(1, greatest(len(toks) - 1, 0)),
+           i -> array_to_string(toks[i:i+1], ' ')
+         ) AS gs
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents)
+)
+SELECT id,
+       CAST(len(gs) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+       {sql_dround('(len(gs) - len(list_distinct(gs))) / CAST(greatest(len(gs), 1) AS DOUBLE)', 4)} AS rep_ratio
+FROM grams
+"""
+
+
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benchmark-contamination audit: every 25th document plays the role
+    # of a held-out eval set; the rest of the corpus is checked for
+    # 8-gram overlap against it (llm/text.py::ngram_contamination). On
+    # this corpus the only nonzero rows are planted near-dup partners of
+    # eval docs — exactly the leakage the audit exists to catch. The
+    # eval n-gram set is broadcast; the corpus never shuffles on text.
+    docs = table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    return ngram_contamination(corpus, ev, "doc_id", "text", n=8)
+
+
+SQL_TEXT_CONTAMINATION = f"""
+WITH sets AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 7, 0)),
+           i -> array_to_string(toks[i:i+7], ' ')
+         )) AS shingles
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents)
+),
+ev AS (SELECT DISTINCT unnest(shingles) AS g FROM sets WHERE id % 25 = 0),
+corpus AS (SELECT id, shingles FROM sets WHERE id % 25 <> 0),
+posts AS (SELECT id, unnest(shingles) AS g FROM corpus),
+hits AS (SELECT id, count(*) AS n_hit FROM posts JOIN ev USING (g) GROUP BY id)
+SELECT c.id,
+       CAST(len(c.shingles) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+       {sql_dround('coalesce(h.n_hit, 0) / CAST(greatest(len(c.shingles), 1) AS DOUBLE)', 4)} AS contamination
+FROM corpus c LEFT JOIN hits h ON c.id = h.id
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII detection + redaction (llm/text.py::pii_scrub). The corpus
+    # carries no PII, so every 7th document gets a deterministic
+    # synthetic email + phone appended — constructed identically in the
+    # oracle — and the redacted text itself is part of the compared row,
+    # so replacement semantics (not just counts) are verified.
+    docs = table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com call +1-555-"),
+                (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    return pii_scrub(injected, "doc_id", "t")
+
+
+SQL_PII_REDACT = r"""
+WITH injected AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com call +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+              ELSE text END AS t
+  FROM documents
+)
+SELECT id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+       CAST(length(regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len,
+       regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+FROM injected
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, "exact dedup on normalized text"),
     "q_dedup_jaccard": Query(q_dedup_jaccard, _SQL_JACCARD_PAIRS_CAPPED, "3-gram Jaccard near-dup pairs (df-capped)"),
@@ -753,6 +861,9 @@ QUERIES: dict[str, Query] = {
     "q_sim_ann_lsh_recall": Query(q_sim_ann_lsh_recall, _sql_ann_recall(0.9), "multi-probe LSH recall vs brute force (tolerance oracle)"),
     "q_sim_ann_ivf_recall": Query(q_sim_ann_ivf_recall, _sql_ann_recall(0.8), "IVF recall vs brute force (tolerance oracle)"),
     "q_text_stats": Query(q_text_stats, SQL_TEXT_STATS, "per-doc text statistics"),
+    "q_doc_repetition": Query(q_doc_repetition, SQL_DOC_REPETITION, "intra-doc duplicate n-gram fraction (Gopher filter)"),
+    "q_text_contamination": Query(q_text_contamination, SQL_TEXT_CONTAMINATION, "train/eval 8-gram contamination audit"),
+    "q_pii_redact": Query(q_pii_redact, SQL_PII_REDACT, "PII span count + redaction"),
     "q_text_quality": Query(q_text_quality, SQL_TEXT_QUALITY, "composite quality score"),
     "q_text_langid": Query(q_text_langid, SQL_TEXT_LANGID, "stopword-vote language ID"),
     "q_text_fingerprint": Query(q_text_fingerprint, SQL_TEXT_FINGERPRINT, "normalized MD5 fingerprint"),

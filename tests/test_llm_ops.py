@@ -346,3 +346,49 @@ def test_connected_components_chain_and_islands(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_repetition_stats_counts_duplicate_ngrams(spark):
+    from python_mapreduce_spark.llm.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "x y z"), (3, "w w w w w")], "id long, text string"
+    )
+    out = {r.id: r for r in repetition_stats(df, "id", "text", n=2).collect()}
+    # "a b a b" -> bigrams [ab, ba, ab]: 3 total, 2 distinct
+    assert (out[1].n_grams, out[1].n_distinct, out[1].rep_ratio) == (3, 2, 0.3333)
+    assert out[2].rep_ratio == 0.0
+    # "w w w w w" -> [ww]*4: 4 total, 1 distinct
+    assert (out[3].n_grams, out[3].n_distinct, out[3].rep_ratio) == (4, 1, 0.75)
+
+
+def test_ngram_contamination_flags_only_leaked_docs(spark):
+    from python_mapreduce_spark.llm.text import ngram_contamination
+
+    leak = "alpha beta gamma delta epsilon zeta"
+    corpus = spark.createDataFrame(
+        [(1, leak), (2, "one two three four five six")], "id long, text string"
+    )
+    eval_set = spark.createDataFrame([(100, leak)], "id long, text string")
+    out = {r.id: r for r in
+           ngram_contamination(corpus, eval_set, "id", "text", n=3).collect()}
+    assert out[1].contamination == 1.0 and out[1].n_contaminated == out[1].n_grams
+    assert out[2].contamination == 0.0 and out[2].n_contaminated == 0
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from python_mapreduce_spark.llm.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.org or call +1-555-0199"),
+            (2, "no pii here at all"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r for r in pii_scrub(df, "id", "text").collect()}
+    assert (out[1].n_emails, out[1].n_phones) == (1, 1)
+    assert "<EMAIL>" in out[1].redacted and "<PHONE>" in out[1].redacted
+    assert "jane" not in out[1].redacted and "0199" not in out[1].redacted
+    assert (out[2].n_emails, out[2].n_phones) == (0, 0)
+    assert out[2].redacted == "no pii here at all"
