@@ -33,6 +33,41 @@ def sample_rows(df: DataFrame, fraction: float, *, seed: int = 42) -> DataFrame:
     return df.sample(fraction=fraction, seed=seed)
 
 
+def domain_mix(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    target: dict[str, float],
+) -> DataFrame:
+    """Deterministic hash-based domain rebalancing: keep each row of
+    domain d with probability ``target[d]`` — the training-data "domain
+    mixing" step that downsamples over-represented sources to a target
+    distribution. Domains absent from ``target`` are dropped.
+
+    Keep rule: first 4 hex chars of md5(id) compared against the
+    fraction as a hex threshold — uniform, reproducible in any engine
+    (granularity 1/65536), and independent of row order or partitioning.
+    A pushed-down filter at any scale: no shuffle, no UDF, no RNG state.
+    Beyond the reference surface (SURVEY.md §2.2 north-star extensions);
+    the seeded-Bernoulli variant for non-auditable sampling is
+    :func:`stratified_sample`.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    pred = None
+    for domain, frac in target.items():
+        p = F.col(domain_col) == domain
+        if frac < 1.0:
+            # strict < against a 4-hex-digit threshold; frac >= 1.0
+            # keeps the whole domain (65536 has 5 digits and would
+            # compare lexicographically below 'ffff').
+            thr = format(max(0, round(frac * 65536)), "04x")
+            p = p & (bucket < F.lit(thr))
+        pred = p if pred is None else (pred | p)
+    return df.filter(pred)
+
+
 def union_all(frames: Sequence[DataFrame]) -> DataFrame:
     """Bag union by column name — the reference's multi-dir input concat
     (mapper.py:75-78), schema-safe."""

@@ -104,15 +104,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q02_min_cost_supplier",
     "q_join_theta",
     "q_mr_wordcount",
-    # -- tail head: first in line beyond the 50-entry window (the three
+    # -- tail head: first in line beyond the 50-entry window (the four
     # r4-new pipeline queries follow the three replica-verified changed
-    # entries; all six lead the r5 window) --
+    # entries; all seven lead the r5 window) --
     "q_sim_ann_ivf_recall",
     "q_dedup_simhash_eval",
     "q_stream_incremental",
     "q_doc_repetition",
     "q_text_contamination",
     "q_pii_redact",
+    "q_domain_mix",
 )
 
 

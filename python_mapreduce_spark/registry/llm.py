@@ -794,6 +794,52 @@ FROM corpus c LEFT JOIN hits h ON c.id = h.id
 """
 
 
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Domain-mixing audit: rebalance the corpus to a target per-lang
+    # keep rate with the deterministic md5-bucket rule
+    # (operators/relational.py::domain_mix — a pushed-down filter, no
+    # shuffle, no RNG state), then report per-lang before/after counts
+    # and the achieved rate. The oracle replays the identical hash rule.
+    from python_mapreduce_spark.operators.relational import domain_mix  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents")
+    target = {"en": 1.0, "de": 0.5, "es": 0.25, "zh": 0.1}
+    kept = domain_mix(docs, "lang", "doc_id", target).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_after")
+    )
+    before = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    return (
+        before.join(kept, "lang", "left")
+        .filter(F.col("lang").isin(*target))
+        .select(
+            "lang",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            dround(
+                F.coalesce("n_after", F.lit(0)) / F.col("n_before").cast("double"), 4
+            ).alias("achieved"),
+        )
+    )
+
+
+SQL_DOMAIN_MIX = f"""
+WITH target(lang, thr) AS (VALUES
+  ('en', 'zzzz'), ('de', '{format(round(0.5 * 65536), "04x")}'),
+  ('es', '{format(round(0.25 * 65536), "04x")}'), ('zh', '{format(round(0.1 * 65536), "04x")}')),
+kept AS (
+  SELECT d.lang, count(*) AS n_after
+  FROM documents d JOIN target t ON d.lang = t.lang
+  WHERE t.thr = 'zzzz' OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < t.thr
+  GROUP BY d.lang
+)
+SELECT b.lang, b.n_before, CAST(coalesce(k.n_after, 0) AS BIGINT) AS n_after,
+       {sql_dround('coalesce(k.n_after, 0) / CAST(b.n_before AS DOUBLE)', 4)} AS achieved
+FROM (SELECT lang, count(*) AS n_before FROM documents
+      WHERE lang IN ('en', 'de', 'es', 'zh') GROUP BY lang) b
+LEFT JOIN kept k ON b.lang = k.lang
+"""
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PII detection + redaction (llm/text.py::pii_scrub). The corpus
     # carries no PII, so every 7th document gets a deterministic
@@ -864,6 +910,7 @@ QUERIES: dict[str, Query] = {
     "q_doc_repetition": Query(q_doc_repetition, SQL_DOC_REPETITION, "intra-doc duplicate n-gram fraction (Gopher filter)"),
     "q_text_contamination": Query(q_text_contamination, SQL_TEXT_CONTAMINATION, "train/eval 8-gram contamination audit"),
     "q_pii_redact": Query(q_pii_redact, SQL_PII_REDACT, "PII span count + redaction"),
+    "q_domain_mix": Query(q_domain_mix, SQL_DOMAIN_MIX, "deterministic domain-mix downsampling audit"),
     "q_text_quality": Query(q_text_quality, SQL_TEXT_QUALITY, "composite quality score"),
     "q_text_langid": Query(q_text_langid, SQL_TEXT_LANGID, "stopword-vote language ID"),
     "q_text_fingerprint": Query(q_text_fingerprint, SQL_TEXT_FINGERPRINT, "normalized MD5 fingerprint"),

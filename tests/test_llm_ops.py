@@ -392,3 +392,20 @@ def test_pii_scrub_counts_and_redacts(spark):
     assert "jane" not in out[1].redacted and "0199" not in out[1].redacted
     assert (out[2].n_emails, out[2].n_phones) == (0, 0)
     assert out[2].redacted == "no pii here at all"
+
+
+def test_domain_mix_deterministic_and_near_target(spark):
+    from python_mapreduce_spark.operators.relational import domain_mix
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    target = {"a": 1.0, "b": 0.5}  # c dropped entirely
+    out1 = domain_mix(df, "lang", "id", target)
+    counts = {r.lang: r.n for r in out1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["a"] == 1000          # frac 1.0 keeps every row
+    assert "c" not in counts            # absent domain dropped
+    assert 400 < counts["b"] < 600      # hash-uniform near 50%
+    # determinism: same inputs -> identical kept id set
+    ids1 = {r.id for r in out1.select("id").collect()}
+    ids2 = {r.id for r in domain_mix(df, "lang", "id", target).select("id").collect()}
+    assert ids1 == ids2
