@@ -55,6 +55,11 @@ HEADLINE = [
     # random background, so banding has no pruning power at sf0.1.
     "q_dedup_embedding",
     "q_window_cume_scalable",
+    # Round-4 additions: the new training-data pipeline operators.
+    "q_doc_repetition",
+    "q_text_contamination",
+    "q_pii_redact",
+    "q_domain_mix",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings
