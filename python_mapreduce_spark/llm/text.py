@@ -245,25 +245,33 @@ def ngram_contamination(
     keyed by doc id. Long n-grams (default 8) make background collisions
     negligible, so nonzero overlap means genuine leakage.
     """
-    c = shingle_sets(corpus, id_col, text_col, n)
     ev = (
         shingle_sets(eval_set, id_col, text_col, n)
         .select(F.explode("shingles").alias("g"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    sizes = c.select("id", F.size("shingles").cast("long").alias("n_grams"))
-    posts = c.select("id", F.explode("shingles").alias("g"))
-    hits = posts.join(F.broadcast(ev), "g").groupBy("id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_contaminated")
+    # ONE corpus pass: carry the per-doc gram count alongside the
+    # exploded grams (explode_outer keeps gram-less docs, whose null
+    # gram never matches the eval side), tag hits via the broadcast
+    # join, and aggregate both counts in the same shuffle. A separate
+    # sizes-frame join would re-run the n-gram extraction — the most
+    # expensive stage — a second time over the whole corpus.
+    posts = shingle_sets(corpus, id_col, text_col, n).select(
+        "id",
+        F.size("shingles").cast("long").alias("n_grams"),
+        F.explode_outer("shingles").alias("g"),
     )
-    return sizes.join(hits, "id", "left").select(
+    tagged = posts.join(F.broadcast(ev), "g", "left")
+    return tagged.groupBy("id").agg(
+        F.max("n_grams").alias("n_grams"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+    ).select(
         "id",
         "n_grams",
-        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        "n_contaminated",
         dround(
-            F.coalesce("n_contaminated", F.lit(0))
-            / F.greatest("n_grams", F.lit(1)).cast("double"),
-            4,
+            F.col("n_contaminated") / F.greatest("n_grams", F.lit(1)).cast("double"), 4
         ).alias("contamination"),
     )
 

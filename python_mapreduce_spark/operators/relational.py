@@ -55,16 +55,21 @@ def domain_mix(
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
-    pred = None
+    pred = F.lit(False)  # empty target => every domain dropped
     for domain, frac in target.items():
         p = F.col(domain_col) == domain
         if frac < 1.0:
-            # strict < against a 4-hex-digit threshold; frac >= 1.0
-            # keeps the whole domain (65536 has 5 digits and would
-            # compare lexicographically below 'ffff').
-            thr = format(max(0, round(frac * 65536)), "04x")
+            # Strict < against a 4-hex-digit threshold; frac >= 1.0
+            # keeps the whole domain unconditionally. The threshold is
+            # clamped to 0xffff: a fraction within 1/131072 of 1.0
+            # would otherwise round to 65536, whose 5-digit hex string
+            # compares lexicographically BELOW most 4-digit buckets and
+            # would silently keep ~6% instead of ~100%. The clamp costs
+            # at most 1/65536 of the requested rate (the rule's
+            # granularity anyway).
+            thr = format(min(0xFFFF, max(0, round(frac * 65536))), "04x")
             p = p & (bucket < F.lit(thr))
-        pred = p if pred is None else (pred | p)
+        pred = pred | p
     return df.filter(pred)
 
 

@@ -233,15 +233,38 @@ def require_utc_session(spark: SparkSession) -> None:
     """Guard for NTZ→LTZ casts: they are a pure relabeling ONLY when the
     session timezone is UTC (the generator writes UTC wall-clock micros).
     On any other timezone the cast would silently shift every event
-    instant, so fail loudly and point at the fix."""
+    instant, so fail loudly and point at the fix. Any zero-offset zone
+    id counts as UTC ('Etc/UTC', 'GMT', '+00:00', ... — e.g. inherited
+    from the JVM default on a UTC host), not just the literal 'UTC'."""
     tz = spark.conf.get("spark.sql.session.timeZone")
-    if tz != "UTC":
+    if not _is_utc_zone(tz):
         raise ValueError(
             f"events.ts is TIMESTAMP_NTZ and spark.sql.session.timeZone={tz!r}; "
             "the NTZ->timestamp cast is only correct under UTC. Call "
             "python_mapreduce_spark.session.tune(spark) (or set the conf to "
             "'UTC') before loading events."
         )
+
+
+def _is_utc_zone(tz: str | None) -> bool:
+    """True iff the zone id is wall-clock-identical to UTC year-round."""
+    if tz in {"UTC", "GMT", "Etc/UTC", "Etc/GMT", "Z", "Zulu", "Universal",
+              "Etc/Universal", "+00:00", "UTC+00:00", "GMT+00:00", "GMT0", "Etc/GMT0"}:
+        return True
+    if tz is None:
+        return False
+    try:
+        from datetime import datetime, timedelta  # noqa: PLC0415
+        from zoneinfo import ZoneInfo  # noqa: PLC0415
+
+        z = ZoneInfo(tz)
+        # Two probe dates catch DST zones that only visit UTC seasonally
+        # (e.g. Europe/London in winter).
+        return all(
+            z.utcoffset(datetime(2026, m, 1)) == timedelta(0) for m in (1, 7)
+        )
+    except Exception:
+        return False
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: Sequence[str] = TABLES) -> dict[str, DataFrame]:

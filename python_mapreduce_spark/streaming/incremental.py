@@ -131,16 +131,20 @@ def stream_upsert_parquet(
     schema=None,
 ) -> None:
     """Streaming MERGE sink: each micro-batch of corrections upserts into
-    a parquet target (operators/relational.py::upsert semantics — batch
-    rows replace same-key target rows). Within one micro-batch the
-    same-key survivor is chosen deterministically: with ``order_col``
-    (a version/timestamp column) the row with the greatest order value
-    wins, ties broken lexicographically over the remaining columns;
-    without it, the survivor is the lexicographic max over the struct of
-    non-key columns IN THEIR EXISTING ORDER — deterministic and
-    replay-stable, but column-order-dependent and unrelated to any
-    revision semantics, so pass ``order_col`` for corrections streams
-    where "latest wins" matters.
+    a parquet target. The same-key survivor is chosen deterministically:
+    with ``order_col`` (a version/timestamp column) the row with the
+    greatest order value wins — ACROSS the target and the batch, not
+    just within the batch, so a late-arriving stale revision can never
+    regress a newer target row (conditional-MERGE semantics: WHEN
+    MATCHED AND batch.order > target.order). Ties break
+    lexicographically over the remaining columns. Without ``order_col``,
+    batch rows replace same-key target rows unconditionally
+    (operators/relational.py::upsert, last-writer-wins) and the within-
+    batch survivor is the lexicographic max over the struct of non-key
+    columns IN THEIR EXISTING ORDER — deterministic and replay-stable,
+    but column-order-dependent and unrelated to any revision semantics,
+    so pass ``order_col`` for corrections streams where "latest wins"
+    matters.
 
     The production late-corrections pattern: a stream of record
     revisions lands in ``input_dir``; the target stays a plain parquet
@@ -165,34 +169,32 @@ def stream_upsert_parquet(
     )
 
     keys = [key] if isinstance(key, str) else list(key)
-    if order_col is not None:
-        # Validate eagerly — a bad column raised inside foreachBatch
-        # would only surface wrapped in a StreamingQueryException.
-        cols = file_stream(spark, input_dir, fmt=fmt, schema=schema).columns
-        if order_col in keys or order_col not in cols:
-            raise ValueError(
-                f"order_col {order_col!r} must be a non-key input column "
-                f"(keys={keys}, columns={cols})"
-            )
+    # Build the stream once: its schema serves the eager order_col
+    # validation AND the foreachBatch run (schema=None would otherwise
+    # trigger a second inference read inside incremental_pass). A bad
+    # column raised here surfaces plainly instead of wrapped in a
+    # StreamingQueryException from inside foreachBatch.
+    stream = file_stream(spark, input_dir, fmt=fmt, schema=schema)
+    if order_col is not None and (order_col in keys or order_col not in stream.columns):
+        raise ValueError(
+            f"order_col {order_col!r} must be a non-key input column "
+            f"(keys={keys}, columns={stream.columns})"
+        )
     tmp = f"{target_dir.rstrip('/')}__upsert_tmp"
     old = f"{target_dir.rstrip('/')}__upsert_old"
 
     def dedup_latest(batch: DataFrame) -> DataFrame:
         # Deterministic same-key survivor: max of a struct whose leading
-        # field is order_col (when given), so the latest revision wins
-        # and lexicographic comparison of the remaining columns only
-        # breaks exact ties. dropDuplicates would pick an arbitrary row,
-        # so a replayed batch could pick a different survivor.
+        # field is order_col (when given, validated above), so the
+        # latest revision wins and lexicographic comparison of the
+        # remaining columns only breaks exact ties. dropDuplicates would
+        # pick an arbitrary row, so a replayed batch could pick a
+        # different survivor.
         vals = [c for c in batch.columns if c not in keys]
         if not vals:
             return batch.dropDuplicates(keys)
         ranked = vals
         if order_col is not None:
-            if order_col not in vals:
-                raise ValueError(
-                    f"order_col {order_col!r} must be a non-key column of the "
-                    f"batch (non-key columns: {vals})"
-                )
             ranked = [order_col, *[c for c in vals if c != order_col]]
         picked = batch.groupBy(*keys).agg(F.max(F.struct(*ranked)).alias("_v"))
         return picked.select(*keys, *[F.col(f"_v.{c}").alias(c) for c in vals])
@@ -202,15 +204,27 @@ def stream_upsert_parquet(
         batch = dedup_latest(batch)
         if os.path.isdir(target_dir):
             current = spark.read.parquet(target_dir)
-            merged = upsert(current, batch, keys)
+            if order_col is not None:
+                # Conditional merge: the greatest order value wins
+                # whether it sits in the target or the batch — a stale
+                # late arrival cannot regress a newer target row.
+                merged = dedup_latest(
+                    current.select(*batch.columns).unionByName(batch)
+                )
+            else:
+                merged = upsert(current, batch, keys)
         else:
             merged = batch
         merged.write.mode("overwrite").parquet(tmp)
         swap_into(target_dir, tmp, old)
 
-    incremental_pass(
-        spark, input_dir, checkpoint_dir, on_batch, fmt=fmt, schema=schema
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )
+    q.awaitTermination()
 
 
 def collect_incremental_counts(

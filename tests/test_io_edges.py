@@ -249,5 +249,13 @@ def test_ntz_load_requires_utc_session(spark, tmp_path):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         ok = load_table(spark, str(sf), "events")
         assert dict(ok.dtypes)["ts"] == "timestamp"
+        # zero-offset aliases are equivalent and must not raise
+        for alias in ("Etc/UTC", "GMT", "+00:00"):
+            spark.conf.set("spark.sql.session.timeZone", alias)
+            load_table(spark, str(sf), "events")
+        # a seasonal-UTC zone (DST) is NOT equivalent
+        spark.conf.set("spark.sql.session.timeZone", "Europe/London")
+        with pytest.raises(ValueError, match="UTC"):
+            load_table(spark, str(sf), "events")
     finally:
         spark.conf.set("spark.sql.session.timeZone", prior)

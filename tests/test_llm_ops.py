@@ -409,3 +409,9 @@ def test_domain_mix_deterministic_and_near_target(spark):
     ids1 = {r.id for r in out1.select("id").collect()}
     ids2 = {r.id for r in domain_mix(df, "lang", "id", target).select("id").collect()}
     assert ids1 == ids2
+    # fraction a hair under 1.0: threshold clamps to 0xffff and keeps
+    # ~everything (the naive 5-hex-digit threshold would keep ~6%)
+    near_one = domain_mix(df, "lang", "id", {"a": 0.9999999}).count()
+    assert near_one >= 999
+    # empty target drops every row instead of raising
+    assert domain_mix(df, "lang", "id", {}).count() == 0

@@ -290,6 +290,34 @@ def test_stream_upsert_order_col_beats_column_order(spark, tmp_path):
         )
 
 
+def test_stream_upsert_order_col_protects_target_across_batches(spark, tmp_path):
+    # Conditional-merge semantics: a late-arriving file carrying a STALE
+    # revision must not regress the newer row already in the target.
+    from python_mapreduce_spark.streaming.incremental import stream_upsert_parquet
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream_upsert_parquet(
+            spark, f"{in_dir}/*", target, ckpt, "k",
+            order_col="ver", schema="k long, v string, ver long",
+        )
+
+    spark.createDataFrame([(1, "new", 5), (2, "x", 1)], "k long, v string, ver long") \
+        .coalesce(1).write.parquet(str(in_dir / "b1"))
+    run()
+    # late stale revision of k=1 plus a genuinely newer k=2
+    spark.createDataFrame([(1, "old", 3), (2, "y", 2)], "k long, v string, ver long") \
+        .coalesce(1).write.parquet(str(in_dir / "b2"))
+    run()
+    assert {
+        (r.k, r.v, r.ver) for r in spark.read.parquet(target).collect()
+    } == {(1, "new", 5), (2, "y", 2)}
+
+
 def test_incremental_dedup_output_dir_is_exactly_once_per_epoch(spark, tmp_path):
     # output_dir mode: decisions land in ingest_epoch=<N> partitions and
     # a replayed batch (same files, fresh checkpoint writing the same
