@@ -152,6 +152,65 @@ def global_row_number(
     )
 
 
+def global_running_sum(
+    df: DataFrame,
+    order: Sequence[str],
+    weight_col: str,
+    *,
+    out: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global running sum of an integral column over a total
+    order — the 100 TB form of ``SUM() OVER (ORDER BY ...)``, which as a
+    plain window funnels the whole table through ONE task.
+
+    Same scheme as :func:`global_row_number`: range-repartition on the
+    order keys (balanced via sampled split points), materialize ONCE
+    (localCheckpoint — the range sample is redrawn per job, so the
+    offset pass and the sum pass must see identical partitioning), then
+    one tiny driver-side pass collects per-partition weight totals whose
+    exclusive prefix sums become broadcast offsets. The running sum
+    within each partition is a window keyed on the partition id — every
+    window partition is one bounded range partition, so no single-task
+    hotspot exists anywhere in the plan, and the whole computation stays
+    JVM-side.
+
+    ``order`` must be a total order (unique tiebreak) — module contract.
+    """
+    if num_partitions is None:
+        num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    parts = (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in order])
+        .sortWithinPartitions(*order)
+        .localCheckpoint(eager=True)
+    )
+    psums = sorted(
+        (r["__pid"], r["s"])
+        for r in parts.groupBy(F.spark_partition_id().alias("__pid"))
+        .agg(F.sum(weight_col).alias("s"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, s_ in psums:
+        offsets[pid] = acc
+        acc += int(s_ or 0)
+    tagged = parts.withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("__pid"),
+    )
+    return tagged.withColumn(
+        out,
+        (F.sum(weight_col).over(w) + F.coalesce(offset_expr, F.lit(0))).cast("long"),
+    ).drop("__pid")
+
+
 def sessionize(
     df: DataFrame,
     keys: Sequence[str],

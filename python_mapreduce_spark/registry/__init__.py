@@ -104,9 +104,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q02_min_cost_supplier",
     "q_join_theta",
     "q_mr_wordcount",
-    # -- tail head: first in line beyond the 50-entry window (the four
+    # -- tail head: first in line beyond the 50-entry window (the five
     # r4-new pipeline queries follow the three replica-verified changed
-    # entries; all seven lead the r5 window) --
+    # entries; all eight lead the r5 window) --
     "q_sim_ann_ivf_recall",
     "q_dedup_simhash_eval",
     "q_stream_incremental",
@@ -114,6 +114,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_text_contamination",
     "q_pii_redact",
     "q_domain_mix",
+    "q_shard_pack",
 )
 
 

@@ -17,6 +17,7 @@ from python_mapreduce_spark.functions.scalar import dround, sql_dround
 from python_mapreduce_spark.registry.extra import SQL_WINDOW_CUME
 from python_mapreduce_spark.operators.windows import (
     global_row_number,
+    global_running_sum,
     lag_delta,
     moving_avg,
     running_agg,
@@ -237,6 +238,45 @@ FROM flagged GROUP BY user_id
 """
 
 
+def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token-budget shard packing for training-data prep: documents are
+    # laid out in id order and cut into shards of ~2000 tokens — shard =
+    # floor(exclusive-prefix-token-count / budget), so every shard except
+    # the last holds the docs whose window starts inside its budget. The
+    # cumulative sum is the scalable global_running_sum (range exchange +
+    # per-range-partition window + broadcast prefix offsets), never a
+    # single-partition SUM() OVER (ORDER BY) — the oracle's form, which
+    # only DuckDB gets to use.
+    from python_mapreduce_spark.functions.scalar import tokenize  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokenize("text")).cast("long").alias("n_tokens")
+    )
+    cum = global_running_sum(docs, ["doc_id"], "n_tokens", out="cum_tokens")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        "cum_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(2000))
+        .cast("long")
+        .alias("shard"),
+    )
+
+
+SQL_SHARD_PACK = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       CAST(floor((SUM(n_tokens) OVER w - n_tokens) / 2000.0) AS BIGINT) AS shard
+FROM t
+WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_window_topk": Query(q_window_topk, SQL_WINDOW_TOPK, "top-k per group via row_number"),
     "q_window_running": Query(q_window_running, SQL_WINDOW_RUNNING, "running sum per key"),
@@ -246,6 +286,7 @@ QUERIES: dict[str, Query] = {
         q_window_range_frame, SQL_WINDOW_RANGE_FRAME, "time-RANGE frame (trailing 3-day sum)"
     ),
     "q_window_rank_dist_demo": Query(q_window_rank_dist_demo, SQL_WINDOW_RANK_DIST, "ntile/rank/percent_rank"),
+    "q_shard_pack": Query(q_shard_pack, SQL_SHARD_PACK, "token-budget shard packing via distributed running sum"),
     "q_window_rank_scalable": Query(q_window_rank_scalable, SQL_WINDOW_RANK_DIST, "distributed global rank (range-partitioned, no single-task window)"),
     "q_window_cume_scalable": Query(
         q_window_cume_scalable,

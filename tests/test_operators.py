@@ -357,3 +357,29 @@ def test_run_mapreduce_accepts_function_names(spark, tmp_path):
     )
     assert {(r.word, r.total) for r in out.collect()} == {("a", 3), ("b", 2)}
     assert str(proj) not in sys.path  # path cleaned up after resolution
+
+
+def test_global_running_sum_matches_single_partition_window(spark):
+    # The distributed running sum (range exchange + per-range-partition
+    # window + broadcast offsets) must equal the demo-form
+    # SUM() OVER (ORDER BY ...) exactly, including at partition
+    # boundaries, and its plan must carry no single-partition Window.
+    from pyspark.sql.window import Window as W
+
+    from python_mapreduce_spark.operators.windows import global_running_sum
+    from python_mapreduce_spark.plans.explain import single_partition_windows
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11 + 1) for i in range(2000)], "k long, w long"
+    )
+    out = global_running_sum(df, ["k"], "w", out="cum", num_partitions=7)
+    expect = df.withColumn(
+        "cum",
+        F.sum("w").over(
+            W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).cast("long"),
+    )
+    got = {(r.k, r.cum) for r in out.collect()}
+    want = {(r.k, r.cum) for r in expect.collect()}
+    assert got == want
+    assert not single_partition_windows(out)
