@@ -60,6 +60,7 @@ HEADLINE = [
     "q_text_contamination",
     "q_pii_redact",
     "q_domain_mix",
+    "q_shard_pack",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings
