@@ -352,3 +352,71 @@ def ann_topk_lsh(
         .filter(F.col("rn") <= k)
         .select(query_id, F.col("rn").cast("long").alias("rn"), "neighbor_id", "cos")
     )
+
+
+def label_centroids(df: DataFrame, vec_col: str, label_col: str) -> DataFrame:
+    """Per-label mean vector: (clabel, centroid array<double>).
+
+    Fully distributed narrow aggregation — posexplode to (label, pos,
+    value), average keyed by (label, pos), re-assemble each centroid by
+    sorting its dimension structs. The shuffled state is n_labels x dim
+    rows regardless of corpus size.
+    """
+    pos = df.select(
+        F.col(label_col).alias("clabel"), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    per_dim = pos.groupBy("clabel", "pos").agg(F.avg(F.col("v").cast("double")).alias("c"))
+    return per_dim.groupBy("clabel").agg(
+        F.transform(F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]).alias(
+            "centroid"
+        )
+    )
+
+
+def nearest_centroid_confusion(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    *,
+    max_labels: int = 10_000,
+) -> DataFrame:
+    """Nearest-centroid classification audit: assign every vector to the
+    label whose centroid it is cosine-closest to, and return the
+    confusion matrix (label, pred_label, n) — the quick separability /
+    label-noise check run over an embedded corpus before training.
+    Beyond the reference surface (SURVEY.md §2.2 north-star extensions).
+
+    Plan shape for 100 TB: centroids come from the distributed narrow
+    aggregation above (n_labels x dim rows — label sets are enumerable
+    classes by contract, guarded at ``max_labels``), are collected ONCE
+    into a unit-row matrix and closed over; the corpus then streams
+    through mapInPandas scoring each Arrow batch with one BLAS matmul —
+    no join, no per-pair transfer, and the only shuffle is the final
+    n_labels^2-key confusion aggregation. Scores are rounded to 1e-6
+    before the argmax (labels ascending, first max wins) so ties resolve
+    to the smallest label in any engine.
+    """
+    cents = label_centroids(df, vec_col, label_col).orderBy("clabel").collect()
+    if len(cents) > max_labels:
+        raise ValueError(
+            f"{len(cents)} labels exceed max_labels={max_labels}; "
+            "nearest-centroid assumes an enumerable class set"
+        )
+    labels = np.array([r["clabel"] for r in cents])
+    cmat = _unit_rows([r["centroid"] for r in cents]).T  # dim x n_labels
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sims = _round6(_unit_rows(pdf["v"].values) @ cmat)  # nb x n_labels
+            yield pd.DataFrame(
+                {
+                    "label": pdf["label"].to_numpy(),
+                    "pred_label": labels[np.argmax(sims, axis=1)],
+                }
+            )
+    assigned = df.select(
+        F.col(label_col).cast("long").alias("label"), F.col(vec_col).alias("v")
+    ).mapInPandas(assign, "label long, pred_label long")
+    return assigned.groupBy("label", "pred_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )

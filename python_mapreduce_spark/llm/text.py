@@ -276,6 +276,94 @@ def ngram_contamination(
     )
 
 
+def tfidf_topk(df: DataFrame, id_col: str, text_col: str, *, k: int = 5) -> DataFrame:
+    """Per-document top-k keywords by smoothed TF-IDF — the standard
+    keyword-extraction / doc-representation step in a corpus pipeline.
+    Beyond the reference surface (SURVEY.md §2.2 north-star extensions).
+
+    score = tf * (ln((N + 1) / (df + 1)) + 1), rounded to 4 decimals so
+    the ranking grid is identical across engines; ties break on term.
+    Output: (id, rn, term, tf, df, score), rn = 1..k.
+
+    Plan shape for 100 TB: two key-partitioned aggregations — term
+    frequency keyed by (doc, term), document frequency keyed by term —
+    joined back on term (a shuffle join; the vocabulary is corpus-scale,
+    never collected), the 1-row corpus count broadcast, and the top-k
+    window partitioned BY DOC id, so no single-task stage anywhere.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    idf = F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", dround(F.col("tf") * idf, 4))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("id", "rn", "term", "tf", "df", "score")
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    *,
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Top-N corpus vocabulary + per-group out-of-vocabulary rates — the
+    tokenizer-coverage audit run before committing a vocab: how much of
+    each source/language would an N-term vocabulary fail to cover?
+    Beyond the reference surface (SURVEY.md §2.2 north-star extensions).
+
+    The vocabulary is the ``vocab_size`` most frequent tokens (ties on
+    term), selected with TakeOrdered semantics (orderBy+limit — no full
+    sort materialized) and BROADCAST back onto the exploded token stream
+    (vocab_size is caller-bounded by contract, the corpus side never
+    shuffles on term). Output per group: total/oov token counts, oov
+    rate, and the count of docs contributing >= 1 token.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("__grp"),
+        F.explode(tokenize(text_col)).alias("term"),
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("__in_vocab"))
+    )
+    oov = F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).cast("long")
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("__grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_tokens"),
+            oov.alias("oov_tokens"),
+            F.count_distinct("id").cast("long").alias("n_docs"),
+        )
+        .select(
+            F.col("__grp").alias(group_col),
+            "total_tokens",
+            "oov_tokens",
+            dround(
+                F.col("oov_tokens") / F.greatest("total_tokens", F.lit(1)).cast("double"), 4
+            ).alias("oov_rate"),
+            "n_docs",
+        )
+    )
+
+
 #: PII patterns chosen to parse identically under Java regex (Spark) and
 #: RE2 (DuckDB): plain character classes, no backrefs or lookaround.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -73,6 +73,50 @@ def domain_mix(
     return df.filter(pred)
 
 
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: Sequence[tuple[str, float]] = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    *,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: tag each row with a
+    split name by hashing its id — the canonical dataset-split step of a
+    training pipeline. Weights are normalized; assignment is by
+    cumulative threshold over the first 4 hex chars of
+    ``md5(id || salt)`` (granularity 1/65536), so it is reproducible in
+    any engine, independent of row order/partitioning, and stable under
+    re-runs and corpus growth (a given id never changes split unless the
+    salt does). Beyond the reference surface (SURVEY.md §2.2 north-star
+    extensions); the keep/drop variant of the same rule is
+    :func:`domain_mix`.
+
+    A pure projected CASE expression — no shuffle, no UDF, no RNG state
+    at any scale. The last split absorbs the rounding remainder so every
+    row is always assigned.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    names = [n for n, _ in splits]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate split names: {names}")
+    weights = [w for _, w in splits]
+    if min(weights) < 0 or sum(weights) <= 0:
+        raise ValueError(f"split weights must be >= 0 with a positive sum: {weights}")
+    total = float(sum(weights))
+    bucket = F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 4)
+    expr, cum = None, 0.0
+    for name, w in splits[:-1]:
+        cum += w / total
+        thr = format(min(0xFFFF, max(0, round(cum * 65536))), "04x")
+        clause = bucket < F.lit(thr)
+        expr = F.when(clause, name) if expr is None else expr.when(clause, name)
+    last = splits[-1][0]
+    assigned = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(split_col, assigned)
+
+
 def union_all(frames: Sequence[DataFrame]) -> DataFrame:
     """Bag union by column name — the reference's multi-dir input concat
     (mapper.py:75-78), schema-safe."""

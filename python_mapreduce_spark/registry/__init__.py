@@ -115,6 +115,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pii_redact",
     "q_domain_mix",
     "q_shard_pack",
+    "q_tfidf_topk",
+    "q_vocab_coverage",
+    "q_nearest_centroid",
+    "q_hash_split",
 )
 
 

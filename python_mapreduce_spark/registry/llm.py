@@ -29,7 +29,11 @@ from python_mapreduce_spark.llm.multimodal import (
     extract_features,
     sample_frames,
 )
-from python_mapreduce_spark.llm.similarity import ann_topk_lsh, cosine_topk
+from python_mapreduce_spark.llm.similarity import (
+    ann_topk_lsh,
+    cosine_topk,
+    nearest_centroid_confusion,
+)
 from python_mapreduce_spark.llm.text import (
     fingerprint,
     language_id,
@@ -38,7 +42,9 @@ from python_mapreduce_spark.llm.text import (
     quality_score,
     repetition_stats,
     text_stats,
+    tfidf_topk,
     token_counts,
+    vocab_coverage,
 )
 from python_mapreduce_spark.functions.scalar import dround, sql_dround
 from python_mapreduce_spark.registry import Query
@@ -887,6 +893,141 @@ FROM injected
 """
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-document top-5 keywords by smoothed TF-IDF
+    # (llm/text.py::tfidf_topk). Two key-partitioned aggs + a term-keyed
+    # shuffle join + a per-doc top-k window — no single-task stage, no
+    # collected vocabulary.
+    return tfidf_topk(table(spark, sf_dir, "documents"), "doc_id", "text", k=5)
+
+
+SQL_TFIDF_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT id, term, tf, df,
+         {sql_dround('tf * (ln((n + 1.0) / (df + 1.0)) + 1.0)', 4)} AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT id, rn, term, tf, df, score FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY id ORDER BY score DESC, term) AS BIGINT) AS rn
+  FROM scored)
+WHERE rn <= 5
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tokenizer-coverage audit (llm/text.py::vocab_coverage): top-20
+    # corpus vocabulary (the synthetic corpus carries ~31 distinct
+    # terms, so 20 leaves a real OOV tail), per-language OOV rates. The
+    # vocabulary is TakeOrdered + broadcast; the corpus never shuffles
+    # on term.
+    return vocab_coverage(
+        table(spark, sf_dir, "documents"), "doc_id", "text", "lang", vocab_size=20
+    )
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH toks AS (
+  SELECT doc_id AS id, lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) AS rn
+    FROM toks GROUP BY term)
+  WHERE rn <= 20
+),
+tagged AS (
+  SELECT t.id, t.lang, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN vocab v ON t.term = v.term
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS total_tokens,
+       CAST(sum(oov) AS BIGINT) AS oov_tokens,
+       {sql_dround('sum(oov) / CAST(greatest(count(*), 1) AS DOUBLE)', 4)} AS oov_rate,
+       CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+FROM tagged GROUP BY lang
+"""
+
+
+def q_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Nearest-centroid classification audit over the embedded corpus
+    # (llm/similarity.py::nearest_centroid_confusion): distributed
+    # centroid agg (n_labels x dim rows), centroid matrix closed over,
+    # corpus streamed through one BLAS matmul per Arrow batch, confusion
+    # matrix out. Scores rounded to 1e-6 pre-argmax on both sides so
+    # ties resolve identically.
+    return nearest_centroid_confusion(
+        table(spark, sf_dir, "embeddings"), "embedding", "label"
+    )
+
+
+SQL_NEAREST_CENTROID = """
+WITH pos AS (
+  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+         unnest(generate_series(1, len(embedding))) AS p
+  FROM embeddings
+),
+cvec AS (
+  SELECT clabel, list(c ORDER BY p) AS cv FROM (
+    SELECT label AS clabel, p, avg(v) AS c FROM pos GROUP BY 1, 2)
+  GROUP BY 1
+),
+e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         floor(list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+               * 1000000.0 + 0.5) / 1000000.0 AS cos
+  FROM e CROSS JOIN cvec c
+),
+pred AS (
+  SELECT vec_id, label, clabel,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+  FROM scored
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(clabel AS BIGINT) AS pred_label,
+       CAST(count(*) AS BIGINT) AS n
+FROM pred WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic 80/10/10 train/val/test assignment
+    # (operators/relational.py::hash_split — a pure CASE projection over
+    # an md5 bucket, no shuffle/UDF/RNG), audited as per-(split, lang)
+    # counts. The oracle replays the identical hash rule.
+    from python_mapreduce_spark.operators.relational import hash_split  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_HASH_SPLIT = f"""
+WITH s AS (
+  SELECT lang,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{format(round(0.8 * 65536), "04x")}' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{format(round(0.9 * 65536), "04x")}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, "exact dedup on normalized text"),
     "q_dedup_jaccard": Query(q_dedup_jaccard, _SQL_JACCARD_PAIRS_CAPPED, "3-gram Jaccard near-dup pairs (df-capped)"),
@@ -927,4 +1068,8 @@ QUERIES: dict[str, Query] = {
     "q_multimodal_meta": Query(q_multimodal_meta, SQL_MULTIMODAL_META, "binary payload + metadata"),
     "q_multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL_FEATURES, "stub decode via mapInPandas (byte-exact oracle)"),
     "q_multimodal_frames": Query(q_multimodal_frames, SQL_MULTIMODAL_FRAMES, "frame-sample fan-out (byte-exact oracle)"),
+    "q_tfidf_topk": Query(q_tfidf_topk, SQL_TFIDF_TOPK, "per-doc top-k keywords by smoothed TF-IDF"),
+    "q_vocab_coverage": Query(q_vocab_coverage, SQL_VOCAB_COVERAGE, "top-N vocabulary + per-group OOV rates"),
+    "q_nearest_centroid": Query(q_nearest_centroid, SQL_NEAREST_CENTROID, "nearest-centroid confusion matrix over embeddings"),
+    "q_hash_split": Query(q_hash_split, SQL_HASH_SPLIT, "deterministic train/val/test hash split audit"),
 }

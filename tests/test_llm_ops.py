@@ -415,3 +415,147 @@ def test_domain_mix_deterministic_and_near_target(spark):
     assert near_one >= 999
     # empty target drops every row instead of raising
     assert domain_mix(df, "lang", "id", {}).count() == 0
+
+
+def test_tfidf_topk_manual_corpus(spark):
+    import math
+
+    from python_mapreduce_spark.llm.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry date"),
+            (4, ""),  # token-less doc: contributes to N, emits no rows
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append(r)
+    assert set(by_doc) == {1, 2, 3}
+    # d1: apple tf=2 df=1 beats banana tf=1 df=2
+    d1 = sorted(by_doc[1], key=lambda r: r.rn)
+    assert [r.term for r in d1] == ["apple", "banana"]
+    idf1 = math.log(5.0 / 2.0) + 1.0  # N=4, df=1
+    assert d1[0].score == pytest.approx(2 * idf1, abs=1e-4)
+    assert (d1[0].tf, d1[0].df) == (2, 1)
+    # equal scores tie-break on term: d3 has cherry (tf3, df2) first, then date
+    d3 = sorted(by_doc[3], key=lambda r: r.rn)
+    assert [r.term for r in d3] == ["cherry", "date"]
+
+
+def test_vocab_coverage_top_n_and_oov(spark):
+    from python_mapreduce_spark.llm.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa bb", "g1"),
+            (2, "aa bb cc", "g1"),
+            (3, "cc dd", "g2"),
+            (4, "", "g2"),  # no tokens: excluded from n_docs, counts nothing
+        ],
+        "doc_id long, text string, grp string",
+    )
+    # counts: aa=3, bb=2, cc=2, dd=1; vocab_size=2 -> {aa, bb} (cc loses
+    # the tie against bb on the term tie-break)
+    out = {r.grp: r for r in vocab_coverage(docs, "doc_id", "text", "grp", vocab_size=2).collect()}
+    assert out["g1"].total_tokens == 6 and out["g1"].oov_tokens == 1
+    assert out["g1"].oov_rate == pytest.approx(1 / 6, abs=1e-4)
+    assert out["g1"].n_docs == 2
+    assert out["g2"].total_tokens == 2 and out["g2"].oov_tokens == 2
+    assert out["g2"].n_docs == 1
+
+
+def test_nearest_centroid_confusion_and_ties(spark):
+    from python_mapreduce_spark.llm.similarity import nearest_centroid_confusion
+
+    # Two well-separated clusters; one vector carries the wrong label.
+    rows = [
+        (1, [1.0, 0.1, 0.0], 0),
+        (2, [1.0, 0.0, 0.1], 0),
+        (3, [0.9, 0.1, 0.1], 0),
+        (4, [0.0, 1.0, 0.1], 7),
+        (5, [0.1, 1.0, 0.0], 7),
+        (6, [1.0, 0.0, 0.0], 7),  # mislabeled: sits in cluster 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {(r.label, r.pred_label): r.n for r in nearest_centroid_confusion(df, "embedding", "label").collect()}
+    assert out[(0, 0)] == 3
+    assert out[(7, 0)] == 1  # the planted label-noise row
+    assert out[(7, 7)] == 2
+    assert sum(out.values()) == 6
+
+
+def test_nearest_centroid_tie_goes_to_smallest_label(spark):
+    from python_mapreduce_spark.llm.similarity import nearest_centroid_confusion
+
+    # Labels 5 and 2 with orthogonal one-hot centroids; the probe vector
+    # [1, 1] is exactly equidistant -> rounded cosines tie -> label 2.
+    rows = [
+        (1, [1.0, 0.0], 5),
+        (2, [0.0, 1.0], 2),
+        (3, [1.0, 1.0], 5),  # the tie probe
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {(r.label, r.pred_label): r.n for r in nearest_centroid_confusion(df, "embedding", "label").collect()}
+    # centroids: label 5 = mean([1,0],[1,1]) = [1, .5]; label 2 = [0,1].
+    # probe [1,1]: cos vs [1,.5]=0.9487, vs [0,1]=0.7071 -> label 5 wins;
+    # vec 1 [1,0]: cos vs [1,.5]=0.894, vs [0,1]=0 -> 5; vec 2 -> 2.
+    assert out == {(5, 5): 2, (2, 2): 1}
+
+
+def test_nearest_centroid_label_cap(spark):
+    from python_mapreduce_spark.llm.similarity import nearest_centroid_confusion
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], i) for i in range(6)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with pytest.raises(ValueError, match="max_labels"):
+        nearest_centroid_confusion(df, "embedding", "label", max_labels=5)
+
+
+def test_hash_split_assignment_properties(spark):
+    from python_mapreduce_spark.operators.relational import hash_split
+
+    ids = spark.range(4000).withColumnRenamed("id", "doc_id")
+    out = hash_split(ids, "doc_id").groupBy("split").count().collect()
+    counts = {r.split: r["count"] for r in out}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 4000  # every row assigned exactly once
+    assert abs(counts["train"] / 4000 - 0.8) < 0.03
+    assert abs(counts["val"] / 4000 - 0.1) < 0.03
+    # deterministic: re-running yields the identical assignment
+    a = hash_split(ids, "doc_id").collect()
+    b = hash_split(ids, "doc_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # the salt re-deals the split
+    salted = dict(
+        hash_split(ids, "doc_id", salt="v2").select("doc_id", "split").collect()
+    )
+    base = dict(hash_split(ids, "doc_id").select("doc_id", "split").collect())
+    assert any(salted[i] != base[i] for i in salted)
+    # weights normalize: (2, 1, 1) behaves as 50/25/25
+    w = {
+        r.split: r["count"]
+        for r in hash_split(ids, "doc_id", (("a", 2.0), ("b", 1.0), ("c", 1.0)))
+        .groupBy("split")
+        .count()
+        .collect()
+    }
+    assert abs(w["a"] / 4000 - 0.5) < 0.03 and abs(w["b"] / 4000 - 0.25) < 0.03
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    from python_mapreduce_spark.operators.relational import hash_split
+
+    ids = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="duplicate"):
+        hash_split(ids, "doc_id", (("a", 0.5), ("a", 0.5)))
+    with pytest.raises(ValueError, match="positive sum"):
+        hash_split(ids, "doc_id", (("a", 0.0), ("b", 0.0)))
+    with pytest.raises(ValueError, match=">= 0"):
+        hash_split(ids, "doc_id", (("a", -0.1), ("b", 1.1)))
