@@ -61,6 +61,10 @@ HEADLINE = [
     "q_pii_redact",
     "q_domain_mix",
     "q_shard_pack",
+    "q_tfidf_topk",
+    "q_vocab_coverage",
+    "q_nearest_centroid",
+    "q_hash_split",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings
