@@ -290,11 +290,19 @@ def tfidf_topk(df: DataFrame, id_col: str, text_col: str, *, k: int = 5) -> Data
     joined back on term (a shuffle join; the vocabulary is corpus-scale,
     never collected), the 1-row corpus count broadcast, and the top-k
     window partitioned BY DOC id, so no single-task stage anywhere.
+    The tf frame is lazily localCheckpoint'ed because BOTH the score
+    branch and the df branch consume it: without the cut, Catalyst
+    column-prunes the df branch's copy into a *different* subtree (the
+    unused count drops out), ReuseExchange can't fire, and the corpus —
+    the expensive regex-explode stage — is scanned and exploded twice
+    (verified on the executed plan). The checkpoint materializes the
+    small post-agg (doc, term, tf) frame once; tokens never hit disk.
     """
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     toks = df.select(F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term"))
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    tf = tf.localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))
     idf = F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
@@ -326,29 +334,38 @@ def vocab_coverage(
 
     The vocabulary is the ``vocab_size`` most frequent tokens (ties on
     term), selected with TakeOrdered semantics (orderBy+limit — no full
-    sort materialized) and BROADCAST back onto the exploded token stream
+    sort materialized) and BROADCAST back onto the doc-term counts
     (vocab_size is caller-bounded by contract, the corpus side never
     shuffles on term). Output per group: total/oov token counts, oov
     rate, and the count of docs contributing >= 1 token.
+
+    Both the vocab branch and the coverage branch consume the same
+    doc-term counts, so that frame is pre-aggregated ONCE — one row per
+    (doc, group, term), weighted by its in-doc count — and lazily
+    localCheckpoint'ed; without the cut Catalyst re-explodes the whole
+    corpus for each branch (same finding as :func:`tfidf_topk`). The
+    raw token stream itself is never materialized.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
         F.col(group_col).alias("__grp"),
         F.explode(tokenize(text_col)).alias("term"),
     )
+    tf = toks.groupBy("id", "__grp", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    tf = tf.localCheckpoint(eager=False)
     vocab = (
-        toks.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        tf.groupBy("term")
+        .agg(F.sum("cnt").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("term"))
         .limit(vocab_size)
         .select("term", F.lit(1).alias("__in_vocab"))
     )
-    oov = F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).cast("long")
+    oov = F.sum(F.when(F.col("__in_vocab").isNull(), F.col("cnt")).otherwise(0)).cast("long")
     return (
-        toks.join(F.broadcast(vocab), "term", "left")
+        tf.join(F.broadcast(vocab), "term", "left")
         .groupBy("__grp")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("total_tokens"),
+            F.sum("cnt").cast("long").alias("total_tokens"),
             oov.alias("oov_tokens"),
             F.count_distinct("id").cast("long").alias("n_docs"),
         )

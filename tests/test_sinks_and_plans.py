@@ -122,3 +122,32 @@ def test_scalar_subquery_shapes_reuse_exchange(spark, sf_dir, qname):
     df.collect()  # AQE finalizes the plan; reuse is visible after run
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, f"{qname}: partial-agg shuffle not shared"
+
+
+def test_tfidf_and_vocab_explode_corpus_once(spark, sf_dir):
+    # tfidf_topk / vocab_coverage consume their doc-term frame from two
+    # branches; the lazy localCheckpoint must keep the corpus
+    # regex-explode to a single pass. Without it Catalyst column-prunes
+    # the second branch into a different subtree (no ReuseExchange) and
+    # re-explodes the whole corpus — at 100 TB that doubles the
+    # dominant stage.
+    import re
+
+    from python_mapreduce_spark.llm.text import tfidf_topk, vocab_coverage
+    from python_mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    df = tfidf_topk(docs, "doc_id", "text", k=3)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one corpus scan feeds the checkpoint upstream; the only parquet
+    # scans left in the final plan are the pruned 1-row count branch
+    assert len(re.findall(r"Scan parquet", plan)) <= 2, plan
+    assert "explode" not in plan.lower()
+
+    df = vocab_coverage(docs, "doc_id", "text", "lang", vocab_size=10)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan, plan
+    assert "explode" not in plan.lower()
