@@ -65,6 +65,8 @@ HEADLINE = [
     "q_vocab_coverage",
     "q_nearest_centroid",
     "q_hash_split",
+    "q_quality_quantile_filter",
+    "q_weighted_sample",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

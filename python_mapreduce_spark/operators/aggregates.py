@@ -141,6 +141,43 @@ def key_skew_report(
     return summary.crossJoin(top_str)
 
 
+def group_quantile_filter(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q: float = 0.5,
+    *,
+    keep: str = "upper",
+) -> DataFrame:
+    """Keep each group's rows at or above (``keep='upper'``) / strictly
+    below (``'lower'``) the group's exact q-quantile of ``value_col`` —
+    the per-source quality gate of a training pipeline ("drop the worst
+    half of every source"). Beyond the reference surface (SURVEY.md
+    §2.2 north-star extensions).
+
+    The threshold is the EXACT interpolated percentile (percentile_cont
+    semantics — reproducible in any engine, unlike approx sketches),
+    computed per group in one aggregation; the n_groups-row threshold
+    table is broadcast back, so the data side is one scan + a map-side
+    join. Spark's exact percentile aggregates a per-group value-counts
+    map, so memory scales with DISTINCT values per group — bounded for
+    rounded/score-like columns regardless of corpus size; use
+    approx_percentile for unbounded-cardinality raw measures.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1]: {q}")
+    if keep not in ("upper", "lower"):
+        raise ValueError(f"keep must be 'upper' or 'lower': {keep}")
+    thr = df.groupBy(group_col).agg(F.percentile(value_col, q).alias("__thr"))
+    joined = df.join(F.broadcast(thr), group_col)
+    pred = (
+        F.col(value_col) >= F.col("__thr")
+        if keep == "upper"
+        else F.col(value_col) < F.col("__thr")
+    )
+    return joined.filter(pred).drop("__thr")
+
+
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
     """Flagship query: TPC-H Q1-style pricing summary over lineitem.
 

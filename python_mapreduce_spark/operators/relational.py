@@ -117,6 +117,36 @@ def hash_split(
     return df.withColumn(split_col, assigned)
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | "Column",
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-row Bernoulli sampling: keep each row with
+    probability equal to its (clamped to [0, 1]) weight — e.g. keep
+    documents proportionally to a quality score, the importance-style
+    downsampling step of a training pipeline. Beyond the reference
+    surface (SURVEY.md §2.2 north-star extensions).
+
+    The keep rule generalizes :func:`domain_mix` from per-domain
+    constants to per-row weights: first 4 hex chars of
+    ``md5(id || salt)`` compared against the weight rendered as a 4-hex
+    threshold (floor(w * 65536), granularity 1/65536; weights >= 1 keep
+    unconditionally, <= 0 drop). Reproducible in any engine, invariant
+    to row order/partitioning, re-run stable, and a pure filter — no
+    shuffle, no UDF, no RNG state at any scale.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    bucket = F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 4)
+    thr = F.lpad(F.lower(F.hex(F.floor(w * 65536).cast("long"))), 4, "0")
+    keep = F.when(w >= 1.0, F.lit(True)).when(w <= 0.0, F.lit(False)).otherwise(bucket < thr)
+    return df.filter(keep)
+
+
 def union_all(frames: Sequence[DataFrame]) -> DataFrame:
     """Bag union by column name — the reference's multi-dir input concat
     (mapper.py:75-78), schema-safe."""

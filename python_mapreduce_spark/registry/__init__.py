@@ -119,6 +119,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_vocab_coverage",
     "q_nearest_centroid",
     "q_hash_split",
+    "q_quality_quantile_filter",
+    "q_weighted_sample",
 )
 
 

@@ -1028,6 +1028,98 @@ SELECT split, lang, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2
 """
 
 
+def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-source quality gate: drop each language's below-median-quality
+    # documents (operators/aggregates.py::group_quantile_filter — exact
+    # interpolated percentile per group, n_groups-row threshold table
+    # broadcast back; one scan + map-side join on the data side).
+    # Audited as per-lang totals, kept counts, and the min kept quality
+    # (the effective threshold).
+    from python_mapreduce_spark.operators.aggregates import (  # noqa: PLC0415
+        group_quantile_filter,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang").join(
+        quality_score(docs, "doc_id", "text"), "doc_id"
+    )
+    kept = group_quantile_filter(scored, "lang", "quality", 0.5)
+    total = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    kept_agg = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        dround(F.min("quality"), 4).alias("min_kept_quality"),
+    )
+    return total.join(kept_agg, "lang")
+
+
+SQL_QUALITY_QUANTILE = f"""
+WITH q0 AS ({SQL_TEXT_QUALITY}),
+q AS (SELECT d.lang, q0.quality FROM q0 JOIN documents d USING (doc_id)),
+thr AS (
+  SELECT lang, percentile_cont(0.5) WITHIN GROUP (ORDER BY quality) AS t
+  FROM q GROUP BY lang
+),
+kept AS (SELECT q.lang, q.quality FROM q JOIN thr USING (lang) WHERE q.quality >= t)
+SELECT lang,
+       (SELECT count(*) FROM q q2 WHERE q2.lang = kept.lang) AS n_total,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       {sql_dround('min(quality)', 4)} AS min_kept_quality
+FROM kept GROUP BY lang
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Importance-style downsampling: keep each document with probability
+    # equal to its quality score (operators/relational.py::
+    # weighted_sample — the per-row generalization of the domain_mix
+    # md5-bucket rule; a pure filter, no shuffle/UDF/RNG). Audited as
+    # per-lang kept counts and the kept-quality envelope (all
+    # order-independent aggregates). The oracle replays the identical
+    # hash rule.
+    from python_mapreduce_spark.operators.relational import weighted_sample  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang").join(
+        quality_score(docs, "doc_id", "text"), "doc_id"
+    )
+    kept = weighted_sample(scored, "doc_id", "quality")
+    total = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    kept_agg = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        dround(F.min("quality"), 4).alias("min_kept"),
+        dround(F.max("quality"), 4).alias("max_kept"),
+    )
+    return total.join(kept_agg, "lang", "left").select(
+        "lang",
+        "n_total",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        "min_kept",
+        "max_kept",
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH q0 AS ({SQL_TEXT_QUALITY}),
+q AS (SELECT q0.doc_id, d.lang, q0.quality FROM q0 JOIN documents d USING (doc_id)),
+kept AS (
+  SELECT * FROM q
+  WHERE quality >= 1.0
+     OR (quality > 0.0
+         AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+             < lpad(lower(to_hex(CAST(floor(quality * 65536) AS BIGINT))), 4, '0'))
+),
+ka AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+         {sql_dround('min(quality)', 4)} AS min_kept,
+         {sql_dround('max(quality)', 4)} AS max_kept
+  FROM kept GROUP BY lang
+)
+SELECT t.lang, t.n_total, coalesce(ka.n_kept, 0) AS n_kept, ka.min_kept, ka.max_kept
+FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_total FROM q GROUP BY lang) t
+LEFT JOIN ka USING (lang)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, "exact dedup on normalized text"),
     "q_dedup_jaccard": Query(q_dedup_jaccard, _SQL_JACCARD_PAIRS_CAPPED, "3-gram Jaccard near-dup pairs (df-capped)"),
@@ -1072,4 +1164,10 @@ QUERIES: dict[str, Query] = {
     "q_vocab_coverage": Query(q_vocab_coverage, SQL_VOCAB_COVERAGE, "top-N vocabulary + per-group OOV rates"),
     "q_nearest_centroid": Query(q_nearest_centroid, SQL_NEAREST_CENTROID, "nearest-centroid confusion matrix over embeddings"),
     "q_hash_split": Query(q_hash_split, SQL_HASH_SPLIT, "deterministic train/val/test hash split audit"),
+    "q_quality_quantile_filter": Query(
+        q_quality_quantile_filter, SQL_QUALITY_QUANTILE, "per-group exact-quantile quality gate"
+    ),
+    "q_weighted_sample": Query(
+        q_weighted_sample, SQL_WEIGHTED_SAMPLE, "per-row quality-weighted deterministic sampling"
+    ),
 }

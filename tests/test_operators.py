@@ -383,3 +383,52 @@ def test_global_running_sum_matches_single_partition_window(spark):
     want = {(r.k, r.cum) for r in expect.collect()}
     assert got == want
     assert not single_partition_windows(out)
+
+
+def test_group_quantile_filter_median(spark):
+    from python_mapreduce_spark.operators.aggregates import group_quantile_filter
+
+    df = spark.createDataFrame(
+        [
+            # odd group: median is the middle element (20) -> keep 20, 30
+            ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0),
+            # even group: interpolated median 15 -> keep 20, 40
+            ("b", 4, 10.0), ("b", 5, 20.0), ("b", 6, 40.0), ("b", 7, 10.0),
+        ],
+        "grp string, id long, v double",
+    )
+    kept = {(r.grp, r.id) for r in group_quantile_filter(df, "grp", "v", 0.5).collect()}
+    assert kept == {("a", 2), ("a", 3), ("b", 5), ("b", 6)}
+    low = {(r.grp, r.id) for r in group_quantile_filter(df, "grp", "v", 0.5, keep="lower").collect()}
+    assert low == {("a", 1), ("b", 4), ("b", 7)}
+    # upper + lower partition the input exactly
+    assert kept | low == {(r.grp, r.id) for r in df.collect()} and not (kept & low)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="q must be"):
+        group_quantile_filter(df, "grp", "v", 1.5)
+    with _pt.raises(ValueError, match="keep must be"):
+        group_quantile_filter(df, "grp", "v", 0.5, keep="middle")
+
+
+def test_weighted_sample_extremes_rate_and_monotonicity(spark):
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.relational import weighted_sample
+
+    ids = spark.range(4000).withColumnRenamed("id", "doc_id")
+    # weight >= 1 keeps everything; <= 0 drops everything
+    assert weighted_sample(ids.withColumn("w", F.lit(1.0)), "doc_id", "w").count() == 4000
+    assert weighted_sample(ids.withColumn("w", F.lit(0.0)), "doc_id", "w").count() == 0
+    # w = 0.5 keeps about half, deterministically
+    half = weighted_sample(ids.withColumn("w", F.lit(0.5)), "doc_id", "w")
+    n = half.count()
+    assert abs(n / 4000 - 0.5) < 0.03
+    assert {r.doc_id for r in half.collect()} == {
+        r.doc_id
+        for r in weighted_sample(ids.withColumn("w", F.lit(0.5)), "doc_id", "w").collect()
+    }
+    # monotone per row: every id kept at w=0.3 is also kept at w=0.6
+    k3 = {r.doc_id for r in weighted_sample(ids.withColumn("w", F.lit(0.3)), "doc_id", "w").collect()}
+    k6 = {r.doc_id for r in weighted_sample(ids.withColumn("w", F.lit(0.6)), "doc_id", "w").collect()}
+    assert k3 <= k6
