@@ -396,12 +396,16 @@ def nearest_centroid_confusion(
     before the argmax (labels ascending, first max wins) so ties resolve
     to the smallest label in any engine.
     """
-    cents = label_centroids(df, vec_col, label_col).orderBy("clabel").collect()
+    # Bounded collect: the limit caps what can ever reach the driver, so
+    # a mistaken high-cardinality label column fails with this error
+    # instead of an OOM during an unbounded collect.
+    cents = label_centroids(df, vec_col, label_col).limit(max_labels + 1).collect()
     if len(cents) > max_labels:
         raise ValueError(
-            f"{len(cents)} labels exceed max_labels={max_labels}; "
+            f"more than max_labels={max_labels} labels; "
             "nearest-centroid assumes an enumerable class set"
         )
+    cents.sort(key=lambda r: r["clabel"])
     labels = np.array([r["clabel"] for r in cents])
     cmat = _unit_rows([r["centroid"] for r in cents]).T  # dim x n_labels
 

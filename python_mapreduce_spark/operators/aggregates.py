@@ -159,10 +159,20 @@ def group_quantile_filter(
     semantics — reproducible in any engine, unlike approx sketches),
     computed per group in one aggregation; the n_groups-row threshold
     table is broadcast back, so the data side is one scan + a map-side
-    join. Spark's exact percentile aggregates a per-group value-counts
-    map, so memory scales with DISTINCT values per group — bounded for
-    rounded/score-like columns regardless of corpus size; use
-    approx_percentile for unbounded-cardinality raw measures.
+    join when ``df`` is a direct table scan. When ``df`` carries
+    expensive derived lineage (e.g. a computed quality score), cut it
+    first (``df.localCheckpoint(eager=False)``) — the threshold branch
+    and the data branch are separate consumers, so Catalyst otherwise
+    recomputes the lineage for each. Spark's exact percentile aggregates
+    a per-group value-counts map, so memory scales with DISTINCT values
+    per group — bounded for rounded/score-like columns regardless of
+    corpus size; use approx_percentile for unbounded-cardinality raw
+    measures.
+
+    Rows with a NULL ``value_col`` are excluded from BOTH sides (the
+    percentile ignores them and NULL fails either comparison), so
+    'upper' and 'lower' partition only the non-null rows; a group whose
+    values are all NULL has a NULL threshold and keeps nothing.
     """
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"q must be in [0, 1]: {q}")

@@ -33,6 +33,28 @@ def sample_rows(df: DataFrame, fraction: float, *, seed: int = 42) -> DataFrame:
     return df.sample(fraction=fraction, seed=seed)
 
 
+def _md5_bucket(id_col: str, salt: str = "") -> Column:
+    """First 4 hex chars of ``md5(id || salt)`` — the deterministic
+    sampling bucket shared by :func:`domain_mix`, :func:`hash_split`,
+    and :func:`weighted_sample`: uniform over 65536 values, reproducible
+    in any engine, independent of row order/partitioning."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    return F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 4)
+
+
+def _bucket_threshold(frac: float) -> str:
+    """``round(frac * 65536)`` rendered as the 4-hex-digit threshold the
+    bucket is compared against (strict ``<``). Clamped to 0xffff: a
+    fraction within 1/131072 of 1.0 would otherwise round to 65536,
+    whose 5-digit hex string compares lexicographically BELOW most
+    4-digit buckets and would silently keep ~6% instead of ~100%. The
+    clamp costs at most 1/65536 of the requested rate (the rule's
+    granularity anyway); callers treat frac >= 1 as an unconditional
+    keep before reaching here."""
+    return format(min(0xFFFF, max(0, round(frac * 65536))), "04x")
+
+
 def domain_mix(
     df: DataFrame,
     domain_col: str,
@@ -54,21 +76,15 @@ def domain_mix(
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    bucket = _md5_bucket(id_col)
     pred = F.lit(False)  # empty target => every domain dropped
     for domain, frac in target.items():
         p = F.col(domain_col) == domain
         if frac < 1.0:
-            # Strict < against a 4-hex-digit threshold; frac >= 1.0
-            # keeps the whole domain unconditionally. The threshold is
-            # clamped to 0xffff: a fraction within 1/131072 of 1.0
-            # would otherwise round to 65536, whose 5-digit hex string
-            # compares lexicographically BELOW most 4-digit buckets and
-            # would silently keep ~6% instead of ~100%. The clamp costs
-            # at most 1/65536 of the requested rate (the rule's
-            # granularity anyway).
-            thr = format(min(0xFFFF, max(0, round(frac * 65536))), "04x")
-            p = p & (bucket < F.lit(thr))
+            # Strict < against the clamped 4-hex threshold; frac >= 1.0
+            # keeps the whole domain unconditionally (see
+            # _bucket_threshold for the clamp rationale).
+            p = p & (bucket < F.lit(_bucket_threshold(frac)))
         pred = pred | p
     return df.filter(pred)
 
@@ -94,10 +110,15 @@ def hash_split(
 
     A pure projected CASE expression — no shuffle, no UDF, no RNG state
     at any scale. The last split absorbs the rounding remainder so every
-    row is always assigned.
+    row is always assigned — unless an earlier prefix of splits already
+    covers the whole [0, 1) range (e.g. a trailing zero-weight split),
+    in which case that prefix's last clause goes unconditional so no row
+    can leak into a split the caller declared empty.
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
 
+    if not splits:
+        raise ValueError("splits must name at least one split")
     names = [n for n, _ in splits]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate split names: {names}")
@@ -105,12 +126,18 @@ def hash_split(
     if min(weights) < 0 or sum(weights) <= 0:
         raise ValueError(f"split weights must be >= 0 with a positive sum: {weights}")
     total = float(sum(weights))
-    bucket = F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 4)
+    bucket = _md5_bucket(id_col, salt)
     expr, cum = None, 0.0
     for name, w in splits[:-1]:
         cum += w / total
-        thr = format(min(0xFFFF, max(0, round(cum * 65536))), "04x")
-        clause = bucket < F.lit(thr)
+        if round(cum * 65536) >= 65536:
+            # Cumulative coverage reached 1.0 (within the rule's
+            # granularity): claim everything left, including bucket
+            # 'ffff' — the 0xffff clamp would leak that bucket past
+            # every zero-weight remainder into the last split.
+            clause = F.lit(True)
+        else:
+            clause = bucket < F.lit(_bucket_threshold(cum))
         expr = F.when(clause, name) if expr is None else expr.when(clause, name)
     last = splits[-1][0]
     assigned = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
@@ -120,7 +147,7 @@ def hash_split(
 def weighted_sample(
     df: DataFrame,
     id_col: str,
-    weight_col: str | "Column",
+    weight_col: str | Column,
     *,
     salt: str = "",
 ) -> DataFrame:
@@ -141,7 +168,10 @@ def weighted_sample(
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    bucket = F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 4)
+    bucket = _md5_bucket(id_col, salt)
+    # Per-row threshold, so the hex rendering happens in the engine
+    # (floor instead of _bucket_threshold's round; the >= 1.0 branch
+    # below plays the role of its clamp).
     thr = F.lpad(F.lower(F.hex(F.floor(w * 65536).cast("long"))), 4, "0")
     keep = F.when(w >= 1.0, F.lit(True)).when(w <= 0.0, F.lit(False)).otherwise(bucket < thr)
     return df.filter(keep)

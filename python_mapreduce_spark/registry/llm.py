@@ -1040,9 +1040,13 @@ def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
+    # The scored frame feeds three consumers (percentile branch, data
+    # branch, totals); the lazy cut keeps the quality computation — the
+    # expensive corpus pass — to a single run (same finding as
+    # tfidf_topk in llm/text.py).
     scored = docs.select("doc_id", "lang").join(
         quality_score(docs, "doc_id", "text"), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     kept = group_quantile_filter(scored, "lang", "quality", 0.5)
     total = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
     kept_agg = kept.groupBy("lang").agg(
@@ -1079,9 +1083,10 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_mapreduce_spark.operators.relational import weighted_sample  # noqa: PLC0415
 
     docs = table(spark, sf_dir, "documents")
+    # Two consumers (kept filter, totals) — lazy cut as above.
     scored = docs.select("doc_id", "lang").join(
         quality_score(docs, "doc_id", "text"), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     kept = weighted_sample(scored, "doc_id", "quality")
     total = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
     kept_agg = kept.groupBy("lang").agg(

@@ -492,19 +492,22 @@ def test_nearest_centroid_confusion_and_ties(spark):
 def test_nearest_centroid_tie_goes_to_smallest_label(spark):
     from python_mapreduce_spark.llm.similarity import nearest_centroid_confusion
 
-    # Labels 5 and 2 with orthogonal one-hot centroids; the probe vector
-    # [1, 1] is exactly equidistant -> rounded cosines tie -> label 2.
+    # A zero probe vector scores cosine 0.0 against EVERY centroid — an
+    # exact all-labels tie — so the argmax must fall through to the
+    # smallest label (2), exercising the labels-ascending + first-max
+    # rule the operator promises matches the SQL oracle's
+    # "ORDER BY cos DESC, clabel".
     rows = [
         (1, [1.0, 0.0], 5),
         (2, [0.0, 1.0], 2),
-        (3, [1.0, 1.0], 5),  # the tie probe
+        (3, [0.0, 0.0], 5),  # the tie probe: cos 0 vs both centroids
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     out = {(r.label, r.pred_label): r.n for r in nearest_centroid_confusion(df, "embedding", "label").collect()}
-    # centroids: label 5 = mean([1,0],[1,1]) = [1, .5]; label 2 = [0,1].
-    # probe [1,1]: cos vs [1,.5]=0.9487, vs [0,1]=0.7071 -> label 5 wins;
-    # vec 1 [1,0]: cos vs [1,.5]=0.894, vs [0,1]=0 -> 5; vec 2 -> 2.
-    assert out == {(5, 5): 2, (2, 2): 1}
+    # centroids: label 5 = mean([1,0],[0,0]) = [.5, 0]; label 2 = [0,1].
+    # vec 1 [1,0]: cos 1.0 vs label-5 centroid -> 5; vec 2 -> 2;
+    # probe: tie at 0.0 -> smallest label 2.
+    assert out == {(5, 5): 1, (5, 2): 1, (2, 2): 1}
 
 
 def test_nearest_centroid_label_cap(spark):
@@ -559,3 +562,19 @@ def test_hash_split_rejects_bad_weights(spark):
         hash_split(ids, "doc_id", (("a", 0.0), ("b", 0.0)))
     with pytest.raises(ValueError, match=">= 0"):
         hash_split(ids, "doc_id", (("a", -0.1), ("b", 1.1)))
+
+
+def test_hash_split_zero_weight_split_gets_nothing(spark):
+    from python_mapreduce_spark.operators.relational import hash_split
+
+    ids = spark.range(70000).withColumnRenamed("id", "doc_id")
+    # a trailing zero-weight split must stay empty — including the
+    # bucket-'ffff' rows that a clamped threshold would leak into it
+    out = hash_split(ids, "doc_id", (("train", 1.0), ("holdout", 0.0)))
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert counts == {"train": 70000}
+    # empty split spec is a meaningful error, not min() noise
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least one split"):
+        hash_split(ids, "doc_id", ())

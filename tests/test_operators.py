@@ -432,3 +432,17 @@ def test_weighted_sample_extremes_rate_and_monotonicity(spark):
     k3 = {r.doc_id for r in weighted_sample(ids.withColumn("w", F.lit(0.3)), "doc_id", "w").collect()}
     k6 = {r.doc_id for r in weighted_sample(ids.withColumn("w", F.lit(0.6)), "doc_id", "w").collect()}
     assert k3 <= k6
+
+
+def test_group_quantile_filter_null_values_drop_from_both_sides(spark):
+    from python_mapreduce_spark.operators.aggregates import group_quantile_filter
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, None), ("b", 4, None)],
+        "grp string, id long, v double",
+    )
+    up = {r.id for r in group_quantile_filter(df, "grp", "v", 0.5).collect()}
+    low = {r.id for r in group_quantile_filter(df, "grp", "v", 0.5, keep="lower").collect()}
+    # NULL-valued rows are in neither side; the all-NULL group vanishes
+    assert up == {2} and low == {1}
+    assert 3 not in up | low and 4 not in up | low
