@@ -67,6 +67,7 @@ HEADLINE = [
     "q_hash_split",
     "q_quality_quantile_filter",
     "q_weighted_sample",
+    "q_deterministic_shuffle",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

@@ -152,6 +152,31 @@ def global_row_number(
     )
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    *,
+    salt: str = "",
+    out: str = "shuffle_order",
+) -> DataFrame:
+    """Reproducible pseudo-random global ordering: rank every row by
+    ``md5(id || salt)`` (tie-broken by id) — the corpus-shuffle step a
+    training pipeline runs before sequence packing, with an auditable
+    order instead of RNG state. Re-runs reproduce the same permutation;
+    changing the salt re-deals it per epoch. Beyond the reference
+    surface (SURVEY.md §2.2 north-star extensions).
+
+    Built on :func:`global_row_number`, so the ordering is a range
+    exchange + per-partition numbering + broadcast prefix offsets — no
+    single-task window at any scale. The md5 sort key is uniform, so
+    the range partitions are balanced by construction.
+    """
+    keyed = df.withColumn(
+        "__shufkey", F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    )
+    return global_row_number(keyed, ["__shufkey", id_col], out=out).drop("__shufkey")
+
+
 def global_running_sum(
     df: DataFrame,
     order: Sequence[str],

@@ -104,9 +104,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q02_min_cost_supplier",
     "q_join_theta",
     "q_mr_wordcount",
-    # -- tail head: first in line beyond the 50-entry window (the five
-    # r4-new pipeline queries follow the three replica-verified changed
-    # entries; all eight lead the r5 window) --
+    # -- tail head: first in line beyond the 50-entry window (the
+    # eleven r4-new pipeline queries follow the three replica-verified
+    # changed entries; all fourteen lead the r5 window) --
     "q_sim_ann_ivf_recall",
     "q_dedup_simhash_eval",
     "q_stream_incremental",
@@ -121,6 +121,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_hash_split",
     "q_quality_quantile_filter",
     "q_weighted_sample",
+    "q_deterministic_shuffle",
 )
 
 

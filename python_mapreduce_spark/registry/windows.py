@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 from python_mapreduce_spark.functions.scalar import dround, sql_dround
 from python_mapreduce_spark.registry.extra import SQL_WINDOW_CUME
 from python_mapreduce_spark.operators.windows import (
+    deterministic_shuffle,
     global_row_number,
     global_running_sum,
     lag_delta,
@@ -277,6 +278,26 @@ WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
 
+def q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reproducible corpus shuffle (operators/windows.py::
+    # deterministic_shuffle): global rank over md5(doc_id) via the
+    # scalable global_row_number — range exchange + broadcast prefix
+    # offsets, no single-task window. The oracle replays the ordering
+    # with a plain window (DuckDB's single process gets to).
+    return deterministic_shuffle(
+        table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
+
+
+SQL_DETERMINISTIC_SHUFFLE = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+         AS shuffle_order
+FROM documents
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_window_topk": Query(q_window_topk, SQL_WINDOW_TOPK, "top-k per group via row_number"),
     "q_window_running": Query(q_window_running, SQL_WINDOW_RUNNING, "running sum per key"),
@@ -287,6 +308,9 @@ QUERIES: dict[str, Query] = {
     ),
     "q_window_rank_dist_demo": Query(q_window_rank_dist_demo, SQL_WINDOW_RANK_DIST, "ntile/rank/percent_rank"),
     "q_shard_pack": Query(q_shard_pack, SQL_SHARD_PACK, "token-budget shard packing via distributed running sum"),
+    "q_deterministic_shuffle": Query(
+        q_deterministic_shuffle, SQL_DETERMINISTIC_SHUFFLE, "reproducible corpus shuffle via scalable global rank"
+    ),
     "q_window_rank_scalable": Query(q_window_rank_scalable, SQL_WINDOW_RANK_DIST, "distributed global rank (range-partitioned, no single-task window)"),
     "q_window_cume_scalable": Query(
         q_window_cume_scalable,

@@ -446,3 +446,19 @@ def test_group_quantile_filter_null_values_drop_from_both_sides(spark):
     # NULL-valued rows are in neither side; the all-NULL group vanishes
     assert up == {2} and low == {1}
     assert 3 not in up | low and 4 not in up | low
+
+
+def test_deterministic_shuffle_is_a_reproducible_permutation(spark):
+    from python_mapreduce_spark.operators.windows import deterministic_shuffle
+
+    ids = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.shuffle_order for r in deterministic_shuffle(ids, "doc_id").collect()}
+    # a permutation of 1..N
+    assert sorted(a.values()) == list(range(1, 1001))
+    # not the identity order (md5 actually scrambles)
+    assert any(a[i] != i + 1 for i in range(1000))
+    # reproducible across runs; re-dealt by the salt
+    b = {r.doc_id: r.shuffle_order for r in deterministic_shuffle(ids, "doc_id").collect()}
+    assert a == b
+    c = {r.doc_id: r.shuffle_order for r in deterministic_shuffle(ids, "doc_id", salt="ep2").collect()}
+    assert any(a[i] != c[i] for i in a)
