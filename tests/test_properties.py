@@ -315,3 +315,82 @@ def test_incremental_dedup_equals_batch_canonical_min(spark, tmp_path_factory, d
     dup_ids = {r.id2 for r in pairs}
     want = {i: (i in dup_ids) for i, _ in docs}
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=40, unique=True),
+    w_train=st.floats(min_value=0.0, max_value=1.0),
+    w_val=st.floats(min_value=0.0, max_value=1.0),
+    salt=st.sampled_from(["", "v2", "epoch-3"]),
+)
+def test_hash_split_matches_hashlib_replay(spark, ids, w_train, w_val, salt):
+    # A third, independent engine: replay the md5-bucket rule with
+    # Python's hashlib on arbitrary ids/weights/salts and require
+    # Spark's assignment to agree row-for-row. This pins the exact rule
+    # (hex rendering, strict <, cumulative thresholds, full-coverage
+    # clause) rather than just its aggregate proportions.
+    import hashlib
+
+    from python_mapreduce_spark.operators.relational import hash_split
+
+    splits = (("train", w_train), ("val", w_val), ("test", 0.1))
+    total = w_train + w_val + 0.1
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = dict(
+        hash_split(df, "doc_id", splits, salt=salt).select("doc_id", "split").collect()
+    )
+
+    def expect(i: int) -> str:
+        bucket = hashlib.md5(f"{i}{salt}".encode()).hexdigest()[:4]
+        cum = 0.0
+        for name, w in splits[:-1]:
+            cum += w / total
+            t = round(cum * 65536)
+            if t >= 65536 or bucket < format(min(0xFFFF, max(0, t)), "04x"):
+                return name
+        return splits[-1][0]
+
+    assert got == {i: expect(i) for i in ids}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**12),
+            st.floats(min_value=-0.5, max_value=1.5, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[0],
+    ),
+)
+def test_weighted_sample_matches_hashlib_replay(spark, rows):
+    # Same independent replay for the per-row rule, including weights
+    # outside [0, 1] (clamped by the >= 1 / <= 0 branches).
+    import hashlib
+    import math
+
+    from python_mapreduce_spark.operators.relational import weighted_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {r.doc_id for r in weighted_sample(df, "doc_id", "w").collect()}
+
+    def keeps(i: int, w: float) -> bool:
+        if w >= 1.0:
+            return True
+        if w <= 0.0:
+            return False
+        bucket = hashlib.md5(str(i).encode()).hexdigest()[:4]
+        return bucket < format(math.floor(w * 65536), "04x")
+
+    assert got == {i for i, w in rows if keeps(i, w)}
