@@ -68,6 +68,7 @@ HEADLINE = [
     "q_quality_quantile_filter",
     "q_weighted_sample",
     "q_deterministic_shuffle",
+    "q_pipeline_curate",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

@@ -122,6 +122,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_quality_quantile_filter",
     "q_weighted_sample",
     "q_deterministic_shuffle",
+    "q_pipeline_curate",
 )
 
 

@@ -35,6 +35,7 @@ from python_mapreduce_spark.llm.similarity import (
     nearest_centroid_confusion,
 )
 from python_mapreduce_spark.llm.text import (
+    BPE_ISH_PATTERN,
     fingerprint,
     language_id,
     ngram_contamination,
@@ -1125,6 +1126,55 @@ LEFT JOIN ka USING (lang)
 """
 
 
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # End-to-end curation with THIS round's operators composed as one
+    # declarative plan: per-language median-quality gate
+    # (group_quantile_filter) -> deterministic 80/10/10 split
+    # (hash_split) -> per-(split, lang) BPE-token accounting. Each stage
+    # is oracle-verified on its own elsewhere; this query verifies the
+    # composition (the scored frame is lazily checkpointed once for the
+    # gate's two consumers).
+    from python_mapreduce_spark.llm.text import bpe_token_counts  # noqa: PLC0415
+    from python_mapreduce_spark.operators.aggregates import (  # noqa: PLC0415
+        group_quantile_filter,
+    )
+    from python_mapreduce_spark.operators.relational import hash_split  # noqa: PLC0415
+
+    d = table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "lang", "text").join(
+        quality_score(d, "doc_id", "text"), "doc_id"
+    ).localCheckpoint(eager=False)
+    gated = group_quantile_filter(scored, "lang", "quality", 0.5)
+    split = hash_split(gated, "doc_id")
+    return bpe_token_counts(split, ["split", "lang"], "text")
+
+
+SQL_PIPELINE_CURATE = f"""
+WITH q0 AS ({SQL_TEXT_QUALITY}),
+q AS (SELECT d.doc_id, d.lang, d.text, q0.quality
+      FROM q0 JOIN documents d USING (doc_id)),
+thr AS (
+  SELECT lang, percentile_cont(0.5) WITHIN GROUP (ORDER BY quality) AS t
+  FROM q GROUP BY lang
+),
+gated AS (SELECT q.* FROM q JOIN thr USING (lang) WHERE quality >= t),
+s AS (
+  SELECT *,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{format(round(0.8 * 65536), "04x")}' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{format(round(0.9 * 65536), "04x")}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM gated
+)
+SELECT split, lang,
+       CAST(sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS BIGINT)
+         AS total_bpe_tokens,
+       count(*) AS n_docs
+FROM s GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, "exact dedup on normalized text"),
     "q_dedup_jaccard": Query(q_dedup_jaccard, _SQL_JACCARD_PAIRS_CAPPED, "3-gram Jaccard near-dup pairs (df-capped)"),
@@ -1174,5 +1224,8 @@ QUERIES: dict[str, Query] = {
     ),
     "q_weighted_sample": Query(
         q_weighted_sample, SQL_WEIGHTED_SAMPLE, "per-row quality-weighted deterministic sampling"
+    ),
+    "q_pipeline_curate": Query(
+        q_pipeline_curate, SQL_PIPELINE_CURATE, "composed curation: quantile gate + hash split + BPE accounting"
     ),
 }
