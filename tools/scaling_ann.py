@@ -1,0 +1,107 @@
+"""Empirical near-linearity harness for the similarity-search family —
+the ANN companion to tools/scaling_dedup.py (VERDICT r3 item 6 pattern).
+
+The 100 TB claims for ANN rest on plan shape: the query table is
+broadcast-small by contract, so per-query work must grow ~linearly in
+CORPUS size — brute force scans the corpus once, and hyperplane-LSH
+candidates grow with bucket occupancy (~n / 2^planes per bucket). The
+quadratic failure mode (e.g. bucketing silently degenerating to one
+bucket, or a plan regression cross-joining corpus x corpus) would grow
+candidates ~R^2. This harness measures both sizes and gates at 2x the
+corpus ratio:
+
+  * LSH candidate-pair count for a FIXED 10-query set (radius-0 exact
+    bucket match — runtime-noise-free, the load-bearing assertion);
+  * brute-force top-k wall-clock (one corpus scan + BLAS matmul);
+  * multi-probe LSH top-k wall-clock (the production dial set).
+
+Usage: python tools/scaling_ann.py [small_sf_dir big_sf_dir]
+Exits nonzero if any growth gate fails; prints a markdown table.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from python_mapreduce_spark.llm.similarity import (  # noqa: E402
+    ann_topk_lsh,
+    cosine_topk,
+    hyperplane_lsh_buckets,
+)
+from python_mapreduce_spark.session import get_spark, tune  # noqa: E402
+from python_mapreduce_spark.sources.readers import load_table  # noqa: E402
+
+N_QUERIES = 10
+PLANES = 6
+
+
+def measure(spark, sf_dir: str) -> dict:
+    emb = load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+
+    # Candidate count at radius 0: corpus buckets equi-joined with the
+    # fixed query buckets. Deterministic (seeded planes), so this is the
+    # noise-free linearity signal.
+    cb = hyperplane_lsh_buckets(emb, "vec_id", "embedding", planes=PLANES)
+    qb = (
+        hyperplane_lsh_buckets(queries, "vec_id", "embedding", planes=PLANES)
+        .withColumnRenamed("id", "qid")
+    )
+    cand = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("qid") != F.col("id"))
+        .count()
+    )
+
+    t0 = time.time()
+    cosine_topk(emb, queries, "vec_id", "embedding", k=5).count()
+    t_brute = time.time() - t0
+
+    t0 = time.time()
+    ann_topk_lsh(
+        emb, queries, "vec_id", "embedding", k=5, planes=PLANES, probe_radius=4
+    ).count()
+    t_lsh = time.time() - t0
+
+    return {
+        "vectors": n,
+        "lsh_candidates": cand,
+        "t_bruteforce": round(t_brute, 2),
+        "t_lsh_multiprobe": round(t_lsh, 2),
+    }
+
+
+def main() -> int:
+    small, big = (
+        sys.argv[1:3] if len(sys.argv) >= 3 else ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    )
+    spark = get_spark("scaling-ann", master="local[16]")
+    tune(spark)
+    a, b = measure(spark, small), measure(spark, big)
+    r = b["vectors"] / a["vectors"]
+
+    print(f"| metric | {small} | {big} | ratio | gate (<= {2 * r:.0f}x = 2R) |")
+    print("|---|---|---|---|---|")
+    failures = []
+    for key in ("vectors", "lsh_candidates", "t_bruteforce", "t_lsh_multiprobe"):
+        ratio = (b[key] / a[key]) if a[key] else float("inf")
+        gate = "" if key == "vectors" else ("ok" if ratio <= 2 * r else "FAIL")
+        if gate == "FAIL":
+            failures.append(key)
+        print(f"| {key} | {a[key]} | {b[key]} | {ratio:.2f}x | {gate} |")
+    print(f"\ncorpus size ratio R = {r:.2f}x; linear gate = 2R = {2 * r:.2f}x")
+    if failures:
+        print(f"SUPERLINEAR GROWTH in: {failures}")
+        return 1
+    print("NEAR-LINEAR: all growth ratios within 2x of corpus ratio")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
