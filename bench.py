@@ -69,6 +69,7 @@ HEADLINE = [
     "q_weighted_sample",
     "q_deterministic_shuffle",
     "q_pipeline_curate",
+    "q_pseudonymize",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

@@ -381,6 +381,26 @@ def vocab_coverage(
     )
 
 
+def pseudonymize(df: DataFrame, cols: Sequence[str], secret: str) -> DataFrame:
+    """Keyed deterministic pseudonymization: replace each identifier
+    column with ``sha256(secret || value)`` (lowercase hex) — the
+    privacy step that strips direct identifiers while PRESERVING join
+    and group-by integrity: equal inputs map to equal tokens on every
+    table sharing the secret, so keyed joins still line up after
+    scrubbing. Rotating the secret unlinkably re-deals every token.
+    Beyond the reference surface (SURVEY.md §2.2 north-star extensions).
+
+    A pure projection — no shuffle, no UDF, no state at any scale; the
+    hash runs inside whole-stage codegen. NULLs stay NULL (a token for
+    NULL would create a fake join key).
+    """
+    out = df
+    for c in cols:
+        token = F.sha2(F.concat(F.lit(secret), F.col(c).cast("string")), 256)
+        out = out.withColumn(c, F.when(F.col(c).isNotNull(), token))
+    return out
+
+
 #: PII patterns chosen to parse identically under Java regex (Spark) and
 #: RE2 (DuckDB): plain character classes, no backrefs or lookaround.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

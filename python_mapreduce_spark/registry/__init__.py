@@ -123,6 +123,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_weighted_sample",
     "q_deterministic_shuffle",
     "q_pipeline_curate",
+    "q_pseudonymize",
 )
 
 

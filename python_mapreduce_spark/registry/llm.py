@@ -1175,6 +1175,42 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Keyed pseudonymization (llm/text.py::pseudonymize): customer keys
+    # become sha256(secret || key) tokens, and the query proves join
+    # integrity SURVIVES the scrub — orders joined on the tokenized key
+    # yield the same per-customer counts. A pure projection on each
+    # side; the oracle replays the identical keyed hash.
+    from python_mapreduce_spark.llm.text import pseudonymize  # noqa: PLC0415
+
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    orders = table(spark, sf_dir, "orders")
+    c_tok = pseudonymize(
+        cust.select(F.col("c_custkey").alias("k"), "c_mktsegment"), ["k"], "s3cret"
+    )
+    o_tok = pseudonymize(
+        orders.select(F.col("o_custkey").alias("k")), ["k"], "s3cret"
+    ).withColumn("__o", F.lit(1))
+    return (
+        c_tok.join(o_tok, "k", "left")
+        .groupBy("k", "c_mktsegment")
+        .agg(F.count("__o").cast("long").alias("n_orders"))
+        .select(F.col("k").alias("token"), "c_mktsegment", "n_orders")
+    )
+
+
+SQL_PSEUDONYMIZE = """
+WITH c AS (
+  SELECT sha256('s3cret' || CAST(c_custkey AS VARCHAR)) AS token, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+),
+o AS (SELECT sha256('s3cret' || CAST(o_custkey AS VARCHAR)) AS token FROM orders)
+SELECT c.token, c.c_mktsegment, CAST(count(o.token) AS BIGINT) AS n_orders
+FROM c LEFT JOIN o ON c.token = o.token
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, "exact dedup on normalized text"),
     "q_dedup_jaccard": Query(q_dedup_jaccard, _SQL_JACCARD_PAIRS_CAPPED, "3-gram Jaccard near-dup pairs (df-capped)"),
@@ -1227,5 +1263,8 @@ QUERIES: dict[str, Query] = {
     ),
     "q_pipeline_curate": Query(
         q_pipeline_curate, SQL_PIPELINE_CURATE, "composed curation: quantile gate + hash split + BPE accounting"
+    ),
+    "q_pseudonymize": Query(
+        q_pseudonymize, SQL_PSEUDONYMIZE, "keyed sha256 pseudonymization preserving join integrity"
     ),
 }

@@ -578,3 +578,22 @@ def test_hash_split_zero_weight_split_gets_nothing(spark):
 
     with _pt.raises(ValueError, match="at least one split"):
         hash_split(ids, "doc_id", ())
+
+
+def test_pseudonymize_tokens_deterministic_and_null_safe(spark):
+    from python_mapreduce_spark.llm.text import pseudonymize
+
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, None), (4, "alice")],
+        "id long, name string",
+    )
+    out = {r.id: r.name for r in pseudonymize(df, ["name"], "k1").collect()}
+    import hashlib
+
+    expect = hashlib.sha256(b"k1alice").hexdigest()
+    assert out[1] == expect and out[4] == expect  # equal in -> equal token
+    assert out[2] == hashlib.sha256(b"k1bob").hexdigest()
+    assert out[3] is None  # NULL stays NULL, never a fake join key
+    # rotating the secret re-deals every token
+    out2 = {r.id: r.name for r in pseudonymize(df, ["name"], "k2").collect()}
+    assert out2[1] != out[1]
