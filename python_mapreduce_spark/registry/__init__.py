@@ -124,6 +124,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_deterministic_shuffle",
     "q_pipeline_curate",
     "q_pseudonymize",
+    "q_schema_evolution",
 )
 
 

@@ -114,6 +114,46 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Schema-evolved ingest: generation 1 of the corpus was written
+    # BEFORE the lang column existed (doc_id, n_chars only), generation
+    # 2 carries it. A mergeSchema read unions the footers so both
+    # generations scan as the superset schema with the absent column
+    # NULL — the long-lived-dataset situation every 100 TB ingest hits.
+    # The aggregate distinguishes pre-lang rows via the NULL, and the
+    # oracle replays the generation rule on the source table, so a
+    # merged read that dropped rows, mixed up columns, or fabricated
+    # values breaks the hash.
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from python_mapreduce_spark.sources.readers import read_parquet  # noqa: PLC0415
+    from python_mapreduce_spark.sources.sinks import write_parquet  # noqa: PLC0415
+
+    d = table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="spark_schema_evo_")
+    gen1, gen2 = os.path.join(base, "gen1"), os.path.join(base, "gen2")
+    write_parquet(d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars"), gen1)
+    write_parquet(
+        d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "n_chars", "lang"), gen2
+    )
+    merged = read_parquet(spark, [gen1, gen2], merge_schema=True)
+    return merged.groupBy(
+        F.coalesce("lang", F.lit("<pre-lang>")).alias("lang")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+SQL_SCHEMA_EVOLUTION = """
+SELECT CASE WHEN doc_id % 2 = 1 THEN lang ELSE '<pre-lang>' END AS lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
 # --- posexplode (UDTF / flatMap fan-out analog) ---------------------------------
 
 def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -878,6 +918,9 @@ QUERIES: dict[str, Query] = {
     "q_except_all": Query(q_except_all, SQL_EXCEPT_ALL, "bag except"),
     "q_collect_agg": Query(q_collect_agg, SQL_COLLECT_AGG, "ordered collect_list/set"),
     "q_sink_roundtrip": Query(q_sink_roundtrip, SQL_SINK_ROUNDTRIP, "partitioned parquet sink roundtrip (O21)"),
+    "q_schema_evolution": Query(
+        q_schema_evolution, SQL_SCHEMA_EVOLUTION, "mergeSchema read across schema-evolved parquet generations"
+    ),
     "q_freq_items": Query(q_freq_items, SQL_FREQ_ITEMS, "frequent-items sketch (tolerance oracle)"),
     "q_upsert": Query(q_upsert, SQL_UPSERT, "keyed MERGE/upsert via anti-join union"),
     "q_skew_report": Query(q_skew_report, SQL_SKEW_REPORT, "shuffle-key skew diagnostic"),

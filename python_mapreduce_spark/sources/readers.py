@@ -163,9 +163,22 @@ def read_csv(
     return reader.csv(_paths(paths))
 
 
-def read_parquet(spark: SparkSession, paths: str | Sequence[str]) -> DataFrame:
-    """Columnar scan — predicate pushdown + column pruning reach the footer."""
-    return spark.read.parquet(*_paths(paths))
+def read_parquet(
+    spark: SparkSession, paths: str | Sequence[str], *, merge_schema: bool = False
+) -> DataFrame:
+    """Columnar scan — predicate pushdown + column pruning reach the footer.
+
+    ``merge_schema=True`` unions the footers of every file so a dataset
+    whose schema EVOLVED across batches (columns added over time) reads
+    as the superset schema, with absent columns NULL — the standard
+    long-lived-ingest situation. Off by default: merging costs a footer
+    pass over every file, which at 100 TB is exactly the metadata storm
+    the default single-footer read avoids.
+    """
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*_paths(paths))
 
 
 def read_orc(spark: SparkSession, paths: str | Sequence[str]) -> DataFrame:

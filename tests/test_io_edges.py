@@ -259,3 +259,17 @@ def test_ntz_load_requires_utc_session(spark, tmp_path):
             load_table(spark, str(sf), "events")
     finally:
         spark.conf.set("spark.sql.session.timeZone", prior)
+
+
+def test_read_parquet_merge_schema_unions_generations(spark, tmp_path):
+    from python_mapreduce_spark.sources.readers import read_parquet
+    from python_mapreduce_spark.sources.sinks import write_parquet
+
+    g1, g2 = str(tmp_path / "g1"), str(tmp_path / "g2")
+    write_parquet(spark.createDataFrame([(1, 10)], "id long, a long"), g1)
+    write_parquet(spark.createDataFrame([(2, 20, "x")], "id long, a long, b string"), g2)
+    merged = read_parquet(spark, [g1, g2], merge_schema=True)
+    assert set(merged.columns) == {"id", "a", "b"}
+    rows = {r.id: (r.a, r.b) for r in merged.collect()}
+    # the pre-evolution generation reads the new column as NULL
+    assert rows == {1: (10, None), 2: (20, "x")}
