@@ -406,6 +406,8 @@ def embedding_dedup_pairs_matmul(
     from python_mapreduce_spark.llm.similarity import _round6, _unit_rows
 
     pdf = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    if pdf.empty:  # empty corpus -> no pairs, not a vstack crash
+        return emb.sparkSession.createDataFrame([], "id1 long, id2 long, cos double")
     ids = pdf["id"].to_numpy()
     mat_t = _unit_rows(pdf["v"].values).T  # dim x n
 

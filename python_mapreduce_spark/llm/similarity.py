@@ -34,7 +34,10 @@ def _round6(x: np.ndarray) -> np.ndarray:
 
 
 def _unit_rows(vecs) -> np.ndarray:
-    v = np.vstack(list(vecs)).astype(np.float64)
+    vec_list = list(vecs)
+    if not vec_list:  # empty batch/frame: shape-degenerate but no crash
+        return np.zeros((0, 0))
+    v = np.vstack(vec_list).astype(np.float64)
     norms = np.sqrt((v * v).sum(axis=1, keepdims=True))
     norms[norms == 0] = 1.0
     return v / norms
@@ -61,6 +64,8 @@ def cos_pair_udf():
 
     @F.pandas_udf("double")
     def cos_pair(v1: pd.Series, v2: pd.Series) -> pd.Series:
+        if len(v1) == 0:  # Arrow can hand the UDF an empty batch
+            return pd.Series([], dtype="float64")
         a, b = _unit_rows(v1.values), _unit_rows(v2.values)
         return pd.Series(_round6((a * b).sum(axis=1)))
 
@@ -84,6 +89,10 @@ def cosine_topk(
     corpus, one small top-k shuffle, pre-trimmed by WindowGroupLimit.
     """
     q_pdf = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("v")).toPandas()
+    if q_pdf.empty:  # no queries -> no results, not a vstack crash
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id} long, rn long, neighbor_id long, cos double"
+        )
     q_ids = q_pdf["qid"].to_numpy()
     q_mat = _unit_rows(q_pdf["v"].values).T  # dim x nq
 
@@ -126,6 +135,8 @@ def hyperplane_lsh_buckets(
 
     @F.pandas_udf("long")
     def bucket_of(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch (empty corpus)
+            return pd.Series([], dtype="int64")
         bits = (np.vstack(vecs.values).astype(np.float64) @ plane_matrix) > 0
         return pd.Series((bits * (1 << np.arange(planes, dtype=np.int64))).sum(axis=1))
 
@@ -165,6 +176,8 @@ def banded_lsh_candidate_pairs(
 
     @F.pandas_udf("array<long>")
     def band_keys(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch (empty corpus)
+            return pd.Series([], dtype="object")
         bits = (np.vstack(vecs.values).astype(np.float64) @ plane_matrix) > 0
         keyed = (bits.reshape(len(bits), bands, rows_per_band) * weights).sum(axis=2)
         return pd.Series(list(keyed))
@@ -271,6 +284,13 @@ def ann_topk_ivf(
     vs the brute-force oracle is pinned in pytest (not SQL-expressible —
     centroids come from distributed float sums).
     """
+    if corpus.isEmpty() or queries.isEmpty():
+        # k-means init and the probe build both collect driver-side
+        # numpy; degenerate inputs return an empty result instead of a
+        # vstack crash. isEmpty() reads at most one row.
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id} long, rn long, neighbor_id long, cos double"
+        )
     assigned, cents = ivf_assign(corpus, id_col, vec_col, nlist=nlist, iters=iters)
     q_pdf = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("v")).toPandas()
     q_unit = _unit_rows(q_pdf["v"].values)
@@ -405,6 +425,8 @@ def nearest_centroid_confusion(
             f"more than max_labels={max_labels} labels; "
             "nearest-centroid assumes an enumerable class set"
         )
+    if not cents:  # empty corpus: empty confusion matrix, not a crash
+        return df.sparkSession.createDataFrame([], "label long, pred_label long, n long")
     cents.sort(key=lambda r: r["clabel"])
     labels = np.array([r["clabel"] for r in cents])
     cmat = _unit_rows([r["centroid"] for r in cents]).T  # dim x n_labels

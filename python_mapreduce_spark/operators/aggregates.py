@@ -120,8 +120,11 @@ def key_skew_report(
     ranked = counts.orderBy(F.col("__cnt").desc(), F.col("__k")).limit(top_n)
     # re-sort the collected top-n (tiny) — collect_list order after a
     # limit is not guaranteed
+    # nullif: with zero rows the joined list is '' while the SQL
+    # string_agg twin is NULL — map the empty case to NULL so both
+    # engines agree on degenerate input (real data never emits '').
     top_str = ranked.agg(
-        F.array_join(
+        F.nullif(F.array_join(
             F.transform(
                 F.array_sort(
                     F.collect_list(F.struct(F.col("__cnt"), F.col("__k"))),
@@ -136,7 +139,7 @@ def key_skew_report(
                 lambda s: F.concat_ws(":", s["__k"], s["__cnt"].cast("string")),
             ),
             ",",
-        ).alias("top_keys")
+        ), F.lit("")).alias("top_keys")
     )
     return summary.crossJoin(top_str)
 

@@ -100,7 +100,10 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = os.path.join(tempfile.mkdtemp(prefix="spark_sink_rt_"), "orders")
     write_parquet(o, path, partition_by=["o_orderstatus"])
-    back = read_parquet(spark, path)
+    # Explicit schema on the read-back: skips footer sampling (the
+    # at-scale default) and keeps the roundtrip well-defined even when
+    # the source is empty (an empty partitioned write emits no footers).
+    back = read_parquet(spark, path, schema=o.schema)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("sum_total"),

@@ -164,7 +164,11 @@ def read_csv(
 
 
 def read_parquet(
-    spark: SparkSession, paths: str | Sequence[str], *, merge_schema: bool = False
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    *,
+    merge_schema: bool = False,
+    schema=None,
 ) -> DataFrame:
     """Columnar scan — predicate pushdown + column pruning reach the footer.
 
@@ -174,10 +178,17 @@ def read_parquet(
     long-lived-ingest situation. Off by default: merging costs a footer
     pass over every file, which at 100 TB is exactly the metadata storm
     the default single-footer read avoids.
+
+    An explicit ``schema`` skips footer inference entirely — the right
+    default at scale, and the only way to read back a partitioned sink
+    that wrote zero data files (Spark emits just ``_SUCCESS`` for an
+    empty partitioned write, leaving nothing to infer from).
     """
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
     return reader.parquet(*_paths(paths))
 
 

@@ -597,3 +597,42 @@ def test_pseudonymize_tokens_deterministic_and_null_safe(spark):
     # rotating the secret re-deals every token
     out2 = {r.id: r.name for r in pseudonymize(df, ["name"], "k2").collect()}
     assert out2[1] != out[1]
+
+
+def test_similarity_family_degrades_gracefully_on_empty_input(spark):
+    # Empty corpora/query sets happen constantly at scale (a filter that
+    # matched nothing, a new partition). Every driver-side numpy path
+    # must return an EMPTY result of the right schema, never crash on
+    # np.vstack([]).
+    from python_mapreduce_spark.llm.dedup import (
+        embedding_dedup_pairs_lsh,
+        embedding_dedup_pairs_matmul,
+    )
+    from python_mapreduce_spark.llm.similarity import (
+        ann_topk_ivf,
+        ann_topk_lsh,
+        cosine_topk,
+        nearest_centroid_confusion,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    some = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    assert cosine_topk(some, empty, "vec_id", "embedding").count() == 0
+    assert cosine_topk(empty, empty, "vec_id", "embedding").count() == 0
+    assert ann_topk_lsh(empty, empty, "vec_id", "embedding").count() == 0
+    assert ann_topk_ivf(empty, some, "vec_id", "embedding").count() == 0
+    assert ann_topk_ivf(some, empty, "vec_id", "embedding").count() == 0
+    assert nearest_centroid_confusion(empty, "embedding", "label").count() == 0
+    assert embedding_dedup_pairs_matmul(empty, "vec_id", "embedding").count() == 0
+    assert embedding_dedup_pairs_lsh(empty, "vec_id", "embedding").count() == 0
+
+
+def test_skew_report_empty_input_emits_null_top_keys(spark):
+    from python_mapreduce_spark.operators.aggregates import key_skew_report
+
+    empty = spark.createDataFrame([], "k string, v long")
+    [row] = key_skew_report(empty, ["k"]).collect()
+    assert row.n_keys == 0 and row.top_keys is None  # NULL, matching SQL string_agg
