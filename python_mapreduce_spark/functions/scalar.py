@@ -53,6 +53,14 @@ def tokenize(col: Column | str, pattern: str = "[a-z]+") -> Column:
 
     ``regexp_extract_all`` exists with identical RE2-class semantics in
     Spark and DuckDB, so token streams match across engines.
+
+    NULL text tokenizes as the EMPTY document (zero tokens), not NULL:
+    a NULL array silently drops rows through explode/posexplode and (on
+    legacy-conf builds) poisons size() aggregates with -1. Oracles
+    encode the same rule via ``coalesce(text, '')``.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(F.lower(c), F.lit(pattern), F.lit(0))
+    return F.coalesce(
+        F.regexp_extract_all(F.lower(c), F.lit(pattern), F.lit(0)),
+        F.array().cast("array<string>"),
+    )

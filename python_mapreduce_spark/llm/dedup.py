@@ -50,10 +50,9 @@ def exact_dedup(
     """
     if key_mode not in ("hash", "text"):
         raise ValueError(f"key_mode must be hash|text, got {key_mode!r}")
+    safe = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty doc
     norm = (
-        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-        if normalized
-        else F.col(text_col)
+        F.trim(F.regexp_replace(F.lower(safe), r"\s+", " ")) if normalized else safe
     )
     key = F.md5(norm) if key_mode == "hash" else norm
     key_name = "text_fp" if key_mode == "hash" else "text_key"

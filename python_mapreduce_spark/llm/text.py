@@ -63,9 +63,10 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document stats: chars, tokens, alpha/punct ratios, stopword
     ratio — the standard quality-filter signals."""
-    lower = F.lower(F.col(text_col))
+    safe = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty doc
+    lower = F.lower(safe)
     toks = tokenize(text_col)
-    n_chars = F.length(text_col).cast("long")
+    n_chars = F.length(safe).cast("long")
     n_alpha = F.length(F.regexp_replace(lower, "[^a-z]", "")).cast("long")
     n_punct = F.length(F.regexp_replace(lower, "[a-z ]", "")).cast("long")
     en = STOPWORDS["en"]
@@ -125,7 +126,9 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Whitespace-normalized MD5 document fingerprint — the exact-dedup
     key that survives formatting noise."""
-    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    normalized = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " ")
+    )  # NULL text = empty doc: fingerprints as md5('')
     return df.select(F.col(id_col), F.md5(normalized).alias("fp"))
 
 
@@ -188,7 +191,8 @@ def bpe_token_counts(df: DataFrame, group_cols: Sequence[str], text_col: str) ->
     """Subword-style token accounting per group — the budget number an
     LLM-training pipeline actually tracks (whitespace words undercount
     punctuation/digit-heavy text)."""
-    n = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+    safe_text = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty doc
+    n = F.size(F.regexp_extract_all(safe_text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
     return df.groupBy(*group_cols).agg(
         F.sum(n).cast("long").alias("total_bpe_tokens"),
         F.count(F.lit(1)).alias("n_docs"),

@@ -428,7 +428,7 @@ def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SCALAR_ARRAY = """
 WITH t AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents
+  SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks FROM documents
 )
 SELECT doc_id, len(toks) AS n_tokens,
        array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 3), ',') AS first3,

@@ -171,7 +171,7 @@ SQL_POSEXPLODE = """
 SELECT doc_id,
        unnest(generate_series(0, len(toks) - 1)) AS pos,
        unnest(toks) AS tok
-FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+FROM (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
       FROM documents WHERE doc_id < 50)
 """
 

@@ -60,7 +60,7 @@ sets AS (
            generate_series(1, greatest(len(toks) - 2, 0)),
            i -> array_to_string(toks[i:i+2], ' ')
          )) AS shingles
-  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents)
+  FROM (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks FROM documents)
 )
 """
 
@@ -119,7 +119,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_EXACT = r"""
-SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS text_fp,
+SELECT md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS text_fp,
        min(doc_id) AS keep_id,
        count(*) AS n_copies
 FROM documents GROUP BY 1
@@ -433,11 +433,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_STATS = """
 WITH t AS (
   SELECT doc_id,
-         CAST(length(text) AS BIGINT) AS n_chars,
-         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens,
-         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
-         CAST(length(regexp_replace(lower(text), '[a-z ]', '', 'g')) AS BIGINT) AS n_punct,
-         CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+         CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(lower(coalesce(text, '')), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         CAST(length(regexp_replace(lower(coalesce(text, '')), '[a-z ]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'),
               t -> t IN ('the','a','of','and','to','is'))) AS BIGINT) AS n_stop
   FROM documents
 )
@@ -474,7 +474,7 @@ WITH sw(lang, word) AS (VALUES
   ('es','el'),('es','la'),('es','de'),('es','que'),('es','es'),
   ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est')),
 toks AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS word
   FROM documents),
 votes AS (
   SELECT doc_id, lang, count(*) AS hits
@@ -495,7 +495,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TEXT_FINGERPRINT = r"""
-SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+SELECT doc_id, md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp
 FROM documents
 """
 
@@ -508,10 +508,18 @@ def q_text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equi-join, and Levenshtein runs only within blocks — never
     # all-pairs. Both engines implement classic Levenshtein, so the
     # distances compare exactly.
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.substring(F.lower("text"), 1, 32).alias("s"),
-        F.substring(F.lower("text"), 1, 8).alias("blk"),
+    # NULL/empty documents are excluded from blocking: a degenerate ''
+    # block would otherwise pair every empty doc with every other
+    # (quadratic in the empty count, and lev('','') = 0 is not a match
+    # signal). The oracle applies the same exclusion.
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.substring(F.lower("text"), 1, 32).alias("s"),
+            F.substring(F.lower("text"), 1, 8).alias("blk"),
+        )
+        .filter(F.length("blk") >= 1)
     )
     a, b = d.alias("a"), d.alias("b")
     return (
@@ -530,8 +538,9 @@ def q_text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TEXT_FUZZY = """
 WITH d AS (
-  SELECT doc_id, substr(lower(text), 1, 32) AS s, substr(lower(text), 1, 8) AS blk
+  SELECT doc_id, substr(lower(coalesce(text, '')), 1, 32) AS s, substr(lower(coalesce(text, '')), 1, 8) AS blk
   FROM documents
+  WHERE length(coalesce(text, '')) >= 1
 )
 SELECT a.doc_id AS id1, b.doc_id AS id2,
        CAST(levenshtein(a.s, b.s) AS BIGINT) AS lev
@@ -574,7 +583,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_COUNT = """
 SELECT source,
-       CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS total_tokens,
+       CAST(sum(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'))) AS BIGINT) AS total_tokens,
        count(*) AS n_docs
 FROM documents GROUP BY source
 """
@@ -588,7 +597,7 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_COUNT_BPE = r"""
 SELECT source,
-       CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')))
+       CAST(sum(len(regexp_extract_all(coalesce(text, ''), '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')))
             AS BIGINT) AS total_bpe_tokens,
        count(*) AS n_docs
 FROM documents GROUP BY source
@@ -609,7 +618,7 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_CHUNKING = """
 WITH t AS (
-  SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+  SELECT doc_id AS id, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
   FROM documents
 ),
 c AS (
@@ -618,7 +627,7 @@ c AS (
   FROM t
 )
 SELECT id, chunk_no,
-       array_to_string(toks[CAST(chunk_no * 48 + 1 AS BIGINT) : CAST(chunk_no * 48 + 64 AS BIGINT)], ' ') AS chunk_text,
+       coalesce(array_to_string(toks[CAST(chunk_no * 48 + 1 AS BIGINT) : CAST(chunk_no * 48 + 64 AS BIGINT)], ' '), '') AS chunk_text,
        CAST(len(toks[CAST(chunk_no * 48 + 1 AS BIGINT) : CAST(chunk_no * 48 + 64 AS BIGINT)]) AS BIGINT) AS n_chunk_tokens
 FROM c
 """
@@ -651,18 +660,18 @@ def q_pipeline_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PIPELINE_PREPARE = r"""
 WITH fp AS (
   SELECT doc_id, source, text,
-         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp
   FROM documents
 ),
 keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
 survivors AS (SELECT f.* FROM fp f JOIN keep USING (doc_id)),
 stats AS (
   SELECT doc_id, source, text,
-         CAST(length(text) AS BIGINT) AS n_chars,
-         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens,
-         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
-         CAST(length(regexp_replace(lower(text), '[a-z ]', '', 'g')) AS BIGINT) AS n_punct,
-         CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+         CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(lower(coalesce(text, '')), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         CAST(length(regexp_replace(lower(coalesce(text, '')), '[a-z ]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(len(list_filter(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'),
               t -> t IN ('the','a','of','and','to','is'))) AS BIGINT) AS n_stop
   FROM survivors
 ),
@@ -675,7 +684,7 @@ scored AS (
   FROM stats
 )
 SELECT source,
-       CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+'))) AS BIGINT) AS kept_tokens,
+       CAST(sum(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'))) AS BIGINT) AS kept_tokens,
        count(*) AS kept_docs
 FROM scored WHERE quality >= 0.5
 GROUP BY source
@@ -757,7 +766,7 @@ WITH grams AS (
            generate_series(1, greatest(len(toks) - 1, 0)),
            i -> array_to_string(toks[i:i+1], ' ')
          ) AS gs
-  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents)
+  FROM (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks FROM documents)
 )
 SELECT id,
        CAST(len(gs) AS BIGINT) AS n_grams,
@@ -787,7 +796,7 @@ WITH sets AS (
            generate_series(1, greatest(len(toks) - 7, 0)),
            i -> array_to_string(toks[i:i+7], ' ')
          )) AS shingles
-  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents)
+  FROM (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks FROM documents)
 ),
 ev AS (SELECT DISTINCT unnest(shingles) AS g FROM sets WHERE id % 25 = 0),
 corpus AS (SELECT id, shingles FROM sets WHERE id % 25 <> 0),
@@ -904,7 +913,7 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TFIDF_TOPK = f"""
 WITH toks AS (
-  SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  SELECT doc_id AS id, unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS term
   FROM documents
 ),
 tf AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
@@ -936,7 +945,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_VOCAB_COVERAGE = f"""
 WITH toks AS (
-  SELECT doc_id AS id, lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  SELECT doc_id AS id, lang, unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS term
   FROM documents
 ),
 vocab AS (
@@ -1168,7 +1177,7 @@ s AS (
   FROM gated
 )
 SELECT split, lang,
-       CAST(sum(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS BIGINT)
+       CAST(sum(len(regexp_extract_all(coalesce(text, ''), '{BPE_ISH_PATTERN}'))) AS BIGINT)
          AS total_bpe_tokens,
        count(*) AS n_docs
 FROM s GROUP BY 1, 2

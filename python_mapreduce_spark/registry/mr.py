@@ -30,7 +30,7 @@ def q_mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("text")
 
     def map_fn(line, aux):
-        return [(tok, 1) for tok in _TOKEN_RE.findall(line.lower())]
+        return [(tok, 1) for tok in _TOKEN_RE.findall((line or "").lower())]
 
     def reduce_fn(key, group, aux):
         return [(key[0], int(group["n"].sum()))]
@@ -42,7 +42,7 @@ def q_mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MR_WORDCOUNT = """
 SELECT token, count(*) AS cnt
-FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+FROM (SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS token
       FROM documents)
 GROUP BY token
 """
@@ -157,7 +157,7 @@ def q_mr_wordcount_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = read_text(spark, out_dir)
 
     def map_fn(line, aux):
-        return [(tok, 1) for tok in _TOKEN_RE.findall(line.lower())]
+        return [(tok, 1) for tok in _TOKEN_RE.findall((line or "").lower())]
 
     def reduce_fn(key, group, aux):
         return [(key[0], int(group["n"].sum()))]
@@ -190,7 +190,7 @@ def q_mr_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MR_UDTF_TOKENS = """
-WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
            FROM documents)
 SELECT doc_id,
        CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,

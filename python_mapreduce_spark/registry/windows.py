@@ -267,7 +267,7 @@ def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SHARD_PACK = """
 WITH t AS (
   SELECT doc_id,
-         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_tokens
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS BIGINT) AS n_tokens
   FROM documents
 )
 SELECT doc_id, n_tokens,

@@ -44,6 +44,12 @@ _RUNTIME_CONF: dict[str, str] = {
     # reference (bad records -> null, not job abort) and DuckDB defaults
     # for the comparisons we run.
     "spark.sql.ansi.enabled": "false",
+    # With ANSI off this build falls back to the pre-3.0 legacy
+    # size(NULL) = -1, which silently poisons any aggregate over
+    # size(tokenize(text)) when text is NULL (each NULL doc SUBTRACTS
+    # one token). Pin the modern semantics: size(NULL) = NULL, matching
+    # DuckDB's len(NULL) and every oracle.
+    "spark.sql.legacy.sizeOfNull": "false",
     # Parquet TIMESTAMP(NANOS) (e.g. events.ts) is otherwise an illegal
     # type for Spark; surface it as nanos-since-epoch longs and let the
     # reader normalize (sources/readers.py::load_table).

@@ -636,3 +636,37 @@ def test_skew_report_empty_input_emits_null_top_keys(spark):
     empty = spark.createDataFrame([], "k string, v long")
     [row] = key_skew_report(empty, ["k"]).collect()
     assert row.n_keys == 0 and row.top_keys is None  # NULL, matching SQL string_agg
+
+
+def test_null_text_behaves_as_empty_document(spark):
+    # The engine-wide rule (functions/scalar.py::tokenize): NULL text =
+    # EMPTY document, on both the Spark side and every oracle. Without
+    # it, NULL arrays silently drop rows through explode and (on
+    # legacy-conf builds) size(NULL) = -1 SUBTRACTS from token sums.
+    import hashlib
+
+    from python_mapreduce_spark.llm.dedup import exact_dedup
+    from python_mapreduce_spark.llm.text import (
+        fingerprint,
+        repetition_stats,
+        text_stats,
+        token_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aa bb", "g"), (2, None, "g"), (3, "", "g")],
+        "doc_id long, text string, grp string",
+    )
+    stats = {r.doc_id: r for r in text_stats(df, "doc_id", "text").collect()}
+    assert stats[2].n_chars == 0 and stats[2].n_tokens == 0
+    assert stats[2].punct_ratio == 0.0 and stats[2].stopword_ratio == 0.0
+    [tc] = token_counts(df, ["grp"], "text").collect()
+    assert (tc.total_tokens, tc.n_docs) == (2, 3)  # NULL contributes 0, not -1
+    fps = {r.doc_id: r.fp for r in fingerprint(df, "doc_id", "text").collect()}
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    assert fps[2] == empty_md5 == fps[3]  # NULL and '' fingerprint alike
+    reps = {r.id: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert (reps[2].n_grams, reps[2].rep_ratio) == (0, 0.0)
+    dedup = exact_dedup(df, "doc_id", "text").collect()
+    empties = [r for r in dedup if r.text_fp == empty_md5]
+    assert len(empties) == 1 and empties[0].n_copies == 2  # NULL + '' merge

@@ -35,7 +35,15 @@ def _cell(v) -> str:
         return "NULL"
     if isinstance(v, (np.floating, float)):
         f = float(v)
-        return "0.0" if f == 0 else repr(f)
+        if f == 0:
+            return "0.0"
+        # Integral floats render as ints: a nullable BIGINT column is
+        # NaN-promoted to float64 by pandas on whichever side carries a
+        # NULL, turning 26 into 26.0 on one engine only. Dtype drift is
+        # still reported separately (DTYPE-ONLY).
+        if f.is_integer() and abs(f) < 2**53:
+            return str(int(f))
+        return repr(f)
     if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
         return str(int(v))
     if isinstance(v, (pd.Timestamp, datetime)):
