@@ -230,6 +230,76 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> D
     )
 
 
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_tok_len: float = 3.0,
+    max_tok_len: float = 10.0,
+    max_punct_ratio: float = 0.1,
+    min_stop_hits: int = 2,
+    max_rep_ratio: float = 0.2,
+) -> DataFrame:
+    """Gopher-style composite document filter: the standard rule bundle
+    (Rae et al., Gopher appendix A1.1) that gates web text before
+    training — token-count band, mean-token-length band, symbol ratio,
+    minimum stopword evidence, and duplicate-2-gram repetition — emitted
+    as per-rule flags plus the combined ``keep`` verdict so the audit
+    (which rule fires how often) falls out of the same pass as the
+    filter. Beyond the reference surface (SURVEY.md §2.2 north-star
+    extensions).
+
+    Thresholds default to corpus-appropriate adaptations of the Gopher
+    values (the published 50-token floor would drop this synthetic
+    corpus entirely); all are caller-tunable.
+
+    Pure Catalyst expressions over ONE tokenization — a map with no
+    shuffle at any scale; the 2-gram repetition signal reuses the
+    one-regex-pass extraction documented in :func:`shingle_sets`.
+    """
+    safe = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty doc
+    toks = tokenize(text_col)
+    n_toks = F.size(toks).cast("long")
+    n_tok_chars = F.length(F.array_join(toks, "")).cast("long")
+    mean_tok_len = dround(n_tok_chars / F.greatest(n_toks, F.lit(1)).cast("double"), 4)
+    n_chars = F.length(safe)
+    n_punct = F.length(F.regexp_replace(F.lower(safe), "[a-z ]", ""))
+    punct_ratio = dround(n_punct / F.greatest(n_chars, F.lit(1)).cast("double"), 4)
+    en = STOPWORDS["en"]
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*en))).cast("long")
+    # Duplicate-2-gram fraction (same extraction as repetition_stats n=2).
+    pattern = r"(?=([a-z]+ [a-z]+))[a-z]+ "
+    grams = F.regexp_extract_all(F.array_join(toks, " "), F.lit(pattern), F.lit(1))
+    n_grams = F.size(grams).cast("long")
+    rep_ratio = dround(
+        (n_grams - F.size(F.array_distinct(grams)))
+        / F.greatest(n_grams, F.lit(1)).cast("double"),
+        4,
+    )
+    ok_len = (n_toks >= min_tokens) & (n_toks <= max_tokens)
+    ok_tok_len = (mean_tok_len >= min_tok_len) & (mean_tok_len <= max_tok_len)
+    ok_punct = punct_ratio <= max_punct_ratio
+    ok_stop = stop_hits >= min_stop_hits
+    ok_rep = rep_ratio <= max_rep_ratio
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_toks.alias("n_tokens"),
+        mean_tok_len.alias("mean_tok_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_hits.alias("stop_hits"),
+        rep_ratio.alias("rep_ratio"),
+        ok_len.alias("ok_len"),
+        ok_tok_len.alias("ok_tok_len"),
+        ok_punct.alias("ok_punct"),
+        ok_stop.alias("ok_stop"),
+        ok_rep.alias("ok_rep"),
+        (ok_len & ok_tok_len & ok_punct & ok_stop & ok_rep).alias("keep"),
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     eval_set: DataFrame,

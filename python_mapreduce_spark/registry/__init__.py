@@ -125,6 +125,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pipeline_curate",
     "q_pseudonymize",
     "q_schema_evolution",
+    "q_gopher_filter",
 )
 
 

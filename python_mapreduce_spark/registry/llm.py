@@ -776,6 +776,53 @@ FROM grams
 """
 
 
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style composite quality gate (llm/text.py::
+    # gopher_quality_flags): per-rule flags + combined keep verdict in
+    # one tokenization pass — a pure Catalyst map, no shuffle at any
+    # scale. Thresholds adapted to the synthetic corpus so both outcomes
+    # occur (the published 50-token floor would empty it).
+    from python_mapreduce_spark.llm.text import gopher_quality_flags  # noqa: PLC0415
+
+    return gopher_quality_flags(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+SQL_GOPHER_FILTER = f"""
+WITH base AS (
+  SELECT doc_id AS id,
+         coalesce(text, '') AS t,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+  FROM documents
+),
+feat AS (
+  SELECT id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         {sql_dround("length(array_to_string(toks, '')) / CAST(greatest(len(toks), 1) AS DOUBLE)", 4)} AS mean_tok_len,
+         {sql_dround("length(regexp_replace(lower(t), '[a-z ]', '', 'g')) / CAST(greatest(length(t), 1) AS DOUBLE)", 4)} AS punct_ratio,
+         CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','is'], tk))) AS BIGINT) AS stop_hits,
+         list_transform(
+           generate_series(1, greatest(len(toks) - 1, 0)),
+           i -> array_to_string(toks[i:i+1], ' ')
+         ) AS gs
+  FROM base
+),
+flags AS (
+  SELECT id, n_tokens, mean_tok_len, punct_ratio, stop_hits,
+         {sql_dround('(len(gs) - len(list_distinct(gs))) / CAST(greatest(len(gs), 1) AS DOUBLE)', 4)} AS rep_ratio,
+         (n_tokens >= 20 AND n_tokens <= 100000) AS ok_len,
+         (mean_tok_len >= 3.0 AND mean_tok_len <= 10.0) AS ok_tok_len,
+         (punct_ratio <= 0.1) AS ok_punct,
+         (stop_hits >= 2) AS ok_stop
+  FROM feat
+)
+SELECT id, n_tokens, mean_tok_len, punct_ratio, stop_hits, rep_ratio,
+       ok_len, ok_tok_len, ok_punct, ok_stop,
+       (rep_ratio <= 0.2) AS ok_rep,
+       (ok_len AND ok_tok_len AND ok_punct AND ok_stop AND rep_ratio <= 0.2) AS keep
+FROM flags
+"""
+
+
 def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Benchmark-contamination audit: every 25th document plays the role
     # of a held-out eval set; the rest of the corpus is checked for
@@ -1241,6 +1288,7 @@ QUERIES: dict[str, Query] = {
     "q_sim_ann_ivf_recall": Query(q_sim_ann_ivf_recall, _sql_ann_recall(0.8), "IVF recall vs brute force (tolerance oracle)"),
     "q_text_stats": Query(q_text_stats, SQL_TEXT_STATS, "per-doc text statistics"),
     "q_doc_repetition": Query(q_doc_repetition, SQL_DOC_REPETITION, "intra-doc duplicate n-gram fraction (Gopher filter)"),
+    "q_gopher_filter": Query(q_gopher_filter, SQL_GOPHER_FILTER, "Gopher-style composite quality gate (per-rule flags)"),
     "q_text_contamination": Query(q_text_contamination, SQL_TEXT_CONTAMINATION, "train/eval 8-gram contamination audit"),
     "q_pii_redact": Query(q_pii_redact, SQL_PII_REDACT, "PII span count + redaction"),
     "q_domain_mix": Query(q_domain_mix, SQL_DOMAIN_MIX, "deterministic domain-mix downsampling audit"),

@@ -362,6 +362,39 @@ def test_repetition_stats_counts_duplicate_ngrams(spark):
     assert (out[3].n_grams, out[3].n_distinct, out[3].rep_ratio) == (4, 1, 0.75)
 
 
+def test_gopher_flags_fire_per_rule(spark):
+    from python_mapreduce_spark.llm.text import gopher_quality_flags
+
+    # 23 distinct-bigram tokens with 5 stopword hits: passes every rule.
+    long_ok = (
+        "the quick brown fox jumps over a lazy dog while the bright sun "
+        "sets and many tired birds fly home to rest tonight"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, long_ok),  # passes every rule
+            (2, "the cat sat on a mat"),  # 6 tokens < 20 -> ok_len fails
+            (3, "the dog ran " + "spin spin " * 16),  # repetition -> ok_rep fails
+            (4, ("zebra yonder " * 12).strip()),  # no stopwords -> ok_stop fails
+            (5, long_ok + "!!!" * 40),  # punctuation-heavy -> ok_punct fails
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r for r in gopher_quality_flags(df, "id", "text").collect()}
+    assert out[1].keep and all(
+        getattr(out[1], f) for f in ("ok_len", "ok_tok_len", "ok_punct", "ok_stop", "ok_rep")
+    )
+    assert not out[2].ok_len and not out[2].keep
+    assert not out[3].ok_rep and not out[3].keep and out[3].ok_len
+    assert not out[4].ok_stop and not out[4].keep
+    assert not out[5].ok_punct and not out[5].keep and out[5].ok_stop
+    # NULL text = empty document: zero tokens, every evidence rule fails
+    null_out = gopher_quality_flags(
+        spark.createDataFrame([(9, None)], "id long, text string"), "id", "text"
+    ).collect()[0]
+    assert null_out.n_tokens == 0 and not null_out.keep
+
+
 def test_ngram_contamination_flags_only_leaked_docs(spark):
     from python_mapreduce_spark.llm.text import ngram_contamination
 
