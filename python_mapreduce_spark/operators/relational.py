@@ -177,6 +177,84 @@ def weighted_sample(
     return df.filter(keep)
 
 
+def repeat_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    *,
+    salt: str = "",
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Deterministic weighted UP/down-sampling: emit each row
+    ``floor(w)`` times plus one fractional extra with probability
+    ``w - floor(w)``, so expected multiplicity equals the weight — the
+    epoch-mixing step that oversamples high-value/low-resource data
+    (weights above 1 repeat documents across epochs; below 1 this
+    degenerates to :func:`weighted_sample`). Copies are numbered in
+    ``copy_col`` (1..n) so downstream shuffles can decorrelate them.
+    Beyond the reference surface (SURVEY.md §2.2 north-star extensions).
+
+    The fractional keep reuses the md5-bucket rule (one decision per
+    row — reproducible in any engine, no RNG state); the repeat is an
+    ``explode(sequence(...))`` fanned out in the scan stage — no
+    shuffle, no UDF at any scale. NULL or non-positive weights drop the
+    row; weights are read as multiplicities, not probabilities, so no
+    clamp applies.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    n_base = F.floor(w).cast("long")
+    frac = w - n_base
+    thr = F.lpad(F.lower(F.hex(F.floor(frac * 65536).cast("long"))), 4, "0")
+    extra = (frac > 0) & (_md5_bucket(id_col, salt) < thr)
+    n_copies = n_base + extra.cast("long")
+    out = df.withColumn("__n_copies", n_copies).filter(F.col("__n_copies") > 0)
+    return out.withColumn(
+        copy_col, F.explode(F.sequence(F.lit(1).cast("long"), F.col("__n_copies")))
+    ).drop("__n_copies")
+
+
+def temperature_sample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    *,
+    alpha: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-balanced domain sampling — the multilingual mixing
+    rule of XLM-R/mT5: resample so domain d's share moves from p_d
+    toward p_d^alpha (alpha < 1 flattens the distribution toward
+    uniform, boosting low-resource domains' relative share). Realized as
+    pure downsampling: keep rate r_d = (c_min / c_d)^(1 - alpha), which
+    keeps the smallest domain whole and thins larger ones. Beyond the
+    reference surface (SURVEY.md §2.2 north-star extensions).
+
+    Per-row keeps use the deterministic md5-bucket rule via
+    :func:`weighted_sample` — reproducible in any engine, no RNG state.
+    At alpha = 0.5 the rate is ``sqrt(c_min / c_d)`` computed with IEEE
+    sqrt (exactly specified, bit-identical across engines); other alphas
+    go through ``pow``, correctly rounded on mainstream libm but not
+    IEEE-mandated — oracle-compared pipelines should stick to 0.5.
+
+    Plan shape at 100 TB: one column-pruned counting pass over
+    ``domain_col``, a domains-row rate table broadcast back onto the
+    data, then a pushed-down filter — no data-side shuffle anywhere.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    mn = counts.agg(F.min("__n").alias("__mn"))
+    ratio = F.col("__mn").cast("double") / F.col("__n").cast("double")
+    rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        F.col(domain_col), rate.alias("__rate")
+    )
+    joined = df.join(F.broadcast(rates), domain_col)
+    return weighted_sample(joined, id_col, F.col("__rate"), salt=salt).drop("__rate")
+
+
 def union_all(frames: Sequence[DataFrame]) -> DataFrame:
     """Bag union by column name — the reference's multi-dir input concat
     (mapper.py:75-78), schema-safe."""

@@ -126,6 +126,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pseudonymize",
     "q_schema_evolution",
     "q_gopher_filter",
+    "q_temperature_sample",
+    "q_upsample_mix",
 )
 
 

@@ -903,6 +903,113 @@ LEFT JOIN kept k ON b.lang = k.lang
 """
 
 
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Temperature-balanced language mixing (operators/relational.py::
+    # temperature_sample, alpha=0.5): keep rate sqrt(c_min/c_lang) per
+    # language — IEEE sqrt, so the per-row md5-bucket keeps replay
+    # identically in the oracle. Audited as per-lang before/after counts
+    # plus the applied rate.
+    from python_mapreduce_spark.operators.relational import (  # noqa: PLC0415
+        temperature_sample,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    kept = temperature_sample(docs, "lang", "doc_id").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_after")
+    )
+    before = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    mn = before.agg(F.min("n_before").alias("__mn"))
+    return (
+        before.crossJoin(F.broadcast(mn))
+        .join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            dround(F.sqrt(F.col("__mn").cast("double") / F.col("n_before")), 4).alias(
+                "rate"
+            ),
+        )
+    )
+
+
+SQL_TEMPERATURE_SAMPLE = f"""
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_before FROM documents GROUP BY lang),
+m AS (SELECT min(n_before) AS mn FROM c),
+r AS (SELECT lang, n_before, sqrt(CAST(mn AS DOUBLE) / n_before) AS rate FROM c, m),
+kept AS (
+  SELECT d.lang, CAST(count(*) AS BIGINT) AS n_after
+  FROM documents d JOIN r USING (lang)
+  WHERE r.rate >= 1.0
+     OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+        < lpad(lower(to_hex(CAST(floor(r.rate * 65536) AS BIGINT))), 4, '0')
+  GROUP BY d.lang
+)
+SELECT r.lang, r.n_before, coalesce(k.n_after, 0) AS n_after,
+       {sql_dround('r.rate', 4)} AS rate
+FROM r LEFT JOIN kept k USING (lang)
+"""
+
+
+def q_upsample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Epoch-mixing upsample (operators/relational.py::repeat_sample):
+    # per-language multiplicities (zh boosted 2.5x, en thinned to 0.25)
+    # joined as a broadcast weight table, rows fanned out floor(w) times
+    # plus an md5-bucket fractional extra. Audited as per-lang input
+    # docs, emitted rows, and surviving distinct docs.
+    from python_mapreduce_spark.operators.relational import repeat_sample  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        [("zh", 2.5), ("de", 1.0), ("es", 0.4), ("en", 0.25), ("fr", 1.5)],
+        "lang string, w double",
+    )
+    mixed = repeat_sample(docs.join(F.broadcast(weights), "lang"), "doc_id", "w")
+    after = mixed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.count_distinct("doc_id").alias("n_docs_kept"),
+    )
+    before = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    return (
+        before.join(weights, "lang")
+        .join(after, "lang", "left")
+        .select(
+            "lang",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            F.coalesce("n_docs_kept", F.lit(0)).alias("n_docs_kept"),
+        )
+    )
+
+
+SQL_UPSAMPLE_MIX = """
+WITH w(lang, w) AS (VALUES ('zh', 2.5), ('de', 1.0), ('es', 0.4), ('en', 0.25), ('fr', 1.5)),
+base AS (
+  SELECT d.lang, d.doc_id,
+         CAST(floor(w.w) AS BIGINT)
+         + CASE WHEN w.w - floor(w.w) > 0
+                 AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                     < lpad(lower(to_hex(CAST(floor((w.w - floor(w.w)) * 65536) AS BIGINT))), 4, '0')
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN w USING (lang)
+),
+mixed AS (
+  SELECT lang, doc_id, unnest(generate_series(1, CAST(n_copies AS INT))) AS copy
+  FROM base WHERE n_copies > 0
+),
+a AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_after,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_kept
+  FROM mixed GROUP BY lang
+)
+SELECT b.lang, b.n_before, coalesce(a.n_after, 0) AS n_after,
+       coalesce(a.n_docs_kept, 0) AS n_docs_kept
+FROM (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_before
+      FROM documents d JOIN w USING (lang) GROUP BY d.lang) b
+LEFT JOIN a USING (lang)
+"""
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PII detection + redaction (llm/text.py::pii_scrub). The corpus
     # carries no PII, so every 7th document gets a deterministic
@@ -1292,6 +1399,12 @@ QUERIES: dict[str, Query] = {
     "q_text_contamination": Query(q_text_contamination, SQL_TEXT_CONTAMINATION, "train/eval 8-gram contamination audit"),
     "q_pii_redact": Query(q_pii_redact, SQL_PII_REDACT, "PII span count + redaction"),
     "q_domain_mix": Query(q_domain_mix, SQL_DOMAIN_MIX, "deterministic domain-mix downsampling audit"),
+    "q_temperature_sample": Query(
+        q_temperature_sample, SQL_TEMPERATURE_SAMPLE, "temperature-balanced language mixing (alpha=0.5)"
+    ),
+    "q_upsample_mix": Query(
+        q_upsample_mix, SQL_UPSAMPLE_MIX, "deterministic weighted upsampling (epoch-repeat mixing)"
+    ),
     "q_text_quality": Query(q_text_quality, SQL_TEXT_QUALITY, "composite quality score"),
     "q_text_langid": Query(q_text_langid, SQL_TEXT_LANGID, "stopword-vote language ID"),
     "q_text_fingerprint": Query(q_text_fingerprint, SQL_TEXT_FINGERPRINT, "normalized MD5 fingerprint"),

@@ -434,6 +434,58 @@ def test_weighted_sample_extremes_rate_and_monotonicity(spark):
     assert k3 <= k6
 
 
+def test_repeat_sample_multiplicities(spark):
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.relational import repeat_sample
+
+    ids = spark.range(4000).withColumnRenamed("id", "doc_id")
+    # Integer weights repeat exactly: every row 3 times, copies numbered 1..3
+    tripled = repeat_sample(ids.withColumn("w", F.lit(3.0)), "doc_id", "w")
+    assert tripled.count() == 12000
+    assert tripled.groupBy("doc_id").count().filter("count != 3").count() == 0
+    assert {r.copy for r in tripled.filter("doc_id = 7").collect()} == {1, 2, 3}
+    # Fractional part adds a deterministic Bernoulli extra: E[mult] = 1.5
+    mixed = repeat_sample(ids.withColumn("w", F.lit(1.5)), "doc_id", "w")
+    n = mixed.count()
+    assert abs(n / 4000 - 1.5) < 0.05
+    assert n == repeat_sample(ids.withColumn("w", F.lit(1.5)), "doc_id", "w").count()
+    # Every row survives at w >= 1 (floor guarantees one copy)
+    assert mixed.select("doc_id").distinct().count() == 4000
+    # w < 1 degenerates to weighted_sample's keep set (same rows, copy = 1)
+    from python_mapreduce_spark.operators.relational import weighted_sample
+
+    frac = repeat_sample(ids.withColumn("w", F.lit(0.4)), "doc_id", "w")
+    assert {r.doc_id for r in frac.collect()} == {
+        r.doc_id
+        for r in weighted_sample(ids.withColumn("w", F.lit(0.4)), "doc_id", "w").collect()
+    }
+    # NULL / non-positive weights drop the row
+    assert repeat_sample(ids.withColumn("w", F.lit(None).cast("double")), "doc_id", "w").count() == 0
+    assert repeat_sample(ids.withColumn("w", F.lit(-2.0)), "doc_id", "w").count() == 0
+
+
+def test_temperature_sample_flattens_toward_uniform(spark):
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.relational import temperature_sample
+
+    # 100 'big' rows vs 25 'small': alpha=0.5 keeps small whole and
+    # thins big to ~sqrt(25/100) = 50%
+    df = spark.range(125).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, "big").otherwise("small").alias("dom"),
+    )
+    kept = temperature_sample(df, "dom", "doc_id")
+    counts = {r.dom: r.n for r in kept.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    assert counts["small"] == 25
+    assert 35 <= counts["big"] <= 65
+    # deterministic across runs
+    assert kept.count() == temperature_sample(df, "dom", "doc_id").count()
+    # helper columns do not leak into the output schema
+    assert kept.columns == ["dom", "doc_id"]
+
+
 def test_group_quantile_filter_null_values_drop_from_both_sides(spark):
     from python_mapreduce_spark.operators.aggregates import group_quantile_filter
 
