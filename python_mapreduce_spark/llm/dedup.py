@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from python_mapreduce_spark.functions.scalar import dround
+from python_mapreduce_spark.functions.scalar import dround, tokenize
 from python_mapreduce_spark.llm.text import shingle_sets
 
 
@@ -138,6 +138,63 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def crossdoc_dup_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document CROSS-document duplicate-text coverage: the fraction
+    of a document's word n-gram instances whose n-gram also occurs in at
+    least ``min_docs`` distinct documents — the exact-substring dedup
+    signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), which drives span-level removal and
+    boilerplate detection; :func:`repetition_stats` is its INTRA-document
+    sibling. Long grams (default 5) make background collisions rare, so
+    high coverage means genuinely shared text. Beyond the reference
+    surface (SURVEY.md §2.2 north-star extensions).
+
+    Plan shape for 100 TB: grams are extracted with the one-regex-pass
+    documented in :func:`~python_mapreduce_spark.llm.text.shingle_sets`
+    (non-deduplicated — instances are the denominator) and immediately
+    narrowed to 32-hex md5 keys, so the gram-keyed shuffle carries
+    16-byte digests instead of raw text. Two keyed aggregations (gram ->
+    distinct-doc count, doc -> instance counts) plus one equi-join on
+    the gram key; nothing is ever all-pairs, and hot grams cost join
+    fan-out linear in their instance count (they are aggregated, not
+    self-joined).
+    """
+    token, sep = "[a-z]+", " "
+    if n == 1:
+        grams = tokenize(text_col)
+    else:
+        window = sep.join([token] * n)
+        pattern = f"(?=({window})){token}{sep}"
+        grams = F.regexp_extract_all(
+            F.array_join(tokenize(text_col), sep), F.lit(pattern), F.lit(1)
+        )
+    posts = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(grams).alias("__g")
+    ).select("id", F.md5("__g").alias("gk"))
+    gram_docs = (
+        posts.filter(F.col("gk").isNotNull())
+        .groupBy("gk")
+        .agg(F.count_distinct("id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("gk", F.lit(1).alias("__dup"))
+    )
+    tagged = posts.join(gram_docs, "gk", "left")
+    n_grams = F.count(F.col("gk")).cast("long")
+    n_dup = F.count(F.col("__dup")).cast("long")
+    return tagged.groupBy("id").agg(
+        n_grams.alias("n_grams"),
+        n_dup.alias("n_dup"),
+        dround(n_dup / F.greatest(n_grams, F.lit(1)).cast("double"), 4).alias("dup_coverage"),
     )
 
 

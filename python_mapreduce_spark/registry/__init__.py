@@ -128,6 +128,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_gopher_filter",
     "q_temperature_sample",
     "q_upsample_mix",
+    "q_crossdoc_ngrams",
 )
 
 

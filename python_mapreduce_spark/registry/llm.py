@@ -126,6 +126,47 @@ FROM documents GROUP BY 1
 """
 
 
+def q_crossdoc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cross-document duplicate-text coverage (llm/dedup.py::
+    # crossdoc_dup_coverage): per-doc fraction of 5-gram instances whose
+    # gram occurs in >= 2 distinct documents — the exact-substring dedup
+    # signal (Lee et al. 2022). Gram keys travel as md5 digests so the
+    # shuffle never carries raw text.
+    from python_mapreduce_spark.llm.dedup import crossdoc_dup_coverage  # noqa: PLC0415
+
+    return crossdoc_dup_coverage(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+SQL_CROSSDOC_NGRAMS = f"""
+WITH base AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+  FROM documents
+),
+posts AS (
+  SELECT id, md5(g) AS gk
+  FROM (SELECT id, unnest(list_transform(
+          generate_series(1, greatest(len(toks) - 4, 0)),
+          i -> array_to_string(toks[i:i+4], ' '))) AS g
+        FROM base)
+),
+gd AS (
+  SELECT gk FROM posts GROUP BY gk HAVING count(DISTINCT id) >= 2
+),
+perdoc AS (
+  SELECT p.id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(g.gk) AS BIGINT) AS n_dup
+  FROM posts p LEFT JOIN gd g USING (gk)
+  GROUP BY p.id
+)
+SELECT b.id,
+       coalesce(pd.n_grams, 0) AS n_grams,
+       coalesce(pd.n_dup, 0) AS n_dup,
+       {sql_dround('coalesce(pd.n_dup, 0) / CAST(greatest(coalesce(pd.n_grams, 0), 1) AS DOUBLE)', 4)} AS dup_coverage
+FROM (SELECT id FROM base) b LEFT JOIN perdoc pd USING (id)
+"""
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_shingle_df is the 100 TB skew guard (one stop-shingle shared by
     # 1% of the corpus makes the postings join quadratic); the SQL twin
@@ -1377,6 +1418,9 @@ GROUP BY 1, 2
 QUERIES: dict[str, Query] = {
     "q_dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, "exact dedup on normalized text"),
     "q_dedup_jaccard": Query(q_dedup_jaccard, _SQL_JACCARD_PAIRS_CAPPED, "3-gram Jaccard near-dup pairs (df-capped)"),
+    "q_crossdoc_ngrams": Query(
+        q_crossdoc_ngrams, SQL_CROSSDOC_NGRAMS, "cross-doc duplicate 5-gram coverage (exact-substring dedup signal)"
+    ),
     "q_dedup_minhash": Query(q_dedup_minhash, _SQL_JACCARD_PAIRS, "MinHash-LSH + exact verify"),
     "q_dedup_clusters": Query(q_dedup_clusters, SQL_DEDUP_CLUSTERS, "dup clusters via connected components"),
     "q_dedup_simhash": Query(q_dedup_simhash, None, "64-bit SimHash fingerprints"),

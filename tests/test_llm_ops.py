@@ -362,6 +362,29 @@ def test_repetition_stats_counts_duplicate_ngrams(spark):
     assert (out[3].n_grams, out[3].n_distinct, out[3].rep_ratio) == (4, 1, 0.75)
 
 
+def test_crossdoc_dup_coverage_counts_shared_grams(spark):
+    from python_mapreduce_spark.llm.dedup import crossdoc_dup_coverage
+
+    shared = "alpha beta gamma delta epsilon"  # one 5-gram, present in docs 1+2
+    df = spark.createDataFrame(
+        [
+            (1, shared + " zeta"),  # grams: [shared, beta..zeta] -> 1 of 2 shared
+            (2, shared),  # its single gram is shared -> coverage 1.0
+            (3, "one two three four five six"),  # 2 grams, none shared
+            (4, "too short"),  # < 5 tokens -> zero grams, coverage 0
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r for r in crossdoc_dup_coverage(df, "id", "text").collect()}
+    assert (out[1].n_grams, out[1].n_dup, out[1].dup_coverage) == (2, 1, 0.5)
+    assert (out[2].n_grams, out[2].n_dup, out[2].dup_coverage) == (1, 1, 1.0)
+    assert (out[3].n_grams, out[3].n_dup) == (2, 0)
+    assert (out[4].n_grams, out[4].n_dup, out[4].dup_coverage) == (0, 0, 0.0)
+    # intra-doc repetition alone is NOT cross-doc duplication
+    solo = spark.createDataFrame([(9, (shared + " ") * 3)], "id long, text string")
+    assert crossdoc_dup_coverage(solo, "id", "text").collect()[0].n_dup == 0
+
+
 def test_gopher_flags_fire_per_rule(spark):
     from python_mapreduce_spark.llm.text import gopher_quality_flags
 
