@@ -51,6 +51,44 @@ def count_distinct_by(
     return df.groupBy(*keys).agg(agg)
 
 
+def sketch_distinct_rollup(
+    df: DataFrame,
+    coarse_col: str,
+    fine_col: str | Column,
+    value_col: str,
+    *,
+    lgk: int = 12,
+) -> DataFrame:
+    """Distinct counts via MERGEABLE HLL sketches (Apache Datasketches):
+    build one sketch per (coarse, fine) cell, then roll up to the coarse
+    grain by sketch UNION — the pre-aggregation pattern that lets a
+    100 TB pipeline maintain per-day/per-shard sketches and combine them
+    to any coarser grain (or across incremental loads) WITHOUT rescanning
+    raw data. This is what :func:`count_distinct_by`'s
+    ``approx_count_distinct`` cannot do: its estimate is final, not a
+    reusable state. Returns (coarse, n_cells, approx_distinct).
+
+    Dense HLL registers are max-merged, so re-aggregation never degrades
+    accuracy below the lgk error bound. One measured subtlety (pinned by
+    ``tests/test_operators.py::test_sketch_rollup_union_stays_in_bounds``):
+    a small cell's sketch stays in sparse coupon mode, where a DIRECT
+    estimate is exact — the union promotes coupons to dense registers,
+    so tiny-cardinality rollup estimates can differ slightly from a
+    one-shot sketch while both stay within the bound. Estimates are
+    deterministic (hash-based, no RNG) at any parallelism. Both
+    aggregations are map-side-combining; only fixed-size sketch binaries
+    (~2^lgk bytes) cross the wire, never values.
+    """
+    fine = F.col(fine_col) if isinstance(fine_col, str) else fine_col
+    cells = df.groupBy(F.col(coarse_col), fine.alias("__fine")).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias("__sketch")
+    )
+    return cells.groupBy(coarse_col).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.hll_sketch_estimate(F.hll_union_agg("__sketch")).alias("approx_distinct"),
+    )
+
+
 def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
     """ROLLUP — hierarchical subtotals. Absent in the reference (single
     grouping key per job, SURVEY.md §2.2); one shuffle in Spark."""

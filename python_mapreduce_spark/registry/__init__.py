@@ -129,6 +129,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_temperature_sample",
     "q_upsample_mix",
     "q_crossdoc_ngrams",
+    "q_hll_rollup",
 )
 
 

@@ -25,6 +25,7 @@ from python_mapreduce_spark.operators.aggregates import (
     group_agg,
     pricing_summary,
     rollup_agg,
+    sketch_distinct_rollup,
 )
 from python_mapreduce_spark.registry import Query
 from python_mapreduce_spark.registry._util import table
@@ -660,6 +661,37 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mergeable-sketch rollup (operators/aggregates.py::
+    # sketch_distinct_rollup): distinct users per event type computed by
+    # UNIONING per-(type, day) HLL sketches — the maintain-daily-sketches
+    # -and-roll-up pattern. Sketches are deterministic (hash-based), so
+    # the tolerance flag is stable; the oracle contract is the same
+    # exact + TRUE shape as q_approx_distinct. Union losslessness vs a
+    # direct coarse sketch is pytest-pinned.
+    ev = table(spark, sf_dir, "events")
+    roll = sketch_distinct_rollup(ev, "event_type", F.to_date("ts"), "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return exact.join(roll, "event_type").select(
+        "event_type",
+        "n_exact",
+        "n_cells",
+        (F.abs(F.col("approx_distinct") - F.col("n_exact")) / F.col("n_exact") <= 0.05)
+        .alias("sketch_ok"),
+    )
+
+
+SQL_HLL_ROLLUP = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_cells,
+       TRUE AS sketch_ok
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q01_pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY, "TPC-H Q1-style flagship"),
     "q_pivot": Query(q_pivot, SQL_PIVOT, "pivot to columns"),
@@ -668,6 +700,7 @@ QUERIES: dict[str, Query] = {
     "q06_forecast_revenue": Query(q06_forecast_revenue, SQL_Q06, "TPC-H Q6-style filter agg"),
     "q_salted_agg": Query(q_salted_agg, SQL_SALTED_AGG, "two-stage salted agg (skew)"),
     "q_approx_distinct": Query(q_approx_distinct, SQL_APPROX_DISTINCT, "HLL++ approx count-distinct (tolerance oracle)"),
+    "q_hll_rollup": Query(q_hll_rollup, SQL_HLL_ROLLUP, "mergeable HLL sketch rollup (tolerance oracle)"),
     "q_approx_percentile": Query(q_approx_percentile, SQL_APPROX_PERCENTILE, "quantile-sketch percentiles (tolerance oracle)"),
     "q_filter_project": Query(q_filter_project, SQL_FILTER_PROJECT, "filter + projection, pushed to scan"),
     "q_sample_agg": Query(q_sample_agg, SQL_SAMPLE_AGG, "deterministic downsample + agg (O5)"),

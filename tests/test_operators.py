@@ -434,6 +434,39 @@ def test_weighted_sample_extremes_rate_and_monotonicity(spark):
     assert k3 <= k6
 
 
+def test_sketch_rollup_union_stays_in_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.aggregates import sketch_distinct_rollup
+
+    # 3 coarse groups x 7 fine cells, values overlapping across cells
+    df = spark.range(5000).select(
+        (F.col("id") % 3).alias("grp"),
+        (F.col("id") % 7).alias("day"),
+        (F.col("id") % 911).alias("user"),
+    )
+    roll = {
+        r.grp: r
+        for r in sketch_distinct_rollup(df, "grp", "day", "user").collect()
+    }
+    exact = {
+        r.grp: r.n
+        for r in df.groupBy("grp").agg(F.countDistinct("user").alias("n")).collect()
+    }
+    for g in (0, 1, 2):
+        assert roll[g].n_cells == 7
+        # union-of-cell-sketches stays within the lgk=12 error bound of
+        # exact (it may differ from a direct one-shot sketch: sparse
+        # coupon sketches are promoted to dense registers by the union)
+        assert abs(roll[g].approx_distinct - exact[g]) / exact[g] <= 0.05
+    # deterministic: same registers, same estimate, every run
+    rerun = {
+        r.grp: r.approx_distinct
+        for r in sketch_distinct_rollup(df, "grp", "day", "user").collect()
+    }
+    assert rerun == {g: roll[g].approx_distinct for g in roll}
+
+
 def test_repeat_sample_multiplicities(spark):
     from pyspark.sql import functions as F
 
