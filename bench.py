@@ -70,6 +70,12 @@ HEADLINE = [
     "q_deterministic_shuffle",
     "q_pipeline_curate",
     "q_pseudonymize",
+    # Round-4 late additions: quality gating, mixing, and dedup signals.
+    "q_gopher_filter",
+    "q_temperature_sample",
+    "q_upsample_mix",
+    "q_crossdoc_ngrams",
+    "q_hll_rollup",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

@@ -255,6 +255,43 @@ def temperature_sample(
     return weighted_sample(joined, id_col, F.col("__rate"), salt=salt).drop("__rate")
 
 
+def group_reservoir(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    *,
+    salt: str = "",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Deterministic k-per-group uniform sample WITHOUT replacement:
+    rank each group's rows by ``md5(id || salt)`` (id as tiebreak) and
+    keep the first k — reservoir sampling's result, reproducibly: any
+    engine, any run, any partitioning draws the same rows, and rotating
+    the salt re-deals the sample. The per-row rate rules
+    (:func:`weighted_sample` et al.) can't hit an EXACT per-group count;
+    this is the eval-set / human-review draw that needs one. Beyond the
+    reference surface (SURVEY.md §2.2 north-star extensions; the
+    reference's downsample O5 is file-level and seed-free).
+
+    Cost: one shuffle on ``group_col`` plus a per-group sort — the
+    standard per-group top-k window (groups are the parallel unit; no
+    single-task stage). For a group of n rows the sort is O(n log n);
+    when k << n on 100 TB groups, pre-thin with
+    ``weighted_sample(rate ~ c*k/n)`` first and let this operator cut
+    the exact k from the survivors.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
 def union_all(frames: Sequence[DataFrame]) -> DataFrame:
     """Bag union by column name — the reference's multi-dir input concat
     (mapper.py:75-78), schema-safe."""

@@ -130,6 +130,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_upsample_mix",
     "q_crossdoc_ngrams",
     "q_hll_rollup",
+    "q_group_reservoir",
 )
 
 

@@ -1051,6 +1051,27 @@ LEFT JOIN a USING (lang)
 """
 
 
+def q_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic 10-per-language sample (operators/relational.py::
+    # group_reservoir): md5-ranked reservoir draw — the exact-count
+    # eval-set/review sampler. The oracle replays the identical ranking.
+    from python_mapreduce_spark.operators.relational import group_reservoir  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents")
+    return group_reservoir(docs, "lang", "doc_id", 10).select("lang", "doc_id", "rk")
+
+
+SQL_GROUP_RESERVOIR = """
+SELECT lang, doc_id, rk FROM (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS rk
+  FROM documents
+) WHERE rk <= 10
+"""
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PII detection + redaction (llm/text.py::pii_scrub). The corpus
     # carries no PII, so every 7th document gets a deterministic
@@ -1448,6 +1469,9 @@ QUERIES: dict[str, Query] = {
     ),
     "q_upsample_mix": Query(
         q_upsample_mix, SQL_UPSAMPLE_MIX, "deterministic weighted upsampling (epoch-repeat mixing)"
+    ),
+    "q_group_reservoir": Query(
+        q_group_reservoir, SQL_GROUP_RESERVOIR, "deterministic k-per-group reservoir sample"
     ),
     "q_text_quality": Query(q_text_quality, SQL_TEXT_QUALITY, "composite quality score"),
     "q_text_langid": Query(q_text_langid, SQL_TEXT_LANGID, "stopword-vote language ID"),

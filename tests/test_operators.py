@@ -434,6 +434,31 @@ def test_weighted_sample_extremes_rate_and_monotonicity(spark):
     assert k3 <= k6
 
 
+def test_group_reservoir_draws_exact_k(spark):
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.relational import group_reservoir
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("grp")
+    )
+    out = group_reservoir(df, "grp", "doc_id", 7)
+    counts = {r.grp: r.n for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 7, "1": 7, "2": 7}
+    assert set(out.select("rk").distinct().toPandas()["rk"]) == set(range(1, 8))
+    # deterministic across runs; salt re-deals the draw
+    base = {(r.grp, r.doc_id) for r in out.collect()}
+    assert base == {(r.grp, r.doc_id) for r in group_reservoir(df, "grp", "doc_id", 7).collect()}
+    redealt = {
+        (r.grp, r.doc_id)
+        for r in group_reservoir(df, "grp", "doc_id", 7, salt="v2").collect()
+    }
+    assert redealt != base
+    # groups smaller than k return whole group
+    tiny = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, grp string")
+    assert group_reservoir(tiny, "grp", "doc_id", 7).count() == 2
+
+
 def test_sketch_rollup_union_stays_in_bounds(spark):
     from pyspark.sql import functions as F
 
