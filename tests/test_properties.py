@@ -394,3 +394,77 @@ def test_weighted_sample_matches_hashlib_replay(spark, rows):
         return bucket < format(math.floor(w * 65536), "04x")
 
     assert got == {i for i, w in rows if keeps(i, w)}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**12),
+            st.floats(min_value=-0.5, max_value=3.5, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: r[0],
+    ),
+)
+def test_repeat_sample_matches_hashlib_replay(spark, rows):
+    # Independent replay of the multiplicity rule: floor(w) copies plus
+    # an md5-bucket fractional extra, copies numbered 1..n.
+    import hashlib
+    import math
+
+    from python_mapreduce_spark.operators.relational import repeat_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got: dict[int, set[int]] = {}
+    for r in repeat_sample(df, "doc_id", "w").collect():
+        got.setdefault(r.doc_id, set()).add(r.copy)
+
+    def mult(i: int, w: float) -> int:
+        n = math.floor(w)
+        frac = w - n
+        if frac > 0:
+            bucket = hashlib.md5(str(i).encode()).hexdigest()[:4]
+            if bucket < format(math.floor(frac * 65536), "04x"):
+                n += 1
+        return max(n, 0)
+
+    want = {i: set(range(1, mult(i, w) + 1)) for i, w in rows if mult(i, w) > 0}
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=40, unique=True),
+    k=st.integers(min_value=1, max_value=5),
+    salt=st.sampled_from(["", "v2"]),
+)
+def test_group_reservoir_matches_hashlib_replay(spark, ids, k, salt):
+    # Independent replay of the reservoir ranking: sort each group by
+    # (md5(id || salt), id), keep the first k.
+    import hashlib
+
+    from python_mapreduce_spark.operators.relational import group_reservoir
+
+    df = spark.createDataFrame([(i, i % 2) for i in ids], "doc_id long, grp long")
+    got = {
+        (r.grp, r.doc_id, r.rk)
+        for r in group_reservoir(df, "grp", "doc_id", k, salt=salt).collect()
+    }
+    want = set()
+    for g in (0, 1):
+        members = sorted(
+            (i for i in ids if i % 2 == g),
+            key=lambda i: (hashlib.md5(f"{i}{salt}".encode()).hexdigest(), i),
+        )
+        want |= {(g, i, rk) for rk, i in enumerate(members[:k], start=1)}
+    assert got == want
