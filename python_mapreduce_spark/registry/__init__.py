@@ -131,6 +131,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_crossdoc_ngrams",
     "q_hll_rollup",
     "q_group_reservoir",
+    "q_stream_incremental_hll",
 )
 
 

@@ -22,7 +22,9 @@ from python_mapreduce_spark.registry._util import table
 from python_mapreduce_spark.streaming.incremental import (
     collect_incremental_counts,
     file_stream,
+    incremental_distinct_sketch,
     normalize_event_ts,
+    read_distinct_estimate,
     run_stream_to_memory,
 )
 from python_mapreduce_spark.streaming.windows import (
@@ -154,6 +156,54 @@ def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_STREAM_INCREMENTAL = f"""
 SELECT event_type, count(*) AS n_events, {sql_dround('sum(value)')} AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_stream_incremental_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental DISTINCT cardinality: count/sum partials recombine
+    # with SUM (q_stream_incremental), but distinct does not — a user
+    # seen in both waves must count once. Mergeable HLL sketch state
+    # (streaming/incremental.py::incremental_distinct_sketch) restores
+    # additivity: each pass sketches only its new files into an
+    # idempotent ingest_epoch partition; the running estimate is a
+    # union over the read-back sketch binaries — the raw data is never
+    # rescanned and nothing visits the driver. Oracle contract: exact
+    # distinct over everything + within-5% flag (sketches are
+    # deterministic, so the flag is stable).
+    from python_mapreduce_spark.session import tune  # noqa: PLC0415
+
+    tune(spark)
+    events = table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="incr_hll_")
+    in_dir, ckpt, state = (
+        os.path.join(work, "in"),
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "state"),
+    )
+    # Split by event_id so the same user_id lands in BOTH waves — the
+    # overlap a naive additive recombination would double-count.
+    events.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(in_dir)
+    incremental_distinct_sketch(spark, in_dir, ckpt, ["event_type"], "user_id", state)
+    events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(in_dir)
+    incremental_distinct_sketch(spark, in_dir, ckpt, ["event_type"], "user_id", state)
+
+    est = read_distinct_estimate(spark, state, ["event_type"])
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "n_exact",
+        (F.abs(F.col("approx_distinct") - F.col("n_exact")) / F.col("n_exact") <= 0.05)
+        .alias("sketch_ok"),
+    )
+
+
+SQL_STREAM_INCREMENTAL_HLL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS sketch_ok
 FROM events GROUP BY event_type
 """
 
@@ -389,6 +439,11 @@ QUERIES: dict[str, Query] = {
     ),
     "q_stream_incremental": Query(
         q_stream_incremental, SQL_STREAM_INCREMENTAL, "checkpointed incremental passes, additive"
+    ),
+    "q_stream_incremental_hll": Query(
+        q_stream_incremental_hll,
+        SQL_STREAM_INCREMENTAL_HLL,
+        "incremental distinct via mergeable HLL sketch state (tolerance oracle)",
     ),
     "q_stream_session_window": Query(
         q_stream_session_window, SQL_STREAM_SESSION, "session_window aggregation"

@@ -227,6 +227,60 @@ def stream_upsert_parquet(
     q.awaitTermination()
 
 
+def incremental_distinct_sketch(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    value_col: str,
+    state_dir: str,
+    *,
+    lgk: int = 12,
+) -> None:
+    """Incremental DISTINCT cardinality via mergeable HLL sketch state:
+    each checkpointed pass sketches ONLY its new files and writes the
+    per-key sketch binaries into an ``ingest_epoch=<epoch>/`` partition
+    of ``state_dir`` (mode=overwrite — crash-replay overwrites rather
+    than double-appends, exactly-once per epoch, same contract as
+    :func:`collect_incremental_counts`).
+
+    count/sum partials are additive, so the incremental-counts path
+    recombines them with SUM; distinct is NOT additive — re-counting a
+    user seen in an earlier epoch must not increment the total. HLL
+    register max-merge restores additivity: union of all epochs' sketch
+    state equals (within the lgk error bound) a sketch over all data
+    ever ingested, and the state is a fixed ~2^lgk bytes per key per
+    epoch regardless of data volume — the at-scale shape for "distinct
+    users ever seen" over an unbounded ingest. Read the running
+    estimate back with :func:`read_distinct_estimate`.
+    """
+
+    def on_batch(batch: DataFrame, epoch: int) -> None:
+        agg = (
+            normalize_event_ts(batch)
+            .groupBy(*keys)
+            .agg(F.hll_sketch_agg(value_col, F.lit(lgk)).alias("sketch"))
+        )
+        agg.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"ingest_epoch={epoch}")
+        )
+
+    incremental_pass(spark, input_dir, checkpoint_dir, on_batch)
+
+
+def read_distinct_estimate(
+    spark: SparkSession, state_dir: str, keys: list[str]
+) -> DataFrame:
+    """Union the per-epoch sketch state of
+    :func:`incremental_distinct_sketch` into the running per-key
+    distinct estimate. Only fixed-size sketch binaries are read and
+    merged — the raw data is never rescanned."""
+    state = spark.read.parquet(state_dir)
+    return state.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct")
+    )
+
+
 def collect_incremental_counts(
     spark: SparkSession,
     input_dir: str,

@@ -100,6 +100,43 @@ def test_incremental_counts_output_dir_partials_are_exactly_once(spark, events, 
     assert back.select("ingest_epoch").distinct().count() == 1
 
 
+def test_incremental_distinct_sketch_does_not_double_count(spark, tmp_path):
+    # Two waves whose user sets OVERLAP: additive recombination of
+    # per-wave distinct counts would read 100; the unioned sketch state
+    # estimates the true 75 (within the lgk bound). Replay with a fresh
+    # checkpoint overwrites its epoch partition — never double-appends.
+    from pyspark.sql import functions as SF
+
+    from python_mapreduce_spark.streaming.incremental import (
+        incremental_distinct_sketch,
+        read_distinct_estimate,
+    )
+
+    in_dir, state = str(tmp_path / "in"), str(tmp_path / "state")
+    wave1 = spark.range(50).select(SF.col("id").alias("user"), SF.lit("t").alias("et"))
+    wave2 = spark.range(25, 75).select(
+        SF.col("id").alias("user"), SF.lit("t").alias("et")
+    )
+    wave1.write.mode("append").parquet(in_dir)
+    incremental_distinct_sketch(spark, in_dir, str(tmp_path / "ck"), ["et"], "user", state)
+    wave2.write.mode("append").parquet(in_dir)
+    incremental_distinct_sketch(spark, in_dir, str(tmp_path / "ck"), ["et"], "user", state)
+
+    est = read_distinct_estimate(spark, state, ["et"]).collect()[0].approx_distinct
+    assert abs(est - 75) / 75 <= 0.05  # NOT 100: overlap merged, not summed
+    # state is one fixed-size sketch row per key per epoch
+    state_df = spark.read.parquet(state)
+    assert state_df.count() == 2
+    assert state_df.select("ingest_epoch").distinct().count() == 2
+
+    # replay of pass 1 against a fresh checkpoint overwrites epoch 0
+    incremental_distinct_sketch(
+        spark, in_dir, str(tmp_path / "ck2"), ["et"], "user", state
+    )
+    est2 = read_distinct_estimate(spark, state, ["et"]).collect()[0].approx_distinct
+    assert abs(est2 - 75) / 75 <= 0.05
+
+
 def test_streaming_append_session_windows_close_with_watermark(spark, events, tmp_path):
     # Append-mode session windows: with the watermark past every event
     # (AvailableNow drains the source, then advances the watermark), all
