@@ -163,11 +163,16 @@ def crossdoc_dup_coverage(
     documented in :func:`~python_mapreduce_spark.llm.text.shingle_sets`
     (non-deduplicated — instances are the denominator) and immediately
     narrowed to 32-hex md5 keys, so the gram-keyed shuffle carries
-    16-byte digests instead of raw text. Two keyed aggregations (gram ->
-    distinct-doc count, doc -> instance counts) plus one equi-join on
-    the gram key; nothing is ever all-pairs, and hot grams cost join
-    fan-out linear in their instance count (they are aggregated, not
-    self-joined).
+    16-byte digests instead of raw text. The raw posting stream is
+    collapsed to per-(doc, gram) instance counts in ONE pass, and that
+    small post-agg frame is lazily localCheckpoint'ed because BOTH the
+    gram-level document-frequency branch and the join-back branch
+    consume it — without the cut Catalyst re-runs the regex explode (the
+    expensive stage) once per consumer (the tfidf_topk finding; pinned
+    by tests/test_sinks_and_plans.py). Then: one gram-keyed aggregation,
+    one gram-keyed equi-join, one doc-keyed aggregation — nothing is
+    ever all-pairs, and hot grams cost fan-out linear in their instance
+    count (aggregated, not self-joined).
     """
     token, sep = "[a-z]+", " "
     if n == 1:
@@ -181,16 +186,20 @@ def crossdoc_dup_coverage(
     posts = df.select(
         F.col(id_col).alias("id"), F.explode_outer(grams).alias("__g")
     ).select("id", F.md5("__g").alias("gk"))
+    # (id, gk) instance counts; empty docs survive as a (id, NULL) row.
+    ig = posts.groupBy("id", "gk").agg(F.count(F.lit(1)).alias("__cnt"))
+    ig = ig.localCheckpoint(eager=False)
     gram_docs = (
-        posts.filter(F.col("gk").isNotNull())
+        ig.filter(F.col("gk").isNotNull())
         .groupBy("gk")
-        .agg(F.count_distinct("id").alias("__nd"))
+        # (id, gk) is unique post-agg, so row count IS the distinct-doc count
+        .agg(F.count(F.lit(1)).alias("__nd"))
         .filter(F.col("__nd") >= min_docs)
         .select("gk", F.lit(1).alias("__dup"))
     )
-    tagged = posts.join(gram_docs, "gk", "left")
-    n_grams = F.count(F.col("gk")).cast("long")
-    n_dup = F.count(F.col("__dup")).cast("long")
+    tagged = ig.join(gram_docs, "gk", "left")
+    n_grams = F.sum(F.when(F.col("gk").isNotNull(), F.col("__cnt")).otherwise(0)).cast("long")
+    n_dup = F.sum(F.when(F.col("__dup").isNotNull(), F.col("__cnt")).otherwise(0)).cast("long")
     return tagged.groupBy("id").agg(
         n_grams.alias("n_grams"),
         n_dup.alias("n_dup"),

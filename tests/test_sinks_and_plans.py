@@ -151,3 +151,18 @@ def test_tfidf_and_vocab_explode_corpus_once(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" not in plan, plan
     assert "explode" not in plan.lower()
+
+
+def test_crossdoc_coverage_explodes_corpus_once(spark, sf_dir):
+    # Same dual-consumption hazard as tfidf: the (id, gram) frame feeds
+    # both the document-frequency branch and the join-back branch; the
+    # lazy cut must keep the corpus regex-explode to a single pass.
+    from python_mapreduce_spark.llm.dedup import crossdoc_dup_coverage
+    from python_mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = crossdoc_dup_coverage(docs, "doc_id", "text")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan, plan
+    assert "explode" not in plan.lower()
