@@ -105,8 +105,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_theta",
     "q_mr_wordcount",
     # -- tail head: first in line beyond the 50-entry window (the
-    # eleven r4-new pipeline queries follow the three replica-verified
-    # changed entries; all fourteen lead the r5 window) --
+    # r4-new pipeline queries follow the three replica-verified
+    # changed entries; together they lead the r5 window) --
     "q_sim_ann_ivf_recall",
     "q_dedup_simhash_eval",
     "q_stream_incremental",
@@ -132,6 +132,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_hll_rollup",
     "q_group_reservoir",
     "q_stream_incremental_hll",
+    "q_split_leakage",
 )
 
 

@@ -189,6 +189,60 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Composition audit: near-dup pairs STRADDLING train/val/test — the
+    # split-leakage check run before training (a test doc whose near-dup
+    # sits in train inflates eval). Composes two verified operators:
+    # hash_split assigns splits, minhash_dedup_pairs (16x2 banding —
+    # candidate miss ~1e-7 at j>=0.8, so a regenerated borderline pair
+    # cannot flip the exact-Jaccard oracle) finds the pairs; per
+    # unordered split-pair counts + the min observed jaccard.
+    from python_mapreduce_spark.llm.dedup import minhash_dedup_pairs  # noqa: PLC0415
+    from python_mapreduce_spark.operators.relational import hash_split  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents")
+    splits = hash_split(docs.select("doc_id"), "doc_id")
+    pairs = minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=16, rows=2, threshold=0.8
+    )
+    sa = splits.withColumnRenamed("doc_id", "id1").withColumnRenamed("split", "sp1")
+    sb = splits.withColumnRenamed("doc_id", "id2").withColumnRenamed("split", "sp2")
+    return (
+        pairs.join(sa, "id1")
+        .join(sb, "id2")
+        .groupBy(
+            F.least("sp1", "sp2").alias("split_a"),
+            F.greatest("sp1", "sp2").alias("split_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            dround(F.min("jaccard"), 4).alias("min_jaccard"),
+        )
+    )
+
+
+SQL_SPLIT_LEAKAGE = f"""
+WITH pairs AS ({_SQL_JACCARD_PAIRS}),
+s AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{format(round(0.8 * 65536), "04x")}' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{format(round(0.9 * 65536), "04x")}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT least(sa.split, sb.split) AS split_a,
+       greatest(sa.split, sb.split) AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       {sql_dround('min(p.jaccard)', 4)} AS min_jaccard
+FROM pairs p
+JOIN s sa ON p.id1 = sa.doc_id
+JOIN s sb ON p.id2 = sb.doc_id
+GROUP BY 1, 2
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pairs -> GROUPS: MinHash near-dup pairs fed through min-label
     # propagation connected components (llm/dedup.py), emitting one row
@@ -1444,6 +1498,9 @@ QUERIES: dict[str, Query] = {
     ),
     "q_dedup_minhash": Query(q_dedup_minhash, _SQL_JACCARD_PAIRS, "MinHash-LSH + exact verify"),
     "q_dedup_clusters": Query(q_dedup_clusters, SQL_DEDUP_CLUSTERS, "dup clusters via connected components"),
+    "q_split_leakage": Query(
+        q_split_leakage, SQL_SPLIT_LEAKAGE, "near-dup pairs straddling train/val/test (leakage audit)"
+    ),
     "q_dedup_simhash": Query(q_dedup_simhash, None, "64-bit SimHash fingerprints"),
     "q_dedup_simhash_eval": Query(q_dedup_simhash_eval, SQL_SIMHASH_EVAL, "SimHash hamming vs exact near-dups (tolerance oracle)"),
     "q_dedup_embedding": Query(q_dedup_embedding, SQL_DEDUP_EMBEDDING, "cosine near-dup pairs (banded LSH)"),

@@ -1,0 +1,83 @@
+"""Empirical near-linearity harness for the cross-document n-gram
+dedup signal — the text companion to tools/scaling_dedup.py and
+tools/scaling_ann.py (VERDICT r3 item 6 pattern).
+
+crossdoc_dup_coverage's 100 TB claim rests on its plan shape: gram
+instances are AGGREGATED per (doc, gram) and per gram — never
+self-joined — so total work must grow ~linearly in corpus size. The
+quadratic failure mode (a plan regression joining postings x postings,
+or a degenerate gram key collapsing the keyspace) would grow the
+tagged-row count ~R^2. This harness measures, at two scale factors:
+
+  * total gram instances (the shuffle payload: sum of n_grams);
+  * duplicate-tagged instances (the join fan-out: sum of n_dup);
+  * wall-clock of the full per-doc coverage computation.
+
+Usage: python tools/scaling_text.py [small_sf_dir big_sf_dir]
+Exits nonzero if any growth gate (2x corpus ratio) fails; prints a
+markdown table.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from python_mapreduce_spark.llm.dedup import crossdoc_dup_coverage  # noqa: E402
+from python_mapreduce_spark.session import get_spark, tune  # noqa: E402
+from python_mapreduce_spark.sources.readers import load_table  # noqa: E402
+
+
+def measure(spark, sf_dir: str) -> dict:
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    t0 = time.time()
+    agg = (
+        crossdoc_dup_coverage(docs, "doc_id", "text")
+        .agg(
+            F.sum("n_grams").alias("g"),
+            F.sum("n_dup").alias("d"),
+        )
+        .collect()[0]
+    )
+    t = time.time() - t0
+    return {
+        "docs": n,
+        "gram_instances": int(agg.g),
+        "dup_tagged": int(agg.d),
+        "t_coverage": round(t, 2),
+    }
+
+
+def main() -> int:
+    small, big = (
+        sys.argv[1:3] if len(sys.argv) >= 3 else ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    )
+    spark = get_spark("scaling-text", master="local[16]")
+    tune(spark)
+    a, b = measure(spark, small), measure(spark, big)
+    r = b["docs"] / a["docs"]
+
+    print(f"| metric | {small} | {big} | ratio | gate (<= {2 * r:.0f}x = 2R) |")
+    print("|---|---|---|---|---|")
+    failures = []
+    for key in ("docs", "gram_instances", "dup_tagged", "t_coverage"):
+        ratio = (b[key] / a[key]) if a[key] else float("inf")
+        gate = "" if key == "docs" else ("ok" if ratio <= 2 * r else "FAIL")
+        if gate == "FAIL":
+            failures.append(key)
+        print(f"| {key} | {a[key]} | {b[key]} | {ratio:.2f}x | {gate} |")
+    print(f"\ncorpus size ratio R = {r:.2f}x; linear gate = 2R = {2 * r:.2f}x")
+    if failures:
+        print(f"SUPERLINEAR GROWTH in: {failures}")
+        return 1
+    print("NEAR-LINEAR: all growth ratios within 2x of corpus ratio")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
