@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from python_mapreduce_spark.functions.scalar import dround, dsum
@@ -87,6 +87,109 @@ def sketch_distinct_rollup(
         F.count(F.lit(1)).alias("n_cells"),
         F.hll_sketch_estimate(F.hll_union_agg("__sketch")).alias("approx_distinct"),
     )
+
+
+def sketch_topk_rollup(
+    df: DataFrame,
+    coarse_col: str,
+    fine_col: str | Column,
+    item_col: str | Column,
+    *,
+    k: int = 5,
+    max_items: int = 1024,
+) -> DataFrame:
+    """Top-k most frequent items via MERGEABLE frequent-items sketches
+    (``approx_top_k_accumulate`` / ``_combine`` / ``_estimate``): build
+    one sketch per (coarse, fine) cell, COMBINE to the coarse grain,
+    then estimate — the sibling of :func:`sketch_distinct_rollup` for
+    heavy-hitter queries. A 100 TB pipeline maintains per-day/per-shard
+    sketches and rolls them up to any coarser grain (or across
+    incremental loads) without rescanning raw data; only fixed-size
+    sketch states (~``max_items`` entries) cross the wire.
+
+    Accuracy contract: whenever a cell's distinct-item count stays
+    within ``max_items`` the sketch tracks every item, so counts are
+    EXACT and combine is lossless — size ``max_items`` for the expected
+    item cardinality and the estimate is a hard answer, not an
+    approximation (the registry oracle relies on this). Beyond that the
+    datasketches frequent-items guarantee bounds the count error.
+
+    Returns (coarse, rank, item, est_count), rank 1..k by
+    (count DESC, item ASC) — a deterministic total order, unlike the
+    sketch's own tie-arbitrary output ordering.
+    """
+    fine = F.col(fine_col) if isinstance(fine_col, str) else fine_col
+    item = F.col(item_col) if isinstance(item_col, str) else item_col
+    cells = df.select(F.col(coarse_col), fine.alias("__fine"), item.alias("__item")).groupBy(
+        coarse_col, "__fine"
+    ).agg(F.expr(f"approx_top_k_accumulate(__item, {int(max_items)})").alias("__state"))
+    merged = cells.groupBy(coarse_col).agg(
+        F.expr(f"approx_top_k_combine(__state, {int(max_items)})").alias("__comb")
+    )
+    # estimate the FULL tracked set, then impose the deterministic order
+    # and cut at k — the sketch's own top-k output breaks count ties in
+    # an arbitrary (insertion-dependent) order.
+    est = merged.select(
+        coarse_col,
+        F.explode(F.expr(f"approx_top_k_estimate(__comb, {int(max_items)})")).alias("__e"),
+    ).select(
+        coarse_col,
+        F.col("__e.item").alias("item"),
+        F.col("__e.count").alias("est_count"),
+    )
+    w = Window.partitionBy(coarse_col).orderBy(F.desc("est_count"), F.asc("item"))
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(coarse_col, "rank", "item", "est_count")
+    )
+
+
+def sketch_quantile_rollup(
+    df: DataFrame,
+    coarse_col: str,
+    fine_col: str | Column,
+    value_col: str,
+    *,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    k: int = 200,
+) -> DataFrame:
+    """Quantiles via MERGEABLE KLL sketches (Apache Datasketches): one
+    sketch per (coarse, fine) cell, merged to the coarse grain with
+    ``kll_merge_agg_double`` — the quantile member of the
+    maintain-fine-sketches-roll-up-anywhere family
+    (:func:`sketch_distinct_rollup` for distincts,
+    :func:`sketch_topk_rollup` for heavy hitters). ``percentile`` /
+    ``approx_percentile`` estimates are final values; KLL states are
+    reusable, so a 100 TB pipeline re-aggregates daily sketches to any
+    grain or across incremental loads without rescanning raw data. Only
+    fixed-size sketch binaries (O(k log n) bytes) cross the wire.
+
+    KLL at k=200 guarantees ~1.65% normalized RANK error (99%
+    confidence). Unlike HLL, KLL compaction is randomized, so estimates
+    vary slightly run-to-run — callers verifying results should check
+    the rank of the estimate against the guarantee (the registry query
+    does exactly that), never exact equality.
+
+    Returns (coarse, n_cells, q_<p> for each p).
+    """
+    fine = F.col(fine_col) if isinstance(fine_col, str) else fine_col
+    cells = df.select(
+        F.col(coarse_col), fine.alias("__fine"), F.col(value_col).cast("double").alias("__v")
+    ).groupBy(coarse_col, "__fine").agg(
+        F.expr(f"kll_sketch_agg_double(__v, {int(k)})").alias("__sk")
+    )
+    merged = cells.groupBy(coarse_col).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.expr(f"kll_merge_agg_double(__sk, {int(k)})").alias("__m"),
+    )
+    qcols = [
+        F.expr(f"kll_sketch_get_quantile_double(__m, CAST({p} AS DOUBLE))").alias(
+            f"q_{str(p).replace('.', '')}"
+        )
+        for p in probs
+    ]
+    return merged.select(coarse_col, "n_cells", *qcols)
 
 
 def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:

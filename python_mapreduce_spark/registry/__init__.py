@@ -133,6 +133,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_group_reservoir",
     "q_stream_incremental_hll",
     "q_split_leakage",
+    "q_topk_rollup",
+    "q_kll_rollup",
 )
 
 

@@ -26,6 +26,8 @@ from python_mapreduce_spark.operators.aggregates import (
     pricing_summary,
     rollup_agg,
     sketch_distinct_rollup,
+    sketch_quantile_rollup,
+    sketch_topk_rollup,
 )
 from python_mapreduce_spark.registry import Query
 from python_mapreduce_spark.registry._util import table
@@ -692,6 +694,94 @@ FROM events GROUP BY event_type
 """
 
 
+def q_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mergeable heavy-hitter rollup (operators/aggregates.py::
+    # sketch_topk_rollup): per-(type, day) frequent-items sketches
+    # COMBINED to per-type top-5 pages. max_items=1024 >= the 499
+    # distinct items, so every cell sketch tracks every item, counts are
+    # exact, and the combine is lossless — the oracle is therefore a
+    # hard exact GROUP BY + row_number, not a tolerance flag. The page
+    # column derives from user_id with a sign-safe mod shared with the
+    # SQL twin.
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    page = F.concat(F.lit("p"), F.pmod(F.col("user_id"), F.lit(499)).cast("string"))
+    return sketch_topk_rollup(
+        ev, "event_type", F.to_date("ts"), page, k=5, max_items=1024
+    ).withColumn("est_count", F.col("est_count").cast("long"))
+
+
+SQL_TOPK_ROLLUP = """
+SELECT event_type, rank, item, est_count FROM (
+  SELECT event_type,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY est_count DESC, item) AS INTEGER) AS rank,
+         item, est_count
+  FROM (SELECT event_type,
+               concat('p', CAST(((user_id % 499) + 499) % 499 AS VARCHAR)) AS item,
+               CAST(count(*) AS BIGINT) AS est_count
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)
+) WHERE rank <= 5
+"""
+
+
+def q_kll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mergeable quantile rollup (operators/aggregates.py::
+    # sketch_quantile_rollup): per-(type, day) KLL sketches merged to
+    # per-type quartiles. KLL compaction is randomized (estimates vary
+    # run-to-run), so the oracle contract is rank-based tolerance: the
+    # EXACT rank of each estimated quartile (one broadcast join back to
+    # events) must sit within 0.05 of its target — 3x the sketch's
+    # 1.65% @ 99% guarantee at k=200, so the flag is stable-TRUE when
+    # healthy and flips on any broken merge. Exact quartiles ride along
+    # for the hash (same DECIMAL rendering as q_approx_percentile).
+    ev = table(spark, sf_dir, "events")
+    roll = sketch_quantile_rollup(ev, "event_type", F.to_date("ts"), "value")
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.25D, 0.5D, 0.75D))").alias("__exact_q")
+    )
+    ranks = (
+        ev.join(F.broadcast(roll), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.avg((F.col("value") <= F.col("q_025")).cast("double")).alias("__r25"),
+            F.avg((F.col("value") <= F.col("q_05")).cast("double")).alias("__r50"),
+            F.avg((F.col("value") <= F.col("q_075")).cast("double")).alias("__r75"),
+        )
+    )
+    return (
+        exact.join(roll.select("event_type", "n_cells"), "event_type")
+        .join(ranks, "event_type")
+        .select(
+            "event_type",
+            "n_cells",
+            F.expr(
+                "array_join(transform(__exact_q,"
+                " x -> CAST(CAST(floor(x * 100.0D + 0.5D) / 100.0D"
+                " AS DECIMAL(18,2)) AS STRING)), ',')"
+            ).alias("exact_quartiles"),
+            (
+                F.greatest(
+                    F.abs(F.col("__r25") - F.lit(0.25)),
+                    F.abs(F.col("__r50") - F.lit(0.50)),
+                    F.abs(F.col("__r75") - F.lit(0.75)),
+                )
+                <= 0.05
+            ).alias("rollup_ok"),
+        )
+    )
+
+
+SQL_KLL_ROLLUP = """
+SELECT event_type,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_cells,
+       array_to_string(list_transform(quantile_cont(value, [0.25, 0.5, 0.75]),
+                       x -> CAST(CAST(floor(x * 100.0 + 0.5) / 100.0
+                                 AS DECIMAL(18,2)) AS VARCHAR)), ',') AS exact_quartiles,
+       TRUE AS rollup_ok
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q01_pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY, "TPC-H Q1-style flagship"),
     "q_pivot": Query(q_pivot, SQL_PIVOT, "pivot to columns"),
@@ -701,6 +791,8 @@ QUERIES: dict[str, Query] = {
     "q_salted_agg": Query(q_salted_agg, SQL_SALTED_AGG, "two-stage salted agg (skew)"),
     "q_approx_distinct": Query(q_approx_distinct, SQL_APPROX_DISTINCT, "HLL++ approx count-distinct (tolerance oracle)"),
     "q_hll_rollup": Query(q_hll_rollup, SQL_HLL_ROLLUP, "mergeable HLL sketch rollup (tolerance oracle)"),
+    "q_topk_rollup": Query(q_topk_rollup, SQL_TOPK_ROLLUP, "mergeable frequent-items sketch rollup (exact within max_items)"),
+    "q_kll_rollup": Query(q_kll_rollup, SQL_KLL_ROLLUP, "mergeable KLL quantile sketch rollup (rank-tolerance oracle)"),
     "q_approx_percentile": Query(q_approx_percentile, SQL_APPROX_PERCENTILE, "quantile-sketch percentiles (tolerance oracle)"),
     "q_filter_project": Query(q_filter_project, SQL_FILTER_PROJECT, "filter + projection, pushed to scan"),
     "q_sample_agg": Query(q_sample_agg, SQL_SAMPLE_AGG, "deterministic downsample + agg (O5)"),

@@ -572,3 +572,66 @@ def test_deterministic_shuffle_is_a_reproducible_permutation(spark):
     assert a == b
     c = {r.doc_id: r.shuffle_order for r in deterministic_shuffle(ids, "doc_id", salt="ep2").collect()}
     assert any(a[i] != c[i] for i in a)
+
+
+def test_sketch_topk_rollup_exact_within_max_items(spark):
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.aggregates import sketch_topk_rollup
+
+    # 2 coarse groups x 5 fine cells, 50 distinct items (< max_items),
+    # skewed counts: item frequency ~ id % 50 with a planted heavy hitter
+    df = spark.range(4000).select(
+        (F.col("id") % 2).alias("grp"),
+        (F.col("id") % 5).alias("day"),
+        F.when(F.col("id") % 10 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("i"), (F.col("id") % 50).cast("string")))
+        .alias("item"),
+    )
+    got = sketch_topk_rollup(df, "grp", "day", "item", k=3, max_items=256)
+    rows = got.collect()
+    exact = {
+        (r.grp, r.item): r.c
+        for r in df.groupBy("grp", "item").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    # per group: rank 1 must be the planted heavy hitter with its exact count
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r.grp, []).append(r)
+    for g, rs in by_grp.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3]
+        if g == 0:
+            # ids with id % 10 == 0 are all even -> "hot" lives in grp 0 only
+            assert rs[0].item == "hot"
+        for r in rs:
+            # counts are exact whenever distinct items fit in max_items
+            assert r.est_count == exact[(g, r.item)]
+        # deterministic tie-break: (count desc, item asc) is a total order
+        keys = [(-r.est_count, r.item) for r in rs]
+        assert keys == sorted(keys)
+
+
+def test_sketch_quantile_rollup_rank_within_bound(spark):
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.aggregates import sketch_quantile_rollup
+
+    df = spark.range(6000).select(
+        (F.col("id") % 3).alias("grp"),
+        (F.col("id") % 7).alias("day"),  # 7 coprime with 3: every group spans 7 cells
+        (F.col("id") * 37 % 1000).cast("double").alias("v"),
+    )
+    roll = {r.grp: r for r in sketch_quantile_rollup(df, "grp", "day", "v").collect()}
+    vals = {
+        g: sorted(r.v for r in df.filter(F.col("grp") == g).select("v").collect())
+        for g in (0, 1, 2)
+    }
+    for g in (0, 1, 2):
+        assert roll[g].n_cells == 7
+        n = len(vals[g])
+        for p, col in ((0.25, "q_025"), (0.5, "q_05"), (0.75, "q_075")):
+            est = getattr(roll[g], col)
+            # KLL k=200 guarantees ~1.65% rank error; gate at 5%
+            rank = sum(1 for v in vals[g] if v <= est) / n
+            assert abs(rank - p) <= 0.05, (g, p, est, rank)
