@@ -505,3 +505,122 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.length(redacted).cast("long").alias("redacted_len"),
         redacted.alias("redacted"),
     )
+
+
+#: Invisible codepoints :func:`clean_text` strips outright: zero-width
+#: space/joiners, BOM, soft hyphen — they poison tokenization and dedup
+#: fingerprints while rendering as nothing. Embedded as literal
+#: codepoints so the identical class works under Java regex and RE2.
+ZERO_WIDTH_CLASS = "[\u200b\u200c\u200d\ufeff\u00ad]"
+#: Control characters (incl. tab/newline/bell) normalized to a space
+#: before whitespace collapsing. ``\xNN`` escapes parse identically in
+#: Java regex and RE2.
+CONTROL_CLASS = r"[\x00-\x1F\x7F]"
+
+
+def clean_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Text normalization: strip invisible codepoints, map control
+    characters to spaces, collapse whitespace runs, trim — the cleanup
+    pass run before tokenization/dedup so that byte-level noise (BOMs,
+    soft hyphens, stray control chars, ragged spacing) cannot split
+    tokens or perturb fingerprints. Beyond the reference surface
+    (SURVEY.md §2.2 north-star extensions).
+
+    Emits (id, raw_len, clean_len, clean). A pure Catalyst regexp chain
+    — a map with no shuffle, no UDF at any scale; NULL text follows the
+    engine-wide NULL-text-is-empty-document rule. The final collapse
+    matches literal ``' +'`` (not ``\\s+``) because the control pass has
+    already normalized every exotic whitespace to plain spaces — keeping
+    the chain inside the Java-regex/RE2 common subset.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    t = F.regexp_replace(raw, ZERO_WIDTH_CLASS, "")
+    t = F.regexp_replace(t, CONTROL_CLASS, " ")
+    t = F.trim(F.regexp_replace(t, " +", " "))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(raw).cast("long").alias("raw_len"),
+        F.length(t).cast("long").alias("clean_len"),
+        t.alias("clean"),
+    )
+
+
+def hashed_feature_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    *,
+    buckets: int = 1024,
+    bias: float = 0.0,
+) -> DataFrame:
+    """Hashed-feature linear text classifier scoring (the fastText /
+    hashing-trick shape): each token hashes into one of ``buckets``
+    feature buckets, the model is a (bucket, weight) table, and a
+    document's score is ``bias + mean(weight over its tokens)`` — the
+    model-based quality-filter step of a training pipeline (swap in
+    real trained weights; the scoring plumbing is identical). Beyond
+    the reference surface (SURVEY.md §2.2 north-star extensions).
+
+    Emits (id, n_tokens, score, keep) with ``keep = score > 0``.
+
+    Scale shape: tokens explode NARROW (id, bucket); the weight table
+    (``buckets`` rows) broadcast-joins onto them; the per-doc mean is a
+    hash agg whose partial (map-side) combine collapses the exploded
+    stream back to ~one row per document BEFORE the shuffle — so the
+    wire carries documents, not tokens. Bucketing uses the first 4 hex
+    chars of md5 (reproducible in any engine); weights sum in
+    DECIMAL(18,6) so the score is exact and associative at any
+    parallelism (see functions/scalar.py::dsum), with one IEEE division
+    at the end. Tokens whose bucket has no weight row contribute 0.
+    Empty/NULL documents score exactly ``bias``.
+    """
+    n_b = int(buckets)
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(tokenize(F.col(text_col))).alias("tok")
+    )
+    bucketed = toks.withColumn(
+        "bucket",
+        F.pmod(F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long"), F.lit(n_b)),
+    )
+    w = weights.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("weight").cast("decimal(18,6)").alias("__w"),
+    )
+    per = (
+        bucketed.join(F.broadcast(w), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.count("tok").cast("long").alias("n_tokens"),
+            F.coalesce(F.sum("__w"), F.lit(0).cast("decimal(18,6)")).alias("__sumw"),
+        )
+    )
+    score = F.lit(float(bias)) + (
+        F.col("__sumw").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+    )
+    return per.select(
+        "id",
+        "n_tokens",
+        dround(score, 4).alias("score"),
+        (score > 0).alias("keep"),
+    )
+
+
+def md5_weights(df_range: DataFrame, *, salt: str = "w") -> DataFrame:
+    """Deterministic pseudo-weight table for :func:`hashed_feature_score`
+    demos/tests: weight(bucket) = md5-derived uniform value in [-1, 1),
+    rounded to 6 decimals — reproducible in any engine (the registry
+    oracle replays the same rule in SQL). ``df_range`` supplies one row
+    per bucket with a ``bucket`` column (e.g. ``spark.range(n)
+    .withColumnRenamed('id', 'bucket')``). A real pipeline replaces this
+    with trained weights loaded from storage; the scoring operator is
+    agnostic.
+    """
+    b = F.col("bucket").cast("string")
+    frac = F.conv(F.substring(F.md5(F.concat(F.lit(salt), b)), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+    return df_range.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        dround(frac * 2.0 - 1.0, 6).alias("weight"),
+    )

@@ -135,6 +135,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_split_leakage",
     "q_topk_rollup",
     "q_kll_rollup",
+    "q_clean_text",
+    "q_quality_classifier",
 )
 
 

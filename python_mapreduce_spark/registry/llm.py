@@ -36,7 +36,10 @@ from python_mapreduce_spark.llm.similarity import (
 )
 from python_mapreduce_spark.llm.text import (
     BPE_ISH_PATTERN,
+    clean_text,
     fingerprint,
+    hashed_feature_score,
+    md5_weights,
     language_id,
     ngram_contamination,
     pii_scrub,
@@ -1490,6 +1493,106 @@ GROUP BY 1, 2
 """
 
 
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Text normalization (llm/text.py::clean_text). The corpus is clean
+    # ASCII, so every 5th document gets deterministic byte noise
+    # injected — zero-width space, soft hyphen, tab, bell, BOM, ragged
+    # double spaces — constructed identically in the oracle (chr() on
+    # the same codepoints); the cleaned text itself is part of the
+    # compared row, so stripping/collapsing semantics are verified, not
+    # just lengths.
+    docs = table(spark, sf_dir, "documents")
+    noisy = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("\u200b soft\u00adhyphen\ttab\u0007bell  "),
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("  \ufeff"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    return clean_text(noisy, "doc_id", "t")
+
+
+SQL_CLEAN_TEXT = r"""
+WITH noisy AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 5 = 0
+              THEN chr(8203) || ' soft' || chr(173) || 'hyphen' || chr(9) || 'tab'
+                   || chr(7) || 'bell  ' || coalesce(text, '') || '  ' || chr(65279)
+              ELSE text END AS t
+  FROM documents
+),
+cleaned AS (
+  SELECT id,
+         coalesce(t, '') AS raw,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(coalesce(t, ''),
+               '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || chr(173) || ']',
+               '', 'g'),
+             '[\x00-\x1F\x7F]', ' ', 'g'),
+           ' +', ' ', 'g')) AS clean
+  FROM noisy
+)
+SELECT id,
+       CAST(length(raw) AS BIGINT) AS raw_len,
+       CAST(length(clean) AS BIGINT) AS clean_len,
+       clean
+FROM cleaned
+"""
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hashed-feature linear classifier scoring (llm/text.py::
+    # hashed_feature_score): md5-bucketed tokens broadcast-joined to a
+    # 1024-bucket weight table, per-doc mean score + keep verdict. The
+    # weight table is the deterministic md5-derived pseudo-model
+    # (md5_weights) so the oracle can replay the identical model in SQL
+    # — production swaps in trained weights through the same table
+    # contract. DECIMAL-summed weights make the score exact and
+    # associative at any parallelism.
+    docs = table(spark, sf_dir, "documents")
+    wt = md5_weights(spark.range(1024).withColumnRenamed("id", "bucket"))
+    return hashed_feature_score(docs, "doc_id", "text", wt, buckets=1024)
+
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH w AS (
+  SELECT range AS bucket,
+         {sql_dround("CAST('0x' || substr(md5('w' || CAST(range AS VARCHAR)), 1, 8) AS BIGINT)"
+                     " / 4294967296.0 * 2.0 - 1.0", 6)} AS weight
+  FROM range(0, 1024)
+),
+toks AS (
+  SELECT doc_id AS id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS tok
+  FROM documents
+),
+b AS (
+  SELECT id, tok, CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) % 1024 AS bucket
+  FROM toks
+),
+per AS (
+  SELECT d.doc_id AS id,
+         CAST(count(b.tok) AS BIGINT) AS n_tokens,
+         coalesce(sum(CAST(w.weight AS DECIMAL(18,6))), 0) AS sumw
+  FROM documents d
+  LEFT JOIN b ON d.doc_id = b.id
+  LEFT JOIN w USING (bucket)
+  GROUP BY 1
+)
+SELECT id, n_tokens,
+       {sql_dround('CAST(sumw AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)', 4)} AS score,
+       (CAST(sumw AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) > 0 AS keep
+FROM per
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, "exact dedup on normalized text"),
     "q_dedup_jaccard": Query(q_dedup_jaccard, _SQL_JACCARD_PAIRS_CAPPED, "3-gram Jaccard near-dup pairs (df-capped)"),
@@ -1520,6 +1623,10 @@ QUERIES: dict[str, Query] = {
     "q_gopher_filter": Query(q_gopher_filter, SQL_GOPHER_FILTER, "Gopher-style composite quality gate (per-rule flags)"),
     "q_text_contamination": Query(q_text_contamination, SQL_TEXT_CONTAMINATION, "train/eval 8-gram contamination audit"),
     "q_pii_redact": Query(q_pii_redact, SQL_PII_REDACT, "PII span count + redaction"),
+    "q_clean_text": Query(q_clean_text, SQL_CLEAN_TEXT, "byte-noise normalization (strip/collapse, verified text)"),
+    "q_quality_classifier": Query(
+        q_quality_classifier, SQL_QUALITY_CLASSIFIER, "hashed-feature linear classifier scoring"
+    ),
     "q_domain_mix": Query(q_domain_mix, SQL_DOMAIN_MIX, "deterministic domain-mix downsampling audit"),
     "q_temperature_sample": Query(
         q_temperature_sample, SQL_TEMPERATURE_SAMPLE, "temperature-balanced language mixing (alpha=0.5)"

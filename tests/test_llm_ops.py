@@ -726,3 +726,82 @@ def test_null_text_behaves_as_empty_document(spark):
     dedup = exact_dedup(df, "doc_id", "text").collect()
     empties = [r for r in dedup if r.text_fp == empty_md5]
     assert len(empties) == 1 and empties[0].n_copies == 2  # NULL + '' merge
+
+
+def test_clean_text_strips_collapses_and_trims(spark):
+    from python_mapreduce_spark.llm.text import clean_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "\u200bzero\u200cwidth\tand\u0007ctl   spaces  "),
+            (2, "already clean"),
+            (3, None),
+            (4, "\ufeffbom lead\u00ad"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.id: r for r in clean_text(df, "doc_id", "text").collect()}
+    # zero-width chars removed entirely; tab+bell become single spaces;
+    # runs collapse; edges trim
+    assert rows[1].clean == "zerowidth and ctl spaces"
+    assert rows[1].raw_len > rows[1].clean_len
+    assert rows[2].clean == "already clean"
+    assert rows[2].raw_len == rows[2].clean_len
+    # NULL text = empty document (engine-wide rule)
+    assert rows[3].clean == "" and rows[3].raw_len == 0 and rows[3].clean_len == 0
+    assert rows[4].clean == "bom lead"
+
+
+def test_hashed_feature_score_mean_and_missing_buckets(spark):
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.llm.text import hashed_feature_score
+
+    df = spark.createDataFrame(
+        [(1, "good good bad"), (2, "unknown"), (3, None)], ["doc_id", "text"]
+    )
+    # compute each token's bucket with the operator's own rule, then give
+    # "good" weight +0.6, "bad" -0.3, and leave "unknown"'s bucket absent
+    tok_bucket = {
+        r.tok: r.b
+        for r in spark.createDataFrame([("good",), ("bad",), ("unknown",)], ["tok"])
+        .select(
+            "tok",
+            F.pmod(
+                F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long"), F.lit(64)
+            ).alias("b"),
+        )
+        .collect()
+    }
+    weights = spark.createDataFrame(
+        [(tok_bucket["good"], 0.6), (tok_bucket["bad"], -0.3)], ["bucket", "weight"]
+    )
+    rows = {
+        r.id: r
+        for r in hashed_feature_score(df, "doc_id", "text", weights, buckets=64).collect()
+    }
+    assert rows[1].n_tokens == 3
+    assert abs(rows[1].score - round((0.6 + 0.6 - 0.3) / 3, 4)) < 1e-9
+    assert rows[1].keep is True
+    # token with no weight row contributes exactly 0
+    assert rows[2].n_tokens == 1 and rows[2].score == 0.0 and rows[2].keep is False
+    # NULL text scores the bias (0) over zero tokens
+    assert rows[3].n_tokens == 0 and rows[3].score == 0.0 and rows[3].keep is False
+
+
+def test_hashed_feature_score_bias_and_md5_weights_replay(spark):
+    import hashlib
+    import math
+
+    from python_mapreduce_spark.llm.text import hashed_feature_score, md5_weights
+
+    wt = md5_weights(spark.range(32).withColumnRenamed("id", "bucket"))
+    got = {r.bucket: r.weight for r in wt.collect()}
+    for b in (0, 7, 31):
+        frac = int(hashlib.md5(f"w{b}".encode()).hexdigest()[:8], 16) / 2**32
+        expect = math.floor((frac * 2 - 1) * 1e6 + 0.5) / 1e6
+        assert abs(got[b] - expect) < 1e-12
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    empty_w = spark.createDataFrame([], "bucket long, weight double")
+    row = hashed_feature_score(df, "doc_id", "text", empty_w, buckets=8, bias=2.5).collect()[0]
+    assert row.score == 2.5 and row.keep is True
