@@ -570,3 +570,59 @@ def embedding_dedup(
     return embedding_dedup_pairs_lsh(
         emb, id_col, vec_col, threshold=threshold, **lsh_kwargs
     )
+
+
+def semantic_dedup_prune(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    *,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style semantic prune (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): within each pre-assigned cluster, drop every
+    vector that has ANY smaller-id partner at cosine >= ``threshold``
+    — keeping exactly the smallest id of each within-cluster similarity
+    clique. The cluster assignment (k-means in the paper; nearest label
+    centroid in the registry query via
+    similarity.nearest_centroid_assign) confines the quadratic
+    comparison to cluster-sized blocks, which is the whole point of the
+    algorithm: clusters bound the pair space, so cost is
+    sum(|cluster|^2), not |corpus|^2.
+
+    Returns one row per vector: (id, cluster, keep). The drop rule is
+    "smaller-id partner", NOT "kept smaller-id partner" — a chain
+    a~b~c (a!~c) keeps only a. Deterministic (min-id, cosines rounded
+    to 1e-6 by the pandas scorer) and order/partitioning-independent.
+
+    Plan: one equi-join on the cluster key (co-partitioned shuffle) with
+    the Arrow-batched pairwise cosine on candidates only, a distinct on
+    dropped ids, and a left anti-style flag join back — no all-pairs
+    stage at any scale.
+    """
+    from python_mapreduce_spark.llm.similarity import cos_pair_udf  # noqa: PLC0415
+
+    base = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(cluster_col).alias("cluster"),
+        F.col(vec_col).alias("v"),
+    )
+    a = base.select(
+        F.col("id").alias("id1"), F.col("cluster").alias("c1"), F.col("v").alias("v1")
+    )
+    b = base.select(
+        F.col("id").alias("id2"), F.col("cluster").alias("c2"), F.col("v").alias("v2")
+    )
+    dropped = (
+        a.join(b, (F.col("c1") == F.col("c2")) & (F.col("id1") < F.col("id2")))
+        .select("id2", cos_pair_udf()(F.col("v1"), F.col("v2")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("id2").alias("id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return base.join(dropped, "id", "left").select(
+        "id", "cluster", F.col("__dropped").isNull().alias("keep")
+    )

@@ -393,6 +393,64 @@ def label_centroids(df: DataFrame, vec_col: str, label_col: str) -> DataFrame:
     )
 
 
+def _centroid_matrix(df: DataFrame, vec_col: str, label_col: str, max_labels: int):
+    """Collect the per-label centroid matrix once (bounded): returns
+    (labels ndarray ascending, dim x n_labels unit matrix), or None on
+    an empty corpus. Shared by :func:`nearest_centroid_confusion` and
+    :func:`nearest_centroid_assign`. The limit caps what can ever reach
+    the driver, so a mistaken high-cardinality label column fails with
+    a pointed error instead of an OOM during an unbounded collect."""
+    cents = label_centroids(df, vec_col, label_col).limit(max_labels + 1).collect()
+    if len(cents) > max_labels:
+        raise ValueError(
+            f"more than max_labels={max_labels} labels; "
+            "nearest-centroid assumes an enumerable class set"
+        )
+    if not cents:
+        return None
+    cents.sort(key=lambda r: r["clabel"])
+    labels = np.array([r["clabel"] for r in cents])
+    return labels, _unit_rows([r["centroid"] for r in cents]).T  # dim x n_labels
+
+
+def nearest_centroid_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    *,
+    max_labels: int = 10_000,
+) -> DataFrame:
+    """Per-vector nearest-centroid CLUSTER assignment: (id, cluster)
+    where cluster is the label whose centroid the vector is
+    cosine-closest to — the clustering front half of SemDeDup-style
+    semantic dedup (see llm/dedup.py::semantic_dedup_prune) and of
+    cluster-balanced sampling. Same plan shape and determinism contract
+    as :func:`nearest_centroid_confusion`: centroids collected once
+    (bounded), corpus streamed through one BLAS matmul per Arrow batch,
+    cosines rounded to 1e-6 before the argmax with ties to the smallest
+    label — reproducible in any engine.
+    """
+    got = _centroid_matrix(df, vec_col, label_col, max_labels)
+    if got is None:
+        return df.sparkSession.createDataFrame([], "id long, cluster long")
+    labels, cmat = got
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sims = _round6(_unit_rows(pdf["v"].values) @ cmat)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cluster": labels[np.argmax(sims, axis=1)] if len(pdf) else [],
+                }
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(assign, "id long, cluster long")
+
+
 def nearest_centroid_confusion(
     df: DataFrame,
     vec_col: str,
@@ -416,20 +474,10 @@ def nearest_centroid_confusion(
     before the argmax (labels ascending, first max wins) so ties resolve
     to the smallest label in any engine.
     """
-    # Bounded collect: the limit caps what can ever reach the driver, so
-    # a mistaken high-cardinality label column fails with this error
-    # instead of an OOM during an unbounded collect.
-    cents = label_centroids(df, vec_col, label_col).limit(max_labels + 1).collect()
-    if len(cents) > max_labels:
-        raise ValueError(
-            f"more than max_labels={max_labels} labels; "
-            "nearest-centroid assumes an enumerable class set"
-        )
-    if not cents:  # empty corpus: empty confusion matrix, not a crash
+    got = _centroid_matrix(df, vec_col, label_col, max_labels)
+    if got is None:  # empty corpus: empty confusion matrix, not a crash
         return df.sparkSession.createDataFrame([], "label long, pred_label long, n long")
-    cents.sort(key=lambda r: r["clabel"])
-    labels = np.array([r["clabel"] for r in cents])
-    cmat = _unit_rows([r["centroid"] for r in cents]).T  # dim x n_labels
+    labels, cmat = got
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -137,6 +137,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_kll_rollup",
     "q_clean_text",
     "q_quality_classifier",
+    "q_semantic_dedup",
 )
 
 

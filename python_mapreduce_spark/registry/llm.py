@@ -1493,6 +1493,64 @@ GROUP BY 1, 2
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup-style semantic prune (llm/dedup.py::semantic_dedup_prune):
+    # vectors cluster to their nearest label centroid
+    # (similarity.nearest_centroid_assign — centroids collected once,
+    # BLAS matmul per Arrow batch), then within each cluster every
+    # vector with a smaller-id partner at cosine >= 0.4 is dropped. The
+    # oracle replays centroid assignment + within-cluster pair rule in
+    # SQL; the per-vector keep verdict is the compared row.
+    from python_mapreduce_spark.llm.dedup import semantic_dedup_prune  # noqa: PLC0415
+    from python_mapreduce_spark.llm.similarity import nearest_centroid_assign  # noqa: PLC0415
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned = nearest_centroid_assign(emb, "vec_id", "embedding", "label")
+    clustered = emb.join(
+        assigned.withColumnRenamed("id", "vec_id"), "vec_id"
+    )
+    return semantic_dedup_prune(clustered, "vec_id", "embedding", "cluster", threshold=0.4)
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH pos AS (
+  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+         unnest(generate_series(1, len(embedding))) AS p
+  FROM embeddings
+),
+cvec AS (
+  SELECT clabel, list(c ORDER BY p) AS cv FROM (
+    SELECT label AS clabel, p, avg(v) AS c FROM pos GROUP BY 1, 2)
+  GROUP BY 1
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT e.vec_id, c.clabel,
+         floor(list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+               * 1000000.0 + 0.5) / 1000000.0 AS cos
+  FROM e CROSS JOIN cvec c
+),
+assigned AS (
+  SELECT vec_id AS id, CAST(clabel AS BIGINT) AS cluster FROM (
+    SELECT vec_id, clabel,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+    FROM scored)
+  WHERE rn = 1
+),
+ev AS (SELECT a.id, a.cluster, e.v FROM assigned a JOIN e ON a.id = e.vec_id),
+dropped AS (
+  SELECT DISTINCT b.id FROM ev a JOIN ev b
+  ON a.cluster = b.cluster AND a.id < b.id
+  WHERE floor(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+              * 1000000.0 + 0.5) / 1000000.0 >= 0.4
+)
+SELECT ev.id, ev.cluster, (d.id IS NULL) AS keep
+FROM ev LEFT JOIN dropped d ON ev.id = d.id
+"""
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Text normalization (llm/text.py::clean_text). The corpus is clean
     # ASCII, so every 5th document gets deterministic byte noise
@@ -1624,6 +1682,9 @@ QUERIES: dict[str, Query] = {
     "q_text_contamination": Query(q_text_contamination, SQL_TEXT_CONTAMINATION, "train/eval 8-gram contamination audit"),
     "q_pii_redact": Query(q_pii_redact, SQL_PII_REDACT, "PII span count + redaction"),
     "q_clean_text": Query(q_clean_text, SQL_CLEAN_TEXT, "byte-noise normalization (strip/collapse, verified text)"),
+    "q_semantic_dedup": Query(
+        q_semantic_dedup, SQL_SEMANTIC_DEDUP, "SemDeDup-style within-cluster semantic prune"
+    ),
     "q_quality_classifier": Query(
         q_quality_classifier, SQL_QUALITY_CLASSIFIER, "hashed-feature linear classifier scoring"
     ),

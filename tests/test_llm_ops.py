@@ -805,3 +805,48 @@ def test_hashed_feature_score_bias_and_md5_weights_replay(spark):
     empty_w = spark.createDataFrame([], "bucket long, weight double")
     row = hashed_feature_score(df, "doc_id", "text", empty_w, buckets=8, bias=2.5).collect()[0]
     assert row.score == 2.5 and row.keep is True
+
+
+def test_semantic_dedup_prune_keeps_min_id_of_cliques(spark):
+    from python_mapreduce_spark.llm.dedup import semantic_dedup_prune
+
+    # cluster 0: a chain 1~2, 2~3 (1 !~ 3): rule drops every vector with
+    # a smaller-id partner -> keeps only 1. cluster 1: all orthogonal.
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0]),
+        (2, 0, [0.9, 0.436, 0.0]),     # cos(1,2) ~ 0.9
+        (3, 0, [0.62, 0.785, 0.0]),    # cos(2,3) ~ 0.9, cos(1,3) ~ 0.62
+        (10, 1, [0.0, 1.0, 0.0]),
+        (11, 1, [0.0, 0.0, 1.0]),
+        # identical twins in the same cluster: larger id dropped
+        (20, 1, [0.5, 0.5, 0.7]),
+        (21, 1, [0.5, 0.5, 0.7]),
+    ]
+    df = spark.createDataFrame(rows, "id long, cluster long, vec array<double>")
+    got = {r.id: r.keep for r in semantic_dedup_prune(df, "id", "vec", "cluster", threshold=0.85).collect()}
+    assert got == {1: True, 2: False, 3: False, 10: True, 11: True, 20: True, 21: False}
+    # cross-cluster twins are NOT compared: move 21 to cluster 2 -> kept
+    df2 = spark.createDataFrame(
+        [(20, 1, [0.5, 0.5, 0.7]), (21, 2, [0.5, 0.5, 0.7])],
+        "id long, cluster long, vec array<double>",
+    )
+    got2 = {r.id: r.keep for r in semantic_dedup_prune(df2, "id", "vec", "cluster", threshold=0.85).collect()}
+    assert got2 == {20: True, 21: True}
+
+
+def test_nearest_centroid_assign_matches_confusion_and_handles_empty(spark):
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.llm.similarity import nearest_centroid_assign
+
+    rows = [
+        (1, 0, [1.0, 0.0]), (2, 0, [0.9, 0.1]),
+        (3, 1, [0.0, 1.0]), (4, 1, [0.1, 0.9]),
+        (5, 0, [0.05, 1.0]),  # labeled 0 but sits on cluster 1's centroid
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label long, embedding array<double>")
+    got = {r.id: r.cluster for r in nearest_centroid_assign(df, "vec_id", "embedding", "label").collect()}
+    assert got[1] == 0 and got[2] == 0 and got[3] == 1 and got[4] == 1
+    assert got[5] == 1  # assignment follows geometry, not the noisy label
+    empty = spark.createDataFrame([], "vec_id long, label long, embedding array<double>")
+    assert nearest_centroid_assign(empty, "vec_id", "embedding", "label").count() == 0
