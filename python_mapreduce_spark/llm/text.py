@@ -624,3 +624,67 @@ def md5_weights(df_range: DataFrame, *, salt: str = "w") -> DataFrame:
         F.col("bucket").cast("long").alias("bucket"),
         dround(frac * 2.0 - 1.0, 6).alias("weight"),
     )
+
+
+def segment_dedup(
+    df: DataFrame, id_col: str, text_col: str, *, seg_tokens: int = 8
+) -> DataFrame:
+    """C4/CCNet-style duplicate-SEGMENT removal with document
+    reassembly: split every document into disjoint ``seg_tokens``-token
+    segments, keep only the globally FIRST occurrence of each distinct
+    segment (smallest (doc_id, position)), and rebuild each document
+    from its surviving segments in order — the line/paragraph dedup
+    pass that strips boilerplate repeated across pages while leaving
+    unique content intact (C4 did this per line; this corpus has no
+    line structure, so the unit is a fixed token window). Beyond the
+    reference surface (SURVEY.md §2.2 north-star extensions).
+
+    Emits (id, n_segments, n_kept, text_dedup); empty/NULL documents
+    survive with 0/0 and empty text.
+
+    Scale shape: segments explode narrowly; the first-occurrence vote
+    is a groupBy on md5(segment) — 32-hex keys cross the wire, never
+    raw text twice — whose min(struct(id, pos)) partially aggregates
+    map-side, so even a boilerplate segment shared by millions of
+    documents contributes one row per partition to the shuffle (no hot
+    -key stall). Reassembly shuffles only KEPT segments, keyed by doc.
+    """
+    seg = int(seg_tokens)
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"), tokenize(F.col(text_col)).alias("toks")
+    ).withColumn("nseg", F.ceil(F.size("toks") / F.lit(float(seg))).cast("int"))
+    segs = base.select(
+        "id",
+        F.posexplode_outer(
+            F.when(
+                F.col("nseg") > 0,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("nseg") - 1),
+                    lambda i: F.array_join(F.slice("toks", i * seg + 1, seg), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "seg"),
+    )
+    real = segs.filter(F.col("seg").isNotNull()).withColumn("gh", F.md5("seg"))
+    wins = real.groupBy("gh").agg(F.min(F.struct("id", "pos")).alias("w"))
+    kept = (
+        real.join(wins, "gh")
+        .filter((F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos")))
+        .select("id", "pos", "seg")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "seg"))), lambda s: s["seg"]
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    counts = segs.groupBy("id").agg(F.count("seg").cast("long").alias("n_segments"))
+    return counts.join(rebuilt, "id", "left").select(
+        "id",
+        "n_segments",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )

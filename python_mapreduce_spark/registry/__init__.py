@@ -138,6 +138,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_clean_text",
     "q_quality_classifier",
     "q_semantic_dedup",
+    "q_segment_dedup",
 )
 
 

@@ -1493,6 +1493,52 @@ GROUP BY 1, 2
 """
 
 
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4-style duplicate-segment removal + reassembly (llm/text.py::
+    # segment_dedup): disjoint 8-token segments, global first-occurrence
+    # keep (min (doc_id, pos)), documents rebuilt from survivors. The
+    # rebuilt text itself is part of the compared row. The oracle
+    # replays the rule with a composite (id * 2^20 + pos) min — valid
+    # because positions are far below 2^20 here; the Spark operator
+    # itself uses an unbounded struct-min.
+    from python_mapreduce_spark.llm.text import segment_dedup  # noqa: PLC0415
+
+    return segment_dedup(table(spark, sf_dir, "documents"), "doc_id", "text", seg_tokens=8)
+
+
+SQL_SEGMENT_DEDUP = """
+WITH base AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+  FROM documents
+),
+segs AS (
+  SELECT id, i - 1 AS pos,
+         array_to_string(toks[(i-1)*8+1:(i-1)*8+8], ' ') AS seg
+  FROM (SELECT id, toks,
+               unnest(generate_series(1, CAST(ceil(len(toks) / 8.0) AS INT))) AS i
+        FROM base)
+),
+wins AS (SELECT md5(seg) AS gh, min(id * 1048576 + pos) AS w FROM segs GROUP BY 1),
+kept AS (
+  SELECT s.id, s.pos, s.seg FROM segs s
+  JOIN wins ON md5(s.seg) = wins.gh AND s.id * 1048576 + s.pos = wins.w
+),
+reb AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(seg, ' ' ORDER BY pos) AS text_dedup
+  FROM kept GROUP BY id
+),
+cnt AS (
+  SELECT b.id, CAST(count(s.seg) AS BIGINT) AS n_segments
+  FROM base b LEFT JOIN segs s ON b.id = s.id GROUP BY b.id
+)
+SELECT cnt.id, cnt.n_segments,
+       coalesce(reb.n_kept, 0) AS n_kept,
+       coalesce(reb.text_dedup, '') AS text_dedup
+FROM cnt LEFT JOIN reb ON cnt.id = reb.id
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup-style semantic prune (llm/dedup.py::semantic_dedup_prune):
     # vectors cluster to their nearest label centroid
@@ -1682,6 +1728,9 @@ QUERIES: dict[str, Query] = {
     "q_text_contamination": Query(q_text_contamination, SQL_TEXT_CONTAMINATION, "train/eval 8-gram contamination audit"),
     "q_pii_redact": Query(q_pii_redact, SQL_PII_REDACT, "PII span count + redaction"),
     "q_clean_text": Query(q_clean_text, SQL_CLEAN_TEXT, "byte-noise normalization (strip/collapse, verified text)"),
+    "q_segment_dedup": Query(
+        q_segment_dedup, SQL_SEGMENT_DEDUP, "C4-style duplicate-segment removal + reassembly"
+    ),
     "q_semantic_dedup": Query(
         q_semantic_dedup, SQL_SEMANTIC_DEDUP, "SemDeDup-style within-cluster semantic prune"
     ),

@@ -850,3 +850,42 @@ def test_nearest_centroid_assign_matches_confusion_and_handles_empty(spark):
     assert got[5] == 1  # assignment follows geometry, not the noisy label
     empty = spark.createDataFrame([], "vec_id long, label long, embedding array<double>")
     assert nearest_centroid_assign(empty, "vec_id", "embedding", "label").count() == 0
+
+
+def test_segment_dedup_first_occurrence_and_reassembly(spark):
+    from python_mapreduce_spark.llm.text import segment_dedup
+
+    seg_a = "a b c d"          # 4-token segments
+    seg_b = "e f g h"
+    seg_c = "i j k l"
+    rows = [
+        (1, f"{seg_a} {seg_b}"),          # both first occurrences
+        (2, f"{seg_a} {seg_c}"),          # seg_a duplicates doc 1 pos 0
+        (3, seg_b),                        # seg_b duplicates doc 1 pos 1
+        (4, "tail only two"),              # one partial segment, unique
+        (5, None),                         # NULL text = empty document
+        (0, seg_c),                        # SMALLER id later in input: wins seg_c
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in segment_dedup(df, "doc_id", "text", seg_tokens=4).collect()}
+    assert got[1].n_segments == 2 and got[1].n_kept == 2
+    assert got[1].text_dedup == f"{seg_a} {seg_b}"
+    # doc 2 loses seg_a (doc 1 owns it) AND seg_c (doc 0 owns it: min id)
+    assert got[2].n_segments == 2 and got[2].n_kept == 0 and got[2].text_dedup == ""
+    assert got[3].n_segments == 1 and got[3].n_kept == 0
+    assert got[4].n_kept == 1 and got[4].text_dedup == "tail only two"
+    assert got[5].n_segments == 0 and got[5].n_kept == 0 and got[5].text_dedup == ""
+    assert got[0].n_kept == 1 and got[0].text_dedup == seg_c
+
+
+def test_segment_dedup_within_doc_position_order(spark):
+    from python_mapreduce_spark.llm.text import segment_dedup
+
+    # 9 tokens at seg_tokens=4 -> segments at pos 0,1 full + pos 2 partial;
+    # a repeated segment WITHIN one doc keeps only its first position
+    df = spark.createDataFrame(
+        [(7, "a b c d a b c d tail")], "doc_id long, text string"
+    )
+    row = segment_dedup(df, "doc_id", "text", seg_tokens=4).collect()[0]
+    assert row.n_segments == 3 and row.n_kept == 2
+    assert row.text_dedup == "a b c d tail"
