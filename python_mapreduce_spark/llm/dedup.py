@@ -21,6 +21,8 @@ seeds — rerunning at any parallelism gives identical results.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -626,3 +628,47 @@ def semantic_dedup_prune(
     return base.join(dropped, "id", "left").select(
         "id", "cluster", F.col("__dropped").isNull().alias("keep")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    splits: Sequence[tuple[str, float]] = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    salt: str = "",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 16,
+    rows: int = 2,
+) -> DataFrame:
+    """Cluster-aware train/val/test split: assign splits by hashing the
+    near-dup CLUSTER representative instead of the document id, so a
+    whole clique of near-duplicates always lands in the same split —
+    the constructive fix for the leakage that ``q_split_leakage``
+    audits (a test doc whose near-dup sits in train inflates eval).
+
+    Pipeline: MinHash-LSH near-dup pairs (16x2 banding by default —
+    candidate miss ~1e-7 at j >= ``threshold``) -> connected components
+    (min-label propagation) -> representative = component label for
+    clustered docs, own id for singletons -> the shared md5-bucket
+    split rule (operators/relational.py::hash_split) applied to the
+    representative. Deterministic, order/partitioning-independent, and
+    stable under corpus growth EXCEPT when growth merges two clusters
+    (then the merged clique moves together — which is the contract).
+
+    Returns one row per document: (id, rep, split).
+    """
+    from python_mapreduce_spark.operators.relational import hash_split  # noqa: PLC0415
+
+    pairs = minhash_dedup_pairs(
+        docs, id_col, text_col,
+        n=3, num_hashes=num_hashes, bands=bands, rows=rows, threshold=threshold,
+    )
+    comps = connected_components(pairs.select("id1", "id2"))
+    reps = (
+        docs.select(F.col(id_col).cast("long").alias("id"))
+        .join(comps.withColumnRenamed("node", "id"), "id", "left")
+        .select("id", F.coalesce("cluster", F.col("id")).alias("rep"))
+    )
+    return hash_split(reps, "rep", splits, salt=salt).select("id", "rep", "split")

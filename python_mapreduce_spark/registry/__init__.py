@@ -139,6 +139,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_quality_classifier",
     "q_semantic_dedup",
     "q_segment_dedup",
+    "q_cluster_split",
 )
 
 

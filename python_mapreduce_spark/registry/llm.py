@@ -1493,6 +1493,60 @@ GROUP BY 1, 2
 """
 
 
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cluster-aware leakage-safe split (llm/dedup.py::
+    # leakage_safe_split): the constructive fix for what
+    # q_split_leakage audits — splits are assigned by hashing the
+    # near-dup cluster representative, so near-dup cliques can never
+    # straddle train/val/test. The oracle replays the exact-Jaccard
+    # pair graph, a recursive-CTE reachability closure, and the shared
+    # md5-bucket split rule on the representative.
+    from python_mapreduce_spark.llm.dedup import leakage_safe_split  # noqa: PLC0415
+
+    return leakage_safe_split(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+SQL_CLUSTER_SPLIT = f"""
+WITH RECURSIVE
+{_SQL_SHINGLES},
+posts AS (SELECT id, unnest(shingles) AS shingle FROM sets WHERE len(shingles) > 0),
+sizes AS (SELECT id, CAST(len(shingles) AS BIGINT) AS sz FROM sets WHERE len(shingles) > 0),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2 FROM (
+    SELECT id1, id2,
+           floor(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) * 10000.0 + 0.5) / 10000.0
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON id1 = sa.id
+    JOIN sizes sb ON id2 = sb.id
+  ) WHERE jaccard >= 0.8
+),
+sym AS (SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+reach(node, label) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
+),
+comp AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+rep AS (
+  SELECT d.doc_id AS id, coalesce(c.cluster, d.doc_id) AS rep
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT id, rep,
+       CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 4)
+                 < '{format(round(0.8 * 65536), "04x")}' THEN 'train'
+            WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 4)
+                 < '{format(round(0.9 * 65536), "04x")}' THEN 'val'
+            ELSE 'test' END AS split
+FROM rep
+"""
+
+
 def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # C4-style duplicate-segment removal + reassembly (llm/text.py::
     # segment_dedup): disjoint 8-token segments, global first-occurrence
@@ -1728,6 +1782,9 @@ QUERIES: dict[str, Query] = {
     "q_text_contamination": Query(q_text_contamination, SQL_TEXT_CONTAMINATION, "train/eval 8-gram contamination audit"),
     "q_pii_redact": Query(q_pii_redact, SQL_PII_REDACT, "PII span count + redaction"),
     "q_clean_text": Query(q_clean_text, SQL_CLEAN_TEXT, "byte-noise normalization (strip/collapse, verified text)"),
+    "q_cluster_split": Query(
+        q_cluster_split, SQL_CLUSTER_SPLIT, "cluster-aware leakage-safe train/val/test split"
+    ),
     "q_segment_dedup": Query(
         q_segment_dedup, SQL_SEGMENT_DEDUP, "C4-style duplicate-segment removal + reassembly"
     ),

@@ -889,3 +889,42 @@ def test_segment_dedup_within_doc_position_order(spark):
     row = segment_dedup(df, "doc_id", "text", seg_tokens=4).collect()[0]
     assert row.n_segments == 3 and row.n_kept == 2
     assert row.text_dedup == "a b c d tail"
+
+
+def test_leakage_safe_split_keeps_cliques_together(spark):
+    from python_mapreduce_spark.llm.dedup import leakage_safe_split, minhash_dedup_pairs
+
+    # three exact-copy families + singletons; ids chosen so naive
+    # per-id hashing WOULD split at least one family (pinned below)
+    texts = {
+        10: "spark shuffle partition broadcast join skew salt window " * 3,
+        200: "gradient descent batch epoch learning rate momentum decay " * 3,
+        3000: "tokenizer vocab merge byte pair encoding corpus stream " * 3,
+    }
+    rows = []
+    for base, fam in texts.items():
+        for j in range(3):
+            rows.append((base + j * 7, fam + f"tail{base}"))
+    for i in range(40, 60):
+        rows.append((i * 101, f"unique document number {i} with its own words {i * 3}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(df, "doc_id", "text").collect()
+    split_of = {r.id: r.split for r in out}
+    rep_of = {r.id: r.rep for r in out}
+    assert len(out) == len(rows)
+    for base in (10, 200, 3000):
+        ids = [base, base + 7, base + 14]
+        # whole family shares one representative (the min id) and one split
+        assert {rep_of[i] for i in ids} == {base}
+        assert len({split_of[i] for i in ids}) == 1
+    # the audit the operator exists to satisfy: NO near-dup pair straddles
+    pairs = minhash_dedup_pairs(
+        df, "doc_id", "text", n=3, num_hashes=32, bands=16, rows=2, threshold=0.8
+    ).collect()
+    assert pairs  # families are real near-dups
+    assert all(split_of[p.id1] == split_of[p.id2] for p in pairs)
+    # salt re-deals clusters as UNITS: every member still agrees
+    salted = leakage_safe_split(df, "doc_id", "text", salt="epoch2").collect()
+    s2 = {r.id: r.split for r in salted}
+    for base in (10, 200, 3000):
+        assert len({s2[i] for i in [base, base + 7, base + 14]}) == 1
