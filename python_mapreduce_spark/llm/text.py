@@ -688,3 +688,82 @@ def segment_dedup(
         F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
         F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
     )
+
+
+def bigram_lm_score(df: DataFrame, id_col: str, text_col: str, *, k: float = 0.5) -> DataFrame:
+    """Corpus-trained bigram language-model perplexity per document —
+    the CCNet/KenLM-style "perplexity filter" quality signal, with the
+    LM trained ON the corpus itself in the same job (no external model
+    artifact): documents whose token transitions are improbable under
+    the corpus's own bigram statistics (gibberish, boilerplate soup,
+    wrong-language fragments) surface with high perplexity. Beyond the
+    reference surface (SURVEY.md §2.2 north-star extensions).
+
+    Model: add-k smoothing over SEEN CONTEXTS — p(w2|w1) =
+    (c(w1 w2) + k) / (c(w1 ·) + k * V) with V = number of distinct
+    bigram contexts (distinct first tokens), so every count derives
+    from ONE bigram aggregation and training is a single corpus pass.
+    Emits (id, n_bigrams, avg_logp, ppl) with ppl = exp(-avg_logp);
+    documents with < 2 tokens carry NULL scores.
+
+    Scale shape: bigrams explode narrowly; c(w1 w2) is one term-keyed
+    agg, c(w1 ·) and V re-aggregate FROM it (no second corpus pass);
+    scoring joins the exploded stream to the (lazily checkpointed,
+    vocabulary-sized) count frames on the bigram key; the per-doc
+    average partially aggregates map-side. Determinism: each bigram's
+    log-prob is rounded to 1e-6 and summed in DECIMAL(18,6) — exact
+    and associative at any parallelism, reproducible cross-engine.
+    """
+    kf = float(k)
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"), tokenize(F.col(text_col)).alias("toks")
+    )
+    bi = base.select(
+        "id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                " slice(toks, 2, greatest(size(toks) - 1, 0)),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bg"),
+    )
+    # one corpus aggregation; everything else derives from it. Lazy
+    # localCheckpoint cuts the shared lineage so the two consumers (the
+    # scoring join reads c12 and c1) do not re-run the corpus explode.
+    c12 = (
+        bi.groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    vocab = c1.agg(F.count(F.lit(1)).cast("double").alias("v"))  # 1 row
+    logp = dround(
+        F.ln(
+            (F.col("c12").cast("double") + F.lit(kf))
+            / (F.col("c1").cast("double") + F.lit(kf) * F.col("v"))
+        ),
+        6,
+    )
+    scored = (
+        bi.join(c12.select("bg", "c12", "w1"), "bg")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("id", logp.cast("decimal(18,6)").alias("__lp"))
+    )
+    per = scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("__lp").alias("__sum_lp"),
+    )
+    avg4 = dround(F.col("__sum_lp").cast("double") / F.col("n_bigrams").cast("double"), 4)
+    return (
+        base.select("id")
+        .join(per, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            avg4.alias("avg_logp"),
+            dround(F.exp(-avg4), 4).alias("ppl"),
+        )
+    )

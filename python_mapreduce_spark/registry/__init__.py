@@ -140,6 +140,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_semantic_dedup",
     "q_segment_dedup",
     "q_cluster_split",
+    "q_perplexity_filter",
 )
 
 

@@ -1493,6 +1493,54 @@ GROUP BY 1, 2
 """
 
 
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus-trained bigram-LM perplexity (llm/text.py::
+    # bigram_lm_score): the CCNet-style quality signal with the LM
+    # trained on the corpus in the same job. One bigram aggregation
+    # trains the model; context counts and vocab derive from it; the
+    # per-bigram log-probs round to 1e-6 and sum in DECIMAL so the
+    # oracle replays the identical model in SQL.
+    from python_mapreduce_spark.llm.text import bigram_lm_score  # noqa: PLC0415
+
+    return bigram_lm_score(table(spark, sf_dir, "documents"), "doc_id", "text", k=0.5)
+
+
+SQL_PERPLEXITY_FILTER = f"""
+WITH base AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+  FROM documents
+),
+bi AS (
+  SELECT id, toks[i] || ' ' || toks[i+1] AS bg
+  FROM (SELECT id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
+        FROM base)
+),
+c12 AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS c12, split_part(bg, ' ', 1) AS w1
+  FROM bi GROUP BY bg
+),
+c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM c1),
+scored AS (
+  SELECT bi.id,
+         CAST({sql_dround('ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v))', 6)}
+              AS DECIMAL(18,6)) AS lp
+  FROM bi JOIN c12 USING (bg) JOIN c1 ON c12.w1 = c1.w1 CROSS JOIN v
+),
+per AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         {sql_dround('CAST(sum(lp) AS DOUBLE) / count(*)', 4)} AS avg_logp
+  FROM scored GROUP BY id
+)
+SELECT b.id,
+       coalesce(per.n_bigrams, 0) AS n_bigrams,
+       per.avg_logp,
+       {sql_dround('exp(-per.avg_logp)', 4)} AS ppl
+FROM (SELECT id FROM base) b LEFT JOIN per USING (id)
+"""
+
+
 def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cluster-aware leakage-safe split (llm/dedup.py::
     # leakage_safe_split): the constructive fix for what
@@ -1782,6 +1830,9 @@ QUERIES: dict[str, Query] = {
     "q_text_contamination": Query(q_text_contamination, SQL_TEXT_CONTAMINATION, "train/eval 8-gram contamination audit"),
     "q_pii_redact": Query(q_pii_redact, SQL_PII_REDACT, "PII span count + redaction"),
     "q_clean_text": Query(q_clean_text, SQL_CLEAN_TEXT, "byte-noise normalization (strip/collapse, verified text)"),
+    "q_perplexity_filter": Query(
+        q_perplexity_filter, SQL_PERPLEXITY_FILTER, "corpus-trained bigram-LM perplexity scoring"
+    ),
     "q_cluster_split": Query(
         q_cluster_split, SQL_CLUSTER_SPLIT, "cluster-aware leakage-safe train/val/test split"
     ),

@@ -928,3 +928,33 @@ def test_leakage_safe_split_keeps_cliques_together(spark):
     s2 = {r.id: r.split for r in salted}
     for base in (10, 200, 3000):
         assert len({s2[i] for i in [base, base + 7, base + 14]}) == 1
+
+
+def test_bigram_lm_score_manual_model(spark):
+    import math
+
+    from python_mapreduce_spark.llm.text import bigram_lm_score
+
+    # corpus: doc 1 = "a b a b", doc 2 = "a b c", doc 3 = one token, 4 = NULL
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in bigram_lm_score(df, "doc_id", "text", k=0.5).collect()}
+    # bigram counts: (a b)=3, (b a)=1, (b c)=1; contexts: a->3, b->2; V=2
+    V = 2.0
+    lp = {
+        "a b": round(math.log((3 + 0.5) / (3 + 0.5 * V)), 6),
+        "b a": round(math.log((1 + 0.5) / (2 + 0.5 * V)), 6),
+        "b c": round(math.log((1 + 0.5) / (2 + 0.5 * V)), 6),
+    }
+    exp1 = math.floor((lp["a b"] + lp["b a"] + lp["a b"]) / 3 * 1e4 + 0.5) / 1e4
+    exp2 = math.floor((lp["a b"] + lp["b c"]) / 2 * 1e4 + 0.5) / 1e4
+    assert got[1].n_bigrams == 3 and abs(got[1].avg_logp - exp1) < 1e-9
+    assert got[2].n_bigrams == 2 and abs(got[2].avg_logp - exp2) < 1e-9
+    assert abs(got[1].ppl - math.floor(math.exp(-exp1) * 1e4 + 0.5) / 1e4) < 1e-9
+    # the frequent transition scores MORE probable -> doc 1 less perplexing
+    assert got[1].ppl < got[2].ppl
+    # sub-2-token and NULL docs carry NULL scores, zero bigrams
+    for i in (3, 4):
+        assert got[i].n_bigrams == 0 and got[i].avg_logp is None and got[i].ppl is None
