@@ -141,6 +141,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_segment_dedup",
     "q_cluster_split",
     "q_perplexity_filter",
+    "q_stream_incremental_contamination",
 )
 
 

@@ -160,6 +160,39 @@ FROM events GROUP BY event_type
 """
 
 
+def q_stream_incremental_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental benchmark-contamination audit (streaming/
+    # incremental.py::incremental_contamination): corpus files land in
+    # two waves; each checkpointed pass audits ONLY its new files
+    # against the broadcast eval n-gram set and writes per-doc overlap
+    # rows into an idempotent ingest_epoch partition. Contamination is
+    # per-document, so the union of the epoch partitions equals the
+    # one-shot batch audit — which is exactly the oracle
+    # (SQL_TEXT_CONTAMINATION's rule over the full corpus).
+    from python_mapreduce_spark.session import tune  # noqa: PLC0415
+    from python_mapreduce_spark.streaming.incremental import (  # noqa: PLC0415
+        incremental_contamination,
+    )
+
+    tune(spark)
+    docs = table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    work = tempfile.mkdtemp(prefix="incr_contam_")
+    in_dir, ckpt, out_dir = (
+        os.path.join(work, "in"),
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "audit"),
+    )
+    corpus.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(in_dir)
+    incremental_contamination(spark, in_dir, ckpt, ev, out_dir)
+    corpus.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(in_dir)
+    incremental_contamination(spark, in_dir, ckpt, ev, out_dir)
+    return spark.read.parquet(out_dir).select(
+        "id", "n_grams", "n_contaminated", "contamination"
+    )
+
+
 def q_stream_incremental_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Incremental DISTINCT cardinality: count/sum partials recombine
     # with SUM (q_stream_incremental), but distinct does not — a user
@@ -395,6 +428,11 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from python_mapreduce_spark.registry.llm import _SQL_SHINGLES  # noqa: E402
+# The incremental audit's two waves union to exactly the batch audit's
+# corpus, so the batch oracle is the incremental oracle.
+from python_mapreduce_spark.registry.llm import (  # noqa: E402
+    SQL_TEXT_CONTAMINATION as SQL_TEXT_CONTAMINATION_FULL,
+)
 
 SQL_STREAM_INCR_DEDUP = f"""
 WITH {_SQL_SHINGLES},
@@ -439,6 +477,11 @@ QUERIES: dict[str, Query] = {
     ),
     "q_stream_incremental": Query(
         q_stream_incremental, SQL_STREAM_INCREMENTAL, "checkpointed incremental passes, additive"
+    ),
+    "q_stream_incremental_contamination": Query(
+        q_stream_incremental_contamination,
+        SQL_TEXT_CONTAMINATION_FULL,
+        "incremental contamination audit via idempotent per-epoch partials",
     ),
     "q_stream_incremental_hll": Query(
         q_stream_incremental_hll,

@@ -321,3 +321,43 @@ def collect_incremental_counts(
     if not parts:
         return pd.DataFrame(columns=[*keys, "n", "s"])
     return pd.concat(parts, ignore_index=True)
+
+
+def incremental_contamination(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    eval_set: DataFrame,
+    out_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> None:
+    """Incremental benchmark-contamination audit: each checkpointed pass
+    audits ONLY newly ingested corpus files for word-n-gram overlap
+    against the (benchmark-sized, broadcast) ``eval_set``, writing the
+    per-document overlap rows into an idempotent
+    ``ingest_epoch=<epoch>/`` partition of ``out_dir`` (mode=overwrite
+    — crash-replay overwrites rather than double-appends, exactly-once
+    per epoch, the same contract as :func:`collect_incremental_counts`).
+
+    Contamination is a PER-DOCUMENT property, so the union of the epoch
+    partitions IS the running audit: new epochs append new documents'
+    rows and nothing already audited is ever rescanned — the at-scale
+    shape for "audit the corpus as it lands" over an unbounded ingest
+    (contrast the distinct-cardinality case, which needs mergeable
+    sketch state because its aggregate is NOT additive). The batch-side
+    algorithm is llm/text.py::ngram_contamination unchanged: eval
+    n-grams broadcast, each new file scanned once, never shuffled on
+    text.
+    """
+    from python_mapreduce_spark.llm.text import ngram_contamination  # noqa: PLC0415
+
+    def on_batch(batch: DataFrame, epoch: int) -> None:
+        out = ngram_contamination(batch, eval_set, id_col, text_col, n)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"ingest_epoch={epoch}")
+        )
+
+    incremental_pass(spark, input_dir, checkpoint_dir, on_batch)

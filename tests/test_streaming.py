@@ -451,3 +451,49 @@ def test_incremental_dedup_replay_is_idempotent(spark, tmp_path):
 
     assert dict(zip(p1["id"], p1["is_dup"])) == {1: False, 2: True, 3: False}
     assert dict(zip(p2["id"], p2["is_dup"])) == dict(zip(p1["id"], p1["is_dup"]))
+
+
+def test_incremental_contamination_unions_to_batch_audit(spark, tmp_path):
+    # Two waves of corpus files audited incrementally must union to the
+    # one-shot batch audit, and a crash-replay of an epoch (same epoch
+    # id, state already written) must overwrite, not double-append.
+    from pyspark.sql import functions as SF
+
+    from python_mapreduce_spark.llm.text import ngram_contamination
+    from python_mapreduce_spark.streaming.incremental import incremental_contamination
+
+    ev = spark.createDataFrame(
+        [(100, "held out benchmark question about spark shuffles and joins")],
+        "doc_id long, text string",
+    )
+    leak = "held out benchmark question about spark shuffles and joins extra tail"
+    corpus = [
+        (1, leak),                                  # contaminated
+        (2, "completely unrelated document words"),
+        (3, "another clean document with its own content here"),
+        (4, leak + " second copy"),                 # contaminated, wave 2
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    in_dir, ck, out = str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "out")
+    df.filter(SF.col("doc_id") <= 2).write.mode("append").parquet(in_dir)
+    incremental_contamination(spark, in_dir, ck, ev, out)
+    df.filter(SF.col("doc_id") >= 3).write.mode("append").parquet(in_dir)
+    incremental_contamination(spark, in_dir, ck, ev, out)
+
+    got = {
+        r.id: (r.n_contaminated, r.contamination)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r.id: (r.n_contaminated, r.contamination)
+        for r in ngram_contamination(df, ev, "doc_id", "text", 8).collect()
+    }
+    assert got == batch
+    assert got[1][0] > 0 and got[4][0] > 0 and got[2][0] == 0
+    # exactly one row per doc across epochs (no cross-epoch duplication),
+    # laid out as one idempotent partition per epoch — a crash-replay of
+    # an epoch re-runs foreachBatch with the SAME epoch id and the
+    # mode=overwrite write replaces that partition instead of appending
+    rows = spark.read.parquet(out)
+    assert rows.count() == 4
+    assert rows.select("ingest_epoch").distinct().count() == 2
