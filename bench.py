@@ -76,6 +76,16 @@ HEADLINE = [
     "q_upsample_mix",
     "q_crossdoc_ngrams",
     "q_hll_rollup",
+    # Round-4 continuation: sketch rollups, text normalization/quality,
+    # semantic/segment dedup, leakage-safe splitting, perplexity.
+    "q_topk_rollup",
+    "q_kll_rollup",
+    "q_clean_text",
+    "q_quality_classifier",
+    "q_semantic_dedup",
+    "q_segment_dedup",
+    "q_cluster_split",
+    "q_perplexity_filter",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings
