@@ -142,6 +142,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_cluster_split",
     "q_perplexity_filter",
     "q_stream_incremental_contamination",
+    "q_stream_incremental_topk",
 )
 
 

@@ -160,6 +160,53 @@ FROM events GROUP BY event_type
 """
 
 
+def q_stream_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental heavy-hitters (streaming/incremental.py::
+    # incremental_topk_sketch): counts are additive but top-k of the
+    # union is NOT the union of per-epoch top-ks — the mergeable
+    # frequent-items sketch state tracks the full bounded item universe
+    # per epoch, so combining states recovers the true running top-5.
+    # max_items=1024 >= the 499 distinct items keeps every cell exact,
+    # so the oracle is the hard exact GROUP BY + row_number over all
+    # events (the same rule as SQL_TOPK_ROLLUP without the day grain).
+    from python_mapreduce_spark.session import tune  # noqa: PLC0415
+    from python_mapreduce_spark.streaming.incremental import (  # noqa: PLC0415
+        incremental_topk_sketch,
+        read_topk_estimate,
+    )
+
+    tune(spark)
+    events = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    work = tempfile.mkdtemp(prefix="incr_topk_")
+    in_dir, ckpt, state = (
+        os.path.join(work, "in"),
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "state"),
+    )
+    item = "concat('p', CAST(pmod(user_id, 499) AS STRING))"
+    events.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(in_dir)
+    incremental_topk_sketch(spark, in_dir, ckpt, ["event_type"], item, state)
+    events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(in_dir)
+    incremental_topk_sketch(spark, in_dir, ckpt, ["event_type"], item, state)
+    return read_topk_estimate(spark, state, ["event_type"], k=5).withColumn(
+        "est_count", F.col("est_count").cast("long")
+    )
+
+
+SQL_STREAM_INCREMENTAL_TOPK = """
+SELECT event_type, rank, item, est_count FROM (
+  SELECT event_type,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY est_count DESC, item) AS INTEGER) AS rank,
+         item, est_count
+  FROM (SELECT event_type,
+               concat('p', CAST(((user_id % 499) + 499) % 499 AS VARCHAR)) AS item,
+               CAST(count(*) AS BIGINT) AS est_count
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)
+) WHERE rank <= 5
+"""
+
+
 def q_stream_incremental_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Incremental benchmark-contamination audit (streaming/
     # incremental.py::incremental_contamination): corpus files land in
@@ -477,6 +524,11 @@ QUERIES: dict[str, Query] = {
     ),
     "q_stream_incremental": Query(
         q_stream_incremental, SQL_STREAM_INCREMENTAL, "checkpointed incremental passes, additive"
+    ),
+    "q_stream_incremental_topk": Query(
+        q_stream_incremental_topk,
+        SQL_STREAM_INCREMENTAL_TOPK,
+        "incremental heavy-hitters via mergeable top-k sketch state (exact within max_items)",
     ),
     "q_stream_incremental_contamination": Query(
         q_stream_incremental_contamination,

@@ -361,3 +361,80 @@ def incremental_contamination(
         )
 
     incremental_pass(spark, input_dir, checkpoint_dir, on_batch)
+
+
+def incremental_topk_sketch(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    item_expr: str,
+    state_dir: str,
+    *,
+    max_items: int = 1024,
+) -> None:
+    """Incremental heavy-hitters via mergeable frequent-items sketch
+    state: each checkpointed pass sketches ONLY its new files
+    (``approx_top_k_accumulate`` over ``item_expr``, a SQL expression)
+    and writes the per-key sketch states into an idempotent
+    ``ingest_epoch=<epoch>/`` partition of ``state_dir`` — the same
+    exactly-once-per-epoch contract as
+    :func:`incremental_distinct_sketch`.
+
+    Why sketch state and not per-epoch top-k rows: item counts ARE
+    additive, but top-k of the union is NOT the union of per-epoch
+    top-ks — an item globally heavy yet never locally top-k would
+    vanish from row-level partials. The sketch state tracks the full
+    (bounded) item universe per epoch, so combining states across
+    epochs recovers the true running heavy hitters; within
+    ``max_items`` distinct items the counts are exact. Read the
+    running top-k back with :func:`read_topk_estimate`.
+    """
+
+    def on_batch(batch: DataFrame, epoch: int) -> None:
+        agg = (
+            normalize_event_ts(batch)
+            .groupBy(*keys)
+            .agg(
+                F.expr(
+                    f"approx_top_k_accumulate({item_expr}, {int(max_items)})"
+                ).alias("state")
+            )
+        )
+        agg.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"ingest_epoch={epoch}")
+        )
+
+    incremental_pass(spark, input_dir, checkpoint_dir, on_batch)
+
+
+def read_topk_estimate(
+    spark: SparkSession,
+    state_dir: str,
+    keys: list[str],
+    *,
+    k: int = 5,
+    max_items: int = 1024,
+) -> DataFrame:
+    """Combine the per-epoch sketch state of
+    :func:`incremental_topk_sketch` into the running per-key top-k:
+    (keys..., rank, item, est_count) ranked by (count DESC, item ASC) —
+    the same deterministic total order as
+    operators/aggregates.py::sketch_topk_rollup. Only fixed-size sketch
+    states are read and combined; raw data is never rescanned."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    state = spark.read.parquet(state_dir)
+    merged = state.groupBy(*keys).agg(
+        F.expr(f"approx_top_k_combine(state, {int(max_items)})").alias("__comb")
+    )
+    est = merged.select(
+        *keys,
+        F.explode(F.expr(f"approx_top_k_estimate(__comb, {int(max_items)})")).alias("__e"),
+    ).select(*keys, F.col("__e.item").alias("item"), F.col("__e.count").alias("est_count"))
+    w = Window.partitionBy(*keys).orderBy(F.desc("est_count"), F.asc("item"))
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*keys, "rank", "item", "est_count")
+    )

@@ -497,3 +497,39 @@ def test_incremental_contamination_unions_to_batch_audit(spark, tmp_path):
     rows = spark.read.parquet(out)
     assert rows.count() == 4
     assert rows.select("ingest_epoch").distinct().count() == 2
+
+
+def test_incremental_topk_recovers_globally_heavy_but_locally_light_item(spark, tmp_path):
+    # The defining case for sketch state over row partials: "hot" is
+    # NEVER in any single epoch's top-2 but IS the global #1. Per-epoch
+    # top-k rows would lose it; combined sketch state must not.
+    from pyspark.sql import functions as SF
+
+    from python_mapreduce_spark.streaming.incremental import (
+        incremental_topk_sketch,
+        read_topk_estimate,
+    )
+
+    in_dir, ck, st = str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "st")
+
+    def wave(epoch_leader):
+        # per wave: leader 10x, runner-up 8x, hot 6x (locally 3rd)
+        rows = [(epoch_leader, "g")] * 10 + [(f"{epoch_leader}b", "g")] * 8 + [("hot", "g")] * 6
+        return spark.createDataFrame(rows, "item string, g string")
+
+    wave("w1").write.mode("append").parquet(in_dir)
+    incremental_topk_sketch(spark, in_dir, ck, ["g"], "item", st, max_items=64)
+    wave("w2").write.mode("append").parquet(in_dir)
+    incremental_topk_sketch(spark, in_dir, ck, ["g"], "item", st, max_items=64)
+    wave("w3").write.mode("append").parquet(in_dir)
+    incremental_topk_sketch(spark, in_dir, ck, ["g"], "item", st, max_items=64)
+
+    top = read_topk_estimate(spark, st, ["g"], k=2, max_items=64).collect()
+    ranked = sorted(top, key=lambda r: r.rank)
+    assert ranked[0].item == "hot" and ranked[0].est_count == 18
+    # every other item has 10 or 8; rank 2 is a 10-count leader
+    assert ranked[1].est_count == 10
+    # state layout: one sketch row per key per epoch
+    state = spark.read.parquet(st)
+    assert state.count() == 3
+    assert state.select("ingest_epoch").distinct().count() == 3
