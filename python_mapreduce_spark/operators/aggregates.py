@@ -192,6 +192,137 @@ def sketch_quantile_rollup(
     return merged.select(coarse_col, "n_cells", *qcols)
 
 
+def numeric_histogram(
+    df: DataFrame, value_col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Fixed-range numeric histogram: bucket b covers
+    [lo + b*w, lo + (b+1)*w) with w = (hi - lo) / nbins; values below
+    ``lo`` land in bucket -1, values >= ``hi`` in bucket ``nbins``
+    (PostgreSQL ``width_bucket`` convention shifted to 0-based interior
+    buckets) — the data-profiling distribution pass. NULLs are skipped.
+
+    One scan + one nbins-key aggregation; the bucket expression is
+    explicit IEEE floor arithmetic rather than an engine builtin so the
+    identical rule runs in any engine (the registry oracle replays it).
+    Empty buckets are absent from the output (at 100 TB a dense output
+    would need a bucket-spine join; callers needing zeros outer-join a
+    ``spark.range(nbins)`` spine).
+
+    Returns (bucket, lo_edge, hi_edge, n) with edges NULL for the two
+    overflow buckets.
+    """
+    if nbins <= 0:
+        raise ValueError(f"nbins must be positive: {nbins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo: ({lo}, {hi})")
+    v = F.col(value_col).cast("double")
+    w = (float(hi) - float(lo)) / float(nbins)
+    bucket = (
+        F.when(v < float(lo), F.lit(-1))
+        .when(v >= float(hi), F.lit(nbins))
+        .otherwise(F.floor((v - float(lo)) / F.lit(w)).cast("int"))
+        .cast("int")
+    )
+    agg = (
+        df.filter(v.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    interior = (F.col("bucket") >= 0) & (F.col("bucket") < nbins)
+    return agg.select(
+        "bucket",
+        F.when(interior, dround(F.lit(float(lo)) + F.col("bucket") * F.lit(w), 6)).alias(
+            "lo_edge"
+        ),
+        F.when(
+            interior, dround(F.lit(float(lo)) + (F.col("bucket") + 1) * F.lit(w), 6)
+        ).alias("hi_edge"),
+        "n",
+    )
+
+
+def table_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """One-pass table profiling: per column, row count, NULL count,
+    exact distinct count, and (numeric columns only) min/max/mean — the
+    data-quality summary a pipeline records per ingested table/shard.
+
+    ALL columns profile in a SINGLE aggregation over ONE scan (Spark
+    plans the multi-distinct via Expand, still one job) — never one job
+    per column; the 1-row wide result is then unpivoted driver-free
+    into (column, n_rows, n_nulls, n_distinct, min_v, max_v, mean_v)
+    with doubles rounded for cross-engine stability. NULLs are excluded
+    from n_distinct, min, max, and mean.
+    """
+    from pyspark.sql.types import NumericType  # noqa: PLC0415
+
+    numeric = {f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)}
+    aggs = [F.count(F.lit(1)).cast("long").alias("__rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).cast("long").alias(f"__nd_{c}"))
+        if c in numeric:
+            aggs.append(dround(F.min(F.col(c).cast("double")), 4).alias(f"__min_{c}"))
+            aggs.append(dround(F.max(F.col(c).cast("double")), 4).alias(f"__max_{c}"))
+            aggs.append(dround(F.avg(F.col(c).cast("double")), 4).alias(f"__mean_{c}"))
+    wide = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    rows = [
+        wide.select(
+            F.lit(c).alias("column"),
+            F.col("__rows").alias("n_rows"),
+            F.col(f"__nulls_{c}").alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            (F.col(f"__min_{c}") if c in numeric else null_d).alias("min_v"),
+            (F.col(f"__max_{c}") if c in numeric else null_d).alias("max_v"),
+            (F.col(f"__mean_{c}") if c in numeric else null_d).alias("mean_v"),
+        )
+        for c in cols
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def zscore_outliers(
+    df: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    value_col: str,
+    *,
+    z: float = 3.0,
+) -> DataFrame:
+    """Per-key z-score outlier detection: rows whose value sits >= ``z``
+    sample standard deviations from their group mean — the monitoring /
+    anomaly-surface pass over a metric stream. Emits (keys..., id,
+    value, zscore) for flagged rows.
+
+    One grouped aggregation computes (mean, stddev) per key; the tiny
+    stats table broadcast-joins back onto the stream — one data scan
+    plus a map-side join, no second shuffle. Groups with stddev 0 or
+    NULL (constant or single-row) flag nothing. ``zscore`` is rounded
+    to 4 decimals; the threshold compares the unrounded value, so a
+    boundary row is decided by full double precision on any engine.
+    """
+    ks = [F.col(k) for k in keys]
+    stats = df.groupBy(*ks).agg(
+        F.avg(F.col(value_col).cast("double")).alias("__mu"),
+        F.stddev_samp(F.col(value_col).cast("double")).alias("__sd"),
+    )
+    joined = df.join(F.broadcast(stats), list(keys))
+    zval = (F.col(value_col).cast("double") - F.col("__mu")) / F.col("__sd")
+    return (
+        joined.filter(F.col("__sd") > 0)
+        .filter(F.abs(zval) >= float(z))
+        .select(
+            *keys,
+            F.col(id_col).alias("id"),
+            F.col(value_col).cast("double").alias("value"),
+            dround(zval, 4).alias("zscore"),
+        )
+    )
+
+
 def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
     """ROLLUP — hierarchical subtotals. Absent in the reference (single
     grouping key per job, SURVEY.md §2.2); one shuffle in Spark."""

@@ -143,6 +143,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_perplexity_filter",
     "q_stream_incremental_contamination",
     "q_stream_incremental_topk",
+    "q_histogram",
+    "q_table_profile",
+    "q_zscore_outliers",
 )
 
 

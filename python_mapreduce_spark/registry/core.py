@@ -25,9 +25,12 @@ from python_mapreduce_spark.operators.aggregates import (
     group_agg,
     pricing_summary,
     rollup_agg,
+    numeric_histogram,
     sketch_distinct_rollup,
     sketch_quantile_rollup,
     sketch_topk_rollup,
+    table_profile,
+    zscore_outliers,
 )
 from python_mapreduce_spark.registry import Query
 from python_mapreduce_spark.registry._util import table
@@ -782,6 +785,83 @@ FROM events GROUP BY event_type
 """
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixed-range distribution profile (operators/aggregates.py::
+    # numeric_histogram): events.value over [0, 100) in 20 buckets,
+    # overflow buckets -1/20. The bucket rule is explicit IEEE floor
+    # arithmetic replayed identically by the oracle.
+    return numeric_histogram(table(spark, sf_dir, "events"), "value", 0.0, 100.0, 20)
+
+
+SQL_HISTOGRAM = f"""
+WITH b AS (
+  SELECT CASE WHEN value < 0.0 THEN -1
+              WHEN value >= 100.0 THEN 20
+              ELSE CAST(floor((value - 0.0) / 5.0) AS INTEGER) END AS bucket
+  FROM events WHERE value IS NOT NULL
+)
+SELECT bucket,
+       CASE WHEN bucket BETWEEN 0 AND 19
+            THEN {sql_dround('0.0 + bucket * 5.0', 6)} END AS lo_edge,
+       CASE WHEN bucket BETWEEN 0 AND 19
+            THEN {sql_dround('0.0 + (bucket + 1) * 5.0', 6)} END AS hi_edge,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bucket
+"""
+
+
+_PROFILE_COLS = [
+    ("l_orderkey", True),
+    ("l_quantity", True),
+    ("l_discount", True),
+    ("l_returnflag", False),
+    ("l_shipdate", False),
+]
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One-pass, one-scan data-quality profile (operators/aggregates.py::
+    # table_profile) over a numeric + string + timestamp column mix; the
+    # oracle is a per-column UNION ALL over the same statistics.
+    return table_profile(
+        table(spark, sf_dir, "lineitem"), [c for c, _ in _PROFILE_COLS]
+    )
+
+
+SQL_TABLE_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column",
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+       (SELECT CAST(count(*) - count({c}) AS BIGINT) FROM lineitem) AS n_nulls,
+       (SELECT CAST(count(DISTINCT {c}) AS BIGINT) FROM lineitem) AS n_distinct,
+       {f"(SELECT {sql_dround(f'min(CAST({c} AS DOUBLE))', 4)} FROM lineitem)" if num else "CAST(NULL AS DOUBLE)"} AS min_v,
+       {f"(SELECT {sql_dround(f'max(CAST({c} AS DOUBLE))', 4)} FROM lineitem)" if num else "CAST(NULL AS DOUBLE)"} AS max_v,
+       {f"(SELECT {sql_dround(f'avg(CAST({c} AS DOUBLE))', 4)} FROM lineitem)" if num else "CAST(NULL AS DOUBLE)"} AS mean_v"""
+    for c, num in _PROFILE_COLS
+)
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-key z-score anomaly surface (operators/aggregates.py::
+    # zscore_outliers): one grouped stats pass broadcast back onto the
+    # stream; threshold decided at full double precision on both sides.
+    return zscore_outliers(
+        table(spark, sf_dir, "events"), ["event_type"], "event_id", "value", z=3.0
+    )
+
+
+SQL_ZSCORE_OUTLIERS = f"""
+WITH stats AS (
+  SELECT event_type, avg(CAST(value AS DOUBLE)) AS mu,
+         stddev_samp(CAST(value AS DOUBLE)) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.event_id AS id, CAST(e.value AS DOUBLE) AS value,
+       {sql_dround('(e.value - s.mu) / s.sd', 4)} AS zscore
+FROM events e JOIN stats s USING (event_type)
+WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) >= 3.0
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q01_pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY, "TPC-H Q1-style flagship"),
     "q_pivot": Query(q_pivot, SQL_PIVOT, "pivot to columns"),
@@ -793,6 +873,9 @@ QUERIES: dict[str, Query] = {
     "q_hll_rollup": Query(q_hll_rollup, SQL_HLL_ROLLUP, "mergeable HLL sketch rollup (tolerance oracle)"),
     "q_topk_rollup": Query(q_topk_rollup, SQL_TOPK_ROLLUP, "mergeable frequent-items sketch rollup (exact within max_items)"),
     "q_kll_rollup": Query(q_kll_rollup, SQL_KLL_ROLLUP, "mergeable KLL quantile sketch rollup (rank-tolerance oracle)"),
+    "q_histogram": Query(q_histogram, SQL_HISTOGRAM, "fixed-range numeric histogram (explicit bucket rule)"),
+    "q_table_profile": Query(q_table_profile, SQL_TABLE_PROFILE, "one-pass per-column data-quality profile"),
+    "q_zscore_outliers": Query(q_zscore_outliers, SQL_ZSCORE_OUTLIERS, "per-key z-score anomaly detection"),
     "q_approx_percentile": Query(q_approx_percentile, SQL_APPROX_PERCENTILE, "quantile-sketch percentiles (tolerance oracle)"),
     "q_filter_project": Query(q_filter_project, SQL_FILTER_PROJECT, "filter + projection, pushed to scan"),
     "q_sample_agg": Query(q_sample_agg, SQL_SAMPLE_AGG, "deterministic downsample + agg (O5)"),

@@ -635,3 +635,53 @@ def test_sketch_quantile_rollup_rank_within_bound(spark):
             # KLL k=200 guarantees ~1.65% rank error; gate at 5%
             rank = sum(1 for v in vals[g] if v <= est) / n
             assert abs(rank - p) <= 0.05, (g, p, est, rank)
+
+
+def test_numeric_histogram_buckets_edges_and_overflow(spark):
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.aggregates import numeric_histogram
+
+    vals = [-5.0, 0.0, 0.9, 1.0, 4.99, 5.0, 9.99, 10.0, 27.3, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r.bucket: r for r in numeric_histogram(df, "v", 0.0, 10.0, 10).collect()}
+    assert got[-1].n == 1 and got[-1].lo_edge is None          # -5.0
+    assert got[0].n == 2 and got[0].lo_edge == 0.0 and got[0].hi_edge == 1.0
+    assert got[1].n == 1                                        # 1.0
+    assert got[4].n == 1                                        # 4.99
+    assert got[5].n == 1                                        # 5.0 (left-closed)
+    assert got[9].n == 1 and got[9].hi_edge == 10.0             # 9.99
+    assert got[10].n == 2 and got[10].lo_edge is None           # 10.0, 27.3
+    assert sum(r.n for r in got.values()) == 9                  # NULL skipped
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        numeric_histogram(df, "v", 0.0, 10.0, 0)
+    with _pytest.raises(ValueError):
+        numeric_histogram(df, "v", 10.0, 10.0, 5)
+
+
+def test_table_profile_one_pass_stats(spark):
+    from python_mapreduce_spark.operators.aggregates import table_profile
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, None, "b"), (3, 4.0, "a"), (None, 6.0, None)],
+        "k long, v double, s string",
+    )
+    got = {r.column: r for r in table_profile(df, ["k", "v", "s"]).collect()}
+    assert got["k"].n_rows == 4 and got["k"].n_nulls == 1 and got["k"].n_distinct == 3
+    assert got["k"].min_v == 1.0 and got["k"].max_v == 3.0 and got["k"].mean_v == 2.0
+    assert got["v"].n_nulls == 1 and got["v"].n_distinct == 3 and got["v"].mean_v == 4.0
+    # string column: no numeric stats
+    assert got["s"].n_distinct == 2 and got["s"].min_v is None and got["s"].mean_v is None
+
+
+def test_zscore_outliers_flags_planted_anomaly(spark):
+    from python_mapreduce_spark.operators.aggregates import zscore_outliers
+
+    rows = [(i, "a", 10.0 + (i % 5) * 0.1) for i in range(40)]
+    rows.append((99, "a", 500.0))          # planted outlier
+    rows += [(200 + i, "b", 7.0) for i in range(10)]  # constant group: sd=0
+    df = spark.createDataFrame(rows, "event_id long, k string, value double")
+    got = zscore_outliers(df, ["k"], "event_id", "value", z=3.0).collect()
+    assert [r.id for r in got] == [99]
+    assert got[0].zscore > 3 and got[0].value == 500.0
