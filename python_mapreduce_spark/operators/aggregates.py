@@ -323,6 +323,42 @@ def zscore_outliers(
     )
 
 
+def quantile_rank_flag(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    est: DataFrame,
+    *,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    tol: float = 0.05,
+    flag_name: str = "rollup_ok",
+) -> DataFrame:
+    """Verify randomized quantile estimates by RANK: for each key, the
+    exact rank of each estimated quantile (fraction of values <= the
+    estimate, via one broadcast join back to the data) must sit within
+    ``tol`` of its target probability. KLL guarantees ~1.65% rank error
+    at k=200, so tol=0.05 is stable-TRUE when healthy and flips on any
+    broken merge. ``est`` carries (key, q_<p>... ) as produced by
+    :func:`sketch_quantile_rollup` / streaming
+    read_quantile_estimate. Returns (key, <flag_name> boolean)."""
+    checks = []
+    for p in probs:
+        qc = f"q_{str(p).replace('.', '')}"
+        checks.append(
+            F.abs(
+                F.avg((F.col(value_col).cast("double") <= F.col(qc)).cast("double"))
+                - F.lit(float(p))
+            )
+        )
+    ranks = (
+        df.join(F.broadcast(est), key)
+        .groupBy(key)
+        .agg(*[c.alias(f"__e{i}") for i, c in enumerate(checks)])
+    )
+    worst = F.greatest(*[F.col(f"__e{i}") for i in range(len(probs))]) if len(probs) > 1 else F.col("__e0")
+    return ranks.select(key, (worst <= float(tol)).alias(flag_name))
+
+
 def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
     """ROLLUP — hierarchical subtotals. Absent in the reference (single
     grouping key per job, SURVEY.md §2.2); one shuffle in Spark."""

@@ -146,6 +146,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_histogram",
     "q_table_profile",
     "q_zscore_outliers",
+    "q_stream_incremental_kll",
+    "q_funnel",
+    "q_cohort_retention",
 )
 
 

@@ -26,6 +26,7 @@ from python_mapreduce_spark.operators.aggregates import (
     pricing_summary,
     rollup_agg,
     numeric_histogram,
+    quantile_rank_flag,
     sketch_distinct_rollup,
     sketch_quantile_rollup,
     sketch_topk_rollup,
@@ -742,18 +743,10 @@ def q_kll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("event_type").agg(
         F.expr("percentile(value, array(0.25D, 0.5D, 0.75D))").alias("__exact_q")
     )
-    ranks = (
-        ev.join(F.broadcast(roll), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.avg((F.col("value") <= F.col("q_025")).cast("double")).alias("__r25"),
-            F.avg((F.col("value") <= F.col("q_05")).cast("double")).alias("__r50"),
-            F.avg((F.col("value") <= F.col("q_075")).cast("double")).alias("__r75"),
-        )
-    )
+    flag = quantile_rank_flag(ev, "event_type", "value", roll, flag_name="rollup_ok")
     return (
         exact.join(roll.select("event_type", "n_cells"), "event_type")
-        .join(ranks, "event_type")
+        .join(flag, "event_type")
         .select(
             "event_type",
             "n_cells",
@@ -762,14 +755,7 @@ def q_kll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " x -> CAST(CAST(floor(x * 100.0D + 0.5D) / 100.0D"
                 " AS DECIMAL(18,2)) AS STRING)), ',')"
             ).alias("exact_quartiles"),
-            (
-                F.greatest(
-                    F.abs(F.col("__r25") - F.lit(0.25)),
-                    F.abs(F.col("__r50") - F.lit(0.50)),
-                    F.abs(F.col("__r75") - F.lit(0.75)),
-                )
-                <= 0.05
-            ).alias("rollup_ok"),
+            "rollup_ok",
         )
     )
 
@@ -840,6 +826,75 @@ SQL_TABLE_PROFILE = "\nUNION ALL\n".join(
 )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ordered view -> click -> purchase funnel (operators/events.py::
+    # funnel): per-user earliest qualifying time per level, each level a
+    # user-keyed narrow join; the oracle replays the sequential-min
+    # CTEs. Strictly-after semantics on both sides.
+    from python_mapreduce_spark.operators.events import funnel  # noqa: PLC0415
+
+    return funnel(
+        table(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        ["view", "click", "purchase"],
+    )
+
+
+SQL_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.u
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+)
+SELECT 1 AS step, 'view' AS step_name, CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Day-cohort retention at day+1 and day+7 (operators/events.py::
+    # cohort_retention): cohort = first-activity date, every
+    # intermediate one-row-per-user; the oracle replays the
+    # first/activity/horizon-join construction.
+    from python_mapreduce_spark.operators.events import cohort_retention  # noqa: PLC0415
+
+    out = cohort_retention(table(spark, sf_dir, "events"), "user_id", "ts")
+    # dates emit as formatted strings (registry convention: pandas
+    # date-to-datetime promotion otherwise skews the value hash)
+    return out.withColumn("cohort", F.date_format("cohort", "yyyy-MM-dd"))
+
+
+SQL_COHORT_RETENTION = f"""
+WITH f AS (
+  SELECT user_id AS u, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1
+),
+act AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+j AS (
+  SELECT f.cohort,
+         (a1.u IS NOT NULL) AS f1,
+         (a7.u IS NOT NULL) AS f7
+  FROM f
+  LEFT JOIN act a1 ON a1.u = f.u AND a1.d = f.cohort + 1
+  LEFT JOIN act a7 ON a7.u = f.u AND a7.d = f.cohort + 7
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n_day1,
+       CAST(sum(CASE WHEN f7 THEN 1 ELSE 0 END) AS BIGINT) AS n_day7,
+       {sql_dround('sum(CASE WHEN f1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)', 4)} AS ret_day1,
+       {sql_dround('sum(CASE WHEN f7 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)', 4)} AS ret_day7
+FROM j GROUP BY cohort
+"""
+
+
 def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-key z-score anomaly surface (operators/aggregates.py::
     # zscore_outliers): one grouped stats pass broadcast back onto the
@@ -876,6 +931,8 @@ QUERIES: dict[str, Query] = {
     "q_histogram": Query(q_histogram, SQL_HISTOGRAM, "fixed-range numeric histogram (explicit bucket rule)"),
     "q_table_profile": Query(q_table_profile, SQL_TABLE_PROFILE, "one-pass per-column data-quality profile"),
     "q_zscore_outliers": Query(q_zscore_outliers, SQL_ZSCORE_OUTLIERS, "per-key z-score anomaly detection"),
+    "q_funnel": Query(q_funnel, SQL_FUNNEL, "ordered funnel conversion (sequential per-user mins)"),
+    "q_cohort_retention": Query(q_cohort_retention, SQL_COHORT_RETENTION, "day-cohort retention at +1/+7"),
     "q_approx_percentile": Query(q_approx_percentile, SQL_APPROX_PERCENTILE, "quantile-sketch percentiles (tolerance oracle)"),
     "q_filter_project": Query(q_filter_project, SQL_FILTER_PROJECT, "filter + projection, pushed to scan"),
     "q_sample_agg": Query(q_sample_agg, SQL_SAMPLE_AGG, "deterministic downsample + agg (O5)"),

@@ -207,6 +207,64 @@ SELECT event_type, rank, item, est_count FROM (
 """
 
 
+def q_stream_incremental_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental quantiles (streaming/incremental.py::
+    # incremental_quantile_sketch): the canonical NON-additive aggregate
+    # — no row-level partial recombines into a median — made mergeable
+    # by KLL sketch state per epoch. KLL compaction is randomized, so
+    # the oracle is the rank-tolerance contract (quantile_rank_flag):
+    # exact quartiles ride along for the hash, the flag pins the
+    # estimates' exact ranks within 0.05 of target.
+    from python_mapreduce_spark.operators.aggregates import (  # noqa: PLC0415
+        quantile_rank_flag,
+    )
+    from python_mapreduce_spark.session import tune  # noqa: PLC0415
+    from python_mapreduce_spark.streaming.incremental import (  # noqa: PLC0415
+        incremental_quantile_sketch,
+        read_quantile_estimate,
+    )
+
+    tune(spark)
+    events = table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="incr_kll_")
+    in_dir, ckpt, state = (
+        os.path.join(work, "in"),
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "state"),
+    )
+    events.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(in_dir)
+    incremental_quantile_sketch(spark, in_dir, ckpt, ["event_type"], "value", state)
+    events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(in_dir)
+    incremental_quantile_sketch(spark, in_dir, ckpt, ["event_type"], "value", state)
+
+    est = read_quantile_estimate(spark, state, ["event_type"])
+    exact = events.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.25D, 0.5D, 0.75D))").alias("__exact_q")
+    )
+    flag = quantile_rank_flag(
+        events, "event_type", "value", est, flag_name="sketch_ok"
+    )
+    return exact.join(flag, "event_type").select(
+        "event_type",
+        F.expr(
+            "array_join(transform(__exact_q,"
+            " x -> CAST(CAST(floor(x * 100.0D + 0.5D) / 100.0D"
+            " AS DECIMAL(18,2)) AS STRING)), ',')"
+        ).alias("exact_quartiles"),
+        "sketch_ok",
+    )
+
+
+SQL_STREAM_INCREMENTAL_KLL = """
+SELECT event_type,
+       array_to_string(list_transform(quantile_cont(value, [0.25, 0.5, 0.75]),
+                       x -> CAST(CAST(floor(x * 100.0 + 0.5) / 100.0
+                                 AS DECIMAL(18,2)) AS VARCHAR)), ',') AS exact_quartiles,
+       TRUE AS sketch_ok
+FROM events GROUP BY event_type
+"""
+
+
 def q_stream_incremental_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Incremental benchmark-contamination audit (streaming/
     # incremental.py::incremental_contamination): corpus files land in
@@ -529,6 +587,11 @@ QUERIES: dict[str, Query] = {
         q_stream_incremental_topk,
         SQL_STREAM_INCREMENTAL_TOPK,
         "incremental heavy-hitters via mergeable top-k sketch state (exact within max_items)",
+    ),
+    "q_stream_incremental_kll": Query(
+        q_stream_incremental_kll,
+        SQL_STREAM_INCREMENTAL_KLL,
+        "incremental quantiles via mergeable KLL sketch state (rank-tolerance oracle)",
     ),
     "q_stream_incremental_contamination": Query(
         q_stream_incremental_contamination,

@@ -438,3 +438,69 @@ def read_topk_estimate(
         .filter(F.col("rank") <= k)
         .select(*keys, "rank", "item", "est_count")
     )
+
+
+def incremental_quantile_sketch(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    value_col: str,
+    state_dir: str,
+    *,
+    k: int = 200,
+) -> None:
+    """Incremental quantiles via mergeable KLL sketch state — the third
+    member of the incremental-sketch triad (:func:`incremental_distinct_sketch`
+    for distincts, :func:`incremental_topk_sketch` for heavy hitters):
+    each checkpointed pass sketches ONLY its new files
+    (``kll_sketch_agg_double``) into an idempotent
+    ``ingest_epoch=<epoch>/`` partition of ``state_dir``.
+
+    Quantiles are the canonical non-additive aggregate — there is no
+    row-level partial that recombines into a median — but KLL states
+    merge losslessly within the sketch's rank-error bound (~1.65% at
+    k=200), so the merged state over all epochs answers any quantile
+    over everything ever ingested without rescanning raw data. Read
+    back with :func:`read_quantile_estimate`. KLL compaction is
+    randomized: estimates vary slightly run-to-run; verify by RANK, not
+    equality (see operators/aggregates.py::sketch_quantile_rollup).
+    """
+
+    def on_batch(batch: DataFrame, epoch: int) -> None:
+        agg = (
+            normalize_event_ts(batch)
+            .select(*keys, F.col(value_col).cast("double").alias("__v"))
+            .groupBy(*keys)
+            .agg(F.expr(f"kll_sketch_agg_double(__v, {int(k)})").alias("sketch"))
+        )
+        agg.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"ingest_epoch={epoch}")
+        )
+
+    incremental_pass(spark, input_dir, checkpoint_dir, on_batch)
+
+
+def read_quantile_estimate(
+    spark: SparkSession,
+    state_dir: str,
+    keys: list[str],
+    *,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    k: int = 200,
+) -> DataFrame:
+    """Merge the per-epoch KLL state of
+    :func:`incremental_quantile_sketch` into running per-key quantile
+    estimates (keys..., q_<p>...). Only fixed-size sketch binaries are
+    read and merged; raw data is never rescanned."""
+    state = spark.read.parquet(state_dir)
+    merged = state.groupBy(*keys).agg(
+        F.expr(f"kll_merge_agg_double(sketch, {int(k)})").alias("__m")
+    )
+    qcols = [
+        F.expr(f"kll_sketch_get_quantile_double(__m, CAST({p} AS DOUBLE))").alias(
+            f"q_{str(p).replace('.', '')}"
+        )
+        for p in probs
+    ]
+    return merged.select(*keys, *qcols)

@@ -685,3 +685,70 @@ def test_zscore_outliers_flags_planted_anomaly(spark):
     got = zscore_outliers(df, ["k"], "event_id", "value", z=3.0).collect()
     assert [r.id for r in got] == [99]
     assert got[0].zscore > 3 and got[0].value == 500.0
+
+
+def test_funnel_ordered_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.events import funnel
+
+    rows = [
+        # u1 completes in order: view@1, click@2, buy@3
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "buy"),
+        # u2 clicks BEFORE viewing: click must not count (strictly after)
+        (2, 5, "click"), (2, 6, "view"),
+        # u3 views only
+        (3, 1, "view"),
+        # u4 view@1, click@2, but buy BEFORE click -> no step 3
+        (4, 1, "view"), (4, 0, "buy"), (4, 2, "click"),
+        # u5 never views; clicks and buys don't enter the funnel
+        (5, 1, "click"), (5, 2, "buy"),
+        # u6 same-instant click as view: strict > excludes it
+        (6, 7, "view"), (6, 7, "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t long, step string").select(
+        "user_id", F.timestamp_micros(F.col("t")).alias("ts"), "step"
+    )
+    got = {r.step: (r.step_name, r.n_users) for r in
+           funnel(df, "user_id", "ts", "step", ["view", "click", "buy"]).collect()}
+    assert got[1] == ("view", 5)      # u1 u2 u3 u4 u6
+    assert got[2] == ("click", 2)     # u1, u4 (u2 pre-view, u6 same instant)
+    assert got[3] == ("buy", 1)       # u1 only
+    # within window: buy must land within 1s of the click time
+    got_w = {r.step: r.n_users for r in
+             funnel(df, "user_id", "ts", "step", ["view", "click", "buy"],
+                    within_seconds=1).collect()}
+    assert got_w[3] == 1  # u1: click@2us, buy@3us is within 1s
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        funnel(df, "user_id", "ts", "step", [])
+
+
+def test_cohort_retention_day_horizons(spark):
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.events import cohort_retention
+
+    def ts(day, user):
+        return (day, user)
+
+    rows = [
+        # cohort 2024-01-01: u1 returns day+1 and day+7; u2 returns day+7
+        # only; u3 never returns
+        ("2024-01-01", 1), ("2024-01-02", 1), ("2024-01-08", 1),
+        ("2024-01-01", 2), ("2024-01-08", 2),
+        ("2024-01-01", 3),
+        # cohort 2024-01-05: u4 returns day+1
+        ("2024-01-05", 4), ("2024-01-06", 4), ("2024-01-06", 4),
+    ]
+    df = spark.createDataFrame(rows, "d string, user_id long").select(
+        F.to_timestamp("d").alias("ts"), "user_id"
+    )
+    got = {r.cohort.isoformat(): r for r in
+           cohort_retention(df, "user_id", "ts").collect()}
+    c1 = got["2024-01-01"]
+    assert c1.n_users == 3 and c1.n_day1 == 1 and c1.n_day7 == 2
+    assert abs(c1.ret_day1 - 0.3333) < 1e-9 and abs(c1.ret_day7 - 0.6667) < 1e-9
+    c2 = got["2024-01-05"]
+    assert c2.n_users == 1 and c2.n_day1 == 1 and c2.n_day7 == 0
+    assert c2.ret_day1 == 1.0 and c2.ret_day7 == 0.0
