@@ -258,3 +258,71 @@ def sessionize(
     return df.withColumn("__new_session", is_new).withColumn(
         out, F.sum("__new_session").over(wrun)
     ).drop("__new_session")
+
+
+def resample_locf(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    interval_seconds: int,
+) -> DataFrame:
+    """Time-series resample with gap filling: bucket each key's values
+    onto a regular ``interval_seconds`` grid (last observation in each
+    bucket wins), generate the FULL grid between that key's first and
+    last bucket, and forward-fill empty buckets with the last observed
+    value (LOCF) — the hypertable ``time_bucket_gapfill + locf``
+    operation for sensor/metric streams with missing intervals.
+
+    Returns (keys..., bucket_ts, value, filled) where ``filled`` marks
+    carried-forward rows. Leading buckets before a key's first
+    observation cannot exist (the grid starts at the first observed
+    bucket), so ``value`` is never NULL in the output.
+
+    Plan shape: bucket-last is one (key, bucket)-keyed aggregation
+    (max_by struct, map-side combined); the per-key grid comes from a
+    sequence() explode of the key's 1-row (min, max) span — rows
+    generated distributed, proportional to the OUTPUT size, never a
+    driver loop; the forward fill is a last(ignorenulls) window
+    partitioned BY KEY (never a single partition). Dense grids from
+    sparse keys are the output's cost, not a shuffle amplification —
+    only (key, bucket, value) rows move.
+    """
+    if interval_seconds <= 0:
+        raise ValueError(f"interval_seconds must be positive: {interval_seconds}")
+    step = int(interval_seconds)
+    ks = list(keys)
+    # millisecond-exact event order (unix_millis truncates micros the
+    # same way in any engine); bucket = epoch-ms integer-divided onto
+    # the grid, expressed in seconds for the output timestamp
+    ms = F.unix_millis(F.col(ts_col))
+    bucket = (F.floor(ms / F.lit(step * 1000)) * step).cast("long")
+    # last observation per (key, bucket): max over (event-ms, value) —
+    # the value is a deterministic tiebreak for equal timestamps
+    obs = (
+        df.select(*ks, bucket.alias("__b"), ms.alias("__s"),
+                  F.col(value_col).alias("__v"))
+        .groupBy(*ks, "__b")
+        .agg(F.max(F.struct("__s", "__v")).alias("__last"))
+        .select(*ks, "__b", F.col("__last.__v").alias("__v"))
+    )
+    span = obs.groupBy(*ks).agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+    grid = span.select(
+        *ks,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step).cast("long"))
+        ).alias("__b"),
+    )
+    joined = grid.join(obs, [*ks, "__b"], "left")
+    w = (
+        Window.partitionBy(*ks)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *ks,
+        F.timestamp_seconds(F.col("__b")).alias("bucket_ts"),
+        F.last("__v", ignorenulls=True).over(w).alias("value"),
+        F.col("__v").isNull().alias("filled"),
+    )

@@ -149,6 +149,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_incremental_kll",
     "q_funnel",
     "q_cohort_retention",
+    "q_resample_locf",
 )
 
 

@@ -895,6 +895,53 @@ FROM j GROUP BY cohort
 """
 
 
+def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hypertable-style gap-filled resample (operators/windows.py::
+    # resample_locf): hourly grid per event_type, last observation per
+    # bucket (ms-exact order, value tiebreak), empty buckets forward-
+    # filled. The oracle replays bucket/tiebreak/grid/LOCF; bucket_ts
+    # emits as a formatted string per the registry convention.
+    from python_mapreduce_spark.operators.windows import resample_locf  # noqa: PLC0415
+
+    out = resample_locf(
+        table(spark, sf_dir, "events"), ["event_type"], "ts", "value",
+        interval_seconds=3600,
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "value",
+        "filled",
+    )
+
+
+SQL_RESAMPLE_LOCF = """
+WITH obs AS (
+  SELECT event_type, b, v FROM (
+    SELECT event_type,
+           (epoch_ms(ts) // 3600000) * 3600 AS b,
+           value AS v,
+           row_number() OVER (PARTITION BY event_type, epoch_ms(ts) // 3600000
+                              ORDER BY epoch_ms(ts) DESC, value DESC) AS rn
+    FROM events)
+  WHERE rn = 1
+),
+span AS (SELECT event_type, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1),
+grid AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS b FROM span),
+j AS (
+  SELECT g.event_type, g.b, o.v
+  FROM grid g LEFT JOIN obs o ON g.event_type = o.event_type AND g.b = o.b
+)
+SELECT event_type,
+       strftime(to_timestamp(b), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       (v IS NULL) AS filled
+FROM j
+"""
+
+
 def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-key z-score anomaly surface (operators/aggregates.py::
     # zscore_outliers): one grouped stats pass broadcast back onto the
@@ -932,6 +979,7 @@ QUERIES: dict[str, Query] = {
     "q_table_profile": Query(q_table_profile, SQL_TABLE_PROFILE, "one-pass per-column data-quality profile"),
     "q_zscore_outliers": Query(q_zscore_outliers, SQL_ZSCORE_OUTLIERS, "per-key z-score anomaly detection"),
     "q_funnel": Query(q_funnel, SQL_FUNNEL, "ordered funnel conversion (sequential per-user mins)"),
+    "q_resample_locf": Query(q_resample_locf, SQL_RESAMPLE_LOCF, "gap-filled resample with forward fill (LOCF)"),
     "q_cohort_retention": Query(q_cohort_retention, SQL_COHORT_RETENTION, "day-cohort retention at +1/+7"),
     "q_approx_percentile": Query(q_approx_percentile, SQL_APPROX_PERCENTILE, "quantile-sketch percentiles (tolerance oracle)"),
     "q_filter_project": Query(q_filter_project, SQL_FILTER_PROJECT, "filter + projection, pushed to scan"),

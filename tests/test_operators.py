@@ -752,3 +752,38 @@ def test_cohort_retention_day_horizons(spark):
     c2 = got["2024-01-05"]
     assert c2.n_users == 1 and c2.n_day1 == 1 and c2.n_day7 == 0
     assert c2.ret_day1 == 1.0 and c2.ret_day7 == 0.0
+
+
+def test_resample_locf_grid_and_forward_fill(spark):
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.windows import resample_locf
+
+    rows = [
+        # key "a": observations in buckets 0 and 3 (60s grid); buckets
+        # 1-2 must be generated and carry 1.0 forward
+        ("a", 10_000, 1.0),
+        ("a", 190_000, 4.0),
+        # same bucket, later ms wins
+        ("a", 15_000, 2.0),
+        # key "b": single observation -> single-bucket grid, no fills
+        ("b", 70_000, 9.0),
+        # same key+bucket+millisecond: larger value is the tiebreak
+        ("a", 190_000, 3.5),
+    ]
+    df = spark.createDataFrame(rows, "k string, ms long, v double").select(
+        "k", F.timestamp_millis("ms").alias("ts"), "v"
+    )
+    out = resample_locf(df, ["k"], "ts", "v", interval_seconds=60)
+    got = {
+        (r.k, r.bucket_ts.isoformat()): (r.value, r.filled) for r in out.collect()
+    }
+    assert got[("a", "1970-01-01T00:00:00")] == (2.0, False)   # 15s beats 10s
+    assert got[("a", "1970-01-01T00:01:00")] == (2.0, True)    # filled
+    assert got[("a", "1970-01-01T00:02:00")] == (2.0, True)    # filled
+    assert got[("a", "1970-01-01T00:03:00")] == (4.0, False)   # 4.0 > 3.5 tiebreak
+    assert got[("b", "1970-01-01T00:01:00")] == (9.0, False)
+    assert len(got) == 5  # no grid beyond each key's span
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        resample_locf(df, ["k"], "ts", "v", interval_seconds=0)
