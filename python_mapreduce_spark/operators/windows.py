@@ -326,3 +326,34 @@ def resample_locf(
         F.last("__v", ignorenulls=True).over(w).alias("value"),
         F.col("__v").isNull().alias("filled"),
     )
+
+
+def counter_increase(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key discrete increase of a monotonic counter with RESET
+    handling (the Prometheus ``increase`` rule): for consecutive
+    samples, increase = value - previous value, except after a counter
+    reset (value dropped below the previous sample) where the new value
+    itself is the increase — the metric-pipeline step for translating
+    cumulative counters into per-interval deltas. First sample per key
+    emits NULL (no predecessor).
+
+    One lag window partitioned BY KEY (never a single partition), one
+    shuffle. Ordering is (ts, value) so same-timestamp samples resolve
+    deterministically in any engine. Returns the input keys plus
+    (ts, value, increase).
+    """
+    ks = list(keys)
+    w = Window.partitionBy(*ks).orderBy(F.unix_millis(F.col(ts_col)), F.col(value_col))
+    prev = F.lag(F.col(value_col).cast("double"), 1).over(w)
+    cur = F.col(value_col).cast("double")
+    inc = F.when(prev.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(cur >= prev, cur - prev).otherwise(cur)
+    )
+    return df.select(
+        *ks, F.col(ts_col).alias("ts"), cur.alias("value"), inc.alias("increase")
+    )

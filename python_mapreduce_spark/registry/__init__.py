@@ -150,6 +150,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_funnel",
     "q_cohort_retention",
     "q_resample_locf",
+    "q_counter_increase",
 )
 
 

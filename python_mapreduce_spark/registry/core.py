@@ -942,6 +942,36 @@ FROM j
 """
 
 
+def q_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Prometheus-style counter increase with reset handling
+    # (operators/windows.py::counter_increase) over each event_type's
+    # value series; ts emits as epoch-ms so the row is integer-exact.
+    from python_mapreduce_spark.operators.windows import counter_increase  # noqa: PLC0415
+
+    out = counter_increase(
+        table(spark, sf_dir, "events"), ["event_type"], "ts", "value"
+    )
+    return out.select(
+        "event_type", F.unix_millis("ts").alias("ts_ms"), "value", "increase"
+    )
+
+
+SQL_COUNTER_INCREASE = """
+SELECT event_type,
+       epoch_ms(ts) AS ts_ms,
+       CAST(value AS DOUBLE) AS value,
+       CASE WHEN prev IS NULL THEN NULL
+            WHEN value >= prev THEN value - prev
+            ELSE value END AS increase
+FROM (
+  SELECT event_type, ts, value,
+         lag(value) OVER (PARTITION BY event_type
+                          ORDER BY epoch_ms(ts), value NULLS FIRST) AS prev
+  FROM events
+)
+"""
+
+
 def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-key z-score anomaly surface (operators/aggregates.py::
     # zscore_outliers): one grouped stats pass broadcast back onto the
@@ -980,6 +1010,7 @@ QUERIES: dict[str, Query] = {
     "q_zscore_outliers": Query(q_zscore_outliers, SQL_ZSCORE_OUTLIERS, "per-key z-score anomaly detection"),
     "q_funnel": Query(q_funnel, SQL_FUNNEL, "ordered funnel conversion (sequential per-user mins)"),
     "q_resample_locf": Query(q_resample_locf, SQL_RESAMPLE_LOCF, "gap-filled resample with forward fill (LOCF)"),
+    "q_counter_increase": Query(q_counter_increase, SQL_COUNTER_INCREASE, "counter increase with reset handling"),
     "q_cohort_retention": Query(q_cohort_retention, SQL_COHORT_RETENTION, "day-cohort retention at +1/+7"),
     "q_approx_percentile": Query(q_approx_percentile, SQL_APPROX_PERCENTILE, "quantile-sketch percentiles (tolerance oracle)"),
     "q_filter_project": Query(q_filter_project, SQL_FILTER_PROJECT, "filter + projection, pushed to scan"),

@@ -787,3 +787,28 @@ def test_resample_locf_grid_and_forward_fill(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         resample_locf(df, ["k"], "ts", "v", interval_seconds=0)
+
+
+def test_counter_increase_reset_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.windows import counter_increase
+
+    rows = [
+        # key a: 10 -> 15 -> 3 (RESET) -> 8
+        ("a", 1000, 10.0), ("a", 2000, 15.0), ("a", 3000, 3.0), ("a", 4000, 8.0),
+        # key b: flat counter -> zero increases
+        ("b", 1000, 5.0), ("b", 2000, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ms long, v double").select(
+        "k", F.timestamp_millis("ms").alias("ts"), "v"
+    )
+    got = {
+        (r.k, r.ts.timestamp()): r.increase
+        for r in counter_increase(df, ["k"], "ts", "v").collect()
+    }
+    assert got[("a", 1.0)] is None          # first sample: no predecessor
+    assert got[("a", 2.0)] == 5.0
+    assert got[("a", 3.0)] == 3.0           # reset: new value IS the increase
+    assert got[("a", 4.0)] == 5.0
+    assert got[("b", 1.0)] is None and got[("b", 2.0)] == 0.0
