@@ -151,6 +151,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_cohort_retention",
     "q_resample_locf",
     "q_counter_increase",
+    "q_quality_ensemble",
 )
 
 

@@ -1699,6 +1699,51 @@ FROM ev LEFT JOIN dropped d ON ev.id = d.id
 """
 
 
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ensemble curation gate composing three verified quality signals:
+    # Gopher rule flags AND the hashed-feature classifier verdict AND
+    # corpus-relative perplexity (keep only docs at or below the 75th
+    # percentile). Each component is its own green oracle query; this
+    # verifies the COMPOSITION end-to-end (like q_pipeline_curate). The
+    # per-doc LM frame is lazily checkpointed — it feeds both the
+    # threshold aggregate and the join, and without the cut the bigram
+    # training would run twice.
+    from python_mapreduce_spark.llm.text import (  # noqa: PLC0415
+        bigram_lm_score,
+        gopher_quality_flags,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    g = gopher_quality_flags(docs, "doc_id", "text").select(
+        "id", F.col("keep").alias("gopher_keep")
+    )
+    wt = md5_weights(spark.range(1024).withColumnRenamed("id", "bucket"))
+    c = hashed_feature_score(docs, "doc_id", "text", wt, buckets=1024).select(
+        "id", F.col("keep").alias("clf_keep")
+    )
+    p = (
+        bigram_lm_score(docs, "doc_id", "text", k=0.5)
+        .select("id", "ppl")
+        .localCheckpoint(eager=False)
+    )
+    thr = p.agg(dround(F.expr("percentile(ppl, 0.75D)"), 4).alias("t"))
+    return (
+        g.join(c, "id")
+        .join(p, "id")
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "id",
+            "gopher_keep",
+            "clf_keep",
+            "ppl",
+            F.coalesce(
+                F.col("gopher_keep") & F.col("clf_keep") & (F.col("ppl") <= F.col("t")),
+                F.lit(False),
+            ).alias("ensemble_keep"),
+        )
+    )
+
+
 def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Text normalization (llm/text.py::clean_text). The corpus is clean
     # ASCII, so every 5th document gets deterministic byte noise
@@ -1799,6 +1844,19 @@ FROM per
 """
 
 
+# Composed oracle assembled from the component fragments so the three
+# parts can never drift from their standalone twins.
+SQL_QUALITY_ENSEMBLE = f"""
+WITH g AS ({SQL_GOPHER_FILTER}),
+c AS ({SQL_QUALITY_CLASSIFIER}),
+p AS ({SQL_PERPLEXITY_FILTER}),
+thr AS (SELECT {sql_dround('quantile_cont(ppl, 0.75)', 4)} AS t FROM p WHERE ppl IS NOT NULL)
+SELECT g.id, g.keep AS gopher_keep, c.keep AS clf_keep, p.ppl,
+       coalesce(g.keep AND c.keep AND p.ppl <= thr.t, FALSE) AS ensemble_keep
+FROM g JOIN c USING (id) JOIN p USING (id) CROSS JOIN thr
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, "exact dedup on normalized text"),
     "q_dedup_jaccard": Query(q_dedup_jaccard, _SQL_JACCARD_PAIRS_CAPPED, "3-gram Jaccard near-dup pairs (df-capped)"),
@@ -1830,6 +1888,9 @@ QUERIES: dict[str, Query] = {
     "q_text_contamination": Query(q_text_contamination, SQL_TEXT_CONTAMINATION, "train/eval 8-gram contamination audit"),
     "q_pii_redact": Query(q_pii_redact, SQL_PII_REDACT, "PII span count + redaction"),
     "q_clean_text": Query(q_clean_text, SQL_CLEAN_TEXT, "byte-noise normalization (strip/collapse, verified text)"),
+    "q_quality_ensemble": Query(
+        q_quality_ensemble, SQL_QUALITY_ENSEMBLE, "composed curation gate: gopher x classifier x perplexity percentile"
+    ),
     "q_perplexity_filter": Query(
         q_perplexity_filter, SQL_PERPLEXITY_FILTER, "corpus-trained bigram-LM perplexity scoring"
     ),
