@@ -86,6 +86,11 @@ HEADLINE = [
     "q_segment_dedup",
     "q_cluster_split",
     "q_perplexity_filter",
+    "q_quality_ensemble",
+    "q_table_profile",
+    "q_resample_locf",
+    "q_funnel",
+    "q_counter_increase",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from python_mapreduce_spark.functions.scalar import dround
+
 #: Metadata struct carried beside every media payload.
 MEDIA_META_SCHEMA = "media_id long, kind string, mime string, n_bytes long, checksum string"
 
@@ -114,3 +116,60 @@ def sample_frames(
                 yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame_checksum"])
 
     return media.mapInPandas(gen, schema)
+
+
+def media_exact_dedup(media: DataFrame) -> DataFrame:
+    """Exact media dedup by payload checksum — the first dedup pass of
+    any image/audio pipeline (identical bytes, regardless of filename or
+    metadata, keep the smallest id). Operates on the
+    :func:`attach_binary_payload` frame shape; only 32-hex checksums
+    (already computed at ingest) cross the wire, never payloads.
+    Returns (checksum, keep_id, n_copies)."""
+    return media.groupBy("checksum").agg(
+        F.min("media_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def media_feature_dedup_pairs(
+    feats: DataFrame,
+    id_col: str,
+    feat_col: str,
+    *,
+    eps: float = 0.5,
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """Near-dup media pairs by DECODED feature distance — the
+    perceptual-dedup step that catches re-encoded copies exact checksums
+    miss. Blocked, never all-pairs: each item lands in one
+    ``bucket_width`` feature bin; the probe side additionally visits
+    both adjacent bins, so any pair within ``eps <= bucket_width`` meets
+    through an equi-join on the bin key. Returns (id1, id2, dist) for
+    pairs with |f1 - f2| <= eps.
+
+    Feature values are rounded to 1e-4 before bucketing/distance so the
+    rule is engine-reproducible (the registry oracle replays it). At
+    scale this is the same banded-candidates + verify shape as MinHash
+    and embedding LSH; with d-dimensional features, block on a coarse
+    grid per dimension the same way.
+    """
+    if eps > bucket_width:
+        raise ValueError(f"eps must be <= bucket_width: {eps} > {bucket_width}")
+    f4 = dround(F.col(feat_col), 4)
+    base = feats.select(F.col(id_col).alias("id"), f4.alias("f")).withColumn(
+        "b", F.floor(F.col("f") / F.lit(float(bucket_width))).cast("long")
+    )
+    probes = base.select(
+        F.col("id").alias("id1"),
+        F.col("f").alias("f1"),
+        F.explode(
+            F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1)
+        ).alias("b"),
+    )
+    right = base.select(F.col("id").alias("id2"), F.col("f").alias("f2"), "b")
+    return (
+        probes.join(right, "b")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(F.abs(F.col("f1") - F.col("f2")) <= float(eps))
+        .select("id1", "id2", dround(F.abs(F.col("f1") - F.col("f2")), 4).alias("dist"))
+    )

@@ -152,6 +152,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_resample_locf",
     "q_counter_increase",
     "q_quality_ensemble",
+    "q_media_dedup",
+    "q_media_feature_dedup",
 )
 
 

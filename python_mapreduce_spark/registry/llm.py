@@ -832,6 +832,63 @@ FROM agg
 """
 
 
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact media dedup by ingest checksum (llm/multimodal.py::
+    # media_exact_dedup): identical payload bytes keep the smallest id;
+    # only 32-hex checksums shuffle. ASCII corpus -> the oracle's md5
+    # over the text IS the payload checksum.
+    from python_mapreduce_spark.llm.multimodal import media_exact_dedup  # noqa: PLC0415
+
+    media = attach_binary_payload(table(spark, sf_dir, "documents"), "doc_id", "text")
+    return media_exact_dedup(media)
+
+
+SQL_MEDIA_DEDUP = """
+SELECT md5(text) AS checksum, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_media_feature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Perceptual near-dup pairs by decoded feature distance
+    # (llm/multimodal.py::media_feature_dedup_pairs): stub-decoded
+    # r-channel means, 0.05-wide blocking bins + adjacent-bin probes,
+    # |diff| <= 0.01 verification — the banded-candidates shape on a
+    # multimodal column. The oracle recomputes the stub feature
+    # byte-exactly (as q_multimodal_features) and replays the all-pairs
+    # rule; blocking guarantees candidate completeness at eps <= width.
+    from python_mapreduce_spark.llm.multimodal import (  # noqa: PLC0415
+        extract_features,
+        media_feature_dedup_pairs,
+    )
+
+    media = attach_binary_payload(table(spark, sf_dir, "documents"), "doc_id", "text")
+    feats = extract_features(media)
+    return media_feature_dedup_pairs(
+        feats, "media_id", "r_mean", eps=0.01, bucket_width=0.05
+    )
+
+
+SQL_MEDIA_FEATURE_DEDUP = """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+pos AS (SELECT doc_id, n, unnest(generate_series(1, n)) AS p, text FROM d),
+agg AS (
+  SELECT doc_id, any_value(n) AS n,
+         sum(CASE WHEN (p - 1) % 3 = 0
+                  THEN ascii(substr(text, CAST(p AS INT), 1)) ELSE 0 END) AS rsum
+  FROM pos GROUP BY doc_id),
+feats AS (
+  SELECT doc_id AS id,
+         floor(CAST(rsum AS DOUBLE) / CAST((n + 2) // 3 AS DOUBLE) * 10000.0 + 0.5)
+           / 10000.0 AS f
+  FROM agg)
+SELECT a.id AS id1, b.id AS id2,
+       floor(abs(a.f - b.f) * 10000.0 + 0.5) / 10000.0 AS dist
+FROM feats a JOIN feats b ON a.id < b.id
+WHERE abs(a.f - b.f) <= 0.01
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Frame-sample fan-out: one media row -> up to 8 fixed-stride byte-
     # window digests. ASCII corpus -> DuckDB replays the windowing + md5
@@ -1932,6 +1989,10 @@ QUERIES: dict[str, Query] = {
     "q_multimodal_meta": Query(q_multimodal_meta, SQL_MULTIMODAL_META, "binary payload + metadata"),
     "q_multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL_FEATURES, "stub decode via mapInPandas (byte-exact oracle)"),
     "q_multimodal_frames": Query(q_multimodal_frames, SQL_MULTIMODAL_FRAMES, "frame-sample fan-out (byte-exact oracle)"),
+    "q_media_dedup": Query(q_media_dedup, SQL_MEDIA_DEDUP, "exact media dedup by payload checksum"),
+    "q_media_feature_dedup": Query(
+        q_media_feature_dedup, SQL_MEDIA_FEATURE_DEDUP, "perceptual near-dup pairs via bucketed feature distance"
+    ),
     "q_tfidf_topk": Query(q_tfidf_topk, SQL_TFIDF_TOPK, "per-doc top-k keywords by smoothed TF-IDF"),
     "q_vocab_coverage": Query(q_vocab_coverage, SQL_VOCAB_COVERAGE, "top-N vocabulary + per-group OOV rates"),
     "q_nearest_centroid": Query(q_nearest_centroid, SQL_NEAREST_CENTROID, "nearest-centroid confusion matrix over embeddings"),

@@ -958,3 +958,36 @@ def test_bigram_lm_score_manual_model(spark):
     # sub-2-token and NULL docs carry NULL scores, zero bigrams
     for i in (3, 4):
         assert got[i].n_bigrams == 0 and got[i].avg_logp is None and got[i].ppl is None
+
+
+def test_media_exact_dedup_and_feature_pairs(spark):
+    from python_mapreduce_spark.llm.multimodal import (
+        attach_binary_payload,
+        media_exact_dedup,
+        media_feature_dedup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(5, "same bytes"), (2, "same bytes"), (9, "other bytes")],
+        "doc_id long, text string",
+    )
+    media = attach_binary_payload(docs, "doc_id", "text")
+    got = {r.checksum: (r.keep_id, r.n_copies) for r in media_exact_dedup(media).collect()}
+    assert sorted(got.values()) == [(2, 2), (9, 1)]  # smallest id kept
+
+    # feature near-dup: values straddling a bucket boundary must still pair
+    feats = spark.createDataFrame(
+        [(1, 0.999), (2, 1.001), (3, 1.02), (4, 5.0)], "media_id long, r double"
+    )
+    pairs = {
+        (r.id1, r.id2): r.dist
+        for r in media_feature_dedup_pairs(
+            feats, "media_id", "r", eps=0.01, bucket_width=1.0
+        ).collect()
+    }
+    # (1,2) straddles buckets 0|1 at dist 0.002 -> caught via adjacent probe
+    assert set(pairs) == {(1, 2)}
+    assert abs(pairs[(1, 2)] - 0.002) < 1e-9
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        media_feature_dedup_pairs(feats, "media_id", "r", eps=2.0, bucket_width=1.0)
