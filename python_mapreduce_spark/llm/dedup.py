@@ -672,3 +672,73 @@ def leakage_safe_split(
         .select("id", F.coalesce("cluster", F.col("id")).alias("rep"))
     )
     return hash_split(reps, "rep", splits, salt=salt).select("id", "rep", "split")
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list — the iterative
+    graph-propagation pattern (importance over a citation/link/derived
+    graph) with DETERMINISTIC arithmetic so two engines agree bit-for-
+    bit: per-node ranks round to 1e-6 after every iteration and
+    neighbor contributions sum in DECIMAL(18,6) (exact, associative at
+    any parallelism). A fixed small iteration count is the production
+    norm for truncated propagation scores; convergence-looped variants
+    follow :func:`connected_components`' checkpoint discipline.
+
+    Dangling nodes (no out-edges) simply leak their rank mass, as in
+    the simplest PageRank formulation — documented, and mirrored by the
+    oracle. Per iteration: one out-degree-normalized contribution
+    shuffle keyed by destination + one broadcast-joined base term; the
+    edge list is localCheckpoint'ed so iteration N does not replay the
+    upstream plan N times.
+
+    Returns (node, rank) over every node appearing as src or dst.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))  # 1 row
+    base = 1.0  # ranks start at 1/n
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", dround(F.lit(base) / F.col("n"), 6).alias("rank")
+    )
+    for _ in range(int(iterations)):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "s"), "s")
+            .join(deg, "s")
+            .select(
+                F.col("d").alias("node"),
+                dround(F.col("rank") / F.col("deg"), 6)
+                .cast("decimal(18,6)")
+                .alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                dround(
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping)
+                    * F.coalesce(F.col("__in").cast("double"), F.lit(0.0)),
+                    6,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

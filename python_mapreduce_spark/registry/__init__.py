@@ -154,6 +154,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_quality_ensemble",
     "q_media_dedup",
     "q_media_feature_dedup",
+    "q_pagerank",
 )
 
 

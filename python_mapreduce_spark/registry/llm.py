@@ -889,6 +889,58 @@ WHERE abs(a.f - b.f) <= 0.01
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixed-iteration PageRank (llm/dedup.py::pagerank_fixed) over the
+    # customer -> supplier graph derived from orders x lineitem —
+    # iterative propagation with per-iteration 1e-6 rounding + DECIMAL
+    # contribution sums, so the unrolled-CTE oracle matches exactly.
+    from python_mapreduce_spark.llm.dedup import pagerank_fixed  # noqa: PLC0415
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return pagerank_fixed(edges, "src", "dst", iterations=3)
+
+
+def _sql_pagerank(iterations: int = 3) -> str:
+    r6 = lambda x: f"floor(({x}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    parts = [
+        """WITH e AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS s,
+                  's' || CAST(l_suppkey AS VARCHAR) AS d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT s, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY s),
+r0 AS (SELECT node, """
+        + r6("1.0 / n.n")
+        + " AS rank FROM nodes CROSS JOIN n)"
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT e.d AS node,
+         sum(CAST({r6(f'r{i-1}.rank / deg.deg')} AS DECIMAL(18,6))) AS i
+  FROM e JOIN r{i-1} ON e.s = r{i-1}.node JOIN deg ON e.s = deg.s GROUP BY e.d
+),
+r{i} AS (
+  SELECT nodes.node,
+         {r6(f'0.15 / n.n + 0.85 * coalesce(CAST(c{i}.i AS DOUBLE), 0.0)')} AS rank
+  FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node CROSS JOIN n
+)"""
+        )
+    parts.append(f"\nSELECT node, rank FROM r{iterations}")
+    return "".join(parts)
+
+
+SQL_PAGERANK = _sql_pagerank(3)
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Frame-sample fan-out: one media row -> up to 8 fixed-stride byte-
     # window digests. ASCII corpus -> DuckDB replays the windowing + md5
@@ -1990,6 +2042,7 @@ QUERIES: dict[str, Query] = {
     "q_multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL_FEATURES, "stub decode via mapInPandas (byte-exact oracle)"),
     "q_multimodal_frames": Query(q_multimodal_frames, SQL_MULTIMODAL_FRAMES, "frame-sample fan-out (byte-exact oracle)"),
     "q_media_dedup": Query(q_media_dedup, SQL_MEDIA_DEDUP, "exact media dedup by payload checksum"),
+    "q_pagerank": Query(q_pagerank, SQL_PAGERANK, "fixed-iteration PageRank (deterministic arithmetic, unrolled oracle)"),
     "q_media_feature_dedup": Query(
         q_media_feature_dedup, SQL_MEDIA_FEATURE_DEDUP, "perceptual near-dup pairs via bucketed feature distance"
     ),

@@ -991,3 +991,32 @@ def test_media_exact_dedup_and_feature_pairs(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         media_feature_dedup_pairs(feats, "media_id", "r", eps=2.0, bucket_width=1.0)
+
+
+def test_pagerank_fixed_known_graph(spark):
+    import math
+
+    from python_mapreduce_spark.llm.dedup import pagerank_fixed
+
+    # star: a -> b, a -> c, b -> c ; c dangling (leaks mass, documented)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    got = {r.node: r.rank for r in
+           pagerank_fixed(edges, "src", "dst", iterations=2).collect()}
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    # replicate the exact rounded recurrence
+    n = 3.0
+    rank = {k: r6(1.0 / n) for k in "abc"}
+    deg = {"a": 2.0, "b": 1.0}
+    for _ in range(2):
+        contrib = {"b": r6(rank["a"] / deg["a"]),
+                   "c": r6(rank["a"] / deg["a"]) + r6(rank["b"] / deg["b"])}
+        rank = {k: r6(0.15 / n + 0.85 * contrib.get(k, 0.0)) for k in "abc"}
+    assert got == rank
+    # sink accumulates the most mass; source holds only the base term
+    assert got["c"] > got["b"] > got["a"]
+    assert got["a"] == r6(0.15 / n)
