@@ -767,3 +767,54 @@ def bigram_lm_score(df: DataFrame, id_col: str, text_col: str, *, k: float = 0.5
             dround(F.exp(-avg4), 4).alias("ppl"),
         )
     )
+
+
+def build_inverted_index(
+    df: DataFrame, id_col: str, text_col: str, *, max_postings: int = 100
+) -> DataFrame:
+    """Inverted-index export: per term, the document frequency and the
+    top-``max_postings`` posting entries ranked by (tf DESC, doc ASC),
+    serialized as "doc:tf" strings — the retrieval-side artifact a
+    corpus pipeline ships to a search/RAG system.
+
+    Scale shape: one (doc, term) tf aggregation (lazily checkpointed —
+    both the df count and the posting trim consume it, and without the
+    cut the corpus tokenization would run twice); posting lists are
+    TRIMMED to max_postings with a term-partitioned row_number BEFORE
+    collect_list, so a stop word's million-document posting list never
+    materializes in one aggregation buffer — WindowGroupLimit pre-trims
+    per input partition, and at most max_postings rows per term reach
+    the collect. The collected list is sorted post-hoc (collect_list
+    order is partition-arrival, not deterministic).
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    toks = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    )
+    tf = (
+        toks.groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df_docs"))
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("id"))
+    trimmed = tf.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= int(max_postings)
+    )
+    posts = trimmed.groupBy("term").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("tf")).alias("o1"),
+                        F.col("id").alias("o2"),
+                        F.concat_ws(":", F.col("id"), F.col("tf")).alias("s"),
+                    )
+                )
+            ),
+            lambda x: x["s"],
+        ).alias("postings")
+    )
+    return dfreq.join(posts, "term")

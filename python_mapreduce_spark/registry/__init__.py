@@ -155,6 +155,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_media_dedup",
     "q_media_feature_dedup",
     "q_pagerank",
+    "q_inverted_index",
 )
 
 

@@ -889,6 +889,39 @@ WHERE abs(a.f - b.f) <= 0.01
 """
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Inverted-index export (llm/text.py::build_inverted_index):
+    # per-term df + top-20 "doc:tf" postings, trimmed BEFORE collection
+    # by a term-partitioned row_number. String-serialized postings make
+    # the nested column engine-comparable.
+    from python_mapreduce_spark.llm.text import build_inverted_index  # noqa: PLC0415
+
+    return build_inverted_index(
+        table(spark, sf_dir, "documents"), "doc_id", "text", max_postings=20
+    )
+
+
+SQL_INVERTED_INDEX = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY 1),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY term ORDER BY tf DESC, id) AS rn FROM tf
+),
+posts AS (
+  SELECT term,
+         list(CAST(id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)
+              ORDER BY tf DESC, id) AS postings
+  FROM ranked WHERE rn <= 20 GROUP BY term
+)
+SELECT term, df_docs, postings FROM dfreq JOIN posts USING (term)
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixed-iteration PageRank (llm/dedup.py::pagerank_fixed) over the
     # customer -> supplier graph derived from orders x lineitem —
@@ -2043,6 +2076,9 @@ QUERIES: dict[str, Query] = {
     "q_multimodal_frames": Query(q_multimodal_frames, SQL_MULTIMODAL_FRAMES, "frame-sample fan-out (byte-exact oracle)"),
     "q_media_dedup": Query(q_media_dedup, SQL_MEDIA_DEDUP, "exact media dedup by payload checksum"),
     "q_pagerank": Query(q_pagerank, SQL_PAGERANK, "fixed-iteration PageRank (deterministic arithmetic, unrolled oracle)"),
+    "q_inverted_index": Query(
+        q_inverted_index, SQL_INVERTED_INDEX, "inverted-index export with pre-trimmed posting lists"
+    ),
     "q_media_feature_dedup": Query(
         q_media_feature_dedup, SQL_MEDIA_FEATURE_DEDUP, "perceptual near-dup pairs via bucketed feature distance"
     ),

@@ -1020,3 +1020,26 @@ def test_pagerank_fixed_known_graph(spark):
     # sink accumulates the most mass; source holds only the base term
     assert got["c"] > got["b"] > got["a"]
     assert got["a"] == r6(0.15 / n)
+
+
+def test_build_inverted_index_trim_and_order(spark):
+    from python_mapreduce_spark.llm.text import build_inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana"),
+            (2, "apple banana banana"),
+            (3, "apple"),
+            (4, "cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.term: r for r in
+           build_inverted_index(docs, "doc_id", "text", max_postings=2).collect()}
+    assert got["apple"].df_docs == 3
+    # trimmed to 2, ranked tf desc then doc asc: doc1 tf3, then doc2 tf1
+    # beats doc3 tf1 on the id tiebreak
+    assert got["apple"].postings == ["1:3", "2:1"]
+    assert got["banana"].df_docs == 2
+    assert got["banana"].postings == ["2:2", "1:1"]
+    assert got["cherry"].postings == ["4:1"]
