@@ -34,9 +34,12 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
 
     Real pipelines read payloads via ``spark.read.format('binaryFile')``
     or fetch from object storage inside mapInPandas; the column shape is
-    identical.
+    identical. NULL source text follows the engine-wide
+    NULL-text-is-empty-document rule: the payload is the EMPTY byte
+    string (zero bytes, md5('') checksum), never NULL — a NULL payload
+    would crash decode kernels and silently drop dedup groups.
     """
-    payload = F.encode(F.col(text_col), "UTF-8")
+    payload = F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8")
     return df.select(
         F.col(id_col).alias("media_id"),
         F.lit("image").alias("kind"),
@@ -86,7 +89,8 @@ def extract_features(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [kernel(p) for p in pdf["payload"]]
+            # defensive: payloads from other sources may still be NULL
+            feats = [kernel(p if p is not None else b"") for p in pdf["payload"]]
             out = pd.DataFrame(feats, columns=["r_mean", "g_mean", "b_mean"])
             out.insert(0, "n_bytes", pdf["n_bytes"].values)
             out.insert(0, "media_id", pdf["media_id"].values)
@@ -109,6 +113,8 @@ def sample_frames(
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:  # defensive, see extract_features
+                    payload = b""
                 for i in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
                     chunk = bytes(payload[i * every_n_bytes : (i + 1) * every_n_bytes])
                     rows.append((int(mid), i, hashlib.md5(chunk).hexdigest()))

@@ -258,7 +258,13 @@ def table_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     numeric = {f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)}
     aggs = [F.count(F.lit(1)).cast("long").alias("__rows")]
     for c in cols:
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
+        # coalesce: sum() over ZERO rows is NULL, but "no rows" means
+        # zero nulls (the empty-input sweep caught the divergence)
+        aggs.append(
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0)).alias(
+                f"__nulls_{c}"
+            )
+        )
         aggs.append(F.countDistinct(F.col(c)).cast("long").alias(f"__nd_{c}"))
         if c in numeric:
             aggs.append(dround(F.min(F.col(c).cast("double")), 4).alias(f"__min_{c}"))

@@ -798,8 +798,8 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MULTIMODAL_META = """
 SELECT doc_id AS media_id, 'image' AS kind,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS checksum
+       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+       md5(coalesce(text, '')) AS checksum
 FROM documents
 """
 
@@ -818,17 +818,21 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MULTIMODAL_FEATURES = """
-WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
-pos AS (SELECT doc_id, n, unnest(generate_series(1, n)) AS p, text FROM d),
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text,
+                  length(coalesce(text, '')) AS n FROM documents),
+pos AS (SELECT doc_id, n, unnest(generate_series(1, n)) AS p, text
+        FROM d WHERE n > 0),
 agg AS (
   SELECT doc_id, any_value(n) AS n,
          sum(CASE WHEN (p - 1) % 3 = 0
                   THEN ascii(substr(text, CAST(p AS INT), 1)) ELSE 0 END) AS rsum
   FROM pos GROUP BY doc_id)
-SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_bytes,
-       floor(CAST(rsum AS DOUBLE) / CAST((n + 2) // 3 AS DOUBLE) * 10000.0 + 0.5)
-         / 10000.0 AS r_mean
-FROM agg
+SELECT d.doc_id AS media_id, CAST(d.n AS BIGINT) AS n_bytes,
+       CASE WHEN d.n = 0 THEN 0.0
+            ELSE floor(CAST(agg.rsum AS DOUBLE)
+                       / CAST((agg.n + 2) // 3 AS DOUBLE) * 10000.0 + 0.5)
+                 / 10000.0 END AS r_mean
+FROM d LEFT JOIN agg USING (doc_id)
 """
 
 
@@ -844,7 +848,8 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MEDIA_DEDUP = """
-SELECT md5(text) AS checksum, min(doc_id) AS keep_id, count(*) AS n_copies
+SELECT md5(coalesce(text, '')) AS checksum, min(doc_id) AS keep_id,
+       count(*) AS n_copies
 FROM documents GROUP BY 1
 """
 
@@ -870,18 +875,22 @@ def q_media_feature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MEDIA_FEATURE_DEDUP = """
-WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
-pos AS (SELECT doc_id, n, unnest(generate_series(1, n)) AS p, text FROM d),
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text,
+                  length(coalesce(text, '')) AS n FROM documents),
+pos AS (SELECT doc_id, n, unnest(generate_series(1, n)) AS p, text
+        FROM d WHERE n > 0),
 agg AS (
   SELECT doc_id, any_value(n) AS n,
          sum(CASE WHEN (p - 1) % 3 = 0
                   THEN ascii(substr(text, CAST(p AS INT), 1)) ELSE 0 END) AS rsum
   FROM pos GROUP BY doc_id),
 feats AS (
-  SELECT doc_id AS id,
-         floor(CAST(rsum AS DOUBLE) / CAST((n + 2) // 3 AS DOUBLE) * 10000.0 + 0.5)
-           / 10000.0 AS f
-  FROM agg)
+  SELECT d.doc_id AS id,
+         CASE WHEN d.n = 0 THEN 0.0
+              ELSE floor(CAST(agg.rsum AS DOUBLE)
+                         / CAST((agg.n + 2) // 3 AS DOUBLE) * 10000.0 + 0.5)
+                   / 10000.0 END AS f
+  FROM d LEFT JOIN agg USING (doc_id))
 SELECT a.id AS id1, b.id AS id2,
        floor(abs(a.f - b.f) * 10000.0 + 0.5) / 10000.0 AS dist
 FROM feats a JOIN feats b ON a.id < b.id
@@ -983,7 +992,8 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MULTIMODAL_FRAMES = """
-WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text,
+                  length(coalesce(text, '')) AS n FROM documents)
 SELECT doc_id AS media_id, CAST(frame_no AS BIGINT) AS frame_no,
        md5(substr(text, CAST(frame_no * 64 + 1 AS INT), 64)) AS frame_checksum
 FROM (SELECT doc_id, text,

@@ -1043,3 +1043,33 @@ def test_build_inverted_index_trim_and_order(spark):
     assert got["banana"].df_docs == 2
     assert got["banana"].postings == ["2:2", "1:1"]
     assert got["cherry"].postings == ["4:1"]
+
+
+def test_multimodal_null_text_is_empty_media(spark):
+    # engine-wide rule: NULL text = empty document -> empty payload
+    # (never a NULL payload, which would crash decode kernels)
+    import hashlib
+
+    from python_mapreduce_spark.llm.multimodal import (
+        attach_binary_payload,
+        extract_features,
+        media_exact_dedup,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "real content here")], "doc_id long, text string"
+    )
+    media = attach_binary_payload(docs, "doc_id", "text")
+    rows = {r.media_id: r for r in media.collect()}
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    assert rows[1].n_bytes == 0 and rows[1].checksum == empty_md5
+    assert bytes(rows[1].payload) == b""
+    # NULL and '' merge into one dedup group, keep-min id
+    dd = {r.checksum: r for r in media_exact_dedup(media).collect()}
+    assert dd[empty_md5].keep_id == 1 and dd[empty_md5].n_copies == 2
+    # kernels survive empty payloads
+    feats = {r.media_id: r.r_mean for r in extract_features(media).collect()}
+    assert feats[1] == 0.0 and feats[2] == 0.0 and feats[3] > 0
+    frames = [r for r in sample_frames(media).collect() if r.media_id == 1]
+    assert len(frames) == 1 and frames[0].frame_checksum == empty_md5

@@ -812,3 +812,12 @@ def test_counter_increase_reset_semantics(spark):
     assert got[("a", 3.0)] == 3.0           # reset: new value IS the increase
     assert got[("a", 4.0)] == 5.0
     assert got[("b", 1.0)] is None and got[("b", 2.0)] == 0.0
+
+
+def test_table_profile_empty_input_zero_not_null(spark):
+    from python_mapreduce_spark.operators.aggregates import table_profile
+
+    empty = spark.createDataFrame([], "k long, s string")
+    got = {r.column: r for r in table_profile(empty, ["k", "s"]).collect()}
+    for c in ("k", "s"):
+        assert got[c].n_rows == 0 and got[c].n_nulls == 0 and got[c].n_distinct == 0
