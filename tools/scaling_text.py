@@ -1,6 +1,10 @@
-"""Empirical near-linearity harness for the cross-document n-gram
-dedup signal — the text companion to tools/scaling_dedup.py and
-tools/scaling_ann.py (VERDICT r3 item 6 pattern).
+"""Empirical near-linearity harness for the heavy text operators —
+the text companion to tools/scaling_dedup.py and tools/scaling_ann.py
+(VERDICT r3 item 6 pattern). Covers the cross-document n-gram dedup
+signal plus the round-4 continuation additions: segment-level dedup
+(whose first-occurrence vote must shuffle segment counts, not pairs)
+and the corpus-trained bigram LM (whose training aggregation must grow
+with the distinct-bigram vocabulary, not quadratically).
 
 crossdoc_dup_coverage's 100 TB claim rests on its plan shape: gram
 instances are AGGREGATED per (doc, gram) and per gram — never
@@ -28,6 +32,7 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F  # noqa: E402
 
 from python_mapreduce_spark.llm.dedup import crossdoc_dup_coverage  # noqa: E402
+from python_mapreduce_spark.llm.text import bigram_lm_score, segment_dedup  # noqa: E402
 from python_mapreduce_spark.session import get_spark, tune  # noqa: E402
 from python_mapreduce_spark.sources.readers import load_table  # noqa: E402
 
@@ -45,11 +50,30 @@ def measure(spark, sf_dir: str) -> dict:
         .collect()[0]
     )
     t = time.time() - t0
+    t1 = time.time()
+    seg = (
+        segment_dedup(docs, "doc_id", "text", seg_tokens=8)
+        .agg(F.sum("n_segments").alias("s"), F.sum("n_kept").alias("k"))
+        .collect()[0]
+    )
+    t_seg = time.time() - t1
+    t2 = time.time()
+    lm = (
+        bigram_lm_score(docs, "doc_id", "text")
+        .agg(F.sum("n_bigrams").alias("b"))
+        .collect()[0]
+    )
+    t_lm = time.time() - t2
     return {
         "docs": n,
         "gram_instances": int(agg.g),
         "dup_tagged": int(agg.d),
+        "segments": int(seg.s),
+        "segments_kept": int(seg.k),
+        "lm_bigrams": int(lm.b),
         "t_coverage": round(t, 2),
+        "t_segment_dedup": round(t_seg, 2),
+        "t_bigram_lm": round(t_lm, 2),
     }
 
 
@@ -65,7 +89,10 @@ def main() -> int:
     print(f"| metric | {small} | {big} | ratio | gate (<= {2 * r:.0f}x = 2R) |")
     print("|---|---|---|---|---|")
     failures = []
-    for key in ("docs", "gram_instances", "dup_tagged", "t_coverage"):
+    for key in (
+        "docs", "gram_instances", "dup_tagged", "segments", "segments_kept",
+        "lm_bigrams", "t_coverage", "t_segment_dedup", "t_bigram_lm",
+    ):
         ratio = (b[key] / a[key]) if a[key] else float("inf")
         gate = "" if key == "docs" else ("ok" if ratio <= 2 * r else "FAIL")
         if gate == "FAIL":
