@@ -818,3 +818,72 @@ def build_inverted_index(
         ).alias("postings")
     )
     return dfreq.join(posts, "term")
+
+
+def token_pmi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    top_n: int = 50,
+    min_pair_docs: int = 5,
+) -> DataFrame:
+    """Token co-occurrence PMI (pointwise mutual information) over the
+    top-``top_n`` vocabulary — collocation mining: which word pairs
+    appear in the same documents far more often than chance. The
+    corpus-analysis step behind phrase detection and topic seeding.
+
+    PMI(a, b) = ln( P(a, b) / (P(a) P(b)) ) with probabilities over
+    document incidence. Restricting to a TOP-N vocabulary is what makes
+    this scale-sane: the per-document pair space is bounded by N^2
+    (here 50^2), not vocabulary^2 — the same bounding discipline as
+    SemDeDup's clusters. The vocab ranks by document frequency with a
+    token-ascending tiebreak (deterministic in any engine) and
+    broadcasts onto the incidence stream; the pair count is one
+    doc-keyed self-join of the (doc, token) incidence.
+
+    Returns (tok1, tok2, n_ab, pmi) for pairs co-occurring in at least
+    ``min_pair_docs`` documents, tok1 < tok2.
+    """
+    inc_all = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("tok")
+    ).distinct()
+    inc_all = inc_all.localCheckpoint(eager=False)  # vocab + incidence consume it
+    dfreq = inc_all.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n_docs_tok"))
+    # top-N vocabulary via sort+limit: Catalyst plans a
+    # TakeOrderedAndProject (per-partition top-N, then merge N*parts
+    # rows) — a web-scale token vocabulary never funnels through one
+    # task the way a global row_number window would (same discipline as
+    # vocab_coverage).
+    vocab = dfreq.orderBy(F.desc("n_docs_tok"), F.asc("tok")).limit(int(top_n))
+    inc = inc_all.join(F.broadcast(vocab.select("tok")), "tok")
+    a = inc.select(F.col("id"), F.col("tok").alias("tok1"))
+    b = inc.select(F.col("id"), F.col("tok").alias("tok2"))
+    pairs = (
+        a.join(b, "id")
+        .filter(F.col("tok1") < F.col("tok2"))
+        .groupBy("tok1", "tok2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_pair_docs))
+    )
+    n_total = df.select(F.countDistinct(F.col(id_col)).cast("double").alias("n")).alias("nt")
+    va = vocab.select(F.col("tok").alias("tok1"), F.col("n_docs_tok").alias("n_a"))
+    vb = vocab.select(F.col("tok").alias("tok2"), F.col("n_docs_tok").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(va), "tok1")
+        .join(F.broadcast(vb), "tok2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "tok1",
+            "tok2",
+            "n_ab",
+            dround(
+                F.ln(
+                    F.col("n_ab").cast("double")
+                    * F.col("n")
+                    / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )

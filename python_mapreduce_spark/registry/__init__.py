@@ -156,6 +156,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_media_feature_dedup",
     "q_pagerank",
     "q_inverted_index",
+    "q_token_pmi",
 )
 
 

@@ -898,6 +898,43 @@ WHERE abs(a.f - b.f) <= 0.01
 """
 
 
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Collocation mining (llm/text.py::token_pmi): document-incidence
+    # PMI over the top-30 vocabulary (TakeOrdered, broadcast); pair
+    # space bounded by N^2 per doc. Oracle replays vocab ranking,
+    # incidence self-join, and the rounded log.
+    from python_mapreduce_spark.llm.text import token_pmi  # noqa: PLC0415
+
+    return token_pmi(
+        table(spark, sf_dir, "documents"), "doc_id", "text", top_n=30, min_pair_docs=5
+    )
+
+
+SQL_TOKEN_PMI = f"""
+WITH inc AS (
+  SELECT DISTINCT doc_id AS id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS tok
+  FROM documents
+),
+dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_docs_tok FROM inc GROUP BY tok),
+vocab AS (SELECT tok, n_docs_tok FROM dfreq ORDER BY n_docs_tok DESC, tok LIMIT 30),
+vinc AS (SELECT inc.id, inc.tok FROM inc JOIN vocab USING (tok)),
+pairs AS (
+  SELECT a.tok AS tok1, b.tok AS tok2, CAST(count(*) AS BIGINT) AS n_ab
+  FROM vinc a JOIN vinc b ON a.id = b.id AND a.tok < b.tok
+  GROUP BY 1, 2 HAVING count(*) >= 5
+),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents)
+SELECT tok1, tok2, n_ab,
+       {sql_dround('ln(CAST(n_ab AS DOUBLE) * n.n'
+                   ' / (CAST(va.n_docs_tok AS DOUBLE) * CAST(vb.n_docs_tok AS DOUBLE)))', 4)} AS pmi
+FROM pairs
+JOIN vocab va ON pairs.tok1 = va.tok
+JOIN vocab vb ON pairs.tok2 = vb.tok
+CROSS JOIN n
+"""
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Inverted-index export (llm/text.py::build_inverted_index):
     # per-term df + top-20 "doc:tf" postings, trimmed BEFORE collection
@@ -2086,6 +2123,7 @@ QUERIES: dict[str, Query] = {
     "q_multimodal_frames": Query(q_multimodal_frames, SQL_MULTIMODAL_FRAMES, "frame-sample fan-out (byte-exact oracle)"),
     "q_media_dedup": Query(q_media_dedup, SQL_MEDIA_DEDUP, "exact media dedup by payload checksum"),
     "q_pagerank": Query(q_pagerank, SQL_PAGERANK, "fixed-iteration PageRank (deterministic arithmetic, unrolled oracle)"),
+    "q_token_pmi": Query(q_token_pmi, SQL_TOKEN_PMI, "token co-occurrence PMI over a bounded vocabulary"),
     "q_inverted_index": Query(
         q_inverted_index, SQL_INVERTED_INDEX, "inverted-index export with pre-trimmed posting lists"
     ),

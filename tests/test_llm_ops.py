@@ -1073,3 +1073,32 @@ def test_multimodal_null_text_is_empty_media(spark):
     assert feats[1] == 0.0 and feats[2] == 0.0 and feats[3] > 0
     frames = [r for r in sample_frames(media).collect() if r.media_id == 1]
     assert len(frames) == 1 and frames[0].frame_checksum == empty_md5
+
+
+def test_token_pmi_known_corpus(spark):
+    import math
+
+    from python_mapreduce_spark.llm.text import token_pmi
+
+    # 10 docs: "spark shuffle" always together (5 docs); "cat" appears
+    # alone in the other 5; "the" everywhere (high df, pmi ~ 0 with all)
+    rows = []
+    for i in range(5):
+        rows.append((i, "the spark shuffle"))
+    for i in range(5, 10):
+        rows.append((i, "the cat"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.tok1, r.tok2): (r.n_ab, r.pmi)
+        for r in token_pmi(df, "doc_id", "text", top_n=10, min_pair_docs=2).collect()
+    }
+
+    def r4(x):
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
+    # spark+shuffle: perfect collocation among 5/10 docs each
+    assert got[("shuffle", "spark")] == (5, r4(math.log(5 * 10 / (5 * 5))))
+    # the+cat: 5 co-docs, the in 10 -> pmi = ln(5*10/(10*5)) = 0
+    assert got[("cat", "the")] == (5, 0.0)
+    # spark never co-occurs with cat
+    assert ("cat", "spark") not in got
