@@ -157,6 +157,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pagerank",
     "q_inverted_index",
     "q_token_pmi",
+    "q_stream_static_join",
 )
 
 

@@ -405,6 +405,45 @@ FROM events GROUP BY event_type
 """
 
 
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stream-STATIC dimension enrichment — the most common production
+    # streaming join: the event stream broadcast-joins a small static
+    # dimension (here a deterministic user -> segment mapping built from
+    # the customer table) with NO join state at all (the static side is
+    # re-read per micro-batch; no watermark needed). Aggregated per
+    # segment so the oracle is the batch equivalent.
+    from python_mapreduce_spark.session import tune  # noqa: PLC0415
+
+    tune(spark)
+    dim = (
+        table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.concat(F.lit("seg"), F.pmod("c_custkey", F.lit(7)).cast("string")).alias(
+                "segment"
+            ),
+        )
+    )
+    stream = normalize_event_ts(_events_stream(spark, sf_dir))
+    enriched = stream.join(F.broadcast(dim), "user_id", "left").select(
+        F.coalesce("segment", F.lit("unknown")).alias("segment"), "value"
+    )
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"), dround(F.sum("value")).alias("sum_value")
+    )
+    out = run_stream_to_memory(agg, output_mode="complete")
+    return out
+
+
+SQL_STREAM_STATIC_JOIN = f"""
+SELECT coalesce('seg' || CAST(c.c_custkey % 7 AS VARCHAR), 'unknown') AS segment,
+       count(*) AS n_events,
+       {sql_dround('sum(e.value)')} AS sum_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stream-stream inner join with an event-time range: each click
     # joined to the same user's purchases within the next 30 minutes.
@@ -568,6 +607,9 @@ FROM flagged GROUP BY pass
 
 
 QUERIES: dict[str, Query] = {
+    "q_stream_static_join": Query(
+        q_stream_static_join, SQL_STREAM_STATIC_JOIN, "stream-static broadcast dimension enrichment"
+    ),
     "q_stream_stream_join": Query(
         q_stream_stream_join, SQL_STREAM_STREAM_JOIN, "watermarked stream-stream interval join"
     ),
