@@ -270,7 +270,11 @@ def table_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             aggs.append(dround(F.min(F.col(c).cast("double")), 4).alias(f"__min_{c}"))
             aggs.append(dround(F.max(F.col(c).cast("double")), 4).alias(f"__max_{c}"))
             aggs.append(dround(F.avg(F.col(c).cast("double")), 4).alias(f"__mean_{c}"))
-    wide = df.agg(*aggs)
+    # one row, but consumed by one select PER COLUMN below — without
+    # the lineage cut each union branch would replay the whole scan +
+    # aggregation (the same dual-consumption defect fixed in
+    # tfidf/vocab/perplexity)
+    wide = df.agg(*aggs).localCheckpoint(eager=False)
     null_d = F.lit(None).cast("double")
     rows = [
         wide.select(
@@ -304,8 +308,9 @@ def zscore_outliers(
     value, zscore) for flagged rows.
 
     One grouped aggregation computes (mean, stddev) per key; the tiny
-    stats table broadcast-joins back onto the stream — one data scan
-    plus a map-side join, no second shuffle. Groups with stddev 0 or
+    stats table broadcast-joins back onto the stream — two scans of the
+    input (stats + join side) but no second shuffle and nothing
+    key-partitioned a window would need. Groups with stddev 0 or
     NULL (constant or single-row) flag nothing. ``zscore`` is rounded
     to 4 decimals; the threshold compares the unrounded value, so a
     boundary row is decided by full double precision on any engine.
