@@ -357,3 +357,47 @@ def counter_increase(
     return df.select(
         *ks, F.col(ts_col).alias("ts"), cur.alias("value"), inc.alias("increase")
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    attr_col: str,
+    *,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Change-data-capture to SCD2 history: collapse a stream of
+    per-key observations into validity intervals — one row per
+    ATTRIBUTE CHANGE with (valid_from, valid_to, is_current) — the
+    slowly-changing-dimension table a warehouse builds from an update
+    feed. Consecutive observations with an unchanged attribute merge
+    into one interval; ``valid_to`` is the next change's start (NULL
+    for the open current row).
+
+    Two windows over ONE key-partitioned shuffle: lag() detects change
+    points, lead() over the filtered change rows closes intervals.
+    Ordering is (event-ms, tiebreak) — pass a unique ``tiebreak``
+    column when same-millisecond updates are possible, else ordering
+    (and therefore interval boundaries) is nondeterministic, the same
+    total-order contract as every helper in this module. NULL
+    attributes count as a distinct state (NULL -> value and value ->
+    NULL are both changes).
+    """
+    order = [F.unix_millis(F.col(ts_col))]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak))
+    w = Window.partitionBy(key).orderBy(*order)
+    prev = F.lag(F.col(attr_col), 1).over(w)
+    first = F.row_number().over(w) == 1
+    # null-safe inequality: NULL<->value transitions are changes too
+    changed = first | ~F.col(attr_col).eqNullSafe(prev)
+    marks = df.withColumn("__chg", changed).filter(F.col("__chg"))
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return marks.select(
+        F.col(key).alias("key"),
+        F.col(attr_col).alias("attr"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col), 1).over(w2).alias("valid_to"),
+        F.lead(F.col(ts_col), 1).over(w2).isNull().alias("is_current"),
+    )

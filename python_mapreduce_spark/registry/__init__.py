@@ -158,6 +158,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_inverted_index",
     "q_token_pmi",
     "q_stream_static_join",
+    "q_scd2_history",
 )
 
 

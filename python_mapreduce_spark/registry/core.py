@@ -972,6 +972,47 @@ FROM (
 """
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CDC -> SCD2 validity intervals (operators/windows.py::
+    # scd2_history): each user's event_type change points with
+    # valid_from/valid_to/is_current; event_id breaks same-ms ties.
+    # Timestamps emit as epoch-ms for integer-exact rows.
+    from python_mapreduce_spark.operators.windows import scd2_history  # noqa: PLC0415
+
+    out = scd2_history(
+        table(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        tiebreak="event_id",
+    )
+    return out.select(
+        F.col("key").alias("user_id"),
+        "attr",
+        F.unix_millis("valid_from").alias("from_ms"),
+        F.unix_millis("valid_to").alias("to_ms"),
+        "is_current",
+    )
+
+
+SQL_SCD2_HISTORY = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+),
+chg AS (
+  SELECT user_id, event_type, ts, event_id FROM marked
+  WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+)
+SELECT user_id, event_type AS attr,
+       epoch_ms(ts) AS from_ms,
+       epoch_ms(lead(ts) OVER w2) AS to_ms,
+       (lead(ts) OVER w2 IS NULL) AS is_current
+FROM chg
+WINDOW w2 AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+"""
+
+
 def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-key z-score anomaly surface (operators/aggregates.py::
     # zscore_outliers): one grouped stats pass broadcast back onto the
@@ -1011,6 +1052,7 @@ QUERIES: dict[str, Query] = {
     "q_funnel": Query(q_funnel, SQL_FUNNEL, "ordered funnel conversion (sequential per-user mins)"),
     "q_resample_locf": Query(q_resample_locf, SQL_RESAMPLE_LOCF, "gap-filled resample with forward fill (LOCF)"),
     "q_counter_increase": Query(q_counter_increase, SQL_COUNTER_INCREASE, "counter increase with reset handling"),
+    "q_scd2_history": Query(q_scd2_history, SQL_SCD2_HISTORY, "CDC change stream to SCD2 validity intervals"),
     "q_cohort_retention": Query(q_cohort_retention, SQL_COHORT_RETENTION, "day-cohort retention at +1/+7"),
     "q_approx_percentile": Query(q_approx_percentile, SQL_APPROX_PERCENTILE, "quantile-sketch percentiles (tolerance oracle)"),
     "q_filter_project": Query(q_filter_project, SQL_FILTER_PROJECT, "filter + projection, pushed to scan"),

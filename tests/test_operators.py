@@ -821,3 +821,32 @@ def test_table_profile_empty_input_zero_not_null(spark):
     got = {r.column: r for r in table_profile(empty, ["k", "s"]).collect()}
     for c in ("k", "s"):
         assert got[c].n_rows == 0 and got[c].n_nulls == 0 and got[c].n_distinct == 0
+
+
+def test_scd2_history_intervals(spark):
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.windows import scd2_history
+
+    rows = [
+        # user 1: A A B A  -> intervals A[1,3) B[3,4) A[4,)
+        (1, 1000, 10, "A"), (1, 2000, 11, "A"), (1, 3000, 12, "B"), (1, 4000, 13, "A"),
+        # user 2: NULL -> X is a change; X -> NULL is a change
+        (2, 1000, 20, None), (2, 2000, 21, "X"), (2, 3000, 22, None),
+        # same-ms tie broken by event_id: id 31 then 32 -> B wins as latest state
+        (3, 1000, 31, "A"), (3, 1000, 32, "B"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ms long, event_id long, a string").select(
+        "u", F.timestamp_millis("ms").alias("ts"), "event_id", "a"
+    )
+    out = scd2_history(df, "u", "ts", "a", tiebreak="event_id").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.key, []).append(
+            (r.attr, r.valid_from.timestamp(), None if r.valid_to is None else r.valid_to.timestamp(), r.is_current)
+        )
+    for v in by_user.values():
+        v.sort(key=lambda x: x[1])
+    assert by_user[1] == [("A", 1.0, 3.0, False), ("B", 3.0, 4.0, False), ("A", 4.0, None, True)]
+    assert by_user[2] == [(None, 1.0, 2.0, False), ("X", 2.0, 3.0, False), (None, 3.0, None, True)]
+    assert by_user[3] == [("A", 1.0, 1.0, False), ("B", 1.0, None, True)]
