@@ -539,3 +539,45 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+def robust_scale(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    *,
+    out_col: str = "scaled",
+) -> DataFrame:
+    """Per-group robust standardization: (x - median) / IQR — the
+    outlier-resistant feature-scaling step of an ML-prep pipeline
+    (z-scoring breaks under the same heavy tails
+    :func:`zscore_outliers` hunts for). Groups whose IQR is 0
+    (constant-ish) scale to 0.0 rather than dividing by zero.
+
+    One grouped EXACT-percentile aggregation (interpolated — engine
+    -reproducible, unlike randomized quantile sketches; for corpora
+    where exactness can be traded away use
+    :func:`sketch_quantile_rollup`), broadcast back onto the stream:
+    one stats pass plus a map-side join, no second shuffle. The scaled
+    value rounds to 6 decimals for cross-engine stability.
+    """
+    ks = list(keys)
+    v = F.col(value_col).cast("double")
+    # stats round to 1e-6 BEFORE entering the arithmetic: interpolated
+    # percentiles can differ between engines in the last ulp, and an
+    # unrounded median would propagate that into every scaled value's
+    # own rounding boundary
+    stats = df.groupBy(*ks).agg(
+        dround(F.expr(f"percentile({value_col}, 0.5D)"), 6).alias("__med"),
+        dround(
+            F.expr(f"percentile({value_col}, 0.75D)")
+            - F.expr(f"percentile({value_col}, 0.25D)"),
+            6,
+        ).alias("__iqr"),
+    )
+    scaled = F.when(F.col("__iqr") > 0, (v - F.col("__med")) / F.col("__iqr")).otherwise(
+        F.lit(0.0)
+    )
+    return df.join(F.broadcast(stats), ks).select(
+        *ks, v.alias(value_col), dround(scaled, 6).alias(out_col)
+    )

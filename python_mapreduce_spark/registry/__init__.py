@@ -159,6 +159,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_token_pmi",
     "q_stream_static_join",
     "q_scd2_history",
+    "q_robust_scale",
+    "q_trending",
 )
 
 

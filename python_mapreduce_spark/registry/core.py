@@ -972,6 +972,64 @@ FROM (
 """
 
 
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Outlier-resistant feature scaling (operators/aggregates.py::
+    # robust_scale): per-type (x - median)/IQR with stats rounded to
+    # 1e-6 before the arithmetic so both engines scale from identical
+    # numbers. The compare is multiset-exact over (type, value, scaled).
+    from python_mapreduce_spark.operators.aggregates import robust_scale  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    return robust_scale(ev, ["event_type"], "value")
+
+
+SQL_ROBUST_SCALE = f"""
+WITH stats AS (
+  SELECT event_type,
+         {sql_dround('quantile_cont(value, 0.5)', 6)} AS med,
+         {sql_dround('quantile_cont(value, 0.75) - quantile_cont(value, 0.25)', 6)} AS iqr
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(e.value AS DOUBLE) AS value,
+       CASE WHEN s.iqr > 0
+            THEN {sql_dround('(e.value - s.med) / s.iqr', 6)}
+            ELSE 0.0 END AS scaled
+FROM events e JOIN stats s USING (event_type)
+"""
+
+
+def q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Trending items: top-3 pages per day by event count — the
+    # windowed-heavy-hitter analytics staple, via the existing
+    # topk_per_group operator (WindowGroupLimit pre-trims per
+    # partition). Day emits as a string per the registry convention.
+    from python_mapreduce_spark.operators.windows import topk_per_group  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    counts = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.concat(F.lit("p"), F.pmod("user_id", F.lit(37)).cast("string")).alias("page"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    top = topk_per_group(counts, ["day"], [F.desc("n"), F.asc("page")], k=3)
+    return top.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "page", "n",
+        F.col("rn").cast("int").alias("rn"),
+    )
+
+
+SQL_TRENDING = """
+SELECT strftime(day, '%Y-%m-%d') AS day, page, n, rn FROM (
+  SELECT day, page, n,
+         CAST(row_number() OVER (PARTITION BY day ORDER BY n DESC, page) AS INTEGER) AS rn
+  FROM (SELECT CAST(ts AS DATE) AS day,
+               concat('p', CAST(((user_id % 37) + 37) % 37 AS VARCHAR)) AS page,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)
+) WHERE rn <= 3
+"""
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CDC -> SCD2 validity intervals (operators/windows.py::
     # scd2_history): each user's event_type change points with
@@ -1053,6 +1111,8 @@ QUERIES: dict[str, Query] = {
     "q_resample_locf": Query(q_resample_locf, SQL_RESAMPLE_LOCF, "gap-filled resample with forward fill (LOCF)"),
     "q_counter_increase": Query(q_counter_increase, SQL_COUNTER_INCREASE, "counter increase with reset handling"),
     "q_scd2_history": Query(q_scd2_history, SQL_SCD2_HISTORY, "CDC change stream to SCD2 validity intervals"),
+    "q_robust_scale": Query(q_robust_scale, SQL_ROBUST_SCALE, "per-group robust (median/IQR) feature scaling"),
+    "q_trending": Query(q_trending, SQL_TRENDING, "top-k trending items per day"),
     "q_cohort_retention": Query(q_cohort_retention, SQL_COHORT_RETENTION, "day-cohort retention at +1/+7"),
     "q_approx_percentile": Query(q_approx_percentile, SQL_APPROX_PERCENTILE, "quantile-sketch percentiles (tolerance oracle)"),
     "q_filter_project": Query(q_filter_project, SQL_FILTER_PROJECT, "filter + projection, pushed to scan"),

@@ -850,3 +850,18 @@ def test_scd2_history_intervals(spark):
     assert by_user[1] == [("A", 1.0, 3.0, False), ("B", 3.0, 4.0, False), ("A", 4.0, None, True)]
     assert by_user[2] == [(None, 1.0, 2.0, False), ("X", 2.0, 3.0, False), (None, 3.0, None, True)]
     assert by_user[3] == [("A", 1.0, 1.0, False), ("B", 1.0, None, True)]
+
+
+def test_robust_scale_median_iqr_and_constant_group(spark):
+    from python_mapreduce_spark.operators.aggregates import robust_scale
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 5, 100]] + [("b", 7.0)] * 4
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = robust_scale(df, ["k"], "v").collect()
+    a = sorted((r.v, r.scaled) for r in got if r.k == "a")
+    # group a: median=3.5, q1=2.25, q3=4.75 -> iqr=2.5
+    assert a[0] == (1.0, -1.0)           # (1 - 3.5) / 2.5
+    assert a[2] == (3.0, -0.2)
+    assert a[5][0] == 100.0 and abs(a[5][1] - (100 - 3.5) / 2.5) < 1e-6
+    # constant group: iqr 0 -> scaled 0.0, not a division crash
+    assert all(r.scaled == 0.0 for r in got if r.k == "b")
