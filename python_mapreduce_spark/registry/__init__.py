@@ -161,6 +161,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_scd2_history",
     "q_robust_scale",
     "q_trending",
+    "q_langid_confusion",
 )
 
 

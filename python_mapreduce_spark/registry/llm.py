@@ -898,6 +898,52 @@ WHERE abs(a.f - b.f) <= 0.01
 """
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Metadata-quality audit: the declared `lang` column cross-tabbed
+    # against the stopword-vote prediction (llm/text.py::language_id) —
+    # the label-noise check run before trusting corpus language tags
+    # for mixing/splitting decisions. NULL declared langs surface as
+    # their own row ('<null>') so missing metadata is visible, not
+    # silently dropped.
+    docs = table(spark, sf_dir, "documents")
+    pred = language_id(docs, "doc_id", "text")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy(
+            F.coalesce("lang", F.lit("<null>")).alias("lang"),
+            "pred_lang",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+SQL_LANGID_CONFUSION = """
+WITH sw(lang, word) AS (VALUES
+  ('en','the'),('en','a'),('en','of'),('en','and'),('en','to'),('en','is'),
+  ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),
+  ('es','el'),('es','la'),('es','de'),('es','que'),('es','es'),
+  ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est')),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS word
+  FROM documents),
+votes AS (
+  SELECT doc_id, lang, count(*) AS hits
+  FROM toks JOIN sw USING (word)
+  GROUP BY doc_id, lang),
+best AS (
+  SELECT doc_id, lang FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+    FROM votes) WHERE rn = 1)
+SELECT coalesce(d.lang, '<null>') AS lang,
+       coalesce(b.lang, 'unknown') AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+GROUP BY 1, 2
+"""
+
+
 def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Collocation mining (llm/text.py::token_pmi): document-incidence
     # PMI over the top-30 vocabulary (TakeOrdered, broadcast); pair
@@ -2124,6 +2170,9 @@ QUERIES: dict[str, Query] = {
     "q_media_dedup": Query(q_media_dedup, SQL_MEDIA_DEDUP, "exact media dedup by payload checksum"),
     "q_pagerank": Query(q_pagerank, SQL_PAGERANK, "fixed-iteration PageRank (deterministic arithmetic, unrolled oracle)"),
     "q_token_pmi": Query(q_token_pmi, SQL_TOKEN_PMI, "token co-occurrence PMI over a bounded vocabulary"),
+    "q_langid_confusion": Query(
+        q_langid_confusion, SQL_LANGID_CONFUSION, "declared-vs-predicted language confusion audit"
+    ),
     "q_inverted_index": Query(
         q_inverted_index, SQL_INVERTED_INDEX, "inverted-index export with pre-trimmed posting lists"
     ),
