@@ -91,6 +91,8 @@ HEADLINE = [
     "q_resample_locf",
     "q_funnel",
     "q_counter_increase",
+    "q_scd2_history",
+    "q_robust_scale",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings
