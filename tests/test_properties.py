@@ -468,3 +468,148 @@ def test_group_reservoir_matches_hashlib_replay(spark, ids, k, salt):
         )
         want |= {(g, i, rk) for rk, i in enumerate(members[:k], start=1)}
     assert got == want
+
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(_word, min_size=0, max_size=10), min_size=1, max_size=8
+    )
+)
+def test_segment_dedup_matches_python_replay(spark, docs):
+    # segment_dedup's global first-occurrence rule replayed in plain
+    # Python over arbitrary small corpora: duplicate segments within and
+    # across docs, partial tail segments, empty docs.
+    from python_mapreduce_spark.llm.text import segment_dedup
+
+    seg = 3
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    got = {
+        r.id: (r.n_segments, r.n_kept, r.text_dedup)
+        for r in segment_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id", "text", seg_tokens=seg,
+        ).collect()
+    }
+
+    owner: dict[str, tuple[int, int]] = {}
+    segments: dict[int, list[tuple[int, str]]] = {}
+    for i, words in enumerate(docs):
+        segs = [" ".join(words[p : p + seg]) for p in range(0, len(words), seg)]
+        segments[i] = list(enumerate(segs))
+        for pos, s in enumerate(segs):
+            if s not in owner or (i, pos) < owner[s]:
+                owner[s] = (i, pos)
+    for i, words in enumerate(docs):
+        kept = [s for pos, s in segments[i] if owner[s] == (i, pos)]
+        assert got[i] == (len(segments[i]), len(kept), " ".join(kept)), (i, docs)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),            # user
+            st.integers(0, 30),           # ts (ms)
+            st.sampled_from(["v", "c", "b"]),  # step
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_funnel_matches_python_replay(spark, events):
+    # funnel's sequential strictly-after mins replayed in plain Python:
+    # duplicate timestamps, missing steps, users entering mid-funnel.
+    from python_mapreduce_spark.operators.events import funnel
+
+    df = spark.createDataFrame(
+        [(u, t, s) for u, t, s in events], "u long, ms long, s string"
+    ).select("u", F.timestamp_millis("ms").alias("ts"), "s")
+    got = {
+        r.step: r.n_users
+        for r in funnel(df, "u", "ts", "s", ["v", "c", "b"]).collect()
+    }
+
+    by_user: dict[int, list[tuple[int, str]]] = {}
+    for u, t, s in events:
+        by_user.setdefault(u, []).append((t, s))
+    counts = [0, 0, 0]
+    for u, evs in by_user.items():
+        cur = None
+        for i, step in enumerate(["v", "c", "b"]):
+            if i == 0:
+                ts_ = [t for t, s in evs if s == step]
+            else:
+                ts_ = [t for t, s in evs if s == step and t > cur]
+            if not ts_:
+                break
+            cur = min(ts_)
+            counts[i] += 1
+    assert [got[1], got[2], got[3]] == counts, events
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(0, 2),           # key
+            st.integers(0, 20),          # ts ms
+            st.integers(100, 104),       # unique-ified below
+            st.sampled_from(["A", "B", None]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_scd2_history_matches_python_replay(spark, obs):
+    # scd2_history replayed in Python: change-point detection with
+    # NULL states, same-ms ties broken by a unique event id.
+    from python_mapreduce_spark.operators.windows import scd2_history
+
+    rows = [(k, t, i, a) for i, (k, t, _, a) in enumerate(obs)]
+    df = spark.createDataFrame(
+        rows, "k long, ms long, eid long, a string"
+    ).select("k", F.timestamp_millis("ms").alias("ts"), "eid", "a")
+    got = {}
+    for r in scd2_history(df, "k", "ts", "a", tiebreak="eid").collect():
+        got.setdefault(r.key, []).append(
+            (r.attr, int(r.valid_from.timestamp() * 1000),
+             None if r.valid_to is None else int(r.valid_to.timestamp() * 1000),
+             r.is_current)
+        )
+    for v in got.values():
+        v.sort(key=lambda x: (x[1], x[2] is None, x[2] if x[2] is not None else 0))
+
+    expect: dict[int, list] = {}
+    by_key: dict[int, list] = {}
+    for k, t, i, a in rows:
+        by_key.setdefault(k, []).append((t, i, a))
+    for k, evs in by_key.items():
+        evs.sort()
+        marks = []
+        prev = object()
+        for t, i, a in evs:
+            if a != prev:
+                marks.append((a, t))
+            prev = a
+        out = []
+        for j, (a, t) in enumerate(marks):
+            nxt = marks[j + 1][1] if j + 1 < len(marks) else None
+            out.append((a, t, nxt, nxt is None))
+        expect[k] = out
+    assert got == expect, rows
