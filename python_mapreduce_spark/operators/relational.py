@@ -463,3 +463,52 @@ def repartition_and_sort(
         else df.repartition(*keys)
     )
     return out.sortWithinPartitions(*(order or keys))
+
+
+def diff_tables(
+    a: DataFrame,
+    b: DataFrame,
+    key: str | Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Keyed table reconciliation: classify every key as ``same`` /
+    ``changed`` / ``only_a`` / ``only_b`` between two snapshots — the
+    validation pass run when migrating a pipeline between engines or
+    comparing a rebuilt table against production. (It is exactly the
+    check this repo's own oracle harness performs against DuckDB,
+    packaged as an operator.)
+
+    One full outer join on the key; comparisons are null-safe (NULL ==
+    NULL counts as equal, NULL vs value as changed). Duplicate keys are
+    the caller's contract violation — the join would fan out — so keys
+    must be unique per side (the standard snapshot shape). Returns
+    (key..., status).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    keys = [key] if isinstance(key, str) else list(key)
+    pa = a.select(*keys, *compare_cols, F.lit(True).alias("__in_a"))
+    pb = b.select(
+        *[F.col(k).alias(f"__b_{k}") for k in keys],
+        *[F.col(c).alias(f"__b_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_b"),
+    )
+    cond = None
+    for k in keys:
+        c = pa[k] == pb[f"__b_{k}"]
+        cond = c if cond is None else cond & c
+    j = pa.join(pb, cond, "full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__b_{c}"))
+        same = eq if same is None else same & eq
+    status = (
+        F.when(F.col("__in_b").isNull(), "only_a")
+        .when(F.col("__in_a").isNull(), "only_b")
+        .when(same, "same")
+        .otherwise("changed")
+    )
+    out_keys = [
+        F.coalesce(F.col(k), F.col(f"__b_{k}")).alias(k) for k in keys
+    ]
+    return j.select(*out_keys, status.alias("status"))

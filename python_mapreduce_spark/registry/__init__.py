@@ -162,6 +162,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_robust_scale",
     "q_trending",
     "q_langid_confusion",
+    "q_diff_tables",
 )
 
 

@@ -972,6 +972,45 @@ FROM (
 """
 
 
+def q_diff_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Keyed snapshot reconciliation (operators/relational.py::
+    # diff_tables): documents vs a deterministically perturbed copy —
+    # every 13th text rewritten (changed), every 29th dropped (only_a),
+    # and a shifted-id slice added (only_b). The oracle replays the
+    # perturbation and the null-safe comparison.
+    from python_mapreduce_spark.operators.relational import diff_tables  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    b = docs.filter(F.col("doc_id") % 29 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" EDITED")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % 41 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return diff_tables(docs, b.unionByName(added), "doc_id", ["text"])
+
+
+SQL_DIFF_TABLES = """
+WITH a AS (SELECT doc_id, text FROM documents),
+b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' EDITED' ELSE text END AS text
+  FROM documents WHERE doc_id % 29 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 41 = 0
+)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN b.doc_id IS NULL THEN 'only_a'
+            WHEN a.doc_id IS NULL THEN 'only_b'
+            WHEN a.text IS NOT DISTINCT FROM b.text THEN 'same'
+            ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+"""
+
+
 def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Outlier-resistant feature scaling (operators/aggregates.py::
     # robust_scale): per-type (x - median)/IQR with stats rounded to
@@ -1112,6 +1151,7 @@ QUERIES: dict[str, Query] = {
     "q_counter_increase": Query(q_counter_increase, SQL_COUNTER_INCREASE, "counter increase with reset handling"),
     "q_scd2_history": Query(q_scd2_history, SQL_SCD2_HISTORY, "CDC change stream to SCD2 validity intervals"),
     "q_robust_scale": Query(q_robust_scale, SQL_ROBUST_SCALE, "per-group robust (median/IQR) feature scaling"),
+    "q_diff_tables": Query(q_diff_tables, SQL_DIFF_TABLES, "keyed snapshot reconciliation (same/changed/only_a/only_b)"),
     "q_trending": Query(q_trending, SQL_TRENDING, "top-k trending items per day"),
     "q_cohort_retention": Query(q_cohort_retention, SQL_COHORT_RETENTION, "day-cohort retention at +1/+7"),
     "q_approx_percentile": Query(q_approx_percentile, SQL_APPROX_PERCENTILE, "quantile-sketch percentiles (tolerance oracle)"),

@@ -865,3 +865,25 @@ def test_robust_scale_median_iqr_and_constant_group(spark):
     assert a[5][0] == 100.0 and abs(a[5][1] - (100 - 3.5) / 2.5) < 1e-6
     # constant group: iqr 0 -> scaled 0.0, not a division crash
     assert all(r.scaled == 0.0 for r in got if r.k == "b")
+
+
+def test_diff_tables_statuses(spark):
+    from python_mapreduce_spark.operators.relational import diff_tables
+
+    a = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, None, 3.0), (4, "gone", 4.0)],
+        "id long, s string, v double",
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 1.0),        # same
+         (2, "y", 99.0),       # changed (v)
+         (3, None, 3.0),       # same (NULL == NULL null-safely)
+         (5, "new", 5.0)],     # only_b
+        "id long, s string, v double",
+    )
+    got = {r.id: r.status for r in diff_tables(a, b, "id", ["s", "v"]).collect()}
+    assert got == {1: "same", 2: "changed", 3: "same", 4: "only_a", 5: "only_b"}
+    # NULL vs value is a change, not equality
+    a2 = spark.createDataFrame([(7, None)], "id long, s string")
+    b2 = spark.createDataFrame([(7, "now-set")], "id long, s string")
+    assert diff_tables(a2, b2, "id", ["s"]).collect()[0].status == "changed"
