@@ -613,3 +613,88 @@ def test_scd2_history_matches_python_replay(spark, obs):
             out.append((a, t, nxt, nxt is None))
         expect[k] = out
     assert got == expect, rows
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(0, 1),                    # key
+            st.integers(0, 500_000),              # ts ms
+            st.integers(-50, 50),                 # value
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_resample_locf_matches_python_replay(spark, obs):
+    # resample_locf replayed in Python: ms-exact last-per-bucket with
+    # value tiebreak, full grid per key span, forward fill.
+    from python_mapreduce_spark.operators.windows import resample_locf
+
+    step = 60  # seconds
+    df = spark.createDataFrame(
+        [(k, t, float(v)) for k, t, v in obs], "k long, ms long, v double"
+    ).select("k", F.timestamp_millis("ms").alias("ts"), "v")
+    got = {
+        (r.k, int(r.bucket_ts.timestamp())): (r.value, r.filled)
+        for r in resample_locf(df, ["k"], "ts", "v", interval_seconds=step).collect()
+    }
+
+    by_key: dict[int, dict[int, tuple[int, float]]] = {}
+    for k, t, v in obs:
+        b = (t // (step * 1000)) * step
+        cur = by_key.setdefault(k, {}).get(b)
+        if cur is None or (t, float(v)) > cur:
+            by_key[k][b] = (t, float(v))
+    expect = {}
+    for k, buckets in by_key.items():
+        lo, hi = min(buckets), max(buckets)
+        last = None
+        for b in range(lo, hi + step, step):
+            if b in buckets:
+                last = buckets[b][1]
+                expect[(k, b)] = (last, False)
+            else:
+                expect[(k, b)] = (last, True)
+    assert got == expect, obs
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    samples=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 30), st.integers(0, 40)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_counter_increase_matches_python_replay(spark, samples):
+    from python_mapreduce_spark.operators.windows import counter_increase
+
+    df = spark.createDataFrame(
+        [(k, t, float(v)) for k, t, v in samples], "k long, ms long, v double"
+    ).select("k", F.timestamp_millis("ms").alias("ts"), "v")
+    got = sorted(
+        (r.k, int(r.ts.timestamp() * 1000), r.value, r.increase)
+        for r in counter_increase(df, ["k"], "ts", "v").collect()
+    )
+    by_key: dict[int, list[tuple[int, float]]] = {}
+    for k, t, v in samples:
+        by_key.setdefault(k, []).append((t, float(v)))
+    expect = []
+    for k, evs in by_key.items():
+        evs.sort()
+        prev = None
+        for t, v in evs:
+            inc = None if prev is None else (v - prev if v >= prev else v)
+            expect.append((k, t, v, inc))
+            prev = v
+    assert got == sorted(expect), samples
