@@ -163,6 +163,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_trending",
     "q_langid_confusion",
     "q_diff_tables",
+    "q_data_card",
 )
 
 

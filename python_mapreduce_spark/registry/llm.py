@@ -50,7 +50,7 @@ from python_mapreduce_spark.llm.text import (
     token_counts,
     vocab_coverage,
 )
-from python_mapreduce_spark.functions.scalar import dround, sql_dround
+from python_mapreduce_spark.functions.scalar import dround, sql_dround, tokenize
 from python_mapreduce_spark.registry import Query
 from python_mapreduce_spark.registry._util import table
 
@@ -895,6 +895,58 @@ SELECT a.id AS id1, b.id AS id2,
        floor(abs(a.f - b.f) * 10000.0 + 0.5) / 10000.0 AS dist
 FROM feats a JOIN feats b ON a.id < b.id
 WHERE abs(a.f - b.f) <= 0.01
+"""
+
+
+def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-language dataset card: the corpus summary a pipeline publishes
+    # with a release — document/token counts, exact-duplicate share
+    # (corpus-wide normalized fingerprints), and the Gopher keep rate —
+    # composed entirely from verified components (exact_dedup's fp rule,
+    # gopher_quality_flags, tokenize).
+    from python_mapreduce_spark.llm.text import gopher_quality_flags  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.trim(
+            F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")
+        )
+    )
+    base = docs.select(
+        "doc_id",
+        F.coalesce("lang", F.lit("<null>")).alias("lang"),
+        fp.alias("__fp"),
+        F.size(tokenize(F.col("text"))).cast("long").alias("__ntok"),
+    )
+    fpc = base.groupBy("__fp").agg(F.count(F.lit(1)).alias("__copies"))
+    keep = gopher_quality_flags(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), F.col("keep").cast("long").alias("__keep")
+    )
+    per_doc = base.join(fpc, "__fp").join(keep, "doc_id")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__ntok").cast("long").alias("n_tokens"),
+        F.sum((F.col("__copies") > 1).cast("long")).cast("long").alias("n_dup_docs"),
+        dround(F.avg("__keep"), 4).alias("keep_rate"),
+    )
+
+
+SQL_DATA_CARD = f"""
+WITH fpd AS (
+  SELECT doc_id, coalesce(lang, '<null>') AS lang,
+         md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fp,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS BIGINT) AS ntok
+  FROM documents
+),
+fpc AS (SELECT fp, count(*) AS copies FROM fpd GROUP BY fp),
+g AS ({{GOPHER}})
+SELECT fpd.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(fpd.ntok) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN fpc.copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       {sql_dround('avg(CASE WHEN g.keep THEN 1.0 ELSE 0.0 END)', 4)} AS keep_rate
+FROM fpd JOIN fpc USING (fp) JOIN g ON fpd.doc_id = g.id
+GROUP BY fpd.lang
 """
 
 
@@ -2092,6 +2144,9 @@ FROM g JOIN c USING (id) JOIN p USING (id) CROSS JOIN thr
 """
 
 
+SQL_DATA_CARD = SQL_DATA_CARD.replace("{GOPHER}", SQL_GOPHER_FILTER)
+
+
 QUERIES: dict[str, Query] = {
     "q_dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, "exact dedup on normalized text"),
     "q_dedup_jaccard": Query(q_dedup_jaccard, _SQL_JACCARD_PAIRS_CAPPED, "3-gram Jaccard near-dup pairs (df-capped)"),
@@ -2170,6 +2225,7 @@ QUERIES: dict[str, Query] = {
     "q_media_dedup": Query(q_media_dedup, SQL_MEDIA_DEDUP, "exact media dedup by payload checksum"),
     "q_pagerank": Query(q_pagerank, SQL_PAGERANK, "fixed-iteration PageRank (deterministic arithmetic, unrolled oracle)"),
     "q_token_pmi": Query(q_token_pmi, SQL_TOKEN_PMI, "token co-occurrence PMI over a bounded vocabulary"),
+    "q_data_card": Query(q_data_card, SQL_DATA_CARD, "per-language dataset card (docs/tokens/dup share/keep rate)"),
     "q_langid_confusion": Query(
         q_langid_confusion, SQL_LANGID_CONFUSION, "declared-vs-predicted language confusion audit"
     ),
