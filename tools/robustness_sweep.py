@@ -1,0 +1,101 @@
+"""Degenerate-input robustness sweep: build two adversarial replicas of
+the testdata and run the oracle gate over them.
+
+  * EMPTY replica — every table with its real schema and ZERO rows:
+    catches driver-side numpy crashes (vstack of nothing), sum-vs-count
+    NULL divergences, schema-inference failures on empty writes.
+  * NULL-TEXT replica — documents with text NULLed every 17th row and
+    lang every 19th: pins the engine-wide NULL-text-is-empty-document
+    rule end-to-end (tokenize/explode drops, sizeOfNull, NULL payloads
+    in the multimodal decode kernels, '' -vs- NULL dedup merging).
+
+Both campaigns found real bugs when first run (see ROUND4_RESPONSES.md:
+6 numpy crash sites, the sizeOfNull token-count corruption, the
+table_profile NULL n_nulls, the NULL-payload decode crash); this script
+makes them a one-command regression gate.
+
+Usage:
+    python tools/robustness_sweep.py [query ...]   # default: all queries
+
+Queries whose semantics are undefined on a replica are skipped by name:
+Spark ROLLUP/CUBE on an EMPTY table emits zero rows where ANSI/DuckDB
+emit the grand-total row — an engine-semantics divergence documented in
+ROUND4_RESPONSES.md, not a library defect.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import duckdb
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.001"
+
+#: engine-semantics divergences on EMPTY input, documented not fixed:
+#: Spark grouping-sets on zero rows emit no grand-total row; DuckDB does.
+EMPTY_SKIP = {"q_rollup", "q_cube", "q_grouping_sets", "q_rollup_grouping"}
+
+
+def build_empty(dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for f in os.listdir(SRC):
+        if f.endswith(".parquet"):
+            schema = pq.read_schema(os.path.join(SRC, f))
+            pq.write_table(schema.empty_table(), os.path.join(dst, f))
+
+
+def build_nulltext(dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for f in os.listdir(SRC):
+        if not f.endswith(".parquet"):
+            continue
+        if f == "documents.parquet":
+            con.execute(
+                f"""COPY (SELECT doc_id,
+                           CASE WHEN doc_id % 17 = 0 THEN NULL ELSE text END AS text,
+                           CASE WHEN doc_id % 19 = 0 THEN NULL ELSE lang END AS lang,
+                           source, n_chars
+                    FROM '{SRC}/{f}') TO '{dst}/{f}' (FORMAT PARQUET)"""
+            )
+        else:
+            shutil.copy(os.path.join(SRC, f), os.path.join(dst, f))
+
+
+def run_gate(sf_dir: str, queries: list[str]) -> int:
+    cmd = [sys.executable, "tools/check_oracle.py", sf_dir, *queries]
+    return subprocess.call(cmd)
+
+
+def main() -> int:
+    queries = sys.argv[1:]
+    work = tempfile.mkdtemp(prefix="robust_")
+    empty, nulltext = os.path.join(work, "empty"), os.path.join(work, "nulltext")
+    build_empty(empty)
+    build_nulltext(nulltext)
+
+    if queries:
+        empty_qs = [q for q in queries if q not in EMPTY_SKIP]
+    else:
+        sys.path.insert(0, ".")
+        from python_mapreduce_spark.registry import all_queries  # noqa: PLC0415
+
+        names = list(all_queries())
+        empty_qs = [q for q in names if q not in EMPTY_SKIP]
+        queries = names
+
+    print(f"== EMPTY replica ({len(empty_qs)} queries) ==", flush=True)
+    rc1 = run_gate(empty, empty_qs)
+    print(f"== NULL-TEXT replica ({len(queries)} queries) ==", flush=True)
+    rc2 = run_gate(nulltext, queries)
+    print(f"empty rc={rc1} nulltext rc={rc2}")
+    return 1 if (rc1 or rc2) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
