@@ -438,7 +438,7 @@ WITH t AS (
   SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks FROM documents
 )
 SELECT doc_id, len(toks) AS n_tokens,
-       array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 3), ',') AS first3,
+       coalesce(array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 3), ','), '') AS first3,
        list_contains(toks, 'the') AS has_the,
        toks[1] AS first_tok
 FROM t

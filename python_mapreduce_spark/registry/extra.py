@@ -149,8 +149,13 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A mergeSchema consumer cannot distinguish gen-1's ABSENT column from
+# a NULL lang VALUE in gen-2 — both scan as NULL — so the oracle replays
+# exactly that observable: any NULL after the generation rule labels
+# '<pre-lang>' (caught by the NULL-text robustness sweep, where injected
+# NULL langs in gen-2 rows diverged).
 SQL_SCHEMA_EVOLUTION = """
-SELECT CASE WHEN doc_id % 2 = 1 THEN lang ELSE '<pre-lang>' END AS lang,
+SELECT coalesce(CASE WHEN doc_id % 2 = 1 THEN lang END, '<pre-lang>') AS lang,
        count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY 1

@@ -1182,7 +1182,7 @@ WITH base AS (
 feat AS (
   SELECT id,
          CAST(len(toks) AS BIGINT) AS n_tokens,
-         {sql_dround("length(array_to_string(toks, '')) / CAST(greatest(len(toks), 1) AS DOUBLE)", 4)} AS mean_tok_len,
+         {sql_dround("length(coalesce(array_to_string(toks, ''), '')) / CAST(greatest(len(toks), 1) AS DOUBLE)", 4)} AS mean_tok_len,
          {sql_dround("length(regexp_replace(lower(t), '[a-z ]', '', 'g')) / CAST(greatest(length(t), 1) AS DOUBLE)", 4)} AS punct_ratio,
          CAST(len(list_filter(toks, tk -> list_contains(['the','a','of','and','to','is'], tk))) AS BIGINT) AS stop_hits,
          list_transform(
