@@ -698,3 +698,47 @@ def test_counter_increase_matches_python_replay(spark, samples):
             expect.append((k, t, v, inc))
             prev = v
     assert got == sorted(expect), samples
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    activity=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 12)),  # (user, day offset)
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_cohort_retention_matches_python_replay(spark, activity):
+    import datetime
+
+    from python_mapreduce_spark.operators.events import cohort_retention
+
+    base = datetime.date(2024, 3, 1)
+    rows = [
+        (u, (base + datetime.timedelta(days=d)).isoformat()) for u, d in activity
+    ]
+    df = spark.createDataFrame(rows, "u long, d string").select(
+        "u", F.to_timestamp("d").alias("ts")
+    )
+    got = {
+        r.cohort.isoformat(): (r.n_users, r.n_day1, r.n_day7)
+        for r in cohort_retention(df, "u", "ts", horizons=(1, 7)).collect()
+    }
+
+    first: dict[int, int] = {}
+    days: dict[int, set] = {}
+    for u, d in activity:
+        first[u] = min(first.get(u, d), d)
+        days.setdefault(u, set()).add(d)
+    expect: dict[str, list] = {}
+    for u, f0 in first.items():
+        key = (base + datetime.timedelta(days=f0)).isoformat()
+        e = expect.setdefault(key, [0, 0, 0])
+        e[0] += 1
+        e[1] += 1 if (f0 + 1) in days[u] else 0
+        e[2] += 1 if (f0 + 7) in days[u] else 0
+    assert got == {k: tuple(v) for k, v in expect.items()}, activity
