@@ -581,3 +581,48 @@ def robust_scale(
     return df.join(F.broadcast(stats), ks).select(
         *ks, v.alias(value_col), dround(scaled, 6).alias(out_col)
     )
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    *,
+    smoothing: float = 10.0,
+    out_col: str = "te",
+) -> DataFrame:
+    """Smoothed target encoding of a categorical column: each category
+    maps to ``(sum(label) + m * global_mean) / (n + m)`` — the
+    shrinkage-towards-prior rule that keeps rare categories from
+    memorizing their few labels (the standard categorical feature for
+    gradient-boosted / linear models). NULL categories encode as their
+    own group; NULL labels are excluded from sums and counts on both
+    the category and global side.
+
+    One grouped aggregation plus a 1-row global aggregate, both
+    broadcast back onto the stream — no second shuffle. Label sums run
+    in DECIMAL(18,6) (exact, associative; see functions/scalar.py) and
+    the encoding rounds to 6 decimals, so the value is reproducible at
+    any parallelism and in any engine.
+    """
+    lab = F.col(label_col).cast("double")
+    per_cat = df.groupBy(F.col(cat_col).alias("__cat")).agg(
+        F.count(lab).cast("double").alias("__n"),
+        F.coalesce(F.sum(lab.cast("decimal(18,6)")), F.lit(0).cast("decimal(18,6)"))
+        .alias("__s"),
+    )
+    glob = df.agg(
+        F.count(lab).cast("double").alias("__gn"),
+        F.coalesce(F.sum(lab.cast("decimal(18,6)")), F.lit(0).cast("decimal(18,6)"))
+        .alias("__gs"),
+    )
+    m = float(smoothing)
+    prior = F.col("__gs").cast("double") / F.greatest(F.col("__gn"), F.lit(1.0))
+    enc = (F.col("__s").cast("double") + F.lit(m) * prior) / (F.col("__n") + F.lit(m))
+    return (
+        df.join(
+            F.broadcast(per_cat), F.col(cat_col).eqNullSafe(F.col("__cat")), "left"
+        )
+        .crossJoin(F.broadcast(glob))
+        .select(*df.columns, dround(enc, 6).alias(out_col))
+    )

@@ -164,6 +164,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_langid_confusion",
     "q_diff_tables",
     "q_data_card",
+    "q_target_encode",
 )
 
 

@@ -972,6 +972,46 @@ FROM (
 """
 
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Smoothed target encoding (operators/aggregates.py::target_encode):
+    # orders' priority encoded against a derived binary label
+    # (high-value order). DECIMAL label sums + rounded encoding keep it
+    # engine-exact; rows emit (key, category, label, te).
+    from python_mapreduce_spark.operators.aggregates import target_encode  # noqa: PLC0415
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_totalprice") > 150000.0).cast("double").alias("label"),
+    )
+    return target_encode(o, "prio", "label", smoothing=10.0)
+
+
+SQL_TARGET_ENCODE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority AS prio,
+         CAST(o_totalprice > 150000.0 AS DOUBLE) AS label
+  FROM orders
+),
+per_cat AS (
+  SELECT prio AS cat, CAST(count(label) AS DOUBLE) AS n,
+         coalesce(sum(CAST(label AS DECIMAL(18,6))), 0) AS s
+  FROM base GROUP BY prio
+),
+gl AS (
+  SELECT CAST(count(label) AS DOUBLE) AS gn,
+         coalesce(sum(CAST(label AS DECIMAL(18,6))), 0) AS gs
+  FROM base
+)
+SELECT b.o_orderkey, b.prio, b.label,
+       {sql_dround('(CAST(p.s AS DOUBLE) + 10.0 * (CAST(g.gs AS DOUBLE) / greatest(g.gn, 1.0)))'
+                   ' / (p.n + 10.0)', 6)} AS te
+FROM base b
+LEFT JOIN per_cat p ON b.prio IS NOT DISTINCT FROM p.cat
+CROSS JOIN gl g
+"""
+
+
 def q_diff_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Keyed snapshot reconciliation (operators/relational.py::
     # diff_tables): documents vs a deterministically perturbed copy —
@@ -1152,6 +1192,7 @@ QUERIES: dict[str, Query] = {
     "q_scd2_history": Query(q_scd2_history, SQL_SCD2_HISTORY, "CDC change stream to SCD2 validity intervals"),
     "q_robust_scale": Query(q_robust_scale, SQL_ROBUST_SCALE, "per-group robust (median/IQR) feature scaling"),
     "q_diff_tables": Query(q_diff_tables, SQL_DIFF_TABLES, "keyed snapshot reconciliation (same/changed/only_a/only_b)"),
+    "q_target_encode": Query(q_target_encode, SQL_TARGET_ENCODE, "smoothed target encoding of a categorical"),
     "q_trending": Query(q_trending, SQL_TRENDING, "top-k trending items per day"),
     "q_cohort_retention": Query(q_cohort_retention, SQL_COHORT_RETENTION, "day-cohort retention at +1/+7"),
     "q_approx_percentile": Query(q_approx_percentile, SQL_APPROX_PERCENTILE, "quantile-sketch percentiles (tolerance oracle)"),

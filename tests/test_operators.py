@@ -887,3 +887,30 @@ def test_diff_tables_statuses(spark):
     a2 = spark.createDataFrame([(7, None)], "id long, s string")
     b2 = spark.createDataFrame([(7, "now-set")], "id long, s string")
     assert diff_tables(a2, b2, "id", ["s"]).collect()[0].status == "changed"
+
+
+def test_target_encode_shrinkage_and_null_category(spark):
+    import math
+
+    from python_mapreduce_spark.operators.aggregates import target_encode
+
+    rows = (
+        [("a", 1.0)] * 8 + [("a", 0.0)] * 2      # big category, mean 0.8
+        + [("b", 1.0)]                            # tiny category, mean 1.0
+        + [(None, 0.0)] * 3                       # NULL category, mean 0.0
+        + [("c", None)]                           # NULL label: excluded
+    )
+    df = spark.createDataFrame(rows, "cat string, label double")
+    got = {r.cat: r.te for r in target_encode(df, "cat", "label", smoothing=10.0).collect()}
+    prior = 9.0 / 14.0  # 14 non-null labels, 9 ones
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    assert got["a"] == r6((8 + 10 * prior) / (10 + 10))
+    # tiny category shrinks hard toward the prior, not to its own 1.0
+    assert got["b"] == r6((1 + 10 * prior) / (1 + 10))
+    assert abs(got["b"] - prior) < abs(1.0 - prior)
+    assert got[None] == r6((0 + 10 * prior) / (3 + 10))
+    # category with only NULL labels: n=0 -> exactly the prior
+    assert got["c"] == r6((0 + 10 * prior) / (0 + 10))
