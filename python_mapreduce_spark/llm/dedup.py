@@ -708,7 +708,9 @@ def pagerank_fixed(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("double").alias("deg")).localCheckpoint(
+        eager=True
+    )  # joined every iteration; without the cut each round re-aggregates e
     n_nodes = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))  # 1 row
     base = 1.0  # ranks start at 1/n
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(

@@ -162,8 +162,12 @@ def media_feature_dedup_pairs(
     if eps > bucket_width:
         raise ValueError(f"eps must be <= bucket_width: {eps} > {bucket_width}")
     f4 = dround(F.col(feat_col), 4)
-    base = feats.select(F.col(id_col).alias("id"), f4.alias("f")).withColumn(
-        "b", F.floor(F.col("f") / F.lit(float(bucket_width))).cast("long")
+    # both join sides consume the feature frame — cut the lineage so the
+    # DECODE stage (the expensive part of any media pipeline) runs once
+    base = (
+        feats.select(F.col(id_col).alias("id"), f4.alias("f"))
+        .withColumn("b", F.floor(F.col("f") / F.lit(float(bucket_width))).cast("long"))
+        .localCheckpoint(eager=False)
     )
     probes = base.select(
         F.col("id").alias("id1"),

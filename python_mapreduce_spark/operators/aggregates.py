@@ -610,11 +610,12 @@ def target_encode(
         F.count(lab).cast("double").alias("__n"),
         F.coalesce(F.sum(lab.cast("decimal(18,6)")), F.lit(0).cast("decimal(18,6)"))
         .alias("__s"),
-    )
-    glob = df.agg(
-        F.count(lab).cast("double").alias("__gn"),
-        F.coalesce(F.sum(lab.cast("decimal(18,6)")), F.lit(0).cast("decimal(18,6)"))
-        .alias("__gs"),
+    ).localCheckpoint(eager=False)  # feeds both the global roll-up and the join
+    # the global prior DERIVES from the per-category frame — no second
+    # scan of the data (DECIMAL sums re-aggregate exactly)
+    glob = per_cat.agg(
+        F.coalesce(F.sum("__n"), F.lit(0.0)).cast("double").alias("__gn"),
+        F.coalesce(F.sum("__s"), F.lit(0).cast("decimal(18,6)")).alias("__gs"),
     )
     m = float(smoothing)
     prior = F.col("__gs").cast("double") / F.greatest(F.col("__gn"), F.lit(1.0))

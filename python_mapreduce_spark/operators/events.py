@@ -44,10 +44,15 @@ def funnel(
     if not steps:
         raise ValueError("steps must name at least one funnel step")
     user, ts, step = F.col(user_col), F.col(ts_col), F.col(step_col)
+    # each level is consumed TWICE (next level's join + its own count)
+    # and level i's plan contains level i-1's — without the lineage cut
+    # level 1's scan would re-execute O(k) times. Levels are one row per
+    # user, so the checkpoint is output-sized.
     levels = [
         df.filter(step == steps[0])
         .groupBy(user.alias("u"))
         .agg(F.min(ts).alias("t"))
+        .localCheckpoint(eager=False)
     ]
     for s in steps[1:]:
         ev = df.filter(step == s).select(user.alias("u"), ts.alias("__ts"))
@@ -61,6 +66,7 @@ def funnel(
             .filter(cond)
             .groupBy("u")
             .agg(F.min("__ts").alias("t"))
+            .localCheckpoint(eager=False)
         )
     counts = [
         lvl.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
@@ -97,7 +103,13 @@ def cohort_retention(
     """
     user, ts = F.col(user_col), F.col(ts_col)
     first = df.groupBy(user.alias("u")).agg(F.min(F.to_date(ts)).alias("cohort"))
-    activity = df.select(user.alias("u"), F.to_date(ts).alias("d")).distinct()
+    # one horizon join consumes activity PER horizon — cut the lineage
+    # so the raw scan + distinct runs once, not len(horizons) times
+    activity = (
+        df.select(user.alias("u"), F.to_date(ts).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     flags: list[Column] = []
     joined = first
     for k in horizons:

@@ -306,6 +306,9 @@ def resample_locf(
         .groupBy(*ks, "__b")
         .agg(F.max(F.struct("__s", "__v")).alias("__last"))
         .select(*ks, "__b", F.col("__last.__v").alias("__v"))
+        # bucket-level (output-sized) frame feeds BOTH the span pass and
+        # the grid join — cut the lineage so the raw scan runs once
+        .localCheckpoint(eager=False)
     )
     span = obs.groupBy(*ks).agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
     grid = span.select(
