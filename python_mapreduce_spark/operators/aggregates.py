@@ -627,3 +627,35 @@ def target_encode(
         .crossJoin(F.broadcast(glob))
         .select(*df.columns, dround(enc, 6).alias(out_col))
     )
+
+
+def winsorize(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    *,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    out_col: str = "clipped",
+) -> DataFrame:
+    """Per-group winsorization: clamp values to the group's
+    [``lo``, ``hi``] exact interpolated percentiles — the tail-taming
+    companion of :func:`robust_scale` (clip the outliers instead of
+    rescaling around them). Same determinism contract: the clip bounds
+    round to 1e-6 BEFORE clamping so both engines clamp against
+    identical numbers; same plan shape: one grouped stats pass
+    broadcast back, no second shuffle.
+    """
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"need 0 <= lo < hi <= 1: ({lo}, {hi})")
+    ks = list(keys)
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(*ks).agg(
+        dround(F.expr(f"percentile({value_col}, {lo}D)"), 6).alias("__lo"),
+        dround(F.expr(f"percentile({value_col}, {hi}D)"), 6).alias("__hi"),
+    )
+    return df.join(F.broadcast(stats), ks).select(
+        *ks,
+        v.alias(value_col),
+        F.greatest(F.least(v, F.col("__hi")), F.col("__lo")).alias(out_col),
+    )

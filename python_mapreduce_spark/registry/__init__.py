@@ -165,6 +165,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_diff_tables",
     "q_data_card",
     "q_target_encode",
+    "q_winsorize",
 )
 
 

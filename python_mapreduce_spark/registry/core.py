@@ -972,6 +972,30 @@ FROM (
 """
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-group tail clipping (operators/aggregates.py::winsorize):
+    # events.value clamped to each type's [p05, p95], bounds rounded
+    # before clamping so both engines clip against identical numbers.
+    from python_mapreduce_spark.operators.aggregates import winsorize  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    return winsorize(ev, ["event_type"], "value", lo=0.05, hi=0.95)
+
+
+SQL_WINSORIZE = f"""
+WITH stats AS (
+  SELECT event_type,
+         {sql_dround('quantile_cont(value, 0.05)', 6)} AS plo,
+         {sql_dround('quantile_cont(value, 0.95)', 6)} AS phi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(e.value AS DOUBLE) AS value,
+       greatest(least(CAST(e.value AS DOUBLE), s.phi), s.plo) AS clipped
+FROM events e JOIN stats s USING (event_type)
+"""
+
+
 def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Smoothed target encoding (operators/aggregates.py::target_encode):
     # orders' priority encoded against a derived binary label
@@ -1193,6 +1217,7 @@ QUERIES: dict[str, Query] = {
     "q_robust_scale": Query(q_robust_scale, SQL_ROBUST_SCALE, "per-group robust (median/IQR) feature scaling"),
     "q_diff_tables": Query(q_diff_tables, SQL_DIFF_TABLES, "keyed snapshot reconciliation (same/changed/only_a/only_b)"),
     "q_target_encode": Query(q_target_encode, SQL_TARGET_ENCODE, "smoothed target encoding of a categorical"),
+    "q_winsorize": Query(q_winsorize, SQL_WINSORIZE, "per-group percentile tail clipping"),
     "q_trending": Query(q_trending, SQL_TRENDING, "top-k trending items per day"),
     "q_cohort_retention": Query(q_cohort_retention, SQL_COHORT_RETENTION, "day-cohort retention at +1/+7"),
     "q_approx_percentile": Query(q_approx_percentile, SQL_APPROX_PERCENTILE, "quantile-sketch percentiles (tolerance oracle)"),

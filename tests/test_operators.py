@@ -914,3 +914,23 @@ def test_target_encode_shrinkage_and_null_category(spark):
     assert got[None] == r6((0 + 10 * prior) / (3 + 10))
     # category with only NULL labels: n=0 -> exactly the prior
     assert got["c"] == r6((0 + 10 * prior) / (0 + 10))
+
+
+def test_winsorize_clamps_tails_per_group(spark):
+    import math
+
+    from python_mapreduce_spark.operators.aggregates import winsorize
+
+    vals = [float(v) for v in range(1, 11)] + [1000.0]  # heavy upper tail
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v double")
+    got = {r.v: r.clipped for r in winsorize(df, ["k"], "v", lo=0.1, hi=0.9).collect()}
+
+    import numpy as np
+    plo = math.floor(np.percentile(vals, 10, method="linear") * 1e6 + 0.5) / 1e6
+    phi = math.floor(np.percentile(vals, 90, method="linear") * 1e6 + 0.5) / 1e6
+    assert got[1000.0] == phi           # tail clamped to p90
+    assert got[1.0] == plo              # low tail clamped to p10
+    assert got[5.0] == 5.0              # interior untouched
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        winsorize(df, ["k"], "v", lo=0.9, hi=0.1)
