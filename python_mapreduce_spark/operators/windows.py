@@ -404,3 +404,58 @@ def scd2_history(
         F.lead(F.col(ts_col), 1).over(w2).alias("valid_to"),
         F.lead(F.col(ts_col), 1).over(w2).isNull().alias("is_current"),
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    *,
+    k: int = 3,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: pair
+    every anchor row with ``k`` pseudo-random OTHER rows — uniform,
+    reproducible, and auditable, with the same no-RNG-state discipline
+    as :func:`deterministic_shuffle` (which supplies the permutation:
+    negatives are fixed rank offsets in the md5-shuffled order, so they
+    are uncorrelated with any natural ordering of the data). Changing
+    the ``salt`` re-deals all negatives per epoch.
+
+    Returns (anchor_id, neg_id, j) for j in 1..k; a stride that lands
+    back on the anchor (only possible when the corpus is no bigger
+    than ~k) is dropped rather than emitted as a self-pair.
+
+    Plan shape: one deterministic_shuffle (range exchange + local
+    numbering), a k-row explode of rank offsets, and one rank-keyed
+    equi-join back to the shuffled frame — no crossJoin, no RNG, and
+    the shuffled frame is checkpointed so its plan runs once for both
+    join sides.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    ranked = deterministic_shuffle(df.select(id_col), id_col, salt=salt).localCheckpoint(
+        eager=False
+    )
+    n_row = ranked.agg(F.max("shuffle_order").cast("long").alias("__n"))
+    anchors = (
+        ranked.crossJoin(F.broadcast(n_row))
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            F.col("shuffle_order").alias("__r"),
+            "__n",
+            F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("j"),
+        )
+        .withColumn(
+            "__neg_rank",
+            F.pmod(
+                F.col("__r") - 1 + F.greatest(F.col("__n") / (k + 1), F.lit(1)).cast("long") * F.col("j"),
+                F.col("__n"),
+            )
+            + 1,
+        )
+        .filter(F.col("__neg_rank") != F.col("__r"))
+    )
+    negs = ranked.select(
+        F.col(id_col).alias("neg_id"), F.col("shuffle_order").alias("__neg_rank")
+    )
+    return anchors.join(negs, "__neg_rank").select("anchor_id", "neg_id", "j")

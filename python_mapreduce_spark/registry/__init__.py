@@ -166,6 +166,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_data_card",
     "q_target_encode",
     "q_winsorize",
+    "q_negative_samples",
 )
 
 

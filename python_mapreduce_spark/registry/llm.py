@@ -898,6 +898,39 @@ WHERE abs(a.f - b.f) <= 0.01
 """
 
 
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic contrastive negatives (operators/windows.py::
+    # negative_samples): 3 negatives per anchor as fixed rank offsets in
+    # the md5-shuffled order — reproducible, salt-re-dealable, no RNG.
+    # The oracle replays the md5 rank (a window is fine in DuckDB) and
+    # the stride rule.
+    from python_mapreduce_spark.operators.windows import negative_samples  # noqa: PLC0415
+
+    return negative_samples(table(spark, sf_dir, "documents"), "doc_id", k=3)
+
+
+SQL_NEGATIVE_SAMPLES = """
+WITH ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+  FROM documents
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+anchors AS (
+  SELECT ranked.doc_id AS anchor_id, ranked.r, n.n, js.j
+  FROM ranked CROSS JOIN n CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) js
+),
+negk AS (
+  SELECT anchor_id, j, r,
+         ((r - 1 + greatest(n // 4, 1) * j) % n) + 1 AS neg_rank
+  FROM anchors
+)
+SELECT negk.anchor_id, ranked.doc_id AS neg_id, CAST(negk.j AS INTEGER) AS j
+FROM negk JOIN ranked ON negk.neg_rank = ranked.r
+WHERE negk.neg_rank <> negk.r
+"""
+
+
 def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-language dataset card: the corpus summary a pipeline publishes
     # with a release — document/token counts, exact-duplicate share
@@ -2226,6 +2259,9 @@ QUERIES: dict[str, Query] = {
     "q_pagerank": Query(q_pagerank, SQL_PAGERANK, "fixed-iteration PageRank (deterministic arithmetic, unrolled oracle)"),
     "q_token_pmi": Query(q_token_pmi, SQL_TOKEN_PMI, "token co-occurrence PMI over a bounded vocabulary"),
     "q_data_card": Query(q_data_card, SQL_DATA_CARD, "per-language dataset card (docs/tokens/dup share/keep rate)"),
+    "q_negative_samples": Query(
+        q_negative_samples, SQL_NEGATIVE_SAMPLES, "deterministic contrastive negative sampling"
+    ),
     "q_langid_confusion": Query(
         q_langid_confusion, SQL_LANGID_CONFUSION, "declared-vs-predicted language confusion audit"
     ),

@@ -934,3 +934,28 @@ def test_winsorize_clamps_tails_per_group(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         winsorize(df, ["k"], "v", lo=0.9, hi=0.1)
+
+
+def test_negative_samples_properties(spark):
+    from python_mapreduce_spark.operators.windows import negative_samples
+
+    df = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    got = negative_samples(df, "doc_id", k=3).collect()
+    # every anchor gets exactly k negatives, none of them itself
+    per_anchor: dict[int, list] = {}
+    for r in got:
+        assert r.neg_id != r.anchor_id
+        per_anchor.setdefault(r.anchor_id, []).append((r.j, r.neg_id))
+    assert set(per_anchor) == set(range(40))
+    assert all(len(v) == 3 for v in per_anchor.values())
+    # negatives within an anchor are distinct (stride multiples differ mod n)
+    for v in per_anchor.values():
+        assert len({nid for _, nid in v}) == 3
+    # deterministic: rerun identical; salt re-deals
+    again = negative_samples(df, "doc_id", k=3).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    salted = negative_samples(df, "doc_id", k=3, salt="epoch2").collect()
+    assert sorted(map(tuple, salted)) != sorted(map(tuple, got))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        negative_samples(df, "doc_id", k=0)
