@@ -950,7 +950,8 @@ def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("lang", F.lit("<null>")).alias("lang"),
         fp.alias("__fp"),
         F.size(tokenize(F.col("text"))).cast("long").alias("__ntok"),
-    )
+    ).localCheckpoint(eager=False)  # copies agg + join both consume it:
+    # without the cut the corpus tokenize/fingerprint pass runs twice
     fpc = base.groupBy("__fp").agg(F.count(F.lit(1)).alias("__copies"))
     keep = gopher_quality_flags(docs, "doc_id", "text").select(
         F.col("id").alias("doc_id"), F.col("keep").cast("long").alias("__keep")
