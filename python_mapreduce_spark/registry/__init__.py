@@ -167,6 +167,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_target_encode",
     "q_winsorize",
     "q_negative_samples",
+    "q_funnel_windowed",
 )
 
 

@@ -859,6 +859,41 @@ SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
 """
 
 
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The conversion-window variant: each step must land strictly after
+    # the previous step's earliest time AND within 6 hours of it — the
+    # "converted within X" product question. Same sequential-min CTEs
+    # in the oracle with the bound applied on both sides.
+    from python_mapreduce_spark.operators.events import funnel  # noqa: PLC0415
+
+    return funnel(
+        table(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], within_seconds=6 * 3600,
+    )
+
+
+SQL_FUNNEL_WINDOWED = """
+WITH s1 AS (
+  SELECT user_id AS u, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.u
+  WHERE e.event_type = 'click' AND e.ts > s1.t
+    AND e.ts <= s1.t + INTERVAL 6 HOUR GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.u
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+    AND e.ts <= s2.t + INTERVAL 6 HOUR GROUP BY 1
+)
+SELECT 1 AS step, 'view' AS step_name, CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Day-cohort retention at day+1 and day+7 (operators/events.py::
     # cohort_retention): cohort = first-activity date, every
@@ -1211,6 +1246,7 @@ QUERIES: dict[str, Query] = {
     "q_table_profile": Query(q_table_profile, SQL_TABLE_PROFILE, "one-pass per-column data-quality profile"),
     "q_zscore_outliers": Query(q_zscore_outliers, SQL_ZSCORE_OUTLIERS, "per-key z-score anomaly detection"),
     "q_funnel": Query(q_funnel, SQL_FUNNEL, "ordered funnel conversion (sequential per-user mins)"),
+    "q_funnel_windowed": Query(q_funnel_windowed, SQL_FUNNEL_WINDOWED, "funnel with a per-step conversion window"),
     "q_resample_locf": Query(q_resample_locf, SQL_RESAMPLE_LOCF, "gap-filled resample with forward fill (LOCF)"),
     "q_counter_increase": Query(q_counter_increase, SQL_COUNTER_INCREASE, "counter increase with reset handling"),
     "q_scd2_history": Query(q_scd2_history, SQL_SCD2_HISTORY, "CDC change stream to SCD2 validity intervals"),
