@@ -887,3 +887,88 @@ def token_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN removal — the exact-substring
+    dedup semantics of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better") at n-gram granularity: any n-token
+    span occurring in at least ``min_df`` DISTINCT documents is removed
+    from ALL of them (spans overlap, so the union of covered token
+    positions is cut), and each document is rebuilt from its surviving
+    tokens. Complements :func:`segment_dedup` (disjoint segments,
+    keep-first) and `crossdoc_dup_coverage` (the measurement this
+    operator acts on).
+
+    Emits (id, n_tokens, n_removed, text_clean).
+
+    Scale shape: gram keys travel as md5 digests (the shuffle never
+    carries raw spans); the duplicated-gram vote is a distinct-count
+    agg; covered positions explode only for DUPLICATED gram instances;
+    the final cut is a position-keyed anti-join and the reassembly
+    shuffles only surviving tokens. The tokenized base is checkpointed
+    — gram extraction and the final cut both consume it.
+    """
+    seg = int(n)
+    base = (
+        df.select(
+            F.col(id_col).cast("long").alias("id"), tokenize(F.col(text_col)).alias("toks")
+        )
+        .withColumn("n_tok", F.size("toks"))
+        .localCheckpoint(eager=False)
+    )
+    grams = base.filter(F.col("n_tok") >= seg).select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {seg - 1}),"
+                f" i -> array_join(slice(toks, i, {seg}), ' '))"
+            )
+        ).alias("pos", "g"),
+    ).select("id", "pos", F.md5("g").alias("gh"))
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("id").alias("__df"))
+        .filter(F.col("__df") >= int(min_df))
+        .select("gh")
+    )
+    covered = (
+        grams.join(dup, "gh")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(seg - 1))
+            ).alias("tokpos"),
+        )
+        .distinct()
+    )
+    toks = base.select("id", "n_tok", F.posexplode("toks").alias("tokpos", "tok"))
+    kept = toks.join(covered, ["id", "tokpos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("__kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("tokpos", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    return (
+        base.select("id", F.col("n_tok").cast("long").alias("n_tokens"))
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("__kept", F.lit(0))).cast("long").alias(
+                "n_removed"
+            ),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

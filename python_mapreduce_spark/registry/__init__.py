@@ -168,6 +168,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_winsorize",
     "q_negative_samples",
     "q_funnel_windowed",
+    "q_dup_span_removal",
 )
 
 

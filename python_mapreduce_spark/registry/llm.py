@@ -898,6 +898,56 @@ WHERE abs(a.f - b.f) <= 0.01
 """
 
 
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lee et al. exact-substring removal at 5-gram granularity
+    # (llm/text.py::remove_duplicate_spans): overlapping spans shared by
+    # >= 2 documents are cut from ALL copies; rebuilt text compared
+    # byte-for-byte. Complements segment dedup (disjoint, keep-first)
+    # and acts on the signal q_crossdoc_ngrams measures.
+    from python_mapreduce_spark.llm.text import remove_duplicate_spans  # noqa: PLC0415
+
+    return remove_duplicate_spans(
+        table(spark, sf_dir, "documents"), "doc_id", "text", n=5, min_df=2
+    )
+
+
+SQL_DUP_SPAN_REMOVAL = """
+WITH base AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT id, i, md5(array_to_string(toks[i:i+4], ' ')) AS gh
+  FROM (SELECT id, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+        FROM base WHERE len(toks) >= 5)
+),
+dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT id) >= 2),
+covered AS (
+  SELECT DISTINCT g.id, unnest(generate_series(g.i - 1, g.i + 3)) AS tokpos
+  FROM grams g JOIN dup USING (gh)
+),
+toks AS (
+  SELECT b.id, p - 1 AS tokpos, b.toks[p] AS tok
+  FROM base b, unnest(generate_series(1, len(b.toks))) t(p)
+),
+kept AS (
+  SELECT t.id, t.tokpos, t.tok
+  FROM toks t LEFT JOIN covered c ON t.id = c.id AND t.tokpos = c.tokpos
+  WHERE c.id IS NULL
+),
+reb AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS kept_n,
+         string_agg(tok, ' ' ORDER BY tokpos) AS text_clean
+  FROM kept GROUP BY id
+)
+SELECT b.id,
+       CAST(len(b.toks) AS BIGINT) AS n_tokens,
+       CAST(len(b.toks) - coalesce(reb.kept_n, 0) AS BIGINT) AS n_removed,
+       coalesce(reb.text_clean, '') AS text_clean
+FROM base b LEFT JOIN reb ON b.id = reb.id
+"""
+
+
 def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deterministic contrastive negatives (operators/windows.py::
     # negative_samples): 3 negatives per anchor as fixed rank offsets in
@@ -2260,6 +2310,9 @@ QUERIES: dict[str, Query] = {
     "q_pagerank": Query(q_pagerank, SQL_PAGERANK, "fixed-iteration PageRank (deterministic arithmetic, unrolled oracle)"),
     "q_token_pmi": Query(q_token_pmi, SQL_TOKEN_PMI, "token co-occurrence PMI over a bounded vocabulary"),
     "q_data_card": Query(q_data_card, SQL_DATA_CARD, "per-language dataset card (docs/tokens/dup share/keep rate)"),
+    "q_dup_span_removal": Query(
+        q_dup_span_removal, SQL_DUP_SPAN_REMOVAL, "cross-doc duplicated-span removal (Lee et al. semantics)"
+    ),
     "q_negative_samples": Query(
         q_negative_samples, SQL_NEGATIVE_SAMPLES, "deterministic contrastive negative sampling"
     ),

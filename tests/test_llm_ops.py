@@ -1102,3 +1102,35 @@ def test_token_pmi_known_corpus(spark):
     assert got[("cat", "the")] == (5, 0.0)
     # spark never co-occurs with cat
     assert ("cat", "spark") not in got
+
+
+def test_remove_duplicate_spans_overlap_and_all_copies(spark):
+    from python_mapreduce_spark.llm.text import remove_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon"        # exactly one 5-gram
+    rows = [
+        (1, f"intro words here {shared} tail one"),
+        (2, f"{shared} other content entirely here"),
+        (3, "no duplicated content in this document at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in
+           remove_duplicate_spans(df, "doc_id", "text", n=5, min_df=2).collect()}
+    # the shared span is removed from BOTH docs (not keep-first)
+    assert got[1].text_clean == "intro words here tail one"
+    assert got[1].n_removed == 5
+    assert got[2].text_clean == "other content entirely here"
+    assert got[2].n_removed == 5
+    assert got[3].n_removed == 0 and got[3].text_clean.startswith("no duplicated")
+    assert got[4].n_tokens == 0 and got[4].text_clean == ""
+    # overlapping duplicated grams merge into ONE covered span: a 6-token
+    # shared run shares two overlapping 5-grams; removal cuts 6 tokens
+    run6 = "one two three four five six"
+    df2 = spark.createDataFrame(
+        [(1, f"{run6} xx"), (2, f"yy {run6}")], "doc_id long, text string"
+    )
+    got2 = {r.id: r for r in
+            remove_duplicate_spans(df2, "doc_id", "text", n=5, min_df=2).collect()}
+    assert got2[1].n_removed == 6 and got2[1].text_clean == "xx"
+    assert got2[2].n_removed == 6 and got2[2].text_clean == "yy"
