@@ -93,6 +93,7 @@ HEADLINE = [
     "q_counter_increase",
     "q_scd2_history",
     "q_robust_scale",
+    "q_dup_span_removal",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings
