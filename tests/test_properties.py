@@ -742,3 +742,110 @@ def test_cohort_retention_matches_python_replay(spark, activity):
         e[1] += 1 if (f0 + 1) in days[u] else 0
         e[2] += 1 if (f0 + 7) in days[u] else 0
     assert got == {k: tuple(v) for k, v in expect.items()}, activity
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=9),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_remove_duplicate_spans_matches_python_replay(spark, docs):
+    # Lee-et-al span removal replayed in Python: overlapping covered
+    # positions union; spans removed from ALL copies; n=3 grams.
+    from python_mapreduce_spark.llm.text import remove_duplicate_spans
+
+    n = 3
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    got = {
+        r.id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in remove_duplicate_spans(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id", "text", n=n, min_df=2,
+        ).collect()
+    }
+
+    gram_docs: dict[tuple, set] = {}
+    for i, ws in enumerate(docs):
+        for p in range(len(ws) - n + 1):
+            gram_docs.setdefault(tuple(ws[p : p + n]), set()).add(i)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    for i, ws in enumerate(docs):
+        covered = set()
+        for p in range(len(ws) - n + 1):
+            if tuple(ws[p : p + n]) in dup:
+                covered.update(range(p, p + n))
+        kept = [w for j, w in enumerate(ws) if j not in covered]
+        assert got[i] == (len(ws), len(covered), " ".join(kept)), (i, docs)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a=st.dictionaries(st.integers(0, 8), st.integers(0, 3), max_size=8),
+    b=st.dictionaries(st.integers(0, 8), st.integers(0, 3), max_size=8),
+)
+def test_diff_tables_matches_python_replay(spark, a, b):
+    from python_mapreduce_spark.operators.relational import diff_tables
+
+    da = spark.createDataFrame(list(a.items()) or [(None, None)], "id long, v long")
+    db = spark.createDataFrame(list(b.items()) or [(None, None)], "id long, v long")
+    if not a:
+        da = da.filter("id IS NOT NULL")
+    if not b:
+        db = db.filter("id IS NOT NULL")
+    got = {r.id: r.status for r in diff_tables(da, db, "id", ["v"]).collect()}
+    expect = {}
+    for k in set(a) | set(b):
+        if k not in b:
+            expect[k] = "only_a"
+        elif k not in a:
+            expect[k] = "only_b"
+        else:
+            expect[k] = "same" if a[k] == b[k] else "changed"
+    assert got == expect, (a, b)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.sets(st.integers(0, 500), min_size=2, max_size=25),
+    salt=st.sampled_from(["", "e2"]),
+)
+def test_negative_samples_matches_hashlib_replay(spark, ids, salt):
+    # the full negative assignment replayed with hashlib: md5 rank, the
+    # stride rule, self-pair skip.
+    import hashlib
+
+    from python_mapreduce_spark.operators.windows import negative_samples
+
+    k = 2
+    df = spark.createDataFrame([(i,) for i in sorted(ids)], "doc_id long")
+    got = sorted(
+        (r.anchor_id, r.j, r.neg_id)
+        for r in negative_samples(df, "doc_id", k=k, salt=salt).collect()
+    )
+    ranked = sorted(ids, key=lambda i: (hashlib.md5(f"{i}{salt}".encode()).hexdigest(), i))
+    rank_of = {i: r + 1 for r, i in enumerate(ranked)}
+    n = len(ids)
+    step = max(n // (k + 1), 1)
+    expect = []
+    for i in ids:
+        r = rank_of[i]
+        for j in (1, 2):
+            nr = ((r - 1 + step * j) % n) + 1
+            if nr != r:
+                expect.append((i, j, ranked[nr - 1]))
+    assert got == sorted(expect), (sorted(ids), salt)
