@@ -32,7 +32,11 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F  # noqa: E402
 
 from python_mapreduce_spark.llm.dedup import crossdoc_dup_coverage  # noqa: E402
-from python_mapreduce_spark.llm.text import bigram_lm_score, segment_dedup  # noqa: E402
+from python_mapreduce_spark.llm.text import (  # noqa: E402
+    bigram_lm_score,
+    remove_duplicate_spans,
+    segment_dedup,
+)
 from python_mapreduce_spark.session import get_spark, tune  # noqa: E402
 from python_mapreduce_spark.sources.readers import load_table  # noqa: E402
 
@@ -64,6 +68,13 @@ def measure(spark, sf_dir: str) -> dict:
         .collect()[0]
     )
     t_lm = time.time() - t2
+    t3 = time.time()
+    spans = (
+        remove_duplicate_spans(docs, "doc_id", "text", n=5, min_df=2)
+        .agg(F.sum("n_removed").alias("r"))
+        .collect()[0]
+    )
+    t_span = time.time() - t3
     return {
         "docs": n,
         "gram_instances": int(agg.g),
@@ -71,9 +82,11 @@ def measure(spark, sf_dir: str) -> dict:
         "segments": int(seg.s),
         "segments_kept": int(seg.k),
         "lm_bigrams": int(lm.b),
+        "span_removed_tokens": int(spans.r),
         "t_coverage": round(t, 2),
         "t_segment_dedup": round(t_seg, 2),
         "t_bigram_lm": round(t_lm, 2),
+        "t_span_removal": round(t_span, 2),
     }
 
 
@@ -91,7 +104,8 @@ def main() -> int:
     failures = []
     for key in (
         "docs", "gram_instances", "dup_tagged", "segments", "segments_kept",
-        "lm_bigrams", "t_coverage", "t_segment_dedup", "t_bigram_lm",
+        "lm_bigrams", "span_removed_tokens", "t_coverage",
+        "t_segment_dedup", "t_bigram_lm", "t_span_removal",
     ):
         ratio = (b[key] / a[key]) if a[key] else float("inf")
         gate = "" if key == "docs" else ("ok" if ratio <= 2 * r else "FAIL")
