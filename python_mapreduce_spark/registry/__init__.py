@@ -33,83 +33,17 @@ class Query:
 
 
 # The driver verifies a prefix window of all_queries() (50 entries per
-# round), so iteration order IS correctness coverage. Round-4 rotation
-# (VERDICT r3 item 1): lead with the only 2 entries that have never had
-# a driver row (landed after the r3 window was fixed), then refresh the
-# 41 queries whose only driver-green rows are from r01 — before the
-# driver regenerated testdata (events.ts NANOS→MICROS) — so that after
-# this round every registry entry has a hard row on the CURRENT data
-# (r03∪r04). The last 7 slots balance two pulls: queries whose code or
-# oracle changed this round (the tightened LSH recall floor, the
-# output_dir-path incremental dedup, the renamed window demos — the
-# cumulative driver record is name-keyed, so the new names need fresh
-# rows) and window breadth (one r02-stale entry from each module the
-# 43 freshness slots leave uncovered: tpch3, joins, mr). The remaining
-# changed entries (q_sim_ann_ivf_recall, q_dedup_simhash_eval,
-# q_stream_incremental) lead the tail at positions 51+ — all three are
-# replica-verified at sf0.01+sf0.1 this round, and the latter two
-# already hold r03 rows under unchanged names.
+# round), so iteration order IS correctness coverage. Round-5 rotation
+# (VERDICT r4 item 1, derived mechanically from
+# ``python tools/driver_coverage.py --plan 50``): the 59 registry
+# entries with NO driver row yet (all round-4 additions, judge-replica
+# green at sf0.01) fill the whole window in registry order; the 9 that
+# overflow a 50-slot window sit at positions 51-59 and lead round 6.
+# Positions 60+ hold every already-checked query in staleness order
+# (oldest driver round first: 35 r02 rows, then 47 r03, then 50 r04),
+# so future refresh rotations are mechanical as well.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked (2) --
-    "q_text_fuzzy_match",
-    "q_embedding_norm",
-    # -- only driver row predates the testdata regen (41) --
-    "q_json_extract",
-    "q_orders_by_month",
-    "q_scalar_datetime",
-    "q_scalar_string",
-    "q_scalar_math",
-    "q_case_when",
-    "q_fillna",
-    "q_posexplode",
-    "q_filter_project",
-    "q_distinct",
-    "q_count_distinct",
-    "q_topk_orders",
-    "q_offset_page",
-    "q_union",
-    "q_intersect",
-    "q_intersect_all",
-    "q_except",
-    "q_except_all",
-    "q_pivot",
-    "q_unpivot",
-    "q_rollup",
-    "q_cube",
-    "q_grouping_sets",
-    "q_rollup_grouping",
-    "q_stats_agg",
-    "q_median_agg",
-    "q_mode_agg",
-    "q_string_agg",
-    "q_bool_agg",
-    "q_sample_agg",
-    "q_sample_stratified",
-    "q_salted_agg",
-    "q_scalar_subquery",
-    "q_window_firstlast",
-    "q04_priority_check",
-    "q06_forecast_revenue",
-    "q07_nation_volume",
-    "q10_returned_items",
-    "q12_priority_by_status",
-    "q13_order_count_dist",
-    "q14_promo_share",
-    # -- changed this round (oracle tightened / path rerouted / renamed)
-    # plus module breadth (stalest r02 entry of each uncovered module) --
-    "q_sim_ann_lsh_recall",
-    "q_window_rank_dist_demo",
-    "q_window_cume_demo",
-    "q_stream_incremental_dedup",
-    "q02_min_cost_supplier",
-    "q_join_theta",
-    "q_mr_wordcount",
-    # -- tail head: first in line beyond the 50-entry window (the
-    # r4-new pipeline queries follow the three replica-verified
-    # changed entries; together they lead the r5 window) --
-    "q_sim_ann_ivf_recall",
-    "q_dedup_simhash_eval",
-    "q_stream_incremental",
+    # -- never driver-checked (59): the r5 window (1-50) + r6 lead (51-59) --
     "q_doc_repetition",
     "q_text_contamination",
     "q_pii_redact",
@@ -169,6 +103,141 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_negative_samples",
     "q_funnel_windowed",
     "q_dup_span_removal",
+    # -- checked, staleness-ordered refresh queue: r02 rows (35) --
+    "q_sim_ann_ivf_recall",
+    "q08_market_share",
+    "q09_product_profit",
+    "q16_supplier_counts",
+    "q20_volume_suppliers",
+    "q21_sole_returner",
+    "q_join_equi",
+    "q_join_broadcast",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_outer",
+    "q_join_range",
+    "q_window_topk",
+    "q_window_running",
+    "q_mr_stream_reduce",
+    "q_mr_wordcount_gz",
+    "q_mr_weighted_avg",
+    "q_mr_aux_join",
+    "q_dedup_exact",
+    "q_sim_topk",
+    "q_text_stats",
+    "q_text_langid",
+    "q_text_fingerprint",
+    "q_token_count",
+    "q_multimodal_meta",
+    "q_percentiles",
+    "q_approx_distinct",
+    "q_approx_percentile",
+    "q_scalar_array",
+    "q_scalar_map",
+    "q_collect_agg",
+    "q_sink_roundtrip",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    # -- r03 rows (47) --
+    "q_dedup_simhash_eval",
+    "q_stream_incremental",
+    "q11_revenue_share",
+    "q15_top_supplier",
+    "q_join_range_bucketed",
+    "q_join_salted",
+    "q_join_asof",
+    "q_join_asof_fwd",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q_window_lag",
+    "q_window_moving_avg",
+    "q_window_range_frame",
+    "q_window_rank_scalable",
+    "q_window_cume_scalable",
+    "q_sessionize",
+    "q_mr_udtf_tokens",
+    "q_mr_udaf_wavg",
+    "q_dedup_jaccard",
+    "q_dedup_minhash",
+    "q_dedup_clusters",
+    "q_dedup_simhash",
+    "q_dedup_embedding",
+    "q_dedup_embedding_matmul",
+    "q_dedup_embedding_auto",
+    "q_sim_ann_lsh",
+    "q_sim_ann_ivf",
+    "q_text_quality",
+    "q_token_count_bpe",
+    "q_pipeline_prepare",
+    "q_doc_chunking",
+    "q_multimodal_features",
+    "q_multimodal_frames",
+    "q_stream_stream_join",
+    "q_stream_dedup_watermark",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session_window",
+    "q_stream_stateful_max",
+    "q01_pricing_summary",
+    "q_freq_items",
+    "q_upsert",
+    "q_skew_report",
+    "q_visible_files",
+    "q_corrupt_capture",
+    "q_job_cascade",
+    "q17_small_quantity_revenue",
+    # -- r04 rows (50) --
+    "q_text_fuzzy_match",
+    "q_embedding_norm",
+    "q_json_extract",
+    "q_orders_by_month",
+    "q_scalar_datetime",
+    "q_scalar_string",
+    "q_scalar_math",
+    "q_case_when",
+    "q_fillna",
+    "q_posexplode",
+    "q_filter_project",
+    "q_distinct",
+    "q_count_distinct",
+    "q_topk_orders",
+    "q_offset_page",
+    "q_union",
+    "q_intersect",
+    "q_intersect_all",
+    "q_except",
+    "q_except_all",
+    "q_pivot",
+    "q_unpivot",
+    "q_rollup",
+    "q_cube",
+    "q_grouping_sets",
+    "q_rollup_grouping",
+    "q_stats_agg",
+    "q_median_agg",
+    "q_mode_agg",
+    "q_string_agg",
+    "q_bool_agg",
+    "q_sample_agg",
+    "q_sample_stratified",
+    "q_salted_agg",
+    "q_scalar_subquery",
+    "q_window_firstlast",
+    "q04_priority_check",
+    "q06_forecast_revenue",
+    "q07_nation_volume",
+    "q10_returned_items",
+    "q12_priority_by_status",
+    "q13_order_count_dist",
+    "q14_promo_share",
+    "q_sim_ann_lsh_recall",
+    "q_window_rank_dist_demo",
+    "q_window_cume_demo",
+    "q_stream_incremental_dedup",
+    "q02_min_cost_supplier",
+    "q_join_theta",
+    "q_mr_wordcount",
 )
 
 
