@@ -193,20 +193,30 @@ def main() -> None:
         drift = 1.0
     normalized = {k: round(v / drift, 3) for k, v in timings.items()}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "calibration": {**cal, "reference": CAL_REF, "drift": round(drift, 3)},
-                "value_normalized": round(sum(normalized.values()), 3),
-                "queries_normalized": normalized,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "calibration": {**cal, "reference": CAL_REF, "drift": round(drift, 3)},
+        "value_normalized": round(sum(normalized.values()), 3),
+        "queries_normalized": normalized,
+    }
+    line = json.dumps(record, separators=(",", ":"))
+    # The driver captures a tail of combined output; BENCH_r04's record
+    # was clipped because Spark progress-bar noise preceded the JSON.
+    # Defense in depth: progress bars are off (session.py), the record
+    # is also persisted to BENCH_LOCAL.json, and the line is printed
+    # twice — flushed early and again as the very last line — so any
+    # tail window contains at least one complete copy.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w"
+    ) as f:
+        f.write(line + "\n")
+    print(line, flush=True)
+    spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

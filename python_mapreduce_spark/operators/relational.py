@@ -478,11 +478,13 @@ def diff_tables(
     check this repo's own oracle harness performs against DuckDB,
     packaged as an operator.)
 
-    One full outer join on the key; comparisons are null-safe (NULL ==
-    NULL counts as equal, NULL vs value as changed). Duplicate keys are
-    the caller's contract violation — the join would fan out — so keys
-    must be unique per side (the standard snapshot shape). Returns
-    (key..., status).
+    One full outer join on the key; BOTH the key match and the value
+    comparisons are null-safe (NULL == NULL counts as equal, NULL vs
+    value as changed) — a NULL-keyed row present on both sides is
+    compared, not mis-reported as an only_a + only_b pair (ADVICE r4
+    item 4). Duplicate keys are the caller's contract violation — the
+    join would fan out — so keys must be unique per side (the standard
+    snapshot shape). Returns (key..., status).
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
 
@@ -495,7 +497,7 @@ def diff_tables(
     )
     cond = None
     for k in keys:
-        c = pa[k] == pb[f"__b_{k}"]
+        c = pa[k].eqNullSafe(pb[f"__b_{k}"])
         cond = c if cond is None else cond & c
     j = pa.join(pb, cond, "full_outer")
     same = None

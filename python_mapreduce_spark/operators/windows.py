@@ -423,7 +423,13 @@ def negative_samples(
 
     Returns (anchor_id, neg_id, j) for j in 1..k; a stride that lands
     back on the anchor (only possible when the corpus is no bigger
-    than ~k) is dropped rather than emitted as a self-pair.
+    than ~k) is dropped rather than emitted as a self-pair. In that
+    same degenerate regime (n <= k+1) distinct j values can also wrap
+    to the SAME neg_id, so (anchor_id, neg_id) pairs are not distinct
+    — callers needing distinct negatives on toy corpora should
+    ``dropDuplicates(["anchor_id", "neg_id"])``; for any real corpus
+    (n > k+1) every stride is distinct by construction (ADVICE r4
+    item 2).
 
     Plan shape: one deterministic_shuffle (range exchange + local
     numbering), a k-row explode of rank offsets, and one rank-keyed

@@ -1106,7 +1106,7 @@ SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
             WHEN a.doc_id IS NULL THEN 'only_b'
             WHEN a.text IS NOT DISTINCT FROM b.text THEN 'same'
             ELSE 'changed' END AS status
-FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+FROM a FULL OUTER JOIN b ON a.doc_id IS NOT DISTINCT FROM b.doc_id
 """
 
 

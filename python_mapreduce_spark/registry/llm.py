@@ -1166,8 +1166,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed(edges, "src", "dst", iterations=3)
 
 
-def _sql_pagerank(iterations: int = 3) -> str:
+def _sql_pagerank(iterations: int = 3, damping: float = 0.85) -> str:
     r6 = lambda x: f"floor(({x}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    # Interpolate the EXACT Python doubles the Spark side evaluates
+    # (F.lit(1.0 - damping) is 0.15000000000000002, not the SQL literal
+    # 0.15) so the bit-for-bit rounding contract can't flip a half-up
+    # boundary (ADVICE r4 item 1).
+    base, damp = repr(1.0 - damping), repr(damping)
     parts = [
         """WITH e AS (
   SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS s,
@@ -1191,7 +1196,7 @@ c{i} AS (
 ),
 r{i} AS (
   SELECT nodes.node,
-         {r6(f'0.15 / n.n + 0.85 * coalesce(CAST(c{i}.i AS DOUBLE), 0.0)')} AS rank
+         {r6(f'{base} / n.n + {damp} * coalesce(CAST(c{i}.i AS DOUBLE), 0.0)')} AS rank
   FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node CROSS JOIN n
 )"""
         )
@@ -1920,9 +1925,20 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # straddle train/val/test. The oracle replays the exact-Jaccard
     # pair graph, a recursive-CTE reachability closure, and the shared
     # md5-bucket split rule on the representative.
+    #
+    # Oracle-exposure note (ADVICE r4 item 3): the Spark side's pair
+    # graph comes from MinHash-LSH candidates (exact-Jaccard verified,
+    # candidate recall < 1) while the oracle computes the FULL exact
+    # pair set — one missed candidate would fail the gate. The registry
+    # call therefore runs widened banding (64 hashes, 32x2) so the
+    # per-pair miss probability at j >= 0.8 is (1 - 0.8^2)^32 ~= 6e-15,
+    # shrinking (not growing) with corpus size times that constant;
+    # library default stays 16x2 (~1e-7), the documented scale recipe.
     from python_mapreduce_spark.llm.dedup import leakage_safe_split  # noqa: PLC0415
 
-    return leakage_safe_split(table(spark, sf_dir, "documents"), "doc_id", "text")
+    return leakage_safe_split(
+        table(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=64, bands=32
+    )
 
 
 SQL_CLUSTER_SPLIT = f"""

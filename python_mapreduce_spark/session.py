@@ -63,6 +63,9 @@ _BUILD_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.default.parallelism": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.ui.enabled": "false",
+    # No console progress bars: they interleave with stdout and have
+    # corrupted a captured bench record (BENCH_r04 "parsed": null).
+    "spark.ui.showConsoleProgress": "false",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Bigger Arrow batches amortize Python worker round-trips.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "100000",
