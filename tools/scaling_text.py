@@ -17,9 +17,11 @@ tagged-row count ~R^2. This harness measures, at two scale factors:
   * duplicate-tagged instances (the join fan-out: sum of n_dup);
   * wall-clock of the full per-doc coverage computation.
 
-Usage: python tools/scaling_text.py [small_sf_dir big_sf_dir]
-Exits nonzero if any growth gate (2x corpus ratio) fails; prints a
-markdown table.
+Usage: python tools/scaling_text.py [sf_dir sf_dir ...]
+Two or more dirs (default sf0.01 sf0.1; add the
+tools/make_scale_corpus.py output as a third decade); every adjacent
+pair is gated at 2x its size ratio. Exits nonzero on any breach;
+prints a markdown table.
 """
 
 from __future__ import annotations
@@ -91,33 +93,30 @@ def measure(spark, sf_dir: str) -> dict:
 
 
 def main() -> int:
-    small, big = (
-        sys.argv[1:3] if len(sys.argv) >= 3 else ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
-    )
+    from tools.scaling_common import run_gates  # noqa: PLC0415
+
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
     spark = get_spark("scaling-text", master="local[16]")
     tune(spark)
-    a, b = measure(spark, small), measure(spark, big)
-    r = b["docs"] / a["docs"]
-
-    print(f"| metric | {small} | {big} | ratio | gate (<= {2 * r:.0f}x = 2R) |")
-    print("|---|---|---|---|---|")
-    failures = []
-    for key in (
-        "docs", "gram_instances", "dup_tagged", "segments", "segments_kept",
-        "lm_bigrams", "span_removed_tokens", "t_coverage",
-        "t_segment_dedup", "t_bigram_lm", "t_span_removal",
-    ):
-        ratio = (b[key] / a[key]) if a[key] else float("inf")
-        gate = "" if key == "docs" else ("ok" if ratio <= 2 * r else "FAIL")
-        if gate == "FAIL":
-            failures.append(key)
-        print(f"| {key} | {a[key]} | {b[key]} | {ratio:.2f}x | {gate} |")
-    print(f"\ncorpus size ratio R = {r:.2f}x; linear gate = 2R = {2 * r:.2f}x")
-    if failures:
-        print(f"SUPERLINEAR GROWTH in: {failures}")
-        return 1
-    print("NEAR-LINEAR: all growth ratios within 2x of corpus ratio")
-    return 0
+    # span_removed_tokens is reported but NOT gated: it counts the
+    # corpus's duplicated-span MASS (tokens inside >=min_df 5-grams), a
+    # birthday statistic — on iid word-soup text, random 5-gram
+    # collisions accumulate ~n^2/|gram space| until saturation, so the
+    # output grows superlinearly (measured 13.8x on the real
+    # sf0.01->sf0.1 decade, 28x on the synthetic third decade) even
+    # though the WORK is linear: the shuffle payload is gram_instances
+    # (9.96-9.99x per decade) and t_span_removal tracks it. Gating an
+    # output-mass metric would assert a property of the data, not of
+    # the plan.
+    return run_gates(
+        dirs,
+        lambda d: measure(spark, d),
+        "docs",
+        ("gram_instances", "dup_tagged", "segments", "segments_kept",
+         "lm_bigrams", "t_coverage",
+         "t_segment_dedup", "t_bigram_lm", "t_span_removal"),
+        info_keys=("span_removed_tokens",),
+    )
 
 
 if __name__ == "__main__":
