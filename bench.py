@@ -94,6 +94,12 @@ HEADLINE = [
     "q_scd2_history",
     "q_robust_scale",
     "q_dup_span_removal",
+    # Round-5 additions: curation quota/cap/budget ops + covariance.
+    "q_domain_cap",
+    "q_stratified_split_exact",
+    "q_quality_quota",
+    "q_token_budget",
+    "q_embed_covariance",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from python_mapreduce_spark.functions.scalar import dround
+
 
 def _round6(x: np.ndarray) -> np.ndarray:
     """The numpy twin of functions.scalar.dround(..., 6)."""
@@ -493,4 +495,90 @@ def nearest_centroid_confusion(
     ).mapInPandas(assign, "label long, pred_label long")
     return assigned.groupBy("label", "pred_label").agg(
         F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def embedding_covariance(emb: DataFrame, vec_col: str) -> DataFrame:
+    """Uncentered covariance (Gram) matrix of an embedding column as
+    (i, j, cov) rows — the single-pass X^T X / n statistic behind PCA /
+    whitening / anisotropy checks on a corpus of embeddings. Upper
+    triangle only (i <= j; the matrix is symmetric), dims from the
+    first row's length, NULL/ragged vectors dropped.
+
+    Exact-agreement form: both operands are widened to double BEFORE
+    the multiply (float32 x float32 would round differently per
+    engine), each product is dround-ed to 1e-8 and summed as
+    DECIMAL(28,8) — independent of summation order and bit-for-bit
+    reproducible in any engine, so the oracle twin replays it verbatim
+    (same scheme as the PageRank DECIMAL contributions). The plan
+    explodes dim*(dim+1)/2 products per row; for wide vectors at
+    extreme corpus sizes use :func:`embedding_covariance_blas` (same
+    statistic, float partials, one BLAS rank-k update per Arrow batch).
+
+    Plan shape: explode + one hash aggregation on (i, j) — partial
+    aggregation (map-side combine) reduces each task's contribution to
+    dim^2/2 decimal cells before the shuffle, so the wire carries
+    #tasks * dim^2/2 rows regardless of corpus size.
+    """
+    base = emb.filter(F.col(vec_col).isNotNull()).select(F.col(vec_col).alias("v"))
+    n_row = base.select(F.size("v").alias("d")).first()
+    if n_row is None:  # empty corpus: empty matrix, not a crash
+        return emb.sparkSession.createDataFrame([], "i long, j long, cov double")
+    dim = int(n_row.d)
+    pairs = (
+        base.select(F.posexplode("v").alias("i", "x"), F.col("v"))
+        .select(
+            "i",
+            "x",
+            F.explode(F.sequence(F.col("i"), F.lit(dim - 1))).alias("j"),
+            F.col("v"),
+        )
+        .select(
+            "i",
+            "j",
+            dround(
+                F.col("x").cast("double")
+                * F.element_at("v", F.col("j") + 1).cast("double"),
+                8,
+            )
+            .cast("decimal(28,8)")
+            .alias("p"),
+        )
+    )
+    n = base.count()
+    return (
+        pairs.groupBy("i", "j")
+        .agg((F.sum("p").cast("double") / F.lit(n)).alias("cov"))
+        .select(F.col("i").cast("long").alias("i"), F.col("j").cast("long").alias("j"), "cov")
+    )
+
+
+def embedding_covariance_blas(emb: DataFrame, vec_col: str) -> DataFrame:
+    """The at-scale form of :func:`embedding_covariance`: each Arrow
+    batch contributes ONE BLAS ``X^T X`` rank-k update (a dim x dim
+    float64 matrix) via mapInPandas, and the dim^2 partial cells are
+    summed in one tiny hash aggregation — float summation order varies
+    with partitioning, so results match the exact form to ~1e-9, not
+    bit-for-bit (tests assert closeness; the registry oracle gates the
+    exact form).
+    """
+    base = emb.filter(F.col(vec_col).isNotNull()).select(F.col(vec_col).alias("v"))
+    n = base.count()
+    if n == 0:
+        return emb.sparkSession.createDataFrame([], "i long, j long, cov double")
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["v"].values).astype(np.float64)
+            g = x.T @ x
+            d = g.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame({"i": iu, "j": ju, "p": g[iu, ju]})
+
+    return (
+        base.mapInPandas(partials, "i long, j long, p double")
+        .groupBy("i", "j")
+        .agg((F.sum("p") / F.lit(n)).alias("cov"))
     )

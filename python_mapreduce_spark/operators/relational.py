@@ -514,3 +514,182 @@ def diff_tables(
         F.coalesce(F.col(k), F.col(f"__b_{k}")).alias(k) for k in keys
     ]
     return j.select(*out_keys, status.alias("status"))
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    cap: int,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Per-domain frequency capping: keep at most ``cap`` rows per
+    domain, chosen deterministically — the "no single host dominates
+    the corpus" guard every web-scale training pipeline runs (the
+    complement of :func:`domain_mix`, which rebalances by FRACTION;
+    capping bounds the absolute count, which is what protects against
+    the head domains at 100 TB).
+
+    Which rows survive is decided by md5(id || salt) ascending (id
+    tiebreak) — uniform, auditable, reproducible in any engine, and
+    independent of row order/partitioning; changing the salt re-deals
+    the survivors.
+
+    Plan shape: one window ``row_number() <= cap`` over the domain.
+    Spark's WindowGroupLimit rewrites that filter into a per-map-task
+    top-``cap`` heap per domain followed by a final per-domain limit,
+    so a billion-row head domain never funnels through one task's full
+    sort — shuffle payload is ~cap rows per domain per map partition.
+    """
+    if cap <= 0:
+        raise ValueError(f"cap must be positive: {cap}")
+    from pyspark.sql import Window  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    w = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def stratified_exact_split(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    id_col: str,
+    splits: Sequence[tuple[str, float]] = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    *,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Exact-proportion stratified split: within every stratum, assign
+    splits by POSITION in the md5-shuffled order so the realized counts
+    are exact (floor(frac * n) per leading split, remainder to the
+    last) — unlike :func:`hash_split`, whose thresholds are exact only
+    in expectation. The price is a count aggregation + a window; the
+    gain is per-stratum proportions that hold for 10-row strata, where
+    hash thresholds can misallocate badly.
+
+    Assignment rule: rank rows per stratum by md5(id || salt) (id
+    tiebreak); row r of n goes to the first split whose cumulative
+    rounded count covers r. Deterministic and order-independent, but —
+    by design — NOT stable under corpus growth (positions shift);
+    growth-stable assignment is hash_split's contract.
+
+    Plan shape: one per-stratum count (broadcast back via equi-join on
+    the strata — small by the "strata are coarse" contract) plus one
+    row_number window per stratum. A pathologically hot single stratum
+    sorts in one window partition; for that regime use hash_split.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    if not splits:
+        raise ValueError("splits must name at least one split")
+    weights = [w for _, w in splits]
+    if min(weights) < 0 or sum(weights) <= 0:
+        raise ValueError(f"split weights must be >= 0 with a positive sum: {weights}")
+    total = float(sum(weights))
+    strata = list(strata_cols)
+
+    counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy(*strata).orderBy(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), F.col(id_col)
+    )
+    ranked = df.join(counts, strata).withColumn("__rn", F.row_number().over(w))
+
+    expr, cum = None, 0.0
+    for name, wt in splits[:-1]:
+        cum += wt / total
+        clause = F.col("__rn") <= F.floor(F.lit(cum) * F.col("__n"))
+        expr = F.when(clause, name) if expr is None else expr.when(clause, name)
+    last = splits[-1][0]
+    assigned = F.lit(last) if expr is None else expr.otherwise(last)
+    return ranked.withColumn(split_col, assigned).drop("__rn", "__n")
+
+
+def quality_quota_select(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    score_col: str,
+    *,
+    frac: float = 0.5,
+    min_per_group: int = 0,
+) -> DataFrame:
+    """Global quality selection with per-group floors: keep the overall
+    top ``frac`` of rows by score, PLUS the top ``min_per_group`` rows
+    of every group that the global cut would starve — the curation step
+    that keeps the best of the corpus without silently deleting the
+    long-tail domains/languages a balanced training mix needs.
+
+    Selection is deterministic: global rank by (score DESC, id ASC)
+    against floor(frac * N); group floors by the same order within the
+    group. Returns the input rows plus a ``reason`` column
+    ('global' — made the cut; 'quota' — rescued by its group floor).
+
+    Plan shape: the global cut is a threshold on the distributed rank
+    (operators/windows.py::global_row_number scheme — range exchange,
+    no single-task window); the floor is a per-group
+    ``row_number() <= min_per_group`` window that WindowGroupLimit
+    bounds map-side. One count aggregate supplies N.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from python_mapreduce_spark.operators.windows import global_row_number  # noqa: PLC0415
+
+    if not 0 < frac <= 1:
+        raise ValueError(f"frac must be in (0, 1]: {frac}")
+    n = df.count()
+    k = int(frac * n)
+    neg = df.withColumn("__neg", -F.col(score_col))
+    ranked = global_row_number(neg, ["__neg", id_col], out="__grank").drop("__neg")
+    wg = Window.partitionBy(group_col).orderBy(F.desc(score_col), F.col(id_col))
+    both = ranked.withColumn("__qrank", F.row_number().over(wg))
+    out = both.filter(
+        (F.col("__grank") <= k) | (F.col("__qrank") <= min_per_group)
+    ).withColumn(
+        "reason",
+        F.when(F.col("__grank") <= k, "global").otherwise("quota"),
+    )
+    return out.drop("__grank", "__qrank")
+
+
+def token_budget_cut(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Token-budget curation: walk the corpus in (score DESC, id ASC)
+    order and keep documents while the running token total stays within
+    ``budget`` — "give me the best N-token training set", the last step
+    before tokenization once quality scores exist. A document is kept
+    iff the running sum THROUGH it is <= budget (documents larger than
+    the remaining budget are skipped only if they appear later in the
+    order — the rule is a prefix cut, not a knapsack; deterministic and
+    auditable).
+
+    Returns the kept rows with their ``cum_tokens`` running total.
+
+    Plan shape: the running sum is
+    operators/windows.py::global_running_sum — range exchange +
+    per-range-partition window + broadcast offsets, so no single-task
+    ``SUM() OVER (ORDER BY ...)`` exists at any scale; the cut itself
+    is a pushed-down filter.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from python_mapreduce_spark.operators.windows import global_running_sum  # noqa: PLC0415
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    neg = df.withColumn("__neg", -F.col(score_col))
+    cum = global_running_sum(neg, ["__neg", id_col], tokens_col, out="cum_tokens")
+    return cum.filter(F.col("cum_tokens") <= budget).drop("__neg")

@@ -2278,6 +2278,153 @@ FROM g JOIN c USING (id) JOIN p USING (id) CROSS JOIN thr
 SQL_DATA_CARD = SQL_DATA_CARD.replace("{GOPHER}", SQL_GOPHER_FILTER)
 
 
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-domain frequency capping (operators/relational.py::
+    # domain_cap): keep at most 10 docs per source, survivors chosen by
+    # md5(doc_id) order. The oracle replays the rank rule verbatim;
+    # WindowGroupLimit keeps the Spark plan map-side-bounded.
+    from python_mapreduce_spark.operators.relational import domain_cap  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return domain_cap(docs, "source", "doc_id", 10)
+
+
+SQL_DOMAIN_CAP = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 10
+"""
+
+
+def q_stratified_split_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact-proportion per-stratum split (operators/relational.py::
+    # stratified_exact_split): 80/10/10 within every lang, assignment by
+    # position in the md5-shuffled per-stratum order. Cumulative-
+    # fraction literals below are interpolated from the SAME Python
+    # floats the Spark side accumulates (0.8, then 0.8+0.1 =
+    # 0.9000000000000001), forced to DOUBLE so both engines floor the
+    # identical product.
+    from python_mapreduce_spark.operators.relational import (  # noqa: PLC0415
+        stratified_exact_split,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_exact_split(docs, ["lang"], "doc_id")
+
+
+_CUM_TRAIN = 0.8
+_CUM_VAL = 0.8 + 0.1  # = 0.9000000000000001, the exact double Spark sees
+
+SQL_STRATIFIED_SPLIT_EXACT = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN rn <= floor(CAST({_CUM_TRAIN!r} AS DOUBLE) * n) THEN 'train'
+            WHEN rn <= floor(CAST({_CUM_VAL!r} AS DOUBLE) * n) THEN 'val'
+            ELSE 'test' END AS split
+FROM ranked
+"""
+
+
+def q_quality_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Global top-10% by n_chars plus a top-15 floor per source
+    # (operators/relational.py::quality_quota_select) — the curation
+    # step that keeps long-tail domains alive through a global quality
+    # cut. Python computes k = int(0.1 * n) on the same double the
+    # oracle floors, so the cutoffs agree at every corpus size.
+    from python_mapreduce_spark.operators.relational import (  # noqa: PLC0415
+        quality_quota_select,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return quality_quota_select(
+        docs, "source", "doc_id", "n_chars", frac=0.1, min_per_group=15
+    )
+
+
+SQL_QUALITY_QUOTA = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS grank,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+         ) AS qrank
+  FROM documents
+), tot AS (SELECT CAST(floor(CAST(0.1 AS DOUBLE) * count(*)) AS BIGINT) AS k FROM documents)
+SELECT doc_id, source, n_chars,
+       CASE WHEN grank <= tot.k THEN 'global' ELSE 'quota' END AS reason
+FROM ranked CROSS JOIN tot
+WHERE grank <= tot.k OR qrank <= 15
+"""
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Token-budget curation (operators/relational.py::token_budget_cut):
+    # best-first (n_chars DESC, doc_id) prefix of the corpus whose
+    # running char total stays within 50k. The running sum is the
+    # distributed global_running_sum (range exchange + broadcast
+    # offsets) — the oracle's single-task SUM OVER is the semantic twin
+    # only.
+    from python_mapreduce_spark.operators.relational import token_budget_cut  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return token_budget_cut(docs, "doc_id", "n_chars", "n_chars", 50_000)
+
+
+SQL_TOKEN_BUDGET = """
+SELECT doc_id, n_chars, cum_tokens FROM (
+  SELECT doc_id, n_chars,
+         CAST(sum(n_chars) OVER (
+           ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS cum_tokens
+  FROM documents
+) WHERE cum_tokens <= 50000
+"""
+
+
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-pass uncentered covariance of the embedding corpus
+    # (llm/similarity.py::embedding_covariance) as (i, j, cov) upper-
+    # triangle rows — the X^T X statistic behind PCA/whitening. DECIMAL
+    # product sums make both engines bit-identical regardless of
+    # summation order (the PageRank scheme); the BLAS form
+    # (embedding_covariance_blas) is the at-scale twin, tested for
+    # 1e-9 agreement in tests/test_llm_ops.py.
+    from python_mapreduce_spark.llm.similarity import embedding_covariance  # noqa: PLC0415
+
+    return embedding_covariance(table(spark, sf_dir, "embeddings"), "embedding")
+
+
+SQL_EMBED_COVARIANCE = f"""
+WITH base AS (SELECT embedding AS v FROM embeddings WHERE embedding IS NOT NULL),
+n AS (SELECT count(*) AS n FROM base),
+dims AS (SELECT unnest(generate_series(0, len(v) - 1)) AS i
+         FROM (SELECT v FROM base LIMIT 1)),
+pairs AS (
+  SELECT di.i AS i, dj.i AS j,
+         CAST({sql_dround('CAST(v[di.i + 1] AS DOUBLE) * CAST(v[dj.i + 1] AS DOUBLE)', 8)}
+              AS DECIMAL(28,8)) AS p
+  FROM base, dims di, dims dj
+  WHERE dj.i >= di.i
+)
+SELECT i, j, CAST(sum(p) AS DOUBLE) / n.n AS cov
+FROM pairs CROSS JOIN n GROUP BY i, j, n.n
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, "exact dedup on normalized text"),
     "q_dedup_jaccard": Query(q_dedup_jaccard, _SQL_JACCARD_PAIRS_CAPPED, "3-gram Jaccard near-dup pairs (df-capped)"),
@@ -2387,5 +2534,14 @@ QUERIES: dict[str, Query] = {
     ),
     "q_pseudonymize": Query(
         q_pseudonymize, SQL_PSEUDONYMIZE, "keyed sha256 pseudonymization preserving join integrity"
+    ),
+    "q_domain_cap": Query(q_domain_cap, SQL_DOMAIN_CAP, "per-domain frequency cap (md5-order survivors)"),
+    "q_stratified_split_exact": Query(
+        q_stratified_split_exact, SQL_STRATIFIED_SPLIT_EXACT, "exact-proportion per-stratum split"
+    ),
+    "q_quality_quota": Query(q_quality_quota, SQL_QUALITY_QUOTA, "global quality cut with per-group floors"),
+    "q_token_budget": Query(q_token_budget, SQL_TOKEN_BUDGET, "best-first token-budget prefix cut"),
+    "q_embed_covariance": Query(
+        q_embed_covariance, SQL_EMBED_COVARIANCE, "single-pass embedding covariance (PCA prep)"
     ),
 }

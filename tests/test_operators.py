@@ -959,3 +959,135 @@ def test_negative_samples_properties(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         negative_samples(df, "doc_id", k=0)
+
+
+def test_domain_cap_bounds_every_domain_deterministically(spark, tables):
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.relational import domain_cap
+
+    docs = tables["documents"].select("doc_id", "source")
+    capped = domain_cap(docs, "source", "doc_id", 3)
+    per = capped.groupBy("source").count()
+    assert per.agg(F.max("count")).first()[0] <= 3
+    # domains under the cap are untouched
+    small = docs.groupBy("source").count().filter(F.col("count") <= 3).count()
+    assert per.filter(F.col("count") < 3).count() <= small
+    # deterministic: same survivors on re-run and under reordering
+    again = domain_cap(docs.orderBy(F.desc("doc_id")), "source", "doc_id", 3)
+    assert {r.doc_id for r in capped.collect()} == {r.doc_id for r in again.collect()}
+    # salt re-deals
+    other = domain_cap(docs, "source", "doc_id", 3, salt="epoch2")
+    assert {r.doc_id for r in other.collect()} != {r.doc_id for r in capped.collect()}
+
+
+def test_stratified_exact_split_proportions_are_exact(spark, tables):
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.relational import stratified_exact_split
+
+    docs = tables["documents"].select("doc_id", "lang")
+    out = stratified_exact_split(docs, ["lang"], "doc_id")
+    per = {
+        (r.lang, r.split): r["count"]
+        for r in out.groupBy("lang", "split").count().collect()
+    }
+    n_per = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    for lang, n in n_per.items():
+        train = per.get((lang, "train"), 0)
+        val = per.get((lang, "val"), 0)
+        test = per.get((lang, "test"), 0)
+        assert train == int(0.8 * n)  # floor of the same double
+        assert train + val == int((0.8 + 0.1) * n)
+        assert train + val + test == n
+    # every row assigned exactly once
+    assert out.count() == docs.count()
+
+
+def test_quality_quota_rescues_starved_groups(spark, tables):
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.relational import quality_quota_select
+
+    docs = tables["documents"].select("doc_id", "source", "n_chars")
+    n = docs.count()
+    out = quality_quota_select(
+        docs, "source", "doc_id", "n_chars", frac=0.1, min_per_group=2
+    ).cache()
+    k = int(0.1 * n)
+    assert out.filter(F.col("reason") == "global").count() == k
+    # every group with >= 2 rows keeps at least 2
+    eligible = docs.groupBy("source").count().filter(F.col("count") >= 2).count()
+    kept_per = out.groupBy("source").count()
+    assert kept_per.filter(F.col("count") >= 2).count() == eligible
+    # global selection is the true top-k by (score desc, id)
+    top = {
+        r.doc_id
+        for r in docs.orderBy(F.desc("n_chars"), "doc_id").limit(k).collect()
+    }
+    assert {r.doc_id for r in out.filter(F.col("reason") == "global").collect()} == top
+    out.unpersist()
+
+
+def test_token_budget_cut_is_best_first_prefix(spark, tables):
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.windows import global_running_sum  # noqa: F401
+
+    from python_mapreduce_spark.operators.relational import token_budget_cut
+
+    docs = tables["documents"].select("doc_id", "n_chars")
+    budget = 5000
+    out = token_budget_cut(docs, "doc_id", "n_chars", "n_chars", budget).cache()
+    rows = sorted(
+        ((r.doc_id, r.n_chars, r.cum_tokens) for r in out.collect()),
+        key=lambda t: t[2],
+    )
+    assert rows, "budget keeps at least the best doc"
+    assert rows[-1][2] <= budget
+    # replay: python prefix over the same order equals the kept set
+    ordered = sorted(
+        ((r.doc_id, r.n_chars) for r in docs.collect()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    acc, expect = 0, []
+    for did, nc in ordered:
+        acc += nc
+        if acc > budget:
+            break
+        expect.append((did, nc, acc))
+    assert rows == expect
+    out.unpersist()
+
+
+def test_embedding_covariance_forms_agree_and_are_symmetric_stats(spark, tables):
+    import numpy as np
+
+    from python_mapreduce_spark.llm.similarity import (
+        embedding_covariance,
+        embedding_covariance_blas,
+    )
+
+    emb = tables["embeddings"]
+    a = embedding_covariance(emb, "embedding").toPandas().set_index(["i", "j"]).sort_index()
+    b = (
+        embedding_covariance_blas(emb, "embedding")
+        .toPandas()
+        .set_index(["i", "j"])
+        .sort_index()
+    )
+    assert len(a) == 64 * 65 // 2 and len(b) == len(a)
+    assert float((a["cov"] - b["cov"]).abs().max()) < 1e-8
+    # unit-norm corpus: trace == 1 (sum of diagonal)
+    diag = a.loc[[(i, i) for i in range(64)], "cov"].sum()
+    assert abs(diag - 1.0) < 1e-6
+    # numpy ground truth
+    import pyarrow.parquet as pq  # noqa: F401
+
+    pdf = emb.select("embedding").toPandas()
+    x = np.stack(pdf["embedding"].values).astype(np.float64)
+    g = (x.T @ x) / len(x)
+    iu = [(i, j) for i in range(64) for j in range(i, 64)]
+    truth = np.array([g[i, j] for i, j in iu])
+    got = a.loc[iu, "cov"].to_numpy()
+    assert float(np.abs(got - truth).max()) < 1e-7
