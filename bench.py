@@ -100,6 +100,8 @@ HEADLINE = [
     "q_quality_quota",
     "q_token_budget",
     "q_embed_covariance",
+    "q_chunk_pack",
+    "q_equi_freq_bins",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

@@ -659,3 +659,47 @@ def winsorize(
         v.alias(value_col),
         F.greatest(F.least(v, F.col("__hi")), F.col("__lo")).alias(out_col),
     )
+
+
+def equi_freq_bins(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    *,
+    n_bins: int = 10,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Per-group equal-frequency discretization: assign each value the
+    bucket index ``1 + #{thresholds < value}`` where the thresholds are
+    the group's interpolated (i/n_bins)-quantiles — the feature-binning
+    step (decile flags, quantile-bucketed labels) of ML prep, sibling
+    of :func:`robust_scale` and :func:`winsorize`. Bins are 1..n_bins;
+    ties at a threshold fall into the LOWER bin (strict <), so the rule
+    is deterministic and engine-reproducible; heavily repeated values
+    can make bins uneven — that's the data, not the rule.
+
+    One grouped exact-percentile aggregation (thresholds rounded to
+    1e-6 before comparison, same scheme as robust_scale), broadcast
+    back onto the stream; the bin assignment is a size(filter(...))
+    over an n_bins-element array — a per-row HOF over a handful of
+    elements, not a per-token loop.
+    """
+    ks = list(keys)
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2: {n_bins}")
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    stats = df.groupBy(*ks).agg(
+        F.array(
+            *[
+                dround(F.expr(f"percentile({value_col}, {f!r}D)"), 6)
+                for f in fracs
+            ]
+        ).alias("__thr")
+    )
+    v = F.col(value_col).cast("double")
+    bin_expr = (
+        F.size(F.filter("__thr", lambda t: t < v)) + F.lit(1)
+    ).cast("long")
+    return df.join(F.broadcast(stats), ks).select(
+        *ks, v.alias(value_col), bin_expr.alias(out_col)
+    )

@@ -465,3 +465,62 @@ def negative_samples(
         F.col(id_col).alias("neg_id"), F.col("shuffle_order").alias("__neg_rank")
     )
     return anchors.join(negs, "__neg_rank").select("anchor_id", "neg_id", "j")
+
+
+def chunk_pack(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    seq_len: int,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: lay every document's tokens
+    end-to-end in the md5-shuffled order and cut the stream into fixed
+    ``seq_len`` training sequences — the GPT-style pretraining packer
+    where documents STRADDLE sequence boundaries (zero padding waste),
+    as opposed to :func:`shard-style<global_running_sum>` whole-doc
+    binning. Returns one row per (document x sequence it overlaps):
+
+      (id, seq_id, doc_offset, seq_offset, n_tokens)
+
+    ``doc_offset`` = first packed token's position within the document,
+    ``seq_offset`` = its position within the sequence; a document
+    spanning three sequences emits three rows whose n_tokens sum to its
+    token count. Deterministic, order/partitioning-independent, salt
+    re-deals the permutation per epoch.
+
+    Plan shape: one distributed running sum over the md5 total order
+    (:func:`global_running_sum` — range exchange + broadcast offsets,
+    no single-task window), then a per-row explode over the 1 + a few
+    sequences each document overlaps. No shuffle after the range
+    exchange; zero-token documents emit nothing.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive: {seq_len}")
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(tokens_col).cast("long").alias("__t")
+    ).withColumn("__k", F.md5(F.concat(F.col("id").cast("string"), F.lit(salt))))
+    cum = global_running_sum(base, ["__k", "id"], "__t", out="__end")
+    spans = (
+        cum.filter(F.col("__t") > 0)
+        .withColumn("__start", F.col("__end") - F.col("__t"))
+        .withColumn(
+            "seq_id",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__start") / seq_len),
+                    F.floor((F.col("__end") - 1) / seq_len),
+                )
+            ),
+        )
+    )
+    g_start = F.greatest(F.col("__start"), F.col("seq_id") * seq_len)
+    g_end = F.least(F.col("__end"), (F.col("seq_id") + 1) * seq_len)
+    return spans.select(
+        "id",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (g_start - F.col("__start")).cast("long").alias("doc_offset"),
+        (g_start - F.col("seq_id") * seq_len).cast("long").alias("seq_offset"),
+        (g_end - g_start).cast("long").alias("n_tokens"),
+    )

@@ -2425,6 +2425,73 @@ FROM pairs CROSS JOIN n GROUP BY i, j, n.n
 """
 
 
+
+
+def q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # GPT-style concat-then-chunk sequence packing
+    # (operators/windows.py::chunk_pack): documents laid end-to-end in
+    # md5 order, cut into 2048-token sequences, docs straddling
+    # boundaries. The running sum is the distributed
+    # global_running_sum; the oracle's single-task SUM OVER is the
+    # semantic twin only.
+    from python_mapreduce_spark.operators.windows import chunk_pack  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return chunk_pack(docs, "doc_id", "n_chars", 2048)
+
+
+SQL_CHUNK_PACK = """
+WITH base AS (
+  SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS t,
+         md5(CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+),
+cum AS (
+  SELECT id, t,
+         CAST(sum(t) OVER (ORDER BY k, id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+  FROM base
+),
+spans AS (
+  SELECT id, t, e, e - t AS s,
+         unnest(generate_series((e - t) // 2048, (e - 1) // 2048)) AS seq_id
+  FROM cum WHERE t > 0
+)
+SELECT id, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(s, seq_id * 2048) - s AS BIGINT) AS doc_offset,
+       CAST(greatest(s, seq_id * 2048) - seq_id * 2048 AS BIGINT) AS seq_offset,
+       CAST(least(e, (seq_id + 1) * 2048) - greatest(s, seq_id * 2048) AS BIGINT) AS n_tokens
+FROM spans
+"""
+
+
+def q_equi_freq_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Equal-frequency discretization (operators/aggregates.py::
+    # equi_freq_bins): per-event-type quartile buckets over value —
+    # thresholds are interpolated exact percentiles rounded to 1e-6
+    # before the strict-< comparison (the robust_scale scheme), so both
+    # engines bin identically.
+    from python_mapreduce_spark.operators.aggregates import equi_freq_bins  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    return equi_freq_bins(ev, ["event_type"], "value", n_bins=4)
+
+
+SQL_EQUI_FREQ_BINS = f"""
+WITH thr AS (
+  SELECT event_type,
+         list_value(
+           {sql_dround('quantile_cont(value, 0.25)', 6)},
+           {sql_dround('quantile_cont(value, 0.5)', 6)},
+           {sql_dround('quantile_cont(value, 0.75)', 6)}
+         ) AS t
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, CAST(e.value AS DOUBLE) AS value,
+       CAST(1 + len(list_filter(thr.t, x -> x < e.value)) AS BIGINT) AS bin
+FROM events e JOIN thr ON e.event_type = thr.event_type
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, "exact dedup on normalized text"),
     "q_dedup_jaccard": Query(q_dedup_jaccard, _SQL_JACCARD_PAIRS_CAPPED, "3-gram Jaccard near-dup pairs (df-capped)"),
@@ -2543,5 +2610,9 @@ QUERIES: dict[str, Query] = {
     "q_token_budget": Query(q_token_budget, SQL_TOKEN_BUDGET, "best-first token-budget prefix cut"),
     "q_embed_covariance": Query(
         q_embed_covariance, SQL_EMBED_COVARIANCE, "single-pass embedding covariance (PCA prep)"
+    ),
+    "q_chunk_pack": Query(q_chunk_pack, SQL_CHUNK_PACK, "concat-then-chunk sequence packing (docs straddle)"),
+    "q_equi_freq_bins": Query(
+        q_equi_freq_bins, SQL_EQUI_FREQ_BINS, "equal-frequency quantile discretization"
     ),
 }

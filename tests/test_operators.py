@@ -1091,3 +1091,63 @@ def test_embedding_covariance_forms_agree_and_are_symmetric_stats(spark, tables)
     truth = np.array([g[i, j] for i, j in iu])
     got = a.loc[iu, "cov"].to_numpy()
     assert float(np.abs(got - truth).max()) < 1e-7
+
+
+def test_chunk_pack_partitions_the_token_stream_exactly(spark, tables):
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.windows import chunk_pack
+
+    docs = tables["documents"].select("doc_id", "n_chars")
+    rows = chunk_pack(docs, "doc_id", "n_chars", 256).collect()
+    total = docs.agg(F.sum("n_chars")).first()[0]
+    # conservation: every token lands in exactly one (doc, seq) span
+    assert sum(r.n_tokens for r in rows) == total
+    # every sequence but the last is exactly full
+    seq = collections.Counter()
+    for r in rows:
+        seq[r.seq_id] += r.n_tokens
+    vals = [seq[s] for s in sorted(seq)]
+    assert all(v == 256 for v in vals[:-1])
+    assert 0 < vals[-1] <= 256
+    assert sorted(seq) == list(range(len(vals)))  # contiguous seq ids
+    # per-doc spans chain: doc_offsets partition [0, n_chars)
+    per = collections.defaultdict(list)
+    for r in rows:
+        per[r.id].append(r)
+    for rs in per.values():
+        rs.sort(key=lambda r: r.doc_offset)
+        acc = 0
+        for r in rs:
+            assert r.doc_offset == acc
+            assert 0 <= r.seq_offset < 256
+            acc += r.n_tokens
+    # salt re-deals the packing order
+    other = chunk_pack(docs, "doc_id", "n_chars", 256, salt="e2").collect()
+    assert {(r.id, r.seq_id) for r in other} != {(r.id, r.seq_id) for r in rows}
+
+
+def test_equi_freq_bins_are_balanced_and_deterministic(spark, tables):
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.aggregates import equi_freq_bins
+
+    ev = tables["events"].select("event_type", "value")
+    out = equi_freq_bins(ev, ["event_type"], "value", n_bins=4).cache()
+    # bins are 1..4 and each holds ~25% of its group (continuous values)
+    per = out.groupBy("event_type", "bin").count().collect()
+    assert {r.bin for r in per} <= {1, 2, 3, 4}
+    n_per = {r.event_type: r["count"] for r in ev.groupBy("event_type").count().collect()}
+    for r in per:
+        assert abs(r["count"] / n_per[r.event_type] - 0.25) < 0.05
+    # monotone: higher values never get lower bins within a group
+    joined = out.alias("a").join(
+        out.alias("b"),
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.value") > F.col("b.value"))
+        & (F.col("a.bin") < F.col("b.bin")),
+    )
+    assert joined.count() == 0
+    out.unpersist()
