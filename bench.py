@@ -102,6 +102,7 @@ HEADLINE = [
     "q_embed_covariance",
     "q_chunk_pack",
     "q_equi_freq_bins",
+    "q_cross_corpus_overlap",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

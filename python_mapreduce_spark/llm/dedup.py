@@ -15,8 +15,9 @@ Scale design (the point of each algorithm):
   * embedding     — cosine threshold pairs; all-pairs only for dimension-
                     sized inputs, LSH-bucketed otherwise (similarity.py).
 
-All hashes are Spark's deterministic xxhash64 with literal per-plane
-seeds — rerunning at any parallelism gives identical results.
+All hashes are deterministic with literal seeds (xxhash64 for minhash
+planes, md5 where the DuckDB oracle replays the digest) — rerunning at
+any parallelism gives identical results.
 """
 
 from __future__ import annotations
@@ -760,3 +761,48 @@ def pagerank_fixed(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def cross_corpus_overlap(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    normalized: bool = True,
+) -> DataFrame:
+    """Exact-match decontamination between TWO datasets: flag every
+    corpus document whose (normalized) text also appears in the
+    reference set — "is any eval/benchmark document verbatim in my
+    training data", the first check run before the n-gram audit
+    (:func:`~python_mapreduce_spark.llm.text.ngram_contamination`)
+    hunts partial overlaps. Same normalization rule as
+    :func:`exact_dedup` (lowercase, whitespace collapse, trim; NULL =
+    empty doc).
+
+    Returns one row per corpus document: (id, in_reference,
+    n_reference_copies).
+
+    Plan shape for 100 TB: both sides reduce to 32-byte md5 keys before
+    meeting; the reference side pre-aggregates to one row per distinct
+    text, so the join is key-on-key with no fan-out even when the
+    reference contains duplicates. A dimension-sized reference (the
+    usual eval-set case) broadcasts under the autoBroadcast threshold;
+    a corpus-sized one degrades to a shuffled hash join on the digests.
+    """
+    safe_c = F.coalesce(F.col(text_col), F.lit(""))
+    safe_r = F.coalesce(F.col(text_col), F.lit(""))
+    if normalized:
+        safe_c = F.trim(F.regexp_replace(F.lower(safe_c), r"\s+", " "))
+        safe_r = F.trim(F.regexp_replace(F.lower(safe_r), r"\s+", " "))
+    left = corpus.select(F.col(id_col).alias("id"), F.md5(safe_c).alias("__fp"))
+    right = (
+        reference.select(F.md5(safe_r).alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return left.join(right, "__fp", "left").select(
+        "id",
+        F.col("__n").isNotNull().alias("in_reference"),
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_reference_copies"),
+    )

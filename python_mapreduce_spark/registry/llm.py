@@ -2492,6 +2492,55 @@ FROM events e JOIN thr ON e.event_type = thr.event_type
 """
 
 
+
+
+def q_cross_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact-match decontamination between two datasets (llm/dedup.py::
+    # cross_corpus_overlap): which corpus docs appear verbatim (after
+    # normalization) in a reference/eval set. The reference here is a
+    # deterministic derivation: every 7th doc re-cased + extra
+    # whitespace (must match through normalization; every 14th appears
+    # twice, exercising the copy count) plus every 11th doc with a
+    # novel suffix (must NOT match). The oracle replays the derivation
+    # and the md5 fingerprint rule.
+    from python_mapreduce_spark.llm.dedup import cross_corpus_overlap  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    recased = F.concat(F.upper(F.col("text")), F.lit("  "))
+    ref = (
+        docs.filter(F.col("doc_id") % 7 == 0).select(recased.alias("text"))
+        .unionAll(docs.filter(F.col("doc_id") % 14 == 0).select(recased.alias("text")))
+        .unionAll(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                F.concat(F.col("text"), F.lit(" novel suffix")).alias("text")
+            )
+        )
+    )
+    return cross_corpus_overlap(docs, ref, "doc_id", "text")
+
+
+SQL_CROSS_CORPUS_OVERLAP = r"""
+WITH ref AS (
+  SELECT upper(text) || '  ' AS text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT upper(text) || '  ' FROM documents WHERE doc_id % 14 = 0
+  UNION ALL
+  SELECT text || ' novel suffix' FROM documents WHERE doc_id % 11 = 0
+),
+rfp AS (
+  SELECT md5(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'))) AS fp,
+         count(*) AS n
+  FROM ref GROUP BY 1
+)
+SELECT d.doc_id AS id,
+       r.n IS NOT NULL AS in_reference,
+       CAST(coalesce(r.n, 0) AS BIGINT) AS n_reference_copies
+FROM documents d
+LEFT JOIN rfp r
+  ON md5(trim(regexp_replace(lower(coalesce(d.text, '')), '\s+', ' ', 'g'))) = r.fp
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, "exact dedup on normalized text"),
     "q_dedup_jaccard": Query(q_dedup_jaccard, _SQL_JACCARD_PAIRS_CAPPED, "3-gram Jaccard near-dup pairs (df-capped)"),
@@ -2614,5 +2663,8 @@ QUERIES: dict[str, Query] = {
     "q_chunk_pack": Query(q_chunk_pack, SQL_CHUNK_PACK, "concat-then-chunk sequence packing (docs straddle)"),
     "q_equi_freq_bins": Query(
         q_equi_freq_bins, SQL_EQUI_FREQ_BINS, "equal-frequency quantile discretization"
+    ),
+    "q_cross_corpus_overlap": Query(
+        q_cross_corpus_overlap, SQL_CROSS_CORPUS_OVERLAP, "exact-match cross-dataset decontamination"
     ),
 }

@@ -1134,3 +1134,36 @@ def test_remove_duplicate_spans_overlap_and_all_copies(spark):
             remove_duplicate_spans(df2, "doc_id", "text", n=5, min_df=2).collect()}
     assert got2[1].n_removed == 6 and got2[1].text_clean == "xx"
     assert got2[2].n_removed == 6 and got2[2].text_clean == "yy"
+
+
+def test_cross_corpus_overlap_matches_through_normalization(spark):
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.llm.dedup import cross_corpus_overlap
+
+    corpus = spark.createDataFrame(
+        [(1, "hello  world"), (2, "unique doc"), (3, None), (4, "Spread   out")],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [("HELLO WORLD",), ("hello world",), ("spread out",), ("other",), (None,)],
+        "text string",
+    )
+    got = {
+        r.id: (r.in_reference, r.n_reference_copies)
+        for r in cross_corpus_overlap(corpus, ref, "doc_id", "text").collect()
+    }
+    # case + whitespace normalize; duplicate reference rows counted
+    assert got[1] == (True, 2)
+    assert got[2] == (False, 0)
+    # NULL corpus text == empty doc; NULL ref text == empty doc -> match
+    assert got[3] == (True, 1)
+    assert got[4] == (True, 1)
+    # raw mode: no normalization, nothing matches
+    raw = {
+        r.id: r.in_reference
+        for r in cross_corpus_overlap(
+            corpus, ref, "doc_id", "text", normalized=False
+        ).collect()
+    }
+    assert raw[1] is False and raw[4] is False

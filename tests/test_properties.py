@@ -849,3 +849,88 @@ def test_negative_samples_matches_hashlib_replay(spark, ids, salt):
             if nr != r:
                 expect.append((i, j, ranked[nr - 1]))
     assert got == sorted(expect), (sorted(ids), salt)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 30)), min_size=1, max_size=15
+    ),
+    seq_len=st.sampled_from([1, 4, 16]),
+    salt=st.sampled_from(["", "e2"]),
+)
+def test_chunk_pack_matches_python_replay(spark, rows, seq_len, salt):
+    # chunk_pack must equal the obvious sequential replay: unique ids in
+    # md5(id||salt) order, tokens laid end-to-end, chunked every seq_len
+    # tokens. Covers zero-token docs (emit nothing), doc > seq_len
+    # (straddles many), and re-dealing salts.
+    import hashlib
+
+    from python_mapreduce_spark.operators.windows import chunk_pack
+
+    dedup = {i: t for i, t in rows}  # unique ids (module contract)
+    df = spark.createDataFrame(list(dedup.items()), "id long, t long")
+    got = {
+        (r.id, r.seq_id): (r.doc_offset, r.seq_offset, r.n_tokens)
+        for r in chunk_pack(df, "id", "t", seq_len, salt=salt).collect()
+    }
+    expect = {}
+    pos = 0
+    order = sorted(
+        dedup, key=lambda i: (hashlib.md5((str(i) + salt).encode()).hexdigest(), i)
+    )
+    for i in order:
+        t = dedup[i]
+        start, end = pos, pos + t
+        pos = end
+        if t == 0:
+            continue
+        for s in range(start // seq_len, (end - 1) // seq_len + 1):
+            g0, g1 = max(start, s * seq_len), min(end, (s + 1) * seq_len)
+            expect[(i, s)] = (g0 - start, g0 - s * seq_len, g1 - g0)
+    assert got == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 60), st.sampled_from(["x", "y", "z"])),
+        min_size=1,
+        max_size=25,
+    ),
+    salt=st.sampled_from(["", "s1"]),
+)
+def test_stratified_exact_split_matches_python_replay(spark, rows, salt):
+    # Exact stratified split must equal the sequential replay: within
+    # each stratum, md5 order, first floor(0.8n) train, next to
+    # floor(0.9n) val, rest test. Covers 1-row strata (everything
+    # lands in test: floor(0.8*1) = 0).
+    import hashlib
+
+    from python_mapreduce_spark.operators.relational import stratified_exact_split
+
+    dedup = {i: s for i, s in rows}
+    df = spark.createDataFrame(list(dedup.items()), "id long, s string")
+    got = {
+        r.id: r.split
+        for r in stratified_exact_split(df, ["s"], "id", salt=salt).collect()
+    }
+    expect = {}
+    by_s = {}
+    for i, sv in dedup.items():
+        by_s.setdefault(sv, []).append(i)
+    for sv, ids in by_s.items():
+        ids.sort(key=lambda i: (hashlib.md5((str(i) + salt).encode()).hexdigest(), i))
+        n = len(ids)
+        cut1, cut2 = int(0.8 * n), int((0.8 + 0.1) * n)
+        for rank, i in enumerate(ids, start=1):
+            expect[i] = "train" if rank <= cut1 else ("val" if rank <= cut2 else "test")
+    assert got == expect
