@@ -56,6 +56,12 @@ SHOWCASE = [
     ("q_media_feature_dedup", "bucket + adjacent-probe equi-join on decoded features, never all-pairs"),
     ("q_target_encode", "per-category agg checkpointed; global prior DERIVED from it — one data scan, two broadcasts back"),
     ("q_negative_samples", "stride negatives via rank equi-join on the checkpointed shuffle frame — no crossJoin, no RNG"),
+    ("q_domain_cap", "per-domain cap as Partial+Final WindowGroupLimit — map-side top-cap heap per domain, no full-domain sort"),
+    ("q_quality_quota", "global cut via distributed rank (range exchange); per-group floor window WindowGroupLimit-trimmed"),
+    ("q_chunk_pack", "concat-then-chunk packing: one range exchange for the running sum, then per-row span explode — no single-task window"),
+    ("q_embed_covariance", "dim-pair explode + ONE map-side-combined decimal agg: wire carries dim^2/2 cells per task, corpus-size-independent"),
+    ("q_equi_freq_bins", "per-group percentile thresholds broadcast back; bin assignment is a projected HOF over n_bins elements"),
+    ("q_cross_corpus_overlap", "both sides md5-narrowed; reference pre-agged to distinct digests, broadcast when dimension-sized"),
 ]
 
 INTERESTING = re.compile(
