@@ -580,10 +580,12 @@ def stratified_exact_split(
     by design — NOT stable under corpus growth (positions shift);
     growth-stable assignment is hash_split's contract.
 
-    Plan shape: one per-stratum count (broadcast back via equi-join on
-    the strata — small by the "strata are coarse" contract) plus one
-    row_number window per stratum. A pathologically hot single stratum
-    sorts in one window partition; for that regime use hash_split.
+    Plan shape: ONE scan, one shuffle — the per-stratum size comes from
+    an unordered whole-partition ``count(*)`` window sharing the
+    row_number window's hash partitioning (Catalyst reuses the
+    exchange), not from a second aggregate + join over the input. A
+    pathologically hot single stratum sorts in one window partition;
+    for that regime use hash_split.
     """
     from pyspark.sql import Window  # noqa: PLC0415
     from pyspark.sql import functions as F  # noqa: PLC0415
@@ -596,11 +598,12 @@ def stratified_exact_split(
     total = float(sum(weights))
     strata = list(strata_cols)
 
-    counts = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("__n"))
     w = Window.partitionBy(*strata).orderBy(
         F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), F.col(id_col)
     )
-    ranked = df.join(counts, strata).withColumn("__rn", F.row_number().over(w))
+    ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(*strata))
+    )
 
     expr, cum = None, 0.0
     for name, wt in splits[:-1]:
