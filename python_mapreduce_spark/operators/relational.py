@@ -639,7 +639,9 @@ def quality_quota_select(
     (operators/windows.py::global_row_number scheme — range exchange,
     no single-task window); the floor is a per-group
     ``row_number() <= min_per_group`` window that WindowGroupLimit
-    bounds map-side. One count aggregate supplies N.
+    bounds map-side. N comes from counting the rank pass's
+    materialized (localCheckpoint'ed) frame, so the upstream plan runs
+    exactly once.
     """
     from pyspark.sql import Window  # noqa: PLC0415
     from pyspark.sql import functions as F  # noqa: PLC0415
@@ -648,10 +650,9 @@ def quality_quota_select(
 
     if not 0 < frac <= 1:
         raise ValueError(f"frac must be in (0, 1]: {frac}")
-    n = df.count()
-    k = int(frac * n)
     neg = df.withColumn("__neg", -F.col(score_col))
     ranked = global_row_number(neg, ["__neg", id_col], out="__grank").drop("__neg")
+    k = int(frac * ranked.count())
     wg = Window.partitionBy(group_col).orderBy(F.desc(score_col), F.col(id_col))
     both = ranked.withColumn("__qrank", F.row_number().over(wg))
     out = both.filter(
