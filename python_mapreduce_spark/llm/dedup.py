@@ -806,3 +806,105 @@ def cross_corpus_overlap(
         F.col("__n").isNotNull().alias("in_reference"),
         F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_reference_copies"),
     )
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    boundary_mod: int = 8,
+) -> DataFrame:
+    """Content-defined-chunking dedup signal (the rsync/LBFS idea at
+    token granularity): cut every document at positions where the hash
+    of the local 2-token window ≡ 0 (mod ``boundary_mod``), so chunk
+    boundaries are decided by CONTENT, not offsets — insert a sentence
+    at the front of a copied page and the downstream chunks still hash
+    identically, which fixed-offset segmenting (:func:`~python_mapreduce_spark
+    .llm.text.segment_dedup`) structurally cannot see. Expected chunk
+    length ≈ ``boundary_mod`` tokens. Emits per document
+    (id, n_tokens, n_chunks, n_dup_chunks, dup_token_coverage): chunks
+    whose content recurs in ANY OTHER document, and the fraction of the
+    document's tokens covered by such shared chunks — the
+    shifted-boilerplate counterpart of the Lee-et-al span signal.
+    Beyond the reference surface (SURVEY.md §2.2 north-star extensions).
+
+    Scale shape: tokens explode once; the boundary flag and chunk id
+    are a per-document window (bounded by document length, keyed by
+    id — no global window anywhere); chunk content is md5-collapsed, so
+    the cross-doc vote groupBy moves 32-hex keys whose
+    count/count-distinct partials combine map-side (a boilerplate chunk
+    shared by millions of documents shuffles one row per partition);
+    the verdict joins back on the same narrow key. Determinism: the
+    boundary hash is md5-derived with a fixed rule the DuckDB oracle
+    replays digit-for-digit; coverage rounds to 6 decimals.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    mod = int(boundary_mod)
+    toks = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.posexplode_outer(tokenize(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    flagged = toks.withColumn("__prev", F.lag("tok").over(w)).withColumn(
+        "__bnd",
+        F.when(
+            F.col("__prev").isNotNull()
+            & (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(" ", "__prev", "tok")), 1, 8), 16, 10
+                ).cast("long")
+                % mod
+                == 0
+            ),
+            1,
+        ).otherwise(0),
+    )
+    chunked = flagged.withColumn("__chunk", F.sum("__bnd").over(w))
+    chunks = (
+        chunked.filter(F.col("tok").isNotNull())
+        .groupBy("id", "__chunk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__clen"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("__ch"),
+        )
+    ).localCheckpoint(eager=False)  # feeds both the cross-doc vote and the verdict join
+    votes = chunks.groupBy("__ch").agg(
+        F.count_distinct("id").cast("long").alias("__ndocs")
+    )
+    per_doc = (
+        chunks.join(votes, "__ch")
+        .groupBy("id")
+        .agg(
+            F.sum("__clen").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("__ndocs") > 1, 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
+            F.sum(F.when(F.col("__ndocs") > 1, F.col("__clen")).otherwise(0))
+            .cast("long")
+            .alias("__dup_toks"),
+        )
+    )
+    coverage = F.when(
+        F.col("n_tokens") > 0,
+        dround(F.col("__dup_toks").cast("double") / F.col("n_tokens"), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        df.select(F.col(id_col).cast("long").alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("n_chunks", F.lit(0).cast("long")).alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0).cast("long")).alias("n_dup_chunks"),
+            F.coalesce(coverage, F.lit(0.0)).alias("dup_token_coverage"),
+        )
+    )

@@ -972,3 +972,127 @@ def remove_duplicate_spans(
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+def ngram_diversity(
+    df: DataFrame, group_cols: Sequence[str], text_col: str, *, max_n: int = 3
+) -> DataFrame:
+    """Per-group n-gram diversity profile: for each n in 1..``max_n``,
+    the distinct-gram and total-gram counts plus their ratio — the
+    type-token-ratio family of corpus health metrics (self-BLEU's cheap
+    cousin): a source whose 3-gram diversity collapses is template spam
+    or mass duplication even when exact dedup passes. Beyond the
+    reference surface (SURVEY.md §2.2 north-star extensions). Emits
+    (group_cols..., n, total_grams, distinct_grams, diversity) with
+    diversity rounded to 6 decimals; groups with no tokens at order n
+    emit 0/0 with NULL diversity.
+
+    Scale shape: ONE tokenization pass; each order's grams derive from
+    the same token array via zip_with slices and explode tagged with n,
+    md5-narrowed before the shuffle so 32-hex keys cross the wire, not
+    raw gram text. count(DISTINCT gh) per (group, n) partially
+    aggregates map-side after an internal (group, n, gh) pre-dedup —
+    Catalyst plans the standard two-phase distinct-agg expansion.
+    """
+    gs = list(group_cols)
+    base = df.select(*gs, tokenize(F.col(text_col)).alias("toks"))
+    gram_frames = []
+    for n in range(1, max_n + 1):
+        if n == 1:
+            grams = F.col("toks")
+        else:
+            width = f"greatest(size(toks) - {n - 1}, 0)"
+            parts = [f"slice(toks, {i + 1}, {width})" for i in range(n)]
+            expr = parts[0]
+            for p in parts[1:]:
+                expr = f"zip_with({expr}, {p}, (a, b) -> concat(a, ' ', b))"
+            grams = F.expr(expr)
+        gram_frames.append(
+            base.select(
+                *gs, F.lit(n).alias("n"), F.explode_outer(grams).alias("g")
+            ).select(*gs, "n", F.md5("g").alias("gh"))
+        )
+    grams_all = gram_frames[0]
+    for fr in gram_frames[1:]:
+        grams_all = grams_all.unionByName(fr)
+    agg = grams_all.groupBy(*gs, "n").agg(
+        F.count("gh").cast("long").alias("total_grams"),
+        F.count_distinct("gh").cast("long").alias("distinct_grams"),
+    )
+    diversity = F.when(
+        F.col("total_grams") > 0,
+        dround(F.col("distinct_grams").cast("double") / F.col("total_grams"), 6),
+    )
+    return agg.select(*gs, "n", "total_grams", "distinct_grams", diversity.alias("diversity"))
+
+
+def chi2_terms(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Chi-squared term selection: for every (label, term) the 2x2
+    document-incidence chi-square statistic, keeping the top-``k`` most
+    label-discriminative terms per label — the classic feature-selection
+    / corpus-contrast step (what words make this language/source/split
+    distinctive, which tokens leak the label). Beyond the reference
+    surface (SURVEY.md §2.2 north-star extensions). Emits
+    (label, term, n_label_docs_with_term, chi2, rn) ranked by
+    (chi2 DESC, term ASC) — the rounded statistic plus lexical tiebreak
+    makes the cut deterministic cross-engine.
+
+    Scale shape: incidence pre-dedups per (doc, term) map-side before
+    any counting; the (term, label) contingency cells come from ONE
+    term-keyed aggregation, per-term document frequencies RE-aggregate
+    from that frame (no second corpus pass), and the per-label doc
+    totals are a broadcast-sized frame. The final top-k is
+    :func:`~python_mapreduce_spark.operators.windows.topk_per_group`,
+    so WindowGroupLimit pre-trims k rows per partition before the
+    label-keyed shuffle. Chi2 divides exact integer counts in IEEE
+    doubles with a fixed expression shape (identical in the oracle) and
+    rounds to 4 decimals.
+    """
+    from python_mapreduce_spark.operators.windows import topk_per_group  # noqa: PLC0415 - avoid module cycle
+
+    incidence = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).alias("label"),
+            F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("term"),
+        )
+    )
+    cells = (
+        incidence.groupBy("term", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+        .localCheckpoint(eager=False)  # feeds both the df roll-up and the join
+    )
+    term_df = cells.groupBy("term").agg(F.sum("a").cast("long").alias("df_t"))
+    label_n = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_l")
+    )
+    total = label_n.agg(F.sum("n_l").cast("long").alias("n_docs"))
+    av, dfv, nl, nd = (
+        F.col("a").cast("double"),
+        F.col("df_t").cast("double"),
+        F.col("n_l").cast("double"),
+        F.col("n_docs").cast("double"),
+    )
+    b = dfv - av
+    c = nl - av
+    d = nd - nl - b
+    denom = (av + b) * (c + d) * (av + c) * (b + d)
+    chi2 = F.when(
+        denom > 0, dround(nd * (av * d - b * c) * (av * d - b * c) / denom, 4)
+    ).otherwise(F.lit(0.0))
+    scored = (
+        cells.join(term_df, "term")
+        .join(F.broadcast(label_n), "label")
+        .crossJoin(F.broadcast(total))
+        .select("label", "term", F.col("a").alias("n_label_docs_with_term"), chi2.alias("chi2"))
+    )
+    return topk_per_group(
+        scored, ["label"], [F.col("chi2").desc(), F.col("term").asc()], k
+    ).withColumn("rn", F.col("rn").cast("long"))

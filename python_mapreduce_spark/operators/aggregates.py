@@ -703,3 +703,138 @@ def equi_freq_bins(
     return df.join(F.broadcast(stats), ks).select(
         *ks, v.alias(value_col), bin_expr.alias(out_col)
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    *,
+    n_bins: int = 10,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """Per-group Population Stability Index between a reference snapshot
+    and a current snapshot of a numeric column — the standard
+    train/serve (or epoch-over-epoch) distribution-drift monitor:
+    PSI = sum over buckets of (p_cur - p_ref) * ln(p_cur / p_ref), with
+    buckets fixed by the REFERENCE side's equal-frequency quantiles and
+    proportions floored at ``eps`` so empty buckets stay finite.
+    Conventional reading: < 0.1 stable, 0.1-0.2 shifting, >= 0.2 drifted
+    — emitted as ``drifted = psi >= 0.2``. The reference has no
+    distribution-monitoring surface (SURVEY.md §2.2 north-star
+    extensions); pairs with :func:`ks_statistic` (rank-based twin).
+
+    Scale shape: one grouped exact-percentile pass over the reference
+    (thresholds rounded to 1e-6, the :func:`equi_freq_bins` rule) is
+    broadcast onto BOTH streams; bucket counts partially aggregate
+    map-side, so the shuffle carries ~(keys x n_bins) rows regardless of
+    input size; totals re-aggregate from the count frame (no second data
+    scan). Determinism: proportions are exact integer ratios, each
+    bucket's PSI term rounds to 1e-8 before a DECIMAL(18,8) sum, and the
+    final PSI rounds to 1e-6 — reproducible at any parallelism and
+    bit-equal in the DuckDB oracle.
+    """
+    ks = list(keys)
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    thr = ref.groupBy(*ks).agg(
+        F.array(
+            *[dround(F.expr(f"percentile({value_col}, {f!r}D)"), 6) for f in fracs]
+        ).alias("__thr")
+    )
+    v = F.col(value_col).cast("double")
+    bucket = (F.size(F.filter("__thr", lambda t: t < v)) + F.lit(1)).cast("int")
+
+    def bucketed(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.join(F.broadcast(thr), ks)
+            .select(*ks, bucket.alias("__b"), F.lit(side).alias("__side"))
+        )
+
+    counts = (
+        bucketed(ref, "r")
+        .unionByName(bucketed(cur, "c"))
+        .groupBy(*ks, "__b")
+        .agg(
+            F.sum(F.when(F.col("__side") == "r", 1).otherwise(0)).cast("long").alias("__nr"),
+            F.sum(F.when(F.col("__side") == "c", 1).otherwise(0)).cast("long").alias("__nc"),
+        )
+        .localCheckpoint(eager=False)  # feeds both the totals roll-up and the term sum
+    )
+    totals = counts.groupBy(*ks).agg(
+        F.sum("__nr").cast("double").alias("__tr"),
+        F.sum("__nc").cast("double").alias("__tc"),
+    )
+    e = float(eps)
+    p_ref = F.greatest(F.col("__nr").cast("double") / F.col("__tr"), F.lit(e))
+    p_cur = F.greatest(F.col("__nc").cast("double") / F.col("__tc"), F.lit(e))
+    term = dround((p_cur - p_ref) * F.ln(p_cur / p_ref), 8)
+    psi = dround(F.sum(term.cast("decimal(18,8)")).cast("double"), 6)
+    return (
+        counts.join(F.broadcast(totals), ks)
+        .groupBy(*ks)
+        .agg(
+            F.max("__tr").cast("long").alias("n_ref"),
+            F.max("__tc").cast("long").alias("n_cur"),
+            psi.alias("psi"),
+        )
+        .withColumn("drifted", F.col("psi") >= F.lit(0.2))
+    )
+
+
+def ks_statistic(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed two-sample Kolmogorov-Smirnov statistic:
+    D = sup_x |ECDF_a(x) - ECDF_b(x)| over a numeric column — the
+    nonparametric drift/shift test that needs no binning choice (the
+    rank-based twin of :func:`psi_drift`). Emits one row
+    (n_a, n_b, ks_stat). NULL values are excluded per side.
+
+    Scale shape: the sup over x is attained at data points, so the plan
+    aggregates each side to per-DISTINCT-VALUE counts first (map-side
+    combinable; the frame that remains is value-cardinality-sized, not
+    data-sized), full-outer-merges the two count sets by value, then
+    takes ONE distributed running sum over the value order
+    (:func:`~python_mapreduce_spark.operators.windows.global_running_sum`
+    on a packed composite weight — range exchange + per-range-partition
+    window + broadcast offsets, never a single-task window). The
+    composite packs each value's (a_count, b_count) into one long as
+    ``a * 2^31 + b``, so BOTH cumulative counts ride one pass; unpacking
+    is exact while each side stays below 2^31 rows per distinct value
+    prefix — far beyond any real corpus's per-value multiplicity.
+    Determinism: ECDF ratios divide exact integer counts (IEEE-identical
+    in any engine); the final statistic rounds to 1e-6.
+    """
+    from python_mapreduce_spark.operators.windows import global_running_sum  # noqa: PLC0415 - avoid module cycle
+
+    pack = 1 << 31
+    va = a.select(F.col(value_col).cast("double").alias("v")).filter(F.col("v").isNotNull())
+    vb = b.select(F.col(value_col).cast("double").alias("v")).filter(F.col("v").isNotNull())
+    counts = (
+        va.select("v", F.lit(1).alias("__ca"), F.lit(0).alias("__cb"))
+        .unionByName(vb.select("v", F.lit(0).alias("__ca"), F.lit(1).alias("__cb")))
+        .groupBy("v")
+        .agg(F.sum("__ca").cast("long").alias("__ca"), F.sum("__cb").cast("long").alias("__cb"))
+        .withColumn("__w", F.col("__ca") * F.lit(pack) + F.col("__cb"))
+    )
+    cum = global_running_sum(counts, ["v"], "__w", out="__cum", num_partitions=num_partitions)
+    tot = cum.agg(
+        F.sum("__ca").cast("double").alias("__na"),
+        F.sum("__cb").cast("double").alias("__nb"),
+    )
+    ca = F.floor(F.col("__cum") / F.lit(pack)).cast("double")
+    cb = (F.col("__cum") % F.lit(pack)).cast("double")
+    gap = F.abs(ca / F.col("__na") - cb / F.col("__nb"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(F.col("__na")).cast("long").alias("n_a"),
+            F.max(F.col("__nb")).cast("long").alias("n_b"),
+            dround(F.max(gap), 6).alias("ks_stat"),
+        )
+    )

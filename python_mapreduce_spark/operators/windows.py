@@ -524,3 +524,77 @@ def chunk_pack(
         (g_start - F.col("seq_id") * seq_len).cast("long").alias("seq_offset"),
         (g_end - g_start).cast("long").alias("n_tokens"),
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    id_col: str,
+    length_col: str,
+    *,
+    n_buckets: int = 4,
+    batch_size: int = 16,
+    salt: str = "",
+) -> DataFrame:
+    """Length-bucketed batch planning: bucket rows by global
+    equal-frequency quantiles of ``length_col``, deal each bucket into
+    fixed-size batches in md5-shuffled order, and emit per-batch padding
+    accounting (``padding_tokens = n_rows * max_len - sum_len``) — the
+    dynamic-batching prep that cuts padding waste when sequences of
+    similar length train together (the PADDED counterpart of
+    :func:`chunk_pack`, for models that cannot straddle documents
+    across sequences). Emits (bucket, batch_id, n_rows, min_len,
+    max_len, sum_len, padding_tokens); re-runs reproduce the same
+    batches, changing ``salt`` re-deals them per epoch.
+
+    Scale shape: the quantile thresholds are ONE global aggregate
+    (broadcast back, the :func:`~python_mapreduce_spark.operators
+    .aggregates.equi_freq_bins` rule with rounded cut points); the
+    within-bucket order comes from :func:`global_row_number` over
+    (bucket, md5 key) — range exchange + broadcast prefix offsets,
+    never a single-task window even when one bucket holds most of the
+    corpus — and per-bucket ranks derive from the global rank by
+    subtracting each bucket's broadcast min. The batch roll-up is an
+    ordinary partial+final hash agg on (bucket, batch).
+    """
+    if n_buckets < 1 or batch_size < 1:
+        raise ValueError(f"need n_buckets >= 1 and batch_size >= 1: ({n_buckets}, {batch_size})")
+    from python_mapreduce_spark.functions.scalar import dround  # noqa: PLC0415
+
+    length = F.col(length_col).cast("long")
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    thr = df.agg(
+        F.array(
+            *[dround(F.expr(f"percentile({length_col}, {f!r}D)"), 6) for f in fracs]
+        ).alias("__thr")
+    )
+    lv = length.cast("double")
+    keyed = (
+        df.crossJoin(F.broadcast(thr))
+        .select(
+            F.col(id_col).alias("id"),
+            length.alias("__len"),
+            (F.size(F.filter("__thr", lambda t: t < lv)) + F.lit(1)).cast("int").alias("bucket"),
+        )
+        .withColumn(
+            "__ok", F.md5(F.concat(F.col("id").cast("string"), F.lit(salt)))
+        )
+    )
+    ranked = global_row_number(keyed, ["bucket", "__ok", "id"], out="__grn")
+    starts = ranked.groupBy("bucket").agg(F.min("__grn").alias("__start"))
+    batched = ranked.join(F.broadcast(starts), "bucket").withColumn(
+        "batch_id",
+        F.floor((F.col("__grn") - F.col("__start")) / F.lit(int(batch_size))).cast("long"),
+    )
+    return (
+        batched.groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("__len").cast("long").alias("min_len"),
+            F.max("__len").cast("long").alias("max_len"),
+            F.sum("__len").cast("long").alias("sum_len"),
+        )
+        .withColumn(
+            "padding_tokens",
+            (F.col("n_rows") * F.col("max_len") - F.col("sum_len")).cast("long"),
+        )
+    )

@@ -38,10 +38,12 @@ class Query:
 # ``python tools/driver_coverage.py --plan 50``): the 59 registry
 # entries with NO driver row yet (all round-4 additions, judge-replica
 # green at sf0.01) fill the whole window in registry order; the 9 that
-# overflow a 50-slot window sit at positions 51-59 and lead round 6.
-# Positions 60+ hold every already-checked query in staleness order
-# (oldest driver round first: 35 r02 rows, then 47 r03, then 50 r04),
-# so future refresh rotations are mechanical as well.
+# overflow a 50-slot window sit at positions 51-59 and, with the 14
+# round-5 additions at positions 60-73, lead round 6 (23 never-checked
+# total after r5). Positions 74+ hold every already-checked query in
+# staleness order (oldest driver round first: 35 r02 rows, then 47
+# r03, then 50 r04), so future refresh rotations are mechanical as
+# well.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked (59): the r5 window (1-50) + r6 lead (51-59) --
     "q_doc_repetition",
@@ -103,6 +105,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_negative_samples",
     "q_funnel_windowed",
     "q_dup_span_removal",
+    # -- never driver-checked, round-5 additions (8): positions 60-67 --
+    "q_domain_cap",
+    "q_stratified_split_exact",
+    "q_quality_quota",
+    "q_token_budget",
+    "q_embed_covariance",
+    "q_chunk_pack",
+    "q_equi_freq_bins",
+    "q_cross_corpus_overlap",
+    # -- never driver-checked, round-5 session-2 additions (6) --
+    "q_psi_drift",
+    "q_ks_test",
+    "q_cdc_chunk_dedup",
+    "q_ngram_diversity",
+    "q_chi2_terms",
+    "q_length_buckets",
     # -- checked, staleness-ordered refresh queue: r02 rows (35) --
     "q_sim_ann_ivf_recall",
     "q08_market_share",

@@ -1231,6 +1231,99 @@ WHERE s.sd > 0 AND abs((e.value - s.mu) / s.sd) >= 3.0
 """
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Population Stability Index drift monitor (operators/aggregates.py
+    # ::psi_drift): events before Jan 15 are the reference snapshot,
+    # events from Jan 15 on are the current snapshot; per event_type,
+    # value distributions compare over the REFERENCE's decile buckets.
+    # Each bucket's PSI term rounds to 1e-8 before a DECIMAL sum (the
+    # perplexity-filter ln scheme), so the oracle replays it exactly.
+    from python_mapreduce_spark.operators.aggregates import psi_drift  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    ref = ev.filter(F.col("ts") < "2024-01-15").select("event_type", "value")
+    cur = ev.filter(F.col("ts") >= "2024-01-15").select("event_type", "value")
+    return psi_drift(ref, cur, ["event_type"], "value", n_bins=10)
+
+
+SQL_PSI_DRIFT = f"""
+WITH ref AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+             WHERE ts < TIMESTAMP '2024-01-15'),
+cur AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15'),
+thr AS (
+  SELECT event_type,
+         list_value({", ".join(sql_dround(f"quantile_cont(v, {i / 10})", 6) for i in range(1, 10))}) AS t
+  FROM ref GROUP BY event_type
+),
+counts AS (
+  SELECT event_type, b, CAST(sum(nr) AS BIGINT) AS nr, CAST(sum(nc) AS BIGINT) AS nc
+  FROM (
+    SELECT r.event_type, 1 + len(list_filter(thr.t, x -> x < r.v)) AS b, 1 AS nr, 0 AS nc
+    FROM ref r JOIN thr USING (event_type)
+    UNION ALL
+    SELECT c.event_type, 1 + len(list_filter(thr.t, x -> x < c.v)), 0, 1
+    FROM cur c JOIN thr USING (event_type)
+  ) GROUP BY event_type, b
+),
+tot AS (
+  SELECT event_type, CAST(sum(nr) AS DOUBLE) AS tr, CAST(sum(nc) AS DOUBLE) AS tc
+  FROM counts GROUP BY event_type
+),
+terms AS (
+  SELECT c.event_type,
+         CAST({sql_dround("(greatest(c.nc / t.tc, 1e-4) - greatest(c.nr / t.tr, 1e-4))"
+                          " * ln(greatest(c.nc / t.tc, 1e-4) / greatest(c.nr / t.tr, 1e-4))", 8)}
+              AS DECIMAL(18,8)) AS term,
+         t.tr, t.tc
+  FROM counts c JOIN tot t USING (event_type)
+)
+SELECT event_type, CAST(max(tr) AS BIGINT) AS n_ref, CAST(max(tc) AS BIGINT) AS n_cur,
+       {sql_dround("CAST(sum(term) AS DOUBLE)", 6)} AS psi,
+       {sql_dround("CAST(sum(term) AS DOUBLE)", 6)} >= 0.2 AS drifted
+FROM terms GROUP BY event_type
+"""
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-sample Kolmogorov-Smirnov statistic (operators/aggregates.py
+    # ::ks_statistic): click vs purchase value distributions. The sup
+    # over the merged value order runs as ONE distributed running sum
+    # (global_running_sum with both sides' counts packed into a single
+    # long) — the oracle's plain window is the semantic twin only.
+    from python_mapreduce_spark.operators.aggregates import ks_statistic  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("value")
+    b = ev.filter(F.col("event_type") == "purchase").select("value")
+    return ks_statistic(a, b, "value")
+
+
+SQL_KS_TEST = f"""
+WITH a AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+           WHERE event_type = 'click' AND value IS NOT NULL),
+b AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL),
+counts AS (
+  SELECT v, CAST(sum(ca) AS BIGINT) AS ca, CAST(sum(cb) AS BIGINT) AS cb
+  FROM (
+    SELECT v, 1 AS ca, 0 AS cb FROM a
+    UNION ALL
+    SELECT v, 0, 1 FROM b
+  ) GROUP BY v
+),
+cum AS (
+  SELECT sum(ca) OVER (ORDER BY v) AS cca, sum(cb) OVER (ORDER BY v) AS ccb
+  FROM counts
+),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS na FROM a),
+totb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM b)
+SELECT CAST(tot.na AS BIGINT) AS n_a, CAST(totb.nb AS BIGINT) AS n_b,
+       {sql_dround("max(abs(cum.cca / tot.na - cum.ccb / totb.nb))", 6)} AS ks_stat
+FROM cum, tot, totb GROUP BY tot.na, totb.nb
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q01_pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY, "TPC-H Q1-style flagship"),
     "q_pivot": Query(q_pivot, SQL_PIVOT, "pivot to columns"),
@@ -1245,6 +1338,8 @@ QUERIES: dict[str, Query] = {
     "q_histogram": Query(q_histogram, SQL_HISTOGRAM, "fixed-range numeric histogram (explicit bucket rule)"),
     "q_table_profile": Query(q_table_profile, SQL_TABLE_PROFILE, "one-pass per-column data-quality profile"),
     "q_zscore_outliers": Query(q_zscore_outliers, SQL_ZSCORE_OUTLIERS, "per-key z-score anomaly detection"),
+    "q_psi_drift": Query(q_psi_drift, SQL_PSI_DRIFT, "population-stability-index distribution drift"),
+    "q_ks_test": Query(q_ks_test, SQL_KS_TEST, "two-sample Kolmogorov-Smirnov statistic (distributed ECDF)"),
     "q_funnel": Query(q_funnel, SQL_FUNNEL, "ordered funnel conversion (sequential per-user mins)"),
     "q_funnel_windowed": Query(q_funnel_windowed, SQL_FUNNEL_WINDOWED, "funnel with a per-step conversion window"),
     "q_resample_locf": Query(q_resample_locf, SQL_RESAMPLE_LOCF, "gap-filled resample with forward fill (LOCF)"),

@@ -2541,6 +2541,192 @@ LEFT JOIN rfp r
 """
 
 
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Content-defined-chunking dedup signal (llm/dedup.py::
+    # cdc_chunk_dedup): chunk boundaries where the md5 of the local
+    # 2-token window ≡ 0 (mod 8), so shifted boilerplate still chunks
+    # identically; per-doc coverage by chunks recurring in other docs.
+    # The oracle replays the boundary hash digit-for-digit.
+    from python_mapreduce_spark.llm.dedup import cdc_chunk_dedup  # noqa: PLC0415
+
+    return cdc_chunk_dedup(table(spark, sf_dir, "documents"), "doc_id", "text", boundary_mod=8)
+
+
+SQL_CDC_CHUNK_DEDUP = f"""
+WITH base AS (
+  SELECT doc_id AS id, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+  FROM documents
+),
+toks AS (
+  SELECT id, p - 1 AS pos, toks[p] AS tok,
+         CASE WHEN p > 1 THEN toks[p-1] END AS prev
+  FROM base, unnest(generate_series(1, len(toks))) t(p)
+),
+flagged AS (
+  SELECT id, pos, tok,
+         CASE WHEN prev IS NOT NULL
+                   AND CAST(('0x' || substr(md5(prev || ' ' || tok), 1, 8)) AS BIGINT) % 8 = 0
+              THEN 1 ELSE 0 END AS bnd
+  FROM toks
+),
+chunked AS (
+  SELECT id, pos, tok,
+         sum(bnd) OVER (PARTITION BY id ORDER BY pos) AS chunk
+  FROM flagged
+),
+chunks AS (
+  SELECT id, chunk, CAST(count(*) AS BIGINT) AS clen,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS ch
+  FROM chunked GROUP BY id, chunk
+),
+votes AS (SELECT ch, count(DISTINCT id) AS ndocs FROM chunks GROUP BY ch),
+per AS (
+  SELECT c.id,
+         CAST(sum(c.clen) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN v.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         CAST(sum(CASE WHEN v.ndocs > 1 THEN c.clen ELSE 0 END) AS BIGINT) AS dup_toks
+  FROM chunks c JOIN votes v USING (ch) GROUP BY c.id
+)
+SELECT b.id,
+       coalesce(per.n_tokens, 0) AS n_tokens,
+       coalesce(per.n_chunks, 0) AS n_chunks,
+       coalesce(per.n_dup_chunks, 0) AS n_dup_chunks,
+       CASE WHEN coalesce(per.n_tokens, 0) > 0
+            THEN {sql_dround("CAST(per.dup_toks AS DOUBLE) / per.n_tokens", 6)}
+            ELSE 0.0 END AS dup_token_coverage
+FROM base b LEFT JOIN per ON b.id = per.id
+"""
+
+
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-source n-gram diversity profile (llm/text.py::ngram_diversity):
+    # distinct/total 1-2-3-grams and their ratio — the type-token-ratio
+    # corpus-health metric; grams are md5-narrowed before the shuffle on
+    # both sides.
+    from python_mapreduce_spark.llm.text import ngram_diversity  # noqa: PLC0415
+
+    return ngram_diversity(table(spark, sf_dir, "documents"), ["source"], "text", max_n=3)
+
+
+SQL_NGRAM_DIVERSITY = f"""
+WITH base AS (
+  SELECT source, regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT source, n,
+         md5(array_to_string(toks[i:i+n-1], ' ')) AS gh
+  FROM base,
+       unnest(generate_series(1, 3)) tn(n),
+       unnest(generate_series(1, len(toks) - n + 1)) ti(i)
+),
+agg AS (
+  SELECT b.source, tn.n,
+         CAST(count(g.gh) AS BIGINT) AS total_grams,
+         CAST(count(DISTINCT g.gh) AS BIGINT) AS distinct_grams
+  FROM (SELECT DISTINCT source FROM base) b
+  CROSS JOIN unnest(generate_series(1, 3)) tn(n)
+  LEFT JOIN grams g ON g.source = b.source AND g.n = tn.n
+  GROUP BY b.source, tn.n
+)
+SELECT source, CAST(n AS INT) AS n, total_grams, distinct_grams,
+       CASE WHEN total_grams > 0
+            THEN {sql_dround("CAST(distinct_grams AS DOUBLE) / total_grams", 6)}
+       END AS diversity
+FROM agg
+"""
+
+
+def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Chi-squared term selection (llm/text.py::chi2_terms): the top-5
+    # most lang-discriminative terms per language by 2x2 doc-incidence
+    # chi-square, ranked (chi2 DESC, term ASC) so the cut is
+    # deterministic; contingency cells come from ONE term-keyed agg.
+    from python_mapreduce_spark.llm.text import chi2_terms  # noqa: PLC0415
+
+    return chi2_terms(table(spark, sf_dir, "documents"), "doc_id", "lang", "text", k=5)
+
+
+SQL_CHI2_TERMS = f"""
+WITH inc AS (
+  SELECT DISTINCT doc_id, lang AS label, unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS term
+  FROM documents
+),
+cells AS (SELECT term, label, CAST(count(*) AS BIGINT) AS a FROM inc GROUP BY term, label),
+tdf AS (SELECT term, CAST(sum(a) AS BIGINT) AS df_t FROM cells GROUP BY term),
+ln_ AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_l FROM documents GROUP BY lang),
+tot AS (SELECT CAST(sum(n_l) AS BIGINT) AS n_docs FROM ln_),
+scored AS (
+  SELECT c.label, c.term, c.a AS n_label_docs_with_term,
+         CASE WHEN (CAST(c.a AS DOUBLE) + (t.df_t - c.a))
+                   * ((l.n_l - c.a) + (tot.n_docs - l.n_l - (t.df_t - c.a)))
+                   * (CAST(c.a AS DOUBLE) + (l.n_l - c.a))
+                   * ((t.df_t - c.a) + (tot.n_docs - l.n_l - (t.df_t - c.a))) > 0
+              THEN {sql_dround(
+                  "CAST(tot.n_docs AS DOUBLE)"
+                  " * (CAST(c.a AS DOUBLE) * (tot.n_docs - l.n_l - (t.df_t - c.a))"
+                  "    - (t.df_t - c.a) * (l.n_l - c.a))"
+                  " * (CAST(c.a AS DOUBLE) * (tot.n_docs - l.n_l - (t.df_t - c.a))"
+                  "    - (t.df_t - c.a) * (l.n_l - c.a))"
+                  " / ((CAST(c.a AS DOUBLE) + (t.df_t - c.a))"
+                  "    * ((l.n_l - c.a) + (tot.n_docs - l.n_l - (t.df_t - c.a)))"
+                  "    * (CAST(c.a AS DOUBLE) + (l.n_l - c.a))"
+                  "    * ((t.df_t - c.a) + (tot.n_docs - l.n_l - (t.df_t - c.a))))", 4)}
+              ELSE 0.0 END AS chi2
+  FROM cells c JOIN tdf t USING (term) JOIN ln_ l USING (label) CROSS JOIN tot
+)
+SELECT label, term, n_label_docs_with_term, chi2, rn FROM (
+  SELECT label, term, n_label_docs_with_term, chi2,
+         CAST(row_number() OVER (PARTITION BY label ORDER BY chi2 DESC, term ASC) AS BIGINT) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Length-bucketed batch planning (operators/windows.py::
+    # length_buckets): quartile length buckets, md5-dealt batches of 16,
+    # per-batch padding accounting. Within-bucket order runs on the
+    # distributed global_row_number (range exchange + broadcast
+    # offsets); the oracle's plain per-bucket window is the semantic
+    # twin only.
+    from python_mapreduce_spark.operators.windows import length_buckets  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return length_buckets(docs, "doc_id", "n_chars", n_buckets=4, batch_size=16)
+
+
+SQL_LENGTH_BUCKETS = f"""
+WITH thr AS (
+  SELECT list_value(
+    {sql_dround("quantile_cont(CAST(n_chars AS BIGINT), 0.25)", 6)},
+    {sql_dround("quantile_cont(CAST(n_chars AS BIGINT), 0.5)", 6)},
+    {sql_dround("quantile_cont(CAST(n_chars AS BIGINT), 0.75)", 6)}
+  ) AS t FROM documents
+),
+keyed AS (
+  SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS len,
+         1 + len(list_filter(thr.t, x -> x < CAST(n_chars AS DOUBLE))) AS bucket,
+         md5(CAST(doc_id AS VARCHAR)) AS ok
+  FROM documents, thr
+),
+ranked AS (
+  SELECT id, len, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY ok, id) AS r
+  FROM keyed
+),
+batched AS (SELECT bucket, (r - 1) // 16 AS batch_id, len FROM ranked)
+SELECT CAST(bucket AS INT) AS bucket, CAST(batch_id AS BIGINT) AS batch_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(len) AS BIGINT) AS min_len,
+       CAST(max(len) AS BIGINT) AS max_len,
+       CAST(sum(len) AS BIGINT) AS sum_len,
+       CAST(count(*) * max(len) - sum(len) AS BIGINT) AS padding_tokens
+FROM batched GROUP BY bucket, batch_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, "exact dedup on normalized text"),
     "q_dedup_jaccard": Query(q_dedup_jaccard, _SQL_JACCARD_PAIRS_CAPPED, "3-gram Jaccard near-dup pairs (df-capped)"),
@@ -2666,5 +2852,17 @@ QUERIES: dict[str, Query] = {
     ),
     "q_cross_corpus_overlap": Query(
         q_cross_corpus_overlap, SQL_CROSS_CORPUS_OVERLAP, "exact-match cross-dataset decontamination"
+    ),
+    "q_cdc_chunk_dedup": Query(
+        q_cdc_chunk_dedup, SQL_CDC_CHUNK_DEDUP, "content-defined-chunking dedup (shift-robust boilerplate signal)"
+    ),
+    "q_ngram_diversity": Query(
+        q_ngram_diversity, SQL_NGRAM_DIVERSITY, "per-source n-gram diversity / type-token-ratio profile"
+    ),
+    "q_chi2_terms": Query(
+        q_chi2_terms, SQL_CHI2_TERMS, "chi-squared label-discriminative term selection"
+    ),
+    "q_length_buckets": Query(
+        q_length_buckets, SQL_LENGTH_BUCKETS, "length-bucketed batch planning with padding accounting"
     ),
 }

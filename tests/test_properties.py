@@ -934,3 +934,297 @@ def test_stratified_exact_split_matches_python_replay(spark, rows, salt):
         for rank, i in enumerate(ids, start=1):
             expect[i] = "train" if rank <= cut1 else ("val" if rank <= cut2 else "test")
     assert got == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a=st.lists(st.integers(0, 40), min_size=1, max_size=30),
+    b=st.lists(st.integers(0, 40), min_size=1, max_size=30),
+)
+def test_ks_statistic_matches_python_replay(spark, a, b):
+    # The packed-composite distributed KS must equal the textbook
+    # sequential ECDF sweep: D = max over distinct values of
+    # |ECDF_a - ECDF_b|. Covers ties, disjoint supports, one-point
+    # samples.
+    from python_mapreduce_spark.operators.aggregates import ks_statistic
+
+    da = spark.createDataFrame([(float(v),) for v in a], "value double")
+    db = spark.createDataFrame([(float(v),) for v in b], "value double")
+    row = ks_statistic(da, db, "value").collect()[0]
+
+    vals = sorted(set(a) | set(b))
+    na, nb = len(a), len(b)
+    ca = cb = 0
+    d = 0.0
+    for v in vals:
+        ca += sum(1 for x in a if x == v)
+        cb += sum(1 for x in b if x == v)
+        d = max(d, abs(ca / na - cb / nb))
+    import math
+
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert math.isclose(row.ks_stat, math.floor(d * 1e6 + 0.5) / 1e6, abs_tol=1e-9)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ref=st.lists(st.integers(0, 30), min_size=2, max_size=40),
+    cur=st.lists(st.integers(0, 30), min_size=2, max_size=40),
+)
+def test_psi_drift_matches_python_replay(spark, ref, cur):
+    # PSI over reference-decile buckets must match the sequential
+    # replay: numpy linear percentiles rounded 1e-6, strict-< bucket
+    # rule, eps-floored proportions, per-term 1e-8 round, final 1e-6
+    # round. ln() may differ by an ulp between JVM and libm, so the
+    # comparison carries a 2e-6 tolerance.
+    import math
+
+    import numpy as np
+
+    from python_mapreduce_spark.operators.aggregates import psi_drift
+
+    dr = spark.createDataFrame([("k", float(v)) for v in ref], "g string, value double")
+    dc = spark.createDataFrame([("k", float(v)) for v in cur], "g string, value double")
+    row = psi_drift(dr, dc, ["g"], "value", n_bins=10).collect()[0]
+
+    def dround(x, s):
+        m = 10**s
+        return math.floor(x * m + 0.5) / m
+
+    thr = [dround(float(np.percentile(ref, q * 10)), 6) for q in range(1, 10)]
+    buckets = {}
+    for side, data in (("r", ref), ("c", cur)):
+        for v in data:
+            b = 1 + sum(1 for t in thr if t < v)
+            buckets.setdefault(b, [0, 0])
+            buckets[b][0 if side == "r" else 1] += 1
+    tr, tc = float(len(ref)), float(len(cur))
+    psi = 0.0
+    for b, (nr, nc) in buckets.items():
+        pr = max(nr / tr, 1e-4)
+        pc = max(nc / tc, 1e-4)
+        psi += dround((pc - pr) * math.log(pc / pr), 8)
+    assert (row.n_ref, row.n_cur) == (len(ref), len(cur))
+    assert math.isclose(row.psi, dround(psi, 6), abs_tol=2e-6)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=24).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_cdc_chunk_dedup_matches_python_replay(spark, docs):
+    # Content-defined chunking must equal the sequential replay:
+    # boundaries where md5(prev + ' ' + tok)[0:8] as int % 8 == 0,
+    # chunks judged duplicated when their content recurs in ANOTHER
+    # document. Covers empty docs and whole-doc single chunks.
+    import hashlib
+    import math
+    import re
+
+    from python_mapreduce_spark.llm.dedup import cdc_chunk_dedup
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r.id: (r.n_tokens, r.n_chunks, r.n_dup_chunks, r.dup_token_coverage)
+        for r in cdc_chunk_dedup(df, "doc_id", "text", boundary_mod=8).collect()
+    }
+
+    chunks_by_doc = {}
+    for i, text in enumerate(docs):
+        toks = re.findall(r"[a-z]+", text.lower())
+        chunks, cur = [], []
+        for p, tok in enumerate(toks):
+            if p > 0:
+                h = int(hashlib.md5(f"{toks[p-1]} {tok}".encode()).hexdigest()[:8], 16)
+                if h % 8 == 0:
+                    chunks.append(cur)
+                    cur = []
+            cur.append(tok)
+        if cur:
+            chunks.append(cur)
+        chunks_by_doc[i] = chunks
+    owners = {}
+    for i, chunks in chunks_by_doc.items():
+        for c in chunks:
+            owners.setdefault(" ".join(c), set()).add(i)
+    for i, chunks in chunks_by_doc.items():
+        n_tokens = sum(len(c) for c in chunks)
+        n_dup = sum(1 for c in chunks if len(owners[" ".join(c)]) > 1)
+        dup_toks = sum(len(c) for c in chunks if len(owners[" ".join(c)]) > 1)
+        cov = math.floor(dup_toks / n_tokens * 1e6 + 0.5) / 1e6 if n_tokens else 0.0
+        assert got[i] == (n_tokens, len(chunks), n_dup, cov), f"doc {i}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 80), st.integers(0, 500)),
+        min_size=2,
+        max_size=40,
+    ),
+    salt=st.sampled_from(["", "e2"]),
+)
+def test_length_buckets_matches_python_replay(spark, rows, salt):
+    # Length-bucketed batching must equal the sequential replay:
+    # global quartile thresholds (numpy linear, rounded 1e-6), strict-<
+    # bucket rule, md5(id||salt) deal order, batches of 4. Covers
+    # heavily-duplicated lengths (uneven buckets) and 1-row buckets.
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from python_mapreduce_spark.operators.windows import length_buckets
+
+    dedup = {i: ln for i, ln in rows}
+    df = spark.createDataFrame(list(dedup.items()), "id long, len long")
+    got = {
+        (r.bucket, r.batch_id): (r.n_rows, r.min_len, r.max_len, r.sum_len, r.padding_tokens)
+        for r in length_buckets(df, "id", "len", n_buckets=4, batch_size=4, salt=salt).collect()
+    }
+
+    lens = list(dedup.values())
+    thr = [
+        math.floor(float(np.percentile(lens, q)) * 1e6 + 0.5) / 1e6 for q in (25, 50, 75)
+    ]
+    by_bucket = {}
+    for i, ln in dedup.items():
+        b = 1 + sum(1 for t in thr if t < ln)
+        by_bucket.setdefault(b, []).append(i)
+    expect = {}
+    for b, ids in by_bucket.items():
+        ids.sort(key=lambda i: (hashlib.md5((str(i) + salt).encode()).hexdigest(), i))
+        for bi in range(0, len(ids), 4):
+            batch = ids[bi : bi + 4]
+            ls = [dedup[i] for i in batch]
+            expect[(b, bi // 4)] = (
+                len(batch),
+                min(ls),
+                max(ls),
+                sum(ls),
+                len(batch) * max(ls) - sum(ls),
+            )
+    assert got == expect
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2"]),
+            st.lists(st.sampled_from(["aa", "bb", "cc"]), max_size=12).map(" ".join),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_ngram_diversity_matches_python_replay(spark, docs):
+    # n-gram diversity must equal the sequential set replay per
+    # (source, n). Covers docs shorter than n (no grams at that order)
+    # and sources whose docs are all empty.
+    import math
+    import re
+
+    from python_mapreduce_spark.llm.text import ngram_diversity
+
+    df = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(docs)], "doc_id long, source string, text string"
+    )
+    got = {
+        (r.source, r.n): (r.total_grams, r.distinct_grams, r.diversity)
+        for r in ngram_diversity(df, ["source"], "text", max_n=3).collect()
+    }
+    expect = {}
+    for s, t in docs:
+        toks = re.findall(r"[a-z]+", t.lower())
+        for n in (1, 2, 3):
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            tot, dis = expect.setdefault((s, n), [0, set()])
+            expect[(s, n)][0] += len(grams)
+            expect[(s, n)][1].update(grams)
+    for key, (tot, dis) in expect.items():
+        div = math.floor(len(dis) / tot * 1e6 + 0.5) / 1e6 if tot else None
+        assert got[key] == (tot, len(dis), div), key
+    assert set(got) == set(expect)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),
+            st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=8).map(" ".join),
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_chi2_terms_matches_python_replay(spark, docs):
+    # Every returned (label, term) row's incidence count and chi2 must
+    # match the textbook 2x2 contingency replay (1e-3 tolerance covers
+    # expression-order float drift), and ranks must be 1..k ordered by
+    # (chi2 DESC, term ASC).
+    import math
+    import re
+
+    from python_mapreduce_spark.llm.text import chi2_terms
+
+    df = spark.createDataFrame(
+        [(i, l, t) for i, (l, t) in enumerate(docs)], "doc_id long, lang string, text string"
+    )
+    rows = chi2_terms(df, "doc_id", "lang", "text", k=3).collect()
+
+    inc = {}
+    n_l = {}
+    for i, (l, t) in enumerate(docs):
+        n_l[l] = n_l.get(l, 0) + 1
+        for term in set(re.findall(r"[a-z]+", t.lower())):
+            inc.setdefault((term, l), set()).add(i)
+    df_t = {}
+    for (term, l), s in inc.items():
+        df_t[term] = df_t.get(term, 0) + len(s)
+    n = len(docs)
+    by_label = {}
+    for r in rows:
+        a = len(inc.get((r.term, r.label), set()))
+        assert r.n_label_docs_with_term == a, (r.label, r.term)
+        b = df_t[r.term] - a
+        c = n_l[r.label] - a
+        d = n - n_l[r.label] - b
+        denom = (a + b) * (c + d) * (a + c) * (b + d)
+        chi2 = n * (a * d - b * c) * (a * d - b * c) / denom if denom > 0 else 0.0
+        assert math.isclose(r.chi2, math.floor(chi2 * 1e4 + 0.5) / 1e4, abs_tol=1e-3)
+        by_label.setdefault(r.label, []).append(r)
+    for label, rs in by_label.items():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        ordered = sorted(rs, key=lambda r: (-r.chi2, r.term))
+        assert [r.term for r in ordered] == [r.term for r in rs]
