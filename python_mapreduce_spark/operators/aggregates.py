@@ -838,3 +838,50 @@ def ks_statistic(
             dround(F.max(gap), 6).alias("ks_stat"),
         )
     )
+
+
+def mix_entropy(
+    df: DataFrame,
+    keys: Sequence[str],
+    cat_col: str,
+) -> DataFrame:
+    """Per-group Shannon entropy of a categorical mix:
+    H = -sum p * ln(p) over the group's category proportions, plus the
+    normalized H / ln(n_categories) in [0, 1] — the mix-balance metric a
+    data card reports per source/shard (a source whose language entropy
+    collapses is single-language; a shard whose domain entropy is ~0
+    defeats domain mixing). NULL categories count as their own category.
+    Emits (keys..., n_rows, n_categories, entropy, entropy_norm);
+    single-category groups normalize to 0.0 by convention.
+
+    Scale shape: one (keys, cat) hash aggregation (map-side combined);
+    group totals and category counts RE-aggregate from that frame — the
+    data is scanned once. Determinism: proportions are exact integer
+    ratios; each term rounds to 1e-8 before a DECIMAL(18,8) sum (the
+    :func:`psi_drift` ln scheme) and the outputs round to 1e-6.
+    """
+    ks = list(keys)
+    counts = df.groupBy(*ks, F.col(cat_col).alias("__cat")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    # totals derive from the count frame via a second keyed agg +
+    # broadcast join (NOT a window: the count frame is category-sized,
+    # but a window would still re-shuffle it; the join is map-side)
+    totals = counts.groupBy(*ks).agg(F.sum("__n").cast("double").alias("__t"))
+    p = F.col("__n").cast("double") / F.col("__t")
+    term = dround(-p * F.ln(p), 8)
+    ent = dround(F.sum(term.cast("decimal(18,8)")).cast("double"), 6)
+    out = (
+        counts.join(F.broadcast(totals), ks)
+        .groupBy(*ks)
+        .agg(
+            F.max("__t").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_categories"),
+            ent.alias("entropy"),
+        )
+    )
+    norm = F.when(
+        F.col("n_categories") > 1,
+        dround(F.col("entropy") / F.ln(F.col("n_categories").cast("double")), 6),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("entropy_norm", norm)

@@ -128,3 +128,136 @@ def cohort_retention(
             dround(F.col(f"n_day{k}") / F.col("n_users").cast("double"), 4),
         )
     return out
+
+
+def last_touch_attribution(
+    conversions: DataFrame,
+    touches: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    *,
+    window_minutes: int = 1440,
+) -> DataFrame:
+    """Last-touch marketing attribution: each conversion attributes to
+    the same user's most recent touch at-or-before it, PROVIDED the
+    touch falls within ``window_minutes`` — the standard
+    click-to-purchase credit rule. Emits one row per conversion:
+    (conv_id, user, conv_ts_ms, touch_id, mins_since, attributed);
+    conversions with no in-window touch carry NULLs and
+    ``attributed = false``.
+
+    Scale shape: this is the as-of join
+    (:func:`~python_mapreduce_spark.operators.joins.asof_join` — one
+    user-keyed shuffle, a streaming last(ignorenulls) window, no pandas)
+    after touches pre-reduce to one row per (user, ts) keeping the max
+    id — which both makes ties deterministic and shrinks the join input
+    (the reduction is a map-side-combinable hash agg). Millisecond
+    integer timestamps keep the window arithmetic exact; the minutes
+    delta rounds to 4 decimals.
+    """
+    from python_mapreduce_spark.operators.joins import asof_join  # noqa: PLC0415
+
+    conv = conversions.select(
+        F.col(id_col).cast("long").alias("conv_id"),
+        F.col(user_col).alias("user"),
+        F.unix_millis(F.col(ts_col)).alias("conv_ts_ms"),
+    )
+    tch = (
+        touches.select(
+            F.col(user_col).alias("user"),
+            F.unix_millis(F.col(ts_col)).alias("touch_ts_ms"),
+            F.col(id_col).cast("long").alias("touch_id"),
+        )
+        .groupBy("user", "touch_ts_ms")
+        .agg(F.max("touch_id").alias("touch_id"))
+    )
+    joined = asof_join(
+        conv, tch, "user", "conv_ts_ms", "touch_ts_ms",
+        ["touch_id", "touch_ts_ms"], suffix="",
+    )
+    within = (
+        F.col("touch_id").isNotNull()
+        & (F.col("conv_ts_ms") - F.col("touch_ts_ms") <= int(window_minutes) * 60_000)
+    )
+    mins = dround(
+        (F.col("conv_ts_ms") - F.col("touch_ts_ms")).cast("double") / F.lit(60000.0), 4
+    )
+    return joined.select(
+        "conv_id",
+        "user",
+        "conv_ts_ms",
+        F.when(within, F.col("touch_id")).alias("touch_id"),
+        F.when(within, mins).alias("mins_since"),
+        F.coalesce(within, F.lit(False)).alias("attributed"),
+    )
+
+
+def assoc_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_both: int = 1,
+) -> DataFrame:
+    """Association rules over per-basket item sets: for every ordered
+    item pair (antecedent -> consequent) present together in at least
+    ``min_both`` baskets, the support / confidence / lift triple — the
+    market-basket co-occurrence miner (which event habitually precedes
+    which, which domains co-occur per user), the basket-level sibling of
+    document-incidence :func:`~python_mapreduce_spark.llm.text.token_pmi`.
+    Emits (antecedent, consequent, n_both, support, confidence, lift),
+    all ratios rounded to 6 decimals.
+
+    Scale shape: baskets pre-dedup to the distinct (basket, item) frame
+    (map-side combined); pairs come from that frame's self-join on the
+    basket key, so cost is sum over baskets of (items-per-basket)^2 —
+    bounded by the item vocabulary per basket, never corpus-quadratic;
+    per-item basket counts and the basket total RE-aggregate from the
+    same distinct frame (one data scan feeds everything, lineage-cut).
+    Lift divides exact integer counts in a fixed IEEE expression shape.
+    """
+    items = (
+        df.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds pairs, per-item counts, and the total
+    )
+    n_item = items.groupBy(F.col("i").alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    n_baskets = items.agg(F.count_distinct("b").cast("long").alias("n_baskets"))
+    pairs = (
+        items.alias("a")
+        .join(items.alias("c"), "b")
+        .filter(F.col("a.i") != F.col("c.i"))
+        .groupBy(
+            F.col("a.i").alias("antecedent"), F.col("c.i").alias("consequent")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= int(min_both))
+    )
+    na, nc, nb, nn = (
+        F.col("__na").cast("double"),
+        F.col("__nc").cast("double"),
+        F.col("n_both").cast("double"),
+        F.col("n_baskets").cast("double"),
+    )
+    return (
+        pairs.join(
+            F.broadcast(n_item.select(F.col("item").alias("antecedent"), F.col("n_item").alias("__na"))),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(n_item.select(F.col("item").alias("consequent"), F.col("n_item").alias("__nc"))),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            dround(nb / nn, 6).alias("support"),
+            dround(nb / na, 6).alias("confidence"),
+            dround(nb / na / (nc / nn), 6).alias("lift"),
+        )
+    )

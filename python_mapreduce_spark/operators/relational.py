@@ -697,3 +697,53 @@ def token_budget_cut(
     neg = df.withColumn("__neg", -F.col(score_col))
     cum = global_running_sum(neg, ["__neg", id_col], tokens_col, out="cum_tokens")
     return cum.filter(F.col("cum_tokens") <= budget).drop("__neg")
+
+
+def golden_record(
+    df: DataFrame,
+    keys: Sequence[str],
+    completeness_cols: Sequence[str],
+    recency_col: str,
+    tiebreak_col: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Survivorship merge (MDM "golden record"): collapse duplicate
+    records per key to ONE survivor chosen by (most fields populated,
+    then most recent, then highest tiebreak id) — the
+    entity-consolidation step after identity resolution, and the rule
+    engine behind "keep the best copy" dedup when copies disagree.
+    Emits one row per key: (keys..., completeness, recency_ms,
+    tiebreak, payload_cols...).
+
+    Scale shape: ONE hash aggregation — the survivor is
+    ``max(struct(completeness, recency_ms, tiebreak, payload...))``
+    whose lexicographic struct comparison IS the survivorship rule, so
+    partial aggregation picks per-partition survivors map-side and the
+    shuffle carries one candidate row per key per partition (a window
+    + rank formulation would shuffle every duplicate). The unique
+    tiebreak decides before any payload field is compared, so the
+    result is deterministic at any parallelism. NULL recency sorts
+    below every real timestamp (coalesced to -1).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    ks = list(keys)
+    completeness = reduce(
+        lambda a, b: a + b,
+        [F.col(c).isNotNull().cast("int") for c in completeness_cols],
+    ).alias("completeness")
+    rec = F.coalesce(F.unix_millis(F.col(recency_col)), F.lit(-1)).alias("recency_ms")
+    packed = F.struct(
+        completeness,
+        rec,
+        F.col(tiebreak_col).alias("tiebreak"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    won = df.groupBy(*ks).agg(F.max(packed).alias("__w"))
+    return won.select(
+        *ks,
+        F.col("__w.completeness").cast("long").alias("completeness"),
+        F.col("__w.recency_ms").alias("recency_ms"),
+        F.col("__w.tiebreak").alias("tiebreak"),
+        *[F.col(f"__w.{c}").alias(c) for c in payload_cols],
+    )

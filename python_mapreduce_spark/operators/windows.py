@@ -598,3 +598,70 @@ def length_buckets(
             (F.col("n_rows") * F.col("max_len") - F.col("sum_len")).cast("long"),
         )
     )
+
+
+def seasonal_residual(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    period_days: int = 7,
+    mad_k: float = 3.0,
+) -> DataFrame:
+    """Seasonal-naive anomaly detection for daily series: per key,
+    aggregate to daily totals, take the same-weekday baseline
+    ``period_days`` back (the seasonal-naive forecast), and flag days
+    whose residual exceeds ``mad_k`` x the key's median absolute
+    residual — the robust day-over-week spike/drop monitor for metric
+    streams (plain z-scoring breaks on weekly seasonality; this
+    differences it away first). Emits (keys..., day, daily_total,
+    baseline, residual, is_anomaly); the first ``period_days`` days of
+    each key have no baseline (NULL residual, never anomalous), and a
+    key whose median absolute residual is 0 flags nothing (threshold
+    degenerates, documented rather than divided by).
+
+    Scale shape: the daily roll-up is one (keys, day) hash agg in
+    DECIMAL (map-side combined, exact at any parallelism); the lag is a
+    per-KEY window over that day-sized frame; the MAD is a second
+    grouped agg over the residual frame (lineage-cut so the day frame
+    computes once) broadcast back. No window ever sees more than one
+    key's days.
+    """
+    from python_mapreduce_spark.functions.scalar import dround  # noqa: PLC0415 - avoid module cycle
+
+    ks = list(keys)
+    daily = (
+        df.groupBy(*ks, F.to_date(F.col(ts_col)).alias("day"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col(value_col).cast("decimal(18,6)")),
+                F.lit(0).cast("decimal(18,6)"),
+            ).alias("__tot")
+        )
+    )
+    w = Window.partitionBy(*ks).orderBy("day")
+    resid = (
+        daily.withColumn("__base", F.lag("__tot", int(period_days)).over(w))
+        .withColumn(
+            "__resid",
+            (F.col("__tot") - F.col("__base")).cast("double"),
+        )
+        .localCheckpoint(eager=False)  # feeds both the MAD agg and the output
+    )
+    mad = resid.filter(F.col("__resid").isNotNull()).groupBy(*ks).agg(
+        dround(F.expr("percentile(abs(__resid), 0.5D)"), 6).alias("__mad")
+    )
+    is_anom = (
+        F.col("__resid").isNotNull()
+        & (F.col("__mad") > 0)
+        & (F.abs(F.col("__resid")) >= F.lit(float(mad_k)) * F.col("__mad"))
+    )
+    return resid.join(F.broadcast(mad), ks, "left").select(
+        *ks,
+        "day",
+        dround(F.col("__tot").cast("double"), 2).alias("daily_total"),
+        dround(F.col("__base").cast("double"), 2).alias("baseline"),
+        dround(F.col("__resid"), 2).alias("residual"),
+        F.coalesce(is_anom, F.lit(False)).alias("is_anomaly"),
+    )

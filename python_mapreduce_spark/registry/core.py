@@ -1324,6 +1324,187 @@ FROM cum, tot, totb GROUP BY tot.na, totb.nb
 """
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Last-touch attribution (operators/events.py::
+    # last_touch_attribution): each purchase credits the same user's
+    # most recent click at-or-before it if within 2 hours. Runs as the
+    # scalable as-of join after touches pre-reduce to one row per
+    # (user, ts); the oracle replays it with an explicit ranked lateral.
+    from python_mapreduce_spark.operators.events import last_touch_attribution  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase")
+    tch = ev.filter(F.col("event_type") == "click")
+    return last_touch_attribution(conv, tch, "user_id", "ts", "event_id", window_minutes=120)
+
+
+SQL_ATTRIBUTION = f"""
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id AS "user", epoch_ms(ts) AS conv_ts_ms
+  FROM events WHERE event_type = 'purchase'
+),
+tch AS (
+  SELECT user_id AS "user", epoch_ms(ts) AS touch_ts_ms,
+         CAST(max(event_id) AS BIGINT) AS touch_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+best AS (
+  SELECT c.conv_id, t.touch_id, t.touch_ts_ms,
+         row_number() OVER (PARTITION BY c.conv_id ORDER BY t.touch_ts_ms DESC) AS rn
+  FROM conv c JOIN tch t ON c."user" = t."user" AND t.touch_ts_ms <= c.conv_ts_ms
+)
+SELECT c.conv_id, c."user", c.conv_ts_ms,
+       CASE WHEN c.conv_ts_ms - b.touch_ts_ms <= 7200000 THEN b.touch_id END AS touch_id,
+       CASE WHEN c.conv_ts_ms - b.touch_ts_ms <= 7200000
+            THEN {sql_dround("CAST(c.conv_ts_ms - b.touch_ts_ms AS DOUBLE) / 60000.0", 4)}
+       END AS mins_since,
+       coalesce(c.conv_ts_ms - b.touch_ts_ms <= 7200000, FALSE) AS attributed
+FROM conv c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (conv_id)
+"""
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Association rules (operators/events.py::assoc_rules): per-user
+    # event-type baskets, ordered-pair support/confidence/lift. One
+    # distinct (basket, item) frame feeds the self-join AND every count.
+    from python_mapreduce_spark.operators.events import assoc_rules  # noqa: PLC0415
+
+    return assoc_rules(table(spark, sf_dir, "events"), "user_id", "event_type")
+
+
+SQL_ASSOC_RULES = f"""
+WITH items AS (SELECT DISTINCT user_id AS b, event_type AS i FROM events),
+n_item AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY i),
+nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM items),
+pairs AS (
+  SELECT a.i AS antecedent, c.i AS consequent, CAST(count(*) AS BIGINT) AS n_both
+  FROM items a JOIN items c ON a.b = c.b AND a.i <> c.i
+  GROUP BY 1, 2
+)
+SELECT p.antecedent, p.consequent, p.n_both,
+       {sql_dround("CAST(p.n_both AS DOUBLE) / CAST(b.n AS DOUBLE)", 6)} AS support,
+       {sql_dround("CAST(p.n_both AS DOUBLE) / CAST(na.n AS DOUBLE)", 6)} AS confidence,
+       {sql_dround("CAST(p.n_both AS DOUBLE) / CAST(na.n AS DOUBLE)"
+                   " / (CAST(nc.n AS DOUBLE) / CAST(b.n AS DOUBLE))", 6)} AS lift
+FROM pairs p
+JOIN n_item na ON p.antecedent = na.i
+JOIN n_item nc ON p.consequent = nc.i
+CROSS JOIN nb b
+"""
+
+
+def q_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mix-balance entropy (operators/aggregates.py::mix_entropy): per
+    # source, the Shannon entropy of its language distribution plus the
+    # ln(k)-normalized form — one (source, lang) agg feeds everything.
+    from python_mapreduce_spark.operators.aggregates import mix_entropy  # noqa: PLC0415
+
+    return mix_entropy(table(spark, sf_dir, "documents"), ["source"], "lang")
+
+
+SQL_MIX_ENTROPY = f"""
+WITH counts AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(sum(n) AS DOUBLE) AS t FROM counts GROUP BY source),
+terms AS (
+  SELECT c.source, t.t,
+         CAST({sql_dround("-(CAST(c.n AS DOUBLE) / t.t) * ln(CAST(c.n AS DOUBLE) / t.t)", 8)}
+              AS DECIMAL(18,8)) AS term
+  FROM counts c JOIN tot t USING (source)
+),
+agg AS (
+  SELECT source, CAST(max(t) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_categories,
+         {sql_dround("CAST(sum(term) AS DOUBLE)", 6)} AS entropy
+  FROM terms GROUP BY source
+)
+SELECT source, n_rows, n_categories, entropy,
+       CASE WHEN n_categories > 1
+            THEN {sql_dround("entropy / ln(CAST(n_categories AS DOUBLE))", 6)}
+            ELSE 0.0 END AS entropy_norm
+FROM agg
+"""
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Seasonal-naive anomaly detection (operators/windows.py::
+    # seasonal_residual): per event_type daily DECIMAL totals, baseline
+    # = same weekday one week back (row lag 7 — the events series is
+    # dense daily), anomaly when |residual| >= 3 x the type's median
+    # absolute residual. The oracle replays the lag + MAD rule.
+    from python_mapreduce_spark.operators.windows import seasonal_residual  # noqa: PLC0415
+
+    out = seasonal_residual(
+        table(spark, sf_dir, "events"), ["event_type"], "ts", "value", period_days=7
+    )
+    return out.withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+
+
+SQL_SEASONAL_ANOMALY = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(CAST(value AS DECIMAL(18,6))) AS tot
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, day, tot,
+         lag(tot, 7) OVER (PARTITION BY event_type ORDER BY day) AS base
+  FROM daily
+),
+r2 AS (SELECT *, CAST(tot AS DOUBLE) - CAST(base AS DOUBLE) AS resid FROM r),
+mad AS (
+  SELECT event_type, {sql_dround("quantile_cont(abs(resid), 0.5)", 6)} AS m
+  FROM r2 WHERE resid IS NOT NULL GROUP BY event_type
+)
+SELECT r2.event_type, strftime(r2.day, '%Y-%m-%d') AS day,
+       {sql_dround("CAST(r2.tot AS DOUBLE)", 2)} AS daily_total,
+       {sql_dround("CAST(r2.base AS DOUBLE)", 2)} AS baseline,
+       {sql_dround("r2.resid", 2)} AS residual,
+       coalesce(r2.resid IS NOT NULL AND mad.m > 0 AND abs(r2.resid) >= 3.0 * mad.m,
+                FALSE) AS is_anomaly
+FROM r2 LEFT JOIN mad USING (event_type)
+"""
+
+
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Survivorship merge (operators/relational.py::golden_record): one
+    # surviving event per (user_id, event_type) by (completeness over
+    # value/props, recency, event_id) — a single max(struct) hash agg,
+    # survivors picked map-side; the oracle replays the rule as a
+    # ranked window.
+    from python_mapreduce_spark.operators.relational import golden_record  # noqa: PLC0415
+
+    return golden_record(
+        table(spark, sf_dir, "events"),
+        ["user_id", "event_type"],
+        ["value", "props"],
+        "ts",
+        "event_id",
+        ["value", "props"],
+    )
+
+
+SQL_GOLDEN_RECORD = """
+WITH scored AS (
+  SELECT user_id, event_type,
+         CAST((CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS completeness,
+         coalesce(epoch_ms(ts), -1) AS recency_ms,
+         event_id AS tiebreak, value, props,
+         row_number() OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY (CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)
+                    + (CASE WHEN props IS NOT NULL THEN 1 ELSE 0 END) DESC,
+                    coalesce(epoch_ms(ts), -1) DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id, event_type, completeness, recency_ms, tiebreak, value, props
+FROM scored WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q01_pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY, "TPC-H Q1-style flagship"),
     "q_pivot": Query(q_pivot, SQL_PIVOT, "pivot to columns"),
@@ -1340,6 +1521,11 @@ QUERIES: dict[str, Query] = {
     "q_zscore_outliers": Query(q_zscore_outliers, SQL_ZSCORE_OUTLIERS, "per-key z-score anomaly detection"),
     "q_psi_drift": Query(q_psi_drift, SQL_PSI_DRIFT, "population-stability-index distribution drift"),
     "q_ks_test": Query(q_ks_test, SQL_KS_TEST, "two-sample Kolmogorov-Smirnov statistic (distributed ECDF)"),
+    "q_attribution": Query(q_attribution, SQL_ATTRIBUTION, "last-touch conversion attribution (as-of join)"),
+    "q_assoc_rules": Query(q_assoc_rules, SQL_ASSOC_RULES, "association rules: support/confidence/lift"),
+    "q_mix_entropy": Query(q_mix_entropy, SQL_MIX_ENTROPY, "per-group categorical mix entropy (data-card balance)"),
+    "q_seasonal_anomaly": Query(q_seasonal_anomaly, SQL_SEASONAL_ANOMALY, "seasonal-naive daily anomaly detection (MAD rule)"),
+    "q_golden_record": Query(q_golden_record, SQL_GOLDEN_RECORD, "survivorship merge via one max(struct) agg"),
     "q_funnel": Query(q_funnel, SQL_FUNNEL, "ordered funnel conversion (sequential per-user mins)"),
     "q_funnel_windowed": Query(q_funnel_windowed, SQL_FUNNEL_WINDOWED, "funnel with a per-step conversion window"),
     "q_resample_locf": Query(q_resample_locf, SQL_RESAMPLE_LOCF, "gap-filled resample with forward fill (LOCF)"),
