@@ -1228,3 +1228,250 @@ def test_chi2_terms_matches_python_replay(spark, docs):
         assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
         ordered = sorted(rs, key=lambda r: (-r.chi2, r.term))
         assert [r.term for r in ordered] == [r.term for r in rs]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    convs=st.lists(st.tuples(_key, st.integers(0, 100)), min_size=1, max_size=10),
+    touches=st.lists(st.tuples(_key, st.integers(0, 100)), max_size=12),
+    window=st.sampled_from([1, 5, 100]),
+)
+def test_last_touch_attribution_matches_python_replay(spark, convs, touches, window):
+    # Last-touch attribution must equal the sequential replay: the
+    # latest touch at-or-before each conversion (ties -> max touch id),
+    # credited only within the window. Covers no-touch users, exact-tie
+    # timestamps, and windows that exclude everything.
+    from datetime import datetime, timezone
+
+    from python_mapreduce_spark.operators.events import last_touch_attribution
+
+    def ts(minute):
+        return datetime(2024, 1, 1, minute // 60, minute % 60, tzinfo=timezone.utc)
+
+    conv_rows = [(i, u, ts(m)) for i, (u, m) in enumerate(convs)]
+    touch_rows = [(1000 + i, u, ts(m)) for i, (u, m) in enumerate(touches)]
+    cdf = spark.createDataFrame(conv_rows, "event_id long, user_id string, ts timestamp")
+    tdf = spark.createDataFrame(
+        touch_rows or [(0, "zz", ts(0))], "event_id long, user_id string, ts timestamp"
+    )
+    if not touch_rows:
+        tdf = tdf.filter("event_id < 0")
+    got = {
+        r.conv_id: (r.touch_id, r.attributed)
+        for r in last_touch_attribution(
+            cdf, tdf, "user_id", "ts", "event_id", window_minutes=window
+        ).collect()
+    }
+    for i, (u, m) in enumerate(convs):
+        cands = [
+            (tm, 1000 + j)
+            for j, (tu, tm) in enumerate(touches)
+            if tu == u and tm <= m
+        ]
+        best = max(cands) if cands else None
+        if best and (m - best[0]) <= window:
+            assert got[i] == (best[1], True), i
+        else:
+            assert got[i] == (None, False), i
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 6), st.sampled_from(["a", "b", "c", "d"])),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_assoc_rules_matches_python_replay(spark, rows):
+    # Support/confidence/lift must equal the set-based replay over
+    # distinct baskets. Covers repeated (basket, item) rows (must
+    # dedup) and items never co-occurring (absent from output).
+    import math
+
+    from python_mapreduce_spark.operators.events import assoc_rules
+
+    df = spark.createDataFrame(rows, "b long, i string")
+    got = {
+        (r.antecedent, r.consequent): (r.n_both, r.support, r.confidence, r.lift)
+        for r in assoc_rules(df, "b", "i").collect()
+    }
+    baskets = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    items = sorted({i for _, i in rows})
+    n_b = len(baskets)
+    n_item = {i: sum(1 for s in baskets.values() if i in s) for i in items}
+    expect = {}
+    for a in items:
+        for c in items:
+            if a == c:
+                continue
+            both = sum(1 for s in baskets.values() if a in s and c in s)
+            if both < 1:
+                continue
+
+            def dr(x):
+                return math.floor(x * 1e6 + 0.5) / 1e6
+
+            expect[(a, c)] = (
+                both,
+                dr(both / n_b),
+                dr(both / n_item[a]),
+                dr(both / n_item[a] / (n_item[c] / n_b)),
+            )
+    assert got == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["g1", "g2"]), st.sampled_from(["x", "y", "z", None])),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_mix_entropy_matches_python_replay(spark, rows):
+    # Entropy must equal the sequential replay (1e-8 term round, sum,
+    # 1e-6 final round; ln ulp drift -> 2e-6 tolerance). NULL categories
+    # count as their own category; single-category groups normalize to 0.
+    import math
+
+    from python_mapreduce_spark.operators.aggregates import mix_entropy
+
+    df = spark.createDataFrame(rows, "g string, c string")
+    got = {
+        r.g: (r.n_rows, r.n_categories, r.entropy, r.entropy_norm)
+        for r in mix_entropy(df, ["g"], "c").collect()
+    }
+
+    def dr(x, s):
+        m = 10**s
+        return math.floor(x * m + 0.5) / m
+
+    groups = {}
+    for g, c in rows:
+        groups.setdefault(g, {}).setdefault(c, 0)
+        groups[g][c] += 1
+    for g, counts in groups.items():
+        t = sum(counts.values())
+        ent = dr(sum(dr(-(n / t) * math.log(n / t), 8) for n in counts.values()), 6)
+        k = len(counts)
+        norm = dr(ent / math.log(k), 6) if k > 1 else 0.0
+        rn, rk, re_, rnorm = got[g]
+        assert (rn, rk) == (t, k)
+        assert math.isclose(re_, ent, abs_tol=2e-6)
+        assert math.isclose(rnorm, norm, abs_tol=2e-6)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 100)),  # (day offset, int value)
+        min_size=1,
+        max_size=40,
+    ),
+    period=st.sampled_from([2, 7]),
+)
+def test_seasonal_residual_matches_python_replay(spark, obs, period):
+    # Seasonal-naive residuals must equal the sequential replay: daily
+    # integer-exact totals, row-lag baseline over the key's sorted
+    # days, MAD threshold at 3x. Covers sparse days (row lag, not
+    # calendar lag — the documented contract) and all-zero residuals
+    # (MAD 0 -> nothing flagged).
+    import math
+    from datetime import datetime, timezone
+
+    import numpy as np
+
+    from python_mapreduce_spark.operators.windows import seasonal_residual
+
+    rows = [
+        ("k", datetime(2024, 1, 1 + d, 12, 0, tzinfo=timezone.utc), float(v))
+        for d, v in obs
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    got = {
+        str(r.day): (r.daily_total, r.baseline, r.residual, r.is_anomaly)
+        for r in seasonal_residual(df, ["k"], "ts", "value", period_days=period).collect()
+    }
+    daily = {}
+    for d, v in obs:
+        daily[d] = daily.get(d, 0) + v
+    days = sorted(daily)
+    resid = {}
+    for ix, d in enumerate(days):
+        base = daily[days[ix - period]] if ix >= period else None
+        resid[d] = (daily[d], base, None if base is None else daily[d] - base)
+    rs = [abs(r) for _, _, r in resid.values() if r is not None]
+    mad = math.floor(float(np.percentile(rs, 50)) * 1e6 + 0.5) / 1e6 if rs else None
+    for d in days:
+        tot, base, r = resid[d]
+        key = f"2024-01-{1 + d:02d}"
+        anom = r is not None and mad is not None and mad > 0 and abs(r) >= 3.0 * mad
+        gt, gb, gr, ga = got[key]
+        assert gt == float(tot) and gb == (None if base is None else float(base))
+        assert gr == (None if r is None else float(r)) and ga == anom, key
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2"]),
+            st.integers(0, 5),  # minute -> recency
+            st.one_of(st.none(), st.integers(0, 9)),  # value (nullable)
+            st.one_of(st.none(), st.sampled_from(["p", "q"])),  # props (nullable)
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_golden_record_matches_python_replay(spark, rows):
+    # The max(struct) survivor must equal the sequential survivorship
+    # replay: most fields populated, then latest, then highest id.
+    # Covers all-NULL payloads and exact recency ties.
+    from datetime import datetime, timezone
+
+    from python_mapreduce_spark.operators.relational import golden_record
+
+    data = [
+        (i, u, datetime(2024, 1, 1, 0, m, tzinfo=timezone.utc),
+         None if v is None else float(v), p)
+        for i, (u, m, v, p) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id string, ts timestamp, value double, props string"
+    )
+    got = {
+        r.user_id: (r.completeness, r.tiebreak, r.value, r.props)
+        for r in golden_record(
+            df, ["user_id"], ["value", "props"], "ts", "event_id", ["value", "props"]
+        ).collect()
+    }
+    best = {}
+    for i, (u, m, v, p) in enumerate(rows):
+        score = (int(v is not None) + int(p is not None), m, i)
+        if u not in best or score > best[u][0]:
+            best[u] = (score, (score[0], i, None if v is None else float(v), p))
+    assert got == {u: payload for u, (_, payload) in best.items()}
