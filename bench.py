@@ -103,6 +103,19 @@ HEADLINE = [
     "q_chunk_pack",
     "q_equi_freq_bins",
     "q_cross_corpus_overlap",
+    # Round-5 session-2 additions: drift monitors, CDC dedup, term
+    # selection, batching, attribution/basket/survivorship analytics.
+    "q_psi_drift",
+    "q_ks_test",
+    "q_cdc_chunk_dedup",
+    "q_ngram_diversity",
+    "q_chi2_terms",
+    "q_length_buckets",
+    "q_attribution",
+    "q_assoc_rules",
+    "q_mix_entropy",
+    "q_seasonal_anomaly",
+    "q_golden_record",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

@@ -73,6 +73,9 @@ _LAZY_LLM = [
     "q_dedup_exact",
     "q_text_fuzzy_match",
     "q_embedding_norm",
+    "q_cdc_chunk_dedup",
+    "q_ngram_diversity",
+    "q_chi2_terms",
 ]
 
 

@@ -62,6 +62,12 @@ SHOWCASE = [
     ("q_embed_covariance", "dim-pair explode + ONE map-side-combined decimal agg: wire carries dim^2/2 cells per task, corpus-size-independent"),
     ("q_equi_freq_bins", "per-group percentile thresholds broadcast back; bin assignment is a projected HOF over n_bins elements"),
     ("q_cross_corpus_overlap", "both sides md5-narrowed; reference pre-agged to distinct digests, broadcast when dimension-sized"),
+    ("q_psi_drift", "reference deciles broadcast onto BOTH snapshots; bucket counts partial-agg map-side, totals re-agg from the count frame"),
+    ("q_ks_test", "per-distinct-value counts, then ONE range exchange carrying both cumulative counts packed into a single long"),
+    ("q_cdc_chunk_dedup", "per-doc windows only; cross-doc vote groupBy on md5 chunk keys with map-side partials"),
+    ("q_chi2_terms", "contingency cells from ONE term-keyed agg (checkpointed); label/total frames broadcast; WindowGroupLimit top-k"),
+    ("q_attribution", "as-of join: touches pre-reduced map-side to (user, ts) rows, one user-keyed shuffle, streaming window"),
+    ("q_golden_record", "survivorship as ONE max(struct) hash agg — per-partition survivors combine map-side, no window over duplicates"),
 ]
 
 INTERESTING = re.compile(
