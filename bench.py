@@ -116,6 +116,9 @@ HEADLINE = [
     "q_mix_entropy",
     "q_seasonal_anomaly",
     "q_golden_record",
+    "q_interval_join",
+    "q_group_ols",
+    "q_containment",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

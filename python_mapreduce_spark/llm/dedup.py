@@ -908,3 +908,74 @@ def cdc_chunk_dedup(
             F.coalesce(coverage, F.lit(0.0)).alias("dup_token_coverage"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs: for each ordered document
+    pair, ``|shingles(src) ∩ shingles(dst)| / |shingles(src)|`` — the
+    quote/excerpt detector Jaccard structurally misses (a paragraph
+    fully quoted inside a 100x-longer page has containment 1.0 but
+    Jaccard ~0.01, so :func:`ngram_jaccard_pairs` never flags it; this
+    is the Broder "containment" companion). Emits
+    (src_id, dst_id, containment) for src != dst, both directions of
+    every co-shingled pair, thresholded.
+
+    Scale shape: identical machinery to :func:`ngram_jaccard_pairs` —
+    postings self-join on the shingle key, so only co-shingled pairs
+    materialize, with the same ``max_shingle_df`` stop-shingle guard
+    (df-capped universes recompute src sizes over KEPT shingles, so
+    containment stays a true ratio over the reduced universe). The
+    undirected intersection count is computed ONCE per pair (id1 < id2)
+    and fanned into both directions by a projection, not a second join.
+    """
+    sets_ = shingle_sets(df, id_col, text_col, n).filter(F.size("shingles") > 0)
+    posts = sets_.select("id", F.explode("shingles").alias("shingle"))
+    if max_shingle_df is not None:
+        hot_limit = 100_000
+        hot_df = (
+            posts.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        hot_rows = hot_df.limit(hot_limit + 1).collect()
+        if len(hot_rows) > hot_limit:
+            posts = posts.join(F.broadcast(hot_df), "shingle", "left_anti")
+        elif hot_rows:
+            posts = posts.filter(
+                ~F.col("shingle").isin([r["shingle"] for r in hot_rows])
+            )
+        sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    else:
+        sizes = sets_.select("id", F.size("shingles").cast("long").alias("sz"))
+    a, b = posts.alias("a"), posts.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    both = (
+        inter.join(sa, F.col("id1") == F.col("sa.id"))
+        .join(sb, F.col("id2") == F.col("sb.id"))
+        .select("id1", "id2", "inter", F.col("sa.sz").alias("sz1"), F.col("sb.sz").alias("sz2"))
+    )
+    fwd = both.select(
+        F.col("id1").alias("src_id"),
+        F.col("id2").alias("dst_id"),
+        dround(F.col("inter") / F.col("sz1"), 4).alias("containment"),
+    )
+    rev = both.select(
+        F.col("id2").alias("src_id"),
+        F.col("id1").alias("dst_id"),
+        dround(F.col("inter") / F.col("sz2"), 4).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)

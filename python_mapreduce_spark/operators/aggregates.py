@@ -885,3 +885,54 @@ def mix_entropy(
         dround(F.col("entropy") / F.ln(F.col("n_categories").cast("double")), 6),
     ).otherwise(F.lit(0.0))
     return out.withColumn("entropy_norm", norm)
+
+
+def group_ols(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str | Column,
+    y_col: str | Column,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS) from sufficient
+    statistics: slope, intercept, and r² of y over x computed from ONE
+    aggregation of (n, Σx, Σy, Σxy, Σx², Σy²) — the distributed trend
+    fit (is this metric drifting up?, per-segment growth rates) that
+    needs no iterative solver. Emits (keys..., n, slope, intercept,
+    r2); groups with a degenerate x variance (single x value) or a
+    constant y carry NULL slope/intercept/r2 (for constant y the fit is
+    the horizontal line but r² is 0/0 — reported as NULL rather than
+    invented).
+
+    Scale shape: one map-side-combinable hash aggregation; every sum
+    runs in DECIMAL (exact, associative — the functions/scalar.py::dsum
+    argument), so the sufficient statistics are bit-identical at any
+    parallelism and in the DuckDB oracle; the closed-form divisions
+    happen once per group in a fixed IEEE expression shape, rounded to
+    6 decimals.
+    """
+    ks = list(keys)
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("decimal(18,6)")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("decimal(18,6)")
+    stats = df.groupBy(*ks).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("double").alias("__sx"),
+        F.sum(y).cast("double").alias("__sy"),
+        F.sum((x * y).cast("decimal(28,8)")).cast("double").alias("__sxy"),
+        F.sum((x * x).cast("decimal(28,8)")).cast("double").alias("__sxx"),
+        F.sum((y * y).cast("decimal(28,8)")).cast("double").alias("__syy"),
+    )
+    nn = F.col("n").cast("double")
+    cov_n = nn * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    var_x = nn * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    var_y = nn * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    slope = cov_n / var_x
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / nn
+    r2 = cov_n * cov_n / (var_x * var_y)
+    ok = F.col("__sxx").isNotNull() & (var_x > 0)
+    return stats.select(
+        *ks,
+        "n",
+        F.when(ok, dround(slope, 6)).alias("slope"),
+        F.when(ok, dround(intercept, 6)).alias("intercept"),
+        F.when(ok & (var_y > 0), dround(r2, 6)).alias("r2"),
+    )

@@ -239,3 +239,68 @@ def salted_join(
     )
     out = lhs.join(rhs, on=[key, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    keys: Sequence[str],
+    a_id: str,
+    b_id: str,
+    *,
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_width: int,
+) -> DataFrame:
+    """Interval-OVERLAP join: all (a, b) interval pairs sharing a key
+    whose [start, end] spans intersect — the incident-correlation /
+    session-overlap primitive (which purchases fell inside an error
+    window, which sessions overlap a deploy). Distinct from
+    :func:`range_join`'s point-in-interval shape: BOTH sides are
+    intervals. Inputs carry integer span columns (``start_col`` <=
+    ``end_col``, e.g. epoch-ms) plus an id; emits (keys..., a_id, b_id,
+    overlap_start, overlap_end, overlap_ms) with inclusive-bound
+    overlap semantics (touching endpoints count, overlap_ms >= 0).
+
+    Scale shape: the big-big-safe bucket grid — each interval explodes
+    to its covering ``bucket_width`` buckets (cost proportional to span
+    / width, chosen to keep fan-out small), the join is a pure EQUI-join
+    on (keys, bucket) with the overlap predicate as a residual filter,
+    and each qualifying pair is emitted EXACTLY ONCE by keeping only
+    the bucket containing the overlap start (a filter, not a distinct —
+    no dedup shuffle). No BroadcastNestedLoop, no CartesianProduct at
+    any size.
+    """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive: {bucket_width}")
+    w = int(bucket_width)
+    ks = list(keys)
+
+    def exploded(df: DataFrame, idc: str, tag: str) -> DataFrame:
+        s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
+        return df.select(
+            *ks,
+            F.col(idc).alias(f"{tag}_id"),
+            s.alias(f"{tag}_start"),
+            e.alias(f"{tag}_end"),
+            F.explode(F.sequence(F.floor(s / w), F.floor(e / w))).alias("__bucket"),
+        )
+    ea, eb = exploded(a, a_id, "a"), exploded(b, b_id, "b")
+    ov_start = F.greatest(F.col("a_start"), F.col("b_start"))
+    ov_end = F.least(F.col("a_end"), F.col("b_end"))
+    return (
+        ea.join(eb, [*ks, "__bucket"])
+        .filter(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+            & (F.col("__bucket") == F.floor(ov_start / w))
+        )
+        .select(
+            *ks,
+            "a_id",
+            "b_id",
+            ov_start.alias("overlap_start"),
+            ov_end.alias("overlap_end"),
+            (ov_end - ov_start).alias("overlap_ms"),
+        )
+    )

@@ -1505,6 +1505,51 @@ FROM scored WHERE rn = 1
 """
 
 
+def q_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-group OLS trend (operators/aggregates.py::group_ols): per
+    # event_type, value regressed on the day index — slope/intercept/r²
+    # from ONE aggregation of DECIMAL-exact sufficient statistics; the
+    # oracle replays the sums and the fixed-shape closed form.
+    from python_mapreduce_spark.operators.aggregates import group_ols  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events")
+    x = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+    return group_ols(ev, ["event_type"], x, F.col("value"))
+
+
+SQL_GROUP_OLS = f"""
+WITH stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DECIMAL(18,6))
+                       * CAST(value AS DECIMAL(18,6)) AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DECIMAL(18,6))
+                       * CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DECIMAL(18,6))
+                       AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+                       AS DECIMAL(28,8))) AS DOUBLE) AS syy
+  FROM events GROUP BY event_type
+),
+d AS (
+  SELECT event_type, n,
+         CAST(n AS DOUBLE) * sxy - sx * sy AS cov_n,
+         CAST(n AS DOUBLE) * sxx - sx * sx AS var_x,
+         CAST(n AS DOUBLE) * syy - sy * sy AS var_y,
+         sx, sy
+  FROM stats
+)
+SELECT event_type, n,
+       CASE WHEN var_x > 0 THEN {sql_dround("cov_n / var_x", 6)} END AS slope,
+       CASE WHEN var_x > 0
+            THEN {sql_dround("(sy - (cov_n / var_x) * sx) / CAST(n AS DOUBLE)", 6)} END AS intercept,
+       CASE WHEN var_x > 0 AND var_y > 0
+            THEN {sql_dround("cov_n * cov_n / (var_x * var_y)", 6)} END AS r2
+FROM d
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q01_pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY, "TPC-H Q1-style flagship"),
     "q_pivot": Query(q_pivot, SQL_PIVOT, "pivot to columns"),
@@ -1526,6 +1571,7 @@ QUERIES: dict[str, Query] = {
     "q_mix_entropy": Query(q_mix_entropy, SQL_MIX_ENTROPY, "per-group categorical mix entropy (data-card balance)"),
     "q_seasonal_anomaly": Query(q_seasonal_anomaly, SQL_SEASONAL_ANOMALY, "seasonal-naive daily anomaly detection (MAD rule)"),
     "q_golden_record": Query(q_golden_record, SQL_GOLDEN_RECORD, "survivorship merge via one max(struct) agg"),
+    "q_group_ols": Query(q_group_ols, SQL_GROUP_OLS, "per-group OLS trend from DECIMAL sufficient statistics"),
     "q_funnel": Query(q_funnel, SQL_FUNNEL, "ordered funnel conversion (sequential per-user mins)"),
     "q_funnel_windowed": Query(q_funnel_windowed, SQL_FUNNEL_WINDOWED, "funnel with a per-step conversion window"),
     "q_resample_locf": Query(q_resample_locf, SQL_RESAMPLE_LOCF, "gap-filled resample with forward fill (LOCF)"),

@@ -349,7 +349,54 @@ GROUP BY n_name
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Interval-overlap join (operators/joins.py::interval_overlap_join):
+    # per-user error windows [ts, ts+30m] x purchase windows
+    # [ts, ts+10m] — which purchases ran inside an error window. The
+    # bucket-grid equi-join emits each overlapping pair exactly once
+    # (overlap-start bucket rule); the oracle is the direct inequality
+    # join.
+    from python_mapreduce_spark.operators.joins import interval_overlap_join  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events")
+
+    def spans(etype: str, mins: int) -> DataFrame:
+        ms = F.unix_millis(F.col("ts"))
+        return ev.filter(F.col("event_type") == etype).select(
+            "user_id",
+            F.col("event_id"),
+            ms.alias("start"),
+            (ms + mins * 60_000).alias("end"),
+        )
+
+    return interval_overlap_join(
+        spans("error", 30), spans("purchase", 10),
+        ["user_id"], "event_id", "event_id", bucket_width=3_600_000,
+    )
+
+
+SQL_INTERVAL_JOIN = """
+WITH err AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS s, epoch_ms(ts) + 1800000 AS e
+  FROM events WHERE event_type = 'error'
+),
+pur AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS s, epoch_ms(ts) + 600000 AS e
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+       greatest(a.s, b.s) AS overlap_start,
+       least(a.e, b.e) AS overlap_end,
+       least(a.e, b.e) - greatest(a.s, b.s) AS overlap_ms
+FROM err a JOIN pur b
+  ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "q_interval_join": Query(
+        q_interval_join, SQL_INTERVAL_JOIN, "interval-overlap join via bucket grid (big-big safe)"
+    ),
     "q_join_equi": Query(q_join_equi, SQL_JOIN_EQUI, "reduce-side equi-join -> shuffle join"),
     "q_join_broadcast": Query(q_join_broadcast, SQL_JOIN_BROADCAST, "star-schema broadcast joins"),
     "q_join_semi": Query(q_join_semi, SQL_JOIN_SEMI, "left semi (EXISTS)"),

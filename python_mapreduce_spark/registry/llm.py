@@ -2727,7 +2727,52 @@ FROM batched GROUP BY bucket, batch_id
 """
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Asymmetric containment pairs (llm/dedup.py::containment_pairs):
+    # |shingles(src) ∩ shingles(dst)| / |shingles(src)| >= 0.6 — the
+    # quote/excerpt signal Jaccard misses. Same postings machinery and
+    # df cap as q_dedup_jaccard; the oracle replays both directions.
+    from python_mapreduce_spark.llm.dedup import containment_pairs  # noqa: PLC0415
+
+    return containment_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.6, max_shingle_df=100,
+    )
+
+
+SQL_CONTAINMENT = f"""
+WITH {_SQL_SHINGLES},
+posts0 AS (SELECT id, unnest(shingles) AS shingle FROM sets WHERE len(shingles) > 0),
+posts AS (
+  SELECT id, shingle FROM posts0
+  WHERE shingle IN (SELECT shingle FROM posts0 GROUP BY shingle HAVING count(*) <= 100)
+),
+sizes AS (SELECT id, count(*) AS sz FROM posts GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+pairdirs AS (
+  SELECT id1, id2, inter, sa.sz AS sz1, sb.sz AS sz2
+  FROM inter JOIN sizes sa ON id1 = sa.id JOIN sizes sb ON id2 = sb.id
+)
+SELECT src_id, dst_id, containment FROM (
+  SELECT id1 AS src_id, id2 AS dst_id,
+         floor(CAST(inter AS DOUBLE) / sz1 * 10000.0 + 0.5) / 10000.0 AS containment
+  FROM pairdirs
+  UNION ALL
+  SELECT id2, id1,
+         floor(CAST(inter AS DOUBLE) / sz2 * 10000.0 + 0.5) / 10000.0
+  FROM pairdirs
+) WHERE containment >= 0.6
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "q_containment": Query(
+        q_containment, SQL_CONTAINMENT, "asymmetric n-gram containment pairs (quote/excerpt detection)"
+    ),
     "q_dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, "exact dedup on normalized text"),
     "q_dedup_jaccard": Query(q_dedup_jaccard, _SQL_JACCARD_PAIRS_CAPPED, "3-gram Jaccard near-dup pairs (df-capped)"),
     "q_crossdoc_ngrams": Query(

@@ -1475,3 +1475,134 @@ def test_golden_record_matches_python_replay(spark, rows):
         if u not in best or score > best[u][0]:
             best[u] = (score, (score[0], i, None if v is None else float(v), p))
     assert got == {u: payload for u, (_, payload) in best.items()}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a=st.lists(st.tuples(_key, st.integers(0, 50), st.integers(0, 30)), max_size=12),
+    b=st.lists(st.tuples(_key, st.integers(0, 50), st.integers(0, 30)), max_size=12),
+    width=st.sampled_from([1, 7, 100]),
+)
+def test_interval_overlap_join_matches_bruteforce(spark, a, b, width):
+    # The bucket-grid interval join must emit exactly the brute-force
+    # overlap pair set, each pair once, at any bucket width. Covers
+    # touching endpoints, spans >> width, and empty sides.
+    from python_mapreduce_spark.operators.joins import interval_overlap_join
+
+    arows = [(i, k, s, s + d) for i, (k, s, d) in enumerate(a)]
+    brows = [(100 + i, k, s, s + d) for i, (k, s, d) in enumerate(b)]
+    schema = "id long, k string, start long, end long"
+    adf = spark.createDataFrame(arows or [(0, "zz", 0, 0)], schema)
+    bdf = spark.createDataFrame(brows or [(0, "zz", 0, 0)], schema)
+    if not arows:
+        adf = adf.filter("id < 0")
+    if not brows:
+        bdf = bdf.filter("id < 0")
+    got = {
+        (r.k, r.a_id, r.b_id): (r.overlap_start, r.overlap_end, r.overlap_ms)
+        for r in interval_overlap_join(
+            adf, bdf, ["k"], "id", "id", bucket_width=width
+        ).collect()
+    }
+    expect = {}
+    for i, k, s1, e1 in arows:
+        for j, k2, s2, e2 in brows:
+            if k == k2 and s1 <= e2 and s2 <= e1:
+                os_, oe = max(s1, s2), min(e1, e2)
+                expect[(k, i, j)] = (os_, oe, oe - os_)
+    assert got == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 1000)),  # (x day, y cents)
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_group_ols_matches_numpy_polyfit(spark, rows):
+    # The sufficient-statistics OLS must agree with the closed-form
+    # replay on exact sums (1e-5 tolerance absorbs expression-order
+    # float drift). Degenerate x variance -> NULL slope; constant y ->
+    # NULL r2.
+    import math
+
+    from python_mapreduce_spark.operators.aggregates import group_ols
+
+    data = [("g", float(x), y / 100.0) for x, y in rows]
+    df = spark.createDataFrame(data, "g string, x double, y double")
+    r = group_ols(df, ["g"], "x", "y").collect()[0]
+
+    n = len(rows)
+    xs = [x for x, _ in rows]
+    ys = [y / 100.0 for _, y in rows]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    assert r.n == n
+    if var_x <= 0:
+        assert r.slope is None and r.intercept is None and r.r2 is None
+    else:
+        slope = cov_n / var_x
+        assert math.isclose(r.slope, slope, abs_tol=1e-5)
+        assert math.isclose(r.intercept, (sy - slope * sx) / n, abs_tol=1e-5)
+        if var_y <= 0:
+            assert r.r2 is None
+        else:
+            assert math.isclose(r.r2, cov_n * cov_n / (var_x * var_y), abs_tol=1e-5)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=3, max_size=10).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_containment_pairs_matches_set_replay(spark, docs):
+    # Directed containment must equal the set replay
+    # |sh(src) ∩ sh(dst)| / |sh(src)| over distinct 3-gram shingles,
+    # thresholded at 0.6 on the 1e-4-rounded value, both directions.
+    import math
+    import re
+
+    from python_mapreduce_spark.llm.dedup import containment_pairs
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        (r.src_id, r.dst_id): r.containment
+        for r in containment_pairs(df, "doc_id", "text", n=3, threshold=0.6).collect()
+    }
+    sh = {}
+    for i, t in enumerate(docs):
+        toks = re.findall(r"[a-z]+", t.lower())
+        sh[i] = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+    expect = {}
+    for i in sh:
+        for j in sh:
+            if i == j or not sh[i]:
+                continue
+            c = math.floor(len(sh[i] & sh[j]) / len(sh[i]) * 1e4 + 0.5) / 1e4
+            if c >= 0.6 and sh[i] & sh[j]:
+                expect[(i, j)] = c
+    assert got == expect
