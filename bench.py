@@ -119,6 +119,9 @@ HEADLINE = [
     "q_interval_join",
     "q_group_ols",
     "q_containment",
+    "q_rolling_distinct",
+    "q_decayed_trending",
+    "q_tokenizer_fertility",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

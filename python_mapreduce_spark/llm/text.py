@@ -1096,3 +1096,46 @@ def chi2_terms(
     return topk_per_group(
         scored, ["label"], [F.col("chi2").desc(), F.col("term").asc()], k
     ).withColumn("rn", F.col("rn").cast("long"))
+
+
+def tokenizer_fertility(
+    df: DataFrame, group_cols: Sequence[str], text_col: str
+) -> DataFrame:
+    """Per-group tokenizer fertility profile: characters, whitespace
+    words, and BPE-ish subword tokens, with the two budget ratios a
+    training pipeline sizes against — chars_per_token (compression; low
+    for scripts a tokenizer fragments) and tokens_per_word (fertility;
+    high values flag languages that will eat budget) — the per-language
+    data-card row behind "this corpus is N tokens". Companion of
+    :func:`bpe_token_counts` (totals only). Emits (group_cols...,
+    n_docs, total_chars, total_words, total_tokens, chars_per_token,
+    tokens_per_word), ratios rounded to 4; empty groups carry NULL
+    ratios.
+
+    Scale shape: a pure projection (three regexp/length expressions per
+    row, whole-stage codegen) feeding one map-side-combinable hash agg
+    — no shuffle beyond the group keys, no second pass.
+    """
+    gs = list(group_cols)
+    safe = F.coalesce(F.col(text_col), F.lit(""))
+    chars = F.length(safe).cast("long")
+    words = F.size(F.regexp_extract_all(safe, F.lit(r"\S+"), F.lit(0))).cast("long")
+    toks = F.size(F.regexp_extract_all(safe, F.lit(BPE_ISH_PATTERN), F.lit(0))).cast("long")
+    agg = df.groupBy(*gs).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(chars).cast("long").alias("total_chars"),
+        F.sum(words).cast("long").alias("total_words"),
+        F.sum(toks).cast("long").alias("total_tokens"),
+    )
+    cpt = F.when(
+        F.col("total_tokens") > 0,
+        dround(F.col("total_chars").cast("double") / F.col("total_tokens"), 4),
+    )
+    tpw = F.when(
+        F.col("total_words") > 0,
+        dround(F.col("total_tokens").cast("double") / F.col("total_words"), 4),
+    )
+    return agg.select(
+        *gs, "n_docs", "total_chars", "total_words", "total_tokens",
+        cpt.alias("chars_per_token"), tpw.alias("tokens_per_word"),
+    )

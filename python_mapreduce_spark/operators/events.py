@@ -261,3 +261,111 @@ def assoc_rules(
             dround(nb / na / (nc / nn), 6).alias("lift"),
         )
     )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    id_col: str,
+    *,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window distinct actors per day — the WAU/MAU staple
+    ("7-day active users as of each day"), computed EXACTLY and
+    distributed. For every (key, observed activity day), the count of
+    distinct ids active in the ``window_days`` window ENDING that day.
+    Emits (keys..., day, rolling_distinct).
+
+    Scale shape: the raw stream first collapses to the distinct
+    (key, day, id) frame (map-side combined — the only pass over the
+    data); each of those rows then fans out to the <= ``window_days``
+    future days it keeps the actor "active" for (a bounded sequence
+    explode, output-proportional); a second distinct absorbs actors
+    active on several days of one window, and a semi-join against the
+    key's observed days drops phantom trailing days. Every shuffle key
+    is (key, day[, id]) — no window function at all, so no per-key
+    ordering bottleneck, and the classic alternative (a RANGE frame
+    with COUNT(DISTINCT), which Spark cannot express) is never needed.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1: {window_days}")
+    ks = list(keys)
+    daily = (
+        df.select(*ks, F.to_date(F.col(ts_col)).alias("day"), F.col(id_col).alias("id"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds both the fan-out and the observed-day set
+    )
+    days = daily.select(*ks, "day").distinct()
+    contrib = (
+        daily.select(
+            *ks,
+            "id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), window_days - 1))
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    return (
+        contrib.join(days, [*ks, "day"], "left_semi")
+        .groupBy(*ks, "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("rolling_distinct"))
+    )
+
+
+def decayed_trending(
+    df: DataFrame,
+    item_col: str | Column,
+    ts_col: str,
+    *,
+    halflife_hours: float = 24.0,
+    k: int = 10,
+) -> DataFrame:
+    """Exponentially-decayed trending score: each event contributes
+    ``2^(-(age_ms) / halflife_ms)`` toward its item, ages measured from
+    the stream's latest event; the top-``k`` items by decayed score —
+    the "what's hot right now" ranking that plain windowed counts
+    cannot express (an event an hour ago outweighs ten from last week).
+    Emits (item, n_events, score, rank), rank 1..k by
+    (score DESC, item ASC).
+
+    Scale shape: the as-of timestamp is a 1-row aggregate broadcast
+    back; each event's decay term is a projection rounded to 1e-8 and
+    summed per item in DECIMAL(28,8) (exact, associative, and
+    engine-reproducible — pow() can drift an ulp between libm and the
+    JVM, so the rounding happens BEFORE the sum, the established ln
+    scheme); the final top-k is a TakeOrderedAndProject over the
+    item-sized frame, never a global sort.
+    """
+    item = F.col(item_col) if isinstance(item_col, str) else item_col
+    hl_ms = float(halflife_hours) * 3_600_000.0
+    asof = df.agg(F.max(F.unix_millis(F.col(ts_col))).alias("__asof"))
+    term = dround(
+        F.pow(
+            F.lit(2.0),
+            -(F.col("__asof") - F.unix_millis(F.col(ts_col))).cast("double") / F.lit(hl_ms),
+        ),
+        8,
+    )
+    scored = (
+        df.crossJoin(F.broadcast(asof))
+        .select(item.alias("item"), term.cast("decimal(28,8)").alias("__term"))
+        .groupBy("item")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            dround(F.sum("__term").cast("double"), 6).alias("score"),
+        )
+    )
+    # the global rank runs over the ITEM-cardinality aggregate frame,
+    # and even there the engine rule holds: no single-partition window,
+    # ever — global_row_number ranks via a range exchange + broadcast
+    # prefix offsets (the q_window_rank_scalable machinery).
+    from python_mapreduce_spark.operators.windows import global_row_number  # noqa: PLC0415
+
+    ranked = global_row_number(
+        scored.withColumn("__ord", -F.col("score")), ["__ord", "item"], out="rank"
+    )
+    return ranked.filter(F.col("rank") <= int(k)).select(
+        "item", "n_events", "score", "rank"
+    )

@@ -1550,6 +1550,68 @@ FROM d
 """
 
 
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Trailing 7-day distinct users per event_type per day (operators/
+    # events.py::rolling_distinct) — the WAU staple, exact and
+    # distributed: distinct (key, day, id) frame fans out to the days
+    # it covers, no COUNT(DISTINCT) RANGE window anywhere. The oracle
+    # is the direct inequality-join replay.
+    from python_mapreduce_spark.operators.events import rolling_distinct  # noqa: PLC0415
+
+    out = rolling_distinct(
+        table(spark, sf_dir, "events"), ["event_type"], "ts", "user_id", window_days=7
+    )
+    return out.withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+
+
+SQL_ROLLING_DISTINCT = """
+WITH daily AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id AS id FROM events
+),
+days AS (SELECT DISTINCT event_type, day FROM daily)
+SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT a.id) AS BIGINT) AS rolling_distinct
+FROM days d
+JOIN daily a ON a.event_type = d.event_type
+            AND a.day >= d.day - 6 AND a.day <= d.day
+GROUP BY d.event_type, d.day
+"""
+
+
+def q_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exponentially-decayed trending (operators/events.py::
+    # decayed_trending): top-10 pages by half-life-24h decayed score as
+    # of the stream's latest event. pow() terms round to 1e-8 before a
+    # DECIMAL sum (the ln scheme), so the oracle replays bit-for-bit;
+    # the global rank is the scalable global_row_number.
+    from python_mapreduce_spark.operators.events import decayed_trending  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    item = F.concat(F.lit("p"), F.pmod("user_id", F.lit(37)).cast("string"))
+    return decayed_trending(ev, item, "ts", halflife_hours=24.0, k=10)
+
+
+SQL_DECAYED_TRENDING = f"""
+WITH amax AS (SELECT max(epoch_ms(ts)) AS a FROM events WHERE user_id IS NOT NULL),
+terms AS (
+  SELECT 'p' || CAST(user_id % 37 AS VARCHAR) AS item,
+         CAST({sql_dround("pow(2.0, -CAST(amax.a - epoch_ms(ts) AS DOUBLE) / 86400000.0)", 8)}
+              AS DECIMAL(28,8)) AS term
+  FROM events, amax WHERE user_id IS NOT NULL
+),
+scored AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n_events,
+         {sql_dround("CAST(sum(term) AS DOUBLE)", 6)} AS score
+  FROM terms GROUP BY item
+)
+SELECT item, n_events, score, rank FROM (
+  SELECT item, n_events, score,
+         CAST(row_number() OVER (ORDER BY score DESC, item ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q01_pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY, "TPC-H Q1-style flagship"),
     "q_pivot": Query(q_pivot, SQL_PIVOT, "pivot to columns"),
@@ -1572,6 +1634,8 @@ QUERIES: dict[str, Query] = {
     "q_seasonal_anomaly": Query(q_seasonal_anomaly, SQL_SEASONAL_ANOMALY, "seasonal-naive daily anomaly detection (MAD rule)"),
     "q_golden_record": Query(q_golden_record, SQL_GOLDEN_RECORD, "survivorship merge via one max(struct) agg"),
     "q_group_ols": Query(q_group_ols, SQL_GROUP_OLS, "per-group OLS trend from DECIMAL sufficient statistics"),
+    "q_rolling_distinct": Query(q_rolling_distinct, SQL_ROLLING_DISTINCT, "exact trailing-7-day distinct users (WAU)"),
+    "q_decayed_trending": Query(q_decayed_trending, SQL_DECAYED_TRENDING, "half-life-decayed trending top-k"),
     "q_funnel": Query(q_funnel, SQL_FUNNEL, "ordered funnel conversion (sequential per-user mins)"),
     "q_funnel_windowed": Query(q_funnel_windowed, SQL_FUNNEL_WINDOWED, "funnel with a per-step conversion window"),
     "q_resample_locf": Query(q_resample_locf, SQL_RESAMPLE_LOCF, "gap-filled resample with forward fill (LOCF)"),

@@ -2769,9 +2769,45 @@ SELECT src_id, dst_id, containment FROM (
 """
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tokenizer fertility profile (llm/text.py::tokenizer_fertility):
+    # per-language chars/words/BPE-ish tokens and the chars-per-token /
+    # tokens-per-word budget ratios — one projection + one hash agg.
+    from python_mapreduce_spark.llm.text import tokenizer_fertility  # noqa: PLC0415
+
+    return tokenizer_fertility(table(spark, sf_dir, "documents"), ["lang"], "text")
+
+
+SQL_TOKENIZER_FERTILITY = rf"""
+WITH per AS (
+  SELECT lang,
+         length(coalesce(text, '')) AS chars,
+         len(regexp_extract_all(coalesce(text, ''), '\S+')) AS words,
+         len(regexp_extract_all(coalesce(text, ''), '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS toks
+  FROM documents
+),
+agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(chars) AS BIGINT) AS total_chars,
+         CAST(sum(words) AS BIGINT) AS total_words,
+         CAST(sum(toks) AS BIGINT) AS total_tokens
+  FROM per GROUP BY lang
+)
+SELECT lang, n_docs, total_chars, total_words, total_tokens,
+       CASE WHEN total_tokens > 0
+            THEN {sql_dround("CAST(total_chars AS DOUBLE) / total_tokens", 4)} END AS chars_per_token,
+       CASE WHEN total_words > 0
+            THEN {sql_dround("CAST(total_tokens AS DOUBLE) / total_words", 4)} END AS tokens_per_word
+FROM agg
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_containment": Query(
         q_containment, SQL_CONTAINMENT, "asymmetric n-gram containment pairs (quote/excerpt detection)"
+    ),
+    "q_tokenizer_fertility": Query(
+        q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY, "per-language tokenizer fertility / budget ratios"
     ),
     "q_dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, "exact dedup on normalized text"),
     "q_dedup_jaccard": Query(q_dedup_jaccard, _SQL_JACCARD_PAIRS_CAPPED, "3-gram Jaccard near-dup pairs (df-capped)"),

@@ -1606,3 +1606,135 @@ def test_containment_pairs_matches_set_replay(spark, docs):
             if c >= 0.6 and sh[i] & sh[j]:
                 expect[(i, j)] = c
     assert got == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    obs=st.lists(
+        st.tuples(_key, st.integers(0, 15), st.integers(0, 5)),  # (key, day, user)
+        min_size=1,
+        max_size=30,
+    ),
+    window=st.sampled_from([1, 3, 7]),
+)
+def test_rolling_distinct_matches_python_replay(spark, obs, window):
+    # Trailing-window distinct actors must equal the brute-force
+    # replay over observed days only. Covers users active several days
+    # of one window (no double count) and gap days (absent from output).
+    from datetime import datetime, timezone
+
+    from python_mapreduce_spark.operators.events import rolling_distinct
+
+    rows = [
+        (k, datetime(2024, 1, 1 + d, 3, 0, tzinfo=timezone.utc), u) for k, d, u in obs
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long")
+    got = {
+        (r.k, str(r.day)): r.rolling_distinct
+        for r in rolling_distinct(df, ["k"], "ts", "id", window_days=window).collect()
+    }
+    activity = {}
+    for k, d, u in obs:
+        activity.setdefault(k, set()).add((d, u))
+    expect = {}
+    for k, pairs in activity.items():
+        for d in {d for d, _ in pairs}:
+            users = {u for dd, u in pairs if d - window < dd <= d}
+            expect[(k, f"2024-01-{1 + d:02d}")] = len(users)
+    assert got == expect
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 5000)),  # (item, minute)
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_decayed_trending_matches_python_replay(spark, events):
+    # Decayed scores must equal the sequential replay: per-event
+    # 2^(-age/halflife) rounded 1e-8, summed, rounded 1e-6; ranks by
+    # (score DESC, item ASC). pow() ulp drift absorbed by tolerance.
+    import math
+    from datetime import datetime, timedelta, timezone
+
+    from python_mapreduce_spark.operators.events import decayed_trending
+
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [(it, base + timedelta(minutes=m)) for it, m in events]
+    df = spark.createDataFrame(rows, "item string, ts timestamp")
+    got = {
+        r.item: (r.n_events, r.score, r.rank)
+        for r in decayed_trending(df, "item", "ts", halflife_hours=1.0, k=10).collect()
+    }
+
+    def dr(x, s):
+        m = 10**s
+        return math.floor(x * m + 0.5) / m
+
+    mx = max(m for _, m in events)
+    scores = {}
+    counts = {}
+    for it, m in events:
+        counts[it] = counts.get(it, 0) + 1
+        scores[it] = scores.get(it, 0.0) + dr(2.0 ** (-(mx - m) * 60_000 / 3_600_000.0), 8)
+    ranked = sorted(scores, key=lambda it: (-dr(scores[it], 6), it))
+    for rank, it in enumerate(ranked[:10], start=1):
+        n, s, r = got[it]
+        assert (n, r) == (counts[it], rank), it
+        assert math.isclose(s, dr(scores[it], 6), abs_tol=2e-6)
+    assert len(got) == min(len(ranked), 10)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "zh"]),
+            st.sampled_from(["ab cd!", "x9 7y", "", "hello, world 42", "a.b.c"]),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_tokenizer_fertility_matches_python_replay(spark, docs):
+    # Fertility counters must equal the regex replay (chars, \S+ words,
+    # BPE-ish tokens) and the rounded ratios.
+    import math
+    import re
+
+    from python_mapreduce_spark.llm.text import tokenizer_fertility
+
+    df = spark.createDataFrame(
+        [(i, l, t) for i, (l, t) in enumerate(docs)], "doc_id long, lang string, text string"
+    )
+    got = {
+        r.lang: (r.n_docs, r.total_chars, r.total_words, r.total_tokens,
+                 r.chars_per_token, r.tokens_per_word)
+        for r in tokenizer_fertility(df, ["lang"], "text").collect()
+    }
+    bpe = re.compile(r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]")
+    agg = {}
+    for l, t in docs:
+        a = agg.setdefault(l, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(t)
+        a[2] += len(re.findall(r"\S+", t))
+        a[3] += len(bpe.findall(t))
+    for l, (n, ch, w, tk) in agg.items():
+        cpt = math.floor(ch / tk * 1e4 + 0.5) / 1e4 if tk else None
+        tpw = math.floor(tk / w * 1e4 + 0.5) / 1e4 if w else None
+        assert got[l] == (n, ch, w, tk, cpt, tpw), l
