@@ -830,13 +830,19 @@ def ks_statistic(
     ca = F.floor(F.col("__cum") / F.lit(pack)).cast("double")
     cb = (F.col("__cum") % F.lit(pack)).cast("double")
     gap = F.abs(ca / F.col("__na") - cb / F.col("__nb"))
+    # groupBy a literal rather than a global agg: with ZERO input values
+    # the statistic does not exist, and a grouped agg emits zero rows
+    # (matching the oracle's GROUP BY) where a global agg would invent
+    # one all-NULL row.
     return (
         cum.crossJoin(F.broadcast(tot))
+        .groupBy(F.lit(1).alias("__g"))
         .agg(
             F.max(F.col("__na")).cast("long").alias("n_a"),
             F.max(F.col("__nb")).cast("long").alias("n_b"),
             dround(F.max(gap), 6).alias("ks_stat"),
         )
+        .drop("__g")
     )
 
 
