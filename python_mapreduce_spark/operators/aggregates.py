@@ -736,6 +736,11 @@ def psi_drift(
     bit-equal in the DuckDB oracle.
     """
     ks = list(keys)
+    # NULL values carry no distribution information and the strict-<
+    # bucket rule diverges between engines on NULL — exclude them
+    # explicitly so the contract is NULL-free on both sides.
+    ref = ref.filter(F.col(value_col).isNotNull())
+    cur = cur.filter(F.col(value_col).isNotNull())
     fracs = [i / n_bins for i in range(1, n_bins)]
     thr = ref.groupBy(*ks).agg(
         F.array(

@@ -1248,9 +1248,9 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PSI_DRIFT = f"""
 WITH ref AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
-             WHERE ts < TIMESTAMP '2024-01-15'),
+             WHERE ts < TIMESTAMP '2024-01-15' AND value IS NOT NULL),
 cur AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
-        WHERE ts >= TIMESTAMP '2024-01-15'),
+        WHERE ts >= TIMESTAMP '2024-01-15' AND value IS NOT NULL),
 thr AS (
   SELECT event_type,
          list_value({", ".join(sql_dround(f"quantile_cont(v, {i / 10})", 6) for i in range(1, 10))}) AS t
