@@ -122,6 +122,8 @@ HEADLINE = [
     "q_rolling_distinct",
     "q_decayed_trending",
     "q_tokenizer_fertility",
+    "q_cluster_canonical",
+    "q_quantile_normalize",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

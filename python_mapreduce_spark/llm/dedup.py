@@ -979,3 +979,58 @@ def containment_pairs(
         dround(F.col("inter") / F.col("sz2"), 4).alias("containment"),
     )
     return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
+def cluster_canonical(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Quality-aware canonical selection: group near-duplicates
+    (MinHash-LSH pairs → connected components) and keep the HIGHEST
+    QUALITY member of each clique — the production dedup decision rule
+    (min-id keeps an arbitrary copy; real pipelines keep the cleanest
+    one). Emits one row per document: (id, cluster, quality, keep),
+    where cluster is the component's smallest member id (own id for
+    singletons) and exactly one member per cluster has keep = true
+    (ties on the 1e-4-rounded quality break to the smallest id).
+
+    Scale shape: the pair graph and components are the proven
+    :func:`minhash_dedup_pairs` + :func:`connected_components`
+    machinery; the quality signal is one pure-Catalyst projection
+    (:func:`~python_mapreduce_spark.llm.text.quality_score`); the
+    winner per cluster is ONE ``max(struct(quality, -id))`` hash agg —
+    per-partition winners combine map-side, no window over cluster
+    members — broadcast back onto the (document-sized) assignment
+    frame.
+    """
+    from python_mapreduce_spark.llm.text import quality_score  # noqa: PLC0415
+
+    pairs = minhash_dedup_pairs(
+        df, id_col, text_col,
+        n=n, num_hashes=num_hashes, bands=bands, rows=rows, threshold=threshold,
+    )
+    comps = connected_components(pairs.select("id1", "id2"))
+    quality = quality_score(df, id_col, text_col).select(
+        F.col(id_col).cast("long").alias("id"), "quality"
+    )
+    assigned = (
+        quality.join(comps.withColumnRenamed("node", "id"), "id", "left")
+        .select("id", F.coalesce("cluster", F.col("id")).alias("cluster"), "quality")
+        .localCheckpoint(eager=False)  # feeds the winner agg and the verdict join
+    )
+    winners = assigned.groupBy("cluster").agg(
+        F.max(F.struct(F.col("quality"), (-F.col("id")).alias("__negid"))).alias("__w")
+    )
+    return assigned.join(winners, "cluster").select(
+        "id",
+        "cluster",
+        "quality",
+        (F.col("id") == -F.col("__w.__negid")).alias("keep"),
+    )

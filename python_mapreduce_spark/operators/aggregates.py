@@ -741,12 +741,7 @@ def psi_drift(
     # explicitly so the contract is NULL-free on both sides.
     ref = ref.filter(F.col(value_col).isNotNull())
     cur = cur.filter(F.col(value_col).isNotNull())
-    fracs = [i / n_bins for i in range(1, n_bins)]
-    thr = ref.groupBy(*ks).agg(
-        F.array(
-            *[dround(F.expr(f"percentile({value_col}, {f!r}D)"), 6) for f in fracs]
-        ).alias("__thr")
-    )
+    thr = psi_reference_thresholds(ref, ks, value_col, n_bins=n_bins)
     v = F.col(value_col).cast("double")
     bucket = (F.size(F.filter("__thr", lambda t: t < v)) + F.lit(1)).cast("int")
 
@@ -764,8 +759,27 @@ def psi_drift(
             F.sum(F.when(F.col("__side") == "r", 1).otherwise(0)).cast("long").alias("__nr"),
             F.sum(F.when(F.col("__side") == "c", 1).otherwise(0)).cast("long").alias("__nc"),
         )
-        .localCheckpoint(eager=False)  # feeds both the totals roll-up and the term sum
     )
+    return psi_from_bucket_counts(counts, ks, eps=eps)
+
+
+def psi_from_bucket_counts(
+    counts: DataFrame,
+    keys: Sequence[str],
+    *,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """The counts→PSI tail of :func:`psi_drift`, factored out so
+    alternative count sources plug in — in particular the INCREMENTAL
+    path (``streaming/incremental.py::incremental_psi_buckets``), where
+    the current-side histogram is the SUM of per-epoch bucket counts
+    (bucket counts are additive, so drift monitoring over an unbounded
+    ingest never rescans old epochs). ``counts`` carries one row per
+    (keys..., __b) with ``__nr`` / ``__nc`` long columns; same
+    determinism contract as :func:`psi_drift`.
+    """
+    ks = list(keys)
+    counts = counts.localCheckpoint(eager=False)  # feeds totals roll-up + term sum
     totals = counts.groupBy(*ks).agg(
         F.sum("__nr").cast("double").alias("__tr"),
         F.sum("__nc").cast("double").alias("__tc"),
@@ -784,6 +798,22 @@ def psi_drift(
             psi.alias("psi"),
         )
         .withColumn("drifted", F.col("psi") >= F.lit(0.2))
+    )
+
+
+def psi_reference_thresholds(
+    ref: DataFrame, keys: Sequence[str], value_col: str, *, n_bins: int = 10
+) -> DataFrame:
+    """The pinned reference decile thresholds :func:`psi_drift` buckets
+    against, as a standalone frame (keys..., __thr array) — computed
+    once at monitor setup and broadcast against every future snapshot /
+    ingest epoch (the incremental path's fixed yardstick)."""
+    ks = list(keys)
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    return ref.filter(F.col(value_col).isNotNull()).groupBy(*ks).agg(
+        F.array(
+            *[dround(F.expr(f"percentile({value_col}, {f!r}D)"), 6) for f in fracs]
+        ).alias("__thr")
     )
 
 

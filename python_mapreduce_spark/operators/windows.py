@@ -665,3 +665,38 @@ def seasonal_residual(
         dround(F.col("__resid"), 2).alias("residual"),
         F.coalesce(is_anom, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    value_col: str,
+    *,
+    out: str = "pctile",
+) -> DataFrame:
+    """Per-group rank transform to [0, 1]: each value maps to its
+    percent_rank within the group ((rank - 1) / (n - 1), ties sharing a
+    rank) — the score-calibration step that makes quality signals from
+    different sources comparable before a global cut (a 0.9 from a
+    harsh scorer and a 0.9 from a lenient one mean different things;
+    their percentiles do not). Emits (keys..., id, value, pctile)
+    rounded to 6 decimals; single-row groups map to 0.0.
+
+    Scale shape: ONE window partitioned by the group keys and ordered
+    by value — rank semantics make the output independent of the
+    physical tie order, so no tiebreak column is needed and the result
+    is deterministic at any parallelism. Never a single-partition
+    window (the group keys partition it); groups are assumed
+    bounded-per-key as usual for windowed operators.
+    """
+    from python_mapreduce_spark.functions.scalar import dround  # noqa: PLC0415 - avoid module cycle
+
+    ks = list(keys)
+    w = Window.partitionBy(*ks).orderBy(F.col(value_col).cast("double"))
+    return df.select(
+        *ks,
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("double").alias(value_col),
+        dround(F.percent_rank().over(w), 6).alias(out),
+    )

@@ -38,9 +38,9 @@ class Query:
 # ``python tools/driver_coverage.py --plan 50``): the 59 registry
 # entries with NO driver row yet (all round-4 additions, judge-replica
 # green at sf0.01) fill the whole window in registry order; the 9 that
-# overflow a 50-slot window sit at positions 51-59 and, with the 25
-# round-5 additions at positions 60-84, lead round 6 (34 never-checked
-# total after r5). Positions 85+ hold every already-checked query in
+# overflow a 50-slot window sit at positions 51-59 and, with the 28
+# round-5 additions at positions 60-87, lead round 6 (37 never-checked
+# total after r5). Positions 88+ hold every already-checked query in
 # staleness order (oldest driver round first: 35 r02 rows, then 47
 # r03, then 50 r04), so future refresh rotations are mechanical as
 # well.
@@ -132,6 +132,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_rolling_distinct",
     "q_decayed_trending",
     "q_tokenizer_fertility",
+    "q_stream_incremental_psi",
+    "q_cluster_canonical",
+    "q_quantile_normalize",
     # -- checked, staleness-ordered refresh queue: r02 rows (35) --
     "q_sim_ann_ivf_recall",
     "q08_market_share",

@@ -1612,6 +1612,26 @@ SELECT item, n_events, score, rank FROM (
 """
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-group rank transform (operators/windows.py::
+    # quantile_normalize): event values to their percent_rank within
+    # each event_type — score calibration across heterogeneous scorers.
+    # Rank semantics make ties order-independent, so both engines agree
+    # with no tiebreak column.
+    from python_mapreduce_spark.operators.windows import quantile_normalize  # noqa: PLC0415
+
+    return quantile_normalize(
+        table(spark, sf_dir, "events"), ["event_type"], "event_id", "value"
+    )
+
+
+SQL_QUANTILE_NORMALIZE = f"""
+SELECT event_type, event_id AS id, CAST(value AS DOUBLE) AS value,
+       {sql_dround("percent_rank() OVER (PARTITION BY event_type ORDER BY CAST(value AS DOUBLE))", 6)} AS pctile
+FROM events
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q01_pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY, "TPC-H Q1-style flagship"),
     "q_pivot": Query(q_pivot, SQL_PIVOT, "pivot to columns"),
@@ -1636,6 +1656,7 @@ QUERIES: dict[str, Query] = {
     "q_group_ols": Query(q_group_ols, SQL_GROUP_OLS, "per-group OLS trend from DECIMAL sufficient statistics"),
     "q_rolling_distinct": Query(q_rolling_distinct, SQL_ROLLING_DISTINCT, "exact trailing-7-day distinct users (WAU)"),
     "q_decayed_trending": Query(q_decayed_trending, SQL_DECAYED_TRENDING, "half-life-decayed trending top-k"),
+    "q_quantile_normalize": Query(q_quantile_normalize, SQL_QUANTILE_NORMALIZE, "per-group percent-rank score calibration"),
     "q_funnel": Query(q_funnel, SQL_FUNNEL, "ordered funnel conversion (sequential per-user mins)"),
     "q_funnel_windowed": Query(q_funnel_windowed, SQL_FUNNEL_WINDOWED, "funnel with a per-step conversion window"),
     "q_resample_locf": Query(q_resample_locf, SQL_RESAMPLE_LOCF, "gap-filled resample with forward fill (LOCF)"),

@@ -2802,9 +2802,73 @@ FROM agg
 """
 
 
+def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quality-aware canonical selection (llm/dedup.py::
+    # cluster_canonical): near-dup cliques keep their highest-quality
+    # member, not an arbitrary min-id — the production dedup decision.
+    # MinHash-LSH recall makes the candidate graph equal the exact pair
+    # graph at these dials (the q_dedup_minhash argument), so the
+    # oracle replays the exact-Jaccard closure + the quality argmax.
+    from python_mapreduce_spark.llm.dedup import cluster_canonical  # noqa: PLC0415
+
+    return cluster_canonical(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, num_hashes=32, bands=8, rows=4, threshold=0.8,
+    )
+
+
+SQL_CLUSTER_CANONICAL = f"""
+WITH RECURSIVE
+{_SQL_SHINGLES},
+posts AS (SELECT id, unnest(shingles) AS shingle FROM sets WHERE len(shingles) > 0),
+szs AS (SELECT id, CAST(len(shingles) AS BIGINT) AS sz FROM sets WHERE len(shingles) > 0),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+  FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id1, id2 FROM (
+    SELECT id1, id2,
+           floor(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) * 10000.0 + 0.5) / 10000.0
+             AS jaccard
+    FROM inter JOIN szs sa ON id1 = sa.id JOIN szs sb ON id2 = sb.id
+  ) WHERE jaccard >= 0.8
+),
+sym AS (SELECT id1 AS a, id2 AS b FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+reach(node, label) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
+),
+comp AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node),
+q AS (
+  SELECT doc_id AS id,
+         floor((0.4 * least(CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS DOUBLE) / 100.0, 1.0)
+              + 0.3 * (1.0 - floor(CAST(length(regexp_replace(lower(coalesce(text, '')), '[a-z ]', '', 'g')) AS DOUBLE)
+                                   / greatest(length(coalesce(text, '')), 1) * 10000.0 + 0.5) / 10000.0)
+              + 0.3 * least(floor(CAST(len(list_filter(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'),
+                                                       t -> t IN ('the','a','of','and','to','is'))) AS DOUBLE)
+                                  / greatest(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')), 1)
+                                  * 10000.0 + 0.5) / 10000.0 * 4.0, 1.0)) * 10000.0 + 0.5) / 10000.0 AS quality
+  FROM documents
+),
+assigned AS (
+  SELECT q.id, coalesce(comp.cluster, q.id) AS cluster, q.quality
+  FROM q LEFT JOIN comp ON q.id = comp.node
+)
+SELECT id, cluster, quality,
+       row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, id ASC) = 1 AS keep
+FROM assigned
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_containment": Query(
         q_containment, SQL_CONTAINMENT, "asymmetric n-gram containment pairs (quote/excerpt detection)"
+    ),
+    "q_cluster_canonical": Query(
+        q_cluster_canonical, SQL_CLUSTER_CANONICAL, "quality-aware canonical selection per near-dup clique"
     ),
     "q_tokenizer_fertility": Query(
         q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY, "per-language tokenizer fertility / budget ratios"

@@ -606,7 +606,77 @@ FROM flagged GROUP BY pass
 """
 
 
+def q_stream_incremental_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental distribution-drift monitoring (streaming/
+    # incremental.py::incremental_psi_buckets): the pre-Jan-15 events
+    # pin the reference decile thresholds; the current side lands in
+    # two checkpointed waves, each bucketing only its new files into
+    # additive per-epoch count partitions. PSI recomputes from the
+    # summed state — bucket counts are additive, so the union of
+    # epochs equals the one-shot batch monitor, which IS the oracle
+    # (registry/core.py::SQL_PSI_DRIFT verbatim).
+    from python_mapreduce_spark.operators.aggregates import (  # noqa: PLC0415
+        psi_from_bucket_counts,
+        psi_reference_thresholds,
+    )
+    from python_mapreduce_spark.session import tune  # noqa: PLC0415
+    from python_mapreduce_spark.streaming.incremental import (  # noqa: PLC0415
+        incremental_psi_buckets,
+        read_psi_state,
+    )
+
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("ts") < "2024-01-15").select("event_type", "value")
+    cur = ev.filter(F.col("ts") >= "2024-01-15")
+    thr = psi_reference_thresholds(ref, ["event_type"], "value").localCheckpoint(
+        eager=False
+    )  # pinned yardstick: consumed by the ref histogram AND both ingest passes
+
+    work = tempfile.mkdtemp(prefix="incr_psi_")
+    in_dir, ckpt, state = (
+        os.path.join(work, "in"),
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "state"),
+    )
+    cur.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(in_dir)
+    incremental_psi_buckets(spark, in_dir, ckpt, ["event_type"], "value", thr, state)
+    cur.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(in_dir)
+    incremental_psi_buckets(spark, in_dir, ckpt, ["event_type"], "value", thr, state)
+
+    v = F.col("value").cast("double")
+    bucket = (F.size(F.filter("__thr", lambda t: t < v)) + F.lit(1)).cast("int")
+    ref_counts = (
+        ref.filter(F.col("value").isNotNull())
+        .join(F.broadcast(thr), ["event_type"])
+        .groupBy("event_type", bucket.alias("__b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__nr"))
+    )
+    cur_counts = read_psi_state(spark, state, ["event_type"])
+    merged = (
+        ref_counts.join(cur_counts, ["event_type", "__b"], "full_outer")
+        .select(
+            "event_type",
+            "__b",
+            F.coalesce("__nr", F.lit(0)).cast("long").alias("__nr"),
+            F.coalesce("__nc", F.lit(0)).cast("long").alias("__nc"),
+        )
+    )
+    return psi_from_bucket_counts(merged, ["event_type"])
+
+
+# The incremental monitor's oracle IS the one-shot batch monitor: bucket
+# counts are additive, so the epoch-state recombination must reproduce
+# registry/core.py's q_psi_drift result digit-for-digit.
+from python_mapreduce_spark.registry.core import SQL_PSI_DRIFT as _SQL_PSI_DRIFT  # noqa: E402
+
+
 QUERIES: dict[str, Query] = {
+    "q_stream_incremental_psi": Query(
+        q_stream_incremental_psi,
+        _SQL_PSI_DRIFT,
+        "incremental PSI drift from additive per-epoch bucket state",
+    ),
     "q_stream_static_join": Query(
         q_stream_static_join, SQL_STREAM_STATIC_JOIN, "stream-static broadcast dimension enrichment"
     ),

@@ -504,3 +504,55 @@ def read_quantile_estimate(
         for p in probs
     ]
     return merged.select(*keys, *qcols)
+
+
+def incremental_psi_buckets(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    value_col: str,
+    thresholds: DataFrame,
+    state_dir: str,
+) -> None:
+    """Incremental distribution-drift state: each checkpointed pass
+    buckets ONLY newly ingested files against the PINNED reference
+    decile ``thresholds`` (``operators/aggregates.py::
+    psi_reference_thresholds`` — the monitor's fixed yardstick,
+    broadcast) and writes the per-(key, bucket) counts into an
+    idempotent ``ingest_epoch=<epoch>/`` partition of ``state_dir``
+    (mode=overwrite — crash-replay overwrites, exactly-once per epoch,
+    the family contract). Bucket counts are ADDITIVE, so the running
+    current-side histogram is a plain SUM over the epoch partitions —
+    PSI against the reference recomputes from fist-sized state without
+    ever rescanning old epochs (read back with :func:`read_psi_state`
+    + ``psi_from_bucket_counts``). This is the epoch-over-epoch corpus
+    drift monitor of a continuously-ingesting training pipeline.
+    """
+
+    def on_batch(batch: DataFrame, epoch: int) -> None:
+        v = F.col(value_col).cast("double")
+        bucket = (F.size(F.filter("__thr", lambda t: t < v)) + F.lit(1)).cast("int")
+        counts = (
+            normalize_event_ts(batch)
+            .filter(F.col(value_col).isNotNull())
+            .join(F.broadcast(thresholds), keys)
+            .groupBy(*keys, bucket.alias("__b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("__nc"))
+        )
+        counts.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"ingest_epoch={epoch}")
+        )
+
+    incremental_pass(spark, input_dir, checkpoint_dir, on_batch)
+
+
+def read_psi_state(spark: SparkSession, state_dir: str, keys: list[str]) -> DataFrame:
+    """Sum the per-epoch bucket partitions back to the running
+    current-side histogram (keys..., __b, __nc) — the additive
+    recombination :func:`incremental_psi_buckets` is designed around."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy(*keys, "__b")
+        .agg(F.sum("__nc").cast("long").alias("__nc"))
+    )

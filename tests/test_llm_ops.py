@@ -1167,3 +1167,32 @@ def test_cross_corpus_overlap_matches_through_normalization(spark):
         ).collect()
     }
     assert raw[1] is False and raw[4] is False
+
+
+def test_cluster_canonical_keeps_best_quality_copy(spark):
+    # Three exact near-dup copies (one longer/cleaner => higher quality)
+    # plus a singleton: exactly one keep per clique, and it is the
+    # highest-quality member (tie -> smallest id).
+    base = "the cat sat on the mat and the dog sat on the log of the day"
+    docs = [
+        (1, base + " extra clean tail of the story to lift quality"),
+        (2, base),
+        (3, base),
+        (4, "completely unrelated text about quantum flux capacitors"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from python_mapreduce_spark.llm.dedup import cluster_canonical
+
+    rows = {r.id: r for r in cluster_canonical(df, "doc_id", "text").collect()}
+    assert len(rows) == 4
+    by_cluster = {}
+    for r in rows.values():
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for cluster, members in by_cluster.items():
+        keeps = [r for r in members if r.keep]
+        assert len(keeps) == 1, cluster
+        best = max(members, key=lambda r: (r.quality, -r.id))
+        assert keeps[0].id == best.id
+    # the three copies form one clique; the singleton keeps itself
+    assert rows[2].cluster == rows[3].cluster
+    assert rows[4].keep and rows[4].cluster == 4

@@ -1738,3 +1738,39 @@ def test_tokenizer_fertility_matches_python_replay(spark, docs):
         cpt = math.floor(ch / tk * 1e4 + 0.5) / 1e4 if tk else None
         tpw = math.floor(tk / w * 1e4 + 0.5) / 1e4 if w else None
         assert got[l] == (n, ch, w, tk, cpt, tpw), l
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(_key, st.integers(0, 10)),  # (group, value) with heavy ties
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_quantile_normalize_matches_python_replay(spark, rows):
+    # percent_rank must equal (count strictly less) / (n - 1) with ties
+    # sharing a rank; single-row groups map to 0.0.
+    import math
+
+    from python_mapreduce_spark.operators.windows import quantile_normalize
+
+    data = [(g, i, float(v)) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, id long, value double")
+    got = {
+        r.id: r.pctile
+        for r in quantile_normalize(df, ["g"], "id", "value").collect()
+    }
+    groups = {}
+    for g, i, v in data:
+        groups.setdefault(g, []).append((i, v))
+    for g, members in groups.items():
+        n = len(members)
+        for i, v in members:
+            less = sum(1 for _, w in members if w < v)
+            exp = 0.0 if n == 1 else math.floor(less / (n - 1) * 1e6 + 0.5) / 1e6
+            assert got[i] == exp, (g, i)

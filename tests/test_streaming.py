@@ -643,3 +643,79 @@ def test_incremental_quantile_sketch_recovers_from_pre_commit_crash(spark, tmp_p
     assert abs(row.q_05 - 100) <= 10
     state = spark.read.parquet(st)
     assert state.select("ingest_epoch").distinct().count() == 2
+
+
+def test_incremental_psi_equals_batch_monitor(spark, tmp_path):
+    # Bucket counts are additive, so the incremental monitor's PSI over
+    # two ingest waves must equal the one-shot batch psi_drift on the
+    # same data; a third pass with no new files must not add state.
+    import os
+
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.aggregates import (
+        psi_drift,
+        psi_from_bucket_counts,
+        psi_reference_thresholds,
+    )
+    from python_mapreduce_spark.streaming.incremental import (
+        incremental_psi_buckets,
+        read_psi_state,
+    )
+
+    ref_rows = [("k", float(v)) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10] * 3]
+    cur_rows = [("k", float(v)) for v in [5, 6, 7, 8, 9, 10, 11, 12] * 4]
+    ref = spark.createDataFrame(ref_rows, "g string, value double")
+    cur = spark.createDataFrame(cur_rows, "g string, value double")
+
+    batch = psi_drift(ref, cur, ["g"], "value", n_bins=10).collect()[0]
+
+    thr = psi_reference_thresholds(ref, ["g"], "value", n_bins=10)
+    in_dir, ckpt, state = (
+        str(tmp_path / "in"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "state"),
+    )
+    half = len(cur_rows) // 2
+    spark.createDataFrame(cur_rows[:half], "g string, value double").write.mode(
+        "append"
+    ).parquet(in_dir)
+    incremental_psi_buckets(spark, in_dir, ckpt, ["g"], "value", thr, state)
+    spark.createDataFrame(cur_rows[half:], "g string, value double").write.mode(
+        "append"
+    ).parquet(in_dir)
+    incremental_psi_buckets(spark, in_dir, ckpt, ["g"], "value", thr, state)
+    n_epochs = len([d for d in os.listdir(state) if d.startswith("ingest_epoch=")])
+    # no-new-files pass: state must not grow
+    incremental_psi_buckets(spark, in_dir, ckpt, ["g"], "value", thr, state)
+    assert (
+        len([d for d in os.listdir(state) if d.startswith("ingest_epoch=")]) == n_epochs
+    )
+
+    ref_counts = (
+        ref.join(F.broadcast(thr), ["g"])
+        .groupBy(
+            "g",
+            (
+                F.size(F.filter("__thr", lambda t: t < F.col("value").cast("double")))
+                + F.lit(1)
+            ).cast("int").alias("__b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__nr"))
+    )
+    merged = (
+        ref_counts.join(read_psi_state(spark, state, ["g"]), ["g", "__b"], "full_outer")
+        .select(
+            "g",
+            "__b",
+            F.coalesce("__nr", F.lit(0)).cast("long").alias("__nr"),
+            F.coalesce("__nc", F.lit(0)).cast("long").alias("__nc"),
+        )
+    )
+    incr = psi_from_bucket_counts(merged, ["g"]).collect()[0]
+    assert (incr.n_ref, incr.n_cur, incr.psi, incr.drifted) == (
+        batch.n_ref,
+        batch.n_cur,
+        batch.psi,
+        batch.drifted,
+    )
