@@ -124,6 +124,7 @@ HEADLINE = [
     "q_tokenizer_fertility",
     "q_cluster_canonical",
     "q_quantile_normalize",
+    "q_top_eigenvector",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

@@ -582,3 +582,99 @@ def embedding_covariance_blas(emb: DataFrame, vec_col: str) -> DataFrame:
         .groupBy("i", "j")
         .agg((F.sum("p") / F.lit(n)).alias("cov"))
     )
+
+
+def top_eigenvector(cov: DataFrame, *, iters: int = 3) -> DataFrame:
+    """Dominant eigenvector of a covariance matrix by DISTRIBUTED power
+    iteration — the anisotropy/PCA-direction statistic
+    (:func:`embedding_covariance` gives the matrix; this gives the
+    principal axis and its explained-variance share, the "is this
+    embedding space collapsing onto one direction?" health check).
+    Input: (i, j, cov) upper-triangle rows; output: one row per
+    dimension (i, loading, eigenvalue, explained_share).
+
+    Scale shape: the matrix stays a DataFrame throughout — each
+    iteration is one equi-join (matrix row × vector entry) plus one
+    map-side-combined aggregation, and the normalization is a 1-row
+    aggregate broadcast back; nothing ever visits the driver, so the
+    same plan runs at any dimensionality. Iterations are a driver loop
+    over dim-sized frames, localCheckpoint-ed like
+    :func:`~python_mapreduce_spark.llm.dedup.pagerank_fixed`.
+
+    Determinism (the PageRank scheme, so the DuckDB oracle unrolls the
+    iterations bit-for-bit): every product rounds to 1e-8 and sums in
+    DECIMAL(28,8) (order-independent); IEEE sqrt/divide are exactly
+    rounded, so the normalized entries are identical doubles in any
+    engine; each iterate additionally rounds to 1e-6. v0 is the exact
+    double 1/sqrt(dim) for power-of-two dims (0.125 at dim=64) —
+    callers with non-power-of-two dims still converge, the literal is
+    just not "nice". Sign follows the iteration (deterministic both
+    engines). ``iters`` trades accuracy for unrolled-oracle length;
+    with a dominant spectral gap a handful suffices.
+    """
+    sym = (
+        cov.select("i", "j", "cov")
+        .unionByName(cov.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        ))
+        .localCheckpoint(eager=True)  # consumed once per iteration + λ pass
+    )
+    dim_row = sym.agg(F.count_distinct("i").alias("d")).first()
+    d = int(dim_row.d or 0)
+    if d == 0:
+        return cov.sparkSession.createDataFrame(
+            [], "i long, loading double, eigenvalue double, explained_share double"
+        )
+    v0 = 1.0 / float(d) ** 0.5
+    v = sym.select("i").distinct().withColumn("v", F.lit(v0))
+
+    def matvec(vec: DataFrame) -> DataFrame:
+        return (
+            sym.join(vec.select(F.col("i").alias("j"), "v"), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(dround(F.col("cov") * F.col("v"), 8).cast("decimal(28,8)"))
+                .cast("double")
+                .alias("w")
+            )
+        )
+
+    for _ in range(int(iters)):
+        w = matvec(v)
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(dround(F.col("w") * F.col("w"), 8).cast("decimal(28,8)")).cast(
+                    "double"
+                )
+            ).alias("nrm")
+        )
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select("i", dround(F.col("w") / F.col("nrm"), 6).alias("v"))
+            .localCheckpoint(eager=True)  # truncate the per-iteration lineage
+        )
+    wf = matvec(v)
+    lam = (
+        v.join(wf, "i")
+        .agg(
+            dround(
+                F.sum(dround(F.col("v") * F.col("w"), 8).cast("decimal(28,8)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("eigenvalue")
+        )
+    )
+    trace = cov.filter(F.col("i") == F.col("j")).agg(
+        dround(F.sum(F.col("cov").cast("decimal(28,8)")).cast("double"), 6).alias("__tr")
+    )
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("v").alias("loading"),
+            "eigenvalue",
+            dround(F.col("eigenvalue") / F.col("__tr"), 6).alias("explained_share"),
+        )
+    )

@@ -38,9 +38,9 @@ class Query:
 # ``python tools/driver_coverage.py --plan 50``): the 59 registry
 # entries with NO driver row yet (all round-4 additions, judge-replica
 # green at sf0.01) fill the whole window in registry order; the 9 that
-# overflow a 50-slot window sit at positions 51-59 and, with the 28
-# round-5 additions at positions 60-87, lead round 6 (37 never-checked
-# total after r5). Positions 88+ hold every already-checked query in
+# overflow a 50-slot window sit at positions 51-59 and, with the 30
+# round-5 additions at positions 60-89, lead round 6 (39 never-checked
+# total after r5). Positions 90+ hold every already-checked query in
 # staleness order (oldest driver round first: 35 r02 rows, then 47
 # r03, then 50 r04), so future refresh rotations are mechanical as
 # well.
@@ -114,7 +114,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_chunk_pack",
     "q_equi_freq_bins",
     "q_cross_corpus_overlap",
-    # -- never driver-checked, round-5 session-2 additions (6) --
+    # -- never driver-checked, round-5 session-2 additions (22) --
     "q_psi_drift",
     "q_ks_test",
     "q_cdc_chunk_dedup",
@@ -135,6 +135,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_incremental_psi",
     "q_cluster_canonical",
     "q_quantile_normalize",
+    "q_top_eigenvector",
+    "q_dup_cluster_sizes",
     # -- checked, staleness-ordered refresh queue: r02 rows (35) --
     "q_sim_ann_ivf_recall",
     "q08_market_share",

@@ -2863,7 +2863,109 @@ FROM assigned
 """
 
 
+def q_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dominant eigenvector of the embedding covariance by DISTRIBUTED
+    # power iteration (llm/similarity.py::top_eigenvector): matrix and
+    # vector stay DataFrames, each iteration is one equi-join + one
+    # map-side-combined decimal agg, normalization a broadcast 1-row
+    # agg. The oracle unrolls the iterations with the identical
+    # rounding schedule (the PageRank scheme), so an ITERATIVE linear-
+    # algebra result is hash-compared bit-for-bit.
+    from python_mapreduce_spark.llm.similarity import (  # noqa: PLC0415
+        embedding_covariance,
+        top_eigenvector,
+    )
+
+    cov = embedding_covariance(table(spark, sf_dir, "embeddings"), "embedding")
+    return top_eigenvector(cov, iters=3)
+
+
+def _sql_top_eigenvector(iters: int = 3) -> str:
+    # v0 = 1/sqrt(64) = 0.125, exact in binary — matches the Spark
+    # literal for this corpus's dim-64 embeddings.
+    r8, r6 = (lambda e: sql_dround(e, 8)), (lambda e: sql_dround(e, 6))
+    ctes = [f"""base AS (SELECT embedding AS v FROM embeddings WHERE embedding IS NOT NULL),
+n AS (SELECT count(*) AS n FROM base),
+dims AS (SELECT unnest(generate_series(0, len(v) - 1)) AS i
+         FROM (SELECT v FROM base LIMIT 1)),
+pairs AS (
+  SELECT di.i AS i, dj.i AS j,
+         CAST({r8('CAST(v[di.i + 1] AS DOUBLE) * CAST(v[dj.i + 1] AS DOUBLE)')}
+              AS DECIMAL(28,8)) AS p
+  FROM base, dims di, dims dj WHERE dj.i >= di.i
+),
+cov0 AS (SELECT i, j, CAST(sum(p) AS DOUBLE) / n.n AS cov
+         FROM pairs CROSS JOIN n GROUP BY i, j, n.n),
+sym AS (SELECT i, j, cov FROM cov0
+        UNION ALL SELECT j, i, cov FROM cov0 WHERE i <> j),
+v0 AS (SELECT DISTINCT i, 0.125 AS v FROM sym)"""]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""w{t} AS (
+  SELECT s.i, CAST(sum(CAST({r8('s.cov * v.v')} AS DECIMAL(28,8))) AS DOUBLE) AS w
+  FROM sym s JOIN v{t - 1} v ON s.j = v.i GROUP BY s.i
+),
+n{t} AS (SELECT sqrt(CAST(sum(CAST({r8('w * w')} AS DECIMAL(28,8))) AS DOUBLE)) AS nrm
+         FROM w{t}),
+v{t} AS (SELECT i, {r6('w / nrm')} AS v FROM w{t}, n{t})"""
+        )
+    ctes.append(
+        f"""wf AS (
+  SELECT s.i, CAST(sum(CAST({r8('s.cov * v.v')} AS DECIMAL(28,8))) AS DOUBLE) AS w
+  FROM sym s JOIN v{iters} v ON s.j = v.i GROUP BY s.i
+),
+lam AS (
+  SELECT {r6(f"CAST(sum(CAST({r8('v.v * wf.w')} AS DECIMAL(28,8))) AS DOUBLE)")} AS eigenvalue
+  FROM v{iters} v JOIN wf ON v.i = wf.i
+),
+tr AS (SELECT {r6('CAST(sum(CAST(cov AS DECIMAL(28,8))) AS DOUBLE)')} AS tr
+       FROM cov0 WHERE i = j)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT CAST(v.i AS BIGINT) AS i, v.v AS loading, lam.eigenvalue,
+       {r6('lam.eigenvalue / tr.tr')} AS explained_share
+FROM v{iters} v, lam, tr"""
+
+
+SQL_TOP_EIGENVECTOR = _sql_top_eigenvector(3)
+
+
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dup-cluster size profile: how big do near-dup cliques get — the
+    # one-line report a dedup run ships with (a long tail of giant
+    # cliques means boilerplate, pairs-only means true copies). Derived
+    # from the same pairs → connected-components pipeline as
+    # q_dedup_clusters; one extra count-of-counts aggregation.
+    from python_mapreduce_spark.llm.dedup import connected_components  # noqa: PLC0415
+
+    pairs = minhash_dedup_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, num_hashes=32, bands=8, rows=4, threshold=0.8,
+    )
+    comps = connected_components(pairs.select("id1", "id2"))
+    return (
+        comps.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .groupBy("n_members")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    )
+
+
+SQL_DUP_CLUSTER_SIZES = f"""
+SELECT n_members, CAST(count(*) AS BIGINT) AS n_clusters
+FROM ({SQL_DEDUP_CLUSTERS})
+GROUP BY n_members
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "q_dup_cluster_sizes": Query(
+        q_dup_cluster_sizes, SQL_DUP_CLUSTER_SIZES, "near-dup clique size histogram (dedup report)"
+    ),
+    "q_top_eigenvector": Query(
+        q_top_eigenvector, SQL_TOP_EIGENVECTOR, "distributed power iteration: principal embedding axis"
+    ),
     "q_containment": Query(
         q_containment, SQL_CONTAINMENT, "asymmetric n-gram containment pairs (quote/excerpt detection)"
     ),

@@ -1196,3 +1196,40 @@ def test_cluster_canonical_keeps_best_quality_copy(spark):
     # the three copies form one clique; the singleton keeps itself
     assert rows[2].cluster == rows[3].cluster
     assert rows[4].keep and rows[4].cluster == 4
+
+
+def test_top_eigenvector_agrees_with_numpy(spark):
+    # The distributed power iteration (3 rounds, per-step rounding)
+    # must land near numpy's dominant eigenvector on a matrix with a
+    # clear spectral gap, and the eigenvalue/trace share must be
+    # consistent.
+    import numpy as np
+
+    from python_mapreduce_spark.llm.similarity import top_eigenvector
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(200, 8))
+    a[:, 0] *= 6.0  # dominant direction with a wide gap
+    c = (a.T @ a) / len(a)
+    rows = [
+        (i, j, float(c[i, j])) for i in range(8) for j in range(8) if j >= i
+    ]
+    cov = spark.createDataFrame(rows, "i long, j long, cov double")
+    got = top_eigenvector(cov, iters=5).collect()
+    v = np.zeros(8)
+    for r in got:
+        v[r.i] = r.loading
+    w, vec = np.linalg.eigh(c)
+    top = vec[:, np.argmax(w)]
+    cos = abs(float(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top)))
+    assert cos > 0.999
+    lam = got[0].eigenvalue
+    assert abs(lam - max(w)) / max(w) < 0.01
+    assert abs(got[0].explained_share - lam / np.trace(c)) < 1e-4
+
+
+def test_top_eigenvector_empty_matrix(spark):
+    from python_mapreduce_spark.llm.similarity import top_eigenvector
+
+    cov = spark.createDataFrame([], "i long, j long, cov double")
+    assert top_eigenvector(cov).count() == 0
