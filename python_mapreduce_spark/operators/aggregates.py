@@ -977,3 +977,32 @@ def group_ols(
         F.when(ok, dround(intercept, 6)).alias("intercept"),
         F.when(ok & (var_y > 0), dround(r2, 6)).alias("r2"),
     )
+
+
+def class_weights(
+    df: DataFrame,
+    label_col: str,
+) -> DataFrame:
+    """Balanced class weights: per label, ``N / (k * n_label)`` (the
+    sklearn "balanced" rule — mean weight 1 when classes are even,
+    rare classes weighted up) plus the frequency — the loss-weighting
+    table a trainer consumes against a skewed label distribution. NULL
+    labels form their own class. Emits (label, n, freq, weight),
+    ratios rounded to 6 decimals.
+
+    Scale shape: one map-side-combined count per label; N and k
+    RE-aggregate from that label-sized frame (one data scan).
+    """
+    counts = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint(eager=False)  # feeds the totals roll-up and the output
+    tot = counts.agg(
+        F.sum("n").cast("double").alias("__N"),
+        F.count(F.lit(1)).cast("double").alias("__k"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n",
+        dround(F.col("n") / F.col("__N"), 6).alias("freq"),
+        dround(F.col("__N") / (F.col("__k") * F.col("n")), 6).alias("weight"),
+    )

@@ -747,3 +747,34 @@ def golden_record(
         F.col("__w.tiebreak").alias("tiebreak"),
         *[F.col(f"__w.{c}").alias(c) for c in payload_cols],
     )
+
+
+def time_split_embargo(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    train_end: str,
+    test_start: str,
+    out: str = "split",
+) -> DataFrame:
+    """Temporal train/test split with an EMBARGO gap: rows before
+    ``train_end`` train, rows at/after ``test_start`` test, and rows in
+    between are embargoed (kept, labeled, and flagged ``purged`` so the
+    loader drops them) — the leakage-safe split for time-correlated
+    data (Lopez de Prado's purged split: a random or hash split lets
+    samples adjacent in time straddle train/test and leak label
+    information through autocorrelation; the embargo buffer breaks
+    that). Pure projection — no shuffle, no RNG; the predicate pushes
+    down to the scan when a caller filters one split.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    if not train_end < test_start:
+        raise ValueError(f"need train_end < test_start: {train_end!r} vs {test_start!r}")
+    ts = F.col(ts_col)
+    split = (
+        F.when(ts < F.lit(train_end).cast("timestamp"), F.lit("train"))
+        .when(ts >= F.lit(test_start).cast("timestamp"), F.lit("test"))
+        .otherwise(F.lit("embargo"))
+    )
+    return df.withColumn(out, split).withColumn("purged", F.col(out) == "embargo")

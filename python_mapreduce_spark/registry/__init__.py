@@ -38,9 +38,9 @@ class Query:
 # ``python tools/driver_coverage.py --plan 50``): the 59 registry
 # entries with NO driver row yet (all round-4 additions, judge-replica
 # green at sf0.01) fill the whole window in registry order; the 9 that
-# overflow a 50-slot window sit at positions 51-59 and, with the 30
-# round-5 additions at positions 60-89, lead round 6 (39 never-checked
-# total after r5). Positions 90+ hold every already-checked query in
+# overflow a 50-slot window sit at positions 51-59 and, with the 33
+# round-5 additions at positions 60-92, lead round 6 (42 never-checked
+# total after r5). Positions 93+ hold every already-checked query in
 # staleness order (oldest driver round first: 35 r02 rows, then 47
 # r03, then 50 r04), so future refresh rotations are mechanical as
 # well.
@@ -137,6 +137,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_quantile_normalize",
     "q_top_eigenvector",
     "q_dup_cluster_sizes",
+    "q_time_split_embargo",
+    "q_class_weights",
+    "q_dedup_savings",
     # -- checked, staleness-ordered refresh queue: r02 rows (35) --
     "q_sim_ann_ivf_recall",
     "q08_market_share",

@@ -1632,6 +1632,50 @@ FROM events
 """
 
 
+def q_time_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Purged temporal split (operators/relational.py::
+    # time_split_embargo): train before Jan 20, a 2-day embargo buffer,
+    # test from Jan 22 — the leakage-safe split for time-correlated
+    # data. Pure projection; the oracle replays the CASE rule.
+    from python_mapreduce_spark.operators.relational import time_split_embargo  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events").select("event_id", "ts")
+    out = time_split_embargo(ev, "ts", train_end="2024-01-20", test_start="2024-01-22")
+    return out.select(F.col("event_id").alias("id"), "split", "purged")
+
+
+SQL_TIME_SPLIT_EMBARGO = """
+SELECT event_id AS id,
+       CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 'train'
+            WHEN ts >= TIMESTAMP '2024-01-22' THEN 'test'
+            ELSE 'embargo' END AS split,
+       ts >= TIMESTAMP '2024-01-20' AND ts < TIMESTAMP '2024-01-22' AS purged
+FROM events
+"""
+
+
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Balanced class weights (operators/aggregates.py::class_weights):
+    # N / (k * n_label) per event_type — the loss-weighting table for a
+    # skewed label distribution; one count agg, totals re-aggregated
+    # from it.
+    from python_mapreduce_spark.operators.aggregates import class_weights  # noqa: PLC0415
+
+    return class_weights(table(spark, sf_dir, "events"), "event_type")
+
+
+SQL_CLASS_WEIGHTS = f"""
+WITH counts AS (
+  SELECT event_type AS label, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn, CAST(count(*) AS DOUBLE) AS kk FROM counts)
+SELECT counts.label, counts.n,
+       {sql_dround("CAST(counts.n AS DOUBLE) / tot.nn", 6)} AS freq,
+       {sql_dround("tot.nn / (tot.kk * CAST(counts.n AS DOUBLE))", 6)} AS weight
+FROM counts, tot
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q01_pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY, "TPC-H Q1-style flagship"),
     "q_pivot": Query(q_pivot, SQL_PIVOT, "pivot to columns"),
@@ -1657,6 +1701,8 @@ QUERIES: dict[str, Query] = {
     "q_rolling_distinct": Query(q_rolling_distinct, SQL_ROLLING_DISTINCT, "exact trailing-7-day distinct users (WAU)"),
     "q_decayed_trending": Query(q_decayed_trending, SQL_DECAYED_TRENDING, "half-life-decayed trending top-k"),
     "q_quantile_normalize": Query(q_quantile_normalize, SQL_QUANTILE_NORMALIZE, "per-group percent-rank score calibration"),
+    "q_time_split_embargo": Query(q_time_split_embargo, SQL_TIME_SPLIT_EMBARGO, "purged temporal split with embargo buffer"),
+    "q_class_weights": Query(q_class_weights, SQL_CLASS_WEIGHTS, "balanced class-weight table (inverse frequency)"),
     "q_funnel": Query(q_funnel, SQL_FUNNEL, "ordered funnel conversion (sequential per-user mins)"),
     "q_funnel_windowed": Query(q_funnel_windowed, SQL_FUNNEL_WINDOWED, "funnel with a per-step conversion window"),
     "q_resample_locf": Query(q_resample_locf, SQL_RESAMPLE_LOCF, "gap-filled resample with forward fill (LOCF)"),

@@ -2959,7 +2959,47 @@ GROUP BY n_members
 """
 
 
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dedup savings report (llm/dedup.py::dedup_savings): per source,
+    # docs/tokens before vs after the quality-aware canonical keep —
+    # the effective-dataset-size number. Oracle: the cluster-canonical
+    # closure nested under a token-count roll-up.
+    from python_mapreduce_spark.llm.dedup import dedup_savings  # noqa: PLC0415
+
+    return dedup_savings(
+        table(spark, sf_dir, "documents"), "doc_id", "text", ["source"],
+        n=3, num_hashes=32, bands=8, rows=4, threshold=0.8,
+    )
+
+
+SQL_DEDUP_SAVINGS = f"""
+WITH verdicts AS ({SQL_CLUSTER_CANONICAL}),
+toks AS (
+  SELECT doc_id AS id, source,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS BIGINT) AS t
+  FROM documents
+),
+agg AS (
+  SELECT toks.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN v.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(toks.t) AS BIGINT) AS tokens_total,
+         CAST(sum(CASE WHEN v.keep THEN toks.t ELSE 0 END) AS BIGINT) AS tokens_kept
+  FROM toks JOIN verdicts v ON toks.id = v.id
+  GROUP BY toks.source
+)
+SELECT source, n_docs, n_kept, tokens_total, tokens_kept,
+       CASE WHEN tokens_total > 0
+            THEN {sql_dround("CAST(tokens_total - tokens_kept AS DOUBLE) / tokens_total", 6)}
+            ELSE 0.0 END AS token_savings
+FROM agg
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "q_dedup_savings": Query(
+        q_dedup_savings, SQL_DEDUP_SAVINGS, "effective dataset size after quality-aware dedup"
+    ),
     "q_dup_cluster_sizes": Query(
         q_dup_cluster_sizes, SQL_DUP_CLUSTER_SIZES, "near-dup clique size histogram (dedup report)"
     ),
