@@ -1233,3 +1233,45 @@ def test_top_eigenvector_empty_matrix(spark):
 
     cov = spark.createDataFrame([], "i long, j long, cov double")
     assert top_eigenvector(cov).count() == 0
+
+
+def test_dedup_savings_accounting_matches_replay(spark):
+    # Two exact copies + the clean original in group "web", a singleton
+    # in "books": savings = removed-token share per group, replayed in
+    # Python over the same [a-z]+ tokenization; the singleton group
+    # saves nothing.
+    import re
+
+    base = "the cat sat on the mat and the dog sat on the log of the day"
+    docs = [
+        (1, base + " extra clean tail of the story to lift quality", "web"),
+        (2, base, "web"),
+        (3, base, "web"),
+        (4, "completely unrelated text about quantum flux capacitors", "books"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    from python_mapreduce_spark.llm.dedup import cluster_canonical, dedup_savings
+
+    keep = {
+        r.id: r.keep
+        for r in cluster_canonical(
+            df, "doc_id", "text", n=3, num_hashes=32, bands=8, rows=4, threshold=0.8
+        ).collect()
+    }
+    toks = {i: len(re.findall("[a-z]+", t.lower())) for i, t, _ in docs}
+    got = {
+        r.source: (r.n_docs, r.n_kept, r.tokens_total, r.tokens_kept, r.token_savings)
+        for r in dedup_savings(df, "doc_id", "text", ["source"]).collect()
+    }
+    for src in ("web", "books"):
+        ids = [i for i, _, s in docs if s == src]
+        total = sum(toks[i] for i in ids)
+        kept = sum(toks[i] for i in ids if keep[i])
+        exp_sav = round((total - kept) / total, 6) if total else 0.0
+        assert got[src] == (
+            len(ids), sum(1 for i in ids if keep[i]), total, kept, exp_sav
+        ), src
+    assert got["books"][4] == 0.0
+    # docs 2/3 are exact copies (one removed); doc 1's extra tail keeps
+    # it below the 0.8 Jaccard threshold, so it is its own clique
+    assert got["web"][1] == 2 and got["web"][4] > 0.0

@@ -1774,3 +1774,64 @@ def test_quantile_normalize_matches_python_replay(spark, rows):
             less = sum(1 for _, w in members if w < v)
             exp = 0.0 if n == 1 else math.floor(less / (n - 1) * 1e6 + 0.5) / 1e6
             assert got[i] == exp, (g, i)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(st.sampled_from(["a", "b", "c", None]), min_size=1, max_size=30)
+)
+def test_class_weights_matches_python_replay(spark, rows):
+    # The balanced rule N/(k*n) and frequencies must equal the replay;
+    # NULL labels form their own class; mean weighted frequency is 1/k
+    # per class by construction.
+    import math
+
+    from python_mapreduce_spark.operators.aggregates import class_weights
+
+    df = spark.createDataFrame([(i, l) for i, l in enumerate(rows)], "id long, label string")
+    got = {r.label: (r.n, r.freq, r.weight) for r in class_weights(df, "label").collect()}
+    counts = {}
+    for l in rows:
+        counts[l] = counts.get(l, 0) + 1
+    n_total, k = len(rows), len(counts)
+
+    def dr(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    for l, n in counts.items():
+        assert got[l] == (n, dr(n / n_total), dr(n_total / (k * n))), l
+    assert set(got) == set(counts)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(minutes=st.lists(st.integers(0, 59), min_size=1, max_size=25))
+def test_time_split_embargo_matches_rule(spark, minutes):
+    # Every row lands in exactly one of train/embargo/test per the
+    # boundary rule (train strictly before, test at-or-after, purged
+    # only in between; boundaries: embargo start inclusive, end
+    # exclusive).
+    from datetime import datetime, timezone
+
+    from python_mapreduce_spark.operators.relational import time_split_embargo
+
+    rows = [
+        (i, datetime(2024, 1, 1, 0, m, tzinfo=timezone.utc)) for i, m in enumerate(minutes)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    got = {
+        r.id: (r.split, r.purged)
+        for r in time_split_embargo(
+            df, "ts", train_end="2024-01-01 00:20:00", test_start="2024-01-01 00:40:00"
+        ).collect()
+    }
+    for i, m in enumerate(minutes):
+        exp = "train" if m < 20 else ("test" if m >= 40 else "embargo")
+        assert got[i] == (exp, exp == "embargo"), (i, m)
