@@ -125,6 +125,14 @@ HEADLINE = [
     "q_cluster_canonical",
     "q_quantile_normalize",
     "q_top_eigenvector",
+    "q_dup_cluster_sizes",
+    "q_dedup_savings",
+    "q_time_split_embargo",
+    "q_class_weights",
+    "q_auc",
+    "q_calibration_summary",
+    "q_classification_report",
+    "q_fuzzy_decontam",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

@@ -1092,3 +1092,78 @@ def dedup_savings(
     return agg.select(
         *gs, "n_docs", "n_kept", "tokens_total", "tokens_kept", savings.alias("token_savings")
     )
+
+
+def fuzzy_decontamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    rows: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Fuzzy train/eval decontamination: flag corpus documents whose
+    n-gram Jaccard against ANY eval-set document reaches ``threshold``
+    — the near-duplicate sweep run before training so paraphrased or
+    lightly-edited benchmark items can't leak into the training set
+    (the exact-match sweep is :func:`cross_corpus_overlap`; this one
+    catches what exact matching misses). Emits one row per contaminated
+    corpus doc: (id, n_matches, max_jaccard, eval_id) with eval_id the
+    highest-Jaccard eval match (ties -> smallest eval id); clean docs
+    emit nothing, so the caller purges with a left-anti join.
+
+    Scale shape: the cross-corpus form of the MinHash-LSH pipeline —
+    both sides reduce to ``bands`` band keys per doc, candidates come
+    from an EQUI-join of corpus bands to eval bands (the shuffle pairs
+    only probable near-dups; never corpus x eval), and only candidates
+    pay the exact-Jaccard verify. The eval side is benchmark-sized
+    (millions of rows at most), so its banded frame broadcasts and the
+    100 TB corpus streams through map-side. Default banding is the
+    widened 32x2 (candidate recall at j >= 0.8 is
+    1 - (1 - 0.8^2)^32 ~ 1 - 6e-15), so the verified output matches the
+    exact pair set for any realistic corpus.
+    """
+    sets_c = shingle_sets(corpus, id_col, text_col, n)
+    sets_e = shingle_sets(eval_df, id_col, text_col, n)
+    bc = band_keys(minhash_signatures(sets_c, num_hashes=num_hashes), bands=bands, rows=rows)
+    be = band_keys(minhash_signatures(sets_e, num_hashes=num_hashes), bands=bands, rows=rows)
+    cand = (
+        bc.alias("c")
+        .join(
+            be.alias("e"),
+            (F.col("c.band") == F.col("e.band")) & (F.col("c.bkey") == F.col("e.bkey")),
+        )
+        .select(F.col("c.id").alias("cid"), F.col("e.id").alias("eid"))
+        .distinct()
+    )
+    sc, se = sets_c.alias("sc"), sets_e.alias("se")
+    verified = (
+        cand.join(sc, F.col("cid") == F.col("sc.id"))
+        .join(se, F.col("eid") == F.col("se.id"))
+        .select(
+            "cid",
+            "eid",
+            dround(
+                F.size(F.array_intersect("sc.shingles", "se.shingles"))
+                / F.size(F.array_union("sc.shingles", "se.shingles")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    # one row per contaminated corpus doc: max-jaccard eval match,
+    # ties -> smallest eval id, via a single max(struct) hash agg
+    best = F.max(F.struct(F.col("jaccard"), (-F.col("eid")).alias("nid")))
+    return verified.groupBy(F.col("cid").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        best.alias("__b"),
+    ).select(
+        "id",
+        "n_matches",
+        F.col("__b.jaccard").alias("max_jaccard"),
+        (-F.col("__b.nid")).cast("long").alias("eval_id"),
+    )

@@ -1006,3 +1006,245 @@ def class_weights(
         dround(F.col("n") / F.col("__N"), 6).alias("freq"),
         dround(F.col("__N") / (F.col("__k") * F.col("n")), 6).alias("weight"),
     )
+
+
+def auc_score(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed ROC AUC via the rank (Mann-Whitney) identity:
+    AUC = P(score_pos > score_neg) + 0.5 * P(tie) — the
+    threshold-free quality number for a filtering/ranking model (e.g. a
+    quality classifier deciding which documents survive curation).
+    ``label_col`` is a column name or boolean Column; rows with NULL
+    score or NULL label are excluded. Emits ONE row
+    (n_pos, n_neg, auc); AUC is NULL when either class is empty, and
+    zero rows are emitted for empty input (matching a grouped oracle).
+
+    Scale shape: the sort-free plan of :func:`ks_statistic` — each
+    distinct score aggregates to (n_pos, n_neg) map-side (the frame
+    that shuffles is score-cardinality-sized), then ONE distributed
+    running sum over the score order
+    (:func:`~python_mapreduce_spark.operators.windows.global_running_sum`)
+    yields the cumulative negative count; the pair count
+    ``2*p*(negs_below) + p*n_ties`` stays in exact 64-bit integers until
+    the single final division, so the statistic is bit-identical in any
+    engine. No global sort, no single-task window, no per-row rank.
+    """
+    from python_mapreduce_spark.operators.windows import global_running_sum  # noqa: PLC0415 - avoid module cycle
+
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    base = df.select(
+        F.col(score_col).cast("double").alias("__s"),
+        y.cast("boolean").alias("__y"),
+    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    counts = base.groupBy("__s").agg(
+        F.sum(F.col("__y").cast("long")).cast("long").alias("__p"),
+        F.sum((~F.col("__y")).cast("long")).cast("long").alias("__n"),
+    )
+    cum = global_running_sum(counts, ["__s"], "__n", out="__cn", num_partitions=num_partitions)
+    # negatives strictly below this score + half the ties, doubled to
+    # stay integral: 2*p*(cum_n - n) + p*n
+    num2 = F.col("__p") * (F.lit(2) * (F.col("__cn") - F.col("__n")) + F.col("__n"))
+    # pair counts reach ~N^2/2, past int64 beyond ~4e9 rows: per-value
+    # terms stay in longs (p_v * cum_n bounds), the SUM rides DECIMAL(38,0)
+    agg = cum.groupBy(F.lit(1).alias("__g")).agg(
+        F.sum("__p").cast("long").alias("n_pos"),
+        F.sum("__n").cast("long").alias("n_neg"),
+        F.sum(num2.cast("decimal(38,0)")).cast("double").alias("__num2"),
+    )
+    denom = F.lit(2.0) * F.col("n_pos") * F.col("n_neg")
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            dround(F.col("__num2") / denom, 6),
+        ).alias("auc"),
+    )
+
+
+def classification_report(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision / recall / F1 / support from a
+    (label, prediction) pair column — the eval table behind every
+    "is the filter model good enough to curate with" decision. A class
+    appearing only among predictions still gets a row (support 0, NULL
+    recall); NULL labels/predictions are their own class (surfacing
+    missing metadata rather than dropping it). Emits
+    (class, support, predicted, tp, precision, recall, f1), ratios
+    rounded to 6; F1 is NULL when precision+recall is 0 or undefined.
+
+    Scale shape: ONE (label, pred) hash agg scans the data (map-side
+    combined; the surviving frame is class^2-sized, lazily
+    localCheckpoint'ed); marginals, diagonal, and the final full-outer
+    assembly all derive from that tiny frame without touching the data
+    again.
+    """
+    conf = (
+        df.groupBy(
+            F.col(label_col).alias("__l"), F.col(pred_col).alias("__p")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .localCheckpoint(eager=False)  # three consumers below
+    )
+    actual = conf.groupBy(F.col("__l").alias("class")).agg(
+        F.sum("__n").cast("long").alias("support")
+    )
+    pred = conf.groupBy(F.col("__p").alias("class")).agg(
+        F.sum("__n").cast("long").alias("predicted")
+    )
+    tp = conf.filter(F.col("__l").eqNullSafe(F.col("__p"))).select(
+        F.col("__l").alias("class"), F.col("__n").alias("tp")
+    )
+    joined = (
+        actual.join(pred, ["class"], "full_outer")
+        .join(tp, ["class"], "left")
+        .select(
+            "class",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+            F.coalesce("predicted", F.lit(0)).cast("long").alias("predicted"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    prec = F.when(F.col("predicted") > 0, F.col("tp") / F.col("predicted"))
+    rec = F.when(F.col("support") > 0, F.col("tp") / F.col("support"))
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & ((prec + rec) > 0),
+        F.lit(2.0) * prec * rec / (prec + rec),
+    )
+    return joined.select(
+        "class", "support", "predicted", "tp",
+        dround(prec, 6).alias("precision"),
+        dround(rec, 6).alias("recall"),
+        dround(f1, 6).alias("f1"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical columns (two annotators, or model vs. declared
+    metadata): kappa = (p_o - p_e) / (1 - p_e) with p_o the observed
+    agreement rate and p_e the marginal-product chance rate. NULL
+    values form their own category on both sides. Emits ONE row
+    (n, po, pe, kappa), rates rounded to 6; kappa is NULL at pe = 1
+    (degenerate single-category data); empty input emits zero rows.
+
+    Scale shape: ONE (a, b) hash agg (map-side combined,
+    localCheckpoint'ed); both marginals and the diagonal re-aggregate
+    from the class^2-sized frame — the data is scanned once.
+    """
+    conf = (
+        df.groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .localCheckpoint(eager=False)  # marginals + diagonal + total
+    )
+    ma = conf.groupBy("__a").agg(F.sum("__n").cast("long").alias("__na"))
+    mb = conf.groupBy("__b").agg(F.sum("__n").cast("long").alias("__nb"))
+    # chance agreement: sum over categories of (marginal_a * marginal_b)
+    pe_num = (
+        ma.join(mb, F.col("__a").eqNullSafe(F.col("__b")))
+        .agg(F.sum(F.col("__na") * F.col("__nb")).cast("double").alias("__pe_num"))
+    )
+    agg = conf.groupBy(F.lit(1).alias("__g")).agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.sum(F.when(F.col("__a").eqNullSafe(F.col("__b")), F.col("__n")).otherwise(0))
+        .cast("double")
+        .alias("__agree"),
+    )
+    po = F.col("__agree") / F.col("n")
+    pe = F.coalesce(F.col("__pe_num"), F.lit(0.0)) / (F.col("n").cast("double") * F.col("n"))
+    return (
+        agg.crossJoin(F.broadcast(pe_num))
+        .select(
+            "n",
+            dround(po, 6).alias("po"),
+            dround(pe, 6).alias("pe"),
+            F.when(pe < 1.0, dround((po - pe) / (F.lit(1.0) - pe), 6)).alias("kappa"),
+        )
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    *,
+    n_bins: int = 10,
+    summary: bool = False,
+) -> DataFrame:
+    """Probability-calibration audit for a [0, 1] score against a
+    binary outcome — per-bin reliability rows, or (``summary=True``)
+    the one-row Brier score + Expected Calibration Error. A filter
+    model whose confidence is uncalibrated quietly biases every
+    threshold-based curation decision, so this is the companion check
+    to :func:`auc_score` (rank quality) and
+    :func:`classification_report` (thresholded quality).
+
+    Per-bin rows: (bin, n, conf, acc, gap) — equal-width bins
+    ``least(floor(s * n_bins), n_bins - 1)`` (scores clamped into
+    [0, 1]), conf = mean score, acc = empirical positive rate,
+    gap = |conf - acc|, all rounded to 6. Summary row:
+    (n, brier, ece) with ece = sum_bins |sum(s) - sum(y)| / N — exact
+    because each bin's weighted gap telescopes to an absolute
+    difference of one DECIMAL sum and one integer count. Empty input
+    emits zero rows in both shapes.
+
+    Scale shape: ONE projection + ONE map-side-combined hash agg on the
+    bin key produce the (n_bins)-sized frame; the summary re-aggregates
+    that frame (the data is scanned once either way). Determinism:
+    scores round to 1e-6 before a DECIMAL(28,6) sum; squared errors
+    round to 1e-8 before a DECIMAL(28,8) sum; outputs round to 1e-6.
+    """
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    s = F.least(F.greatest(F.col(score_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    base = df.select(
+        s.alias("__s"), y.cast("boolean").cast("long").alias("__y")
+    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    binned = base.select(
+        F.least(
+            F.floor(F.col("__s") * F.lit(n_bins)).cast("long"), F.lit(n_bins - 1)
+        ).alias("bin"),
+        dround(F.col("__s"), 6).cast("decimal(28,6)").alias("__s6"),
+        "__y",
+        dround((F.col("__s") - F.col("__y")) * (F.col("__s") - F.col("__y")), 8)
+        .cast("decimal(28,8)")
+        .alias("__sq"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__s6").alias("__ss"),
+        F.sum("__y").cast("long").alias("__sy"),
+        F.sum("__sq").alias("__ssq"),
+    )
+    if not summary:
+        conf = F.col("__ss").cast("double") / F.col("n")
+        acc = F.col("__sy").cast("double") / F.col("n")
+        return bins.select(
+            "bin",
+            "n",
+            dround(conf, 6).alias("conf"),
+            dround(acc, 6).alias("acc"),
+            dround(F.abs(conf - acc), 6).alias("gap"),
+        )
+    # n * |conf - acc| = |sum(s) - sum(y)| exactly (decimal minus integer)
+    gap_mass = F.abs(F.col("__ss") - F.col("__sy").cast("decimal(28,6)"))
+    return bins.groupBy(F.lit(1).alias("__g")).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("__ssq").alias("__tsq"),
+        F.sum(gap_mass).alias("__tgap"),
+    ).select(
+        "n",
+        dround(F.col("__tsq").cast("double") / F.col("n"), 6).alias("brier"),
+        dround(F.col("__tgap").cast("double") / F.col("n"), 6).alias("ece"),
+    )

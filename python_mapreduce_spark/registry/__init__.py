@@ -140,6 +140,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_time_split_embargo",
     "q_class_weights",
     "q_dedup_savings",
+    "q_auc",
+    "q_calibration_bins",
+    "q_calibration_summary",
+    "q_classification_report",
+    "q_cohens_kappa",
+    "q_fuzzy_decontam",
     # -- checked, staleness-ordered refresh queue: r02 rows (35) --
     "q_sim_ann_ivf_recall",
     "q08_market_share",

@@ -1676,6 +1676,111 @@ FROM counts, tot
 """
 
 
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distributed ROC AUC (operators/aggregates.py::auc_score): does
+    # event value rank purchases above clicks? Scores round to 0.1 so
+    # the tie half-credit path is exercised; the rank identity runs as
+    # per-distinct-value counts + ONE distributed running sum — no
+    # global sort, no single-task window.
+    from python_mapreduce_spark.operators.aggregates import auc_score  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    scored = ev.select(
+        dround(F.col("value"), 1).alias("score"),
+        (F.col("event_type") == "purchase").alias("is_pos"),
+    )
+    return auc_score(scored, "score", "is_pos")
+
+
+SQL_AUC = f"""
+WITH base AS (
+  SELECT {sql_dround("CAST(value AS DOUBLE)", 1)} AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+counts AS (
+  SELECT s, CAST(sum(y) AS BIGINT) AS p, CAST(sum(1 - y) AS BIGINT) AS ng
+  FROM base GROUP BY s
+),
+cum AS (SELECT p, ng, sum(ng) OVER (ORDER BY s) AS cn FROM counts)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN {sql_dround("num2 / (2.0 * n_pos * n_neg)", 6)} END AS auc
+FROM (
+  SELECT 1 AS g,
+         CAST(sum(p) AS BIGINT) AS n_pos,
+         CAST(sum(ng) AS BIGINT) AS n_neg,
+         CAST(sum(p * (2 * (cn - ng) + ng)) AS DOUBLE) AS num2
+  FROM cum GROUP BY g
+)
+"""
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reliability diagram rows (operators/aggregates.py::
+    # calibration_report): document length scaled to [0,1] as the
+    # "confidence" against the lang='en' outcome, 10 equal-width bins —
+    # one projection + one bin-keyed hash agg.
+    from python_mapreduce_spark.operators.aggregates import calibration_report  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents").select(
+        (F.col("n_chars") / F.lit(600.0)).alias("score"),
+        (F.coalesce(F.col("lang"), F.lit("")) == "en").alias("is_en"),
+    )
+    return calibration_report(docs, "score", "is_en", n_bins=10)
+
+
+_SQL_CALIB_BASE = """
+base AS (
+  SELECT least(greatest(CAST(n_chars AS DOUBLE) / 600.0, 0.0), 1.0) AS s,
+         CASE WHEN coalesce(lang, '') = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE n_chars IS NOT NULL
+),
+bins AS (
+  SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(floor(s * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS ss,
+         CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(floor((s - y) * (s - y) * 100000000.0 + 0.5) / 100000000.0
+             AS DECIMAL(28,8))) AS ssq
+  FROM base GROUP BY 1
+)
+"""
+
+SQL_CALIBRATION_BINS = f"""
+WITH {_SQL_CALIB_BASE}
+SELECT bin, n,
+       {sql_dround("CAST(ss AS DOUBLE) / n", 6)} AS conf,
+       {sql_dround("CAST(sy AS DOUBLE) / n", 6)} AS acc,
+       {sql_dround("abs(CAST(ss AS DOUBLE) / n - CAST(sy AS DOUBLE) / n)", 6)} AS gap
+FROM bins
+"""
+
+
+def q_calibration_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One-row Brier + ECE over the same bins (summary=True re-aggs the
+    # bin frame; the data is scanned once).
+    from python_mapreduce_spark.operators.aggregates import calibration_report  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents").select(
+        (F.col("n_chars") / F.lit(600.0)).alias("score"),
+        (F.coalesce(F.col("lang"), F.lit("")) == "en").alias("is_en"),
+    )
+    return calibration_report(docs, "score", "is_en", n_bins=10, summary=True)
+
+
+SQL_CALIBRATION_SUMMARY = f"""
+WITH {_SQL_CALIB_BASE}
+SELECT CAST(sum(n) AS BIGINT) AS n,
+       {sql_dround("CAST(sum(ssq) AS DOUBLE) / sum(n)", 6)} AS brier,
+       {sql_dround("CAST(sum(abs(ss - CAST(sy AS DECIMAL(28,6)))) AS DOUBLE) / sum(n)", 6)} AS ece
+FROM (SELECT 1 AS g, * FROM bins) GROUP BY g
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q01_pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY, "TPC-H Q1-style flagship"),
     "q_pivot": Query(q_pivot, SQL_PIVOT, "pivot to columns"),
@@ -1703,6 +1808,9 @@ QUERIES: dict[str, Query] = {
     "q_quantile_normalize": Query(q_quantile_normalize, SQL_QUANTILE_NORMALIZE, "per-group percent-rank score calibration"),
     "q_time_split_embargo": Query(q_time_split_embargo, SQL_TIME_SPLIT_EMBARGO, "purged temporal split with embargo buffer"),
     "q_class_weights": Query(q_class_weights, SQL_CLASS_WEIGHTS, "balanced class-weight table (inverse frequency)"),
+    "q_auc": Query(q_auc, SQL_AUC, "distributed rank-based ROC AUC with tie half-credit"),
+    "q_calibration_bins": Query(q_calibration_bins, SQL_CALIBRATION_BINS, "reliability-diagram calibration bins"),
+    "q_calibration_summary": Query(q_calibration_summary, SQL_CALIBRATION_SUMMARY, "one-row Brier score + expected calibration error"),
     "q_funnel": Query(q_funnel, SQL_FUNNEL, "ordered funnel conversion (sequential per-user mins)"),
     "q_funnel_windowed": Query(q_funnel_windowed, SQL_FUNNEL_WINDOWED, "funnel with a per-step conversion window"),
     "q_resample_locf": Query(q_resample_locf, SQL_RESAMPLE_LOCF, "gap-filled resample with forward fill (LOCF)"),

@@ -2996,6 +2996,165 @@ FROM agg
 """
 
 
+# Per-doc (declared lang, predicted lang) pairs — the shared input of the
+# classification-report and kappa queries (same stopword vote as
+# SQL_LANGID_CONFUSION; NULL declared langs surface as '<null>').
+_SQL_LANGID_PAIRS = """
+sw(lang, word) AS (VALUES
+  ('en','the'),('en','a'),('en','of'),('en','and'),('en','to'),('en','is'),
+  ('de','der'),('de','die'),('de','das'),('de','und'),('de','ist'),
+  ('es','el'),('es','la'),('es','de'),('es','que'),('es','es'),
+  ('fr','le'),('fr','la'),('fr','les'),('fr','et'),('fr','est')),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS word
+  FROM documents),
+votes AS (
+  SELECT doc_id, lang, count(*) AS hits
+  FROM toks JOIN sw USING (word)
+  GROUP BY doc_id, lang),
+best AS (
+  SELECT doc_id, lang FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+    FROM votes) WHERE rn = 1),
+pairs AS (
+  SELECT coalesce(d.lang, '<null>') AS l, coalesce(b.lang, 'unknown') AS p
+  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id)
+"""
+
+
+def _langid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pred = language_id(docs, "doc_id", "text")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .select(
+            F.coalesce("lang", F.lit("<null>")).alias("l"),
+            F.col("pred_lang").alias("p"),
+        )
+    )
+
+
+def q_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-class precision/recall/F1/support (operators/aggregates.py::
+    # classification_report) of the stopword-vote langid against the
+    # declared lang tag — the per-class eval table behind the
+    # q_langid_confusion matrix. One (label, pred) agg scans the data;
+    # marginals and the diagonal derive from that class^2 frame.
+    from python_mapreduce_spark.operators.aggregates import classification_report  # noqa: PLC0415
+
+    return classification_report(_langid_pairs(spark, sf_dir), "l", "p")
+
+
+SQL_CLASSIFICATION_REPORT = f"""
+WITH {_SQL_LANGID_PAIRS},
+conf AS (SELECT l, p, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY 1, 2),
+act AS (SELECT l AS class, CAST(sum(n) AS BIGINT) AS support FROM conf GROUP BY 1),
+prd AS (SELECT p AS class, CAST(sum(n) AS BIGINT) AS predicted FROM conf GROUP BY 1),
+tp AS (SELECT l AS class, n AS tp FROM conf WHERE l = p),
+j AS (
+  SELECT coalesce(act.class, prd.class) AS class,
+         coalesce(support, 0) AS support,
+         coalesce(predicted, 0) AS predicted,
+         coalesce(tp.tp, 0) AS tp
+  FROM act FULL OUTER JOIN prd ON act.class = prd.class
+  LEFT JOIN tp ON coalesce(act.class, prd.class) = tp.class
+)
+SELECT class, support, predicted, tp,
+  CASE WHEN predicted > 0
+       THEN {sql_dround("CAST(tp AS DOUBLE) / predicted", 6)} END AS precision,
+  CASE WHEN support > 0
+       THEN {sql_dround("CAST(tp AS DOUBLE) / support", 6)} END AS recall,
+  CASE WHEN predicted > 0 AND support > 0
+            AND (CAST(tp AS DOUBLE) / predicted + CAST(tp AS DOUBLE) / support) > 0
+       THEN {sql_dround(
+           "2.0 * (CAST(tp AS DOUBLE) / predicted) * (CAST(tp AS DOUBLE) / support)"
+           " / (CAST(tp AS DOUBLE) / predicted + CAST(tp AS DOUBLE) / support)", 6)}
+  END AS f1
+FROM j
+"""
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Chance-corrected agreement (operators/aggregates.py::
+    # cohens_kappa) between the langid prediction and the declared
+    # lang — "is the metadata better than chance". Same single
+    # (a, b) agg; marginal products give the chance rate.
+    from python_mapreduce_spark.operators.aggregates import cohens_kappa  # noqa: PLC0415
+
+    return cohens_kappa(_langid_pairs(spark, sf_dir), "l", "p")
+
+
+SQL_COHENS_KAPPA = f"""
+WITH {_SQL_LANGID_PAIRS},
+conf AS (SELECT l, p, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY 1, 2),
+ma AS (SELECT l, CAST(sum(n) AS BIGINT) AS na FROM conf GROUP BY 1),
+mb AS (SELECT p, CAST(sum(n) AS BIGINT) AS nb FROM conf GROUP BY 1),
+pen AS (SELECT CAST(sum(na * nb) AS DOUBLE) AS pe_num FROM ma JOIN mb ON ma.l = mb.p),
+tot AS (
+  SELECT 1 AS g, CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l = p THEN n ELSE 0 END) AS DOUBLE) AS agree
+  FROM conf GROUP BY g
+)
+SELECT n,
+  {sql_dround("agree / n", 6)} AS po,
+  {sql_dround("coalesce(pe_num, 0.0) / (CAST(n AS DOUBLE) * n)", 6)} AS pe,
+  CASE WHEN coalesce(pe_num, 0.0) / (CAST(n AS DOUBLE) * n) < 1.0
+       THEN {sql_dround(
+           "(agree / n - coalesce(pe_num, 0.0) / (CAST(n AS DOUBLE) * n))"
+           " / (1.0 - coalesce(pe_num, 0.0) / (CAST(n AS DOUBLE) * n))", 6)}
+  END AS kappa
+FROM tot, pen
+"""
+
+
+def q_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fuzzy train/eval decontamination (llm/dedup.py::
+    # fuzzy_decontamination): documents md5-split 7/8 train vs 1/8
+    # "benchmark", then MinHash-LSH cross-candidates + exact-Jaccard
+    # verify flag the train docs a near-dup sweep must purge. The
+    # widened 32x2 banding puts candidate recall at ~1-6e-15 for
+    # j >= 0.8, so the exact-pair oracle's exposure is negligible.
+    from python_mapreduce_spark.llm.dedup import fuzzy_decontamination  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents")
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < "2000"
+    return fuzzy_decontamination(
+        docs.filter(~is_eval), docs.filter(is_eval), "doc_id", "text"
+    )
+
+
+SQL_FUZZY_DECONTAM = f"""
+WITH {{shingles}},
+tag AS (SELECT doc_id AS id,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000' AS is_eval
+        FROM documents),
+posts AS (SELECT id, unnest(shingles) AS shingle FROM sets WHERE len(shingles) > 0),
+sizes AS (SELECT id, CAST(len(shingles) AS BIGINT) AS sz FROM sets WHERE len(shingles) > 0),
+inter AS (
+  SELECT c.id AS cid, e.id AS eid, count(*) AS i
+  FROM posts c JOIN tag tc ON c.id = tc.id AND NOT tc.is_eval
+  JOIN posts e ON c.shingle = e.shingle
+  JOIN tag te ON e.id = te.id AND te.is_eval
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT cid, eid,
+         floor(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) * 10000.0 + 0.5) / 10000.0
+           AS jaccard
+  FROM inter JOIN sizes sa ON cid = sa.id JOIN sizes sb ON eid = sb.id
+  WHERE floor(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) * 10000.0 + 0.5) / 10000.0 >= 0.8
+),
+agg AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_matches, max(jaccard) AS mj
+        FROM ver GROUP BY 1)
+SELECT a.cid AS id, a.n_matches, a.mj AS max_jaccard,
+       CAST(min(v.eid) AS BIGINT) AS eval_id
+FROM agg a JOIN ver v ON a.cid = v.cid AND v.jaccard = a.mj
+GROUP BY 1, 2, 3
+""".replace("{shingles}", _SQL_SHINGLES.strip())
+
+
 QUERIES: dict[str, Query] = {
     "q_dedup_savings": Query(
         q_dedup_savings, SQL_DEDUP_SAVINGS, "effective dataset size after quality-aware dedup"
@@ -3101,6 +3260,15 @@ QUERIES: dict[str, Query] = {
     ),
     "q_langid_confusion": Query(
         q_langid_confusion, SQL_LANGID_CONFUSION, "declared-vs-predicted language confusion audit"
+    ),
+    "q_classification_report": Query(
+        q_classification_report, SQL_CLASSIFICATION_REPORT, "per-class precision/recall/F1 eval table"
+    ),
+    "q_cohens_kappa": Query(
+        q_cohens_kappa, SQL_COHENS_KAPPA, "chance-corrected agreement (Cohen's kappa)"
+    ),
+    "q_fuzzy_decontam": Query(
+        q_fuzzy_decontam, SQL_FUZZY_DECONTAM, "fuzzy train/eval decontamination via cross-corpus MinHash-LSH"
     ),
     "q_inverted_index": Query(
         q_inverted_index, SQL_INVERTED_INDEX, "inverted-index export with pre-trimmed posting lists"

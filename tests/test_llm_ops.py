@@ -1275,3 +1275,36 @@ def test_dedup_savings_accounting_matches_replay(spark):
     # docs 2/3 are exact copies (one removed); doc 1's extra tail keeps
     # it below the 0.8 Jaccard threshold, so it is its own clique
     assert got["web"][1] == 2 and got["web"][4] > 0.0
+
+
+def test_fuzzy_decontamination_flags_near_dups_only(spark):
+    # A train doc that lightly paraphrases an eval item is flagged with
+    # that eval id and a high Jaccard; an exact cross-corpus copy is
+    # flagged at 1.0; unrelated train docs emit nothing.
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat"
+        " watches from the tall green fence near the old red barn"
+    )
+    train = [
+        (1, base + " in the quiet morning light"),   # near-dup of eval 100
+        (2, "completely different text about compiler optimization passes"),
+        (3, "benchmark question about the capital of france and its history"),
+    ]
+    ev = [
+        (100, base),
+        (101, "benchmark question about the capital of france and its history"),
+    ]
+    from python_mapreduce_spark.llm.dedup import fuzzy_decontamination
+
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    edf = spark.createDataFrame(ev, "doc_id long, text string")
+    got = {
+        r.id: r
+        for r in fuzzy_decontamination(
+            tdf, edf, "doc_id", "text", threshold=0.7
+        ).collect()
+    }
+    assert set(got) == {1, 3}
+    assert got[3].max_jaccard == 1.0 and got[3].eval_id == 101
+    assert got[1].eval_id == 100 and got[1].max_jaccard >= 0.7
+    assert got[1].n_matches == 1 and got[3].n_matches == 1

@@ -1835,3 +1835,145 @@ def test_time_split_embargo_matches_rule(spark, minutes):
     for i, m in enumerate(minutes):
         exp = "train" if m < 20 else ("test" if m >= 40 else "embargo")
         assert got[i] == (exp, exp == "embargo"), (i, m)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.booleans()), min_size=1, max_size=40
+    )
+)
+def test_auc_matches_pairwise_replay(spark, rows):
+    # The rank identity must equal the O(n^2) pairwise definition:
+    # wins + half-ties over pos x neg pairs. Scores 0..5 force heavy
+    # ties so the half-credit path is exercised.
+    import math
+
+    from python_mapreduce_spark.operators.aggregates import auc_score
+
+    df = spark.createDataFrame(
+        [(float(s), y) for s, y in rows], "score double, y boolean"
+    )
+    got = auc_score(df, "score", "y").collect()
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+    if not pos or not neg:
+        assert r.auc is None
+        return
+    num2 = sum(2 if p > n else (1 if p == n else 0) for p in pos for n in neg)
+    exp = math.floor(num2 / (2.0 * len(pos) * len(neg)) * 1e6 + 0.5) / 1e6
+    assert r.auc == exp
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("abc"), st.sampled_from("abd")),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_classification_report_and_kappa_match_replay(spark, rows):
+    # Per-class P/R/F1 and kappa against direct Python computation;
+    # 'c' never predicted and 'd' never actual exercise the
+    # full-outer class assembly (support 0 / predicted 0 -> NULLs).
+    import math
+
+    from python_mapreduce_spark.operators.aggregates import (
+        classification_report,
+        cohens_kappa,
+    )
+
+    def dr(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    df = spark.createDataFrame(rows, "l string, p string")
+    got = {r["class"]: r for r in classification_report(df, "l", "p").collect()}
+    classes = set(l for l, _ in rows) | set(p for _, p in rows)
+    assert set(got) == classes
+    for c in classes:
+        sup = sum(1 for l, _ in rows if l == c)
+        prd = sum(1 for _, p in rows if p == c)
+        tp = sum(1 for l, p in rows if l == p == c)
+        r = got[c]
+        assert (r.support, r.predicted, r.tp) == (sup, prd, tp)
+        prec = tp / prd if prd else None
+        rec = tp / sup if sup else None
+        assert r.precision == (dr(prec) if prec is not None else None)
+        assert r.recall == (dr(rec) if rec is not None else None)
+        if prec is not None and rec is not None and prec + rec > 0:
+            assert r.f1 == dr(2.0 * prec * rec / (prec + rec))
+        else:
+            assert r.f1 is None
+
+    k = cohens_kappa(df, "l", "p").collect()[0]
+    n = len(rows)
+    agree = sum(1 for l, p in rows if l == p)
+    po = agree / n
+    pe = sum(
+        sum(1 for l, _ in rows if l == c) * sum(1 for _, p in rows if p == c)
+        for c in classes
+    ) / (float(n) * n)
+    assert (k.n, k.po, k.pe) == (n, dr(po), dr(pe))
+    if pe < 1.0:
+        assert k.kappa == dr((po - pe) / (1.0 - pe))
+    else:
+        assert k.kappa is None
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 100), st.booleans()), min_size=1, max_size=40
+    )
+)
+def test_calibration_report_matches_replay(spark, rows):
+    # Bin assignment, conf/acc/gap, and the exact-decimal ECE/Brier
+    # must equal an integer-micro replay (sums carried as micro/1e-8
+    # integers exactly like the DECIMAL columns).
+    import math
+
+    from python_mapreduce_spark.operators.aggregates import calibration_report
+
+    def dr(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    data = [(s / 100.0, y) for s, y in rows]
+    df = spark.createDataFrame(data, "score double, y boolean")
+    bins = {}
+    for s, y in data:
+        b = min(int(math.floor(s * 10)), 9)
+        n, ssm, sy, sqm = bins.get(b, (0, 0, 0, 0))
+        bins[b] = (
+            n + 1,
+            ssm + math.floor(s * 1e6 + 0.5),
+            sy + int(y),
+            sqm + math.floor((s - int(y)) ** 2 * 1e8 + 0.5),
+        )
+    got = {r.bin: r for r in calibration_report(df, "score", "y", n_bins=10).collect()}
+    assert set(got) == set(bins)
+    for b, (n, ssm, sy, _) in bins.items():
+        r = got[b]
+        conf = (ssm / 1e6) / n
+        acc = sy / n
+        assert (r.n, r.conf, r.acc, r.gap) == (n, dr(conf), dr(acc), dr(abs(conf - acc)))
+    summ = calibration_report(df, "score", "y", n_bins=10, summary=True).collect()[0]
+    n_tot = sum(n for n, _, _, _ in bins.values())
+    brier = sum(sqm for _, _, _, sqm in bins.values()) / 1e8 / n_tot
+    ece = sum(abs(ssm - sy * 10**6) for _, ssm, sy, _ in bins.values()) / 1e6 / n_tot
+    assert (summ.n, summ.brier, summ.ece) == (n_tot, dr(brier), dr(ece))

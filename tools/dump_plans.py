@@ -68,6 +68,14 @@ SHOWCASE = [
     ("q_chi2_terms", "contingency cells from ONE term-keyed agg (checkpointed); label/total frames broadcast; WindowGroupLimit top-k"),
     ("q_attribution", "as-of join: touches pre-reduced map-side to (user, ts) rows, one user-keyed shuffle, streaming window"),
     ("q_golden_record", "survivorship as ONE max(struct) hash agg — per-partition survivors combine map-side, no window over duplicates"),
+    ("q_quantile_normalize", "per-group rank + size from ONE shuffle (window pair on the same partitioning), no second scan"),
+    ("q_time_split_embargo", "pure codegen projection: boundary CASE over the timestamp, filters pushable to the scan"),
+    ("q_class_weights", "ONE map-side-combined label agg; N and k derive from the count frame broadcast back"),
+    ("q_dedup_savings", "canonical-keep verdicts join the tokenized frame once; the report is one group-key hash agg"),
+    ("q_auc", "rank-identity AUC: per-distinct-score counts + ONE distributed running sum — no global sort, no single-task window"),
+    ("q_classification_report", "one (label,pred) agg scans the data; marginals/diagonal derive from the class^2 frame"),
+    ("q_calibration_summary", "one projection + one bin-keyed agg; Brier/ECE re-aggregate the n_bins frame"),
+    ("q_fuzzy_decontam", "cross-corpus banded LSH: corpus bands equi-join benchmark bands; only candidates pay exact Jaccard"),
 ]
 
 INTERESTING = re.compile(
