@@ -133,6 +133,9 @@ HEADLINE = [
     "q_calibration_summary",
     "q_classification_report",
     "q_fuzzy_decontam",
+    "q_auc_daily",
+    "q_markov",
+    "q_retrieval_eval",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

@@ -678,3 +678,66 @@ def top_eigenvector(cov: DataFrame, *, iters: int = 3) -> DataFrame:
             dround(F.col("eigenvalue") / F.col("__tr"), 6).alias("explained_share"),
         )
     )
+
+
+def retrieval_label_eval(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Label-based retrieval quality: run exact cosine top-k
+    (:func:`cosine_topk`) for each query, treat same-label neighbors as
+    relevant, and report per query label the MRR@k and precision@k —
+    the "does embedding space respect the taxonomy" eval that gates an
+    embedding model before it drives semantic dedup or ANN curation.
+    A query whose top-k contains no same-label neighbor contributes
+    reciprocal rank 0. Emits (label, n_queries, mrr, p_at_k), rounded
+    to 6 decimals.
+
+    Scale shape: all the heavy lifting is the :func:`cosine_topk` plan
+    (queries broadcast, one corpus scan, WindowGroupLimit top-k); the
+    eval adds a neighbor-label join keyed on the top-k frame
+    (k x queries rows) and two label-keyed aggregations. Determinism:
+    reciprocal ranks round to 1e-8 into a DECIMAL(28,8) sum; precision
+    is an exact integer ratio; outputs round to 1e-6.
+    """
+    topk = cosine_topk(corpus, queries, id_col, vec_col, k=k)
+    q_lab = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("__ql")
+    )
+    c_lab = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__cl")
+    )
+    hits = (
+        topk.join(c_lab, "neighbor_id")
+        .join(F.broadcast(q_lab), "query_id")
+        .select(
+            "query_id",
+            "__ql",
+            "rn",
+            F.col("__ql").eqNullSafe(F.col("__cl")).alias("__hit"),
+        )
+    )
+    per_q = hits.groupBy("query_id", "__ql").agg(
+        F.min(F.when(F.col("__hit"), F.col("rn"))).alias("__first"),
+        F.sum(F.col("__hit").cast("long")).cast("long").alias("__nhits"),
+    )
+    rr = F.when(
+        F.col("__first").isNotNull(), F.lit(1.0) / F.col("__first")
+    ).otherwise(F.lit(0.0))
+    return per_q.groupBy(F.col("__ql").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        dround(
+            F.sum(dround(rr, 8).cast("decimal(28,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mrr"),
+        dround(
+            F.sum("__nhits").cast("double") / (F.lit(float(k)) * F.count(F.lit(1))),
+            6,
+        ).alias("p_at_k"),
+    )

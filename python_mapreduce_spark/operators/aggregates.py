@@ -1013,6 +1013,7 @@ def auc_score(
     score_col: str,
     label_col,
     *,
+    group_cols: Sequence[str] = (),
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Distributed ROC AUC via the rank (Mann-Whitney) identity:
@@ -1020,44 +1021,63 @@ def auc_score(
     threshold-free quality number for a filtering/ranking model (e.g. a
     quality classifier deciding which documents survive curation).
     ``label_col`` is a column name or boolean Column; rows with NULL
-    score or NULL label are excluded. Emits ONE row
-    (n_pos, n_neg, auc); AUC is NULL when either class is empty, and
-    zero rows are emitted for empty input (matching a grouped oracle).
+    score or NULL label are excluded. Emits one row per group (ONE row
+    when ``group_cols`` is empty): (group_cols..., n_pos, n_neg, auc);
+    AUC is NULL when either class is empty in the group, and zero rows
+    are emitted for empty input (matching a grouped oracle).
 
     Scale shape: the sort-free plan of :func:`ks_statistic` — each
     distinct score aggregates to (n_pos, n_neg) map-side (the frame
-    that shuffles is score-cardinality-sized), then ONE distributed
-    running sum over the score order
+    that shuffles is score-cardinality-sized). Ungrouped, the
+    cumulative negative count comes from ONE distributed running sum
+    over the score order
     (:func:`~python_mapreduce_spark.operators.windows.global_running_sum`)
-    yields the cumulative negative count; the pair count
-    ``2*p*(negs_below) + p*n_ties`` stays in exact 64-bit integers until
-    the single final division, so the statistic is bit-identical in any
-    engine. No global sort, no single-task window, no per-row rank.
+    — no global sort, no single-task window. Grouped, it is a plain
+    window PARTITIONED BY the group keys over the count frame (parallel
+    across groups; per-group sorted data is score-cardinality-sized).
+    The pair count ``2*p*(negs_below) + p*n_ties`` stays in exact
+    integers until the single final division (the SUM rides
+    DECIMAL(38,0) past the ~4e9-row int64 cliff), so the statistic is
+    bit-identical in any engine.
     """
     from python_mapreduce_spark.operators.windows import global_running_sum  # noqa: PLC0415 - avoid module cycle
 
+    gs = list(group_cols)
     y = F.col(label_col) if isinstance(label_col, str) else label_col
     base = df.select(
+        *gs,
         F.col(score_col).cast("double").alias("__s"),
         y.cast("boolean").alias("__y"),
     ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
-    counts = base.groupBy("__s").agg(
+    counts = base.groupBy(*gs, "__s").agg(
         F.sum(F.col("__y").cast("long")).cast("long").alias("__p"),
         F.sum((~F.col("__y")).cast("long")).cast("long").alias("__n"),
     )
-    cum = global_running_sum(counts, ["__s"], "__n", out="__cn", num_partitions=num_partitions)
+    if gs:
+        from pyspark.sql.window import Window  # noqa: PLC0415
+
+        w = (
+            Window.partitionBy(*gs)
+            .orderBy("__s")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = counts.withColumn("__cn", F.sum("__n").over(w))
+    else:
+        cum = global_running_sum(
+            counts, ["__s"], "__n", out="__cn", num_partitions=num_partitions
+        )
     # negatives strictly below this score + half the ties, doubled to
     # stay integral: 2*p*(cum_n - n) + p*n
     num2 = F.col("__p") * (F.lit(2) * (F.col("__cn") - F.col("__n")) + F.col("__n"))
-    # pair counts reach ~N^2/2, past int64 beyond ~4e9 rows: per-value
-    # terms stay in longs (p_v * cum_n bounds), the SUM rides DECIMAL(38,0)
-    agg = cum.groupBy(F.lit(1).alias("__g")).agg(
+    group_keys = gs if gs else [F.lit(1).alias("__g")]
+    agg = cum.groupBy(*group_keys).agg(
         F.sum("__p").cast("long").alias("n_pos"),
         F.sum("__n").cast("long").alias("n_neg"),
         F.sum(num2.cast("decimal(38,0)")).cast("double").alias("__num2"),
     )
     denom = F.lit(2.0) * F.col("n_pos") * F.col("n_neg")
     return agg.select(
+        *gs,
         "n_pos",
         "n_neg",
         F.when(

@@ -369,3 +369,53 @@ def decayed_trending(
     return ranked.filter(F.col("rank") <= int(k)).select(
         "item", "n_events", "score", "rank"
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: for every observed (from_state, to_state) step, the
+    count and the row-conditional probability P(to | from) — the
+    behavioral fingerprint behind next-event prediction, anomaly
+    scoring ("this sequence's steps are all low-probability"), and
+    funnel design. ``order_cols`` must totally order each key's events
+    (pass a tiebreak id alongside the timestamp); rows with NULL state
+    are excluded before pairing, so a NULL never fabricates or breaks a
+    transition. Emits (from_state, to_state, n, prob), prob rounded to
+    6 decimals.
+
+    Scale shape: one per-key window (partitioned by key — parallel
+    across keys, never a SinglePartition funnel) pairs each event with
+    its successor; the pair stream collapses map-side into a
+    state^2-sized count frame, and the from-state totals re-aggregate
+    from THAT frame (lazily localCheckpoint'ed) — the data is scanned
+    once, and nothing larger than the state alphabet crosses the
+    driver.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    trans = (
+        df.filter(F.col(state_col).isNotNull())
+        .select(key_col, *order_cols, F.col(state_col).alias("__st"))
+        .withColumn("__prev", F.lag("__st").over(w))
+        .filter(F.col("__prev").isNotNull())
+    )
+    counts = (
+        trans.groupBy(
+            F.col("__prev").alias("from_state"), F.col("__st").alias("to_state")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # feeds totals and the output
+    )
+    totals = counts.groupBy("from_state").agg(F.sum("n").cast("double").alias("__t"))
+    return counts.join(F.broadcast(totals), "from_state").select(
+        "from_state",
+        "to_state",
+        "n",
+        dround(F.col("n") / F.col("__t"), 6).alias("prob"),
+    )

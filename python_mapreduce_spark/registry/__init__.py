@@ -146,6 +146,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_classification_report",
     "q_cohens_kappa",
     "q_fuzzy_decontam",
+    "q_auc_daily",
+    "q_markov",
+    "q_retrieval_eval",
     # -- checked, staleness-ordered refresh queue: r02 rows (35) --
     "q_sim_ann_ivf_recall",
     "q08_market_share",

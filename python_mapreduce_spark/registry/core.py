@@ -1719,6 +1719,79 @@ FROM (
 """
 
 
+def q_auc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-group (sliced) AUC: the same rank identity per day — the
+    # slice-level eval that catches a model good on average but broken
+    # on a segment. Grouped path: the cumulative count is a window
+    # PARTITIONED BY day over the per-(day, score) count frame.
+    from python_mapreduce_spark.operators.aggregates import auc_score  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    scored = ev.select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        dround(F.col("value"), 1).alias("score"),
+        (F.col("event_type") == "purchase").alias("is_pos"),
+    )
+    return auc_score(scored, "score", "is_pos", group_cols=["day"])
+
+
+SQL_AUC_DAILY = f"""
+WITH base AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         {sql_dround("CAST(value AS DOUBLE)", 1)} AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+counts AS (
+  SELECT day, s, CAST(sum(y) AS BIGINT) AS p, CAST(sum(1 - y) AS BIGINT) AS ng
+  FROM base GROUP BY 1, 2
+),
+cum AS (
+  SELECT day, p, ng, sum(ng) OVER (PARTITION BY day ORDER BY s) AS cn FROM counts
+)
+SELECT day, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN {sql_dround("num2 / (2.0 * n_pos * n_neg)", 6)} END AS auc
+FROM (
+  SELECT day,
+         CAST(sum(p) AS BIGINT) AS n_pos,
+         CAST(sum(ng) AS BIGINT) AS n_neg,
+         CAST(sum(p * (2 * (cn - ng) + ng)) AS DOUBLE) AS num2
+  FROM cum GROUP BY day
+)
+"""
+
+
+def q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # First-order Markov transition matrix (operators/events.py::
+    # markov_transitions) over per-user event sequences ordered by
+    # (ts, event_id) — next-event probabilities from one per-user
+    # window + one state^2-sized agg.
+    from python_mapreduce_spark.operators.events import markov_transitions  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return markov_transitions(ev, "user_id", ["ts", "event_id"], "event_type")
+
+
+SQL_MARKOV = f"""
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+counts AS (
+  SELECT prev AS from_state, event_type AS to_state, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_state, CAST(sum(n) AS DOUBLE) AS t FROM counts GROUP BY 1)
+SELECT from_state, to_state, n, {sql_dround("n / t", 6)} AS prob
+FROM counts JOIN tot USING (from_state)
+"""
+
+
 def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Reliability diagram rows (operators/aggregates.py::
     # calibration_report): document length scaled to [0,1] as the
@@ -1809,6 +1882,8 @@ QUERIES: dict[str, Query] = {
     "q_time_split_embargo": Query(q_time_split_embargo, SQL_TIME_SPLIT_EMBARGO, "purged temporal split with embargo buffer"),
     "q_class_weights": Query(q_class_weights, SQL_CLASS_WEIGHTS, "balanced class-weight table (inverse frequency)"),
     "q_auc": Query(q_auc, SQL_AUC, "distributed rank-based ROC AUC with tie half-credit"),
+    "q_auc_daily": Query(q_auc_daily, SQL_AUC_DAILY, "per-slice (daily) AUC via group-partitioned windows"),
+    "q_markov": Query(q_markov, SQL_MARKOV, "first-order Markov transition matrix over event sequences"),
     "q_calibration_bins": Query(q_calibration_bins, SQL_CALIBRATION_BINS, "reliability-diagram calibration bins"),
     "q_calibration_summary": Query(q_calibration_summary, SQL_CALIBRATION_SUMMARY, "one-row Brier score + expected calibration error"),
     "q_funnel": Query(q_funnel, SQL_FUNNEL, "ordered funnel conversion (sequential per-user mins)"),

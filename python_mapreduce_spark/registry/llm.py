@@ -2996,6 +2996,53 @@ FROM agg
 """
 
 
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Label-based retrieval quality (llm/similarity.py::
+    # retrieval_label_eval): exact cosine top-5 for 50 query vectors,
+    # same-label = relevant, MRR@5 + precision@5 per query label — the
+    # "does embedding space respect the taxonomy" gate. The oracle
+    # replays the identical rounded-cosine ranking and the 1e-8
+    # DECIMAL reciprocal-rank sum.
+    from python_mapreduce_spark.llm.similarity import retrieval_label_eval  # noqa: PLC0415
+
+    emb = table(spark, sf_dir, "embeddings")
+    return retrieval_label_eval(
+        emb, emb.filter(F.col("vec_id") < 50), "vec_id", "embedding", "label", k=5
+    )
+
+
+SQL_RETRIEVAL_EVAL = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS ql, c.vec_id AS neighbor_id, c.label AS cl,
+         floor(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+               * 1000000.0 + 0.5) / 1000000.0 AS cos
+  FROM e q JOIN e c ON q.vec_id < 50 AND c.vec_id != q.vec_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+    FROM scored) WHERE rn <= 5
+),
+perq AS (
+  SELECT query_id, ql,
+         min(CASE WHEN cl IS NOT DISTINCT FROM ql THEN rn END) AS first,
+         CAST(sum(CASE WHEN cl IS NOT DISTINCT FROM ql THEN 1 ELSE 0 END) AS BIGINT)
+           AS nhits
+  FROM topk GROUP BY 1, 2
+)
+SELECT ql AS label, CAST(count(*) AS BIGINT) AS n_queries,
+  {sql_dround(
+      "CAST(sum(CAST(floor((CASE WHEN first IS NOT NULL THEN 1.0 / first ELSE 0.0 END)"
+      " * 100000000.0 + 0.5) / 100000000.0 AS DECIMAL(28,8))) AS DOUBLE) / count(*)", 6)}
+    AS mrr,
+  {sql_dround("CAST(sum(nhits) AS DOUBLE) / (5.0 * count(*))", 6)} AS p_at_k
+FROM perq GROUP BY 1
+"""
+
+
 # Per-doc (declared lang, predicted lang) pairs — the shared input of the
 # classification-report and kappa queries (same stopword vote as
 # SQL_LANGID_CONFUSION; NULL declared langs surface as '<null>').
@@ -3269,6 +3316,9 @@ QUERIES: dict[str, Query] = {
     ),
     "q_fuzzy_decontam": Query(
         q_fuzzy_decontam, SQL_FUZZY_DECONTAM, "fuzzy train/eval decontamination via cross-corpus MinHash-LSH"
+    ),
+    "q_retrieval_eval": Query(
+        q_retrieval_eval, SQL_RETRIEVAL_EVAL, "label-based retrieval MRR@k / precision@k eval"
     ),
     "q_inverted_index": Query(
         q_inverted_index, SQL_INVERTED_INDEX, "inverted-index export with pre-trimmed posting lists"

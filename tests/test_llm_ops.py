@@ -1308,3 +1308,45 @@ def test_fuzzy_decontamination_flags_near_dups_only(spark):
     assert got[3].max_jaccard == 1.0 and got[3].eval_id == 101
     assert got[1].eval_id == 100 and got[1].max_jaccard >= 0.7
     assert got[1].n_matches == 1 and got[3].n_matches == 1
+
+
+def test_retrieval_label_eval_matches_topk_replay(emb, spark):
+    # MRR@5 / precision@5 must equal a direct replay over the
+    # cosine_topk frame with same-label relevance.
+    import math
+
+    from python_mapreduce_spark.llm.similarity import cosine_topk, retrieval_label_eval
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    topk = cosine_topk(emb, queries, "vec_id", "embedding", k=5).collect()
+    per_q = {}
+    for r in topk:
+        first, nhits = per_q.get(r.query_id, (None, 0))
+        if labels[r.neighbor_id] == labels[r.query_id]:
+            nhits += 1
+            if first is None or r.rn < first:
+                first = r.rn
+        per_q[r.query_id] = (first, nhits)
+
+    def dr(x, sc=6):
+        m = 10**sc
+        return math.floor(x * m + 0.5) / m
+
+    exp = {}
+    for qid, (first, nhits) in per_q.items():
+        lab = labels[qid]
+        n, srr, sh = exp.get(lab, (0, 0.0, 0))
+        exp[lab] = (n + 1, srr + dr(1.0 / first if first else 0.0, 8), sh + nhits)
+    got = {
+        r.label: r
+        for r in retrieval_label_eval(
+            emb, queries, "vec_id", "embedding", "label", k=5
+        ).collect()
+    }
+    assert set(got) == set(exp)
+    for lab, (n, srr, sh) in exp.items():
+        r = got[lab]
+        assert r.n_queries == n
+        assert r.mrr == dr(srr / n)
+        assert r.p_at_k == dr(sh / (5.0 * n))

@@ -76,6 +76,9 @@ _LAZY_LLM = [
     "q_cdc_chunk_dedup",
     "q_ngram_diversity",
     "q_chi2_terms",
+    "q_classification_report",
+    "q_cohens_kappa",
+    "q_fuzzy_decontam",
 ]
 
 

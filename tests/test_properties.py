@@ -1977,3 +1977,84 @@ def test_calibration_report_matches_replay(spark, rows):
     brier = sum(sqm for _, _, _, sqm in bins.values()) / 1e8 / n_tot
     ece = sum(abs(ssm - sy * 10**6) for _, ssm, sy, _ in bins.values()) / 1e6 / n_tot
     assert (summ.n, summ.brier, summ.ece) == (n_tot, dr(brier), dr(ece))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 5), st.booleans()),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_auc_grouped_matches_pairwise_replay(spark, rows):
+    # The group-partitioned window path must equal the per-group
+    # pairwise definition.
+    import math
+
+    from python_mapreduce_spark.operators.aggregates import auc_score
+
+    df = spark.createDataFrame(
+        [(f"g{g}", float(s), y) for g, s, y in rows], "grp string, score double, y boolean"
+    )
+    got = {r.grp: r for r in auc_score(df, "score", "y", group_cols=["grp"]).collect()}
+    groups = set(f"g{g}" for g, _, _ in rows)
+    assert set(got) == groups
+    for grp in groups:
+        pos = [s for g, s, y in rows if f"g{g}" == grp and y]
+        neg = [s for g, s, y in rows if f"g{g}" == grp and not y]
+        r = got[grp]
+        assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+        if not pos or not neg:
+            assert r.auc is None
+            continue
+        num2 = sum(2 if p > n else (1 if p == n else 0) for p in pos for n in neg)
+        exp = math.floor(num2 / (2.0 * len(pos) * len(neg)) * 1e6 + 0.5) / 1e6
+        assert r.auc == exp, grp
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from(["a", "b", "c", None])),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_markov_transitions_matches_replay(spark, rows):
+    # Transition counts/probs must equal a sequential replay per key;
+    # NULL states are excluded BEFORE pairing (so A, NULL, B yields the
+    # A->B transition).
+    import math
+
+    from python_mapreduce_spark.operators.events import markov_transitions
+
+    data = [(k, i, s) for i, (k, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, seq long, st string")
+    got = {
+        (r.from_state, r.to_state): (r.n, r.prob)
+        for r in markov_transitions(df, "k", ["seq"], "st").collect()
+    }
+    seqs = {}
+    for k, i, s in sorted(data, key=lambda t: t[1]):
+        if s is not None:
+            seqs.setdefault(k, []).append(s)
+    counts = {}
+    for states in seqs.values():
+        for a, b in zip(states, states[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    totals = {}
+    for (a, _), n in counts.items():
+        totals[a] = totals.get(a, 0) + n
+    assert set(got) == set(counts)
+    for (a, b), n in counts.items():
+        exp = math.floor(n / float(totals[a]) * 1e6 + 0.5) / 1e6
+        assert got[(a, b)] == (n, exp), (a, b)

@@ -76,6 +76,9 @@ SHOWCASE = [
     ("q_classification_report", "one (label,pred) agg scans the data; marginals/diagonal derive from the class^2 frame"),
     ("q_calibration_summary", "one projection + one bin-keyed agg; Brier/ECE re-aggregate the n_bins frame"),
     ("q_fuzzy_decontam", "cross-corpus banded LSH: corpus bands equi-join benchmark bands; only candidates pay exact Jaccard"),
+    ("q_auc_daily", "sliced AUC: cumulative counts via window PARTITIONED BY day over the count frame — parallel across slices"),
+    ("q_markov", "per-key lag window (never SinglePartition) -> state^2 count frame; totals re-agg from that frame"),
+    ("q_retrieval_eval", "cosine_topk plan + label join keyed on the kxQ top-k frame + two label aggs"),
 ]
 
 INTERESTING = re.compile(
