@@ -136,6 +136,10 @@ HEADLINE = [
     "q_auc_daily",
     "q_markov",
     "q_retrieval_eval",
+    "q_mutual_info",
+    "q_woe",
+    "q_nucleus",
+    "q_triangle_stats",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

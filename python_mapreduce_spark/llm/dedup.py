@@ -1167,3 +1167,83 @@ def fuzzy_decontamination(
         F.col("__b.jaccard").alias("max_jaccard"),
         (-F.col("__b.nid")).cast("long").alias("eval_id"),
     )
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+) -> DataFrame:
+    """Triangle count + global clustering coefficient of an undirected
+    graph given as an edge list — the structure probe for a near-dup
+    graph (a high coefficient says duplicates come in transitive
+    cliques, so canonical-per-cluster dedup is safe; a low one says
+    chains/stars, where transitive merging over-merges). Self-loops are
+    dropped and edges de-duplicated, so any pair frame works as input.
+    Emits ONE row (n_vertices, n_edges, n_triangles, clustering) with
+    clustering = 3*triangles / wedges (wedges = sum over vertices of
+    C(deg, 2)); NULL when the graph has no wedge; zero rows on an empty
+    edge set.
+
+    Scale shape: the degree-ordered orientation (each edge points from
+    its lower-(degree, id) endpoint), which bounds every out-degree by
+    O(sqrt(m)) — the classic distributed-triangle bound — so the wedge
+    self-join on the source vertex generates O(m^1.5) candidates
+    worst-case instead of the O(sum deg^2) a hub vertex would cost
+    unoriented. Wedges close via ONE equi-join back to the oriented
+    edge list; counts and degrees all flow from the (checkpointed) edge
+    frame — integers end to end until the final ratio.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)  # degrees + orientation + closure probe
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=False)  # orientation keys + wedge total
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("__dega"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("__degb"))
+    keyed = e.join(da, "a").join(db, "b")
+    ka = F.struct(F.col("__dega").alias("d"), F.col("a").alias("v"))
+    kb = F.struct(F.col("__degb").alias("d"), F.col("b").alias("v"))
+    oriented = keyed.select(
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(ka < kb, kb).otherwise(ka).alias("__kw"),
+    ).localCheckpoint(eager=False)  # wedge legs + closure probe
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = (
+        w1.join(w2, F.col("w1.u") == F.col("w2.u"))
+        .filter(F.col("w1.__kw") < F.col("w2.__kw"))
+        .select(F.col("w1.w").alias("u"), F.col("w2.w").alias("w"))
+    )
+    closed = wedges.join(
+        oriented.select("u", "w"), ["u", "w"]
+    )
+    tri = closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    edge_n = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    stats = deg.groupBy(F.lit(1).alias("__g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("__wedges"),
+    )
+    out = stats.crossJoin(F.broadcast(edge_n)).crossJoin(F.broadcast(tri))
+    return out.select(
+        "n_vertices",
+        "n_edges",
+        "n_triangles",
+        F.when(
+            F.col("__wedges") > 0,
+            dround(
+                F.lit(3.0) * F.col("n_triangles") / F.col("__wedges"), 6
+            ),
+        ).alias("clustering"),
+    )

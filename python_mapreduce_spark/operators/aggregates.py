@@ -1121,11 +1121,21 @@ def classification_report(
         F.sum("__n").cast("long").alias("predicted")
     )
     tp = conf.filter(F.col("__l").eqNullSafe(F.col("__p"))).select(
-        F.col("__l").alias("class"), F.col("__n").alias("tp")
+        F.col("__l").alias("__tc"), F.col("__n").alias("tp")
+    )
+    # null-safe assembly: a NULL class is a real class (missing
+    # metadata), and plain equi-joins would split its row in two and
+    # detach its diagonal count
+    pred2 = pred.withColumnRenamed("class", "__pc")
+    merged = actual.join(
+        pred2, F.col("class").eqNullSafe(F.col("__pc")), "full_outer"
+    ).select(
+        F.coalesce(F.col("class"), F.col("__pc")).alias("class"),
+        "support",
+        "predicted",
     )
     joined = (
-        actual.join(pred, ["class"], "full_outer")
-        .join(tp, ["class"], "left")
+        merged.join(tp, F.col("class").eqNullSafe(F.col("__tc")), "left")
         .select(
             "class",
             F.coalesce("support", F.lit(0)).cast("long").alias("support"),
@@ -1267,4 +1277,148 @@ def calibration_report(
         "n",
         dround(F.col("__tsq").cast("double") / F.col("n"), 6).alias("brier"),
         dround(F.col("__tgap").cast("double") / F.col("n"), 6).alias("ece"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Mutual information between two categorical columns, with both
+    marginal entropies and the normalized MI / sqrt(H_a * H_b) — the
+    feature-redundancy / metadata-dependence check (is `source` just
+    `lang` in disguise?) that :func:`mix_entropy` (one column) and the
+    chi-2 scan can't answer jointly. NULLs count as their own category
+    on both sides. Emits ONE row (n, h_a, h_b, mi, nmi); nmi is NULL
+    when either entropy is 0 (a constant column carries no information
+    to normalize by); empty input emits zero rows.
+
+    Scale shape: ONE (a, b) hash agg scans the data (map-side combined,
+    lazily localCheckpoint'ed); both marginals re-aggregate from the
+    class^2-sized frame and broadcast back onto it — one data scan, no
+    second shuffle. Determinism: every p*ln(...) term rounds to 1e-8
+    into a DECIMAL(18,8) sum (the :func:`psi_drift` ln scheme); outputs
+    round to 1e-6.
+    """
+    conf = (
+        df.groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .localCheckpoint(eager=False)  # joint terms + both marginals
+    )
+    tot = conf.agg(F.sum("__n").cast("double").alias("__t"))
+    ma = conf.groupBy("__a").agg(F.sum("__n").cast("long").alias("__na"))
+    mb = conf.groupBy("__b").agg(F.sum("__n").cast("long").alias("__nb"))
+    # null-safe marginal joins: a NULL category is a real category here,
+    # and a plain equi-join would silently drop its joint terms
+    ma2 = ma.withColumnRenamed("__a", "__a2")
+    mb2 = mb.withColumnRenamed("__b", "__b2")
+    joint = (
+        conf.join(F.broadcast(ma2), F.col("__a").eqNullSafe(F.col("__a2")))
+        .join(F.broadcast(mb2), F.col("__b").eqNullSafe(F.col("__b2")))
+        .crossJoin(F.broadcast(tot))
+    )
+    p_ab = F.col("__n") / F.col("__t")
+    # p_ab / (p_a * p_b) = n * t / (na * nb) — exact integer ratio
+    mi_term = dround(
+        p_ab * F.ln(F.col("__n") * F.col("__t") / (F.col("__na") * F.col("__nb"))), 8
+    )
+    mi_sum = F.sum(mi_term.cast("decimal(18,8)")).cast("double")
+    ent = _categorical_entropy
+    ha = ent(ma, "__na")
+    hb = ent(mb, "__nb")
+    out = (
+        joint.groupBy(F.lit(1).alias("__g"))
+        .agg(F.max("__t").cast("long").alias("n"), mi_sum.alias("__mi"))
+        .crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+    )
+    nmi_ok = (F.col("__ha") > 0) & (F.col("__hb") > 0)
+    return out.select(
+        "n",
+        dround(F.col("__ha"), 6).alias("h_a"),
+        dround(F.col("__hb"), 6).alias("h_b"),
+        dround(F.col("__mi"), 6).alias("mi"),
+        F.when(
+            nmi_ok, dround(F.col("__mi") / F.sqrt(F.col("__ha") * F.col("__hb")), 6)
+        ).alias("nmi"),
+    )
+
+
+def _categorical_entropy(marginal: DataFrame, n_col: str):
+    """One-row (-sum p ln p) frame from a (category, count) marginal,
+    with the count frame's total re-derived in the same agg pass.
+    Terms follow the 1e-8-DECIMAL ln scheme. Column: __ha/__hb by
+    n_col ('__na' -> '__ha')."""
+    out_col = "__h" + n_col[-1]
+    tot = marginal.agg(F.sum(n_col).cast("double").alias("__mt"))
+    p = F.col(n_col) / F.col("__mt")
+    term = dround(-p * F.ln(p), 8)
+    return (
+        marginal.crossJoin(F.broadcast(tot))
+        .agg(F.sum(term.cast("decimal(18,8)")).cast("double").alias(out_col))
+    )
+
+
+def woe_encode(
+    df: DataFrame,
+    cat_col: str,
+    label_col,
+    *,
+    eps: float = 0.5,
+) -> DataFrame:
+    """Weight-of-evidence table for a categorical against a binary
+    outcome: woe_c = ln(((pos_c + eps) / pos_tot) / ((neg_c + eps) /
+    neg_tot)) with additive smoothing so single-class categories stay
+    finite, plus each category's information-value contribution
+    iv_c = (pos_c/pos_tot - neg_c/neg_tot) * woe_c — the standard
+    encode/feature-screen for tabular models (IV < 0.02 ~ useless,
+    > 0.5 ~ suspiciously strong). NULL categories are their own row;
+    rows with NULL label are excluded. Emits
+    (category, n, n_pos, n_neg, woe, iv), rounded to 6 decimals; when
+    either class is globally empty every woe/iv is NULL.
+
+    Scale shape: ONE (category) hash agg with conditional sums; class
+    totals re-aggregate from that frame and broadcast back — one data
+    scan. Determinism: ln evaluates on exact integer+eps ratios and
+    rounds to 1e-6 (the cross-engine ln contract of
+    :func:`psi_drift`); iv multiplies the rounded woe by an exact
+    ratio difference, then rounds.
+    """
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    base = df.select(F.col(cat_col).alias("category"), y.cast("boolean").alias("__y")).filter(
+        F.col("__y").isNotNull()
+    )
+    counts = (
+        base.groupBy("category")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("__y").cast("long")).cast("long").alias("n_pos"),
+            F.sum((~F.col("__y")).cast("long")).cast("long").alias("n_neg"),
+        )
+        .localCheckpoint(eager=False)  # feeds totals and the output
+    )
+    tot = counts.agg(
+        F.sum("n_pos").cast("double").alias("__pt"),
+        F.sum("n_neg").cast("double").alias("__nt"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    ok = (F.col("__pt") > 0) & (F.col("__nt") > 0)
+    woe = dround(
+        F.ln(
+            ((F.col("n_pos") + F.lit(float(eps))) / F.col("__pt"))
+            / ((F.col("n_neg") + F.lit(float(eps))) / F.col("__nt"))
+        ),
+        6,
+    )
+    iv = dround(
+        (F.col("n_pos") / F.col("__pt") - F.col("n_neg") / F.col("__nt")) * woe, 6
+    )
+    return j.select(
+        "category",
+        "n",
+        "n_pos",
+        "n_neg",
+        F.when(ok, woe).alias("woe"),
+        F.when(ok, iv).alias("iv"),
     )

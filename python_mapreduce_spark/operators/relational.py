@@ -778,3 +778,75 @@ def time_split_embargo(
         .otherwise(F.lit("embargo"))
     )
     return df.withColumn(out, split).withColumn("purged", F.col(out) == "embargo")
+
+
+def nucleus_categories(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    cat_col: str,
+    *,
+    p: float = 0.9,
+) -> DataFrame:
+    """Top-p ("nucleus") truncation of a categorical distribution per
+    group: order categories by count (ties -> category value), keep the
+    smallest head whose cumulative share reaches ``p`` — the long-tail
+    cut a mixing recipe applies to domains/sources before assigning
+    weights (the tail beyond the nucleus is noise-sized and gets pooled
+    or dropped). A category is kept iff the mass BEFORE it is < p, so
+    the boundary category that crosses p is included and every group
+    keeps >= 1 category. NULL categories count as their own category.
+    Emits (group_cols..., category, n, share, cum_share, kept), shares
+    rounded to 6 decimals.
+
+    Scale shape: one map-side-combined (group, category) count scans
+    the data; the ordering window and running sum operate on that
+    category-sized frame PARTITIONED BY group (parallel across groups,
+    never a SinglePartition funnel); group totals re-aggregate from the
+    same frame and broadcast back. Determinism: shares are exact
+    integer ratios; the keep rule compares integer mass
+    (cum_before * 1 < p * total evaluated as doubles on exact counts).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    from python_mapreduce_spark.functions.scalar import dround  # noqa: PLC0415
+
+    gs = list(group_cols)
+    counts = (
+        df.groupBy(*gs, F.col(cat_col).alias("category"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # feeds totals and the windowed head
+    )
+    totals = counts.groupBy(*gs).agg(F.sum("n").cast("long").alias("__t"))
+    # NULLS LAST explicitly: Spark's ascending default is nulls-first,
+    # ANSI/DuckDB's is nulls-last — a NULL category would otherwise
+    # take a different position in the cumulative order per engine
+    w = (
+        Window.partitionBy(*[F.col(g) for g in gs])
+        .orderBy(F.col("n").desc(), F.col("category").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("__cum", F.sum("n").over(w))
+    if gs:
+        # null-safe group join: a NULL group key is a real group
+        t2 = totals
+        for g in gs:
+            t2 = t2.withColumnRenamed(g, f"__t_{g}")
+        cond = reduce(
+            lambda x, y: x & y,
+            [F.col(g).eqNullSafe(F.col(f"__t_{g}")) for g in gs],
+        )
+        j = cum.join(F.broadcast(t2), cond)
+    else:
+        j = cum.crossJoin(F.broadcast(totals))
+    return j.select(
+        *gs,
+        "category",
+        "n",
+        dround(F.col("n") / F.col("__t"), 6).alias("share"),
+        dround(F.col("__cum") / F.col("__t"), 6).alias("cum_share"),
+        (
+            (F.col("__cum") - F.col("n")).cast("double")
+            < F.lit(float(p)) * F.col("__t")
+        ).alias("kept"),
+    )

@@ -149,6 +149,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_auc_daily",
     "q_markov",
     "q_retrieval_eval",
+    "q_mutual_info",
+    "q_woe",
+    "q_nucleus",
+    "q_triangle_stats",
     # -- checked, staleness-ordered refresh queue: r02 rows (35) --
     "q_sim_ann_ivf_recall",
     "q08_market_share",

@@ -1792,6 +1792,116 @@ FROM counts JOIN tot USING (from_state)
 """
 
 
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Metadata-dependence audit (operators/aggregates.py::
+    # mutual_information): how much of `source` is explained by `lang`?
+    # One (lang, source) agg; marginals/entropies re-derive from the
+    # class^2 frame; p*ln terms ride the 1e-8 DECIMAL scheme.
+    from python_mapreduce_spark.operators.aggregates import mutual_information  # noqa: PLC0415
+
+    return mutual_information(table(spark, sf_dir, "documents"), "lang", "source")
+
+
+SQL_MUTUAL_INFO = f"""
+WITH conf AS (
+  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM conf),
+ma AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM conf GROUP BY 1),
+mb AS (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM conf GROUP BY 1),
+mi AS (
+  SELECT 1 AS g, CAST(max(t) AS BIGINT) AS n,
+         CAST(sum(CAST(floor((conf.n / t) * ln(conf.n * t / (na * nb))
+                             * 100000000.0 + 0.5) / 100000000.0
+                       AS DECIMAL(18,8))) AS DOUBLE) AS mi
+  FROM conf
+  JOIN ma ON conf.a IS NOT DISTINCT FROM ma.a
+  JOIN mb ON conf.b IS NOT DISTINCT FROM mb.b
+  CROSS JOIN tot GROUP BY g
+),
+ha AS (
+  SELECT CAST(sum(CAST(floor(-(na / t) * ln(na / t) * 100000000.0 + 0.5)
+                       / 100000000.0 AS DECIMAL(18,8))) AS DOUBLE) AS h
+  FROM ma CROSS JOIN (SELECT CAST(sum(na) AS DOUBLE) AS t FROM ma)
+),
+hb AS (
+  SELECT CAST(sum(CAST(floor(-(nb / t) * ln(nb / t) * 100000000.0 + 0.5)
+                       / 100000000.0 AS DECIMAL(18,8))) AS DOUBLE) AS h
+  FROM mb CROSS JOIN (SELECT CAST(sum(nb) AS DOUBLE) AS t FROM mb)
+)
+SELECT n, {sql_dround("ha.h", 6)} AS h_a, {sql_dround("hb.h", 6)} AS h_b,
+       {sql_dround("mi.mi", 6)} AS mi,
+       CASE WHEN ha.h > 0 AND hb.h > 0
+            THEN {sql_dround("mi.mi / sqrt(ha.h * hb.h)", 6)} END AS nmi
+FROM mi, ha, hb
+"""
+
+
+def q_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weight-of-evidence + information value (operators/aggregates.py::
+    # woe_encode) of `source` against the lang='en' outcome — the
+    # tabular encode/feature-screen table; one conditional-count agg.
+    from python_mapreduce_spark.operators.aggregates import woe_encode  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source", (F.coalesce(F.col("lang"), F.lit("")) == "en").alias("is_en")
+    )
+    return woe_encode(docs, "source", "is_en", eps=0.5)
+
+
+SQL_WOE = f"""
+WITH counts AS (
+  SELECT source AS category, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN coalesce(lang, '') = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN coalesce(lang, '') = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_pos) AS DOUBLE) AS pt, CAST(sum(n_neg) AS DOUBLE) AS nt
+        FROM counts)
+SELECT category, n, n_pos, n_neg,
+  CASE WHEN pt > 0 AND nt > 0 THEN
+    {sql_dround("ln(((n_pos + 0.5) / pt) / ((n_neg + 0.5) / nt))", 6)} END AS woe,
+  CASE WHEN pt > 0 AND nt > 0 THEN
+    {sql_dround(
+        "(n_pos / pt - n_neg / nt)"
+        " * (" + sql_dround("ln(((n_pos + 0.5) / pt) / ((n_neg + 0.5) / nt))", 6) + ")", 6)}
+  END AS iv
+FROM counts, tot
+"""
+
+
+def q_nucleus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Top-p domain truncation (operators/relational.py::
+    # nucleus_categories): per lang, the smallest set of sources
+    # covering 90% of documents — the long-tail cut before mixing
+    # weights are assigned. Count agg + group-partitioned running sum.
+    from python_mapreduce_spark.operators.relational import nucleus_categories  # noqa: PLC0415
+
+    return nucleus_categories(
+        table(spark, sf_dir, "documents"), ["lang"], "source", p=0.9
+    )
+
+
+SQL_NUCLEUS = f"""
+WITH counts AS (
+  SELECT lang, source AS category, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS t FROM counts GROUP BY 1),
+cum AS (
+  SELECT lang, category, n,
+         sum(n) OVER (PARTITION BY lang ORDER BY n DESC, category) AS c
+  FROM counts
+)
+SELECT cum.lang, category, n,
+       {sql_dround("CAST(n AS DOUBLE) / t", 6)} AS share,
+       {sql_dround("CAST(c AS DOUBLE) / t", 6)} AS cum_share,
+       CAST(c - n AS DOUBLE) < 0.9 * t AS kept
+FROM cum JOIN tot ON cum.lang IS NOT DISTINCT FROM tot.lang
+"""
+
+
 def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Reliability diagram rows (operators/aggregates.py::
     # calibration_report): document length scaled to [0,1] as the
@@ -1884,6 +1994,9 @@ QUERIES: dict[str, Query] = {
     "q_auc": Query(q_auc, SQL_AUC, "distributed rank-based ROC AUC with tie half-credit"),
     "q_auc_daily": Query(q_auc_daily, SQL_AUC_DAILY, "per-slice (daily) AUC via group-partitioned windows"),
     "q_markov": Query(q_markov, SQL_MARKOV, "first-order Markov transition matrix over event sequences"),
+    "q_mutual_info": Query(q_mutual_info, SQL_MUTUAL_INFO, "mutual information + entropies between two categoricals"),
+    "q_woe": Query(q_woe, SQL_WOE, "weight-of-evidence + information value encode table"),
+    "q_nucleus": Query(q_nucleus, SQL_NUCLEUS, "top-p (nucleus) truncation of a categorical distribution per group"),
     "q_calibration_bins": Query(q_calibration_bins, SQL_CALIBRATION_BINS, "reliability-diagram calibration bins"),
     "q_calibration_summary": Query(q_calibration_summary, SQL_CALIBRATION_SUMMARY, "one-row Brier score + expected calibration error"),
     "q_funnel": Query(q_funnel, SQL_FUNNEL, "ordered funnel conversion (sequential per-user mins)"),

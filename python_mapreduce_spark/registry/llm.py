@@ -2996,6 +2996,60 @@ FROM agg
 """
 
 
+def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dup-graph structure probe (llm/dedup.py::triangle_stats):
+    # triangle count + global clustering coefficient of the exact
+    # near-dup pair graph (j >= 0.8). High clustering = transitive
+    # cliques = canonical-per-cluster dedup is safe. Degree-ordered
+    # orientation bounds the wedge join; the oracle replays triangles
+    # as the a<b<c three-way join.
+    from python_mapreduce_spark.llm.dedup import ngram_jaccard_pairs, triangle_stats  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    return triangle_stats(edges)
+
+
+SQL_TRIANGLE_STATS = f"""
+WITH {{shingles}},
+posts AS (SELECT id, unnest(shingles) AS shingle FROM sets WHERE len(shingles) > 0),
+sizes AS (SELECT id, CAST(len(shingles) AS BIGINT) AS sz FROM sets WHERE len(shingles) > 0),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS i
+  FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT id1 AS a, id2 AS b FROM (
+    SELECT id1, id2,
+           floor(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) * 10000.0 + 0.5) / 10000.0
+             AS jaccard
+    FROM inter JOIN sizes sa ON id1 = sa.id JOIN sizes sb ON id2 = sb.id
+  ) WHERE jaccard >= 0.8
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+stats AS (
+  SELECT 1 AS g, CAST(count(*) AS BIGINT) AS n_vertices,
+         CAST(sum(d * (d - 1) / 2) AS BIGINT) AS wedges
+  FROM deg GROUP BY g
+),
+en AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+SELECT n_vertices, n_edges, n_triangles,
+       CASE WHEN wedges > 0
+            THEN {sql_dround("3.0 * n_triangles / wedges", 6)} END AS clustering
+FROM stats, en, tri
+""".replace("{shingles}", _SQL_SHINGLES.strip())
+
+
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Label-based retrieval quality (llm/similarity.py::
     # retrieval_label_eval): exact cosine top-5 for 50 query vectors,
@@ -3319,6 +3373,9 @@ QUERIES: dict[str, Query] = {
     ),
     "q_retrieval_eval": Query(
         q_retrieval_eval, SQL_RETRIEVAL_EVAL, "label-based retrieval MRR@k / precision@k eval"
+    ),
+    "q_triangle_stats": Query(
+        q_triangle_stats, SQL_TRIANGLE_STATS, "dup-graph triangle count + clustering coefficient"
     ),
     "q_inverted_index": Query(
         q_inverted_index, SQL_INVERTED_INDEX, "inverted-index export with pre-trimmed posting lists"

@@ -1350,3 +1350,57 @@ def test_retrieval_label_eval_matches_topk_replay(emb, spark):
         assert r.n_queries == n
         assert r.mrr == dr(srr / n)
         assert r.p_at_k == dr(sh / (5.0 * n))
+
+
+def test_triangle_stats_known_graphs(spark):
+    from python_mapreduce_spark.llm.dedup import triangle_stats
+
+    # K3 plus a pendant: 1 triangle; wedges = C(2,2)*3 at the triangle
+    # corners (deg 2,2,3) + pendant: 1+1+3+0 = 5; clustering 3/5.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "id1 long, id2 long"
+    )
+    [r] = triangle_stats(edges).collect()
+    assert (r.n_vertices, r.n_edges, r.n_triangles) == (4, 4, 1)
+    assert r.clustering == 0.6
+
+    # duplicate/reversed/self-loop edges collapse; a 4-clique has 4
+    # triangles, 12 wedges, clustering 1.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b] + [(2, 2)]
+    [r4] = triangle_stats(
+        spark.createDataFrame(k4, "id1 long, id2 long")
+    ).collect()
+    assert (r4.n_vertices, r4.n_edges, r4.n_triangles) == (4, 6, 4)
+    assert r4.clustering == 1.0
+
+    # star: no triangle, wedges exist -> clustering 0.0
+    [rs] = triangle_stats(
+        spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "id1 long, id2 long")
+    ).collect()
+    assert (rs.n_triangles, rs.clustering) == (0, 0.0)
+
+    # empty edge set -> zero rows
+    assert (
+        triangle_stats(spark.createDataFrame([], "id1 long, id2 long")).count() == 0
+    )
+
+
+def test_triangle_stats_matches_bruteforce_on_dup_graph(docs, spark):
+    from itertools import combinations
+
+    from python_mapreduce_spark.llm.dedup import ngram_jaccard_pairs, triangle_stats
+
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    edges = set((min(r.id1, r.id2), max(r.id1, r.id2)) for r in pairs)
+    assert edges
+    verts = set(v for e in edges for v in e)
+    tri = sum(
+        1
+        for a, b, c in combinations(sorted(verts), 3)
+        if (a, b) in edges and (a, c) in edges and (b, c) in edges
+    )
+    df = spark.createDataFrame(list(edges), "id1 long, id2 long")
+    [r] = triangle_stats(df).collect()
+    assert (r.n_vertices, r.n_edges, r.n_triangles) == (
+        len(verts), len(edges), tri
+    )

@@ -79,6 +79,7 @@ _LAZY_LLM = [
     "q_classification_report",
     "q_cohens_kappa",
     "q_fuzzy_decontam",
+    "q_triangle_stats",
 ]
 
 

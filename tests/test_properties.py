@@ -1879,7 +1879,10 @@ def test_auc_matches_pairwise_replay(spark, rows):
 )
 @given(
     rows=st.lists(
-        st.tuples(st.sampled_from("abc"), st.sampled_from("abd")),
+        st.tuples(
+            st.sampled_from(["a", "b", "c", None]),
+            st.sampled_from(["a", "b", "d", None]),
+        ),
         min_size=1,
         max_size=40,
     )
@@ -2058,3 +2061,144 @@ def test_markov_transitions_matches_replay(spark, rows):
     for (a, b), n in counts.items():
         exp = math.floor(n / float(totals[a]) * 1e6 + 0.5) / 1e6
         assert got[(a, b)] == (n, exp), (a, b)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y", None]), st.sampled_from(["u", "v", "w", None])
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_mutual_information_matches_replay(spark, rows):
+    # MI/entropies vs direct computation with the 1e-8 term-rounding
+    # scheme; NULLs are real categories on both sides.
+    import math
+
+    from python_mapreduce_spark.operators.aggregates import mutual_information
+
+    def r8(x):
+        return math.floor(x * 1e8 + 0.5) / 1e8
+
+    def dr(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    df = spark.createDataFrame(rows, "a string, b string")
+    [got] = mutual_information(df, "a", "b").collect()
+    n = len(rows)
+    joint, ma, mb = {}, {}, {}
+    for a, b in rows:
+        joint[(a, b)] = joint.get((a, b), 0) + 1
+        ma[a] = ma.get(a, 0) + 1
+        mb[b] = mb.get(b, 0) + 1
+    mi = sum(
+        r8(c / n * math.log(c * float(n) / (ma[a] * mb[b])))
+        for (a, b), c in joint.items()
+    )
+    ha = sum(r8(-(c / n) * math.log(c / n)) for c in ma.values())
+    hb = sum(r8(-(c / n) * math.log(c / n)) for c in mb.values())
+    assert got.n == n
+    assert (got.h_a, got.h_b, got.mi) == (dr(ha), dr(hb), dr(mi))
+    if ha > 0 and hb > 0:
+        assert got.nmi == dr(mi / math.sqrt(ha * hb))
+    else:
+        assert got.nmi is None
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c", None]), st.booleans()),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_woe_encode_matches_replay(spark, rows):
+    import math
+
+    from python_mapreduce_spark.operators.aggregates import woe_encode
+
+    def dr(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    df = spark.createDataFrame(rows, "cat string, y boolean")
+    got = {r.category: r for r in woe_encode(df, "cat", "y", eps=0.5).collect()}
+    pt = float(sum(1 for _, y in rows if y))
+    nt = float(sum(1 for _, y in rows if not y))
+    cats = set(c for c, _ in rows)
+    assert set(got) == cats
+    for c in cats:
+        np_ = sum(1 for cc, y in rows if cc == c and y)
+        nn = sum(1 for cc, y in rows if cc == c and not y)
+        r = got[c]
+        assert (r.n, r.n_pos, r.n_neg) == (np_ + nn, np_, nn)
+        if pt > 0 and nt > 0:
+            woe = dr(math.log(((np_ + 0.5) / pt) / ((nn + 0.5) / nt)))
+            assert r.woe == woe
+            assert r.iv == dr((np_ / pt - nn / nt) * woe)
+        else:
+            assert r.woe is None and r.iv is None
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.sampled_from(["s1", "s2", "s3", "s4", None])),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_nucleus_categories_matches_replay(spark, rows):
+    # The keep rule (mass before < p), shares, and the ordering
+    # (count desc, category) vs a sequential replay; >=1 kept per
+    # group; NULL groups and categories handled.
+    import math
+
+    from python_mapreduce_spark.operators.relational import nucleus_categories
+
+    def dr(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    df = spark.createDataFrame(
+        [(None if g == 0 else "g", c) for g, c in rows], "grp string, cat string"
+    )
+    out = nucleus_categories(df, ["grp"], "cat", p=0.6).collect()
+    got = {(r.grp, r.category): r for r in out}
+    data = [(None if g == 0 else "g", c) for g, c in rows]
+    groups = set(g for g, _ in data)
+    seen = set()
+    for grp in groups:
+        counts = {}
+        for g, c in data:
+            if g == grp:
+                counts[c] = counts.get(c, 0) + 1
+        t = sum(counts.values())
+        order = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0] is None, kv[0]))
+        cum = 0
+        kept_any = False
+        for c, n in order:
+            r = got[(grp, c)]
+            seen.add((grp, c))
+            exp_kept = cum < 0.6 * t
+            cum += n
+            assert (r.n, r.share, r.cum_share, r.kept) == (
+                n, dr(n / t), dr(cum / t), exp_kept
+            ), (grp, c)
+            kept_any = kept_any or exp_kept
+        assert kept_any
+    assert seen == set(got)

@@ -79,6 +79,9 @@ SHOWCASE = [
     ("q_auc_daily", "sliced AUC: cumulative counts via window PARTITIONED BY day over the count frame — parallel across slices"),
     ("q_markov", "per-key lag window (never SinglePartition) -> state^2 count frame; totals re-agg from that frame"),
     ("q_retrieval_eval", "cosine_topk plan + label join keyed on the kxQ top-k frame + two label aggs"),
+    ("q_mutual_info", "ONE (a,b) agg; marginals/entropies re-agg from the class^2 frame, broadcast back"),
+    ("q_nucleus", "count agg + group-partitioned running sum on the category-sized frame; null-safe totals join"),
+    ("q_triangle_stats", "degree-ordered orientation bounds the wedge self-join at O(m^1.5); closure via one equi-join"),
 ]
 
 INTERESTING = re.compile(
