@@ -140,6 +140,8 @@ HEADLINE = [
     "q_woe",
     "q_nucleus",
     "q_triangle_stats",
+    "q_jsd_drift",
+    "q_dq_audit",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

@@ -1422,3 +1422,148 @@ def woe_encode(
         F.when(ok, woe).alias("woe"),
         F.when(ok, iv).alias("iv"),
     )
+
+
+def jsd_drift(
+    a: DataFrame,
+    b: DataFrame,
+    cat_col: str,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two snapshots' CATEGORICAL
+    distributions — the drift test that completes the monitoring trio
+    (:func:`psi_drift` bins numerics against pinned deciles,
+    :func:`ks_statistic` is the binning-free numeric test; JSD handles
+    categories, is symmetric, bounded by ln 2, and well-defined when a
+    category exists on only one side — exactly where PSI's log blows
+    up). NULL categories count as their own category. Emits ONE row
+    (n_a, n_b, n_categories, jsd); zero rows when both sides are empty;
+    jsd is NULL when exactly one side is empty (a zero measure has no
+    distribution to diverge from).
+
+    Scale shape: each side collapses to a per-category count map-side;
+    the two category-sized frames full-outer-merge by category and ONE
+    re-aggregation computes both KL halves — the data is scanned once
+    per side, and only category cardinality crosses the shuffle.
+    Determinism: each 0.5*p*ln(p/m) term rounds to 1e-8 into a
+    DECIMAL(18,8) sum (the :func:`psi_drift` ln scheme); output rounds
+    to 1e-6.
+    """
+    ca = a.groupBy(F.col(cat_col).alias("__c")).agg(
+        F.count(F.lit(1)).cast("long").alias("__na")
+    )
+    cb = b.groupBy(F.col(cat_col).alias("__c")).agg(
+        F.count(F.lit(1)).cast("long").alias("__nb")
+    )
+    cb2 = cb.withColumnRenamed("__c", "__c2")
+    merged = (
+        ca.join(cb2, F.col("__c").eqNullSafe(F.col("__c2")), "full_outer")
+        .select(
+            F.coalesce("__na", F.lit(0)).cast("long").alias("__na"),
+            F.coalesce("__nb", F.lit(0)).cast("long").alias("__nb"),
+        )
+        .localCheckpoint(eager=False)  # totals + the term pass
+    )
+    tot = merged.agg(
+        F.sum("__na").cast("double").alias("__ta"),
+        F.sum("__nb").cast("double").alias("__tb"),
+    )
+    j = merged.crossJoin(F.broadcast(tot))
+    p = F.when(F.col("__ta") > 0, F.col("__na") / F.col("__ta")).otherwise(F.lit(0.0))
+    q = F.when(F.col("__tb") > 0, F.col("__nb") / F.col("__tb")).otherwise(F.lit(0.0))
+    m = (p + q) / F.lit(2.0)
+    term = dround(
+        F.when(p > 0, F.lit(0.5) * p * F.ln(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, F.lit(0.5) * q * F.ln(q / m)).otherwise(F.lit(0.0)),
+        8,
+    )
+    return (
+        j.groupBy(F.lit(1).alias("__g"))
+        .agg(
+            F.sum("__na").cast("long").alias("n_a"),
+            F.sum("__nb").cast("long").alias("n_b"),
+            F.count(F.lit(1)).cast("long").alias("n_categories"),
+            dround(
+                F.sum(term.cast("decimal(18,8)")).cast("double"), 6
+            ).alias("__jsd"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "n_categories",
+            F.when(
+                (F.col("n_a") > 0) & (F.col("n_b") > 0), F.col("__jsd")
+            ).alias("jsd"),
+        )
+    )
+
+
+def dq_audit(
+    df: DataFrame,
+    checks: Sequence[tuple[str, Column]],
+    *,
+    unique_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Declarative data-quality audit (the Deequ/`great_expectations`
+    constraint-suite shape): each check is (rule_name, boolean
+    predicate) where TRUE passes and FALSE **or NULL** fails (a NULL
+    `x BETWEEN ...` is a violation, not a free pass), plus uniqueness
+    rules per key column (violations = non-NULL rows beyond the first
+    occurrence of each key; NULL keys are completeness's job, not
+    uniqueness's). Emits one row per rule:
+    (rule, n_checked, n_violations, violation_rate) with the rate
+    rounded to 6 decimals, rules in declaration order (unique rules
+    after predicate rules).
+
+    Scale shape: ALL predicate rules ride ONE map-side-combined agg
+    over a single scan (k conditional sums, then an inline
+    explode-to-long of the k-element result — one row in flight);
+    each uniqueness rule is one distinct-count agg on its key. No
+    per-rule scans, no driver-side rule loop over data.
+    """
+    parts = []
+    if checks:
+        agg_cols = [F.count(F.lit(1)).cast("long").alias("__n")]
+        for i, (_, pred) in enumerate(checks):
+            agg_cols.append(
+                F.sum(
+                    F.when(pred.isNull() | ~pred, 1).otherwise(0)
+                ).cast("long").alias(f"__v{i}")
+            )
+        wide = df.agg(*agg_cols)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("rule"),
+                    F.col(f"__v{i}").alias("__v"),
+                )
+                for i, (name, _) in enumerate(checks)
+            ]
+        )
+        long = wide.select("__n", F.explode(pairs).alias("p")).select(
+            F.col("p.rule").alias("rule"),
+            F.col("__n").alias("n_checked"),
+            F.col("p.__v").alias("n_violations"),
+        )
+        parts.append(long)
+    for col in unique_cols:
+        u = (
+            df.filter(F.col(col).isNotNull())
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_checked"),
+                (
+                    F.count(F.lit(1)) - F.count_distinct(F.col(col))
+                ).cast("long").alias("n_violations"),
+            )
+            .select(F.lit(f"unique({col})").alias("rule"), "n_checked", "n_violations")
+        )
+        parts.append(u)
+    if not parts:
+        raise ValueError("dq_audit needs at least one check or unique column")
+    out = parts[0]
+    for pz in parts[1:]:
+        out = out.unionByName(pz)
+    rate = F.when(
+        F.col("n_checked") > 0,
+        dround(F.col("n_violations") / F.col("n_checked"), 6),
+    ).otherwise(F.lit(0.0))
+    return out.select("rule", "n_checked", "n_violations", rate.alias("violation_rate"))

@@ -153,6 +153,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_woe",
     "q_nucleus",
     "q_triangle_stats",
+    "q_jsd_drift",
+    "q_dq_audit",
     # -- checked, staleness-ordered refresh queue: r02 rows (35) --
     "q_sim_ann_ivf_recall",
     "q08_market_share",

@@ -1792,6 +1792,108 @@ FROM counts JOIN tot USING (from_state)
 """
 
 
+def q_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Categorical drift (operators/aggregates.py::jsd_drift): the
+    # event-type MIX before vs from Jan 15 — the symmetric, ln2-bounded
+    # companion to q_psi_drift (numeric deciles) and q_ks_test
+    # (binning-free numeric); well-defined for one-sided categories.
+    from python_mapreduce_spark.operators.aggregates import jsd_drift  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    ref = ev.filter(F.col("ts") < "2024-01-15").select("event_type")
+    cur = ev.filter(F.col("ts") >= "2024-01-15").select("event_type")
+    return jsd_drift(ref, cur, "event_type")
+
+
+SQL_JSD_DRIFT = f"""
+WITH ca AS (
+  SELECT event_type AS c, CAST(count(*) AS BIGINT) AS na FROM events
+  WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1
+),
+cb AS (
+  SELECT event_type AS c, CAST(count(*) AS BIGINT) AS nb FROM events
+  WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY 1
+),
+merged AS (
+  SELECT coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+  FROM ca FULL OUTER JOIN cb ON ca.c IS NOT DISTINCT FROM cb.c
+),
+tot AS (SELECT CAST(sum(na) AS DOUBLE) AS ta, CAST(sum(nb) AS DOUBLE) AS tb
+        FROM merged),
+terms AS (
+  SELECT na, nb,
+         CAST(floor((
+             CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+           + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END
+         ) * 100000000.0 + 0.5) / 100000000.0 AS DECIMAL(18,8)) AS term
+  FROM (
+    SELECT na, nb,
+           CASE WHEN ta > 0 THEN na / ta ELSE 0.0 END AS p,
+           CASE WHEN tb > 0 THEN nb / tb ELSE 0.0 END AS q
+    FROM merged, tot
+  )
+)
+SELECT n_a, n_b, n_categories,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN jsd END AS jsd
+FROM (
+  SELECT 1 AS g, CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+         CAST(count(*) AS BIGINT) AS n_categories,
+         {sql_dround("CAST(sum(term) AS DOUBLE)", 6)} AS jsd
+  FROM terms GROUP BY g
+)
+"""
+
+
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Declarative data-quality suite (operators/aggregates.py::
+    # dq_audit, the Deequ/great_expectations shape): five constraint
+    # rules over orders — completeness, range, set membership, pattern
+    # conformance (all in ONE scan/agg) plus key uniqueness. NULL
+    # predicates count as violations.
+    from python_mapreduce_spark.operators.aggregates import dq_audit  # noqa: PLC0415
+
+    o = table(spark, sf_dir, "orders")
+    checks = [
+        ("not_null(o_custkey)", F.col("o_custkey").isNotNull()),
+        ("range(o_totalprice)", F.col("o_totalprice").between(0, 600000)),
+        ("in_set(o_orderstatus)", F.col("o_orderstatus").isin("O", "F", "P")),
+        ("pattern(o_orderpriority)", F.col("o_orderpriority").rlike("^[1-5]-")),
+        ("recent(o_orderdate)", F.col("o_orderdate") >= F.lit("1992-01-01")),
+    ]
+    return dq_audit(o, checks, unique_cols=["o_orderkey"])
+
+
+SQL_DQ_AUDIT = f"""
+WITH wide AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+    CAST(sum(CASE WHEN o_totalprice BETWEEN 0 AND 600000 THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+    CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+    CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+    CAST(sum(CASE WHEN o_orderdate >= DATE '1992-01-01' THEN 0 ELSE 1 END) AS BIGINT) AS v4
+  FROM orders
+),
+uniq AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v
+  FROM orders WHERE o_orderkey IS NOT NULL
+),
+longf AS (
+  SELECT 'not_null(o_custkey)' AS rule, n AS n_checked, v0 AS n_violations FROM wide
+  UNION ALL SELECT 'range(o_totalprice)', n, v1 FROM wide
+  UNION ALL SELECT 'in_set(o_orderstatus)', n, v2 FROM wide
+  UNION ALL SELECT 'pattern(o_orderpriority)', n, v3 FROM wide
+  UNION ALL SELECT 'recent(o_orderdate)', n, v4 FROM wide
+  UNION ALL SELECT 'unique(o_orderkey)', n, v FROM uniq
+)
+SELECT rule, n_checked, n_violations,
+       CASE WHEN n_checked > 0
+            THEN {sql_dround("CAST(n_violations AS DOUBLE) / n_checked", 6)}
+            ELSE 0.0 END AS violation_rate
+FROM longf
+"""
+
+
 def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Metadata-dependence audit (operators/aggregates.py::
     # mutual_information): how much of `source` is explained by `lang`?
@@ -1994,6 +2096,8 @@ QUERIES: dict[str, Query] = {
     "q_auc": Query(q_auc, SQL_AUC, "distributed rank-based ROC AUC with tie half-credit"),
     "q_auc_daily": Query(q_auc_daily, SQL_AUC_DAILY, "per-slice (daily) AUC via group-partitioned windows"),
     "q_markov": Query(q_markov, SQL_MARKOV, "first-order Markov transition matrix over event sequences"),
+    "q_jsd_drift": Query(q_jsd_drift, SQL_JSD_DRIFT, "Jensen-Shannon categorical drift between snapshots"),
+    "q_dq_audit": Query(q_dq_audit, SQL_DQ_AUDIT, "declarative data-quality constraint suite (Deequ shape)"),
     "q_mutual_info": Query(q_mutual_info, SQL_MUTUAL_INFO, "mutual information + entropies between two categoricals"),
     "q_woe": Query(q_woe, SQL_WOE, "weight-of-evidence + information value encode table"),
     "q_nucleus": Query(q_nucleus, SQL_NUCLEUS, "top-p (nucleus) truncation of a categorical distribution per group"),

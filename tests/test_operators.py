@@ -1151,3 +1151,36 @@ def test_equi_freq_bins_are_balanced_and_deterministic(spark, tables):
     )
     assert joined.count() == 0
     out.unpersist()
+
+
+def test_dq_audit_counts_planted_violations(spark):
+    # NULL predicate = violation (NULL price fails the range rule);
+    # uniqueness counts rows beyond the first occurrence and ignores
+    # NULL keys; rules emit in declaration order.
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.aggregates import dq_audit
+
+    rows = [
+        (1, 10.0, "O"),
+        (1, 20.0, "F"),      # duplicate key
+        (2, None, "O"),      # NULL price -> range violation
+        (3, -5.0, "X"),      # range + set violations
+        (None, 30.0, "O"),   # NULL key: uniqueness ignores it
+    ]
+    df = spark.createDataFrame(rows, "k long, price double, status string")
+    out = dq_audit(
+        df,
+        [
+            ("range(price)", F.col("price").between(0, 100)),
+            ("in_set(status)", F.col("status").isin("O", "F")),
+        ],
+        unique_cols=["k"],
+    ).collect()
+    assert [r.rule for r in out] == ["range(price)", "in_set(status)", "unique(k)"]
+    by = {r.rule: r for r in out}
+    assert (by["range(price)"].n_checked, by["range(price)"].n_violations) == (5, 2)
+    assert by["range(price)"].violation_rate == 0.4
+    assert (by["in_set(status)"].n_checked, by["in_set(status)"].n_violations) == (5, 1)
+    assert (by["unique(k)"].n_checked, by["unique(k)"].n_violations) == (4, 1)
+    assert by["unique(k)"].violation_rate == 0.25

@@ -2202,3 +2202,52 @@ def test_nucleus_categories_matches_replay(spark, rows):
             kept_any = kept_any or exp_kept
         assert kept_any
     assert seen == set(got)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a=st.lists(st.sampled_from(["x", "y", "z", None]), max_size=30),
+    b=st.lists(st.sampled_from(["x", "y", "w", None]), max_size=30),
+)
+def test_jsd_drift_matches_replay(spark, a, b):
+    # Symmetric, one-sided categories finite, NULL when one side empty,
+    # zero rows when both empty; terms follow the 1e-8 scheme.
+    import math
+
+    from python_mapreduce_spark.operators.aggregates import jsd_drift
+
+    def r8(x):
+        return math.floor(x * 1e8 + 0.5) / 1e8
+
+    def dr(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    da = spark.createDataFrame([(v,) for v in a], "c string")
+    db = spark.createDataFrame([(v,) for v in b], "c string")
+    rows = jsd_drift(da, db, "c").collect()
+    if not a and not b:
+        assert rows == []
+        return
+    [r] = rows
+    cats = set(a) | set(b)
+    assert (r.n_a, r.n_b, r.n_categories) == (len(a), len(b), len(cats))
+    if not a or not b:
+        assert r.jsd is None
+        return
+    exp = 0.0
+    for c in cats:
+        p = a.count(c) / len(a)
+        q = b.count(c) / len(b)
+        m = (p + q) / 2.0
+        t = (0.5 * p * math.log(p / m) if p > 0 else 0.0) + (
+            0.5 * q * math.log(q / m) if q > 0 else 0.0
+        )
+        exp += r8(t)
+    assert r.jsd == dr(exp)
+    # symmetry
+    [r2] = jsd_drift(db, da, "c").collect()
+    assert r2.jsd == r.jsd

@@ -82,6 +82,8 @@ SHOWCASE = [
     ("q_mutual_info", "ONE (a,b) agg; marginals/entropies re-agg from the class^2 frame, broadcast back"),
     ("q_nucleus", "count agg + group-partitioned running sum on the category-sized frame; null-safe totals join"),
     ("q_triangle_stats", "degree-ordered orientation bounds the wedge self-join at O(m^1.5); closure via one equi-join"),
+    ("q_dq_audit", "ALL predicate rules in ONE scan/agg (k conditional sums, inline explode-to-long); uniqueness per key agg"),
+    ("q_jsd_drift", "per-side category counts full-outer-merged; both KL halves in one re-agg of the category frame"),
 ]
 
 INTERESTING = re.compile(
