@@ -142,6 +142,8 @@ HEADLINE = [
     "q_triangle_stats",
     "q_jsd_drift",
     "q_dq_audit",
+    "q_conversion_lag",
+    "q_top_paths",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

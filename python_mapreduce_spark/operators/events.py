@@ -419,3 +419,105 @@ def markov_transitions(
         "n",
         dround(F.col("n") / F.col("__t"), 6).alias("prob"),
     )
+
+
+def conversion_lag(
+    conversions: DataFrame,
+    touches: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    *,
+    window_minutes: int = 1440,
+) -> DataFrame:
+    """Latency distribution of the attributed click-to-conversion lag:
+    the exact p50/p90/p99 of minutes-since-touch over all attributed
+    conversions (per :func:`last_touch_attribution`'s rule), plus the
+    attachment rate — the funnel-health number behind "how long does a
+    purchase take, and how many attach at all". Emits ONE row
+    (n_conversions, n_attributed, attach_rate, lag_p50, lag_p90,
+    lag_p99); percentiles are ','-compatible DECIMAL(18,4) strings
+    (NULL when nothing attributes); zero rows on empty conversions.
+
+    Scale shape: the attribution as-of join (one user-keyed shuffle,
+    streaming window) feeds ONE global aggregate; `percentile` is
+    Spark's exact interpolated aggregate (== DuckDB quantile_cont),
+    emitted as decimal strings for bit-identical text in both engines.
+    """
+    att = last_touch_attribution(
+        conversions, touches, user_col, ts_col, id_col,
+        window_minutes=window_minutes,
+    )
+    pct = F.expr(
+        "percentile(CASE WHEN attributed THEN mins_since END,"
+        " array(0.5D, 0.9D, 0.99D))"
+    )
+    as_str = lambda i: F.col("__p").getItem(i).cast("decimal(18,4)").cast("string")  # noqa: E731
+    return (
+        att.groupBy(F.lit(1).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.sum(F.col("attributed").cast("long")).cast("long").alias("n_attributed"),
+            pct.alias("__p"),
+        )
+        .select(
+            "n_conversions",
+            "n_attributed",
+            dround(F.col("n_attributed") / F.col("n_conversions"), 6).alias("attach_rate"),
+            as_str(0).alias("lag_p50"),
+            as_str(1).alias("lag_p90"),
+            as_str(2).alias("lag_p99"),
+        )
+    )
+
+
+def top_paths(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    state_col: str,
+    *,
+    depth: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k initial behavior paths: each key's first ``depth`` states
+    (in ``order_cols`` order, which must totally order events — pass a
+    tiebreak id) joined with '>' into a path string, counted across
+    keys, ranked — the "how do sessions start" table funnels are
+    designed from. Keys with fewer than ``depth`` events contribute
+    their shorter prefix; NULL states render as '' within the path;
+    ties rank deterministically by path string. Emits
+    (path, n_keys, rank) for rank <= k.
+
+    Scale shape: one per-key window (partitioned by key) takes the
+    first ``depth`` rows; the per-key path builds via
+    array_sort(collect_list(struct)) — order restored per key with NO
+    global sort; path counts collapse map-side; the final rank runs as
+    global_row_number over the path-cardinality aggregate frame (range
+    exchange + broadcast offsets — the engine-wide no-single-partition-
+    window rule holds even on tiny frames).
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    from python_mapreduce_spark.operators.windows import global_row_number  # noqa: PLC0415
+
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    headed = (
+        df.select(key_col, *order_cols, F.col(state_col).alias("__st"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(depth))
+    )
+    paths = headed.groupBy(key_col).agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__rn", "__st"))),
+                lambda s: F.coalesce(s["__st"], F.lit("")),
+            ),
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    ranked = global_row_number(
+        counts.withColumn("__ord", -F.col("n_keys")), ["__ord", "path"], out="rank"
+    )
+    return ranked.filter(F.col("rank") <= int(k)).select("path", "n_keys", "rank")

@@ -155,6 +155,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_triangle_stats",
     "q_jsd_drift",
     "q_dq_audit",
+    "q_conversion_lag",
+    "q_top_paths",
     # -- checked, staleness-ordered refresh queue: r02 rows (35) --
     "q_sim_ann_ivf_recall",
     "q08_market_share",

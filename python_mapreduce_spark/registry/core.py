@@ -1792,6 +1792,84 @@ FROM counts JOIN tot USING (from_state)
 """
 
 
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Click-to-purchase latency distribution (operators/events.py::
+    # conversion_lag): exact p50/p90/p99 of the attributed lag + the
+    # attach rate, over the same 2h last-touch rule as q_attribution.
+    # One as-of join + ONE global aggregate; percentiles ship as
+    # DECIMAL(18,4) strings (the q_percentiles cross-engine trick).
+    from python_mapreduce_spark.operators.events import conversion_lag  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase")
+    tch = ev.filter(F.col("event_type") == "click")
+    return conversion_lag(conv, tch, "user_id", "ts", "event_id", window_minutes=120)
+
+
+SQL_CONVERSION_LAG = f"""
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id AS u, epoch_ms(ts) AS cts
+  FROM events WHERE event_type = 'purchase'
+),
+tch AS (
+  SELECT user_id AS u, epoch_ms(ts) AS tts
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+best AS (
+  SELECT c.conv_id, t.tts,
+         row_number() OVER (PARTITION BY c.conv_id ORDER BY t.tts DESC) AS rn
+  FROM conv c JOIN tch t ON c.u = t.u AND t.tts <= c.cts
+),
+att AS (
+  SELECT c.conv_id,
+         CASE WHEN c.cts - b.tts <= 7200000
+              THEN {sql_dround("CAST(c.cts - b.tts AS DOUBLE) / 60000.0", 4)} END AS mins,
+         coalesce(c.cts - b.tts <= 7200000, FALSE) AS attributed
+  FROM conv c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (conv_id)
+)
+SELECT n_conversions, n_attributed,
+       {sql_dround("CAST(n_attributed AS DOUBLE) / n_conversions", 6)} AS attach_rate,
+       CAST(CAST(q[1] AS DECIMAL(18,4)) AS VARCHAR) AS lag_p50,
+       CAST(CAST(q[2] AS DECIMAL(18,4)) AS VARCHAR) AS lag_p90,
+       CAST(CAST(q[3] AS DECIMAL(18,4)) AS VARCHAR) AS lag_p99
+FROM (
+  SELECT 1 AS g, CAST(count(*) AS BIGINT) AS n_conversions,
+         CAST(sum(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+         quantile_cont(CASE WHEN attributed THEN mins END, [0.5, 0.9, 0.99]) AS q
+  FROM att GROUP BY g
+)
+"""
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Top-10 session-opening paths (operators/events.py::top_paths):
+    # each user's first three event types joined with '>' — per-key
+    # window + map-side path counts + the scalable global rank.
+    from python_mapreduce_spark.operators.events import top_paths  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return top_paths(ev, "user_id", ["ts", "event_id"], "event_type", depth=3, k=10)
+
+
+SQL_TOP_PATHS = """
+WITH headed AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id IS NOT NULL
+),
+p AS (
+  SELECT user_id, string_agg(coalesce(event_type, ''), '>' ORDER BY rn) AS path
+  FROM headed WHERE rn <= 3 GROUP BY 1
+),
+c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_keys FROM p GROUP BY 1)
+SELECT path, n_keys, rank FROM (
+  SELECT path, n_keys,
+         CAST(row_number() OVER (ORDER BY n_keys DESC, path) AS BIGINT) AS rank
+  FROM c
+) WHERE rank <= 10
+"""
+
+
 def q_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Categorical drift (operators/aggregates.py::jsd_drift): the
     # event-type MIX before vs from Jan 15 — the symmetric, ln2-bounded
@@ -2097,6 +2175,8 @@ QUERIES: dict[str, Query] = {
     "q_auc_daily": Query(q_auc_daily, SQL_AUC_DAILY, "per-slice (daily) AUC via group-partitioned windows"),
     "q_markov": Query(q_markov, SQL_MARKOV, "first-order Markov transition matrix over event sequences"),
     "q_jsd_drift": Query(q_jsd_drift, SQL_JSD_DRIFT, "Jensen-Shannon categorical drift between snapshots"),
+    "q_conversion_lag": Query(q_conversion_lag, SQL_CONVERSION_LAG, "attributed click-to-purchase latency percentiles + attach rate"),
+    "q_top_paths": Query(q_top_paths, SQL_TOP_PATHS, "top-k session-opening event paths"),
     "q_dq_audit": Query(q_dq_audit, SQL_DQ_AUDIT, "declarative data-quality constraint suite (Deequ shape)"),
     "q_mutual_info": Query(q_mutual_info, SQL_MUTUAL_INFO, "mutual information + entropies between two categoricals"),
     "q_woe": Query(q_woe, SQL_WOE, "weight-of-evidence + information value encode table"),

@@ -1184,3 +1184,40 @@ def test_dq_audit_counts_planted_violations(spark):
     assert (by["in_set(status)"].n_checked, by["in_set(status)"].n_violations) == (5, 1)
     assert (by["unique(k)"].n_checked, by["unique(k)"].n_violations) == (4, 1)
     assert by["unique(k)"].violation_rate == 0.25
+
+
+def test_conversion_lag_matches_replay(spark):
+    # Exact percentile interpolation and the attach rate vs a direct
+    # numpy replay on a planted click/purchase timeline.
+    from datetime import datetime, timezone
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.events import conversion_lag
+
+    def t(minute):
+        return datetime(2024, 1, 1, minute // 60, minute % 60, tzinfo=timezone.utc)
+
+    # user 1: click@0, purchases @10 and @50 (lags 10, 50)
+    # user 2: click@0, purchase @200 (outside the 120-min window)
+    # user 3: purchase with no click at all
+    rows = [
+        (1, 1, "click", t(0)), (2, 1, "purchase", t(10)), (3, 1, "purchase", t(50)),
+        (4, 2, "click", t(0)), (5, 2, "purchase", t(200)),
+        (6, 3, "purchase", t(30)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, ts timestamp")
+    conv = df.filter(F.col("event_type") == "purchase")
+    tch = df.filter(F.col("event_type") == "click")
+    [r] = conversion_lag(conv, tch, "user_id", "ts", "event_id", window_minutes=120).collect()
+    assert (r.n_conversions, r.n_attributed) == (4, 2)
+    assert r.attach_rate == 0.5
+    p50, p90, p99 = np.percentile([10.0, 50.0], [50, 90, 99])
+    assert (r.lag_p50, r.lag_p90, r.lag_p99) == (
+        f"{p50:.4f}", f"{p90:.4f}", f"{p99:.4f}"
+    )
+
+    # zero conversions -> zero rows
+    empty = conv.filter(F.lit(False))
+    assert conversion_lag(empty, tch, "user_id", "ts", "event_id").count() == 0

@@ -2251,3 +2251,36 @@ def test_jsd_drift_matches_replay(spark, a, b):
     # symmetry
     [r2] = jsd_drift(db, da, "c").collect()
     assert r2.jsd == r.jsd
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_top_paths_matches_replay(spark, rows):
+    # Path construction (first `depth` states in order), counts, and
+    # deterministic tie ranking vs a sequential replay.
+    from python_mapreduce_spark.operators.events import top_paths
+
+    data = [(k, i, s) for i, (k, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, seq long, st string")
+    out = top_paths(df, "k", ["seq"], "st", depth=2, k=100).collect()
+    seqs = {}
+    for k, i, s in sorted(data, key=lambda t: t[1]):
+        seqs.setdefault(k, []).append(s)
+    counts = {}
+    for states in seqs.values():
+        p = ">".join(states[:2])
+        counts[p] = counts.get(p, 0) + 1
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = sorted(out, key=lambda r: r.rank)
+    assert [(r.path, r.n_keys) for r in got] == expected
+    assert [r.rank for r in got] == list(range(1, len(expected) + 1))

@@ -84,6 +84,8 @@ SHOWCASE = [
     ("q_triangle_stats", "degree-ordered orientation bounds the wedge self-join at O(m^1.5); closure via one equi-join"),
     ("q_dq_audit", "ALL predicate rules in ONE scan/agg (k conditional sums, inline explode-to-long); uniqueness per key agg"),
     ("q_jsd_drift", "per-side category counts full-outer-merged; both KL halves in one re-agg of the category frame"),
+    ("q_conversion_lag", "attribution as-of join (one user shuffle) -> ONE global exact-percentile agg"),
+    ("q_top_paths", "per-key head window -> map-side path counts -> scalable global rank on the path frame"),
 ]
 
 INTERESTING = re.compile(
