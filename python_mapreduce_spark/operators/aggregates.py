@@ -1454,6 +1454,17 @@ def jsd_drift(
     cb = b.groupBy(F.col(cat_col).alias("__c")).agg(
         F.count(F.lit(1)).cast("long").alias("__nb")
     )
+    return jsd_from_category_counts(ca, cb)
+
+
+def jsd_from_category_counts(ca: DataFrame, cb: DataFrame) -> DataFrame:
+    """:func:`jsd_drift` from pre-aggregated per-category counts —
+    (__c, __na) vs (__c, __nb) — the recombination entry point for
+    ADDITIVE incremental state (category counts sum across epochs, so
+    the streaming monitor in
+    ``streaming/incremental.py::incremental_category_counts`` replays
+    the one-shot batch answer exactly). Same output contract as
+    :func:`jsd_drift`."""
     cb2 = cb.withColumnRenamed("__c", "__c2")
     merged = (
         ca.join(cb2, F.col("__c").eqNullSafe(F.col("__c2")), "full_outer")

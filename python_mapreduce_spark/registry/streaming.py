@@ -665,10 +665,51 @@ def q_stream_incremental_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_from_bucket_counts(merged, ["event_type"])
 
 
+def q_stream_incremental_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental CATEGORICAL drift (streaming/incremental.py::
+    # incremental_category_counts): the event-type mix before Jan 15 is
+    # the pinned reference; the current side lands in two checkpointed
+    # waves of additive per-epoch category counts. JSD recomputes from
+    # the summed state — the union of epochs equals the one-shot batch
+    # monitor, which IS the oracle (registry/core.py::SQL_JSD_DRIFT
+    # verbatim).
+    from python_mapreduce_spark.operators.aggregates import (  # noqa: PLC0415
+        jsd_from_category_counts,
+    )
+    from python_mapreduce_spark.session import tune  # noqa: PLC0415
+    from python_mapreduce_spark.streaming.incremental import (  # noqa: PLC0415
+        incremental_category_counts,
+        read_category_state,
+    )
+
+    tune(spark)
+    ev = table(spark, sf_dir, "events")
+    ref = ev.filter(F.col("ts") < "2024-01-15").select("event_type")
+    cur = ev.filter(F.col("ts") >= "2024-01-15")
+
+    work = tempfile.mkdtemp(prefix="incr_jsd_")
+    in_dir, ckpt, state = (
+        os.path.join(work, "in"),
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "state"),
+    )
+    cur.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(in_dir)
+    incremental_category_counts(spark, in_dir, ckpt, "event_type", state)
+    cur.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(in_dir)
+    incremental_category_counts(spark, in_dir, ckpt, "event_type", state)
+
+    ca = ref.groupBy(F.col("event_type").alias("__c")).agg(
+        F.count(F.lit(1)).cast("long").alias("__na")
+    )
+    cb = read_category_state(spark, state).withColumnRenamed("__nc", "__nb")
+    return jsd_from_category_counts(ca, cb)
+
+
 # The incremental monitor's oracle IS the one-shot batch monitor: bucket
 # counts are additive, so the epoch-state recombination must reproduce
 # registry/core.py's q_psi_drift result digit-for-digit.
 from python_mapreduce_spark.registry.core import SQL_PSI_DRIFT as _SQL_PSI_DRIFT  # noqa: E402
+from python_mapreduce_spark.registry.core import SQL_JSD_DRIFT as _SQL_JSD_DRIFT  # noqa: E402
 
 
 QUERIES: dict[str, Query] = {
@@ -676,6 +717,11 @@ QUERIES: dict[str, Query] = {
         q_stream_incremental_psi,
         _SQL_PSI_DRIFT,
         "incremental PSI drift from additive per-epoch bucket state",
+    ),
+    "q_stream_incremental_jsd": Query(
+        q_stream_incremental_jsd,
+        _SQL_JSD_DRIFT,
+        "incremental categorical JSD drift from additive per-epoch category state",
     ),
     "q_stream_static_join": Query(
         q_stream_static_join, SQL_STREAM_STATIC_JOIN, "stream-static broadcast dimension enrichment"

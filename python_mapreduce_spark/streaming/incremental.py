@@ -556,3 +556,48 @@ def read_psi_state(spark: SparkSession, state_dir: str, keys: list[str]) -> Data
         .groupBy(*keys, "__b")
         .agg(F.sum("__nc").cast("long").alias("__nc"))
     )
+
+
+def incremental_category_counts(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    cat_col: str,
+    state_dir: str,
+) -> None:
+    """Incremental CATEGORICAL-drift state: each checkpointed pass
+    counts ONLY newly ingested files per category (NULL categories
+    included as their own row) and writes the counts into an idempotent
+    ``ingest_epoch=<epoch>/`` partition of ``state_dir``
+    (mode=overwrite — crash-replay overwrites, exactly-once per epoch,
+    the family contract). Category counts are ADDITIVE, so the running
+    current-side distribution is a plain SUM over epoch partitions and
+    JSD against any pinned reference snapshot recomputes from
+    alphabet-sized state without rescanning old epochs (read back with
+    :func:`read_category_state` +
+    ``operators/aggregates.py::jsd_from_category_counts``). The
+    categorical companion of :func:`incremental_psi_buckets`.
+    """
+
+    def on_batch(batch: DataFrame, epoch: int) -> None:
+        counts = (
+            normalize_event_ts(batch)
+            .groupBy(F.col(cat_col).alias("__c"))
+            .agg(F.count(F.lit(1)).cast("long").alias("__nc"))
+        )
+        counts.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"ingest_epoch={epoch}")
+        )
+
+    incremental_pass(spark, input_dir, checkpoint_dir, on_batch)
+
+
+def read_category_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Sum the per-epoch category partitions back to the running
+    current-side counts (__c, __nc) — the additive recombination
+    :func:`incremental_category_counts` is designed around."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("__c")
+        .agg(F.sum("__nc").cast("long").alias("__nc"))
+    )

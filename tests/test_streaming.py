@@ -719,3 +719,66 @@ def test_incremental_psi_equals_batch_monitor(spark, tmp_path):
         batch.psi,
         batch.drifted,
     )
+
+
+def test_incremental_jsd_equals_batch_and_replays_idempotently(spark, tmp_path):
+    # Category counts are additive: two ingest waves recombine to the
+    # one-shot batch jsd_drift; a crash-replay of the last epoch
+    # (checkpoint rolled back, same files) overwrites its own partition
+    # and the answer is unchanged; a no-new-files pass adds no state.
+    import os
+    import shutil
+
+    from python_mapreduce_spark.operators.aggregates import (
+        jsd_drift,
+        jsd_from_category_counts,
+    )
+    from python_mapreduce_spark.streaming.incremental import (
+        incremental_category_counts,
+        read_category_state,
+    )
+    from pyspark.sql import functions as F
+
+    ref_rows = [(c,) for c in "aaabbc"]
+    cur_rows = [(c,) for c in "abbbccd"]
+    ref = spark.createDataFrame(ref_rows, "c string")
+    cur = spark.createDataFrame(cur_rows, "c string")
+    [batch] = jsd_drift(ref, cur, "c").collect()
+
+    in_dir, ckpt, state = (
+        str(tmp_path / "in"), str(tmp_path / "ckpt"), str(tmp_path / "state")
+    )
+    spark.createDataFrame(cur_rows[:3], "c string").write.mode("append").parquet(in_dir)
+    incremental_category_counts(spark, in_dir, ckpt, "c", state)
+    ckpt_backup = str(tmp_path / "ckpt_backup")
+    shutil.copytree(ckpt, ckpt_backup)
+    spark.createDataFrame(cur_rows[3:], "c string").write.mode("append").parquet(in_dir)
+    incremental_category_counts(spark, in_dir, ckpt, "c", state)
+
+    def recombined():
+        ca = ref.groupBy(F.col("c").alias("__c")).agg(
+            F.count(F.lit(1)).cast("long").alias("__na")
+        )
+        cb = read_category_state(spark, state).withColumnRenamed("__nc", "__nb")
+        return jsd_from_category_counts(ca, cb).collect()[0]
+
+    assert recombined() == batch
+
+    # crash replay: restore the pre-wave-2 checkpoint and re-run — the
+    # replayed epoch overwrites its own partition, result unchanged
+    n_epochs = len([d for d in os.listdir(state) if d.startswith("ingest_epoch=")])
+    shutil.rmtree(ckpt)
+    shutil.copytree(ckpt_backup, ckpt)
+    incremental_category_counts(spark, in_dir, ckpt, "c", state)
+    assert recombined() == batch
+    assert (
+        len([d for d in os.listdir(state) if d.startswith("ingest_epoch=")])
+        == n_epochs
+    )
+
+    # no-new-files pass: state must not grow
+    incremental_category_counts(spark, in_dir, ckpt, "c", state)
+    assert (
+        len([d for d in os.listdir(state) if d.startswith("ingest_epoch=")])
+        == n_epochs
+    )
