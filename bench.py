@@ -144,6 +144,7 @@ HEADLINE = [
     "q_dq_audit",
     "q_conversion_lag",
     "q_top_paths",
+    "q_gap_report",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

@@ -521,3 +521,46 @@ def top_paths(
         counts.withColumn("__ord", -F.col("n_keys")), ["__ord", "path"], out="rank"
     )
     return ranked.filter(F.col("rank") <= int(k)).select("path", "n_keys", "rank")
+
+
+def gap_report(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Per-key time-completeness audit: between each key's first and
+    last active DAY, how many daily buckets exist, how many have data,
+    and how many are MISSING — the "did ingestion silently skip a day"
+    check a freshness monitor runs per source/partner feed. Rows with
+    NULL key or NULL timestamp are excluded. Emits
+    (key, first_day, last_day, n_expected, n_observed, n_missing,
+    coverage) with days as 'yyyy-MM-dd' strings and coverage rounded to
+    6 decimals.
+
+    Scale shape: one map-side-combined (key, day) distinct-ish agg
+    collapses the stream to active days; per-key min/max/count
+    re-aggregate from that day-sized frame — the data is scanned once
+    and NOTHING is exploded (the expected count is date arithmetic, not
+    a generated calendar join).
+    """
+    base = (
+        df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(key_col).alias("key"), F.to_date(ts_col).alias("__d"))
+        .groupBy("key", "__d")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    agg = base.groupBy("key").agg(
+        F.min("__d").alias("__first"),
+        F.max("__d").alias("__last"),
+        F.count(F.lit(1)).cast("long").alias("n_observed"),
+    )
+    expected = (F.datediff(F.col("__last"), F.col("__first")) + F.lit(1)).cast("long")
+    return agg.select(
+        "key",
+        F.date_format("__first", "yyyy-MM-dd").alias("first_day"),
+        F.date_format("__last", "yyyy-MM-dd").alias("last_day"),
+        expected.alias("n_expected"),
+        "n_observed",
+        (expected - F.col("n_observed")).alias("n_missing"),
+        dround(F.col("n_observed") / expected, 6).alias("coverage"),
+    )

@@ -158,6 +158,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_conversion_lag",
     "q_top_paths",
     "q_stream_incremental_jsd",
+    "q_gap_report",
     # -- checked, staleness-ordered refresh queue: r02 rows (35) --
     "q_sim_ann_ivf_recall",
     "q08_market_share",

@@ -1792,6 +1792,35 @@ FROM counts JOIN tot USING (from_state)
 """
 
 
+def q_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Time-completeness audit (operators/events.py::gap_report): per
+    # event_type, missing daily buckets between first and last activity
+    # — the "did ingestion skip a day" freshness check; one (key, day)
+    # agg + one re-agg, no calendar explode.
+    from python_mapreduce_spark.operators.events import gap_report  # noqa: PLC0415
+
+    return gap_report(table(spark, sf_dir, "events"), "event_type", "ts")
+
+
+SQL_GAP_REPORT = f"""
+WITH days AS (
+  SELECT event_type AS key, CAST(ts AS DATE) AS d
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2
+),
+agg AS (
+  SELECT key, min(d) AS fd, max(d) AS ld, CAST(count(*) AS BIGINT) AS n_observed
+  FROM days GROUP BY 1
+)
+SELECT key, strftime(fd, '%Y-%m-%d') AS first_day, strftime(ld, '%Y-%m-%d') AS last_day,
+       CAST(date_diff('day', fd, ld) + 1 AS BIGINT) AS n_expected,
+       n_observed,
+       CAST(date_diff('day', fd, ld) + 1 - n_observed AS BIGINT) AS n_missing,
+       {sql_dround("CAST(n_observed AS DOUBLE) / (date_diff('day', fd, ld) + 1)", 6)}
+         AS coverage
+FROM agg
+"""
+
+
 def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Click-to-purchase latency distribution (operators/events.py::
     # conversion_lag): exact p50/p90/p99 of the attributed lag + the
@@ -2176,6 +2205,7 @@ QUERIES: dict[str, Query] = {
     "q_markov": Query(q_markov, SQL_MARKOV, "first-order Markov transition matrix over event sequences"),
     "q_jsd_drift": Query(q_jsd_drift, SQL_JSD_DRIFT, "Jensen-Shannon categorical drift between snapshots"),
     "q_conversion_lag": Query(q_conversion_lag, SQL_CONVERSION_LAG, "attributed click-to-purchase latency percentiles + attach rate"),
+    "q_gap_report": Query(q_gap_report, SQL_GAP_REPORT, "per-key missing-day completeness audit"),
     "q_top_paths": Query(q_top_paths, SQL_TOP_PATHS, "top-k session-opening event paths"),
     "q_dq_audit": Query(q_dq_audit, SQL_DQ_AUDIT, "declarative data-quality constraint suite (Deequ shape)"),
     "q_mutual_info": Query(q_mutual_info, SQL_MUTUAL_INFO, "mutual information + entropies between two categoricals"),

@@ -1221,3 +1221,28 @@ def test_conversion_lag_matches_replay(spark):
     # zero conversions -> zero rows
     empty = conv.filter(F.lit(False))
     assert conversion_lag(empty, tch, "user_id", "ts", "event_id").count() == 0
+
+
+def test_gap_report_counts_missing_days(spark):
+    from datetime import datetime, timezone
+
+    from python_mapreduce_spark.operators.events import gap_report
+
+    def d(day, h=0):
+        return datetime(2024, 1, day, h, tzinfo=timezone.utc)
+
+    rows = [
+        ("a", d(1)), ("a", d(1, 5)), ("a", d(3)), ("a", d(7)),   # 1..7: 3 of 7 days
+        ("b", d(2)),                                              # single day
+        (None, d(4)),                                             # NULL key excluded
+        ("c", None),                                              # NULL ts excluded
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {r.key: r for r in gap_report(df, "k", "ts").collect()}
+    assert set(got) == {"a", "b"}
+    a = got["a"]
+    assert (a.first_day, a.last_day) == ("2024-01-01", "2024-01-07")
+    assert (a.n_expected, a.n_observed, a.n_missing) == (7, 3, 4)
+    assert a.coverage == round(3 / 7, 6)
+    b = got["b"]
+    assert (b.n_expected, b.n_observed, b.n_missing, b.coverage) == (1, 1, 0, 1.0)
