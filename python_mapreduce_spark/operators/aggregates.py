@@ -1034,7 +1034,10 @@ def auc_score(
     (:func:`~python_mapreduce_spark.operators.windows.global_running_sum`)
     — no global sort, no single-task window. Grouped, it is a plain
     window PARTITIONED BY the group keys over the count frame (parallel
-    across groups; per-group sorted data is score-cardinality-sized).
+    across groups; per-group sorted data is score-cardinality-sized —
+    right for many-slice evals; for a FEW huge groups with continuous
+    scores, run the ungrouped path per group instead, or pre-round the
+    score to bound per-group cardinality).
     The pair count ``2*p*(negs_below) + p*n_ties`` stays in exact
     integers until the single final division (the SUM rides
     DECIMAL(38,0) past the ~4e9-row int64 cliff), so the statistic is
