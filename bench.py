@@ -145,6 +145,9 @@ HEADLINE = [
     "q_conversion_lag",
     "q_top_paths",
     "q_gap_report",
+    "q_benford",
+    "q_user_churn",
+    "q_readability",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

@@ -1139,3 +1139,59 @@ def tokenizer_fertility(
         *gs, "n_docs", "total_chars", "total_words", "total_tokens",
         cpt.alias("chars_per_token"), tpw.alias("tokens_per_word"),
     )
+
+
+def readability_profile(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    text_col: str,
+) -> DataFrame:
+    """Per-group Flesch-style readability profile from corpus-level
+    totals: words ([a-z]+ tokens), sentences ([.!?]+ runs, floored at
+    one per non-empty doc), and vowel-group syllable approximations —
+    the reading-level facet a data card reports next to
+    :func:`tokenizer_fertility` (token budgets) and the quality
+    heuristics. Flesch = 206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/words), computed from the GROUP's exact integer
+    totals (not a mean of per-doc scores — one agg, no per-doc ratio
+    noise). NULL text counts as the empty document. Emits
+    (group_cols..., n_docs, words, sentences, syllables,
+    words_per_sentence, syllables_per_word, flesch), ratios rounded to
+    6; ratio/score columns are NULL for groups with zero words or zero
+    sentences.
+
+    Scale shape: three regexp counts per row in one whole-stage-codegen
+    projection, then ONE map-side-combined hash agg on the group keys.
+    """
+    safe = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(safe)
+    words = F.size(F.regexp_extract_all(low, F.lit("[a-z]+"), F.lit(0)))
+    sents_raw = F.size(F.regexp_extract_all(safe, F.lit("[.!?]+"), F.lit(0)))
+    # a non-empty doc with no terminal punctuation is one sentence
+    sents = F.when(words > 0, F.greatest(sents_raw, F.lit(1))).otherwise(F.lit(0))
+    syll = F.size(F.regexp_extract_all(low, F.lit("[aeiouy]+"), F.lit(0)))
+    gs = list(group_cols)
+    agg = df.groupBy(*gs).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(words).cast("long").alias("words"),
+        F.sum(sents).cast("long").alias("sentences"),
+        F.sum(syll).cast("long").alias("syllables"),
+    )
+    wps = F.col("words") / F.col("sentences")
+    spw = F.col("syllables") / F.col("words")
+    ok = (F.col("words") > 0) & (F.col("sentences") > 0)
+    return agg.select(
+        *gs,
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        F.when(ok, dround(wps, 6)).alias("words_per_sentence"),
+        F.when(ok, dround(spw, 6)).alias("syllables_per_word"),
+        F.when(
+            ok,
+            dround(
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+            ),
+        ).alias("flesch"),
+    )

@@ -1581,3 +1581,65 @@ def dq_audit(
         dround(F.col("n_violations") / F.col("n_checked"), 6),
     ).otherwise(F.lit(0.0))
     return out.select("rule", "n_checked", "n_violations", rate.alias("violation_rate"))
+
+
+#: Benford expected first-digit shares, precomputed in Python so BOTH
+#: engines consume the identical doubles (log10 is not required to be
+#: correctly rounded, so computing it per-engine could differ 1 ulp).
+BENFORD_EXPECTED: dict[int, float] = {
+    d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)
+}
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Benford first-digit audit of a positive numeric column: observed
+    leading-digit shares against Benford's law, with each digit's
+    Pearson chi-squared contribution — the classic fabricated-data /
+    unit-mixup screen a finance-grade DQ suite runs next to
+    :func:`dq_audit`'s rule checks. Rows with NULL, zero, or negative
+    values are excluded (Benford is defined on positive magnitudes).
+    Emits one row per observed digit: (digit, n, share, expected,
+    chi2_term) with chi2_term = (n - N*p)^2 / (N*p), all rounded to 6
+    decimals.
+
+    Scale shape: the leading digit extracts via DECIMAL-string regexp
+    (double->string formatting differs across engines; DECIMAL(38,6)
+    text is identical) in a pure projection, then ONE map-side-combined
+    digit agg; totals re-aggregate from the 9-row frame. The expected
+    shares are Python-precomputed literals, so both engines evaluate
+    identical doubles.
+    """
+    digit = F.regexp_extract(
+        F.col(value_col).cast("decimal(38,6)").cast("string"), "[1-9]", 0
+    )
+    base = (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+        .select(digit.cast("int").alias("digit"))
+        .filter(F.col("digit").isNotNull())
+    )
+    counts = base.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint(eager=False)  # feeds the total and the output
+    tot = counts.agg(F.sum("n").cast("double").alias("__t"))
+    expected = F.element_at(
+        F.create_map(
+            *[x for d, p in sorted(BENFORD_EXPECTED.items()) for x in (F.lit(d), F.lit(p))]
+        ),
+        F.col("digit"),
+    )
+    exp_n = expected * F.col("__t")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            dround(F.col("n") / F.col("__t"), 6).alias("share"),
+            dround(expected, 6).alias("expected"),
+            dround(
+                (F.col("n") - exp_n) * (F.col("n") - exp_n) / exp_n, 6
+            ).alias("chi2_term"),
+        )
+    )

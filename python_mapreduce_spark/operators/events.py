@@ -564,3 +564,52 @@ def gap_report(
         (expected - F.col("n_observed")).alias("n_missing"),
         dround(F.col("n_observed") / expected, 6).alias("coverage"),
     )
+
+
+def user_churn(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Day-over-day user churn: for each active day, how many distinct
+    users were retained from the previous day, how many are new (to
+    the previous day, not all history), and how many of the previous
+    day's users churned — the daily engagement-health triplet. Rows
+    with NULL user or NULL timestamp are excluded; only days with
+    current activity emit (a day after the last active day would be
+    all-churn and no audience). Emits
+    (day, active, retained, new_users, churned) with day as a
+    'yyyy-MM-dd' string.
+
+    Scale shape: the stream collapses to a distinct (user, day) frame
+    (map-side combined); each active row fans to exactly TWO
+    (comparison-day, user) rows (itself, and itself shifted to the
+    next day as "previous"), so one (day, user) agg reconstructs the
+    cur/prev flags and one day agg produces the triplet — no
+    day-over-day self-join of distinct-user sets, no COUNT(DISTINCT)
+    window.
+    """
+    days = (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("u"), F.to_date(ts_col).alias("d"))
+        .distinct()
+    )
+    fan = days.select("u", F.col("d").alias("cmp"), F.lit(1).alias("cur"), F.lit(0).alias("prev")).unionByName(
+        days.select("u", F.date_add("d", 1).alias("cmp"), F.lit(0).alias("cur"), F.lit(1).alias("prev"))
+    )
+    flags = fan.groupBy("cmp", "u").agg(
+        F.max("cur").alias("c"), F.max("prev").alias("p")
+    )
+    out = flags.groupBy("cmp").agg(
+        F.sum("c").cast("long").alias("active"),
+        F.sum(F.col("c") * F.col("p")).cast("long").alias("retained"),
+        F.sum(F.col("c") * (1 - F.col("p"))).cast("long").alias("new_users"),
+        F.sum((1 - F.col("c")) * F.col("p")).cast("long").alias("churned"),
+    )
+    return out.filter(F.col("active") > 0).select(
+        F.date_format("cmp", "yyyy-MM-dd").alias("day"),
+        "active",
+        "retained",
+        "new_users",
+        "churned",
+    )

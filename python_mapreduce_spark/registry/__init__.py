@@ -159,6 +159,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_top_paths",
     "q_stream_incremental_jsd",
     "q_gap_report",
+    "q_benford",
+    "q_user_churn",
+    "q_readability",
     # -- checked, staleness-ordered refresh queue: r02 rows (35) --
     "q_sim_ann_ivf_recall",
     "q08_market_share",

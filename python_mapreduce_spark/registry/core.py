@@ -1792,6 +1792,79 @@ FROM counts JOIN tot USING (from_state)
 """
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benford first-digit audit (operators/aggregates.py::
+    # benford_audit) of order totals — the fabricated-data / unit-mixup
+    # screen beside q_dq_audit. Expected shares are Python-precomputed
+    # literals interpolated into BOTH engines, so log10's 1-ulp
+    # engine variance can't flip the hash.
+    from python_mapreduce_spark.operators.aggregates import benford_audit  # noqa: PLC0415
+
+    return benford_audit(table(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def _sql_benford() -> str:
+    from python_mapreduce_spark.operators.aggregates import BENFORD_EXPECTED  # noqa: PLC0415
+
+    values = ", ".join(f"({d}, {p!r})" for d, p in sorted(BENFORD_EXPECTED.items()))
+    return f"""
+WITH base AS (
+  SELECT CAST(NULLIF(regexp_extract(
+           CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR), '[1-9]'), '') AS INT)
+         AS digit
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+),
+counts AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM base
+  WHERE digit IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM counts),
+exp(digit, p) AS (VALUES {values})
+SELECT digit, n,
+       {sql_dround("n / t", 6)} AS share,
+       {sql_dround("p", 6)} AS expected,
+       {sql_dround("(n - p * t) * (n - p * t) / (p * t)", 6)} AS chi2_term
+FROM counts JOIN exp USING (digit), tot
+"""
+
+
+SQL_BENFORD = _sql_benford()
+
+
+def q_user_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Daily churn triplet (operators/events.py::user_churn): retained /
+    # new / churned distinct users per active day, via the two-row
+    # fan-out — no day-over-day set self-join.
+    from python_mapreduce_spark.operators.events import user_churn  # noqa: PLC0415
+
+    return user_churn(table(spark, sf_dir, "events"), "user_id", "ts")
+
+
+SQL_USER_CHURN = """
+WITH days AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+fan AS (
+  SELECT u, d AS cmp, 1 AS cur, 0 AS prev FROM days
+  UNION ALL
+  SELECT u, d + INTERVAL 1 DAY, 0, 1 FROM days
+),
+flags AS (
+  SELECT cmp, u, max(cur) AS c, max(prev) AS p FROM fan GROUP BY 1, 2
+),
+agg AS (
+  SELECT cmp, CAST(sum(c) AS BIGINT) AS active,
+         CAST(sum(c * p) AS BIGINT) AS retained,
+         CAST(sum(c * (1 - p)) AS BIGINT) AS new_users,
+         CAST(sum((1 - c) * p) AS BIGINT) AS churned
+  FROM flags GROUP BY 1
+)
+SELECT strftime(CAST(cmp AS DATE), '%Y-%m-%d') AS day, active, retained, new_users, churned
+FROM agg WHERE active > 0
+"""
+
+
 def q_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Time-completeness audit (operators/events.py::gap_report): per
     # event_type, missing daily buckets between first and last activity
@@ -2206,6 +2279,8 @@ QUERIES: dict[str, Query] = {
     "q_jsd_drift": Query(q_jsd_drift, SQL_JSD_DRIFT, "Jensen-Shannon categorical drift between snapshots"),
     "q_conversion_lag": Query(q_conversion_lag, SQL_CONVERSION_LAG, "attributed click-to-purchase latency percentiles + attach rate"),
     "q_gap_report": Query(q_gap_report, SQL_GAP_REPORT, "per-key missing-day completeness audit"),
+    "q_benford": Query(q_benford, SQL_BENFORD, "Benford first-digit audit with chi2 contributions"),
+    "q_user_churn": Query(q_user_churn, SQL_USER_CHURN, "daily retained/new/churned distinct users"),
     "q_top_paths": Query(q_top_paths, SQL_TOP_PATHS, "top-k session-opening event paths"),
     "q_dq_audit": Query(q_dq_audit, SQL_DQ_AUDIT, "declarative data-quality constraint suite (Deequ shape)"),
     "q_mutual_info": Query(q_mutual_info, SQL_MUTUAL_INFO, "mutual information + entropies between two categoricals"),

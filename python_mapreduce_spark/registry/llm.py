@@ -2996,6 +2996,45 @@ FROM agg
 """
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-source Flesch readability (llm/text.py::readability_profile):
+    # computed from the group's exact integer word/sentence/syllable
+    # totals (one projection + one agg), not a mean of noisy per-doc
+    # scores; the data-card reading-level row.
+    from python_mapreduce_spark.llm.text import readability_profile  # noqa: PLC0415
+
+    return readability_profile(table(spark, sf_dir, "documents"), ["source"], "text")
+
+
+SQL_READABILITY = f"""
+WITH base AS (
+  SELECT source,
+         len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS w,
+         len(regexp_extract_all(coalesce(text, ''), '[.!?]+')) AS sr,
+         len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+')) AS sy
+  FROM documents
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS words,
+         CAST(sum(CASE WHEN w > 0 THEN greatest(sr, 1) ELSE 0 END) AS BIGINT) AS sentences,
+         CAST(sum(sy) AS BIGINT) AS syllables
+  FROM base GROUP BY 1
+)
+SELECT source, n_docs, words, sentences, syllables,
+  CASE WHEN words > 0 AND sentences > 0
+       THEN {sql_dround("CAST(words AS DOUBLE) / sentences", 6)} END AS words_per_sentence,
+  CASE WHEN words > 0 AND sentences > 0
+       THEN {sql_dround("CAST(syllables AS DOUBLE) / words", 6)} END AS syllables_per_word,
+  CASE WHEN words > 0 AND sentences > 0
+       THEN {sql_dround(
+           "206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)"
+           " - 84.6 * (CAST(syllables AS DOUBLE) / words)", 6)}
+  END AS flesch
+FROM agg
+"""
+
+
 def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dup-graph structure probe (llm/dedup.py::triangle_stats):
     # triangle count + global clustering coefficient of the exact
@@ -3376,6 +3415,9 @@ QUERIES: dict[str, Query] = {
     ),
     "q_triangle_stats": Query(
         q_triangle_stats, SQL_TRIANGLE_STATS, "dup-graph triangle count + clustering coefficient"
+    ),
+    "q_readability": Query(
+        q_readability, SQL_READABILITY, "per-source Flesch readability from exact corpus totals"
     ),
     "q_inverted_index": Query(
         q_inverted_index, SQL_INVERTED_INDEX, "inverted-index export with pre-trimmed posting lists"

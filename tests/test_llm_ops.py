@@ -1404,3 +1404,33 @@ def test_triangle_stats_matches_bruteforce_on_dup_graph(docs, spark):
     assert (r.n_vertices, r.n_edges, r.n_triangles) == (
         len(verts), len(edges), tri
     )
+
+
+def test_readability_profile_matches_replay(docs, spark):
+    import math
+    import re
+
+    from python_mapreduce_spark.llm.text import readability_profile
+
+    def dr(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    got = {r.source: r for r in readability_profile(docs, ["source"], "text").collect()}
+    agg = {}
+    for row in docs.select("source", "text").collect():
+        t = row.text or ""
+        w = len(re.findall("[a-z]+", t.lower()))
+        sr = len(re.findall(r"[.!?]+", t))
+        sy = len(re.findall("[aeiouy]+", t.lower()))
+        n, tw, ts_, tsy = agg.get(row.source, (0, 0, 0, 0))
+        agg[row.source] = (
+            n + 1, tw + w, ts_ + (max(sr, 1) if w > 0 else 0), tsy + sy
+        )
+    assert set(got) == set(agg)
+    for src, (n, w, s, sy) in agg.items():
+        r = got[src]
+        assert (r.n_docs, r.words, r.sentences, r.syllables) == (n, w, s, sy), src
+        if w > 0 and s > 0:
+            assert r.words_per_sentence == dr(w / s)
+            assert r.syllables_per_word == dr(sy / w)
+            assert r.flesch == dr(206.835 - 1.015 * (w / s) - 84.6 * (sy / w))

@@ -2284,3 +2284,77 @@ def test_top_paths_matches_replay(spark, rows):
     got = sorted(out, key=lambda r: r.rank)
     assert [(r.path, r.n_keys) for r in got] == expected
     assert [r.rank for r in got] == list(range(1, len(expected) + 1))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 4), st.integers(1, 5)), min_size=1, max_size=40
+    )
+)
+def test_user_churn_matches_set_replay(spark, rows):
+    # The two-row fan-out must equal literal day-over-day set algebra.
+    from datetime import datetime, timezone
+
+    from python_mapreduce_spark.operators.events import user_churn
+
+    data = [
+        (u, datetime(2024, 1, d, u % 24, tzinfo=timezone.utc)) for d, u in rows
+    ]
+    df = spark.createDataFrame(data, "u long, ts timestamp")
+    got = {r.day: r for r in user_churn(df, "u", "ts").collect()}
+    by_day = {}
+    for d, u in rows:
+        by_day.setdefault(d, set()).add(u)
+    assert set(got) == {f"2024-01-{d:02d}" for d in by_day}
+    for d, users in by_day.items():
+        prev = by_day.get(d - 1, set())
+        r = got[f"2024-01-{d:02d}"]
+        assert (r.active, r.retained, r.new_users, r.churned) == (
+            len(users), len(users & prev), len(users - prev), len(prev - users)
+        ), d
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(min_value=1e-3, max_value=1e9, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_benford_audit_matches_replay(spark, vals):
+    import math
+
+    from python_mapreduce_spark.operators.aggregates import (
+        BENFORD_EXPECTED,
+        benford_audit,
+    )
+
+    def dr(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r.digit: r for r in benford_audit(df, "v").collect()}
+    # leading digit via the same decimal(38,6)-string rule
+    counts = {}
+    for v in vals:
+        s = f"{v:.6f}"
+        lead = next((c for c in s if c in "123456789"), None)
+        if lead:
+            counts[int(lead)] = counts.get(int(lead), 0) + 1
+    t = float(sum(counts.values()))
+    assert set(got) == set(counts)
+    for d, n in counts.items():
+        r = got[d]
+        p = BENFORD_EXPECTED[d]
+        assert (r.n, r.share, r.expected) == (n, dr(n / t), dr(p))
+        assert r.chi2_term == dr((n - p * t) ** 2 / (p * t)), d

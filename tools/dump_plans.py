@@ -86,6 +86,7 @@ SHOWCASE = [
     ("q_jsd_drift", "per-side category counts full-outer-merged; both KL halves in one re-agg of the category frame"),
     ("q_conversion_lag", "attribution as-of join (one user shuffle) -> ONE global exact-percentile agg"),
     ("q_top_paths", "per-key head window -> map-side path counts -> scalable global rank on the path frame"),
+    ("q_user_churn", "two-row fan-out per (user, day) -> one (day,user) agg -> one day agg; no set self-join"),
 ]
 
 INTERESTING = re.compile(
