@@ -148,6 +148,9 @@ HEADLINE = [
     "q_benford",
     "q_user_churn",
     "q_readability",
+    "q_session_stats",
+    "q_rfm",
+    "q_corr_matrix",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

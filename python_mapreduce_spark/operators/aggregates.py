@@ -1643,3 +1643,75 @@ def benford_audit(
             ).alias("chi2_term"),
         )
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Pairwise Pearson correlations across numeric columns from ONE
+    aggregation of sufficient statistics — the profiling staple that
+    answers "which features are redundant" before modeling (the
+    categorical analog is :func:`mutual_information`). Each pair uses
+    its PAIRWISE-COMPLETE rows (both sides non-NULL). Emits one row
+    per unordered pair: (col_a, col_b, n, corr) with corr rounded to 6
+    decimals and NULL when either side has zero variance or n < 2.
+
+    Scale shape: every pair's five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²) ride one map-side-combined global
+    aggregate over a single scan (k(k-1)/2 * 6 conditional sums — fine
+    for profile-sized k); the pair table explodes from the one-row
+    result. Determinism: inputs round to 1e-4 before DECIMAL(38,8)
+    sums, so the sufficient statistics are bit-exact cross-engine and
+    the final expression is pure double arithmetic on identical
+    values.
+    """
+    cs = list(cols)
+    pairs = [(i, j) for i in range(len(cs)) for j in range(len(cs)) if i < j]
+    vals = {
+        c: dround(F.col(c).cast("double"), 4) for c in cs
+    }
+    aggs = []
+    for i, j in pairs:
+        x, y = vals[cs[i]], vals[cs[j]]
+        both = F.col(cs[i]).isNotNull() & F.col(cs[j]).isNotNull()
+        z = F.lit(None).cast("decimal(38,8)")
+        tag = f"{i}_{j}"
+        aggs.extend(
+            [
+                F.sum(F.when(both, 1).otherwise(0)).cast("long").alias(f"__n_{tag}"),
+                F.sum(F.when(both, x.cast("decimal(38,8)")).otherwise(z)).alias(f"__sx_{tag}"),
+                F.sum(F.when(both, y.cast("decimal(38,8)")).otherwise(z)).alias(f"__sy_{tag}"),
+                F.sum(F.when(both, dround(x * y, 8).cast("decimal(38,8)")).otherwise(z)).alias(f"__sxy_{tag}"),
+                F.sum(F.when(both, dround(x * x, 8).cast("decimal(38,8)")).otherwise(z)).alias(f"__sxx_{tag}"),
+                F.sum(F.when(both, dround(y * y, 8).cast("decimal(38,8)")).otherwise(z)).alias(f"__syy_{tag}"),
+            ]
+        )
+    wide = df.agg(*aggs)
+    structs = []
+    for i, j in pairs:
+        tag = f"{i}_{j}"
+        n = F.col(f"__n_{tag}").cast("double")
+        sx = F.col(f"__sx_{tag}").cast("double")
+        sy = F.col(f"__sy_{tag}").cast("double")
+        sxy = F.col(f"__sxy_{tag}").cast("double")
+        sxx = F.col(f"__sxx_{tag}").cast("double")
+        syy = F.col(f"__syy_{tag}").cast("double")
+        cov_n = n * sxy - sx * sy
+        var_x = n * sxx - sx * sx
+        var_y = n * syy - sy * sy
+        corr = F.when(
+            (F.col(f"__n_{tag}") >= 2) & (var_x > 0) & (var_y > 0),
+            dround(cov_n / F.sqrt(var_x * var_y), 6),
+        )
+        structs.append(
+            F.struct(
+                F.lit(cs[i]).alias("col_a"),
+                F.lit(cs[j]).alias("col_b"),
+                F.col(f"__n_{tag}").alias("n"),
+                corr.alias("corr"),
+            )
+        )
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select(
+        "p.col_a", "p.col_b", "p.n", "p.corr"
+    )

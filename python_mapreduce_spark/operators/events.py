@@ -613,3 +613,131 @@ def user_churn(
         "new_users",
         "churned",
     )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    gap_ms: int = 1_800_000,
+) -> DataFrame:
+    """Corpus-level session summary over gap-based sessions
+    (:func:`~python_mapreduce_spark.operators.windows.sessionize` with
+    the same ``gap_ms`` rule): session count, events per session, and
+    the exact p50/p90/p99 of session DURATION minutes — the
+    engagement-depth row next to :func:`user_churn`'s breadth triplet.
+    Single-event sessions have duration 0. Rows with NULL user or NULL
+    timestamp are excluded. Emits ONE row (n_sessions, n_events,
+    events_per_session, dur_p50, dur_p90, dur_p99); durations are
+    DECIMAL(18,4)-string minutes (the cross-engine percentile
+    contract); zero rows on empty input.
+
+    Scale shape: sessionize's one user-keyed shuffle + two streaming
+    windows; sessions collapse to one (user, session) row map-side;
+    ONE global aggregate computes counts and the exact interpolated
+    percentiles. Millisecond integer math end to end until the final
+    minute division.
+    """
+    from python_mapreduce_spark.operators.windows import sessionize  # noqa: PLC0415
+
+    base = df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+    sess = sessionize(base, [user_col], ts_col, [ts_col], gap_ms=gap_ms)
+    per_session = sess.groupBy(F.col(user_col).alias("__u"), F.col("session_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        (
+            (F.max(F.unix_millis(F.col(ts_col))) - F.min(F.unix_millis(F.col(ts_col))))
+            .cast("double")
+            / F.lit(60000.0)
+        ).alias("__dur"),
+    )
+    pct = F.expr("percentile(__dur, array(0.5D, 0.9D, 0.99D))")
+    as_str = lambda i: F.col("__p").getItem(i).cast("decimal(18,4)").cast("string")  # noqa: E731
+    return (
+        per_session.groupBy(F.lit(1).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("__n").cast("long").alias("n_events"),
+            pct.alias("__p"),
+        )
+        .select(
+            "n_sessions",
+            "n_events",
+            dround(F.col("n_events") / F.col("n_sessions"), 6).alias("events_per_session"),
+            as_str(0).alias("dur_p50"),
+            as_str(1).alias("dur_p90"),
+            as_str(2).alias("dur_p99"),
+        )
+    )
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    bins: int = 5,
+) -> DataFrame:
+    """RFM segmentation: per user, Recency (days since their last
+    event, vs. the corpus's last timestamp), Frequency (event count)
+    and Monetary (value sum), each scored 1..bins by GLOBAL quantile
+    thresholds, then rolled up to segment sizes — the classic
+    marketing/engagement cohorting table. Scores use exact
+    interpolated percentiles (Spark `percentile` == DuckDB
+    quantile_cont) computed over the USER frame and broadcast back; a
+    value <= the k-th threshold scores k (recency scores INVERT so
+    fresher = higher). NULL users/timestamps are excluded; NULL values
+    count 0 toward monetary. Emits (r_score, f_score, m_score,
+    n_users), scores as ints.
+
+    Scale shape: one user-keyed agg collapses the stream; thresholds
+    are a one-row aggregate of that user-sized frame broadcast back
+    (never a sort); scoring is a projected CASE; the rollup is one
+    tiny (bins^3-max) hash agg. Integer day/count/DECIMAL-rounded sum
+    inputs keep the threshold comparisons engine-exact.
+    """
+    base = df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+    asof = base.agg(F.max(F.unix_millis(F.col(ts_col))).alias("__asof"))
+    users = (
+        base.crossJoin(F.broadcast(asof))
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(
+            F.floor(
+                (F.max("__asof") - F.max(F.unix_millis(F.col(ts_col))))
+                / F.lit(86_400_000)
+            ).cast("long").alias("__r"),
+            F.count(F.lit(1)).cast("long").alias("__f"),
+            # per-row round into a DECIMAL sum: a raw double sum is
+            # partition-order-dependent and would break the hash
+            F.sum(
+                dround(F.coalesce(F.col(value_col), F.lit(0.0)), 4).cast(
+                    "decimal(28,4)"
+                )
+            ).cast("double").alias("__m"),
+        )
+        .localCheckpoint(eager=False)  # thresholds + scoring
+    )
+    qs = [i / bins for i in range(1, bins)]
+    arr = "array(" + ", ".join(f"{q}D" for q in qs) + ")"
+    thr = users.agg(
+        F.expr(f"percentile(__r, {arr})").alias("__tr"),
+        F.expr(f"percentile(__f, {arr})").alias("__tf"),
+        F.expr(f"percentile(__m, {arr})").alias("__tm"),
+    )
+
+    def score(col: str, tcol: str):
+        # 1 + number of thresholds strictly below the value
+        return (
+            F.lit(1)
+            + F.size(F.filter(F.col(tcol), lambda t: t < F.col(col)))
+        ).cast("int")
+
+    scored = users.crossJoin(F.broadcast(thr)).select(
+        (F.lit(bins + 1) - score("__r", "__tr")).cast("int").alias("r_score"),
+        score("__f", "__tf").alias("f_score"),
+        score("__m", "__tm").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )

@@ -162,6 +162,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_benford",
     "q_user_churn",
     "q_readability",
+    "q_session_stats",
+    "q_rfm",
+    "q_corr_matrix",
     # -- checked, staleness-ordered refresh queue: r02 rows (35) --
     "q_sim_ann_ivf_recall",
     "q08_market_share",

@@ -1792,6 +1792,140 @@ FROM counts JOIN tot USING (from_state)
 """
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Session-depth summary (operators/events.py::session_stats):
+    # count, events/session, exact duration percentiles over 30-minute
+    # gap sessions — sessionize's one shuffle + ONE global aggregate.
+    from python_mapreduce_spark.operators.events import session_stats  # noqa: PLC0415
+
+    return session_stats(table(spark, sf_dir, "events"), "user_id", "ts")
+
+
+SQL_SESSION_STATS = f"""
+WITH base AS (
+  SELECT user_id AS u, epoch_ms(ts) AS ms FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+seq AS (
+  SELECT u, ms,
+         CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+              THEN 1 ELSE 0 END AS nw
+  FROM base WINDOW w AS (PARTITION BY u ORDER BY ms)
+),
+sess AS (
+  SELECT u, ms,
+         sum(nw) OVER (PARTITION BY u ORDER BY ms
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM seq
+),
+per AS (
+  SELECT u, sid, CAST(count(*) AS BIGINT) AS n,
+         CAST(max(ms) - min(ms) AS DOUBLE) / 60000.0 AS dur
+  FROM sess GROUP BY 1, 2
+)
+SELECT n_sessions, n_events,
+       {sql_dround("CAST(n_events AS DOUBLE) / n_sessions", 6)} AS events_per_session,
+       CAST(CAST(q[1] AS DECIMAL(18,4)) AS VARCHAR) AS dur_p50,
+       CAST(CAST(q[2] AS DECIMAL(18,4)) AS VARCHAR) AS dur_p90,
+       CAST(CAST(q[3] AS DECIMAL(18,4)) AS VARCHAR) AS dur_p99
+FROM (
+  SELECT 1 AS g, CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(sum(n) AS BIGINT) AS n_events,
+         quantile_cont(dur, [0.5, 0.9, 0.99]) AS q
+  FROM per GROUP BY g
+)
+"""
+
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RFM segmentation (operators/events.py::rfm_segments): per-user
+    # recency/frequency/monetary scored 1..5 by global exact quantile
+    # thresholds broadcast back onto the user frame; segment sizes.
+    from python_mapreduce_spark.operators.events import rfm_segments  # noqa: PLC0415
+
+    return rfm_segments(table(spark, sf_dir, "events"), "user_id", "ts", "value")
+
+
+SQL_RFM = """
+WITH base AS (
+  SELECT user_id AS u, epoch_ms(ts) AS ms, value FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+mx AS (SELECT max(ms) AS am FROM base),
+users AS (
+  SELECT u, CAST(floor((am - max(ms)) / 86400000.0) AS BIGINT) AS r,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(CAST(floor(coalesce(value, 0.0) * 10000.0 + 0.5) / 10000.0
+                       AS DECIMAL(28,4))) AS DOUBLE) AS m
+  FROM base, mx GROUP BY u, am
+),
+thr AS (
+  SELECT quantile_cont(r, [0.2, 0.4, 0.6, 0.8]) AS tr,
+         quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS tf,
+         quantile_cont(m, [0.2, 0.4, 0.6, 0.8]) AS tm
+  FROM users
+),
+scored AS (
+  SELECT CAST(6 - (1 + len(list_filter(tr, t -> t < r))) AS INT) AS r_score,
+         CAST(1 + len(list_filter(tf, t -> t < f)) AS INT) AS f_score,
+         CAST(1 + len(list_filter(tm, t -> t < m)) AS INT) AS m_score
+  FROM users, thr
+)
+SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_users
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pairwise Pearson correlations (operators/aggregates.py::
+    # correlation_matrix) across the four lineitem measures — ONE
+    # global agg of DECIMAL-exact sufficient statistics, pair table
+    # exploded from the single result row.
+    from python_mapreduce_spark.operators.aggregates import correlation_matrix  # noqa: PLC0415
+
+    return correlation_matrix(
+        table(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+def _sql_corr_matrix() -> str:
+    cs = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(i, j) for i in range(len(cs)) for j in range(len(cs)) if i < j]
+
+    def r4(e: str) -> str:
+        return f"floor(CAST({e} AS DOUBLE) * 10000.0 + 0.5) / 10000.0"
+
+    def r8(e: str) -> str:
+        return f"floor(({e}) * 100000000.0 + 0.5) / 100000000.0"
+
+    stats, rows = [], []
+    for i, j in pairs:
+        a, b = cs[i], cs[j]
+        t = f"{i}_{j}"
+        both = f"{a} IS NOT NULL AND {b} IS NOT NULL"
+        x, y = r4(a), r4(b)
+        stats.append(f"CAST(sum(CASE WHEN {both} THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}")
+        stats.append(f"sum(CASE WHEN {both} THEN CAST({x} AS DECIMAL(38,8)) END) AS sx_{t}")
+        stats.append(f"sum(CASE WHEN {both} THEN CAST({y} AS DECIMAL(38,8)) END) AS sy_{t}")
+        stats.append(f"sum(CASE WHEN {both} THEN CAST({r8(f'({x}) * ({y})')} AS DECIMAL(38,8)) END) AS sxy_{t}")
+        stats.append(f"sum(CASE WHEN {both} THEN CAST({r8(f'({x}) * ({x})')} AS DECIMAL(38,8)) END) AS sxx_{t}")
+        stats.append(f"sum(CASE WHEN {both} THEN CAST({r8(f'({y}) * ({y})')} AS DECIMAL(38,8)) END) AS syy_{t}")
+        covn = f"(CAST(n_{t} AS DOUBLE) * CAST(sxy_{t} AS DOUBLE) - CAST(sx_{t} AS DOUBLE) * CAST(sy_{t} AS DOUBLE))"
+        varx = f"(CAST(n_{t} AS DOUBLE) * CAST(sxx_{t} AS DOUBLE) - CAST(sx_{t} AS DOUBLE) * CAST(sx_{t} AS DOUBLE))"
+        vary = f"(CAST(n_{t} AS DOUBLE) * CAST(syy_{t} AS DOUBLE) - CAST(sy_{t} AS DOUBLE) * CAST(sy_{t} AS DOUBLE))"
+        corr = sql_dround(f"{covn} / sqrt({varx} * {vary})", 6)
+        rows.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, n_{t} AS n,\n"
+            f"       CASE WHEN n_{t} >= 2 AND {varx} > 0 AND {vary} > 0\n"
+            f"            THEN {corr} END AS corr FROM wide"
+        )
+    return "WITH wide AS (\n  SELECT " + ",\n         ".join(stats) + "\n  FROM lineitem\n)\n" + "\nUNION ALL\n".join(rows)
+
+
+SQL_CORR_MATRIX = _sql_corr_matrix()
+
+
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Benford first-digit audit (operators/aggregates.py::
     # benford_audit) of order totals — the fabricated-data / unit-mixup
@@ -2280,6 +2414,9 @@ QUERIES: dict[str, Query] = {
     "q_conversion_lag": Query(q_conversion_lag, SQL_CONVERSION_LAG, "attributed click-to-purchase latency percentiles + attach rate"),
     "q_gap_report": Query(q_gap_report, SQL_GAP_REPORT, "per-key missing-day completeness audit"),
     "q_benford": Query(q_benford, SQL_BENFORD, "Benford first-digit audit with chi2 contributions"),
+    "q_session_stats": Query(q_session_stats, SQL_SESSION_STATS, "session count/depth/duration percentiles"),
+    "q_rfm": Query(q_rfm, SQL_RFM, "RFM segmentation by global quantile scores"),
+    "q_corr_matrix": Query(q_corr_matrix, SQL_CORR_MATRIX, "pairwise Pearson correlation matrix from one agg"),
     "q_user_churn": Query(q_user_churn, SQL_USER_CHURN, "daily retained/new/churned distinct users"),
     "q_top_paths": Query(q_top_paths, SQL_TOP_PATHS, "top-k session-opening event paths"),
     "q_dq_audit": Query(q_dq_audit, SQL_DQ_AUDIT, "declarative data-quality constraint suite (Deequ shape)"),

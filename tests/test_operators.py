@@ -1246,3 +1246,81 @@ def test_gap_report_counts_missing_days(spark):
     assert a.coverage == round(3 / 7, 6)
     b = got["b"]
     assert (b.n_expected, b.n_observed, b.n_missing, b.coverage) == (1, 1, 0, 1.0)
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from python_mapreduce_spark.operators.aggregates import correlation_matrix
+
+    rng = [
+        (1.0, 2.0, 3.5), (2.0, 4.1, 1.0), (3.0, 6.2, 0.5),
+        (4.0, 7.9, 2.2), (5.0, 10.1, None), (None, 1.0, 4.0),
+    ]
+    df = spark.createDataFrame(rng, "a double, b double, c double")
+    got = {(r.col_a, r.col_b): r for r in correlation_matrix(df, ["a", "b", "c"]).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    # a-b over their 5 complete rows: near-perfect positive correlation
+    ab = got[("a", "b")]
+    assert ab.n == 5
+    exp = np.corrcoef([1, 2, 3, 4, 5], [2.0, 4.1, 6.2, 7.9, 10.1])[0, 1]
+    assert abs(ab.corr - exp) < 1e-4
+    assert got[("a", "c")].n == 4 and got[("b", "c")].n == 5
+
+    # constant column -> NULL corr
+    dfc = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0)], "a double, b double")
+    [r] = correlation_matrix(dfc, ["a", "b"]).collect()
+    assert r.corr is None
+
+
+def test_rfm_segments_scores_against_replay(spark):
+    # 5 users with clearly separated R/F/M; bins=5 makes each user its
+    # own quintile and scores fully determined.
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from python_mapreduce_spark.operators.events import rfm_segments
+
+    rows = []
+    for u in range(1, 6):
+        # user u: last active day u (fresher = bigger day), u events of value 10*u
+        for i in range(u):
+            rows.append((u, datetime(2024, 1, u, 6 + i, tzinfo=timezone.utc), 10.0 * u))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {(r.r_score, r.f_score, r.m_score): r.n_users for r in rfm_segments(
+        df, "user_id", "ts", "value"
+    ).collect()}
+    # user 5: freshest (r=5), most frequent (f=5), highest spend (m=5)
+    # user 1: stalest, least frequent, lowest spend -> (1,1,1)
+    assert got[(5, 5, 5)] == 1 and got[(1, 1, 1)] == 1
+    assert sum(got.values()) == 5
+    # monotone diagonal: user u lands at (u, u, u)
+    for u in range(1, 6):
+        assert got[(u, u, u)] == 1
+
+
+def test_session_stats_counts_and_durations(spark):
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from python_mapreduce_spark.operators.events import session_stats
+
+    def t(m):
+        return datetime(2024, 1, 1, m // 60, m % 60, tzinfo=timezone.utc)
+
+    # user 1: events at 0,10,20 (one 20-min session), then 120,125 (5-min)
+    # user 2: single event (0-duration session)
+    rows = [(1, t(0)), (1, t(10)), (1, t(20)), (1, t(120)), (1, t(125)), (2, t(30))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    [r] = session_stats(df, "user_id", "ts", gap_ms=1_800_000).collect()
+    assert (r.n_sessions, r.n_events) == (3, 6)
+    assert r.events_per_session == 2.0
+    import numpy as np
+
+    p50, p90, p99 = np.percentile([20.0, 5.0, 0.0], [50, 90, 99])
+    assert (r.dur_p50, r.dur_p90, r.dur_p99) == (
+        f"{p50:.4f}", f"{p90:.4f}", f"{p99:.4f}"
+    )

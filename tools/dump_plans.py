@@ -87,6 +87,8 @@ SHOWCASE = [
     ("q_conversion_lag", "attribution as-of join (one user shuffle) -> ONE global exact-percentile agg"),
     ("q_top_paths", "per-key head window -> map-side path counts -> scalable global rank on the path frame"),
     ("q_user_churn", "two-row fan-out per (user, day) -> one (day,user) agg -> one day agg; no set self-join"),
+    ("q_corr_matrix", "ALL pairwise sufficient stats in ONE scan/agg (DECIMAL-exact); pair table exploded from one row"),
+    ("q_rfm", "one user agg; exact quantile thresholds broadcast back; scoring is a projected CASE"),
 ]
 
 INTERESTING = re.compile(
