@@ -151,6 +151,7 @@ HEADLINE = [
     "q_session_stats",
     "q_rfm",
     "q_corr_matrix",
+    "q_code_detect",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

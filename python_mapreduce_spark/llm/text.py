@@ -1195,3 +1195,60 @@ def readability_profile(
             ),
         ).alias("flesch"),
     )
+
+
+def code_detect(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Code-vs-prose routing signal: per document, the three cheap
+    structural ratios that separate source code from natural text —
+    symbol density ({}();=[]<> per character), indented-line share
+    (lines opening with a tab or 2+ spaces), and code-keyword token
+    hits (def/return/import/function/class/var/const/if/else) — plus a
+    fixed-weight score and the boolean gate a mixing recipe routes on
+    (code to the code bucket, prose to the prose bucket; misrouted code
+    poisons both). NULL text is the empty document (all-zero signals,
+    not code). Emits (id, n_chars, symbol_ratio, indent_ratio,
+    keyword_hits, code_score, is_code), ratios and score rounded to 6.
+
+    Scale shape: a pure whole-stage-codegen projection — three regexp
+    counts and one length per row, no shuffle at all; any downstream
+    per-source rollup is the caller's one aggregate. Score =
+    0.5*min(1, 8*symbol_ratio) + 0.3*indent_ratio +
+    0.2*min(1, keyword_hits/5) — fixed literals, identical in the
+    oracle.
+    """
+    safe = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(safe)
+    symbols = F.size(F.regexp_extract_all(safe, F.lit(r"[{}();=\[\]<>]"), F.lit(0)))
+    lines = F.size(F.regexp_extract_all(safe, F.lit(r"(?m)^.+$"), F.lit(0)))
+    indented = F.size(
+        F.regexp_extract_all(safe, F.lit(r"(?m)^(?:\t|  +).*$"), F.lit(0))
+    )
+    kw = F.size(
+        F.regexp_extract_all(
+            F.lower(safe),
+            F.lit(r"\b(?:def|return|import|function|class|var|const|if|else)\b"),
+            F.lit(0),
+        )
+    )
+    sym_ratio = F.when(n_chars > 0, symbols / n_chars).otherwise(F.lit(0.0))
+    ind_ratio = F.when(lines > 0, indented / lines).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.5) * F.least(F.lit(1.0), F.lit(8.0) * sym_ratio)
+        + F.lit(0.3) * ind_ratio
+        + F.lit(0.2) * F.least(F.lit(1.0), kw / F.lit(5.0))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.cast("long").alias("n_chars"),
+        dround(sym_ratio, 6).alias("symbol_ratio"),
+        dround(ind_ratio, 6).alias("indent_ratio"),
+        kw.cast("long").alias("keyword_hits"),
+        dround(score, 6).alias("code_score"),
+        (score >= F.lit(float(threshold))).alias("is_code"),
+    )

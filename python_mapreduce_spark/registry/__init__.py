@@ -165,6 +165,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_session_stats",
     "q_rfm",
     "q_corr_matrix",
+    "q_code_detect",
     # -- checked, staleness-ordered refresh queue: r02 rows (35) --
     "q_sim_ann_ivf_recall",
     "q08_market_share",

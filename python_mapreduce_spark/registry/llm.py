@@ -2996,6 +2996,46 @@ FROM agg
 """
 
 
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Code-vs-prose routing (llm/text.py::code_detect): symbol density,
+    # indented-line share, keyword hits, fixed-weight score, boolean
+    # gate — a pure codegen projection; both engines run the same RE2
+    # patterns ((?m) multiline for the line rules).
+    from python_mapreduce_spark.llm.text import code_detect  # noqa: PLC0415
+
+    return code_detect(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+SQL_CODE_DETECT = f"""
+WITH base AS (
+  SELECT doc_id AS id, coalesce(text, '') AS t FROM documents
+),
+sig AS (
+  SELECT id, CAST(len(t) AS BIGINT) AS n_chars,
+         len(regexp_extract_all(t, '[{{}}();=\\[\\]<>]')) AS symbols,
+         len(regexp_extract_all(t, '(?m)^.+$')) AS lines,
+         len(regexp_extract_all(t, '(?m)^(?:\\t|  +).*$')) AS indented,
+         CAST(len(regexp_extract_all(lower(t),
+              '\\b(?:def|return|import|function|class|var|const|if|else)\\b'))
+           AS BIGINT) AS kw
+  FROM base
+),
+ratios AS (
+  SELECT id, n_chars, kw,
+         CASE WHEN n_chars > 0 THEN CAST(symbols AS DOUBLE) / n_chars ELSE 0.0 END AS sr,
+         CASE WHEN lines > 0 THEN CAST(indented AS DOUBLE) / lines ELSE 0.0 END AS ir
+  FROM sig
+)
+SELECT id, n_chars,
+       {sql_dround("sr", 6)} AS symbol_ratio,
+       {sql_dround("ir", 6)} AS indent_ratio,
+       kw AS keyword_hits,
+       {sql_dround("0.5 * least(1.0, 8.0 * sr) + 0.3 * ir + 0.2 * least(1.0, kw / 5.0)", 6)} AS code_score,
+       (0.5 * least(1.0, 8.0 * sr) + 0.3 * ir + 0.2 * least(1.0, kw / 5.0)) >= 0.5 AS is_code
+FROM ratios
+"""
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-source Flesch readability (llm/text.py::readability_profile):
     # computed from the group's exact integer word/sentence/syllable
@@ -3418,6 +3458,9 @@ QUERIES: dict[str, Query] = {
     ),
     "q_readability": Query(
         q_readability, SQL_READABILITY, "per-source Flesch readability from exact corpus totals"
+    ),
+    "q_code_detect": Query(
+        q_code_detect, SQL_CODE_DETECT, "code-vs-prose routing signals + gate per document"
     ),
     "q_inverted_index": Query(
         q_inverted_index, SQL_INVERTED_INDEX, "inverted-index export with pre-trimmed posting lists"

@@ -1434,3 +1434,30 @@ def test_readability_profile_matches_replay(docs, spark):
             assert r.words_per_sentence == dr(w / s)
             assert r.syllables_per_word == dr(sy / w)
             assert r.flesch == dr(206.835 - 1.015 * (w / s) - 84.6 * (sy / w))
+
+
+def test_code_detect_separates_code_from_prose(spark):
+    from python_mapreduce_spark.llm.text import code_detect
+
+    code = (
+        "def handler(event):\n"
+        "    import json\n"
+        "    data = json.loads(event);\n"
+        "    if data['x'] > 0:\n"
+        "        return {'ok': True}\n"
+        "    else:\n"
+        "        return {'ok': False}\n"
+    )
+    prose = (
+        "The quiet morning settled over the valley as the travelers "
+        "made their way along the river, telling stories of the road."
+    )
+    df = spark.createDataFrame(
+        [(1, code), (2, prose), (3, None)], "doc_id long, text string"
+    )
+    got = {r.id: r for r in code_detect(df, "doc_id", "text").collect()}
+    assert got[1].is_code and not got[2].is_code
+    assert got[1].code_score > got[2].code_score
+    assert got[1].keyword_hits >= 4 and got[1].indent_ratio > 0.5
+    # NULL text = empty doc: zero signals, not code
+    assert got[3].n_chars == 0 and got[3].code_score == 0.0 and not got[3].is_code

@@ -80,6 +80,8 @@ _LAZY_LLM = [
     "q_cohens_kappa",
     "q_fuzzy_decontam",
     "q_triangle_stats",
+    "q_readability",
+    "q_code_detect",
 ]
 
 
