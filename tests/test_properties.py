@@ -2358,3 +2358,102 @@ def test_benford_audit_matches_replay(spark, vals):
         p = BENFORD_EXPECTED[d]
         assert (r.n, r.share, r.expected) == (n, dr(n / t), dr(p))
         assert r.chi2_term == dr((n - p * t) ** 2 / (p * t)), d
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=30
+    )
+)
+def test_triangle_stats_matches_bruteforce_on_random_graphs(spark, edges):
+    # The degree-ordered orientation must count EXACTLY the brute-force
+    # triangles on arbitrary graphs (self-loops and duplicate/reversed
+    # edges included in the input).
+    import math
+    from itertools import combinations
+
+    from python_mapreduce_spark.llm.dedup import triangle_stats
+
+    df = spark.createDataFrame(edges, "id1 long, id2 long")
+    rows = triangle_stats(df).collect()
+    eset = set((min(a, b), max(a, b)) for a, b in edges if a != b)
+    if not eset:
+        assert rows == []
+        return
+    [r] = rows
+    verts = sorted(set(v for e in eset for v in e))
+    tri = sum(
+        1
+        for a, b, c in combinations(verts, 3)
+        if (a, b) in eset and (a, c) in eset and (b, c) in eset
+    )
+    deg = {v: sum(1 for e in eset if v in e) for v in verts}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    assert (r.n_vertices, r.n_edges, r.n_triangles) == (len(verts), len(eset), tri)
+    if wedges:
+        assert r.clustering == math.floor(3.0 * tri / wedges * 1e6 + 0.5) / 1e6
+    else:
+        assert r.clustering is None
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 6), st.integers(0, 200)), min_size=2, max_size=40
+    )
+)
+def test_rfm_scores_match_threshold_replay(spark, rows):
+    # Score assignment must equal "1 + thresholds strictly below" on
+    # numpy's interpolated percentiles (the Spark/DuckDB percentile
+    # semantics), with recency inverted.
+    from datetime import datetime, timezone
+
+    import numpy as np
+
+    from python_mapreduce_spark.operators.events import rfm_segments
+
+    data = [
+        (u, datetime(2024, 1, 1 + (v % 20), v % 24, tzinfo=timezone.utc), float(v))
+        for u, v in rows
+    ]
+    df = spark.createDataFrame(data, "user_id long, ts timestamp, value double")
+    got = {}
+    for r in rfm_segments(df, "user_id", "ts", "value").collect():
+        got[(r.r_score, r.f_score, r.m_score)] = (
+            got.get((r.r_score, r.f_score, r.m_score), 0) + r.n_users
+        )
+    # python replay
+    per_user = {}
+    am = max(ts for _, ts, _ in data)
+    for u, ts, v in data:
+        last, f, m = per_user.get(u, (None, 0, 0.0))
+        per_user[u] = (ts if last is None or ts > last else last, f + 1, m + round(v, 4))
+    am_ms = int(am.timestamp() * 1000)
+    users = {
+        u: (
+            (am_ms - int(last.timestamp() * 1000)) // 86_400_000,
+            f,
+            round(m, 4),
+        )
+        for u, (last, f, m) in per_user.items()
+    }
+    qs = [20, 40, 60, 80]
+    tr = np.percentile([r for r, _, _ in users.values()], qs)
+    tf = np.percentile([f for _, f, _ in users.values()], qs)
+    tm = np.percentile([m for _, _, m in users.values()], qs)
+    exp = {}
+    for r_, f_, m_ in users.values():
+        rs = 6 - (1 + sum(1 for t in tr if t < r_))
+        fs = 1 + sum(1 for t in tf if t < f_)
+        ms = 1 + sum(1 for t in tm if t < m_)
+        exp[(rs, fs, ms)] = exp.get((rs, fs, ms), 0) + 1
+    assert got == exp
