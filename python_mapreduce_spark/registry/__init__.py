@@ -33,69 +33,20 @@ class Query:
 
 
 # The driver verifies a prefix window of all_queries() (50 entries per
-# round), so iteration order IS correctness coverage. Round-5 rotation
-# (VERDICT r4 item 1, derived mechanically from
-# ``python tools/driver_coverage.py --plan 50``): the 59 registry
-# entries with NO driver row yet (all round-4 additions, judge-replica
-# green at sf0.01) fill the whole window in registry order; the 9 that
-# overflow a 50-slot window sit at positions 51-59 and, with the 33
-# round-5 additions at positions 60-92, lead round 6 (42 never-checked
-# total after r5). Positions 93+ hold every already-checked query in
-# staleness order (oldest driver round first: 35 r02 rows, then 47
-# r03, then 50 r04), so future refresh rotations are mechanical as
-# well.
+# round), so iteration order IS correctness coverage. Round-6 rotation
+# (VERDICT r5 items 1-3): the window leads with the q_inverted_index
+# retry (r5's only red row — output contract fixed via array_join) and
+# q_dedup_simhash (its oracle landed r5 AFTER its last driver row, so
+# the conversion has no hash signal yet), then the first 48
+# never-checked queries in registry order (9 r4 overflow + 39 r5
+# additions). Positions 51-70 hold the 20 remaining never-checked
+# entries (the r7 lead); everything after is the staleness-ordered
+# refresh queue (oldest driver round first: 35 r02 rows, 46 r03, 50
+# r04, 49 r05), so future rotations stay mechanical
+# (``python tools/driver_coverage.py --plan 50``).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked (59): the r5 window (1-50) + r6 lead (51-59) --
-    "q_doc_repetition",
-    "q_text_contamination",
-    "q_pii_redact",
-    "q_domain_mix",
-    "q_shard_pack",
-    "q_tfidf_topk",
-    "q_vocab_coverage",
-    "q_nearest_centroid",
-    "q_hash_split",
-    "q_quality_quantile_filter",
-    "q_weighted_sample",
-    "q_deterministic_shuffle",
-    "q_pipeline_curate",
-    "q_pseudonymize",
-    "q_schema_evolution",
-    "q_gopher_filter",
-    "q_temperature_sample",
-    "q_upsample_mix",
-    "q_crossdoc_ngrams",
-    "q_hll_rollup",
-    "q_group_reservoir",
-    "q_stream_incremental_hll",
-    "q_split_leakage",
-    "q_topk_rollup",
-    "q_kll_rollup",
-    "q_clean_text",
-    "q_quality_classifier",
-    "q_semantic_dedup",
-    "q_segment_dedup",
-    "q_cluster_split",
-    "q_perplexity_filter",
-    "q_stream_incremental_contamination",
-    "q_stream_incremental_topk",
-    "q_histogram",
-    "q_table_profile",
-    "q_zscore_outliers",
-    "q_stream_incremental_kll",
-    "q_funnel",
-    "q_cohort_retention",
-    "q_resample_locf",
-    "q_counter_increase",
-    "q_quality_ensemble",
-    "q_media_dedup",
-    "q_media_feature_dedup",
-    "q_pagerank",
     "q_inverted_index",
-    "q_token_pmi",
-    "q_stream_static_join",
-    "q_scd2_history",
-    "q_robust_scale",
+    "q_dedup_simhash",
     "q_trending",
     "q_langid_confusion",
     "q_diff_tables",
@@ -105,7 +56,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_negative_samples",
     "q_funnel_windowed",
     "q_dup_span_removal",
-    # -- never driver-checked, round-5 additions (8): positions 60-67 --
     "q_domain_cap",
     "q_stratified_split_exact",
     "q_quality_quota",
@@ -114,7 +64,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_chunk_pack",
     "q_equi_freq_bins",
     "q_cross_corpus_overlap",
-    # -- never driver-checked, round-5 session-2 additions (22) --
     "q_psi_drift",
     "q_ks_test",
     "q_cdc_chunk_dedup",
@@ -166,7 +115,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_rfm",
     "q_corr_matrix",
     "q_code_detect",
-    # -- checked, staleness-ordered refresh queue: r02 rows (35) --
     "q_sim_ann_ivf_recall",
     "q08_market_share",
     "q09_product_profit",
@@ -202,7 +150,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q18_large_volume_orders",
     "q19_disjunctive_revenue",
     "q22_dormant_customers",
-    # -- r03 rows (47) --
     "q_dedup_simhash_eval",
     "q_stream_incremental",
     "q11_revenue_share",
@@ -224,7 +171,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_jaccard",
     "q_dedup_minhash",
     "q_dedup_clusters",
-    "q_dedup_simhash",
     "q_dedup_embedding",
     "q_dedup_embedding_matmul",
     "q_dedup_embedding_auto",
@@ -250,7 +196,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_corrupt_capture",
     "q_job_cascade",
     "q17_small_quantity_revenue",
-    # -- r04 rows (50) --
     "q_text_fuzzy_match",
     "q_embedding_norm",
     "q_json_extract",
@@ -301,6 +246,55 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q02_min_cost_supplier",
     "q_join_theta",
     "q_mr_wordcount",
+    "q_doc_repetition",
+    "q_text_contamination",
+    "q_pii_redact",
+    "q_domain_mix",
+    "q_shard_pack",
+    "q_tfidf_topk",
+    "q_vocab_coverage",
+    "q_nearest_centroid",
+    "q_hash_split",
+    "q_quality_quantile_filter",
+    "q_weighted_sample",
+    "q_deterministic_shuffle",
+    "q_pipeline_curate",
+    "q_pseudonymize",
+    "q_schema_evolution",
+    "q_gopher_filter",
+    "q_temperature_sample",
+    "q_upsample_mix",
+    "q_crossdoc_ngrams",
+    "q_hll_rollup",
+    "q_group_reservoir",
+    "q_stream_incremental_hll",
+    "q_split_leakage",
+    "q_topk_rollup",
+    "q_kll_rollup",
+    "q_clean_text",
+    "q_quality_classifier",
+    "q_semantic_dedup",
+    "q_segment_dedup",
+    "q_cluster_split",
+    "q_perplexity_filter",
+    "q_stream_incremental_contamination",
+    "q_stream_incremental_topk",
+    "q_histogram",
+    "q_table_profile",
+    "q_zscore_outliers",
+    "q_stream_incremental_kll",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_resample_locf",
+    "q_counter_increase",
+    "q_quality_ensemble",
+    "q_media_dedup",
+    "q_media_feature_dedup",
+    "q_pagerank",
+    "q_token_pmi",
+    "q_stream_static_join",
+    "q_scd2_history",
+    "q_robust_scale",
 )
 
 

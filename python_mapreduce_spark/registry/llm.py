@@ -1151,13 +1151,17 @@ CROSS JOIN n
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Inverted-index export (llm/text.py::build_inverted_index):
     # per-term df + top-20 "doc:tf" postings, trimmed BEFORE collection
-    # by a term-partitioned row_number. String-serialized postings make
-    # the nested column engine-comparable.
+    # by a term-partitioned row_number. The library returns the postings
+    # as an array<string>; the registry contract serializes it to one
+    # space-joined string (house rule: no top-level array/map columns in
+    # registry outputs — the driver's pandas canonicalizer can't hash
+    # ndarray cells; see CORRECTNESS_r05 q_inverted_index).
     from python_mapreduce_spark.llm.text import build_inverted_index  # noqa: PLC0415
 
-    return build_inverted_index(
+    idx = build_inverted_index(
         table(spark, sf_dir, "documents"), "doc_id", "text", max_postings=20
     )
+    return idx.withColumn("postings", F.array_join("postings", " "))
 
 
 SQL_INVERTED_INDEX = """
@@ -1173,8 +1177,8 @@ ranked AS (
 ),
 posts AS (
   SELECT term,
-         list(CAST(id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)
-              ORDER BY tf DESC, id) AS postings
+         string_agg(CAST(id AS VARCHAR) || ':' || CAST(tf AS VARCHAR), ' '
+                    ORDER BY tf DESC, id) AS postings
   FROM ranked WHERE rn <= 20 GROUP BY term
 )
 SELECT term, df_docs, postings FROM dfreq JOIN posts USING (term)

@@ -19,6 +19,7 @@ from datetime import date, datetime
 import duckdb
 import numpy as np
 import pandas as pd
+from pyspark.sql.types import ArrayType, MapType, StructType
 
 sys.path.insert(0, ".")
 
@@ -86,7 +87,24 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            # House rule (VERDICT r5): no top-level array/map/struct
+            # columns in registry outputs — the driver's canonicalizer
+            # (pandas sort_values over all columns) dies on ndarray
+            # cells even when the values are right (q_inverted_index,
+            # CORRECTNESS_r05). Enforce the driver contract here so a
+            # nested-output query can never reach the driver green
+            # locally and red remotely.
+            complex_cols = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if complex_cols and name in oracles:
+                print(f"FAIL  {name}: driver-unhashable complex output columns {complex_cols}")
+                n_fail += 1
+                continue
+            sdf = df.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             n_fail += 1
