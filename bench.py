@@ -262,19 +262,33 @@ def main() -> None:
         "queries_normalized": normalized,
     }
     line = json.dumps(record, separators=(",", ":"))
-    # The driver captures a tail of combined output; BENCH_r04's record
-    # was clipped because Spark progress-bar noise preceded the JSON.
-    # Defense in depth: progress bars are off (session.py), the record
-    # is also persisted to BENCH_LOCAL.json, and the line is printed
-    # twice — flushed early and again as the very last line — so any
-    # tail window contains at least one complete copy.
+    # The driver captures a tail of combined output and parses the last
+    # JSON line it can see. The full record now carries 117+ queries
+    # (~6 KB) and overflows that tail window even when printed last
+    # (BENCH_r05 "parsed": null), so: the FULL record goes to
+    # BENCH_LOCAL.json and an early stdout line, and the very last
+    # stdout line is a compact SUMMARY record — same driver schema
+    # (metric/value/unit/queries/sf) but with only the 10 heaviest
+    # queries inlined, plus totals, count, and calibration drift.
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w"
     ) as f:
         f.write(line + "\n")
     print(line, flush=True)
     spark.stop()
-    print(line, flush=True)
+    heavy10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    summary = {
+        "metric": "headline_queries_total_runtime",
+        "value": record["value"],
+        "unit": "sec",
+        "queries": heavy10,
+        "sf": sf,
+        "n_queries": len(timings),
+        "value_normalized": record["value_normalized"],
+        "calibration_drift": record["calibration"]["drift"],
+        "full_record": "BENCH_LOCAL.json",
+    }
+    print(json.dumps(summary, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

@@ -777,6 +777,14 @@ def psi_from_bucket_counts(
     ingest never rescans old epochs). ``counts`` carries one row per
     (keys..., __b) with ``__nr`` / ``__nc`` long columns; same
     determinism contract as :func:`psi_drift`.
+
+    Empty-side contract: the eps floors keep every term finite only
+    while BOTH sides have rows. A key whose current (or reference) side
+    has ZERO rows total — the population vanished or appeared, maximal
+    drift — would otherwise form 0/0 = NaN ratios that the decimal cast
+    silently turns into a NULL psi with a NULL ``drifted``; instead the
+    zero-total case is guarded explicitly: psi = NULL (undefined) and
+    ``drifted = true``.
     """
     ks = list(keys)
     counts = counts.localCheckpoint(eager=False)  # feeds totals roll-up + term sum
@@ -789,6 +797,7 @@ def psi_from_bucket_counts(
     p_cur = F.greatest(F.col("__nc").cast("double") / F.col("__tc"), F.lit(e))
     term = dround((p_cur - p_ref) * F.ln(p_cur / p_ref), 8)
     psi = dround(F.sum(term.cast("decimal(18,8)")).cast("double"), 6)
+    both = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
     return (
         counts.join(F.broadcast(totals), ks)
         .groupBy(*ks)
@@ -797,7 +806,8 @@ def psi_from_bucket_counts(
             F.max("__tc").cast("long").alias("n_cur"),
             psi.alias("psi"),
         )
-        .withColumn("drifted", F.col("psi") >= F.lit(0.2))
+        .withColumn("psi", F.when(both, F.col("psi")))
+        .withColumn("drifted", F.when(both, F.col("psi") >= F.lit(0.2)).otherwise(F.lit(True)))
     )
 
 
@@ -834,20 +844,18 @@ def ks_statistic(
     aggregates each side to per-DISTINCT-VALUE counts first (map-side
     combinable; the frame that remains is value-cardinality-sized, not
     data-sized), full-outer-merges the two count sets by value, then
-    takes ONE distributed running sum over the value order
+    takes ONE distributed running-sum pass over the value order
     (:func:`~python_mapreduce_spark.operators.windows.global_running_sum`
-    on a packed composite weight — range exchange + per-range-partition
-    window + broadcast offsets, never a single-task window). The
-    composite packs each value's (a_count, b_count) into one long as
-    ``a * 2^31 + b``, so BOTH cumulative counts ride one pass; unpacking
-    is exact while each side stays below 2^31 rows per distinct value
-    prefix — far beyond any real corpus's per-value multiplicity.
+    with BOTH sides' counts as weight columns — range exchange +
+    per-range-partition window + broadcast offsets, never a single-task
+    window; both cumulative counts ride the same exchange as separate
+    longs, exact up to 2^63 rows per side, so no bit-packing cliff
+    exists anywhere on the path).
     Determinism: ECDF ratios divide exact integer counts (IEEE-identical
     in any engine); the final statistic rounds to 1e-6.
     """
     from python_mapreduce_spark.operators.windows import global_running_sum  # noqa: PLC0415 - avoid module cycle
 
-    pack = 1 << 31
     va = a.select(F.col(value_col).cast("double").alias("v")).filter(F.col("v").isNotNull())
     vb = b.select(F.col(value_col).cast("double").alias("v")).filter(F.col("v").isNotNull())
     counts = (
@@ -855,16 +863,22 @@ def ks_statistic(
         .unionByName(vb.select("v", F.lit(0).alias("__ca"), F.lit(1).alias("__cb")))
         .groupBy("v")
         .agg(F.sum("__ca").cast("long").alias("__ca"), F.sum("__cb").cast("long").alias("__cb"))
-        .withColumn("__w", F.col("__ca") * F.lit(pack) + F.col("__cb"))
     )
-    cum = global_running_sum(counts, ["v"], "__w", out="__cum", num_partitions=num_partitions)
+    cum = global_running_sum(
+        counts,
+        ["v"],
+        ["__ca", "__cb"],
+        out=["__cuma", "__cumb"],
+        num_partitions=num_partitions,
+    )
     tot = cum.agg(
         F.sum("__ca").cast("double").alias("__na"),
         F.sum("__cb").cast("double").alias("__nb"),
     )
-    ca = F.floor(F.col("__cum") / F.lit(pack)).cast("double")
-    cb = (F.col("__cum") % F.lit(pack)).cast("double")
-    gap = F.abs(ca / F.col("__na") - cb / F.col("__nb"))
+    gap = F.abs(
+        F.col("__cuma").cast("double") / F.col("__na")
+        - F.col("__cumb").cast("double") / F.col("__nb")
+    )
     # groupBy a literal rather than a global agg: with ZERO input values
     # the statistic does not exist, and a grouped agg emits zero rows
     # (matching the oracle's GROUP BY) where a global agg would invent

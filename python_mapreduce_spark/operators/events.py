@@ -154,12 +154,16 @@ def last_touch_attribution(
     id — which both makes ties deterministic and shrinks the join input
     (the reduction is a map-side-combinable hash agg). Millisecond
     integer timestamps keep the window arithmetic exact; the minutes
-    delta rounds to 4 decimals.
+    delta rounds to 4 decimals. Ids keep their NATIVE type — a cast to
+    long would silently NULL non-numeric ids under ansi.enabled=false,
+    collapsing all touches onto one NULL id; the tie rule is therefore
+    max() in the id column's own ordering (numeric for numeric ids,
+    lexicographic for strings — deterministic either way).
     """
     from python_mapreduce_spark.operators.joins import asof_join  # noqa: PLC0415
 
     conv = conversions.select(
-        F.col(id_col).cast("long").alias("conv_id"),
+        F.col(id_col).alias("conv_id"),
         F.col(user_col).alias("user"),
         F.unix_millis(F.col(ts_col)).alias("conv_ts_ms"),
     )
@@ -167,7 +171,7 @@ def last_touch_attribution(
         touches.select(
             F.col(user_col).alias("user"),
             F.unix_millis(F.col(ts_col)).alias("touch_ts_ms"),
-            F.col(id_col).cast("long").alias("touch_id"),
+            F.col(id_col).alias("touch_id"),
         )
         .groupBy("user", "touch_ts_ms")
         .agg(F.max("touch_id").alias("touch_id"))

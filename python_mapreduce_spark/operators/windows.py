@@ -180,14 +180,20 @@ def deterministic_shuffle(
 def global_running_sum(
     df: DataFrame,
     order: Sequence[str],
-    weight_col: str,
+    weight_col: str | Sequence[str],
     *,
-    out: str = "cum",
+    out: str | Sequence[str] = "cum",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Distributed global running sum of an integral column over a total
-    order — the 100 TB form of ``SUM() OVER (ORDER BY ...)``, which as a
-    plain window funnels the whole table through ONE task.
+    """Distributed global running sum of one or more integral columns
+    over a total order — the 100 TB form of ``SUM() OVER (ORDER BY
+    ...)``, which as a plain window funnels the whole table through ONE
+    task. Passing a list of weight columns (with a matching list of
+    ``out`` names) computes all the running sums in the SAME single
+    range exchange + window pass — this is how two-sided statistics
+    (:func:`~python_mapreduce_spark.operators.aggregates.ks_statistic`)
+    carry both sides' cumulative counts without bit-packing them into
+    one long (exact for each side up to 2^63 rows, not 2^31).
 
     Same scheme as :func:`global_row_number`: range-repartition on the
     order keys (balanced via sampled split points), materialize ONCE
@@ -202,6 +208,10 @@ def global_running_sum(
 
     ``order`` must be a total order (unique tiebreak) — module contract.
     """
+    cols = [weight_col] if isinstance(weight_col, str) else list(weight_col)
+    outs = [out] if isinstance(out, str) else list(out)
+    if len(cols) != len(outs):
+        raise ValueError(f"weight_col/out arity mismatch: {cols} vs {outs}")
     if num_partitions is None:
         num_partitions = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     parts = (
@@ -210,30 +220,32 @@ def global_running_sum(
         .localCheckpoint(eager=True)
     )
     psums = sorted(
-        (r["__pid"], r["s"])
+        (r["__pid"], tuple(r[f"s{i}"] for i in range(len(cols))))
         for r in parts.groupBy(F.spark_partition_id().alias("__pid"))
-        .agg(F.sum(weight_col).alias("s"))
+        .agg(*[F.sum(c).alias(f"s{i}") for i, c in enumerate(cols)])
         .collect()
     )
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid, s_ in psums:
-        offsets[pid] = acc
-        acc += int(s_ or 0)
+    offsets: dict[int, tuple[int, ...]] = {}
+    acc = [0] * len(cols)
+    for pid, sums in psums:
+        offsets[pid] = tuple(acc)
+        for i, s_ in enumerate(sums):
+            acc[i] += int(s_ or 0)
     tagged = parts.withColumn("__pid", F.spark_partition_id())
     w = (
         Window.partitionBy("__pid")
         .orderBy(*[F.col(c) for c in order])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    offset_expr = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col("__pid"),
-    )
-    return tagged.withColumn(
-        out,
-        (F.sum(weight_col).over(w) + F.coalesce(offset_expr, F.lit(0))).cast("long"),
-    ).drop("__pid")
+    for i, (c, o) in enumerate(zip(cols, outs)):
+        offset_expr = F.element_at(
+            F.create_map(*[F.lit(x) for pid, t in offsets.items() for x in (pid, t[i])]),
+            F.col("__pid"),
+        )
+        tagged = tagged.withColumn(
+            o, (F.sum(c).over(w) + F.coalesce(offset_expr, F.lit(0))).cast("long")
+        )
+    return tagged.drop("__pid")
 
 
 def sessionize(
@@ -610,23 +622,27 @@ def seasonal_residual(
     mad_k: float = 3.0,
 ) -> DataFrame:
     """Seasonal-naive anomaly detection for daily series: per key,
-    aggregate to daily totals, take the same-weekday baseline
-    ``period_days`` back (the seasonal-naive forecast), and flag days
-    whose residual exceeds ``mad_k`` x the key's median absolute
-    residual — the robust day-over-week spike/drop monitor for metric
-    streams (plain z-scoring breaks on weekly seasonality; this
+    aggregate to daily totals, take the same-weekday baseline exactly
+    ``period_days`` CALENDAR days back (the seasonal-naive forecast),
+    and flag days whose residual exceeds ``mad_k`` x the key's median
+    absolute residual — the robust day-over-week spike/drop monitor for
+    metric streams (plain z-scoring breaks on weekly seasonality; this
     differences it away first). Emits (keys..., day, daily_total,
-    baseline, residual, is_anomaly); the first ``period_days`` days of
-    each key have no baseline (NULL residual, never anomalous), and a
-    key whose median absolute residual is 0 flags nothing (threshold
+    baseline, residual, is_anomaly); a day whose baseline day
+    (``day - period_days``) has no data — including every day in the
+    first period — carries a NULL baseline/residual and is never
+    anomalous, so gaps in the series can't silently misalign the
+    baseline onto a different weekday (that was the old row-lag
+    behavior; see gap_report for detecting the gaps themselves). A key
+    whose median absolute residual is 0 flags nothing (threshold
     degenerates, documented rather than divided by).
 
     Scale shape: the daily roll-up is one (keys, day) hash agg in
-    DECIMAL (map-side combined, exact at any parallelism); the lag is a
-    per-KEY window over that day-sized frame; the MAD is a second
+    DECIMAL (map-side combined, exact at any parallelism); the calendar
+    baseline is a self-equi-join of that day-sized frame on
+    (keys, day - period_days) — no window at all; the MAD is a second
     grouped agg over the residual frame (lineage-cut so the day frame
-    computes once) broadcast back. No window ever sees more than one
-    key's days.
+    computes once) broadcast back.
     """
     from python_mapreduce_spark.functions.scalar import dround  # noqa: PLC0415 - avoid module cycle
 
@@ -639,10 +655,15 @@ def seasonal_residual(
                 F.lit(0).cast("decimal(18,6)"),
             ).alias("__tot")
         )
+        .localCheckpoint(eager=False)  # feeds both sides of the baseline join
     )
-    w = Window.partitionBy(*ks).orderBy("day")
+    base = daily.select(
+        *ks,
+        F.date_add(F.col("day"), int(period_days)).alias("day"),
+        F.col("__tot").alias("__base"),
+    )
     resid = (
-        daily.withColumn("__base", F.lag("__tot", int(period_days)).over(w))
+        daily.join(base, [*ks, "day"], "left")
         .withColumn(
             "__resid",
             (F.col("__tot") - F.col("__base")).cast("double"),

@@ -1430,9 +1430,10 @@ FROM agg
 def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Seasonal-naive anomaly detection (operators/windows.py::
     # seasonal_residual): per event_type daily DECIMAL totals, baseline
-    # = same weekday one week back (row lag 7 — the events series is
-    # dense daily), anomaly when |residual| >= 3 x the type's median
-    # absolute residual. The oracle replays the lag + MAD rule.
+    # = the same weekday exactly 7 CALENDAR days back (self-join on
+    # day - 7, so a gap in the series can't misalign the weekday),
+    # anomaly when |residual| >= 3 x the type's median absolute
+    # residual. The oracle replays the calendar join + MAD rule.
     from python_mapreduce_spark.operators.windows import seasonal_residual  # noqa: PLC0415
 
     out = seasonal_residual(
@@ -1448,9 +1449,9 @@ WITH daily AS (
   FROM events GROUP BY 1, 2
 ),
 r AS (
-  SELECT event_type, day, tot,
-         lag(tot, 7) OVER (PARTITION BY event_type ORDER BY day) AS base
-  FROM daily
+  SELECT d.event_type, d.day, d.tot, b.tot AS base
+  FROM daily d
+  LEFT JOIN daily b ON b.event_type = d.event_type AND b.day = d.day - 7
 ),
 r2 AS (SELECT *, CAST(tot AS DOUBLE) - CAST(base AS DOUBLE) AS resid FROM r),
 mad AS (

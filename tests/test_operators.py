@@ -1324,3 +1324,77 @@ def test_session_stats_counts_and_durations(spark):
     assert (r.dur_p50, r.dur_p90, r.dur_p99) == (
         f"{p50:.4f}", f"{p90:.4f}", f"{p99:.4f}"
     )
+
+
+def test_global_running_sum_multi_weight_single_pass(spark):
+    # Multiple weight columns ride ONE range exchange + window pass and
+    # each cumulative column must equal its own single-column run — the
+    # mechanism ks_statistic uses to carry both sides' counts without
+    # bit-packing them into one long (ADVICE r5: the packed form
+    # silently corrupted past 2^31 cumulative rows on the b side).
+    from python_mapreduce_spark.operators.windows import global_running_sum
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11 + 1, (i * 13) % 5) for i in range(500)],
+        "k long, wa long, wb long",
+    )
+    out = global_running_sum(
+        df, ["k"], ["wa", "wb"], out=["ca", "cb"], num_partitions=5
+    )
+    got = {(r.k, r.ca, r.cb) for r in out.collect()}
+    a = {(r.k, r.ca) for r in global_running_sum(df, ["k"], "wa", out="ca").collect()}
+    b = {(r.k, r.cb) for r in global_running_sum(df, ["k"], "wb", out="cb").collect()}
+    assert {(k, ca) for k, ca, _ in got} == a
+    assert {(k, cb) for k, _, cb in got} == b
+
+
+def test_psi_empty_side_reports_maximal_drift(spark):
+    # A key whose current side has ZERO rows is the maximal-drift case
+    # (population vanished); the eps floors can't save the 0/0 ratio, so
+    # the contract is psi = NULL with drifted = TRUE — not the silent
+    # NULL/NULL the NaN->decimal cast used to produce (ADVICE r5).
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.aggregates import psi_from_bucket_counts
+
+    counts = spark.createDataFrame(
+        [("gone", 1, 10, 0), ("gone", 2, 10, 0),
+         ("ok", 1, 10, 9), ("ok", 2, 10, 11)],
+        "g string, __b int, __nr long, __nc long",
+    )
+    rows = {r.g: r for r in psi_from_bucket_counts(counts, ["g"]).collect()}
+    assert rows["gone"].psi is None
+    assert rows["gone"].drifted is True
+    assert (rows["gone"].n_ref, rows["gone"].n_cur) == (20, 0)
+    assert rows["ok"].psi is not None and rows["ok"].drifted is False
+    # and the mirror case: the reference side vanished
+    counts2 = counts.withColumn("__t", F.col("__nr")).select(
+        "g", "__b", F.col("__nc").alias("__nr"), F.col("__t").alias("__nc")
+    )
+    rows2 = {r.g: r for r in psi_from_bucket_counts(counts2, ["g"]).collect()}
+    assert rows2["gone"].psi is None and rows2["gone"].drifted is True
+
+
+def test_last_touch_attribution_keeps_native_id_type(spark):
+    # Non-numeric ids must survive: the old cast-to-long silently turned
+    # string ids into NULL under ansi.enabled=false, collapsing every
+    # touch onto one NULL id (ADVICE r5). Ties at one timestamp resolve
+    # by max() in the id's native ordering.
+    from datetime import datetime, timezone
+
+    from python_mapreduce_spark.operators.events import last_touch_attribution
+
+    def t(m):
+        return datetime(2024, 1, 1, m // 60, m % 60, tzinfo=timezone.utc)
+
+    conv = spark.createDataFrame(
+        [("conv-a", 1, t(30))], "id string, user_id long, ts timestamp"
+    )
+    tch = spark.createDataFrame(
+        [("click-x", 1, t(10)), ("click-y", 1, t(10)), ("click-old", 1, t(0))],
+        "id string, user_id long, ts timestamp",
+    )
+    [r] = last_touch_attribution(conv, tch, "user_id", "ts", "id").collect()
+    assert r.conv_id == "conv-a"
+    assert r.touch_id == "click-y"  # max() over the tied (user, ts) pair
+    assert r.attributed is True and r.mins_since == 20.0

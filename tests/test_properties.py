@@ -1391,10 +1391,11 @@ def test_mix_entropy_matches_python_replay(spark, rows):
 )
 def test_seasonal_residual_matches_python_replay(spark, obs, period):
     # Seasonal-naive residuals must equal the sequential replay: daily
-    # integer-exact totals, row-lag baseline over the key's sorted
-    # days, MAD threshold at 3x. Covers sparse days (row lag, not
-    # calendar lag — the documented contract) and all-zero residuals
-    # (MAD 0 -> nothing flagged).
+    # integer-exact totals, CALENDAR-lag baseline (the total observed
+    # exactly `period` days earlier, NULL when that day has no data —
+    # sparse days must NOT slide the baseline onto a different weekday),
+    # MAD threshold at 3x. Covers gaps and all-zero residuals (MAD 0 ->
+    # nothing flagged).
     import math
     from datetime import datetime, timezone
 
@@ -1416,8 +1417,8 @@ def test_seasonal_residual_matches_python_replay(spark, obs, period):
         daily[d] = daily.get(d, 0) + v
     days = sorted(daily)
     resid = {}
-    for ix, d in enumerate(days):
-        base = daily[days[ix - period]] if ix >= period else None
+    for d in days:
+        base = daily.get(d - period)
         resid[d] = (daily[d], base, None if base is None else daily[d] - base)
     rs = [abs(r) for _, _, r in resid.values() if r is not None]
     mad = math.floor(float(np.percentile(rs, 50)) * 1e6 + 0.5) / 1e6 if rs else None
