@@ -470,13 +470,15 @@ WHERE rn <= 5
 
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF inverted-list ANN (second scale path): distributed k-means
-    # coarse quantizer, nprobe-bucket search. Not SQL-expressible
-    # (centroids from distributed float sums); recall pinned in pytest.
+    # coarse quantizer, nprobe-bucket search with CORPUS-ADAPTIVE dials
+    # (llm/similarity.py::ivf_dials — nlist ~ sqrt(n), measurement-
+    # pinned floors). Not SQL-expressible (centroids from distributed
+    # float sums); recall pinned in pytest.
     from python_mapreduce_spark.llm.similarity import ann_topk_ivf
 
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ann_topk_ivf(emb, queries, "vec_id", "embedding", k=5, nlist=8, nprobe=3)
+    return ann_topk_ivf(emb, queries, "vec_id", "embedding", k=5, iters=3)
 
 
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,18 +532,19 @@ def q_sim_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # IVF against brute force. Dials (tools/measure_ann_recall.py, r4):
-    # 8 lists, 6 probed, 3 Lloyd iterations; measured recall 0.92-0.94
-    # across sf0.001/0.01/0.1 (deterministic xxhash64-seeded k-means;
-    # the old 8/3/2 dials measured 0.58-0.66); asserted >= 0.8.
+    # IVF against brute force, on the corpus-adaptive dials
+    # (llm/similarity.py::ivf_dials). Measured (tools/
+    # measure_ann_recall.py): the sqrt rule resolves to (8 lists, 6
+    # probed) at sf0.001/0.01/0.1 — recall 0.92-0.94 (r4; the old 8/3/2
+    # dials measured 0.58-0.66) — and to the (16, 10) scale dials at
+    # 100k vectors — recall 0.860 vs exactly 0.800 for pinned 8/6
+    # (VERDICT r5 item 4); asserted >= 0.8 at every size, with margin.
     from python_mapreduce_spark.llm.similarity import ann_topk_ivf
 
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5)
-    approx = ann_topk_ivf(
-        emb, queries, "vec_id", "embedding", k=5, nlist=8, nprobe=6, iters=3
-    )
+    approx = ann_topk_ivf(emb, queries, "vec_id", "embedding", k=5, iters=3)
     return _ann_recall_eval(exact, approx, 0.8)
 
 

@@ -1461,3 +1461,23 @@ def test_code_detect_separates_code_from_prose(spark):
     assert got[1].keyword_hits >= 4 and got[1].indent_ratio > 0.5
     # NULL text = empty doc: zero signals, not code
     assert got[3].n_chars == 0 and got[3].code_score == 0.0 and not got[3].is_code
+
+
+def test_ivf_dials_scale_with_corpus_size():
+    # The corpus-adaptive recipe is measurement-pinned (VERDICT r5 item
+    # 4): the r4-measured (8, 6) floor at the small SFs, the r5-measured
+    # (16, 10) scale dials at 100k vectors, sqrt growth beyond.
+    from python_mapreduce_spark.llm.similarity import ivf_dials
+
+    assert ivf_dials(100) == (8, 6)
+    assert ivf_dials(1_000) == (8, 6)
+    assert ivf_dials(10_000) == (8, 6)
+    assert ivf_dials(100_000) == (16, 10)
+    nlist_1m, nprobe_1m = ivf_dials(1_000_000)
+    assert nlist_1m == 50 and 25 <= nprobe_1m <= 35
+    # monotone non-decreasing in n
+    last = (0, 0)
+    for n in (10, 100, 10_000, 50_000, 100_000, 500_000, 1_000_000):
+        d = ivf_dials(n)
+        assert d >= last
+        last = d

@@ -2458,3 +2458,65 @@ def test_rfm_scores_match_threshold_replay(spark, rows):
         ms = 1 + sum(1 for t in tm if t < m_)
         exp[(rs, fs, ms)] = exp.get((rs, fs, ms), 0) + 1
     assert got == exp
+
+
+def test_model_eval_degenerate_margins(spark):
+    # VERDICT r5 stretch 7: the canonical-formula margins that random
+    # generation may never hit — all-tied scores, single-class inputs,
+    # perfect/inverted separation, boundary scores — pinned
+    # deterministically for auc_score / cohens_kappa /
+    # calibration_report.
+    from python_mapreduce_spark.operators.aggregates import (
+        auc_score,
+        calibration_report,
+        cohens_kappa,
+    )
+
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, "score double, y boolean")
+        return auc_score(df, "score", "y").collect()[0]
+
+    # all scores tied, both classes present: every pos x neg pair is a
+    # half-credit tie -> AUC = 0.5 exactly
+    r = auc_of([(0.7, True)] * 3 + [(0.7, False)] * 5)
+    assert (r.n_pos, r.n_neg, r.auc) == (3, 5, 0.5)
+    # single-class margins: AUC undefined, NULL not 0/1
+    assert auc_of([(0.1, True), (0.9, True)]).auc is None
+    assert auc_of([(0.1, False), (0.9, False)]).auc is None
+    # perfect separation -> 1.0; perfectly inverted -> 0.0
+    assert auc_of([(0.9, True), (0.8, True), (0.2, False)]).auc == 1.0
+    assert auc_of([(0.1, True), (0.9, False)]).auc == 0.0
+
+    def kappa_of(rows):
+        df = spark.createDataFrame(rows, "l string, p string")
+        return cohens_kappa(df, "l", "p").collect()[0]
+
+    # one class on both sides: p_e = 1, kappa undefined (NULL), even
+    # though agreement is perfect — the classic kappa singularity
+    k = kappa_of([("a", "a")] * 4)
+    assert (k.po, k.pe, k.kappa) == (1.0, 1.0, None)
+    # perfect agreement over 2 balanced classes: po=1, pe=0.5, kappa=1
+    k = kappa_of([("a", "a"), ("b", "b")])
+    assert (k.po, k.pe, k.kappa) == (1.0, 0.5, 1.0)
+    # chance-level agreement: po == pe -> kappa = 0 exactly
+    k = kappa_of([("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")])
+    assert (k.po, k.pe, k.kappa) == (0.5, 0.5, 0.0)
+
+    # calibration: boundary scores 0.0 and 1.0 land in bins 0 and
+    # n_bins-1 (the 1.0 clamp), a constant score concentrates in one
+    # bin with gap = |conf - acc| by the canonical formula
+    rows = [(0.0, False), (1.0, True), (1.0, False)]
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    bins = {r.bin: r for r in calibration_report(df, "score", "y", n_bins=10).collect()}
+    assert set(bins) == {0, 9}
+    assert (bins[0].n, bins[0].conf, bins[0].acc, bins[0].gap) == (1, 0.0, 0.0, 0.0)
+    assert (bins[9].n, bins[9].conf, bins[9].acc, bins[9].gap) == (2, 1.0, 0.5, 0.5)
+    [s] = calibration_report(df, "score", "y", n_bins=10, summary=True).collect()
+    # brier = mean((s-y)^2) = (0 + 0 + 1)/3; ece = (0 + |2-1|)/3
+    assert s.n == 3
+    assert abs(s.brier - 1.0 / 3.0) < 2e-6
+    assert abs(s.ece - 1.0 / 3.0) < 2e-6
+    # all-one-class calibration still well-defined (acc constant 1)
+    df1 = spark.createDataFrame([(0.25, True)] * 4, "score double, y boolean")
+    [b] = calibration_report(df1, "score", "y", n_bins=4).collect()
+    assert (b.bin, b.n, b.conf, b.acc, b.gap) == (1, 4, 0.25, 1.0, 0.75)

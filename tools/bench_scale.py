@@ -1,0 +1,114 @@
+"""Scale-decade wall-clock bench: the heaviest registry queries on the
+synthetic 10x corpus (tools/make_scale_corpus.py output) vs sf0.1.
+
+The candidate-count scaling gates (tools/scaling_*.py) prove the
+ALGORITHMIC growth is near-linear; this harness catches what they can't
+see — super-linear WALL-CLOCK (a shuffle that stops fitting, a collect
+that grows, a window that concentrates) — by running each heavy query at
+both scales and comparing the time ratio to the corpus-size ratio of the
+table the query actually scans (documents and embeddings grow by
+different factors in the synthetic corpus).
+
+A query is FLAGGED when t_big / t_small > 2 x its corpus ratio (with a
+1s floor on t_small so Spark fixed overheads on sub-second queries don't
+read as super-linear growth). Writes BENCH_SCALE.json; exit 1 if
+anything is flagged.
+
+Usage: python tools/bench_scale.py [small_dir] [big_dir]
+       (defaults /root/testdata/sf0.1  /tmp/sf1_synth)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The heavy-10 from BENCH_LOCAL (r5): every multi-second query that
+# touches only the documents/embeddings tables (the two the synthetic
+# corpus regenerates). table -> which corpus ratio applies.
+HEAVY = {
+    "q_dedup_embedding": "embeddings",
+    "q_cluster_split": "documents",
+    "q_containment": "documents",
+    "q_top_eigenvector": "embeddings",
+    "q_triangle_stats": "documents",
+    "q_dedup_jaccard": "documents",
+    "q_dup_cluster_sizes": "documents",
+    "q_cluster_canonical": "documents",
+    "q_dedup_savings": "documents",
+    "q_fuzzy_decontam": "documents",
+}
+
+
+def main() -> int:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_synth"
+
+    from python_mapreduce_spark.registry import all_queries
+    from python_mapreduce_spark.session import get_spark, tune
+
+    ratios = {
+        t: pq.read_metadata(os.path.join(big, f"{t}.parquet")).num_rows
+        / pq.read_metadata(os.path.join(small, f"{t}.parquet")).num_rows
+        for t in ("documents", "embeddings")
+    }
+    spark = get_spark("bench-scale")
+    tune(spark)
+    registry = all_queries()
+
+    def run(name: str, sf_dir: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            registry[name].fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        return best
+
+    # warm the JVM/codegen caches off the clock
+    registry["q_dedup_jaccard"].fn(spark, small).count()
+
+    out: dict[str, dict] = {}
+    n_flagged = 0
+    for name, tbl in HEAVY.items():
+        t_small = run(name, small)
+        t_big = run(name, big)
+        corpus_ratio = ratios[tbl]
+        time_ratio = t_big / max(t_small, 1.0)
+        flagged = time_ratio > 2.0 * corpus_ratio
+        n_flagged += flagged
+        out[name] = {
+            "table": tbl,
+            "corpus_ratio": round(corpus_ratio, 2),
+            "t_small_s": round(t_small, 2),
+            "t_big_s": round(t_big, 2),
+            "time_ratio": round(time_ratio, 2),
+            "flagged": flagged,
+        }
+        print(
+            f"{'FLAG' if flagged else 'ok  '} {name}: {t_small:.1f}s -> {t_big:.1f}s "
+            f"(x{time_ratio:.1f} vs corpus x{corpus_ratio:.0f})",
+            flush=True,
+        )
+
+    record = {
+        "small": small,
+        "big": big,
+        "corpus_ratios": {k: round(v, 2) for k, v in ratios.items()},
+        "queries": out,
+        "n_flagged": n_flagged,
+    }
+    with open(os.path.join(REPO, "BENCH_SCALE.json"), "w") as f:
+        json.dump(record, f, indent=2)
+    print(json.dumps({"bench_scale_flagged": n_flagged}), flush=True)
+    return 1 if n_flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
