@@ -1297,6 +1297,204 @@ def calibration_report(
     )
 
 
+def pr_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Precision-recall curve: one row per DISTINCT score threshold t
+    with the metrics of the classifier "predict positive iff score >= t"
+    — the threshold-sweep companion to :func:`auc_score` (which collapses
+    the sweep to one number) and the input to every operating-point
+    choice a curation filter makes. Rows with NULL score/label are
+    excluded. Emits (threshold, n_pred, tp, precision, recall, f1)
+    ordered by threshold; recall is NULL when there are no positives,
+    f1 NULL where precision + recall = 0; empty input emits zero rows.
+
+    Scale shape: identical to :func:`auc_score`'s sort-free plan — one
+    map-side-combined hash agg to per-distinct-score (n_pos, n_neg),
+    then ONE multi-weight distributed running sum over DESCENDING score
+    (both cumulative counts ride the same range exchange; the frame is
+    score-cardinality-sized, never data-sized). Totals come from a tiny
+    broadcast. Determinism: every metric divides exact integer counts
+    and rounds to 1e-6.
+    """
+    from python_mapreduce_spark.operators.windows import global_running_sum  # noqa: PLC0415 - avoid module cycle
+
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    base = df.select(
+        F.col(score_col).cast("double").alias("__s"),
+        y.cast("boolean").alias("__y"),
+    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    counts = (
+        base.groupBy("__s")
+        .agg(
+            F.sum(F.col("__y").cast("long")).cast("long").alias("__p"),
+            F.sum((~F.col("__y")).cast("long")).cast("long").alias("__n"),
+        )
+        # descending threshold order = ascending order of the negated
+        # score; the running sums then accumulate "predicted positive
+        # at threshold >= s" counts
+        .withColumn("__negs", -F.col("__s"))
+    )
+    cum = global_running_sum(
+        counts,
+        ["__negs"],
+        ["__p", "__n"],
+        out=["__cp", "__cn"],
+        num_partitions=num_partitions,
+    )
+    tot = cum.agg(F.sum("__p").cast("long").alias("__tp_all"))
+    n_pred = F.col("__cp") + F.col("__cn")
+    prec = F.col("__cp").cast("double") / n_pred.cast("double")
+    rec = F.when(
+        F.col("__tp_all") > 0, F.col("__cp").cast("double") / F.col("__tp_all")
+    )
+    f1 = F.when(prec + rec > 0, 2.0 * prec * rec / (prec + rec))
+    return cum.crossJoin(F.broadcast(tot)).select(
+        F.col("__s").alias("threshold"),
+        n_pred.cast("long").alias("n_pred"),
+        F.col("__cp").alias("tp"),
+        dround(prec, 6).alias("precision"),
+        dround(rec, 6).alias("recall"),
+        dround(f1, 6).alias("f1"),
+    )
+
+
+def lift_gain(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    *,
+    n_buckets: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Lift/gain table: rank rows by score DESCENDING, cut the ranking
+    into ``n_buckets`` equal-size buckets, and report each bucket's
+    positive capture — the campaign-targeting / filter-budget view of a
+    ranking model ("the top decile holds 4.1x its share of positives").
+    Emits (bucket, n, n_pos, cum_pos, gain, lift) where gain is the
+    cumulative fraction of all positives captured through the bucket
+    and lift = bucket positive rate / overall rate. Bucket boundaries
+    use the deterministic ``floor((rn - 1) * n_buckets / N)`` rule on a
+    (score DESC, tiebreak) total order — NOT ntile(), whose remainder
+    placement differs between engines. The tiebreak is the row's
+    ascending label (negatives first at a tied score) then nothing —
+    so ties are only deterministic per (score, label); per-bucket
+    COUNTS remain exact because the rule is applied to the aggregated
+    per-(score, label) count frame, never to raw rows.
+
+    Scale shape: one hash agg to per-(score, label) counts, one
+    distributed running count over descending score (range exchange, no
+    single-task window), then each (score, label) stripe is split
+    arithmetically across the buckets it spans — rows never shuffle by
+    bucket; the final agg is n_buckets-sized.
+    """
+    from python_mapreduce_spark.operators.windows import global_running_sum  # noqa: PLC0415 - avoid module cycle
+
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    base = df.select(
+        F.col(score_col).cast("double").alias("__s"),
+        y.cast("boolean").cast("long").alias("__y"),
+    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    # per-(score, label) stripe counts; order stripes by (score DESC,
+    # label ASC) — the aggregated frame is what gets globally numbered
+    counts = (
+        base.groupBy("__s", "__y")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .withColumn("__negs", -F.col("__s"))
+    )
+    cum = global_running_sum(
+        counts, ["__negs", "__y"], "__c", out="__end", num_partitions=num_partitions
+    )
+    tot = cum.agg(
+        F.sum("__c").cast("long").alias("__N"),
+        F.sum(F.col("__c") * F.col("__y")).cast("long").alias("__P"),
+    )
+    nb = int(n_buckets)
+    # stripe occupies global ranks (__end - __c, __end]; the bucket of
+    # rank r is floor((r - 1) * nb / N), so bucket b covers exactly the
+    # ranks (ceil(b*N/nb), ceil((b+1)*N/nb)] — every boundary below is
+    # exact integer arithmetic (div), no float rounding anywhere. A
+    # stripe is exploded only across the buckets it spans.
+    s = cum.crossJoin(F.broadcast(tot))
+    first_b = F.expr(f"CAST(((__end - __c) * {nb}) DIV __N AS INT)")
+    last_b = F.expr(f"CAST(((__end - 1) * {nb}) DIV __N AS INT)")
+    exploded = s.withColumn(
+        "bucket", F.explode(F.sequence(first_b, last_b))
+    )
+    b_lo = F.expr(f"(bucket * __N + {nb - 1}) DIV {nb}")
+    b_hi = F.expr(f"((bucket + 1) * __N + {nb - 1}) DIV {nb}")
+    overlap = (
+        F.least(F.col("__end"), b_hi) - F.greatest(F.col("__end") - F.col("__c"), b_lo)
+    ).cast("long")
+    per_bucket = (
+        exploded.withColumn("__take", overlap)
+        .filter(F.col("__take") > 0)
+        .groupBy("bucket")
+        .agg(
+            F.sum("__take").cast("long").alias("n"),
+            F.sum(F.col("__take") * F.col("__y")).cast("long").alias("n_pos"),
+            F.max("__N").alias("__N"),
+            F.max("__P").alias("__P"),
+        )
+    )
+    w_cum = global_running_sum(per_bucket, ["bucket"], "n_pos", out="cum_pos")
+    rate_all = F.col("__P").cast("double") / F.col("__N")
+    return w_cum.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n",
+        "n_pos",
+        "cum_pos",
+        F.when(
+            F.col("__P") > 0,
+            dround(F.col("cum_pos").cast("double") / F.col("__P"), 6),
+        ).alias("gain"),
+        F.when(
+            F.col("__P") > 0,
+            dround((F.col("n_pos").cast("double") / F.col("n")) / rate_all, 6),
+        ).alias("lift"),
+    )
+
+
+def auc_disparity(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    group_col: str,
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fairness-slice ranking eval: per-group ROC AUC side by side with
+    the OVERALL AUC and the gap — the audit that catches a model "good
+    on average, broken on a segment" (the per-language / per-domain
+    twin of :func:`auc_score`'s single number). Emits one row per group:
+    (group_col, n_pos, n_neg, auc, auc_overall, auc_gap); groups missing
+    a class carry NULL auc and NULL gap.
+
+    Scale shape: both AUCs are :func:`auc_score` plans (per-distinct-
+    score count frames; grouped path windows per group, overall path
+    uses the distributed running sum); the overall single row is
+    broadcast onto the group rows.
+    """
+    grouped = auc_score(
+        df, score_col, label_col, group_cols=[group_col], num_partitions=num_partitions
+    )
+    overall = auc_score(df, score_col, label_col, num_partitions=num_partitions).select(
+        F.col("auc").alias("auc_overall")
+    )
+    return grouped.crossJoin(F.broadcast(overall)).select(
+        group_col,
+        "n_pos",
+        "n_neg",
+        "auc",
+        "auc_overall",
+        dround(F.col("auc") - F.col("auc_overall"), 6).alias("auc_gap"),
+    )
+
+
 def mutual_information(
     df: DataFrame,
     a_col: str,

@@ -115,6 +115,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_rfm",
     "q_corr_matrix",
     "q_code_detect",
+    # -- never driver-checked, round-6 additions (appended to the r7 lead) --
+    "q_pr_curve",
+    "q_lift_gain",
+    "q_auc_disparity",
     "q_sim_ann_ivf_recall",
     "q08_market_share",
     "q09_product_profit",

@@ -1766,6 +1766,170 @@ FROM (
 """
 
 
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Precision-recall sweep (operators/aggregates.py::pr_curve): one
+    # row per distinct threshold over the q_auc scoring task. The
+    # cumulative predicted/true-positive counts ride ONE multi-weight
+    # distributed running sum over descending score — no global sort,
+    # no single-task window.
+    from python_mapreduce_spark.operators.aggregates import pr_curve  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    scored = ev.select(
+        dround(F.col("value"), 1).alias("score"),
+        (F.col("event_type") == "purchase").alias("is_pos"),
+    )
+    return pr_curve(scored, "score", "is_pos")
+
+
+SQL_PR_CURVE = f"""
+WITH base AS (
+  SELECT {sql_dround("CAST(value AS DOUBLE)", 1)} AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+counts AS (
+  SELECT s, CAST(sum(y) AS BIGINT) AS p, CAST(count(*) AS BIGINT) AS c
+  FROM base GROUP BY s
+),
+cum AS (
+  SELECT s, sum(p) OVER (ORDER BY s DESC) AS cp,
+         sum(c) OVER (ORDER BY s DESC) AS np
+  FROM counts
+),
+tot AS (SELECT CAST(sum(y) AS BIGINT) AS tp_all FROM base)
+SELECT s AS threshold,
+       CAST(np AS BIGINT) AS n_pred,
+       CAST(cp AS BIGINT) AS tp,
+       {sql_dround("CAST(cp AS DOUBLE) / np", 6)} AS precision,
+       CASE WHEN tp_all > 0 THEN {sql_dround("CAST(cp AS DOUBLE) / tp_all", 6)} END AS recall,
+       CASE WHEN tp_all > 0 AND cp > 0 THEN
+         {sql_dround(
+             "2.0 * (CAST(cp AS DOUBLE) / np) * (CAST(cp AS DOUBLE) / tp_all)"
+             " / (CAST(cp AS DOUBLE) / np + CAST(cp AS DOUBLE) / tp_all)", 6)}
+       END AS f1
+FROM cum CROSS JOIN tot
+"""
+
+
+def q_lift_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Decile lift/gain table (operators/aggregates.py::lift_gain) for
+    # the q_auc scoring task: exact equal-size buckets via integer
+    # arithmetic on aggregated (score, label) stripes — rows never
+    # shuffle by bucket, the exploded frame is stripe-count-sized.
+    from python_mapreduce_spark.operators.aggregates import lift_gain  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    scored = ev.select(
+        dround(F.col("value"), 1).alias("score"),
+        (F.col("event_type") == "purchase").alias("is_pos"),
+    )
+    return lift_gain(scored, "score", "is_pos", n_buckets=10)
+
+
+SQL_LIFT_GAIN = f"""
+WITH base AS (
+  SELECT {sql_dround("CAST(value AS DOUBLE)", 1)} AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+rk AS (
+  SELECT y, row_number() OVER (ORDER BY s DESC, y ASC) - 1 AS r FROM base
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all, CAST(sum(y) AS BIGINT) AS p_all FROM base),
+b AS (
+  SELECT CAST((r * 10) // n_all AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos
+  FROM rk CROSS JOIN tot GROUP BY 1
+)
+SELECT bucket, n, n_pos,
+       CAST(sum(n_pos) OVER (ORDER BY bucket) AS BIGINT) AS cum_pos,
+       CASE WHEN p_all > 0 THEN
+         {sql_dround("CAST(sum(n_pos) OVER (ORDER BY bucket) AS DOUBLE) / p_all", 6)}
+       END AS gain,
+       CASE WHEN p_all > 0 THEN
+         {sql_dround("(CAST(n_pos AS DOUBLE) / n) / (CAST(p_all AS DOUBLE) / n_all)", 6)}
+       END AS lift
+FROM b CROSS JOIN tot
+"""
+
+
+def q_auc_disparity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fairness-slice eval (operators/aggregates.py::auc_disparity):
+    # per-user-cohort AUC beside the overall AUC and the gap — catches
+    # a model good on average, broken on a segment. Both AUC plans are
+    # the sort-free rank identity; the overall row broadcasts.
+    from python_mapreduce_spark.operators.aggregates import auc_disparity  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase") & F.col("user_id").isNotNull()
+    )
+    scored = ev.select(
+        F.concat(F.lit("s"), (F.col("user_id") % 4).cast("string")).alias("segment"),
+        dround(F.col("value"), 1).alias("score"),
+        (F.col("event_type") == "purchase").alias("is_pos"),
+    )
+    return auc_disparity(scored, "score", "is_pos", "segment")
+
+
+SQL_AUC_DISPARITY = f"""
+WITH base AS (
+  SELECT 's' || CAST(user_id % 4 AS VARCHAR) AS segment,
+         {sql_dround("CAST(value AS DOUBLE)", 1)} AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+        AND user_id IS NOT NULL
+),
+counts AS (
+  SELECT segment, s, CAST(sum(y) AS BIGINT) AS p, CAST(sum(1 - y) AS BIGINT) AS ng
+  FROM base GROUP BY 1, 2
+),
+cum AS (
+  SELECT segment, p, ng,
+         sum(ng) OVER (PARTITION BY segment ORDER BY s) AS cn
+  FROM counts
+),
+per AS (
+  SELECT segment,
+         CAST(sum(p) AS BIGINT) AS n_pos,
+         CAST(sum(ng) AS BIGINT) AS n_neg,
+         CAST(sum(p * (2 * (cn - ng) + ng)) AS DOUBLE) AS num2
+  FROM cum GROUP BY segment
+),
+ocounts AS (
+  SELECT s, CAST(sum(y) AS BIGINT) AS p, CAST(sum(1 - y) AS BIGINT) AS ng
+  FROM base GROUP BY s
+),
+ocum AS (SELECT p, ng, sum(ng) OVER (ORDER BY s) AS cn FROM ocounts),
+ov AS (
+  SELECT CASE WHEN sum(p) > 0 AND sum(ng) > 0 THEN
+           {sql_dround("CAST(sum(p * (2 * (cn - ng) + ng)) AS DOUBLE)"
+                       " / (2.0 * sum(p) * sum(ng))", 6)}
+         END AS auc_overall
+  FROM ocum
+)
+SELECT segment, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN {sql_dround("num2 / (2.0 * n_pos * n_neg)", 6)} END AS auc,
+       auc_overall,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         {sql_dround(
+             "CASE WHEN n_pos > 0 AND n_neg > 0"
+             " THEN " + sql_dround("num2 / (2.0 * n_pos * n_neg)", 6)
+             + " END - auc_overall", 6)}
+       END AS auc_gap
+FROM per CROSS JOIN ov
+"""
+
+
 def q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     # First-order Markov transition matrix (operators/events.py::
     # markov_transitions) over per-user event sequences ordered by
@@ -2410,6 +2574,9 @@ QUERIES: dict[str, Query] = {
     "q_class_weights": Query(q_class_weights, SQL_CLASS_WEIGHTS, "balanced class-weight table (inverse frequency)"),
     "q_auc": Query(q_auc, SQL_AUC, "distributed rank-based ROC AUC with tie half-credit"),
     "q_auc_daily": Query(q_auc_daily, SQL_AUC_DAILY, "per-slice (daily) AUC via group-partitioned windows"),
+    "q_pr_curve": Query(q_pr_curve, SQL_PR_CURVE, "precision-recall sweep via one multi-weight running sum"),
+    "q_lift_gain": Query(q_lift_gain, SQL_LIFT_GAIN, "decile lift/gain table with exact integer bucket boundaries"),
+    "q_auc_disparity": Query(q_auc_disparity, SQL_AUC_DISPARITY, "per-segment AUC vs overall with fairness gap"),
     "q_markov": Query(q_markov, SQL_MARKOV, "first-order Markov transition matrix over event sequences"),
     "q_jsd_drift": Query(q_jsd_drift, SQL_JSD_DRIFT, "Jensen-Shannon categorical drift between snapshots"),
     "q_conversion_lag": Query(q_conversion_lag, SQL_CONVERSION_LAG, "attributed click-to-purchase latency percentiles + attach rate"),

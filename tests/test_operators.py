@@ -1398,3 +1398,80 @@ def test_last_touch_attribution_keeps_native_id_type(spark):
     assert r.conv_id == "conv-a"
     assert r.touch_id == "click-y"  # max() over the tied (user, ts) pair
     assert r.attributed is True and r.mins_since == 20.0
+
+
+def test_pr_curve_and_lift_gain_match_replay(spark):
+    # One replay exercises the whole threshold sweep: per-threshold
+    # precision/recall/f1 vs direct counting, and exact equal-size
+    # lift buckets via the arithmetic rank rule.
+    import math
+
+    from python_mapreduce_spark.operators.aggregates import (
+        auc_disparity,
+        lift_gain,
+        pr_curve,
+    )
+
+    def dr(x):
+        return None if x is None else math.floor(x * 1e6 + 0.5) / 1e6
+
+    rows = [
+        (round((i * 37 % 23) / 23.0, 2), (i * 7 % 3 == 0), f"g{i % 2}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "score double, y boolean, g string")
+
+    got = {
+        r.threshold: (r.n_pred, r.tp, r.precision, r.recall, r.f1)
+        for r in pr_curve(df, "score", "y").collect()
+    }
+    pos_total = sum(1 for _, y, _ in rows if y)
+    assert set(got) == {s for s, _, _ in rows}
+    for t in got:
+        n_pred = sum(1 for s, _, _ in rows if s >= t)
+        tp = sum(1 for s, y, _ in rows if s >= t and y)
+        prec, rec = tp / n_pred, tp / pos_total
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec > 0 else None
+        assert got[t] == (n_pred, tp, dr(prec), dr(rec), dr(f1)), t
+
+    nb, n_all = 10, len(rows)
+    stripes: dict[tuple, int] = {}
+    for s, y, _ in rows:
+        stripes[(s, int(y))] = stripes.get((s, int(y)), 0) + 1
+    bucket_n, bucket_p = [0] * nb, [0] * nb
+    r = 0
+    for key in sorted(stripes, key=lambda k: (-k[0], k[1])):
+        for _ in range(stripes[key]):
+            b = (r * nb) // n_all
+            bucket_n[b] += 1
+            bucket_p[b] += key[1]
+            r += 1
+    gotl = {
+        r.bucket: (r.n, r.n_pos, r.cum_pos, r.gain, r.lift)
+        for r in lift_gain(df, "score", "y", n_buckets=nb).collect()
+    }
+    cum = 0
+    for b in range(nb):
+        cum += bucket_p[b]
+        exp = (
+            bucket_n[b],
+            bucket_p[b],
+            cum,
+            dr(cum / pos_total),
+            dr((bucket_p[b] / bucket_n[b]) / (pos_total / n_all)),
+        )
+        assert gotl[b] == exp, b
+
+    # disparity: per-group auc minus overall, overall identical on rows
+    disp = {r.g: r for r in auc_disparity(df, "score", "y", "g").collect()}
+    assert len({r.auc_overall for r in disp.values()}) == 1
+    for r in disp.values():
+        assert r.auc_gap == dr(r.auc - r.auc_overall)
+
+    # degenerate: single-class input -> NULL recall/f1 at every point,
+    # NULL gain/lift, NULL aucs
+    df1 = spark.createDataFrame([(0.5, False), (0.7, False)], "score double, y boolean")
+    for r in pr_curve(df1, "score", "y").collect():
+        assert r.recall is None and r.f1 is None and r.tp == 0
+    for r in lift_gain(df1, "score", "y", n_buckets=2).collect():
+        assert r.gain is None and r.lift is None
