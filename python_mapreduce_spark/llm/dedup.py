@@ -763,6 +763,76 @@ def pagerank_fixed(
     return ranks
 
 
+def hits_scores(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    iterations: int = 3,
+) -> DataFrame:
+    """Fixed-iteration HITS hubs-and-authorities over a directed edge
+    list — the bipartite-flavored companion to :func:`pagerank_fixed`
+    (a node is a good HUB when it points at good authorities, a good
+    AUTHORITY when good hubs point at it; for a buyer->supplier or
+    doc->reference graph the two sides answer different curation
+    questions than one PageRank number). Emits (node, hub, auth) for
+    every node on either edge side.
+
+    Determinism discipline = :func:`pagerank_fixed`: scores are
+    L1-normalized each half-step (sum-norm instead of the textbook L2 —
+    same fixpoint ranking, but the norm stays a DECIMAL(18,6) sum
+    instead of a float sqrt), every score rounds to 1e-6 after the
+    divide, and contribution sums ride DECIMAL(18,6) (exact and
+    associative at any parallelism), so the unrolled-CTE oracle matches
+    bit-for-bit. Per iteration: two degree-free contribution shuffles
+    (in-edges then out-edges) + two one-row norm broadcasts; edges are
+    localCheckpoint'ed once, score frames per iteration.
+    """
+    if int(iterations) < 1:
+        raise ValueError(f"iterations must be >= 1: {iterations}")
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+
+    def _normalize(raw: DataFrame, score: str) -> DataFrame:
+        tot = raw.agg(F.sum("__r").alias("__t"))  # 1 row, DECIMAL-exact
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                dround(
+                    F.coalesce(F.col("__r").cast("double"), F.lit(0.0))
+                    / F.col("__t").cast("double"),
+                    6,
+                ).alias(score),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    auth = None
+    for _ in range(int(iterations)):
+        raw_a = (
+            e.join(hub.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum(F.col("hub").cast("decimal(18,6)")).alias("__r"))
+        )
+        auth = _normalize(raw_a, "auth")
+        raw_h = (
+            e.join(auth.withColumnRenamed("node", "d"), "d")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum(F.col("auth").cast("decimal(18,6)")).alias("__r"))
+        )
+        hub = _normalize(raw_h, "hub")
+    return hub.join(auth, "node")
+
+
 def cross_corpus_overlap(
     corpus: DataFrame,
     reference: DataFrame,

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd  # module-level: pandas_udf type hints resolve against module globals
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1251,4 +1252,90 @@ def code_detect(
         kw.cast("long").alias("keyword_hits"),
         dround(score, 6).alias("code_score"),
         (score >= F.lit(float(threshold))).alias("is_code"),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: Sequence[str],
+    *,
+    max_hits_keep: int = 0,
+) -> DataFrame:
+    """Broadcast blocklist screening: per document, how many distinct
+    blocklist terms appear (case-insensitive substring), the
+    alphabetically-first matched term, and the keep/drop gate
+    ``keep = hits <= max_hits_keep`` — the standard unsafe-content /
+    boilerplate screen a corpus pipeline runs before anything expensive
+    (reference analog: a user map function returning [] to drop a line,
+    /root/reference/mapper.py:59-62 — here it is a first-class named
+    operator). NULL text is the empty document (0 hits, kept).
+
+    Scale shape: the term list ships as ONE array literal inside the
+    projection and the match is an array higher-order filter per row —
+    pure whole-stage codegen, no shuffle, no UDF, no join. Right for
+    blocklists up to a few thousand terms (each term is a substring
+    probe per row); past that, switch to tokenizing the corpus and
+    broadcast-anti-joining a term table (the q_mr_aux_join pattern).
+    """
+    if not terms:
+        raise ValueError("blocklist needs at least one term")
+    lower = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    arr = F.array(*[F.lit(t.lower()) for t in sorted(set(terms))])
+    matched = F.array_sort(F.filter(arr, lambda t: lower.contains(t)))
+    hits = F.size(matched)
+    return df.select(
+        F.col(id_col).alias("id"),
+        hits.cast("long").alias("hits"),
+        F.get(matched, 0).alias("first_term"),
+        (hits <= F.lit(int(max_hits_keep))).alias("keep"),
+    )
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap
+    redundancy/quality signal (boilerplate, template spam, and
+    character-level repetition compress far below prose; near-random
+    text compresses above it). Emits (id, n_bytes, c_bytes, ratio)
+    with ratio = compressed/raw bytes rounded to 6 (NULL-text documents
+    report 0 bytes and ratio NULL).
+
+    Scale shape: one Arrow-batched pandas UDF over the scan (zlib is
+    CPU-bound C code; the batch transfer is the only Python cost) —
+    no shuffle, embarrassingly parallel, output is 4 atomic columns.
+    The byte counts are deterministic for a pinned zlib level; the
+    REGISTRY exposes this rows-only with a hash-green eval twin
+    asserting the ratio bounds (DuckDB has no zlib to replay against).
+    """
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    lvl = int(level)
+
+    @pandas_udf("long")
+    def c_bytes(texts: pd.Series) -> pd.Series:
+        import zlib  # noqa: PLC0415
+
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), lvl)) if t else 0
+        )
+
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.octet_length(raw).cast("long").alias("n_bytes"),
+        c_bytes(raw).alias("c_bytes"),
+    )
+    return out.withColumn(
+        "ratio",
+        F.when(
+            F.col("n_bytes") > 0,
+            dround(F.col("c_bytes").cast("double") / F.col("n_bytes"), 6),
+        ),
     )

@@ -216,18 +216,13 @@ def numeric_histogram(
     if not hi > lo:
         raise ValueError(f"need hi > lo: ({lo}, {hi})")
     v = F.col(value_col).cast("double")
-    w = (float(hi) - float(lo)) / float(nbins)
-    bucket = (
-        F.when(v < float(lo), F.lit(-1))
-        .when(v >= float(hi), F.lit(nbins))
-        .otherwise(F.floor((v - float(lo)) / F.lit(w)).cast("int"))
-        .cast("int")
-    )
+    bucket = _histogram_bucket(v, lo, hi, nbins)
     agg = (
         df.filter(v.isNotNull())
         .groupBy(bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    w = (float(hi) - float(lo)) / float(nbins)
     interior = (F.col("bucket") >= 0) & (F.col("bucket") < nbins)
     return agg.select(
         "bucket",
@@ -238,6 +233,60 @@ def numeric_histogram(
             interior, dround(F.lit(float(lo)) + (F.col("bucket") + 1) * F.lit(w), 6)
         ).alias("hi_edge"),
         "n",
+    )
+
+
+def _histogram_bucket(v: Column, lo: float, hi: float, nbins: int) -> Column:
+    """The shared fixed-range bucket rule of :func:`numeric_histogram`
+    and :func:`histogram2d`: [lo + b*w, lo + (b+1)*w) interior buckets,
+    -1 below, nbins at-or-above — explicit IEEE floor arithmetic so any
+    engine replays it."""
+    w = (float(hi) - float(lo)) / float(nbins)
+    return (
+        F.when(v < float(lo), F.lit(-1))
+        .when(v >= float(hi), F.lit(nbins))
+        .otherwise(F.floor((v - float(lo)) / F.lit(w)).cast("int"))
+        .cast("int")
+    )
+
+
+def histogram2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    x_range: tuple[float, float, int],
+    y_range: tuple[float, float, int],
+) -> DataFrame:
+    """Fixed-range 2-D histogram (the heatmap/profiling pass): joint
+    bucket counts of two numeric columns under the same explicit
+    bucket rule as :func:`numeric_histogram` per axis — the one-scan
+    answer to "how do value and time-of-day covary", and the substrate
+    for a density/outlier heatmap over a 100 TB table. Rows with a NULL
+    on EITHER axis are skipped (a joint observation needs both); each
+    axis keeps the -1 / nbins overflow buckets. Each ``*_range`` is
+    (lo, hi, nbins). Emits (x_bucket, y_bucket, n) sparse — empty cells
+    are absent (callers needing a dense grid outer-join a
+    range-product spine).
+
+    One scan + one aggregation keyed on (x_bucket, y_bucket) — at most
+    (x_bins + 2) * (y_bins + 2) keys shuffle regardless of input size,
+    fully map-side combined.
+    """
+    xlo, xhi, xb = x_range
+    ylo, yhi, yb = y_range
+    for lo_, hi_, b_ in (x_range, y_range):
+        if b_ <= 0 or not hi_ > lo_:
+            raise ValueError(f"bad range: ({lo_}, {hi_}, {b_})")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    return (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(
+            _histogram_bucket(x, xlo, xhi, int(xb)).alias("x_bucket"),
+            _histogram_bucket(y, ylo, yhi, int(yb)).alias("y_bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
 
 

@@ -304,3 +304,45 @@ def interval_overlap_join(
             (ov_end - ov_start).alias("overlap_ms"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_cols: Sequence[str],
+    *,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood blocking for entity resolution: order the
+    records by a blocking key (with the id as total-order tiebreak) and
+    emit every record paired with its ``window`` successors — the
+    classic candidate-pair generator that bounds comparisons at
+    O(n * window) instead of per-block O(n^2) (robust to skewed blocks:
+    a million-record block costs the same per record as a 10-record
+    one). Emits (id_a, id_b, rank_gap) with rank_gap in [1, window];
+    downstream verify stages join back the payloads they need.
+
+    Scale shape: the global order comes from
+    :func:`~python_mapreduce_spark.operators.windows.global_row_number`
+    (range exchange + broadcast offsets — no single-task window); the
+    neighbor pairing is ONE explode(sequence(1, window)) + ONE
+    equi-join on rank+offset — never a range or cross join. Output is
+    exactly n*window - window*(window+1)/2 rows.
+    """
+    from python_mapreduce_spark.operators.windows import global_row_number  # noqa: PLC0415
+
+    if int(window) < 1:
+        raise ValueError(f"window must be >= 1: {window}")
+    ks = list(key_cols)
+    ranked = global_row_number(
+        df.select(F.col(id_col).alias("__id"), *ks), [*ks, "__id"], out="__rn"
+    ).localCheckpoint(eager=False)  # both join sides read it
+    left = ranked.select(
+        F.col("__id").alias("id_a"),
+        F.col("__rn"),
+        F.explode(F.sequence(F.lit(1), F.lit(int(window)))).alias("rank_gap"),
+    ).withColumn("__rn2", F.col("__rn") + F.col("rank_gap"))
+    right = ranked.select(F.col("__rn").alias("__rn2"), F.col("__id").alias("id_b"))
+    return left.join(right, "__rn2").select(
+        "id_a", "id_b", F.col("rank_gap").cast("long").alias("rank_gap")
+    )

@@ -119,6 +119,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pr_curve",
     "q_lift_gain",
     "q_auc_disparity",
+    "q_blocklist_filter",
+    "q_compression_ratio",
+    "q_compression_ratio_eval",
+    "q_hits",
+    "q_sorted_neighborhood",
+    "q_histogram2d",
     "q_sim_ann_ivf_recall",
     "q08_market_share",
     "q09_product_profit",

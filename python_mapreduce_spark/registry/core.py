@@ -796,6 +796,33 @@ FROM b GROUP BY bucket
 """
 
 
+def q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Joint distribution heatmap (operators/aggregates.py::histogram2d):
+    # events value x hour-of-day under the shared fixed-range bucket
+    # rule — one scan, one (x_bucket, y_bucket)-keyed map-side-combined
+    # agg, at most (bins+2)^2 keys shuffle at any input size.
+    from python_mapreduce_spark.operators.aggregates import histogram2d  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events").withColumn("hour", F.hour("ts"))
+    return histogram2d(
+        ev, "value", "hour", x_range=(0.0, 100.0, 10), y_range=(0.0, 24.0, 8)
+    )
+
+
+SQL_HISTOGRAM2D = """
+SELECT CASE WHEN value < 0.0 THEN -1
+            WHEN value >= 100.0 THEN 10
+            ELSE CAST(floor((value - 0.0) / 10.0) AS INTEGER) END AS x_bucket,
+       CASE WHEN hour < 0.0 THEN -1
+            WHEN hour >= 24.0 THEN 8
+            ELSE CAST(floor((hour - 0.0) / 3.0) AS INTEGER) END AS y_bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM (SELECT value, CAST(extract(hour FROM ts) AS DOUBLE) AS hour FROM events)
+WHERE value IS NOT NULL AND hour IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 _PROFILE_COLS = [
     ("l_orderkey", True),
     ("l_quantity", True),
@@ -2574,6 +2601,7 @@ QUERIES: dict[str, Query] = {
     "q_class_weights": Query(q_class_weights, SQL_CLASS_WEIGHTS, "balanced class-weight table (inverse frequency)"),
     "q_auc": Query(q_auc, SQL_AUC, "distributed rank-based ROC AUC with tie half-credit"),
     "q_auc_daily": Query(q_auc_daily, SQL_AUC_DAILY, "per-slice (daily) AUC via group-partitioned windows"),
+    "q_histogram2d": Query(q_histogram2d, SQL_HISTOGRAM2D, "joint 2-D fixed-range histogram (heatmap profiling pass)"),
     "q_pr_curve": Query(q_pr_curve, SQL_PR_CURVE, "precision-recall sweep via one multi-weight running sum"),
     "q_lift_gain": Query(q_lift_gain, SQL_LIFT_GAIN, "decile lift/gain table with exact integer bucket boundaries"),
     "q_auc_disparity": Query(q_auc_disparity, SQL_AUC_DISPARITY, "per-segment AUC vs overall with fairness gap"),

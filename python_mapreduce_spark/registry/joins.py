@@ -393,6 +393,30 @@ FROM err a JOIN pur b
 """
 
 
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sorted-neighborhood blocking (operators/joins.py::
+    # sorted_neighborhood_pairs): documents ordered by the (lang,
+    # n_chars, doc_id) blocking key, each paired with its 2 successors
+    # — O(n*w) ER candidate pairs via ONE global rank (range exchange,
+    # no single-task window) + ONE explode/equi-join; never per-block
+    # quadratic, robust to skewed blocks.
+    from python_mapreduce_spark.operators.joins import sorted_neighborhood_pairs  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(docs, "doc_id", ["lang", "n_chars"], window=2)
+
+
+SQL_SORTED_NEIGHBORHOOD = """
+WITH rk AS (
+  SELECT doc_id, row_number() OVER (ORDER BY lang, n_chars, doc_id) AS rn
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(b.rn - a.rn AS BIGINT) AS rank_gap
+FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn <= a.rn + 2
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_interval_join": Query(
         q_interval_join, SQL_INTERVAL_JOIN, "interval-overlap join via bucket grid (big-big safe)"
@@ -410,4 +434,9 @@ QUERIES: dict[str, Query] = {
     "q_join_asof_fwd": Query(q_join_asof_fwd, SQL_JOIN_ASOF_FWD, "forward as-of join"),
     "q03_shipping_priority": Query(q03_shipping_priority, SQL_Q03, "TPC-H Q3-style top-10"),
     "q05_region_revenue": Query(q05_region_revenue, SQL_Q05, "TPC-H Q5-style snowflake"),
+    "q_sorted_neighborhood": Query(
+        q_sorted_neighborhood,
+        SQL_SORTED_NEIGHBORHOOD,
+        "sorted-neighborhood ER blocking (O(n*w) candidate pairs)",
+    ),
 }

@@ -1245,6 +1245,67 @@ r{i} AS (
 SQL_PAGERANK = _sql_pagerank(3)
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixed-iteration HITS (llm/dedup.py::hits_scores) over the same
+    # customer -> supplier graph as q_pagerank: L1-normalized hub and
+    # authority scores, per-step 1e-6 rounding + DECIMAL sums, so the
+    # unrolled-CTE oracle is exact.
+    from python_mapreduce_spark.llm.dedup import hits_scores  # noqa: PLC0415
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    edges = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return hits_scores(edges, "src", "dst", iterations=2)
+
+
+def _sql_hits(iterations: int = 2) -> str:
+    r6 = lambda x: f"floor(({x}) * 1000000.0 + 0.5) / 1000000.0"  # noqa: E731
+    parts = [
+        """WITH e AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS s,
+                  's' || CAST(l_suppkey AS VARCHAR) AS d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+h0 AS (SELECT node, 1.0 AS hub FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+ra{i} AS (
+  SELECT e.d AS node, sum(CAST(h{i-1}.hub AS DECIMAL(18,6))) AS r
+  FROM e JOIN h{i-1} ON e.s = h{i-1}.node GROUP BY e.d
+),
+ta{i} AS (SELECT sum(r) AS t FROM ra{i}),
+a{i} AS (
+  SELECT nodes.node,
+         {r6(f'coalesce(CAST(ra{i}.r AS DOUBLE), 0.0) / CAST(ta{i}.t AS DOUBLE)')} AS auth
+  FROM nodes LEFT JOIN ra{i} ON nodes.node = ra{i}.node CROSS JOIN ta{i}
+),
+rh{i} AS (
+  SELECT e.s AS node, sum(CAST(a{i}.auth AS DECIMAL(18,6))) AS r
+  FROM e JOIN a{i} ON e.d = a{i}.node GROUP BY e.s
+),
+th{i} AS (SELECT sum(r) AS t FROM rh{i}),
+h{i} AS (
+  SELECT nodes.node,
+         {r6(f'coalesce(CAST(rh{i}.r AS DOUBLE), 0.0) / CAST(th{i}.t AS DOUBLE)')} AS hub
+  FROM nodes LEFT JOIN rh{i} ON nodes.node = rh{i}.node CROSS JOIN th{i}
+)"""
+        )
+    parts.append(
+        f"\nSELECT h{iterations}.node, hub, auth"
+        f" FROM h{iterations} JOIN a{iterations} ON h{iterations}.node = a{iterations}.node"
+    )
+    return "".join(parts)
+
+
+SQL_HITS = _sql_hits(2)
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Frame-sample fan-out: one media row -> up to 8 fixed-stride byte-
     # window digests. ASCII corpus -> DuckDB replays the windowing + md5
@@ -3043,6 +3104,72 @@ FROM ratios
 """
 
 
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Broadcast blocklist screen (llm/text.py::blocklist_filter): term
+    # list as ONE array literal, higher-order filter per row — pure
+    # codegen, no shuffle/UDF/join. Demo list mixes absent terms with
+    # corpus-frequent ones so both branches of the gate fire.
+    from python_mapreduce_spark.llm.text import blocklist_filter  # noqa: PLC0415
+
+    return blocklist_filter(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        ["casino", "jackpot", "customer", "spark"],
+        max_hits_keep=1,
+    )
+
+
+SQL_BLOCKLIST_FILTER = """
+WITH m AS (
+  SELECT doc_id AS id,
+         list_sort(list_filter(['casino', 'customer', 'jackpot', 'spark'],
+                               t -> contains(lower(coalesce(text, '')), t))) AS ms
+  FROM documents
+)
+SELECT id, CAST(len(ms) AS BIGINT) AS hits, ms[1] AS first_term,
+       len(ms) <= 1 AS keep
+FROM m
+"""
+
+
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # zlib redundancy signal (llm/text.py::compression_ratio): Arrow-
+    # batched pandas UDF over the scan. DuckDB has no zlib, so this is
+    # rows-only BY DESIGN; the hash-green bounds twin is
+    # q_compression_ratio_eval below.
+    from python_mapreduce_spark.llm.text import compression_ratio  # noqa: PLC0415
+
+    return compression_ratio(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_compression_ratio_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bounds twin for q_compression_ratio (the ANN-recall-twin pattern):
+    # every non-empty document's zlib ratio must land in (0.02, 1.1] —
+    # word-salad prose compresses ~0.3-0.6, and a ratio outside the
+    # band means the UDF mis-measured. bounds_floor = least(frac, 1.0):
+    # the literal 1.0 when the contract holds (what the oracle emits),
+    # the actual deficient fraction on failure.
+    from python_mapreduce_spark.llm.text import compression_ratio  # noqa: PLC0415
+
+    r = compression_ratio(table(spark, sf_dir, "documents"), "doc_id", "text")
+    in_bounds = (
+        F.when((F.col("ratio") > 0.02) & (F.col("ratio") <= 1.1), 1.0)
+        .otherwise(0.0)
+        .alias("__ok")
+    )
+    return r.filter(F.col("n_bytes") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.least(dround(F.avg(in_bounds), 4), F.lit(1.0)).alias("bounds_floor"),
+    )
+
+
+SQL_COMPRESSION_RATIO_EVAL = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(1.0 AS DOUBLE) AS bounds_floor
+FROM documents WHERE octet_length(encode(coalesce(text, ''))) > 0
+"""
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-source Flesch readability (llm/text.py::readability_profile):
     # computed from the group's exact integer word/sentence/syllable
@@ -3519,4 +3646,14 @@ QUERIES: dict[str, Query] = {
     "q_length_buckets": Query(
         q_length_buckets, SQL_LENGTH_BUCKETS, "length-bucketed batch planning with padding accounting"
     ),
+    "q_blocklist_filter": Query(
+        q_blocklist_filter, SQL_BLOCKLIST_FILTER, "broadcast blocklist screen (codegen-only keep/drop gate)"
+    ),
+    "q_compression_ratio": Query(
+        q_compression_ratio, None, "per-doc zlib redundancy signal (rows-only; bounds twin hash-green)"
+    ),
+    "q_compression_ratio_eval": Query(
+        q_compression_ratio_eval, SQL_COMPRESSION_RATIO_EVAL, "bounds twin for the zlib redundancy signal"
+    ),
+    "q_hits": Query(q_hits, SQL_HITS, "fixed-iteration HITS hubs/authorities (L1-normalized, exact replay)"),
 }

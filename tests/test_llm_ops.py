@@ -1481,3 +1481,82 @@ def test_ivf_dials_scale_with_corpus_size():
         d = ivf_dials(n)
         assert d >= last
         last = d
+
+
+def test_blocklist_filter_counts_and_gate(spark):
+    from python_mapreduce_spark.llm.text import blocklist_filter
+
+    rows = [
+        (1, "Visit the CASINO and win the jackpot now"),
+        (2, "a perfectly clean document"),
+        (3, "casino"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: (r.hits, r.first_term, r.keep) for r in blocklist_filter(
+        df, "doc_id", "text", ["jackpot", "casino"], max_hits_keep=0
+    ).collect()}
+    assert got[1] == (2, "casino", False)
+    assert got[2] == (0, None, True)
+    assert got[3] == (1, "casino", False)
+    assert got[4] == (0, None, True)  # NULL text = empty doc, kept
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        blocklist_filter(df, "doc_id", "text", [])
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    from python_mapreduce_spark.llm.text import compression_ratio
+
+    rows = [(1, "abab" * 200), (2, "the quick brown fox"), (3, None), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in compression_ratio(df, "doc_id", "text").collect()}
+    for i, t in rows:
+        if not t:
+            assert (got[i].n_bytes, got[i].c_bytes, got[i].ratio) == (0, 0, None)
+            continue
+        raw = t.encode("utf-8")
+        c = len(zlib.compress(raw, 6))
+        assert (got[i].n_bytes, got[i].c_bytes) == (len(raw), c)
+        import math
+
+        assert got[i].ratio == math.floor(c / len(raw) * 1e6 + 0.5) / 1e6
+    # highly repetitive text compresses far below prose
+    assert got[1].ratio < 0.1 < got[2].ratio
+
+
+def test_hits_scores_match_python_replay(spark):
+    # Tiny directed graph replayed sequentially with the exact rounding
+    # schedule (L1 norm, 1e-6 half-up per step).
+    import math
+
+    from python_mapreduce_spark.llm.dedup import hits_scores
+
+    edges = [("a", "x"), ("a", "y"), ("b", "x"), ("c", "y"), ("x", "y")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: (r.hub, r.auth) for r in hits_scores(df, "src", "dst", iterations=2).collect()}
+
+    def dr(v):
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    nodes = sorted({n for e in edges for n in e})
+    hub = {n: 1.0 for n in nodes}
+    auth = {}
+    for _ in range(2):
+        raw = {n: 0.0 for n in nodes}
+        for s, d in edges:
+            raw[d] = round(raw[d] + hub[s], 6)  # DECIMAL(18,6) sum is exact
+        tot = sum(raw.values())
+        auth = {n: dr(raw[n] / tot) for n in nodes}
+        raw = {n: 0.0 for n in nodes}
+        for s, d in edges:
+            raw[s] = round(raw[s] + auth[d], 6)
+        tot = sum(raw.values())
+        hub = {n: dr(raw[n] / tot) for n in nodes}
+    for n in nodes:
+        assert got[n] == (hub[n], auth[n]), n
+    # sanity: y is pointed at by the most/best hubs -> top authority
+    assert max(nodes, key=lambda n: auth[n]) == "y"

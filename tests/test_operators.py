@@ -1475,3 +1475,45 @@ def test_pr_curve_and_lift_gain_match_replay(spark):
         assert r.recall is None and r.f1 is None and r.tp == 0
     for r in lift_gain(df1, "score", "y", n_buckets=2).collect():
         assert r.gain is None and r.lift is None
+
+
+def test_sorted_neighborhood_pairs_exact_set(spark):
+    from python_mapreduce_spark.operators.joins import sorted_neighborhood_pairs
+
+    rows = [(i, f"k{(i * 3) % 5}", i % 4) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, blk string, sub int")
+    w = 3
+    got = {(r.id_a, r.id_b, r.rank_gap) for r in sorted_neighborhood_pairs(
+        df, "id", ["blk", "sub"], window=w
+    ).collect()}
+    order = [i for i, b, s in sorted(rows, key=lambda r: (r[1], r[2], r[0]))]
+    want = {
+        (order[i], order[i + g], g)
+        for i in range(len(order))
+        for g in range(1, w + 1)
+        if i + g < len(order)
+    }
+    assert got == want
+    n = len(rows)
+    assert len(got) == n * w - w * (w + 1) // 2
+
+
+def test_histogram2d_matches_direct_count(spark):
+    from python_mapreduce_spark.operators.aggregates import histogram2d
+
+    rows = [(float(i % 7) * 2 - 1, float(i % 5) * 3) for i in range(100)]
+    rows += [(None, 1.0), (1.0, None), (99.0, 99.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = {(r.x_bucket, r.y_bucket): r.n for r in histogram2d(
+        df, "x", "y", x_range=(0.0, 10.0, 5), y_range=(0.0, 12.0, 4)
+    ).collect()}
+    import math
+
+    want: dict[tuple, int] = {}
+    for x, y in rows:
+        if x is None or y is None:
+            continue
+        xb = -1 if x < 0 else (5 if x >= 10 else int(math.floor(x / 2.0)))
+        yb = -1 if y < 0 else (4 if y >= 12 else int(math.floor(y / 3.0)))
+        want[(xb, yb)] = want.get((xb, yb), 0) + 1
+    assert got == want

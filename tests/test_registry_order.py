@@ -42,11 +42,16 @@ def test_window_spans_every_module():
 
 
 # The only registry entries with no DuckDB oracle: non-SQL-expressible
-# sketch/ANN result sets. Each has an oracle-checked eval twin
-# (q_dedup_simhash_eval, q_sim_ann_*_recall); the driver records a
-# rows-only check for the raw form. Round 3 deliberately puts them in
-# the window so they finally get that (weaker) driver row.
-ROWS_ONLY_OK = {"q_dedup_simhash", "q_sim_ann_lsh", "q_sim_ann_ivf"}
+# sketch/ANN result sets and the zlib signal (DuckDB has no zlib). Each
+# has an oracle-checked eval twin (q_dedup_simhash_eval,
+# q_sim_ann_*_recall, q_compression_ratio_eval); the driver records a
+# rows-only check for the raw form.
+ROWS_ONLY_OK = {
+    "q_dedup_simhash",
+    "q_sim_ann_lsh",
+    "q_sim_ann_ivf",
+    "q_compression_ratio",
+}
 
 
 def test_window_queries_all_have_oracles():
@@ -56,7 +61,12 @@ def test_window_queries_all_have_oracles():
     ]
     assert not missing, f"driver-window queries without SQL oracle: {missing}"
     # every rows-only window entry must have an oracle-checked eval twin
-    assert {"q_dedup_simhash_eval", "q_sim_ann_lsh_recall", "q_sim_ann_ivf_recall"} <= set(qs)
+    assert {
+        "q_dedup_simhash_eval",
+        "q_sim_ann_lsh_recall",
+        "q_sim_ann_ivf_recall",
+        "q_compression_ratio_eval",
+    } <= set(qs)
 
 
 def test_no_duplicate_or_dangling_priority_names():
