@@ -152,6 +152,15 @@ HEADLINE = [
     "q_rfm",
     "q_corr_matrix",
     "q_code_detect",
+    "q_pr_curve",
+    "q_lift_gain",
+    "q_auc_disparity",
+    "q_blocklist_filter",
+    "q_compression_ratio",
+    "q_compression_ratio_eval",
+    "q_hits",
+    "q_sorted_neighborhood",
+    "q_histogram2d",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings
