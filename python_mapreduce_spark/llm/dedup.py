@@ -1005,6 +1005,17 @@ def containment_pairs(
     containment stays a true ratio over the reduced universe). The
     undirected intersection count is computed ONCE per pair (id1 < id2)
     and fanned into both directions by a projection, not a second join.
+
+    Cost law (measured, tools/bench_scale.py r6): candidate pairs are
+    sum over kept shingles of df*(df-1)/2, hard-bounded by
+    ``max_shingle_df/2 x kept posting instances`` — linear in corpus
+    size with slope df-cap/2. BUT while per-shingle df is still BELOW
+    the cap and growing with the corpus (a fixed-vocabulary regime:
+    the 10x synthetic corpus measured pairs x58.8 on instances x6.4,
+    74.5M pairs vs the 166M bound), growth is quadratic until the cap
+    bites; past saturation, hot shingles drop out and cost falls back
+    to the linear law. Size ``max_shingle_df`` for the pair budget:
+    pairs <= cap/2 x instances ALWAYS holds.
     """
     sets_ = shingle_sets(df, id_col, text_col, n).filter(F.size("shingles") > 0)
     posts = sets_.select("id", F.explode("shingles").alias("shingle"))

@@ -1106,8 +1106,6 @@ def auc_score(
     DECIMAL(38,0) past the ~4e9-row int64 cliff), so the statistic is
     bit-identical in any engine.
     """
-    from python_mapreduce_spark.operators.windows import global_running_sum  # noqa: PLC0415 - avoid module cycle
-
     gs = list(group_cols)
     y = F.col(label_col) if isinstance(label_col, str) else label_col
     base = df.select(
@@ -1119,6 +1117,27 @@ def auc_score(
         F.sum(F.col("__y").cast("long")).cast("long").alias("__p"),
         F.sum((~F.col("__y")).cast("long")).cast("long").alias("__n"),
     )
+    return auc_from_score_counts(counts, gs, num_partitions=num_partitions)
+
+
+def auc_from_score_counts(
+    counts: DataFrame,
+    group_cols: Sequence[str] = (),
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The counts→AUC tail of :func:`auc_score`, factored out so
+    alternative count sources plug in — in particular the INCREMENTAL
+    path (``streaming/incremental.py::incremental_score_counts``):
+    per-distinct-score (positive, negative) counts are ADDITIVE across
+    ingest epochs, so a continuously-evaluated model's AUC recomputes
+    from score-cardinality-sized state without rescanning old epochs.
+    ``counts`` carries one row per (group_cols..., __s) with long
+    ``__p`` / ``__n`` columns; same contract as :func:`auc_score`.
+    """
+    from python_mapreduce_spark.operators.windows import global_running_sum  # noqa: PLC0415 - avoid module cycle
+
+    gs = list(group_cols)
     if gs:
         from pyspark.sql.window import Window  # noqa: PLC0415
 

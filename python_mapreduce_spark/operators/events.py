@@ -745,3 +745,82 @@ def rfm_segments(
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+def survival_curve(
+    df: DataFrame,
+    duration_col: str,
+    event_col,
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Kaplan-Meier survival estimate over right-censored durations —
+    the time-to-event curve behind churn/retention questions ("what
+    fraction of users survive past day t, accounting for users we are
+    still observing"): S(t) = prod over event times u <= t of
+    (1 - d_u / n_u), with d_u deaths at u and n_u at risk just before
+    u; censored subjects leave the risk set without a death term.
+    ``event_col`` is a boolean column/name (true = event observed,
+    false = censored at that duration). Emits one row per distinct
+    duration: (duration, n_risk, n_events, n_censored, survival),
+    survival rounded to 1e-6. NULL durations/flags are excluded.
+
+    Determinism: the product runs as a RUNNING SUM of ln terms scaled
+    to 1e-8 integers (floor(ln * 1e8 + 0.5) as long — exact integer
+    arithmetic through the distributed running sum), exponentiated once
+    at the end; when every at-risk subject dies at u (d_u = n_u) the
+    ln is -inf, so the term uses a -1e12 sentinel whose exp underflows
+    to exactly 0.0 in IEEE — both engines replay the identical rule.
+
+    Scale shape: one map-side-combined hash agg to per-duration
+    (deaths, censored) counts, then TWO distributed running sums over
+    the duration order (the risk set must be known before the ln terms
+    exist) — both over the duration-cardinality frame, range exchange +
+    broadcast offsets, never a single-task window.
+    """
+    from python_mapreduce_spark.operators.windows import global_running_sum  # noqa: PLC0415
+
+    t = F.col(duration_col).cast("double")
+    e = (F.col(event_col) if isinstance(event_col, str) else event_col).cast("boolean")
+    counts = (
+        df.select(t.alias("t"), e.alias("__e"))
+        .filter(F.col("t").isNotNull() & F.col("__e").isNotNull())
+        .groupBy("t")
+        .agg(
+            F.sum(F.col("__e").cast("long")).cast("long").alias("__d"),
+            F.sum((~F.col("__e")).cast("long")).cast("long").alias("__c"),
+        )
+        .withColumn("__dc", F.col("__d") + F.col("__c"))
+    )
+    cum = global_running_sum(
+        counts, ["t"], "__dc", out="__cumdc", num_partitions=num_partitions
+    )
+    tot = cum.agg(F.sum("__dc").cast("long").alias("__N"))
+    r = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "__nr", F.col("__N") - (F.col("__cumdc") - F.col("__dc"))
+    )
+    term8 = (
+        F.when(F.col("__d") == 0, F.lit(0).cast("long"))
+        .when(
+            F.col("__d") < F.col("__nr"),
+            F.floor(
+                F.ln(F.lit(1.0) - F.col("__d").cast("double") / F.col("__nr").cast("double"))
+                * F.lit(1e8)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .otherwise(F.lit(-(10**12)).cast("long"))
+    )
+    s = global_running_sum(
+        r.withColumn("__t8", term8), ["t"], "__t8", out="__cln8",
+        num_partitions=num_partitions,
+    )
+    from python_mapreduce_spark.functions.scalar import dround  # noqa: PLC0415
+
+    return s.select(
+        F.col("t").alias("duration"),
+        F.col("__nr").cast("long").alias("n_risk"),
+        F.col("__d").alias("n_events"),
+        F.col("__c").alias("n_censored"),
+        dround(F.exp(F.col("__cln8").cast("double") / F.lit(1e8)), 6).alias("survival"),
+    )

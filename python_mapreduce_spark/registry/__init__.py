@@ -125,6 +125,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_hits",
     "q_sorted_neighborhood",
     "q_histogram2d",
+    "q_survival_curve",
+    "q_stream_incremental_auc",
     "q_sim_ann_ivf_recall",
     "q08_market_share",
     "q09_product_profit",

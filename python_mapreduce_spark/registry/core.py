@@ -1957,6 +1957,58 @@ FROM per CROSS JOIN ov
 """
 
 
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Kaplan-Meier churn curve (operators/events.py::survival_curve):
+    # per-user lifetime = days between first and last activity, event
+    # = went quiet before Jan 25 (else right-censored at the
+    # observation edge). The product runs as a running sum of 1e-8-
+    # scaled ln terms — exact long arithmetic through two distributed
+    # running sums — so the oracle replays it digit-for-digit.
+    from python_mapreduce_spark.operators.events import survival_curve  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"), F.max(F.to_date("ts")).alias("ld")
+    )
+    obs = per_user.select(
+        F.datediff("ld", "fd").cast("double").alias("dur"),
+        (F.col("ld") < F.to_date(F.lit("2024-01-25"))).alias("churned"),
+    )
+    return survival_curve(obs, "dur", "churned")
+
+
+SQL_SURVIVAL_CURVE = f"""
+WITH pu AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS fd, max(CAST(ts AS DATE)) AS ld
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+obs AS (
+  SELECT CAST(ld - fd AS DOUBLE) AS t,
+         CASE WHEN ld < DATE '2024-01-25' THEN 1 ELSE 0 END AS e
+  FROM pu
+),
+counts AS (
+  SELECT t, CAST(sum(e) AS BIGINT) AS d, CAST(sum(1 - e) AS BIGINT) AS c
+  FROM obs GROUP BY t
+),
+cum AS (SELECT *, sum(d + c) OVER (ORDER BY t) AS cumdc FROM counts),
+tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM counts),
+r AS (SELECT t, d, c, n - (cumdc - d - c) AS nrisk FROM cum CROSS JOIN tot),
+term AS (
+  SELECT *, CASE WHEN d = 0 THEN 0
+                 WHEN d < nrisk THEN CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / nrisk)
+                                                * 100000000.0 + 0.5) AS BIGINT)
+                 ELSE -1000000000000 END AS t8
+  FROM r
+),
+s AS (SELECT *, sum(t8) OVER (ORDER BY t) AS cln8 FROM term)
+SELECT t AS duration, CAST(nrisk AS BIGINT) AS n_risk, d AS n_events,
+       c AS n_censored,
+       {sql_dround("exp(CAST(cln8 AS DOUBLE) / 100000000.0)", 6)} AS survival
+FROM s
+"""
+
+
 def q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     # First-order Markov transition matrix (operators/events.py::
     # markov_transitions) over per-user event sequences ordered by
@@ -2602,6 +2654,7 @@ QUERIES: dict[str, Query] = {
     "q_auc": Query(q_auc, SQL_AUC, "distributed rank-based ROC AUC with tie half-credit"),
     "q_auc_daily": Query(q_auc_daily, SQL_AUC_DAILY, "per-slice (daily) AUC via group-partitioned windows"),
     "q_histogram2d": Query(q_histogram2d, SQL_HISTOGRAM2D, "joint 2-D fixed-range histogram (heatmap profiling pass)"),
+    "q_survival_curve": Query(q_survival_curve, SQL_SURVIVAL_CURVE, "Kaplan-Meier churn curve with censoring (exact ln-sum replay)"),
     "q_pr_curve": Query(q_pr_curve, SQL_PR_CURVE, "precision-recall sweep via one multi-weight running sum"),
     "q_lift_gain": Query(q_lift_gain, SQL_LIFT_GAIN, "decile lift/gain table with exact integer bucket boundaries"),
     "q_auc_disparity": Query(q_auc_disparity, SQL_AUC_DISPARITY, "per-segment AUC vs overall with fairness gap"),

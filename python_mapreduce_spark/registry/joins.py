@@ -408,7 +408,10 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SORTED_NEIGHBORHOOD = """
 WITH rk AS (
-  SELECT doc_id, row_number() OVER (ORDER BY lang, n_chars, doc_id) AS rn
+  -- NULLS FIRST pins DuckDB to Spark's ascending default (NULLS LAST
+  -- would silently reorder any NULL-lang rows and shift every pair)
+  SELECT doc_id, row_number() OVER (
+      ORDER BY lang NULLS FIRST, n_chars NULLS FIRST, doc_id) AS rn
   FROM documents
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -346,7 +346,14 @@ def q_dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     #     failure. The oracle reproduces the (SQL-expressible) pair
     #     count and the healthy literals.
     docs = table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.95)
+    # df cap = the standard stop-shingle guard (see q_dedup_jaccard); at
+    # every driver-checked SF max shingle df < 100 (sf0.1 measured 0 hot
+    # shingles) so the pair set — and the oracle — are unchanged, while
+    # the postings join stays bounded on saturated corpora (bench_scale
+    # r6 measured uncapped pairs growing x58.8 on the 10x synthetic).
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.95, max_shingle_df=100
+    )
     fps = simhash(docs, "doc_id", "text")
     f1 = fps.select(F.col("id").alias("id1"), F.col("simhash64").alias("h1"))
     f2 = fps.select(F.col("id").alias("id2"), F.col("simhash64").alias("h2"))
@@ -3219,7 +3226,12 @@ def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_mapreduce_spark.llm.dedup import ngram_jaccard_pairs, triangle_stats  # noqa: PLC0415
 
     docs = table(spark, sf_dir, "documents")
-    edges = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    # df cap: identical pair set at every driver-checked SF (max df
+    # < 100 there), bounded postings join on saturated corpora — see
+    # q_dedup_jaccard's comment and containment_pairs' cost law.
+    edges = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.8, max_shingle_df=100
+    )
     return triangle_stats(edges)
 
 

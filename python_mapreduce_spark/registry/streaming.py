@@ -705,9 +705,50 @@ def q_stream_incremental_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jsd_from_category_counts(ca, cb)
 
 
+def q_stream_incremental_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental MODEL-EVAL state (streaming/incremental.py::
+    # incremental_score_counts): the click/purchase scoring task of
+    # q_auc, but the (score -> pos/neg count) sufficient statistics
+    # land in two checkpointed ingest waves of additive per-epoch
+    # partitions. The AUC recomputes from the summed state via the
+    # SAME counts->AUC tail the batch operator uses
+    # (auc_from_score_counts), so the union of epochs equals the
+    # one-shot batch eval, which IS the oracle (registry/core.py::
+    # SQL_AUC verbatim).
+    from python_mapreduce_spark.operators.aggregates import (  # noqa: PLC0415
+        auc_from_score_counts,
+    )
+    from python_mapreduce_spark.session import tune  # noqa: PLC0415
+    from python_mapreduce_spark.streaming.incremental import (  # noqa: PLC0415
+        incremental_score_counts,
+        read_score_counts,
+    )
+
+    tune(spark)
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+
+    work = tempfile.mkdtemp(prefix="incr_auc_")
+    in_dir, ckpt, state = (
+        os.path.join(work, "in"),
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "state"),
+    )
+    score = dround(F.col("value"), 1)
+    label = F.col("event_type") == "purchase"
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(in_dir)
+    incremental_score_counts(spark, in_dir, ckpt, score, label, state)
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(in_dir)
+    incremental_score_counts(spark, in_dir, ckpt, score, label, state)
+
+    return auc_from_score_counts(read_score_counts(spark, state))
+
+
 # The incremental monitor's oracle IS the one-shot batch monitor: bucket
 # counts are additive, so the epoch-state recombination must reproduce
 # registry/core.py's q_psi_drift result digit-for-digit.
+from python_mapreduce_spark.registry.core import SQL_AUC as _SQL_AUC  # noqa: E402
 from python_mapreduce_spark.registry.core import SQL_PSI_DRIFT as _SQL_PSI_DRIFT  # noqa: E402
 from python_mapreduce_spark.registry.core import SQL_JSD_DRIFT as _SQL_JSD_DRIFT  # noqa: E402
 
@@ -722,6 +763,11 @@ QUERIES: dict[str, Query] = {
         q_stream_incremental_jsd,
         _SQL_JSD_DRIFT,
         "incremental categorical JSD drift from additive per-epoch category state",
+    ),
+    "q_stream_incremental_auc": Query(
+        q_stream_incremental_auc,
+        _SQL_AUC,
+        "incremental ROC AUC from additive per-epoch score-count state",
     ),
     "q_stream_static_join": Query(
         q_stream_static_join, SQL_STREAM_STATIC_JOIN, "stream-static broadcast dimension enrichment"

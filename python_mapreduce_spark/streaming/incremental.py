@@ -601,3 +601,66 @@ def read_category_state(spark: SparkSession, state_dir: str) -> DataFrame:
         .groupBy("__c")
         .agg(F.sum("__nc").cast("long").alias("__nc"))
     )
+
+
+def incremental_score_counts(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    score_expr,
+    label_expr,
+    state_dir: str,
+) -> None:
+    """Incremental MODEL-EVAL state: each checkpointed pass reduces ONLY
+    newly ingested files to per-distinct-score (positive, negative)
+    counts — the sufficient statistics of the rank-identity ROC AUC —
+    and writes them into an idempotent ``ingest_epoch=<epoch>/``
+    partition of ``state_dir`` (mode=overwrite — crash-replay
+    overwrites, exactly-once per epoch, the family contract). The
+    counts are ADDITIVE, so a continuously-evaluated model's AUC (and
+    PR curve: the same counts drive
+    ``operators/aggregates.py::pr_curve``'s plan) recomputes from
+    score-cardinality-sized state without rescanning old epochs — read
+    back with :func:`read_score_counts` +
+    ``operators/aggregates.py::auc_from_score_counts``. The eval
+    companion of :func:`incremental_psi_buckets`.
+
+    ``score_expr`` / ``label_expr`` are Columns (or names) evaluated on
+    each batch; rows with a NULL score or label are excluded, matching
+    ``auc_score``.
+    """
+
+    def on_batch(batch: DataFrame, epoch: int) -> None:
+        s = F.col(score_expr) if isinstance(score_expr, str) else score_expr
+        y = F.col(label_expr) if isinstance(label_expr, str) else label_expr
+        counts = (
+            normalize_event_ts(batch)
+            .select(
+                s.cast("double").alias("__s"), y.cast("boolean").alias("__y")
+            )
+            .filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+            .groupBy("__s")
+            .agg(
+                F.sum(F.col("__y").cast("long")).cast("long").alias("__p"),
+                F.sum((~F.col("__y")).cast("long")).cast("long").alias("__n"),
+            )
+        )
+        counts.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"ingest_epoch={epoch}")
+        )
+
+    incremental_pass(spark, input_dir, checkpoint_dir, on_batch)
+
+
+def read_score_counts(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Sum the per-epoch score-count partitions back to the running
+    (__s, __p, __n) frame — the additive recombination
+    :func:`incremental_score_counts` is designed around."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("__s")
+        .agg(
+            F.sum("__p").cast("long").alias("__p"),
+            F.sum("__n").cast("long").alias("__n"),
+        )
+    )

@@ -1517,3 +1517,42 @@ def test_histogram2d_matches_direct_count(spark):
         yb = -1 if y < 0 else (4 if y >= 12 else int(math.floor(y / 3.0)))
         want[(xb, yb)] = want.get((xb, yb), 0) + 1
     assert got == want
+
+
+def test_survival_curve_matches_lifelines_formula(spark):
+    # Kaplan-Meier vs the canonical sequential computation, censoring
+    # included; covers the d == n_risk tail (survival exactly 0.0).
+    import math
+
+    from python_mapreduce_spark.operators.events import survival_curve
+
+    obs = [
+        (1.0, True), (1.0, False), (2.0, True), (3.0, False),
+        (4.0, True), (4.0, True), (5.0, False), (6.0, True),
+        (6.0, True),  # at t=6 everyone left dies -> S drops to 0
+    ]
+    df = spark.createDataFrame(obs, "dur double, ev boolean")
+    got = {r.duration: r for r in survival_curve(df, "dur", "ev").collect()}
+
+    times = sorted({t for t, _ in obs})
+    n_risk = len(obs)
+    cln8 = 0
+    for t in times:
+        d = sum(1 for u, e in obs if u == t and e)
+        c = sum(1 for u, e in obs if u == t and not e)
+        if d == 0:
+            term8 = 0
+        elif d < n_risk:
+            term8 = math.floor(math.log(1.0 - d / n_risk) * 1e8 + 0.5)
+        else:
+            term8 = -(10**12)
+        cln8 += term8
+        s = math.floor(math.exp(cln8 / 1e8) * 1e6 + 0.5) / 1e6
+        r = got[t]
+        assert (r.n_risk, r.n_events, r.n_censored) == (n_risk, d, c), t
+        assert r.survival == s, t
+        n_risk -= d + c
+    assert got[6.0].survival == 0.0
+    # NULLs excluded; empty input -> zero rows
+    df2 = spark.createDataFrame([(None, True), (1.0, None)], "dur double, ev boolean")
+    assert survival_curve(df2, "dur", "ev").count() == 0
