@@ -3152,20 +3152,25 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_compression_ratio_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bounds twin for q_compression_ratio (the ANN-recall-twin pattern):
-    # every non-empty document's zlib ratio must land in (0.02, 1.1] —
-    # word-salad prose compresses ~0.3-0.6, and a ratio outside the
-    # band means the UDF mis-measured. bounds_floor = least(frac, 1.0):
-    # the literal 1.0 when the contract holds (what the oracle emits),
-    # the actual deficient fraction on failure.
+    # for every document of >= 32 bytes, the zlib ratio must land in
+    # (0, 1.5] — a TRUE invariant (c_bytes >= 1 so ratio > 0; zlib's
+    # worst case is n + ~11 bytes of stored-block overhead, <= 1.35n at
+    # n >= 32), so a miss can only mean the UDF wiring mis-measured.
+    # Docs under 32 bytes are excluded: the fixed overhead legitimately
+    # pushes tiny inputs past any constant bound (the NULL-text
+    # robustness replica caught exactly that with a 1.1 cutoff).
+    # bounds_floor = least(frac, 1.0): the literal 1.0 when the
+    # contract holds (what the oracle emits), the actual deficient
+    # fraction on failure.
     from python_mapreduce_spark.llm.text import compression_ratio  # noqa: PLC0415
 
     r = compression_ratio(table(spark, sf_dir, "documents"), "doc_id", "text")
     in_bounds = (
-        F.when((F.col("ratio") > 0.02) & (F.col("ratio") <= 1.1), 1.0)
+        F.when((F.col("ratio") > 0.0) & (F.col("ratio") <= 1.5), 1.0)
         .otherwise(0.0)
         .alias("__ok")
     )
-    return r.filter(F.col("n_bytes") > 0).agg(
+    return r.filter(F.col("n_bytes") >= 32).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.least(dround(F.avg(in_bounds), 4), F.lit(1.0)).alias("bounds_floor"),
     )
@@ -3173,7 +3178,7 @@ def q_compression_ratio_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_COMPRESSION_RATIO_EVAL = """
 SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(1.0 AS DOUBLE) AS bounds_floor
-FROM documents WHERE octet_length(encode(coalesce(text, ''))) > 0
+FROM documents WHERE octet_length(encode(coalesce(text, ''))) >= 32
 """
 
 
