@@ -1995,3 +1995,112 @@ def correlation_matrix(
     return wide.select(F.explode(F.array(*structs)).alias("p")).select(
         "p.col_a", "p.col_b", "p.n", "p.corr"
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier column set — the
+    privacy-governance gate beside PII redaction/pseudonymization
+    (``llm/text.py::pii_scrub`` / ``pseudonymize``): a row is
+    re-identifiable when its quasi-identifier combination is shared by
+    fewer than ``k`` rows. Emits ONE row: (n_rows, n_groups,
+    n_groups_at_risk, n_rows_at_risk, rows_at_risk_share, k_anonymous)
+    — ``k_anonymous`` is the release gate (true iff NO group is below
+    k). NULLs count as values (a NULL birth-year is itself a bucket);
+    empty input emits ZERO rows (the grouped-agg convention of
+    :func:`ks_statistic`, matching a grouped oracle).
+
+    Scale shape: one map-side-combined hash agg to the group-size
+    frame, then ONE re-aggregation of that (group-cardinality-sized)
+    frame — the data is scanned once, and nothing row-sized crosses the
+    wire twice. The share divides exact longs and rounds to 1e-6.
+    """
+    qs = list(quasi_cols)
+    if not qs:
+        raise ValueError("k_anonymity_audit needs at least one quasi-identifier column")
+    sizes = df.groupBy(*qs).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    at_risk = F.col("__n") < int(k)
+    return sizes.groupBy(F.lit(1).alias("__g")).agg(
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(at_risk.cast("long")).cast("long").alias("n_groups_at_risk"),
+        F.sum(F.when(at_risk, F.col("__n")).otherwise(0)).cast("long").alias("n_rows_at_risk"),
+    ).select(
+        "n_rows",
+        "n_groups",
+        "n_groups_at_risk",
+        "n_rows_at_risk",
+        dround(F.col("n_rows_at_risk") / F.col("n_rows").cast("double"), 6).alias(
+            "rows_at_risk_share"
+        ),
+        (F.col("n_groups_at_risk") == 0).alias("k_anonymous"),
+    )
+
+
+def missingness_pattern(
+    df: DataFrame,
+    cols: Sequence[str],
+) -> DataFrame:
+    """NULL co-occurrence audit: for every ordered column pair, how
+    often both are NULL in the same row, against each column's own NULL
+    count — structured (correlated) missingness is an ingest-bug
+    signature that per-column null rates (``table_profile``) cannot
+    see (two fields each 1% NULL that are ALWAYS null together point at
+    one upstream failure, not two). Emits one row per ordered pair
+    (col_a, col_b, n_rows, nulls_a, nulls_b, nulls_both, jaccard) with
+    jaccard = both / (a + b - both), NULL when neither column has any
+    NULLs; symmetric pairs both emitted for joinability.
+
+    Scale shape: ALL pairwise co-null counts come from ONE scan and ONE
+    1-row aggregation (k^2/2 conditional sums — column count is small
+    and fixed); the pair table is exploded from that single row, so
+    nothing data-sized shuffles at all.
+    """
+    ks = list(cols)
+    if len(ks) < 2:
+        raise ValueError("missingness_pattern needs at least two columns")
+    aggs = [F.count(F.lit(1)).cast("long").alias("__rows")]
+    for c in ks:
+        aggs.append(
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"__n_{c}")
+        )
+    for i, a in enumerate(ks):
+        for b in ks[i + 1 :]:
+            aggs.append(
+                F.coalesce(
+                    F.sum((F.col(a).isNull() & F.col(b).isNull()).cast("long")),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"__b_{a}_{b}")
+            )
+    one = df.agg(*aggs).localCheckpoint(eager=False)  # consumed once per pair below
+    parts = []
+    for i, a in enumerate(ks):
+        for b in ks[i + 1 :]:
+            for x, y in ((a, b), (b, a)):
+                union = F.col(f"__n_{x}") + F.col(f"__n_{y}") - F.col(f"__b_{a}_{b}")
+                parts.append(
+                    one.select(
+                        F.lit(x).alias("col_a"),
+                        F.lit(y).alias("col_b"),
+                        F.col("__rows").alias("n_rows"),
+                        F.col(f"__n_{x}").alias("nulls_a"),
+                        F.col(f"__n_{y}").alias("nulls_b"),
+                        F.col(f"__b_{a}_{b}").alias("nulls_both"),
+                        F.when(
+                            union > 0,
+                            dround(F.col(f"__b_{a}_{b}") / union.cast("double"), 6),
+                        ).alias("jaccard"),
+                    )
+                )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -127,6 +127,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_histogram2d",
     "q_survival_curve",
     "q_stream_incremental_auc",
+    "q_k_anonymity",
+    "q_missingness",
     "q_sim_ann_ivf_recall",
     "q08_market_share",
     "q09_product_profit",

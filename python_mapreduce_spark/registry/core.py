@@ -823,6 +823,85 @@ GROUP BY 1, 2
 """
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Privacy release gate (operators/aggregates.py::k_anonymity_audit):
+    # are documents re-identifiable by the (lang, source, length-bucket)
+    # quasi-identifier combination? One group-size agg + one
+    # re-aggregation of the group frame; NULL quasi-values are buckets.
+    from python_mapreduce_spark.operators.aggregates import k_anonymity_audit  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.expr("n_chars DIV 200")
+    )
+    return k_anonymity_audit(docs, ["lang", "source", "len_bucket"], k=5)
+
+
+SQL_K_ANONYMITY = f"""
+WITH g AS (
+  SELECT lang, source, n_chars // 200 AS nb, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT n_rows, n_groups, n_groups_at_risk, n_rows_at_risk,
+       {sql_dround("CAST(n_rows_at_risk AS DOUBLE) / n_rows", 6)} AS rows_at_risk_share,
+       n_groups_at_risk = 0 AS k_anonymous
+FROM (
+  SELECT 1 AS grp,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_at_risk,
+         CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+  FROM g GROUP BY grp
+)
+"""
+
+
+def q_missingness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Structured-missingness audit (operators/aggregates.py::
+    # missingness_pattern): NULL co-occurrence across events' nullable
+    # columns — correlated missingness is one upstream bug, not three.
+    # All pairwise co-null counts from ONE scan/agg; the pair table is
+    # exploded from that single row.
+    from python_mapreduce_spark.operators.aggregates import missingness_pattern  # noqa: PLC0415
+
+    return missingness_pattern(
+        table(spark, sf_dir, "events"), ["value", "props", "user_id"]
+    )
+
+
+def _sql_missingness() -> str:
+    cols = ["value", "props", "user_id"]
+    nulls = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN {c} IS NULL THEN 1 END), 0) AS BIGINT) AS n_{c}"
+        for c in cols
+    )
+    boths = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN {a} IS NULL AND {b} IS NULL THEN 1 END), 0)"
+        f" AS BIGINT) AS b_{a}_{b}"
+        for i, a in enumerate(cols)
+        for b in cols[i + 1 :]
+    )
+    rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            for x, y in ((a, b), (b, a)):
+                union = f"(n_{x} + n_{y} - b_{a}_{b})"
+                rows.append(
+                    f"SELECT '{x}' AS col_a, '{y}' AS col_b, n_rows,"
+                    f" n_{x} AS nulls_a, n_{y} AS nulls_b, b_{a}_{b} AS nulls_both,"
+                    f" CASE WHEN {union} > 0 THEN"
+                    f" {sql_dround(f'b_{a}_{b} / CAST({union} AS DOUBLE)', 6)}"
+                    f" END AS jaccard FROM s"
+                )
+    return (
+        "WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        + nulls + ", " + boths + " FROM events)\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+SQL_MISSINGNESS = _sql_missingness()
+
+
 _PROFILE_COLS = [
     ("l_orderkey", True),
     ("l_quantity", True),
@@ -2655,6 +2734,8 @@ QUERIES: dict[str, Query] = {
     "q_auc_daily": Query(q_auc_daily, SQL_AUC_DAILY, "per-slice (daily) AUC via group-partitioned windows"),
     "q_histogram2d": Query(q_histogram2d, SQL_HISTOGRAM2D, "joint 2-D fixed-range histogram (heatmap profiling pass)"),
     "q_survival_curve": Query(q_survival_curve, SQL_SURVIVAL_CURVE, "Kaplan-Meier churn curve with censoring (exact ln-sum replay)"),
+    "q_k_anonymity": Query(q_k_anonymity, SQL_K_ANONYMITY, "k-anonymity release gate over quasi-identifier group sizes"),
+    "q_missingness": Query(q_missingness, SQL_MISSINGNESS, "NULL co-occurrence audit (structured-missingness detector)"),
     "q_pr_curve": Query(q_pr_curve, SQL_PR_CURVE, "precision-recall sweep via one multi-weight running sum"),
     "q_lift_gain": Query(q_lift_gain, SQL_LIFT_GAIN, "decile lift/gain table with exact integer bucket boundaries"),
     "q_auc_disparity": Query(q_auc_disparity, SQL_AUC_DISPARITY, "per-segment AUC vs overall with fairness gap"),

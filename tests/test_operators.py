@@ -1556,3 +1556,35 @@ def test_survival_curve_matches_lifelines_formula(spark):
     # NULLs excluded; empty input -> zero rows
     df2 = spark.createDataFrame([(None, True), (1.0, None)], "dur double, ev boolean")
     assert survival_curve(df2, "dur", "ev").count() == 0
+
+
+def test_k_anonymity_and_missingness_match_counts(spark):
+    from python_mapreduce_spark.operators.aggregates import (
+        k_anonymity_audit,
+        missingness_pattern,
+    )
+
+    rows = [
+        ("a", 1, 10.0), ("a", 1, None), ("a", 1, 3.0),   # group of 3
+        ("a", 2, None), ("b", None, None),               # two singletons
+        ("b", 3, 1.0), ("b", 3, None),                   # pair
+    ]
+    df = spark.createDataFrame(rows, "g string, q int, v double")
+    [r] = k_anonymity_audit(df, ["g", "q"], k=3).collect()
+    # groups: (a,1)=3, (a,2)=1, (b,NULL)=1, (b,3)=2 -> 3 at risk, 4 rows
+    assert (r.n_rows, r.n_groups, r.n_groups_at_risk, r.n_rows_at_risk) == (7, 4, 3, 4)
+    assert r.k_anonymous is False
+    assert abs(r.rows_at_risk_share - 4 / 7) < 2e-6
+    # all-safe gate
+    [r2] = k_anonymity_audit(df, ["g"], k=2).collect()
+    assert r2.k_anonymous is True
+    # empty input -> zero rows (grouped-agg convention)
+    assert k_anonymity_audit(df.filter("1=0"), ["g"], k=2).count() == 0
+
+    got = {(r.col_a, r.col_b): r for r in missingness_pattern(df, ["q", "v"]).collect()}
+    r3 = got[("q", "v")]
+    # q NULL once (row 5), v NULL 4x, both NULL once (row 5)
+    assert (r3.n_rows, r3.nulls_a, r3.nulls_b, r3.nulls_both) == (7, 1, 4, 1)
+    assert r3.jaccard == 0.25
+    r4 = got[("v", "q")]
+    assert (r4.nulls_a, r4.nulls_b, r4.nulls_both) == (4, 1, 1)

@@ -63,7 +63,7 @@ SHOWCASE = [
     ("q_equi_freq_bins", "per-group percentile thresholds broadcast back; bin assignment is a projected HOF over n_bins elements"),
     ("q_cross_corpus_overlap", "both sides md5-narrowed; reference pre-agged to distinct digests, broadcast when dimension-sized"),
     ("q_psi_drift", "reference deciles broadcast onto BOTH snapshots; bucket counts partial-agg map-side, totals re-agg from the count frame"),
-    ("q_ks_test", "per-distinct-value counts, then ONE range exchange carrying both cumulative counts packed into a single long"),
+    ("q_ks_test", "per-distinct-value counts, then ONE range exchange carrying BOTH cumulative counts as separate longs (multi-weight running sum — no bit-packing cliff)"),
     ("q_cdc_chunk_dedup", "per-doc windows only; cross-doc vote groupBy on md5 chunk keys with map-side partials"),
     ("q_chi2_terms", "contingency cells from ONE term-keyed agg (checkpointed); label/total frames broadcast; WindowGroupLimit top-k"),
     ("q_attribution", "as-of join: touches pre-reduced map-side to (user, ts) rows, one user-keyed shuffle, streaming window"),
@@ -88,6 +88,13 @@ SHOWCASE = [
     ("q_top_paths", "per-key head window -> map-side path counts -> scalable global rank on the path frame"),
     ("q_user_churn", "two-row fan-out per (user, day) -> one (day,user) agg -> one day agg; no set self-join"),
     ("q_corr_matrix", "ALL pairwise sufficient stats in ONE scan/agg (DECIMAL-exact); pair table exploded from one row"),
+    ("q_pr_curve", "PR sweep: one score-keyed agg, then ONE multi-weight running sum over descending score; totals broadcast"),
+    ("q_lift_gain", "exact equal-size deciles by integer DIV arithmetic on aggregated (score,label) stripes — rows never shuffle by bucket"),
+    ("q_survival_curve", "Kaplan-Meier: duration-keyed agg + TWO range-exchange running sums (risk set, then 1e-8-scaled ln terms)"),
+    ("q_hits", "HITS: per-iteration in/out contribution aggs with DECIMAL sums; one-row L1 norms broadcast back"),
+    ("q_sorted_neighborhood", "ER blocking: distributed global rank (range exchange) + explode(sequence)/equi-join — O(n*w) pairs, skew-proof"),
+    ("q_histogram2d", "one scan + ONE (x,y)-bucket map-side-combined agg: at most (bins+2)^2 keys shuffle at any size"),
+    ("q_blocklist_filter", "term list as ONE array literal; higher-order filter per row — pure codegen, no shuffle/UDF/join"),
     ("q_rfm", "one user agg; exact quantile thresholds broadcast back; scoring is a projected CASE"),
 ]
 
