@@ -164,6 +164,8 @@ HEADLINE = [
     "q_survival_curve",
     "q_k_anonymity",
     "q_missingness",
+    "q_ab_test",
+    "q_bloom_semi_join",
     # (q_stream_incremental_auc joins the other stream_incremental_*
     # queries in staying out of the headline set: their runtime is
     # dominated by temp-dir ingest writes, not engine throughput.)

@@ -2104,3 +2104,75 @@ def missingness_pattern(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def ab_test_proportions(
+    df: DataFrame,
+    variant_col: str,
+    success_col,
+    *,
+    control: str,
+    z_threshold: float = 1.96,
+) -> DataFrame:
+    """Two-proportion z-test per experiment variant against a named
+    control — the launch-decision readout of an A/B test ("did the
+    treatment move conversion, and is the move bigger than noise").
+    For each non-control variant: both sides' n/conversions/rates, the
+    absolute and relative lift, the pooled-variance z statistic, and
+    ``significant = |z| >= z_threshold`` (1.96 ~ two-sided p < 0.05).
+    Rows with NULL variant or NULL success flag are excluded; a
+    degenerate pooled rate (0 or 1 — no variance) or an empty side
+    yields z NULL / significant false rather than a division blow-up.
+
+    Scale shape: ONE map-side-combined (variant) count agg; the control
+    row broadcasts back onto the (variant-cardinality) frame — the data
+    is scanned once, nothing row-sized shuffles twice. Determinism:
+    rates/lifts/z round to 1e-6; the z formula is a fixed IEEE
+    expression over exact integer counts (sqrt included), identical in
+    the oracle.
+    """
+    y = (F.col(success_col) if isinstance(success_col, str) else success_col).cast(
+        "boolean"
+    )
+    base = df.select(F.col(variant_col).alias("variant"), y.alias("__y")).filter(
+        F.col("variant").isNotNull() & F.col("__y").isNotNull()
+    )
+    counts = base.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__y").cast("long")).cast("long").alias("conv"),
+    )
+    ctrl = counts.filter(F.col("variant") == control).select(
+        F.col("n").alias("n_control"), F.col("conv").alias("conv_control")
+    )
+    t = counts.filter(F.col("variant") != control).crossJoin(F.broadcast(ctrl))
+    rate_t = F.col("conv") / F.col("n").cast("double")
+    rate_c = F.col("conv_control") / F.col("n_control").cast("double")
+    pooled = (F.col("conv") + F.col("conv_control")) / (
+        F.col("n") + F.col("n_control")
+    ).cast("double")
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n") + F.lit(1.0) / F.col("n_control"))
+    )
+    z = F.when(
+        (F.col("n") > 0) & (F.col("n_control") > 0) & (pooled > 0) & (pooled < 1),
+        dround((rate_t - rate_c) / se, 6),
+    )
+    return t.select(
+        "variant",
+        "n",
+        "conv",
+        dround(rate_t, 6).alias("rate"),
+        "n_control",
+        "conv_control",
+        dround(rate_c, 6).alias("rate_control"),
+        dround(rate_t - rate_c, 6).alias("abs_lift"),
+        F.when(F.col("conv_control") > 0, dround(rate_t / rate_c - 1.0, 6)).alias(
+            "rel_lift"
+        ),
+        z.alias("z"),
+        F.coalesce(F.abs(z) >= F.lit(float(z_threshold)), F.lit(False)).alias(
+            "significant"
+        ),
+    )

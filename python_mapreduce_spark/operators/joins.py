@@ -346,3 +346,68 @@ def sorted_neighborhood_pairs(
     return left.join(right, "__rn2").select(
         "id_a", "id_b", F.col("rank_gap").cast("long").alias("rank_gap")
     )
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    *,
+    m_bits: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-pre-filtered semi join: returns EXACTLY ``big LEFT SEMI
+    JOIN small ON key`` — but probe rows are first screened by a
+    broadcast Bloom filter of the small side's keys, so the bulk of
+    non-matching rows die inside the scan stage (pure codegen) and
+    never reach the shuffle. The classic big-big semi-join accelerator
+    for when the small side is too large to broadcast as a hash table
+    but its ``m_bits``-bit Bloom image is trivially broadcastable —
+    the runtime-filter idea Spark's own AQE applies to equi-joins,
+    exposed as an explicit operator with deterministic md5 hashing.
+
+    The filter is built with ONE aggregation over the small side
+    (k explode positions -> bit_or per 64-bit word); the collected
+    state is m_bits/64 longs (KB at any corpus size). False positives
+    only cost shuffle volume — the residual exact semi join removes
+    them, so results are bit-identical to the plain semi join (which
+    is therefore the oracle). NULL keys never match, as in any
+    null-unsafe equi-join.
+    """
+    if m_bits % 64 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64: {m_bits}")
+    if not 1 <= k <= 7:
+        raise ValueError(f"k hash functions must be in [1, 7] (md5 yields 7 u32 slices): {k}")
+    n_words = m_bits // 64
+
+    def pos_sql(i: int) -> str:
+        # i-th hash: an 8-hex (u32) slice of md5(key), mod m_bits —
+        # SQL-expression form because shiftleft's DataFrame API takes
+        # only literal shift amounts
+        return (
+            f"(CAST(conv(substring(md5(CAST({key} AS STRING)), {1 + 4 * i}, 8),"
+            f" 16, 10) AS BIGINT) % {m_bits})"
+        )
+
+    pos = small.selectExpr(
+        f"explode(array({', '.join(pos_sql(i) for i in range(k))})) AS __p"
+    ).filter(F.col("__p").isNotNull())
+    words = (
+        pos.selectExpr(
+            "CAST(__p / 64 AS INT) AS __w",
+            "shiftleft(CAST(1 AS BIGINT), CAST(__p % 64 AS INT)) AS __m",
+        )
+        .groupBy("__w")
+        .agg(F.expr("bit_or(__m)").alias("__mask"))
+    )
+    wmap = {r["__w"]: r["__mask"] for r in words.collect()}  # <= m_bits/64 rows
+    arr_sql = (
+        "array(" + ", ".join(f"CAST({int(wmap.get(i, 0))} AS BIGINT)" for i in range(n_words)) + ")"
+    )
+    conds = []
+    for i in range(k):
+        p = pos_sql(i)
+        bit = f"shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))"
+        conds.append(f"(element_at({arr_sql}, CAST({p} / 64 AS INT) + 1) & {bit}) = {bit}")
+    pre = big.filter(F.expr(" AND ".join(conds)))
+    return pre.join(small.select(key).distinct(), key, "left_semi")

@@ -129,6 +129,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_incremental_auc",
     "q_k_anonymity",
     "q_missingness",
+    "q_ab_test",
+    "q_bloom_semi_join",
     "q_sim_ann_ivf_recall",
     "q08_market_share",
     "q09_product_profit",

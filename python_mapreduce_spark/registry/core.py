@@ -902,6 +902,92 @@ def _sql_missingness() -> str:
 SQL_MISSINGNESS = _sql_missingness()
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-proportion z-test (operators/aggregates.py::
+    # ab_test_proportions): user-bucket variants (md-free: user_id % 3)
+    # on click->purchase conversion; ONE variant count agg, control row
+    # broadcast back, fixed IEEE z expression.
+    from python_mapreduce_spark.operators.aggregates import ab_test_proportions  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase") & F.col("user_id").isNotNull()
+    )
+    scored = ev.select(
+        F.concat(F.lit("v"), (F.col("user_id") % 3).cast("string")).alias("variant"),
+        (F.col("event_type") == "purchase").alias("converted"),
+    )
+    return ab_test_proportions(scored, "variant", "converted", control="v0")
+
+
+SQL_AB_TEST = f"""
+WITH base AS (
+  SELECT 'v' || CAST(user_id % 3 AS VARCHAR) AS variant,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND user_id IS NOT NULL
+),
+counts AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS conv
+  FROM base GROUP BY variant
+),
+ctrl AS (SELECT n AS n_control, conv AS conv_control FROM counts WHERE variant = 'v0'),
+t AS (SELECT * FROM counts CROSS JOIN ctrl WHERE variant != 'v0'),
+m AS (
+  SELECT *,
+         conv / CAST(n AS DOUBLE) AS rt,
+         conv_control / CAST(n_control AS DOUBLE) AS rc,
+         (conv + conv_control) / CAST(n + n_control AS DOUBLE) AS pooled
+  FROM t
+)
+SELECT variant, n, conv, {sql_dround("rt", 6)} AS rate,
+       n_control, conv_control, {sql_dround("rc", 6)} AS rate_control,
+       {sql_dround("rt - rc", 6)} AS abs_lift,
+       CASE WHEN conv_control > 0 THEN {sql_dround("rt / rc - 1.0", 6)} END AS rel_lift,
+       CASE WHEN n > 0 AND n_control > 0 AND pooled > 0 AND pooled < 1 THEN
+         {sql_dround(
+             "(rt - rc) / sqrt(pooled * (1.0 - pooled)"
+             " * (1.0 / n + 1.0 / n_control))", 6)}
+       END AS z,
+       coalesce(abs(CASE WHEN n > 0 AND n_control > 0 AND pooled > 0 AND pooled < 1 THEN
+         {sql_dround(
+             "(rt - rc) / sqrt(pooled * (1.0 - pooled)"
+             " * (1.0 / n + 1.0 / n_control))", 6)}
+       END) >= 1.96, FALSE) AS significant
+FROM m
+"""
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bloom-pre-filtered semi join (operators/joins.py::
+    # bloom_semi_join): lineitem rows whose order is URGENT — the
+    # md5-Bloom broadcast screens the probe side inside the scan stage
+    # before the exact semi join; results are bit-identical to the
+    # plain semi join, which IS the oracle.
+    from python_mapreduce_spark.operators.joins import bloom_semi_join  # noqa: PLC0415
+
+    li = table(spark, sf_dir, "lineitem")
+    urgent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    hit = bloom_semi_join(li, urgent, "l_orderkey")
+    return hit.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        dround(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "sum_qty"
+        ),
+    )
+
+
+SQL_BLOOM_SEMI_JOIN = f"""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+       {sql_dround("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)", 2)} AS sum_qty
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
 _PROFILE_COLS = [
     ("l_orderkey", True),
     ("l_quantity", True),
@@ -2736,6 +2822,8 @@ QUERIES: dict[str, Query] = {
     "q_survival_curve": Query(q_survival_curve, SQL_SURVIVAL_CURVE, "Kaplan-Meier churn curve with censoring (exact ln-sum replay)"),
     "q_k_anonymity": Query(q_k_anonymity, SQL_K_ANONYMITY, "k-anonymity release gate over quasi-identifier group sizes"),
     "q_missingness": Query(q_missingness, SQL_MISSINGNESS, "NULL co-occurrence audit (structured-missingness detector)"),
+    "q_ab_test": Query(q_ab_test, SQL_AB_TEST, "two-proportion z-test per variant vs control with lift"),
+    "q_bloom_semi_join": Query(q_bloom_semi_join, SQL_BLOOM_SEMI_JOIN, "Bloom-pre-filtered big-big semi join (exact result)"),
     "q_pr_curve": Query(q_pr_curve, SQL_PR_CURVE, "precision-recall sweep via one multi-weight running sum"),
     "q_lift_gain": Query(q_lift_gain, SQL_LIFT_GAIN, "decile lift/gain table with exact integer bucket boundaries"),
     "q_auc_disparity": Query(q_auc_disparity, SQL_AUC_DISPARITY, "per-segment AUC vs overall with fairness gap"),

@@ -1588,3 +1588,64 @@ def test_k_anonymity_and_missingness_match_counts(spark):
     assert r3.jaccard == 0.25
     r4 = got[("v", "q")]
     assert (r4.nulls_a, r4.nulls_b, r4.nulls_both) == (4, 1, 1)
+
+
+def test_ab_test_proportions_matches_formula(spark):
+    import math
+
+    from python_mapreduce_spark.operators.aggregates import ab_test_proportions
+
+    rows = (
+        [("ctl", True)] * 20 + [("ctl", False)] * 80
+        + [("trt", True)] * 35 + [("trt", False)] * 65
+        + [("flat", True)] * 21 + [("flat", False)] * 79
+        + [("dead", False)] * 50            # zero conversions
+        + [(None, True), ("trt", None)]     # excluded rows
+    )
+    df = spark.createDataFrame(rows, "variant string, ok boolean")
+    got = {r.variant: r for r in ab_test_proportions(
+        df, "variant", "ok", control="ctl"
+    ).collect()}
+    assert set(got) == {"trt", "flat", "dead"}
+
+    def dr(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def z_of(n, c):
+        p = (c + 20) / (n + 100)
+        se = math.sqrt(p * (1 - p) * (1 / n + 1 / 100))
+        return dr((c / n - 0.2) / se)
+
+    r = got["trt"]
+    assert (r.n, r.conv, r.n_control, r.conv_control) == (100, 35, 100, 20)
+    assert (r.rate, r.rate_control) == (0.35, 0.2)
+    assert r.abs_lift == dr(0.15) and r.rel_lift == dr(0.75)
+    assert r.z == z_of(100, 35) and r.significant is True  # z ~ 2.37
+    assert got["flat"].significant is False
+    # zero-conversion variant: defined z, rel_lift = -100%
+    d = got["dead"]
+    assert d.rel_lift == -1.0 and d.z == z_of(50, 0) and d.z < 0
+
+
+def test_bloom_semi_join_equals_exact_semi_join(spark):
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.joins import bloom_semi_join
+
+    big = spark.createDataFrame([(i, i % 7) for i in range(2000)], "k long, v int")
+    small = spark.createDataFrame([(i * 3,) for i in range(150)], "k long")
+    got = {(r.k, r.v) for r in bloom_semi_join(big, small, "k", m_bits=1024, k=3).collect()}
+    want = {(r.k, r.v) for r in big.join(small, "k", "left_semi").collect()}
+    assert got == want and len(want) == 150
+    # NULL keys never match
+    bign = big.unionByName(spark.createDataFrame([(None, 9)], "k long, v int"))
+    assert bloom_semi_join(bign, small, "k", m_bits=1024).count() == 150
+    # the pre-filter actually prunes: with a tiny small side, far fewer
+    # probe rows than |big| survive the bloom (false positives only)
+    one = spark.createDataFrame([(77,)], "k long")
+    from python_mapreduce_spark.operators.joins import bloom_semi_join as bsj
+    assert bsj(big, one, "k", m_bits=4096, k=3).count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bloom_semi_join(big, small, "k", m_bits=100)
