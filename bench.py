@@ -166,6 +166,9 @@ HEADLINE = [
     "q_missingness",
     "q_ab_test",
     "q_bloom_semi_join",
+    "q_time_weighted_avg",
+    "q_ohlc_bars",
+    "q_er_match",
     # (q_stream_incremental_auc joins the other stream_incremental_*
     # queries in staying out of the headline set: their runtime is
     # dominated by temp-dir ingest writes, not engine throughput.)

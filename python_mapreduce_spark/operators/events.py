@@ -824,3 +824,111 @@ def survival_curve(
         F.col("__c").alias("n_censored"),
         dround(F.exp(F.col("__cln8").cast("double") / F.lit(1e8)), 6).alias("survival"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average over irregular samples: per key, each
+    sample's value is weighted by how long it REMAINED the current
+    value (until the key's next sample) — the correct mean for
+    gauge-style series sampled on change (a plain AVG over-weights
+    bursts of updates; this is TimescaleDB's ``time_weight('LOCF')``
+    companion to :func:`resample_locf`). The key's LAST sample has no
+    successor and carries zero weight — the standard left-closed
+    convention, documented. Emits (keys..., n_samples, span_ms, twavg);
+    ``twavg`` is NULL for keys with a single sample (zero span). NULL
+    timestamps/values are excluded.
+
+    Scale shape: one per-KEY lead window over the samples (never
+    SinglePartition), then one map-side-combined keyed agg; weighted
+    sums ride DECIMAL(28,6) (value rounded 1e-6 x exact ms longs) so
+    the division is engine-exact. Ties on ts are made total by a value
+    tiebreak in the window order (equal-ts samples get zero weight
+    except the last of the tie run — deterministic both sides).
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    ks = list(keys)
+    base = df.select(
+        *ks,
+        F.unix_millis(F.col(ts_col)).alias("__t"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).filter(F.col("__t").isNotNull() & F.col("__v").isNotNull())
+    w = Window.partitionBy(*ks).orderBy("__t", "__v")
+    dt = (F.lead("__t").over(w) - F.col("__t")).cast("long")
+    weighted = base.withColumn("__dt", F.coalesce(dt, F.lit(0)))
+    # each term rounds to 1e-6 BEFORE the decimal cast, so the decimal
+    # is exactly representable and both engines sum identical values
+    wsum = F.sum(dround(F.col("__v") * F.col("__dt"), 6).cast("decimal(28,6)"))
+    span = F.sum("__dt").cast("long")
+    return (
+        weighted.groupBy(*ks)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            span.alias("span_ms"),
+            wsum.alias("__ws"),
+        )
+        .select(
+            *ks,
+            "n_samples",
+            "span_ms",
+            F.when(
+                F.col("span_ms") > 0,
+                dround(F.col("__ws").cast("double") / F.col("span_ms"), 6),
+            ).alias("twavg"),
+        )
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    *,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Open-high-low-close bars per key per time bucket — the classic
+    series-compaction aggregate (metrics dashboards, finance candles):
+    open/close are the values at the bucket's first/last timestamp,
+    high/low the extremes, plus the sample count. Tie rule (pinned so
+    both engines agree): several samples on the exact open (close)
+    timestamp resolve to the MINIMUM (MAXIMUM) value — the
+    lexicographic min/max of (ts, value). NULL ts/values are excluded.
+    Emits (keys..., bucket_start, n, open, high, low, close) with
+    bucket_start a formatted string.
+
+    Scale shape: ONE map-side-combined hash agg over (keys, bucket) —
+    open/close ride min/max over a packed (ts, value) struct, so no
+    window, no second scan, no per-bucket sort anywhere.
+    """
+    ks = list(keys)
+    base = df.select(
+        *ks,
+        F.window(F.col(ts_col), bucket).getField("start").alias("__b"),
+        F.unix_millis(F.col(ts_col)).alias("__t"),
+        dround(F.col(value_col), 6).alias("__v"),
+    ).filter(F.col("__t").isNotNull() & F.col("__v").isNotNull())
+    return (
+        base.groupBy(*ks, "__b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(F.struct("__t", "__v")).getField("__v").alias("open"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.max(F.struct("__t", "__v")).getField("__v").alias("close"),
+        )
+        .select(
+            *ks,
+            F.date_format("__b", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            "n",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )

@@ -131,6 +131,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_missingness",
     "q_ab_test",
     "q_bloom_semi_join",
+    "q_time_weighted_avg",
+    "q_ohlc_bars",
+    "q_er_match",
     "q_sim_ann_ivf_recall",
     "q08_market_share",
     "q09_product_profit",

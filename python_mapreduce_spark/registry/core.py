@@ -988,6 +988,145 @@ GROUP BY l_returnflag
 """
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Time-weighted average (operators/events.py::time_weighted_avg):
+    # per event_type, value weighted by how long it remained current —
+    # the gauge-correct mean a plain AVG gets wrong on bursty samples.
+    # One per-key lead window + one keyed agg; DECIMAL term sums.
+    from python_mapreduce_spark.operators.events import time_weighted_avg  # noqa: PLC0415
+
+    return time_weighted_avg(table(spark, sf_dir, "events"), ["event_type"], "ts", "value")
+
+
+SQL_TIME_WEIGHTED_AVG = f"""
+WITH base AS (
+  SELECT event_type, epoch_ms(ts) AS t, CAST(value AS DOUBLE) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+w AS (
+  SELECT event_type, v,
+         coalesce(lead(t) OVER (PARTITION BY event_type ORDER BY t, v) - t, 0) AS dt
+  FROM base
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(coalesce(sum(dt), 0) AS BIGINT) AS span_ms,
+         sum(CAST({sql_dround("v * dt", 6)} AS DECIMAL(28,6))) AS ws
+  FROM w GROUP BY event_type
+)
+SELECT event_type, n_samples, span_ms,
+       CASE WHEN span_ms > 0
+            THEN {sql_dround("CAST(ws AS DOUBLE) / span_ms", 6)} END AS twavg
+FROM agg
+"""
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OHLC compaction (operators/events.py::ohlc_bars): 6-hour candles
+    # per event_type — open/close ride min/max over a packed (ts, value)
+    # struct inside ONE map-side-combined agg; no window, no per-bucket
+    # sort. Tie rule pinned: min (max) value at the open (close) ts.
+    from python_mapreduce_spark.operators.events import ohlc_bars  # noqa: PLC0415
+
+    return ohlc_bars(
+        table(spark, sf_dir, "events"), ["event_type"], "ts", "value", bucket="6 hours"
+    )
+
+
+SQL_OHLC_BARS = f"""
+WITH base AS (
+  SELECT event_type, time_bucket(INTERVAL '6 hours', ts) AS b,
+         epoch_ms(ts) AS t, {sql_dround("CAST(value AS DOUBLE)", 6)} AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+ext AS (
+  SELECT event_type, b, CAST(count(*) AS BIGINT) AS n,
+         max(v) AS high, min(v) AS low, min(t) AS mn, max(t) AS mx
+  FROM base GROUP BY 1, 2
+)
+SELECT base.event_type, strftime(base.b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       n,
+       min(CASE WHEN t = mn THEN v END) AS open,
+       high, low,
+       max(CASE WHEN t = mx THEN v END) AS close
+FROM base JOIN ext ON base.event_type = ext.event_type AND base.b = ext.b
+GROUP BY 1, 2, 3, 5, 6
+"""
+
+
+def q_er_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ER verify stage (operators/joins.py::er_match_score) over the
+    # sorted-neighborhood candidate pairs: weighted field similarity
+    # (levenshtein on the short title prefix + lang/source/n_chars) —
+    # every similarity a JVM built-in, replayed exactly by DuckDB's
+    # levenshtein.
+    from python_mapreduce_spark.operators.joins import (  # noqa: PLC0415
+        er_match_score,
+        sorted_neighborhood_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "title", F.substring("text", 1, 40)
+    )
+    pairs = sorted_neighborhood_pairs(docs, "doc_id", ["lang", "n_chars"], window=2)
+    return er_match_score(
+        pairs,
+        docs,
+        "doc_id",
+        [("lang", 1.0), ("source", 1.0), ("n_chars", 1.0), ("title", 2.0)],
+        threshold=0.75,
+    )
+
+
+def _sql_er_match() -> str:
+    str_sim = lambda a, b: (  # noqa: E731
+        f"CASE WHEN {a} IS NULL AND {b} IS NULL THEN 1.0"
+        f" WHEN {a} IS NULL OR {b} IS NULL THEN 0.0"
+        f" WHEN greatest(length({a}), length({b})) > 0 THEN"
+        f" 1.0 - levenshtein({a}, {b})"
+        f" / CAST(greatest(length({a}), length({b})) AS DOUBLE)"
+        f" ELSE 1.0 END"
+    )
+    eq_sim = lambda a, b: (  # noqa: E731
+        f"CASE WHEN {a} IS NULL AND {b} IS NULL THEN 1.0"
+        f" WHEN {a} IS NULL OR {b} IS NULL THEN 0.0"
+        f" WHEN {a} = {b} THEN 1.0 ELSE 0.0 END"
+    )
+    s_lang = str_sim("ra.lang", "rb.lang")
+    s_source = str_sim("ra.source", "rb.source")
+    s_nchars = eq_sim("ra.n_chars", "rb.n_chars")
+    s_title = str_sim("ra.title", "rb.title")
+    score = f"(({s_lang}) + ({s_source}) + ({s_nchars}) + 2.0 * ({s_title})) / 5.0"
+    return f"""
+WITH rec AS (
+  SELECT doc_id, lang, source, n_chars, substring(text, 1, 40) AS title
+  FROM documents
+),
+rk AS (
+  SELECT doc_id, row_number() OVER (
+      ORDER BY lang NULLS FIRST, n_chars NULLS FIRST, doc_id) AS rn
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn <= a.rn + 2
+)
+SELECT id_a, id_b,
+       {sql_dround(s_lang, 6)} AS sim_lang,
+       {sql_dround(s_source, 6)} AS sim_source,
+       {sql_dround(s_nchars, 6)} AS sim_n_chars,
+       {sql_dround(s_title, 6)} AS sim_title,
+       {sql_dround(score, 6)} AS score,
+       {sql_dround(score, 6)} >= 0.75 AS matched
+FROM pairs JOIN rec ra ON pairs.id_a = ra.doc_id
+           JOIN rec rb ON pairs.id_b = rb.doc_id
+"""
+
+
+SQL_ER_MATCH = _sql_er_match()
+
+
 _PROFILE_COLS = [
     ("l_orderkey", True),
     ("l_quantity", True),
@@ -2824,6 +2963,9 @@ QUERIES: dict[str, Query] = {
     "q_missingness": Query(q_missingness, SQL_MISSINGNESS, "NULL co-occurrence audit (structured-missingness detector)"),
     "q_ab_test": Query(q_ab_test, SQL_AB_TEST, "two-proportion z-test per variant vs control with lift"),
     "q_bloom_semi_join": Query(q_bloom_semi_join, SQL_BLOOM_SEMI_JOIN, "Bloom-pre-filtered big-big semi join (exact result)"),
+    "q_time_weighted_avg": Query(q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG, "time-weighted average over irregular gauge samples"),
+    "q_ohlc_bars": Query(q_ohlc_bars, SQL_OHLC_BARS, "OHLC candle compaction in one struct-packed agg"),
+    "q_er_match": Query(q_er_match, SQL_ER_MATCH, "weighted field-similarity ER match scoring over blocked pairs"),
     "q_pr_curve": Query(q_pr_curve, SQL_PR_CURVE, "precision-recall sweep via one multi-weight running sum"),
     "q_lift_gain": Query(q_lift_gain, SQL_LIFT_GAIN, "decile lift/gain table with exact integer bucket boundaries"),
     "q_auc_disparity": Query(q_auc_disparity, SQL_AUC_DISPARITY, "per-segment AUC vs overall with fairness gap"),

@@ -1649,3 +1649,67 @@ def test_bloom_semi_join_equals_exact_semi_join(spark):
 
     with _pytest.raises(ValueError):
         bloom_semi_join(big, small, "k", m_bits=100)
+
+
+def test_time_weighted_avg_and_ohlc_match_replay(spark):
+    import math
+    from datetime import datetime, timezone
+
+    from python_mapreduce_spark.operators.events import ohlc_bars, time_weighted_avg
+
+    def t(m):
+        return datetime(2024, 1, 1, m // 60, m % 60, tzinfo=timezone.utc)
+
+    # gauge at 10 for 10min, 20 for 30min, 40 for 20min, last sample 0-weight
+    rows = [("k", t(0), 10.0), ("k", t(10), 20.0), ("k", t(40), 40.0), ("k", t(60), 99.0)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    [r] = time_weighted_avg(df, ["g"], "ts", "v").collect()
+    exp = (10 * 10 + 20 * 30 + 40 * 20) / 60
+    assert (r.n_samples, r.span_ms) == (4, 3_600_000)
+    assert abs(r.twavg - exp) < 2e-6
+    # single sample: zero span, NULL twavg
+    [r1] = time_weighted_avg(df.limit(1), ["g"], "ts", "v").collect()
+    assert (r1.n_samples, r1.span_ms, r1.twavg) == (1, 0, None)
+    # plain AVG would say 42.25 - the time weighting must disagree
+    assert abs(r.twavg - 169.25 / 4) > 1
+
+    # OHLC: ties at the open ts resolve to MIN, at the close ts to MAX
+    rows2 = [
+        ("k", t(0), 5.0), ("k", t(0), 3.0),      # open -> 3.0
+        ("k", t(30), -1.0),                        # low
+        ("k", t(59), 7.0), ("k", t(59), 9.0),     # close -> 9.0, high 9.0
+    ]
+    df2 = spark.createDataFrame(rows2, "g string, ts timestamp, v double")
+    [b] = ohlc_bars(df2, ["g"], "ts", "v", bucket="1 hour").collect()
+    assert b.bucket_start == "2024-01-01 00:00:00"
+    assert (b.n, b.open, b.high, b.low, b.close) == (5, 3.0, 9.0, -1.0, 9.0)
+
+
+def test_er_match_score_field_rules(spark):
+    from python_mapreduce_spark.operators.joins import er_match_score
+
+    recs = spark.createDataFrame(
+        [
+            (1, "alpha", 100),
+            (2, "alphq", 100),   # 1 edit over 5 chars -> sim 0.8
+            (3, None, 200),
+            (4, None, 200),
+            (5, "", 300),
+        ],
+        "id long, name string, size int",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (1, 3), (5, 5)], "id_a long, id_b long"
+    )
+    got = {(r.id_a, r.id_b): r for r in er_match_score(
+        pairs, recs, "id", [("name", 3.0), ("size", 1.0)], threshold=0.8
+    ).collect()}
+    r = got[(1, 2)]
+    assert r.sim_name == 0.8 and r.sim_size == 1.0
+    assert r.score == round((3 * 0.8 + 1 * 1.0) / 4, 6) and r.matched is True
+    # both-NULL agreement scores 1.0
+    assert got[(3, 4)].sim_name == 1.0 and got[(3, 4)].score == 1.0
+    # one-sided NULL scores 0.0
+    assert got[(1, 3)].sim_name == 0.0 and got[(1, 3)].sim_size == 0.0
+    # empty-vs-empty strings agree
+    assert got[(5, 5)].sim_name == 1.0
