@@ -2520,3 +2520,146 @@ def test_model_eval_degenerate_margins(spark):
     df1 = spark.createDataFrame([(0.25, True)] * 4, "score double, y boolean")
     [b] = calibration_report(df1, "score", "y", n_bins=4).collect()
     assert (b.bin, b.n, b.conf, b.acc, b.gap) == (1, 4, 0.25, 1.0, 0.75)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 6), st.booleans()), min_size=1, max_size=40
+    )
+)
+def test_pr_curve_matches_threshold_replay(spark, rows):
+    # Every PR point must equal the brute-force "predict positive iff
+    # score >= t" counts; scores 0..6 force tied thresholds.
+    import math
+
+    from python_mapreduce_spark.operators.aggregates import pr_curve
+
+    df = spark.createDataFrame(
+        [(float(s), y) for s, y in rows], "score double, y boolean"
+    )
+    got = {
+        r.threshold: (r.n_pred, r.tp, r.precision, r.recall, r.f1)
+        for r in pr_curve(df, "score", "y").collect()
+    }
+    assert set(got) == {float(s) for s, _ in rows}
+    pos_total = sum(1 for _, y in rows if y)
+
+    def dr(x):
+        return None if x is None else math.floor(x * 1e6 + 0.5) / 1e6
+
+    for t in got:
+        n_pred = sum(1 for s, _ in rows if s >= t)
+        tp = sum(1 for s, y in rows if s >= t and y)
+        prec = tp / n_pred
+        rec = tp / pos_total if pos_total else None
+        f1 = (
+            2 * prec * rec / (prec + rec)
+            if rec is not None and prec + rec > 0
+            else None
+        )
+        assert got[t] == (n_pred, tp, dr(prec), dr(rec), dr(f1)), t
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(0, 15), st.booleans()), min_size=1, max_size=30
+    )
+)
+def test_survival_curve_matches_km_replay(spark, obs):
+    # Kaplan-Meier vs the sequential textbook computation with the
+    # exact rounding schedule, under random censoring patterns
+    # including whole-risk-set deaths (survival exactly 0).
+    import math
+
+    from python_mapreduce_spark.operators.events import survival_curve
+
+    df = spark.createDataFrame(
+        [(float(d), e) for d, e in obs], "dur double, ev boolean"
+    )
+    got = {r.duration: r for r in survival_curve(df, "dur", "ev").collect()}
+    n_risk = len(obs)
+    cln8 = 0
+    for t in sorted({d for d, _ in obs}):
+        d = sum(1 for u, e in obs if u == t and e)
+        c = sum(1 for u, e in obs if u == t and not e)
+        if d == 0:
+            term8 = 0
+        elif d < n_risk:
+            term8 = math.floor(math.log(1.0 - d / n_risk) * 1e8 + 0.5)
+        else:
+            term8 = -(10**12)
+        cln8 += term8
+        s = math.floor(math.exp(cln8 / 1e8) * 1e6 + 0.5) / 1e6
+        r = got[float(t)]
+        assert (r.n_risk, r.n_events, r.n_censored, r.survival) == (n_risk, d, c, s)
+        n_risk -= d + c
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    big_keys=st.lists(st.one_of(st.integers(0, 50), st.none()), min_size=1, max_size=60),
+    small_keys=st.lists(st.integers(0, 50), min_size=1, max_size=20),
+)
+def test_bloom_semi_join_equivalence_property(spark, big_keys, small_keys):
+    # For ANY key sets (NULLs included), the bloom-accelerated semi
+    # join must equal the exact semi join — false positives must die in
+    # the residual join, false negatives must not exist.
+    from python_mapreduce_spark.operators.joins import bloom_semi_join
+
+    big = spark.createDataFrame([(k, i) for i, k in enumerate(big_keys)], "k long, i long")
+    small = spark.createDataFrame([(k,) for k in small_keys], "k long")
+    got = {(r.k, r.i) for r in bloom_semi_join(big, small, "k", m_bits=256, k=2).collect()}
+    want = {(r.k, r.i) for r in big.join(small, "k", "left_semi").collect()}
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(0, 100), st.integers(-50, 50)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_time_weighted_avg_matches_replay(spark, obs):
+    # TWAP vs the sequential replay on irregular (minute, value)
+    # samples — duplicate timestamps take the (ts, value) order, the
+    # last sample carries zero weight.
+    import math
+    from datetime import datetime, timedelta, timezone
+
+    from python_mapreduce_spark.operators.events import time_weighted_avg
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [("k", t0 + timedelta(minutes=m), float(v)) for m, v in obs]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    [r] = time_weighted_avg(df, ["g"], "ts", "v").collect()
+    samples = sorted((m * 60_000, float(v)) for m, v in obs)
+    ws, span = 0.0, 0
+    for i, (t, v) in enumerate(samples):
+        dt = samples[i + 1][0] - t if i + 1 < len(samples) else 0
+        ws += math.floor(v * dt * 1e6 + 0.5) / 1e6
+        span += dt
+    assert (r.n_samples, r.span_ms) == (len(obs), span)
+    if span == 0:
+        assert r.twavg is None
+    else:
+        assert r.twavg == math.floor(ws / span * 1e6 + 0.5) / 1e6
