@@ -2123,6 +2123,9 @@ def ab_test_proportions(
     Rows with NULL variant or NULL success flag are excluded; a
     degenerate pooled rate (0 or 1 — no variance) or an empty side
     yields z NULL / significant false rather than a division blow-up.
+    A ``control`` value with NO rows produces ZERO output rows (there
+    is no baseline to test against) — validate the control name
+    upstream; it is not guessable here.
 
     Scale shape: ONE map-side-combined (variant) count agg; the control
     row broadcasts back onto the (variant-cardinality) frame — the data

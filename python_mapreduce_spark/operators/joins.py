@@ -437,7 +437,9 @@ def er_match_score(
     scores 1.0 (agreement), NULL on ONE side 0.0. ``fields`` is
     (column, weight) — weights normalize internally. Emits
     (id_a, id_b, per-field sim_<col>..., score, matched), score rounded
-    to 1e-6.
+    to 1e-6. ``records`` is expected unique per id — duplicate ids fan
+    each candidate pair out once per payload combination (the standard
+    join semantics), so dedup records first if ids can repeat.
 
     Scale shape: two id-keyed equi-joins fan the candidate frame out to
     its payloads (candidates are O(n*w) from the blocking stage, never
