@@ -296,19 +296,30 @@ def main() -> None:
         f.write(line + "\n")
     print(line, flush=True)
     spark.stop()
-    heavy10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
-    summary = {
-        "metric": "headline_queries_total_runtime",
-        "value": record["value"],
-        "unit": "sec",
-        "queries": heavy10,
-        "sf": sf,
-        "n_queries": len(timings),
-        "value_normalized": record["value_normalized"],
-        "calibration_drift": record["calibration"]["drift"],
-        "full_record": "BENCH_LOCAL.json",
-    }
-    print(json.dumps(summary, separators=(",", ":")), flush=True)
+    print(make_summary_line(record), flush=True)
+
+
+def make_summary_line(record: dict) -> str:
+    """The driver-facing LAST stdout line: same schema as the full
+    record but with only the 10 heaviest queries inlined, so it stays
+    well under the driver's tail-capture window at ANY registry size
+    (the full record overflowed it at 117 queries — BENCH_r05
+    "parsed": null). Size pinned by tests/test_core_queries.py."""
+    heavy10 = dict(sorted(record["queries"].items(), key=lambda kv: -kv[1])[:10])
+    return json.dumps(
+        {
+            "metric": record["metric"],
+            "value": record["value"],
+            "unit": record["unit"],
+            "queries": heavy10,
+            "sf": record["sf"],
+            "n_queries": len(record["queries"]),
+            "value_normalized": record["value_normalized"],
+            "calibration_drift": record["calibration"]["drift"],
+            "full_record": "BENCH_LOCAL.json",
+        },
+        separators=(",", ":"),
+    )
 
 
 if __name__ == "__main__":

@@ -52,3 +52,32 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     assert len(sdf) == len(odf), f"rowcount {len(sdf)} != {len(odf)}"
     assert scols == ocols
     assert shash == ohash, f"value hash mismatch for {name}"
+
+
+def test_bench_summary_line_stays_tail_window_safe():
+    # The driver parses the LAST stdout line from a bounded tail
+    # capture; the full record overflowed it at 117 queries
+    # (BENCH_r05 "parsed": null). Pin that the summary form stays
+    # small and driver-schema-complete at ANY registry size.
+    import json
+
+    from bench import make_summary_line
+
+    record = {
+        "metric": "headline_queries_total_runtime",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": {f"q_{'x' * 30}_{i:04d}": i / 7.0 for i in range(500)},
+        "sf": 0.1,
+        "value_normalized": 120.0,
+        "calibration": {"drift": 1.234},
+    }
+    line = make_summary_line(record)
+    assert len(line) < 1500, len(line)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total_runtime"
+    assert {"value", "unit", "queries", "sf"} <= set(parsed)
+    assert len(parsed["queries"]) == 10
+    assert parsed["n_queries"] == 500
+    # the inlined queries are exactly the 10 heaviest
+    assert min(parsed["queries"].values()) >= 499 / 7.0 - 10
