@@ -33,68 +33,18 @@ class Query:
 
 
 # The driver verifies a prefix window of all_queries() (50 entries per
-# round), so iteration order IS correctness coverage. Round-6 rotation
-# (VERDICT r5 items 1-3): the window leads with the q_inverted_index
-# retry (r5's only red row — output contract fixed via array_join) and
-# q_dedup_simhash (its oracle landed r5 AFTER its last driver row, so
-# the conversion has no hash signal yet), then the first 48
-# never-checked queries in registry order (9 r4 overflow + 39 r5
-# additions). Positions 51-70 hold the 20 remaining never-checked
-# entries (the r7 lead); everything after is the staleness-ordered
-# refresh queue (oldest driver round first: 35 r02 rows, 46 r03, 50
-# r04, 49 r05), so future rotations stay mechanical
-# (``python tools/driver_coverage.py --plan 50``).
+# round), so iteration order IS correctness coverage. Round-7 rotation
+# (VERDICT r6 items 1-2, mechanical via ``tools/driver_coverage.py
+# --plan 50``): the window is the 38 never-checked queries (20 r5
+# leftovers + 18 r6 additions, in registry order) followed by the first
+# 12 staleness refreshes — q_sim_ann_ivf_recall FIRST because its IVF
+# dials became corpus-adaptive in r6 and its only driver row is r02,
+# then 11 more r02 rows (core TPC-H shapes + the join family). The tail
+# is the full staleness-ordered refresh queue (oldest driver round
+# first: 23 remaining r02 rows, 46 r03, 50 r04, 49 r05, 50 r06); new
+# round-7 queries append BEHIND the staleness block (verdict r6 item 2:
+# <=12 additions so no row is older than 3 rounds by end of r8).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "q_inverted_index",
-    "q_dedup_simhash",
-    "q_trending",
-    "q_langid_confusion",
-    "q_diff_tables",
-    "q_data_card",
-    "q_target_encode",
-    "q_winsorize",
-    "q_negative_samples",
-    "q_funnel_windowed",
-    "q_dup_span_removal",
-    "q_domain_cap",
-    "q_stratified_split_exact",
-    "q_quality_quota",
-    "q_token_budget",
-    "q_embed_covariance",
-    "q_chunk_pack",
-    "q_equi_freq_bins",
-    "q_cross_corpus_overlap",
-    "q_psi_drift",
-    "q_ks_test",
-    "q_cdc_chunk_dedup",
-    "q_ngram_diversity",
-    "q_chi2_terms",
-    "q_length_buckets",
-    "q_attribution",
-    "q_assoc_rules",
-    "q_mix_entropy",
-    "q_seasonal_anomaly",
-    "q_golden_record",
-    "q_interval_join",
-    "q_group_ols",
-    "q_containment",
-    "q_rolling_distinct",
-    "q_decayed_trending",
-    "q_tokenizer_fertility",
-    "q_stream_incremental_psi",
-    "q_cluster_canonical",
-    "q_quantile_normalize",
-    "q_top_eigenvector",
-    "q_dup_cluster_sizes",
-    "q_time_split_embargo",
-    "q_class_weights",
-    "q_dedup_savings",
-    "q_auc",
-    "q_calibration_bins",
-    "q_calibration_summary",
-    "q_classification_report",
-    "q_cohens_kappa",
-    "q_fuzzy_decontam",
     "q_auc_daily",
     "q_markov",
     "q_retrieval_eval",
@@ -115,7 +65,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_rfm",
     "q_corr_matrix",
     "q_code_detect",
-    # -- never driver-checked, round-6 additions (appended to the r7 lead) --
     "q_pr_curve",
     "q_lift_gain",
     "q_auc_disparity",
@@ -314,6 +263,56 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_static_join",
     "q_scd2_history",
     "q_robust_scale",
+    "q_inverted_index",
+    "q_dedup_simhash",
+    "q_trending",
+    "q_langid_confusion",
+    "q_diff_tables",
+    "q_data_card",
+    "q_target_encode",
+    "q_winsorize",
+    "q_negative_samples",
+    "q_funnel_windowed",
+    "q_dup_span_removal",
+    "q_domain_cap",
+    "q_stratified_split_exact",
+    "q_quality_quota",
+    "q_token_budget",
+    "q_embed_covariance",
+    "q_chunk_pack",
+    "q_equi_freq_bins",
+    "q_cross_corpus_overlap",
+    "q_psi_drift",
+    "q_ks_test",
+    "q_cdc_chunk_dedup",
+    "q_ngram_diversity",
+    "q_chi2_terms",
+    "q_length_buckets",
+    "q_attribution",
+    "q_assoc_rules",
+    "q_mix_entropy",
+    "q_seasonal_anomaly",
+    "q_golden_record",
+    "q_interval_join",
+    "q_group_ols",
+    "q_containment",
+    "q_rolling_distinct",
+    "q_decayed_trending",
+    "q_tokenizer_fertility",
+    "q_stream_incremental_psi",
+    "q_cluster_canonical",
+    "q_quantile_normalize",
+    "q_top_eigenvector",
+    "q_dup_cluster_sizes",
+    "q_time_split_embargo",
+    "q_class_weights",
+    "q_dedup_savings",
+    "q_auc",
+    "q_calibration_bins",
+    "q_calibration_summary",
+    "q_classification_report",
+    "q_cohens_kappa",
+    "q_fuzzy_decontam",
 )
 
 

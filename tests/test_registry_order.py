@@ -69,6 +69,64 @@ def test_window_queries_all_have_oracles():
     } <= set(qs)
 
 
+# The driver round the current DRIVER_PRIORITY rotation was computed
+# against (``tools/driver_coverage.py --plan 50`` over CORRECTNESS_r01..
+# r{AS_OF}). Bump this when rotating at the start of each round — the
+# invariant below is checked against that snapshot so the test stays
+# green when the NEXT round's CORRECTNESS file lands.
+ROTATION_AS_OF = 6
+
+
+def _driver_rounds_as_of(as_of: int) -> dict[str, int]:
+    """name -> latest driver round with a row, using files <= as_of."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)\.json$", path)
+        if not m or int(m.group(1)) > as_of:
+            continue
+        with open(path) as f:
+            data = json.load(f)
+        for name in data:
+            rounds[name] = max(rounds.get(name, 0), int(m.group(1)))
+    return rounds
+
+
+def test_rotation_invariant_never_before_stale_before_new():
+    """The driver-coverage contract (VERDICT r6 stretch item 8).
+
+    DRIVER_PRIORITY must be three blocks, as of the rotation snapshot:
+    [never-checked] + [checked, ascending by latest driver round] +
+    [new additions appended behind the staleness block]. Concretely:
+    (a) the checked subsequence's rounds are non-decreasing, and (b)
+    unchecked names form a prefix and/or suffix — never sandwiched
+    between checked names. A hand-edit that moves a stale row ahead of
+    a never-checked one (or scrambles the staleness queue) fails here.
+    """
+    rounds = _driver_rounds_as_of(ROTATION_AS_OF)
+    checked = [(i, rounds[n]) for i, n in enumerate(DRIVER_PRIORITY) if n in rounds]
+    # (a) staleness queue ascending by last-checked round
+    rs = [r for _, r in checked]
+    assert rs == sorted(rs), "staleness block not sorted by last-checked round"
+    # (b) unchecked names only at the head (never block) or tail (new block)
+    if checked:
+        first_checked = checked[0][0]
+        last_checked = checked[-1][0]
+        sandwiched = [
+            n
+            for i, n in enumerate(DRIVER_PRIORITY)
+            if n not in rounds and first_checked < i < last_checked
+        ]
+        assert not sandwiched, (
+            f"unchecked queries interleaved with the staleness block: {sandwiched}"
+        )
+
+
 def test_no_duplicate_or_dangling_priority_names():
     qs = all_queries()
     assert len(set(DRIVER_PRIORITY)) == len(DRIVER_PRIORITY)
