@@ -204,12 +204,15 @@ def ivf_dials(n: int) -> tuple[int, int]:
     """Corpus-adaptive IVF dials: ``nlist`` grows with sqrt(corpus size)
     (the classic IVF rule), ``nprobe`` stays a fixed ~62.5% fraction of
     the lists. The constants are measurement-pinned, not guessed
-    (tools/measure_ann_recall.py): at <=60k vectors the sqrt term sits
-    below the floor, so the dials are the r4-measured (8, 6) — recall
-    0.92-0.94 at sf0.001/0.01/0.1; at 100k vectors they become the
-    r5-measured scale dials (16, 10) — recall 0.860, holding the >= 0.8
-    registry floor WITH margin (the pinned 8/6 dials measured exactly
-    0.800 there — zero margin, VERDICT r5 item 4). The probe fraction is
+    (tools/measure_ann_recall.py): the floor binds up to n ~ 28.9k
+    (round(sqrt(n)/20) stays 8 through n = 28899), so the dials are the
+    r4-measured (8, 6) at sf0.001/0.01/0.1 — recall 0.92-0.94; between
+    ~29k and 100k the dials interpolate (e.g. (11, 7) at 50k — recall
+    measured >= the floor by tools/measure_ann_recall.py's synth-50k
+    row); at 100k vectors they are the r5-measured scale dials (16, 10)
+    — recall 0.860, holding the >= 0.8 registry floor WITH margin (the
+    pinned 8/6 dials measured exactly 0.800 there — zero margin,
+    VERDICT r5 item 4). The probe fraction is
     deliberately high: the registry contract is a hard recall floor, and
     scan fraction is the price; deployments that prefer latency over the
     floor pass explicit (nlist, nprobe).

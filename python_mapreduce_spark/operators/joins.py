@@ -329,7 +329,9 @@ def sorted_neighborhood_pairs(
     (range exchange + broadcast offsets — no single-task window); the
     neighbor pairing is ONE explode(sequence(1, window)) + ONE
     equi-join on rank+offset — never a range or cross join. Output is
-    exactly n*window - window*(window+1)/2 rows.
+    exactly n*window - window*(window+1)/2 rows for n >= window (each
+    row pairs with min(n - rank, window) successors, so for n < window
+    the count is the all-pairs n*(n-1)/2).
     """
     from python_mapreduce_spark.operators.windows import global_row_number  # noqa: PLC0415
 
@@ -378,7 +380,11 @@ def bloom_semi_join(
     only cost shuffle volume — the residual exact semi join removes
     them, so results are bit-identical to the plain semi join (which
     is therefore the oracle). NULL keys never match, as in any
-    null-unsafe equi-join.
+    null-unsafe equi-join — so the build pass drops NULL small-side
+    keys before hashing (xxhash64(NULL, seed) is a real long, which
+    would otherwise set k live bits per NULL row and inflate the
+    false-positive rate) and the probe condition leads with
+    ``key IS NOT NULL`` so NULL probe rows die in the scan stage too.
     """
     if m_bits % 64 or m_bits <= 0:
         raise ValueError(f"m_bits must be a positive multiple of 64: {m_bits}")
@@ -392,9 +398,9 @@ def bloom_semi_join(
         # DataFrame API takes only literal shift amounts.
         return f"pmod(xxhash64({key}, {i}), {m_bits})"
 
-    pos = small.selectExpr(
+    pos = small.filter(F.col(key).isNotNull()).selectExpr(
         f"explode(array({', '.join(pos_sql(i) for i in range(k))})) AS __p"
-    ).filter(F.col("__p").isNotNull())
+    )
     words = (
         pos.selectExpr(
             "CAST(__p / 64 AS INT) AS __w",
@@ -411,7 +417,7 @@ def bloom_semi_join(
     # one element_at + mask check per hash — all JVM-native inside
     # whole-stage codegen, no strings anywhere on the hot path
     probe = big.withColumn("__bloom", F.expr(arr_sql))
-    cond = " AND ".join(
+    cond = f"({key} IS NOT NULL) AND " + " AND ".join(
         f"(element_at(__bloom, CAST({pos_sql(i)} / 64 AS INT) + 1)"
         f" & shiftleft(CAST(1 AS BIGINT), CAST({pos_sql(i)} % 64 AS INT))) != 0"
         for i in range(k)

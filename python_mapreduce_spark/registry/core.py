@@ -960,7 +960,7 @@ FROM m
 def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bloom-pre-filtered semi join (operators/joins.py::
     # bloom_semi_join): lineitem rows whose order is URGENT — the
-    # md5-Bloom broadcast screens the probe side inside the scan stage
+    # seeded-xxhash64 Bloom broadcast screens the probe side inside the scan stage
     # before the exact semi join; results are bit-identical to the
     # plain semi join, which IS the oracle.
     from python_mapreduce_spark.operators.joins import bloom_semi_join  # noqa: PLC0415
