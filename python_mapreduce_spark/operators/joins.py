@@ -433,6 +433,7 @@ def er_match_score(
     fields: Sequence[tuple[str, float]],
     *,
     threshold: float = 0.75,
+    on_duplicate_ids: str = "fanout",
 ) -> DataFrame:
     """Entity-resolution match scoring over candidate pairs — the
     verify stage that completes :func:`sorted_neighborhood_pairs`'
@@ -443,9 +444,19 @@ def er_match_score(
     scores 1.0 (agreement), NULL on ONE side 0.0. ``fields`` is
     (column, weight) — weights normalize internally. Emits
     (id_a, id_b, per-field sim_<col>..., score, matched), score rounded
-    to 1e-6. ``records`` is expected unique per id — duplicate ids fan
-    each candidate pair out once per payload combination (the standard
-    join semantics), so dedup records first if ids can repeat.
+    to 1e-6.
+
+    ``records`` is expected unique per id; ``on_duplicate_ids`` says
+    what to do when it isn't:
+
+    * ``'fanout'`` (default, the standard join semantics) — each
+      candidate pair emits once per payload combination;
+    * ``'dedupe'`` — keep one deterministic payload per id
+      (min-by-payload via a struct min — NOT dropDuplicates, whose
+      survivor is partition-order-dependent) before joining;
+    * ``'error'`` — raise ``ValueError`` if any id repeats (one cheap
+      count-distinct agg), for pipelines where duplicate ids mean
+      upstream corruption rather than a payload choice.
 
     Scale shape: two id-keyed equi-joins fan the candidate frame out to
     its payloads (candidates are O(n*w) from the blocking stage, never
@@ -458,8 +469,34 @@ def er_match_score(
     fs = list(fields)
     if not fs or sum(w for _, w in fs) <= 0:
         raise ValueError(f"fields must carry a positive total weight: {fs}")
+    if on_duplicate_ids not in ("fanout", "dedupe", "error"):
+        raise ValueError(
+            f"on_duplicate_ids must be 'fanout', 'dedupe' or 'error': "
+            f"{on_duplicate_ids!r}"
+        )
     total = float(sum(w for _, w in fs))
     types = dict((f.name, f.dataType) for f in records.schema.fields)
+    if on_duplicate_ids == "error":
+        dup = (
+            records.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > 1)
+            .first()
+        )
+        if dup is not None:
+            raise ValueError(
+                f"records has duplicate {id_col!r} values (e.g. "
+                f"{dup[id_col]!r} x{dup['__c']}); pass "
+                "on_duplicate_ids='fanout' or 'dedupe' to proceed"
+            )
+    elif on_duplicate_ids == "dedupe":
+        payload = F.struct(*[F.col(c) for c, _ in fs]).alias("__payload")
+        records = (
+            records.select(F.col(id_col), payload)
+            .groupBy(id_col)
+            .agg(F.min("__payload").alias("__payload"))
+            .select(id_col, "__payload.*")
+        )
     a = records.select(
         F.col(id_col).alias("id_a"), *[F.col(c).alias(f"__a_{c}") for c, _ in fs]
     )

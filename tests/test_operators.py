@@ -1713,3 +1713,40 @@ def test_er_match_score_field_rules(spark):
     assert got[(1, 3)].sim_name == 0.0 and got[(1, 3)].sim_size == 0.0
     # empty-vs-empty strings agree
     assert got[(5, 5)].sim_name == 1.0
+
+
+def test_er_match_score_on_duplicate_ids_modes(spark):
+    # VERDICT r6 stretch item 6: the duplicate-id fan-out contract gets
+    # an explicit knob — fanout (join semantics), dedupe (deterministic
+    # min-payload survivor), error (refuse on repeats).
+    import pytest
+
+    from python_mapreduce_spark.operators.joins import er_match_score
+
+    recs = spark.createDataFrame(
+        [(1, "alpha"), (1, "beta"), (2, "alpha")], "id long, name string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    fields = [("name", 1.0)]
+
+    fanout = er_match_score(pairs, recs, "id", fields).collect()
+    assert len(fanout) == 2  # one row per payload combination
+
+    dedup = er_match_score(
+        pairs, recs, "id", fields, on_duplicate_ids="dedupe"
+    ).collect()
+    # min-struct survivor is 'alpha' (lexicographic), deterministically
+    assert len(dedup) == 1 and dedup[0].sim_name == 1.0
+
+    with pytest.raises(ValueError, match="duplicate"):
+        er_match_score(pairs, recs, "id", fields, on_duplicate_ids="error")
+
+    with pytest.raises(ValueError, match="on_duplicate_ids"):
+        er_match_score(pairs, recs, "id", fields, on_duplicate_ids="drop")
+
+    # unique ids: 'error' mode passes through and matches fanout
+    uniq = recs.filter("name <> 'beta'")
+    ok = er_match_score(
+        pairs, uniq, "id", fields, on_duplicate_ids="error"
+    ).collect()
+    assert len(ok) == 1 and ok[0].sim_name == 1.0
