@@ -260,9 +260,9 @@ def ivf_dials(n: int) -> tuple[int, int]:
     (tools/measure_ann_recall.py): the floor binds up to n ~ 28.9k
     (round(sqrt(n)/20) stays 8 through n = 28899), so the dials are the
     r4-measured (8, 6) at sf0.001/0.01/0.1 — recall 0.92-0.94; between
-    ~29k and 100k the dials interpolate (e.g. (11, 7) at 50k — recall
-    measured >= the floor by tools/measure_ann_recall.py's synth-50k
-    row); at 100k vectors they are the r5-measured scale dials (16, 10)
+    ~29k and 100k the dials interpolate — measured at the midpoint by
+    tools/measure_ann_recall.py's synth-50k row: (11, 7) at 50k vectors
+    -> recall 0.940; at 100k vectors they are the r5-measured scale dials (16, 10)
     — recall 0.860, holding the >= 0.8 registry floor WITH margin (the
     pinned 8/6 dials measured exactly 0.800 there — zero margin,
     VERDICT r5 item 4). The probe fraction is

@@ -5,7 +5,17 @@ iters) such that multi-probe LSH recall >= 0.9 and IVF recall >= 0.8
 hold with margin across scale factors and plane seeds, then pin those
 thresholds in the registry oracles.
 
-Usage: python tools/measure_ann_recall.py [sf_dir ...]
+Usage: python tools/measure_ann_recall.py [--auto-only] [sf_dir ...]
+
+``--auto-only`` skips the dial sweep and measures just the registry
+default (corpus-adaptive ivf_dials) row — the cheap per-corpus gate.
+ADVICE r6 item 1 coverage: the interpolated-dial regime between the
+~28.9k floor crossover and the 100k scale point is measured on a
+25x-embeddings synthetic corpus (50k vectors -> dials (11, 7)):
+
+    python tools/make_scale_corpus.py --out /tmp/sf50k_synth \
+        --doc-mult 1 --vec-mult 25
+    python tools/measure_ann_recall.py --auto-only /tmp/sf50k_synth
 """
 
 from __future__ import annotations
@@ -40,7 +50,9 @@ def recall(exact, approx) -> float:
 
 
 def main() -> None:
-    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    args = [a for a in sys.argv[1:] if a != "--auto-only"]
+    auto_only = "--auto-only" in sys.argv[1:]
+    sf_dirs = args or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
     spark = get_spark("ann-recall", master="local[16]")
     tune(spark)
     for sf in sf_dirs:
@@ -49,7 +61,7 @@ def main() -> None:
         exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5).cache()
         exact.count()
 
-        for planes, radius in [(6, 3), (6, 4), (8, 4), (10, 5), (12, 6)]:
+        for planes, radius in [] if auto_only else [(6, 3), (6, 4), (8, 4), (10, 5), (12, 6)]:
             for seed in (42, 7, 2024):
                 r = recall(
                     exact,
@@ -60,7 +72,7 @@ def main() -> None:
                 )
                 print(f"{sf} LSH planes={planes} radius={radius} seed={seed}: recall={r:.3f}", flush=True)
 
-        for nlist, nprobe, iters in [(8, 3, 2), (8, 5, 3), (8, 6, 3), (16, 8, 3), (16, 10, 3)]:
+        for nlist, nprobe, iters in [] if auto_only else [(8, 3, 2), (8, 5, 3), (8, 6, 3), (16, 8, 3), (16, 10, 3)]:
             r = recall(
                 exact,
                 ann_topk_ivf(
