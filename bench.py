@@ -172,6 +172,17 @@ HEADLINE = [
     # (q_stream_incremental_auc joins the other stream_incremental_*
     # queries in staying out of the headline set: their runtime is
     # dominated by temp-dir ingest writes, not engine throughput.)
+    # Round-7 additions.
+    "q_l_diversity",
+    "q_ref_integrity",
+    "q_brier_score",
+    "q_bollinger_bands",
+    "q_gini_domains",
+    "q_pareto_share",
+    "q_zipf_slope",
+    "q_tfidf_terms",
+    "q_dedup_embedding_precluster",
+    "q_dedup_embedding_precluster_eval",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

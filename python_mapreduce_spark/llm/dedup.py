@@ -562,13 +562,20 @@ def embedding_dedup_pairs_precluster(
     *,
     threshold: float = 0.4,
     nlist: int | None = None,
-    probes: int = 2,
+    probes: int = 3,
     iters: int = 2,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via IVF PRE-CLUSTERING — the
     bounded fallback for corpora where banded-LSH candidates degrade
     toward all-pairs (pair cosines at the random background, VERDICT r6
     item 3).
+
+    Recall vs the exact all-pairs set, measured on the real embeddings
+    tables at threshold 0.4 (precision is ALWAYS total — emitted pairs
+    carry exact cosines): probes=2 -> 0.739-0.848, probes=3 (default)
+    -> 0.948-1.000, probes=4 -> 0.997-1.000 across sf0.001/0.01/0.1;
+    the registry's ``q_dedup_embedding_precluster_eval`` twin pins the
+    0.9 floor at the default dials.
 
     Each vector is assigned to its ``probes`` nearest IVF centroids
     (trained by :func:`~python_mapreduce_spark.llm.similarity.ivf_assign`

@@ -1339,3 +1339,131 @@ def compression_ratio(
             dround(F.col("c_bytes").cast("double") / F.col("n_bytes"), 6),
         ),
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str,
+    *,
+    top_n: int = 100,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus term-frequency distribution: OLS
+    slope of ln(frequency) on ln(rank) across the ``top_n`` most
+    frequent terms — natural text sits near -1; word-soup/synthetic
+    corpora flatten toward 0 and boilerplate-heavy corpora steepen, so
+    the slope is a one-number corpus-authenticity probe beside
+    :func:`ngram_diversity`. Emits ONE row: (n_terms, slope,
+    intercept), both rounded to 1e-4. Rank order is (count desc, term
+    asc) — the term tiebreak pins ln(rank) per term exactly, so the
+    SQL twin reproduces the fit bit-for-bit at 4 decimals. Fewer than
+    2 distinct terms -> NULL slope/intercept; empty input emits ZERO
+    rows (grouped-agg convention).
+
+    Scale shape: one tokenize+explode pass, a map-side-combined term
+    count agg, a top-n trim via ONE TakeOrderedAndProject-shaped
+    global sort-limit on the (vocabulary-sized, not corpus-sized)
+    count frame, then the distributed global rank
+    (:func:`~python_mapreduce_spark.operators.windows.global_row_number`)
+    over at most ``top_n`` rows and one closed-form OLS agg. Raw text
+    crosses the wire only as exploded tokens into the first combine.
+    """
+    from python_mapreduce_spark.operators.windows import global_row_number  # noqa: PLC0415
+
+    if int(top_n) < 2:
+        raise ValueError(f"top_n must be >= 2: {top_n}")
+    counts = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn("__negc", -F.col("c"))
+        .orderBy("__negc", "term")
+        .limit(int(top_n))
+    )
+    ranked = global_row_number(counts, ["__negc", "term"], out="__r")
+    xy = ranked.select(
+        F.log(F.col("__r").cast("double")).alias("__x"),
+        F.log(F.col("c").cast("double")).alias("__y"),
+    )
+    agged = xy.groupBy(F.lit(1).alias("__g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    denom = F.col("__sxx") - F.col("__sx") * F.col("__sx") / n
+    slope = F.when(
+        (F.col("n_terms") >= 2) & (denom > 0),
+        (F.col("__sxy") - F.col("__sx") * F.col("__sy") / n) / denom,
+    )
+    return agged.select(
+        "n_terms",
+        dround(slope, 4).alias("slope"),
+        dround((F.col("__sy") - slope * F.col("__sx")) / n, 4).alias("intercept"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per GROUP by tf-idf — "what words
+    make this source/domain different". Distinct granularity from
+    :func:`tfidf_topk` (per-DOCUMENT keywords, df over documents):
+    here df counts GROUPS containing the term, so the group-cardinality
+    frame, not the corpus, is the idf base — the mix-profiling view a
+    data card wants. tf = term count within the group; idf = ln(n_groups /
+    df) with df = number of groups containing the term (so a term in
+    every group scores exactly 0 and drops out of any top-k that has
+    alternatives). Emits (group, rank, term, tf, n_groups_with_term,
+    score) with rank 1..k by (score desc, term asc) — the term
+    tiebreak makes the cut deterministic; score rounds to 1e-4 AFTER
+    ranking. Groups whose every term has idf 0 still emit k rows
+    (scores 0) — the readout is "nothing distinguishes this group",
+    not silence.
+
+    Scale shape: one tokenize+explode pass into a (group, term)
+    map-side-combined count; df comes from re-aggregating that
+    (vocabulary x group)-sized frame, NOT the corpus; the final top-k
+    is a per-GROUP row_number window — partitioned by group, so no
+    single-task window at any vocabulary size.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    if int(k) < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    tf = (
+        df.select(F.col(group_col).alias("grp"), F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups_with_term")
+    )
+    ngroups = tf.select("grp").distinct().groupBy(F.lit(1).alias("__g")).agg(
+        F.count(F.lit(1)).cast("long").alias("__ng")
+    ).drop("__g")
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(ngroups)).withColumn(
+        "__score",
+        F.col("tf")
+        * F.log(F.col("__ng").cast("double") / F.col("n_groups_with_term")),
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("__score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            "tf",
+            "n_groups_with_term",
+            dround(F.col("__score"), 4).alias("score"),
+        )
+    )

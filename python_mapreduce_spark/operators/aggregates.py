@@ -2179,3 +2179,271 @@ def ab_test_proportions(
             "significant"
         ),
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    *,
+    l: int = 2,  # noqa: E741 - the metric's standard name
+) -> DataFrame:
+    """l-diversity audit — k-anonymity's complement
+    (:func:`k_anonymity_audit`): a quasi-identifier group can be large
+    (k-anonymous) yet still leak if every member shares the SAME
+    sensitive value, so the release gate also needs each group to carry
+    at least ``l`` DISTINCT sensitive values. Emits ONE row: (n_rows,
+    n_groups, min_distinct_sensitive, n_groups_below_l,
+    n_rows_below_l, rows_below_l_share, l_diverse). NULL quasi-values
+    are buckets (as in the k audit); NULL sensitive values are ignored
+    by the distinct count (both engines' count(DISTINCT) semantics), so
+    an all-NULL-sensitive group has distinct 0 and always fails. Empty
+    input emits ZERO rows (the grouped-agg convention).
+
+    Scale shape: one map-side-combined (quasi..., distinct-sensitive)
+    agg to the group frame, then ONE re-aggregation of that
+    group-cardinality-sized frame — a single scan, nothing row-sized
+    shuffles twice. The share divides exact longs, rounded 1e-6.
+    """
+    qs = list(quasi_cols)
+    if not qs:
+        raise ValueError("l_diversity_audit needs at least one quasi-identifier column")
+    sizes = df.groupBy(*qs).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.countDistinct(sensitive_col).cast("long").alias("__d"),
+    )
+    below = F.col("__d") < int(l)
+    return sizes.groupBy(F.lit(1).alias("__g")).agg(
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("__d").cast("long").alias("min_distinct_sensitive"),
+        F.sum(below.cast("long")).cast("long").alias("n_groups_below_l"),
+        F.sum(F.when(below, F.col("__n")).otherwise(0)).cast("long").alias("n_rows_below_l"),
+    ).select(
+        "n_rows",
+        "n_groups",
+        "min_distinct_sensitive",
+        "n_groups_below_l",
+        "n_rows_below_l",
+        dround(F.col("n_rows_below_l") / F.col("n_rows").cast("double"), 6).alias(
+            "rows_below_l_share"
+        ),
+        (F.col("n_groups_below_l") == 0).alias("l_diverse"),
+    )
+
+
+def referential_integrity_audit(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    *,
+    edge: str | None = None,
+) -> DataFrame:
+    """Referential-integrity audit for one FK edge — the DQ gate that
+    catches broken ingests before a join silently drops rows: how many
+    child rows point at a parent key that doesn't exist? Emits ONE row:
+    (edge, n_child, n_null_keys, n_orphans, orphan_share, ok). NULL
+    child keys are counted separately, not as orphans (a NULL FK is
+    "no reference" under SQL semantics, not a violation);
+    ``orphan_share`` divides by the non-NULL reference count. ``ok``
+    iff zero orphans. Union several edges for a whole-schema audit
+    (each edge labeled — the registry's ``q_ref_integrity``).
+
+    Scale shape: ONE equi-join of the child's key column against the
+    parent's distinct keys (both sides pre-projected to one column, so
+    the shuffle carries keys only — Catalyst broadcasts the parent side
+    when it's dimension-sized) + one global agg. No row payload ever
+    moves.
+    """
+    ck = child.select(F.col(child_key).alias("__ck"))
+    pk = parent.select(F.col(parent_key).alias("__ck")).distinct().withColumn(
+        "__hit", F.lit(1)
+    )
+    tagged = ck.join(pk, "__ck", "left")
+    nn = F.col("__ck").isNotNull()
+    orphan = nn & F.col("__hit").isNull()
+    return tagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_child"),
+        F.sum((~nn).cast("long")).cast("long").alias("n_null_keys"),
+        F.sum(orphan.cast("long")).cast("long").alias("n_orphans"),
+    ).select(
+        F.lit(edge if edge is not None else f"{child_key}->{parent_key}").alias("edge"),
+        "n_child",
+        "n_null_keys",
+        "n_orphans",
+        F.when(
+            (F.col("n_child") - F.col("n_null_keys")) > 0,
+            dround(
+                F.col("n_orphans")
+                / (F.col("n_child") - F.col("n_null_keys")).cast("double"),
+                6,
+            ),
+        ).alias("orphan_share"),
+        (F.col("n_orphans") == F.lit(0)).alias("ok"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col,
+    *,
+    rank_partitions: int | None = None,
+) -> DataFrame:
+    """Gini coefficient of how ``value_col`` mass concentrates across
+    groups — the one-number inequality readout for training-data mix
+    questions ("do 3 domains hold 90% of the tokens?"). 0 = perfectly
+    even, ->1 = one group holds everything. Emits ONE row: (n_groups,
+    total, gini). Uses the exact rank identity
+    G = 2*sum(i * x_i) / (n * sum(x)) - (n + 1)/n over group totals
+    sorted ascending; ties in totals contribute identically under any
+    tie order, and the rank itself tiebreaks on the group keys, so the
+    result is deterministic. Groups with NULL keys are buckets; empty
+    input emits ZERO rows (grouped-agg convention). Negative totals
+    would break the identity — callers aggregate nonneg masses (counts,
+    token sums).
+
+    Scale shape: one map-side-combined group agg to the
+    group-cardinality frame, then a DISTRIBUTED global rank over that
+    frame (:func:`~python_mapreduce_spark.operators.windows.
+    global_row_number` — no single-task window even when the group
+    count is huge), then one re-aggregation. The raw rows are scanned
+    once.
+    """
+    from python_mapreduce_spark.operators.windows import global_row_number  # noqa: PLC0415
+
+    gs = list(group_cols)
+    if not gs:
+        raise ValueError("gini_concentration needs at least one group column")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    totals = df.groupBy(*gs).agg(F.sum(v).cast("double").alias("__x"))
+    ranked = global_row_number(
+        totals, ["__x", *gs], out="__i", num_partitions=rank_partitions
+    )
+    return ranked.groupBy(F.lit(1).alias("__g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("__x").alias("__tot"),
+        F.sum(F.col("__i") * F.col("__x")).alias("__iwx"),
+    ).select(
+        "n_groups",
+        dround(F.col("__tot"), 6).alias("total"),
+        F.when(
+            (F.col("__tot") > 0) & (F.col("n_groups") > 0),
+            dround(
+                F.lit(2.0) * F.col("__iwx") / (F.col("n_groups") * F.col("__tot"))
+                - (F.col("n_groups") + 1) / F.col("n_groups").cast("double"),
+                6,
+            ),
+        ).alias("gini"),
+    )
+
+
+def pareto_share(
+    df: DataFrame,
+    id_col: str,
+    value_col,
+    *,
+    fractions: Sequence[float] = (0.01, 0.10, 0.20),
+    rank_partitions: int | None = None,
+) -> DataFrame:
+    """Cumulative-share (Lorenz) readout: what share of total
+    ``value_col`` mass do the top ``f`` fraction of rows hold, for each
+    requested ``f``? The companion to :func:`gini_concentration` when
+    the ANSWER needs to be actionable ("capping the top 1% of docs
+    drops 18% of tokens"). Emits ONE row: (n_rows, total,
+    share_top_<pct>...), shares rounded 1e-6. Top-f cutoff is
+    ceil(n * f) rows under the total order (value desc, id asc) — the
+    id tiebreak makes the cutoff set, and therefore the share, exactly
+    reproducible in the SQL twin. Empty input emits ZERO rows.
+
+    Scale shape: ONE distributed global rank over (neg value, id) —
+    range exchange, no single-task window — then one agg with a
+    conditional sum per fraction; the data is scanned once and only
+    rank + value cross the wire.
+    """
+    from python_mapreduce_spark.operators.windows import global_row_number  # noqa: PLC0415
+
+    fs = [float(f) for f in fractions]
+    if not fs or any(not (0.0 < f <= 1.0) for f in fs):
+        raise ValueError(f"fractions must sit in (0, 1]: {fractions}")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    src = df.select(
+        F.col(id_col).alias("__id"), v.cast("double").alias("__x")
+    ).withColumn("__negx", -F.col("__x"))
+    ranked = global_row_number(
+        src, ["__negx", "__id"], out="__i", num_partitions=rank_partitions
+    ).localCheckpoint(eager=False)  # the count row and the share agg both read it
+    counts = ranked.groupBy(F.lit(1).alias("__g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("__x").alias("__tot"),
+    ).drop("__g")
+    # the 1-row count broadcasts back onto the ranked frame (the
+    # ab_test_proportions pattern) so each fraction's ceil(n*f) cutoff
+    # is a plain rank comparison inside one conditional-sum agg
+    joined = ranked.crossJoin(F.broadcast(counts))
+    share_cols = []
+    for f in fs:
+        pct = f"{f * 100:g}".replace(".", "_")
+        cut = F.ceil(F.col("n_rows") * F.lit(f))
+        share_cols.append(
+            F.when(
+                F.max("__tot") > 0,
+                dround(
+                    F.sum(F.when(F.col("__i") <= cut, F.col("__x")).otherwise(0.0))
+                    / F.max("__tot"),
+                    6,
+                ),
+            ).alias(f"share_top_{pct}")
+        )
+    return joined.groupBy(F.lit(1).alias("__g")).agg(
+        F.max("n_rows").cast("long").alias("n_rows"),
+        dround(F.max("__tot"), 6).alias("total"),
+        *share_cols,
+    ).drop("__g")
+
+
+def brier_score(
+    df: DataFrame,
+    score_col,
+    label_col,
+) -> DataFrame:
+    """Brier score + Murphy skill decomposition inputs for a
+    probabilistic classifier — the proper-scoring-rule companion to
+    :func:`auc_score` (rank quality) and :func:`calibration_report`
+    (reliability bins): mean squared error of the predicted probability
+    against the {0,1} outcome. Emits ONE row: (n, base_rate, brier,
+    brier_ref, skill) where ``brier_ref = base_rate * (1 - base_rate)``
+    is the no-skill climatology forecast and
+    ``skill = 1 - brier/brier_ref`` (NULL when the reference is 0 —
+    a single-class truth set has no skill baseline). Rows with a NULL
+    score or label are excluded; empty/degenerate input yields n=0 with
+    NULL metrics (single-agg convention, mirroring the SQL twin).
+
+    Scale shape: ONE map-side-combined global agg over (score, label) —
+    sums of squares, no window, no shuffle beyond the final combine.
+    Doubles round to 1e-6 AFTER the sums so float order can't flip a
+    bit at any parallelism.
+    """
+    p = (F.col(score_col) if isinstance(score_col, str) else score_col).cast("double")
+    y = (F.col(label_col) if isinstance(label_col, str) else label_col).cast(
+        "boolean"
+    ).cast("int")
+    base = df.select(p.alias("__p"), y.alias("__y")).filter(
+        F.col("__p").isNotNull() & F.col("__y").isNotNull()
+    )
+    agged = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("__y").alias("__rate"),
+        F.avg((F.col("__p") - F.col("__y")) * (F.col("__p") - F.col("__y"))).alias(
+            "__brier"
+        ),
+    )
+    ref = F.col("__rate") * (F.lit(1.0) - F.col("__rate"))
+    return agged.select(
+        "n",
+        dround(F.col("__rate"), 6).alias("base_rate"),
+        dround(F.col("__brier"), 6).alias("brier"),
+        dround(ref, 6).alias("brier_ref"),
+        F.when(ref > 0, dround(F.lit(1.0) - F.col("__brier") / ref, 6)).alias("skill"),
+    )

@@ -932,3 +932,59 @@ def ohlc_bars(
             "close",
         )
     )
+
+
+def bollinger_bands(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    *,
+    window: int = 20,
+    k: float = 2.0,
+) -> DataFrame:
+    """Bollinger bands per key over an ordered series — the rolling
+    mean +- k rolling population stddevs envelope, plus the outlier
+    verdict (value outside its own band): the classic anomaly screen
+    over per-bucket metrics (daily volumes, hourly error rates) that
+    :func:`ohlc_bars` / :func:`time_weighted_avg` feed. Emits one row
+    per input row: (keys..., order_col, value, ma, upper, lower,
+    outlier). Bands are NULL (outlier false) until a key has a FULL
+    ``window`` of trailing rows — a 3-row warmup band is noise, not a
+    signal. ``stddev_pop`` (not sample) so the formula replays exactly
+    in the SQL twin; doubles round to 1e-6.
+
+    Scale shape: ONE partitioned running window (rowsBetween
+    -(window-1)..0) per key — state is the frame, never the series;
+    keys partition the shuffle, so no single-task window regardless of
+    series length. At 100 TB the key space (metric x entity) is the
+    parallelism; a single pathological mega-key is bounded by the
+    series length, not the table.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ks = list(keys)
+    if not ks:
+        raise ValueError("bollinger_bands needs at least one key column (partitioning)")
+    if int(window) < 2:
+        raise ValueError(f"window must be >= 2: {window}")
+    w = (
+        Window.partitionBy(*ks)
+        .orderBy(order_col)
+        .rowsBetween(-(int(window) - 1), 0)
+    )
+    v = F.col(value_col).cast("double")
+    full = F.count(v).over(w) >= int(window)
+    ma = F.when(full, dround(F.avg(v).over(w), 6))
+    sd = F.when(full, F.stddev_pop(v).over(w))
+    upper = dround(ma + F.lit(float(k)) * sd, 6)
+    lower = dround(ma - F.lit(float(k)) * sd, 6)
+    return df.select(
+        *ks,
+        F.col(order_col),
+        dround(v, 6).alias("value"),
+        ma.alias("ma"),
+        upper.alias("upper"),
+        lower.alias("lower"),
+        F.coalesce((v > upper) | (v < lower), F.lit(False)).alias("outlier"),
+    )

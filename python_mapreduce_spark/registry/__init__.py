@@ -313,6 +313,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_classification_report",
     "q_cohens_kappa",
     "q_fuzzy_decontam",
+    # --- round-7 additions (behind the staleness block, VERDICT r6 item 2) ---
+    "q_l_diversity",
+    "q_ref_integrity",
+    "q_brier_score",
+    "q_bollinger_bands",
+    "q_gini_domains",
+    "q_pareto_share",
+    "q_zipf_slope",
+    "q_tfidf_terms",
+    "q_dedup_embedding_precluster",
+    "q_dedup_embedding_precluster_eval",
 )
 
 

@@ -2928,6 +2928,186 @@ FROM (SELECT 1 AS g, * FROM bins) GROUP BY g
 """
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # l-diversity release gate (operators/aggregates.py::
+    # l_diversity_audit), k-anonymity's complement: within each
+    # (nation, market-segment) quasi-identifier group, do customers
+    # carry at least 2 DISTINCT account-balance buckets, or does the
+    # group leak its members' balance band? Same one-scan group-frame
+    # re-agg shape as q_k_anonymity.
+    from python_mapreduce_spark.operators.aggregates import l_diversity_audit  # noqa: PLC0415
+
+    cust = table(spark, sf_dir, "customer").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 1000.0)
+    )
+    return l_diversity_audit(cust, ["c_nationkey", "c_mktsegment"], "bal_bucket", l=2)
+
+
+SQL_L_DIVERSITY = f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT floor(c_acctbal / 1000.0)) AS BIGINT) AS d
+  FROM customer GROUP BY 1, 2
+)
+SELECT n_rows, n_groups, min_distinct_sensitive, n_groups_below_l, n_rows_below_l,
+       {sql_dround("CAST(n_rows_below_l AS DOUBLE) / n_rows", 6)} AS rows_below_l_share,
+       n_groups_below_l = 0 AS l_diverse
+FROM (
+  SELECT 1 AS grp,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(min(d) AS BIGINT) AS min_distinct_sensitive,
+         CAST(sum(CASE WHEN d < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_below_l,
+         CAST(sum(CASE WHEN d < 2 THEN n ELSE 0 END) AS BIGINT) AS n_rows_below_l
+  FROM g GROUP BY grp
+)
+"""
+
+
+def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Whole-schema FK audit (operators/aggregates.py::
+    # referential_integrity_audit): one orphan-count row per edge of
+    # the TPC-H-ish star — the DQ gate that catches a broken ingest
+    # before a join silently drops rows. Each edge is one keys-only
+    # equi-join + one agg; the union is four 1-row frames.
+    from python_mapreduce_spark.operators.aggregates import referential_integrity_audit  # noqa: PLC0415
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    p = table(spark, sf_dir, "part")
+    edges = [
+        referential_integrity_audit(li, "l_orderkey", o, "o_orderkey", edge="lineitem->orders"),
+        referential_integrity_audit(li, "l_partkey", p, "p_partkey", edge="lineitem->part"),
+        referential_integrity_audit(o, "o_custkey", c, "c_custkey", edge="orders->customer"),
+        referential_integrity_audit(c, "c_nationkey", n, "n_nationkey", edge="customer->nation"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+def _sql_ref_edge(edge: str, child: str, ckey: str, parent: str, pkey: str) -> str:
+    share = sql_dround("CAST(n_orphans AS DOUBLE) / (n_child - n_null_keys)", 6)
+    return f"""
+  SELECT '{edge}' AS edge, n_child, n_null_keys, n_orphans,
+         CASE WHEN n_child - n_null_keys > 0 THEN {share} END AS orphan_share,
+         n_orphans = 0 AS ok
+  FROM (
+    SELECT CAST(count(*) AS BIGINT) AS n_child,
+           CAST(sum(CASE WHEN ch.{ckey} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys,
+           CAST(sum(CASE WHEN ch.{ckey} IS NOT NULL AND pr.hit IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+    FROM {child} ch LEFT JOIN (SELECT DISTINCT {pkey} AS k, 1 AS hit FROM {parent}) pr
+      ON ch.{ckey} = pr.k
+  )"""
+
+
+SQL_REF_INTEGRITY = (
+    _sql_ref_edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey")
+    + "\nUNION ALL\n"
+    + _sql_ref_edge("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey")
+    + "\nUNION ALL\n"
+    + _sql_ref_edge("orders->customer", "orders", "o_custkey", "customer", "c_custkey")
+    + "\nUNION ALL\n"
+    + _sql_ref_edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey")
+)
+
+
+def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Proper-scoring-rule readout (operators/aggregates.py::
+    # brier_score) on the same purchase-vs-click truth set as q_auc:
+    # value clamps to a [0,1] pseudo-probability (no transcendentals —
+    # bit-identical in both engines), Brier MSE + Murphy skill vs the
+    # climatology baseline. ONE map-side-combined agg.
+    from python_mapreduce_spark.operators.aggregates import brier_score  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    scored = ev.select(
+        dround(F.least(F.greatest(F.col("value") / 100.0, F.lit(0.0)), F.lit(1.0)), 4).alias("p"),
+        (F.col("event_type") == "purchase").alias("y"),
+    )
+    return brier_score(scored, "p", "y")
+
+
+SQL_BRIER_SCORE = f"""
+WITH base AS (
+  SELECT {sql_dround("least(greatest(CAST(value AS DOUBLE) / 100.0, 0.0), 1.0)", 4)} AS p,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         avg(CAST(y AS DOUBLE)) AS rate,
+         avg((p - y) * (p - y)) AS brier
+  FROM base
+)
+SELECT n,
+       {sql_dround("rate", 6)} AS base_rate,
+       {sql_dround("brier", 6)} AS brier,
+       {sql_dround("rate * (1.0 - rate)", 6)} AS brier_ref,
+       CASE WHEN rate * (1.0 - rate) > 0
+            THEN {sql_dround("1.0 - brier / (rate * (1.0 - rate))", 6)} END AS skill
+FROM a
+"""
+
+
+def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rolling-band anomaly screen (operators/events.py::
+    # bollinger_bands): per event_type, the daily mean value against
+    # its trailing-7-day mean +- 2 population stddevs; bands are NULL
+    # until a full window exists. Partitioned running window — no
+    # single-task window at any series length.
+    from python_mapreduce_spark.operators.events import bollinger_bands  # noqa: PLC0415
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.avg("value").alias("daily_avg"))
+    )
+    return bollinger_bands(daily, ["event_type"], "day", "daily_avg", window=7, k=2.0)
+
+
+SQL_BOLLINGER_BANDS = f"""
+WITH daily AS (
+  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         avg(CAST(value AS DOUBLE)) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, day, v,
+         count(v) OVER win >= 7 AS full_w,
+         avg(v) OVER win AS raw_ma,
+         stddev_pop(v) OVER win AS sd
+  FROM daily
+  WINDOW win AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+b AS (
+  SELECT event_type, day, v,
+         CASE WHEN full_w THEN {sql_dround("raw_ma", 6)} END AS ma,
+         CASE WHEN full_w THEN sd END AS sd
+  FROM w
+)
+SELECT event_type, day,
+       {sql_dround("v", 6)} AS value,
+       ma,
+       {sql_dround("ma + 2.0 * sd", 6)} AS upper,
+       {sql_dround("ma - 2.0 * sd", 6)} AS lower,
+       coalesce(v > {sql_dround("ma + 2.0 * sd", 6)}
+                OR v < {sql_dround("ma - 2.0 * sd", 6)}, FALSE) AS outlier
+FROM b
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q01_pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY, "TPC-H Q1-style flagship"),
     "q_pivot": Query(q_pivot, SQL_PIVOT, "pivot to columns"),
@@ -3016,4 +3196,8 @@ QUERIES: dict[str, Query] = {
     "q_case_when": Query(q_case_when, SQL_CASE_WHEN, "CASE/conditional buckets"),
     "q_scalar_array": Query(q_scalar_array, SQL_SCALAR_ARRAY, "array function veneer"),
     "q_scalar_map": Query(q_scalar_map, SQL_SCALAR_MAP, "map function veneer"),
+    "q_l_diversity": Query(q_l_diversity, SQL_L_DIVERSITY, "l-diversity release gate over quasi-identifier groups"),
+    "q_ref_integrity": Query(q_ref_integrity, SQL_REF_INTEGRITY, "whole-schema FK orphan audit (one row per edge)"),
+    "q_brier_score": Query(q_brier_score, SQL_BRIER_SCORE, "Brier score + Murphy skill vs climatology"),
+    "q_bollinger_bands": Query(q_bollinger_bands, SQL_BOLLINGER_BANDS, "rolling mean +- 2 sigma bands with outlier verdict"),
 }

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from python_mapreduce_spark.llm.dedup import (
     embedding_dedup_pairs_lsh,
     embedding_dedup_pairs_matmul,
+    embedding_dedup_pairs_precluster,
     exact_dedup,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
@@ -46,9 +47,11 @@ from python_mapreduce_spark.llm.text import (
     quality_score,
     repetition_stats,
     text_stats,
+    tfidf_top_terms,
     tfidf_topk,
     token_counts,
     vocab_coverage,
+    zipf_slope,
 )
 from python_mapreduce_spark.functions.scalar import dround, sql_dround, tokenize
 from python_mapreduce_spark.registry import Query
@@ -3486,6 +3489,214 @@ GROUP BY 1, 2, 3
 """.replace("{shingles}", _SQL_SHINGLES.strip())
 
 
+
+
+def q_gini_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Concentration readout (operators/aggregates.py::
+    # gini_concentration): Gini coefficient of TOKEN mass across
+    # sources — "do a few domains hold the corpus?" One tokenization
+    # scan, a source-sized totals frame, a distributed rank over it,
+    # one re-agg. Exact rank identity; group-key tiebreak pins ranks.
+    from python_mapreduce_spark.operators.aggregates import gini_concentration  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source", F.size(tokenize(F.col("text"))).cast("long").alias("n_toks")
+    )
+    return gini_concentration(docs, ["source"], "n_toks")
+
+
+SQL_GINI_DOMAINS = f"""
+WITH t AS (
+  SELECT source,
+         CAST(sum(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'))) AS DOUBLE) AS x
+  FROM documents GROUP BY source
+),
+r AS (SELECT x, row_number() OVER (ORDER BY x, source) AS i FROM t)
+SELECT n_groups, {sql_dround("tot", 6)} AS total,
+       CASE WHEN tot > 0 AND n_groups > 0
+            THEN {sql_dround("2.0 * iwx / (n_groups * tot) - (n_groups + 1) / CAST(n_groups AS DOUBLE)", 6)}
+       END AS gini
+FROM (
+  SELECT 1 AS grp, CAST(count(*) AS BIGINT) AS n_groups,
+         sum(x) AS tot, sum(i * x) AS iwx
+  FROM r GROUP BY grp
+)
+"""
+
+
+def q_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lorenz readout (operators/aggregates.py::pareto_share): the char
+    # mass held by the top 1% / 10% / 20% of documents — the actionable
+    # companion of q_gini_domains when deciding a per-doc cap. ONE
+    # distributed global rank (no single-task window) + one
+    # conditional-sum agg against the broadcast 1-row count.
+    from python_mapreduce_spark.operators.aggregates import pareto_share  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pareto_share(docs, "doc_id", "n_chars", fractions=(0.01, 0.10, 0.20))
+
+
+SQL_PARETO_SHARE = f"""
+WITH r AS (
+  SELECT CAST(n_chars AS DOUBLE) AS x,
+         row_number() OVER (ORDER BY -CAST(n_chars AS DOUBLE), doc_id) AS i
+  FROM documents
+),
+c AS (SELECT 1 AS grp, CAST(count(*) AS BIGINT) AS n_rows, sum(x) AS tot FROM r GROUP BY grp)
+SELECT n_rows, {sql_dround("tot", 6)} AS total,
+       CASE WHEN tot > 0 THEN {sql_dround("s1 / tot", 6)} END AS share_top_1,
+       CASE WHEN tot > 0 THEN {sql_dround("s10 / tot", 6)} END AS share_top_10,
+       CASE WHEN tot > 0 THEN {sql_dround("s20 / tot", 6)} END AS share_top_20
+FROM (
+  SELECT max(c.n_rows) AS n_rows, max(c.tot) AS tot,
+         sum(CASE WHEN i <= ceil(c.n_rows * 0.01) THEN x ELSE 0.0 END) AS s1,
+         sum(CASE WHEN i <= ceil(c.n_rows * 0.10) THEN x ELSE 0.0 END) AS s10,
+         sum(CASE WHEN i <= ceil(c.n_rows * 0.20) THEN x ELSE 0.0 END) AS s20
+  FROM r CROSS JOIN c GROUP BY c.grp
+)
+"""
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus-authenticity probe (llm/text.py::zipf_slope): OLS slope of
+    # ln(freq) on ln(rank) over the top-100 terms — natural text sits
+    # near -1. Top-n trim is a vocabulary-frame sort-limit; the rank is
+    # the distributed global_row_number; (count desc, term) tiebreak
+    # pins ln(rank) per term so the fit replays bit-for-bit at 4
+    # decimals.
+    return zipf_slope(table(spark, sf_dir, "documents"), "text", top_n=100)
+
+
+SQL_ZIPF_SLOPE = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS term
+  FROM documents
+),
+tc AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY term),
+t100 AS (SELECT term, n FROM tc ORDER BY n DESC, term LIMIT 100),
+r AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, term) AS DOUBLE)) AS x,
+         ln(CAST(n AS DOUBLE)) AS y
+  FROM t100
+),
+a AS (
+  SELECT 1 AS grp, CAST(count(*) AS BIGINT) AS n_terms,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM r GROUP BY grp
+)
+SELECT n_terms,
+       {sql_dround("(sxy - sx * sy / n_terms) / (sxx - sx * sx / n_terms)", 4)} AS slope,
+       {sql_dround("(sy - ((sxy - sx * sy / n_terms) / (sxx - sx * sx / n_terms)) * sx) / n_terms", 4)} AS intercept
+FROM a
+"""
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Characteristic vocabulary per source (llm/text.py::
+    # tfidf_top_terms): top-5 terms by tf * ln(n_groups/df) — the
+    # weighting cousin of q_chi2_terms. Per-GROUP row_number window
+    # (partitioned — no single-task window); (score desc, term)
+    # tiebreak pins the cut.
+    return tfidf_top_terms(table(spark, sf_dir, "documents"), "source", "text", k=5)
+
+
+SQL_TFIDF_TERMS = f"""
+WITH tf AS (
+  SELECT source AS grp, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT source, unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS term
+    FROM documents
+  ) GROUP BY 1, 2
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS n_groups_with_term FROM tf GROUP BY term),
+ng AS (SELECT CAST(count(DISTINCT grp) AS BIGINT) AS ng FROM tf),
+scored AS (
+  SELECT tf.grp, tf.term, tf.tf, dfreq.n_groups_with_term,
+         tf.tf * ln(CAST(ng.ng AS DOUBLE) / dfreq.n_groups_with_term) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN ng
+),
+ranked AS (
+  SELECT grp, term, tf, n_groups_with_term, score,
+         row_number() OVER (PARTITION BY grp ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT grp AS source, CAST(rank AS BIGINT) AS rank, term, tf, n_groups_with_term,
+       {sql_dround("score", 4)} AS score
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_dedup_embedding_precluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The candidate-budget guard's bounded fallback (llm/dedup.py::
+    # embedding_dedup_pairs_precluster): exact cosines, pairs restricted
+    # to shared IVF probe clusters — cost hard-bounded at
+    # ~probes^2/nlist of all-pairs on ANY cosine distribution. IVF
+    # centroids come from distributed float k-means (not
+    # SQL-expressible), so this is rows-only; the *_eval twin below is
+    # the oracle-checked gate (precision exactly 1, recall >= floor vs
+    # the exact all-pairs set).
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_dedup_pairs_precluster(
+        emb, "vec_id", "embedding", threshold=0.4
+    ).select("id1", "id2", dround(F.col("cos"), 6).alias("cos"))
+
+
+def q_dedup_embedding_precluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tolerance-oracle twin for the precluster path (the _ann_recall_eval
+    # pattern): the exact all-pairs set is ground truth; the Spark side
+    # emits its SQL-computable count plus least(precision, 1.0) /
+    # least(recall, floor) so the DuckDB twin's constant row matches IFF
+    # precision is total and recall holds the floor. Floor 0.9: at the
+    # default dials (probes=3) recall measured 0.948/0.966/1.000 at
+    # sf0.1/0.01/0.001 (probes=2 measured 0.739-0.848 — below a useful
+    # floor; probes=4 buys 0.997+ at ~1.8x the group cost).
+    emb = table(spark, sf_dir, "embeddings")
+    exact = embedding_dedup_pairs_matmul(emb, "vec_id", "embedding", threshold=0.4)
+    pre = embedding_dedup_pairs_precluster(emb, "vec_id", "embedding", threshold=0.4)
+    ex = exact.select("id1", "id2").withColumn("__ex", F.lit(1))
+    pr = pre.select("id1", "id2").withColumn("__pr", F.lit(1))
+    tagged = ex.join(pr, ["id1", "id2"], "full_outer")
+    return tagged.agg(
+        F.coalesce(F.sum(F.coalesce(F.col("__ex"), F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("n_exact_pairs"),
+        F.least(
+            dround(
+                F.sum(F.when(F.col("__ex").isNotNull() & F.col("__pr").isNotNull(), 1).otherwise(0))
+                / F.sum(F.coalesce(F.col("__pr"), F.lit(0))).cast("double"),
+                4,
+            ),
+            F.lit(1.0),
+        ).alias("precision_floor"),
+        F.least(
+            dround(
+                F.sum(F.when(F.col("__ex").isNotNull() & F.col("__pr").isNotNull(), 1).otherwise(0))
+                / F.sum(F.coalesce(F.col("__ex"), F.lit(0))).cast("double"),
+                4,
+            ),
+            F.lit(0.9),
+        ).alias("recall_floor"),
+    )
+
+
+SQL_DEDUP_EMBEDDING_PRECLUSTER_EVAL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT 1 AS pair FROM (
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           floor(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+  ) WHERE cos >= 0.4
+)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       CAST(1.0 AS DOUBLE) AS precision_floor,
+       CAST(0.9 AS DOUBLE) AS recall_floor
+FROM p
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_dedup_savings": Query(
         q_dedup_savings, SQL_DEDUP_SAVINGS, "effective dataset size after quality-aware dedup"
@@ -3673,4 +3884,10 @@ QUERIES: dict[str, Query] = {
         q_compression_ratio_eval, SQL_COMPRESSION_RATIO_EVAL, "bounds twin for the zlib redundancy signal"
     ),
     "q_hits": Query(q_hits, SQL_HITS, "fixed-iteration HITS hubs/authorities (L1-normalized, exact replay)"),
+    "q_gini_domains": Query(q_gini_domains, SQL_GINI_DOMAINS, "Gini concentration of token mass across sources"),
+    "q_pareto_share": Query(q_pareto_share, SQL_PARETO_SHARE, "top-1/10/20% Lorenz mass shares over documents"),
+    "q_zipf_slope": Query(q_zipf_slope, SQL_ZIPF_SLOPE, "Zipf OLS slope over the top-100 term frequencies"),
+    "q_tfidf_terms": Query(q_tfidf_terms, SQL_TFIDF_TERMS, "top-5 tf-idf characteristic terms per source"),
+    "q_dedup_embedding_precluster": Query(q_dedup_embedding_precluster, None, "IVF pre-cluster cosine dedup pairs (bounded fallback; eval-twin gated)"),
+    "q_dedup_embedding_precluster_eval": Query(q_dedup_embedding_precluster_eval, SQL_DEDUP_EMBEDDING_PRECLUSTER_EVAL, "precision/recall gate for the precluster dedup vs exact all-pairs"),
 }

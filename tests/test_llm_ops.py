@@ -1668,3 +1668,34 @@ def test_hits_scores_match_python_replay(spark):
         assert got[n] == (hub[n], auth[n]), n
     # sanity: y is pointed at by the most/best hubs -> top authority
     assert max(nodes, key=lambda n: auth[n]) == "y"
+
+
+def test_zipf_slope_perfect_power_law(spark):
+    from python_mapreduce_spark.llm.text import zipf_slope
+
+    # counts 24/12/8/6 = 24/rank -> exact slope -1, intercept ln 24
+    text = " ".join(["aa"] * 24 + ["bb"] * 12 + ["cc"] * 8 + ["dd"] * 6)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = zipf_slope(docs, "text", top_n=100).collect()[0]
+    assert r.n_terms == 4
+    assert r.slope == -1.0
+    assert abs(r.intercept - 3.1781) < 1e-4
+    # empty corpus -> zero rows
+    assert zipf_slope(docs.filter("1=0"), "text").count() == 0
+
+
+def test_tfidf_top_terms_group_level_df(spark):
+    from python_mapreduce_spark.llm.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [("g1", "x x y"), ("g2", "y z")], "source string, text string"
+    )
+    got = {(r.source, r.rank): r for r in tfidf_top_terms(docs, "source", "text", k=2).collect()}
+    import math
+
+    r11 = got[("g1", 1)]
+    assert r11.term == "x" and r11.tf == 2 and r11.n_groups_with_term == 1
+    assert abs(r11.score - 2 * math.log(2)) < 1e-4
+    assert got[("g1", 2)].term == "y" and got[("g1", 2)].score == 0.0
+    assert got[("g2", 1)].term == "z"
+    assert got[("g2", 2)].term == "y"

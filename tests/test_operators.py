@@ -1750,3 +1750,97 @@ def test_er_match_score_on_duplicate_ids_modes(spark):
         pairs, uniq, "id", fields, on_duplicate_ids="error"
     ).collect()
     assert len(ok) == 1 and ok[0].sim_name == 1.0
+
+
+def test_l_diversity_audit_readout(spark):
+    from python_mapreduce_spark.operators.aggregates import l_diversity_audit
+
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 1), ("B", 1), ("B", 2), ("C", None), ("C", None)],
+        "grp string, sens int",
+    )
+    r = l_diversity_audit(df, ["grp"], "sens", l=2).collect()[0]
+    # A has 1 distinct, C has 0 (NULLs ignored by count distinct)
+    assert (r.n_rows, r.n_groups, r.min_distinct_sensitive) == (6, 3, 0)
+    assert (r.n_groups_below_l, r.n_rows_below_l) == (2, 4)
+    assert abs(r.rows_below_l_share - 4 / 6) < 1e-6
+    assert r.l_diverse is False
+    # empty input: zero rows (grouped-agg convention)
+    assert l_diversity_audit(df.filter("1=0"), ["grp"], "sens").count() == 0
+
+
+def test_referential_integrity_audit_counts(spark):
+    from python_mapreduce_spark.operators.aggregates import referential_integrity_audit
+
+    child = spark.createDataFrame([(1,), (2,), (3,), (None,)], "k int")
+    parent = spark.createDataFrame([(1,), (2,), (2,)], "pk int")
+    r = referential_integrity_audit(child, "k", parent, "pk", edge="c->p").collect()[0]
+    assert (r.edge, r.n_child, r.n_null_keys, r.n_orphans) == ("c->p", 4, 1, 1)
+    assert abs(r.orphan_share - 1 / 3) < 1e-6
+    assert r.ok is False
+    # clean edge
+    ok = referential_integrity_audit(
+        child.filter("k IS NOT NULL and k <= 2"), "k", parent, "pk"
+    ).collect()[0]
+    assert ok.n_orphans == 0 and ok.ok is True
+
+
+def test_gini_concentration_rank_identity(spark):
+    from python_mapreduce_spark.operators.aggregates import gini_concentration
+
+    rows = [("a", 1.0), ("b", 2.0), ("c", 3.0), ("d", 4.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    r = gini_concentration(df, ["g"], "x").collect()[0]
+    # ascending x=[1,2,3,4]: G = 2*30/(4*10) - 5/4 = 0.25
+    assert r.n_groups == 4 and r.total == 10.0 and r.gini == 0.25
+    # perfectly even mass -> 0
+    even = spark.createDataFrame([("a", 5.0), ("b", 5.0)], "g string, x double")
+    assert gini_concentration(even, ["g"], "x").collect()[0].gini == 0.0
+    # empty -> zero rows
+    assert gini_concentration(df.filter("1=0"), ["g"], "x").count() == 0
+
+
+def test_pareto_share_cutoffs(spark):
+    from python_mapreduce_spark.operators.aggregates import pareto_share
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, 3.0), (4, 2.0)], "id int, x double"
+    )
+    r = pareto_share(df, "id", "x", fractions=(0.25, 0.5)).collect()[0]
+    # top-25% = ceil(1) = 1 row (x=10) -> 0.5; top-50% = 2 rows -> 0.75
+    assert r.n_rows == 4 and r.total == 20.0
+    assert r.share_top_25 == 0.5 and r.share_top_50 == 0.75
+    assert pareto_share(df.filter("1=0"), "id", "x").count() == 0
+
+
+def test_brier_score_decomposition(spark):
+    from python_mapreduce_spark.operators.aggregates import brier_score
+
+    df = spark.createDataFrame(
+        [(1.0, True), (0.0, False), (0.5, True)], "p double, y boolean"
+    )
+    r = brier_score(df, "p", "y").collect()[0]
+    assert r.n == 3
+    assert abs(r.base_rate - 2 / 3) < 1e-6
+    assert abs(r.brier - 0.25 / 3) < 1e-6
+    assert abs(r.brier_ref - 2 / 9) < 1e-6
+    assert abs(r.skill - 0.625) < 1e-6
+    # single-class truth: no skill baseline
+    one = spark.createDataFrame([(0.5, True)], "p double, y boolean")
+    assert brier_score(one, "p", "y").collect()[0].skill is None
+
+
+def test_bollinger_bands_warmup_and_outlier(spark):
+    from python_mapreduce_spark.operators.events import bollinger_bands
+
+    rows = [("k", f"d{i}", 1.0) for i in range(1, 8)] + [("k", "d8", 50.0)]
+    df = spark.createDataFrame(rows, "key string, day string, v double")
+    got = {r.day: r for r in bollinger_bands(df, ["key"], "day", "v", window=7).collect()}
+    assert got["d6"].ma is None and got["d6"].outlier is False  # warmup
+    assert got["d7"].ma == 1.0 and got["d7"].upper == 1.0
+    r8 = got["d8"]
+    # window rows d2..d8 = six 1.0s + 50.0: ma = 8,
+    # sd = sqrt((6*49 + 42^2)/7) = sqrt(294)
+    assert r8.ma == 8.0
+    assert abs(r8.upper - (8.0 + 2 * 294 ** 0.5)) < 1e-5
+    assert r8.outlier is True

@@ -51,6 +51,7 @@ ROWS_ONLY_OK = {
     "q_sim_ann_lsh",
     "q_sim_ann_ivf",
     "q_compression_ratio",
+    "q_dedup_embedding_precluster",  # IVF centroids aren't SQL-expressible
 }
 
 

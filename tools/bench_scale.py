@@ -47,8 +47,56 @@ HEAVY = {
     "q_cluster_canonical": "documents",
     "q_dedup_savings": "documents",
     "q_fuzzy_decontam": "documents",
+    # VERDICT r6 stretch item 7: the ER family — sorted-neighborhood
+    # blocking is O(n*w) candidates and should be the best-scaling
+    # entry; the match-score stage joins payloads back per candidate
+    "q_sorted_neighborhood": "documents",
+    "q_er_match": "documents",
+    "hits_documents": "documents",
     "q_top_eigenvector": "embeddings",
     "q_dedup_embedding": "embeddings",
+}
+
+
+def _hits_documents(spark, sf_dir):
+    # VERDICT r6 stretch item 7: a HITS decade datapoint. The registry's
+    # q_hits graph (lineitem x orders) isn't in the synthetic corpus, so
+    # this wrapper runs the SAME hits_scores operator over the
+    # documents-derived near-dup edge set (the df-capped jaccard join
+    # q_triangle_stats uses) — per-iteration cost should track edges
+    # ~linearly (two degree-free contribution joins + 1-row norms).
+    from python_mapreduce_spark.llm.dedup import hits_scores, ngram_jaccard_pairs
+    from python_mapreduce_spark.registry.llm import table
+
+    docs = table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.8, max_shingle_df=100
+    ).select("id1", "id2")
+    return hits_scores(edges, "id1", "id2", iterations=2)
+
+
+def _dedup_embedding_auto(spark, sf_dir):
+    # The production dispatcher (llm/dedup.py::embedding_dedup) — at
+    # 100k x 64 the unit matrix is ~51 MB, under the broadcast budget,
+    # so the regime is the CHUNKED matmul (bounded ~32 MB sims blocks
+    # per task); past the budget it is LSH behind the candidate-budget
+    # guard. This replaces the r6 timeout-skip with a bounded datapoint
+    # (VERDICT r6 item 3).
+    from python_mapreduce_spark.llm.dedup import embedding_dedup
+    from python_mapreduce_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dedup(emb, "vec_id", "embedding", threshold=0.4)
+
+
+# bench-local callables for operators whose registry query reads tables
+# the synthetic corpus doesn't regenerate (hits) or whose registry form
+# is the deliberately-unguarded explicit regime (dedup_embedding's raw
+# LSH form sits on the documented random-cosine cost floor — the
+# PRODUCTION path is the guarded dispatcher measured here)
+CUSTOM_FNS = {
+    "hits_documents": _hits_documents,
+    "q_dedup_embedding": _dedup_embedding_auto,
 }
 
 # Documented super-linear regimes (measured + root-caused, see the cited
@@ -69,16 +117,55 @@ WAIVERS = {
         "edge source is the df-capped jaccard join (same saturation regime); "
         "wedge join bounded O(m^1.5) on the resulting edges"
     ),
+    "hits_documents": (
+        "edge source is the same df-capped jaccard join (its saturation "
+        "regime measured x33.7 in this very run as q_dedup_jaccard); the "
+        "HITS iterations themselves are two degree-free equi-joins + 1-row "
+        "norms per pass — linear in edges once the edge set exists"
+    ),
     "q_dedup_embedding": (
-        "random-background cosines: banded-LSH candidates approach all-pairs "
-        "at any size on this corpus — the data's documented cost floor "
-        "(llm/dedup.py::embedding_dedup_pairs); embeddings also grow x50 "
-        "while documents grow x10"
+        "exact all-pairs dedup is quadratic by design: the dispatcher's "
+        "matmul regime scores n^2 cosines in bounded ~32 MB chunks, so the "
+        "datapoint demonstrates BOUNDEDNESS (memory + wall-clock), not "
+        "linearity; embeddings also grow x50 while documents grow x10 — "
+        "llm/dedup.py::embedding_dedup (the r6 timeout-skip is gone: the "
+        "candidate-budget guard refuses the unbounded LSH-verify regime)"
     ),
 }
 
 
+def reflag() -> int:
+    """Re-apply flag/waiver classification to the existing
+    BENCH_SCALE.json WITHOUT re-measuring — for when a measured
+    super-linear regime gets root-caused and its waiver lands after the
+    run (measurements untouched; only `flagged`/`waiver`/`n_flagged`
+    recompute)."""
+    path = os.path.join(REPO, "BENCH_SCALE.json")
+    with open(path) as f:
+        record = json.load(f)
+    n_flagged = 0
+    for name, row in record["queries"].items():
+        if "time_ratio" not in row:
+            continue
+        flagged = row["time_ratio"] > 2.0 * row["corpus_ratio"]
+        row["flagged"] = flagged
+        if flagged and name in WAIVERS:
+            row["waiver"] = WAIVERS[name]
+        else:
+            row.pop("waiver", None)
+            n_flagged += flagged
+    record["n_flagged"] = n_flagged
+    with open(path, "w") as f:
+        json.dump(record, f, indent=2)
+    print(json.dumps({"bench_scale_flagged": n_flagged}), flush=True)
+    return 1 if n_flagged else 0
+
+
 def main() -> int:
+    if "--reflag" in sys.argv[1:]:
+        return reflag()
+    if "--guard-only" in sys.argv[1:]:
+        return guard_only()
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_synth"
 
@@ -95,12 +182,13 @@ def main() -> int:
     registry = all_queries()
 
     def run(name: str, sf_dir: str, *, single_past: float = 60.0) -> float:
+        fn = CUSTOM_FNS.get(name) or registry[name].fn
         t0 = time.time()
-        registry[name].fn(spark, sf_dir).count()
+        fn(spark, sf_dir).count()
         best = time.time() - t0
         if best < single_past:  # a second pass only when it's cheap
             t0 = time.time()
-            registry[name].fn(spark, sf_dir).count()
+            fn(spark, sf_dir).count()
             best = min(best, time.time() - t0)
         return best
 
@@ -155,8 +243,67 @@ def main() -> int:
             flush=True,
         )
 
+    guard, guard_bad = run_guard(spark, big)
+    n_flagged += guard_bad
+    out["dedup_embedding_guard"] = guard
+    flush_record()
+    print(f"guard {guard}", flush=True)
+
     print(json.dumps({"bench_scale_flagged": n_flagged}), flush=True)
     return 1 if n_flagged else 0
+
+
+def run_guard(spark, big: str) -> tuple[dict, int]:
+    # VERDICT r6 item 3 "Done" evidence: force the LSH branch at the big
+    # corpus (huge corpus_bytes) and verify (a) the default policy is a
+    # DELIBERATE raise — never an unbounded all-pairs verify — and (b)
+    # the precluster re-route completes with a bounded wall-clock.
+    from python_mapreduce_spark.llm.dedup import embedding_dedup
+    from python_mapreduce_spark.sources.readers import load_table
+
+    emb_big = load_table(spark, big, "embeddings")
+    guard: dict = {}
+    bad = 0
+    try:
+        embedding_dedup(
+            emb_big, "vec_id", "embedding", corpus_bytes=1 << 40
+        ).count()
+        guard["lsh_budget_raise"] = False  # should not happen on this corpus
+        bad = 1
+    except ValueError as e:
+        guard["lsh_budget_raise"] = True
+        guard["raise_msg"] = str(e)[:200]
+    t0 = time.time()
+    guard["precluster_pairs"] = embedding_dedup(
+        emb_big, "vec_id", "embedding", corpus_bytes=1 << 40,
+        on_budget="precluster",
+    ).count()
+    guard["precluster_t_s"] = round(time.time() - t0, 2)
+    return guard, bad
+
+
+def guard_only() -> int:
+    """Re-measure ONLY the dedup_embedding_guard block and merge it into
+    the existing BENCH_SCALE.json — for when the guard path's dials
+    change without touching the 13 measured heavy queries."""
+    big = next(
+        (a for a in sys.argv[1:] if not a.startswith("--")), "/tmp/sf1_synth"
+    )
+    from python_mapreduce_spark.session import get_spark, tune
+
+    spark = get_spark("bench-scale-guard")
+    tune(spark)
+    path = os.path.join(REPO, "BENCH_SCALE.json")
+    with open(path) as f:
+        record = json.load(f)
+    guard, bad = run_guard(spark, big)
+    record["queries"]["dedup_embedding_guard"] = guard
+    record["n_flagged"] = record.get("n_flagged", 0) + bad
+    with open(path, "w") as f:
+        json.dump(record, f, indent=2)
+    print(f"guard {guard}", flush=True)
+    print(json.dumps({"bench_scale_flagged": record["n_flagged"]}), flush=True)
+    return 1 if record["n_flagged"] else 0
 
 
 if __name__ == "__main__":
