@@ -682,9 +682,16 @@ def test_counter_increase_matches_python_replay(spark, samples):
     df = spark.createDataFrame(
         [(k, t, float(v)) for k, t, v in samples], "k long, ms long, v double"
     ).select("k", F.timestamp_millis("ms").alias("ts"), "v")
+    # exact-duplicate (k, ts, v) rows put a None increase next to a 0.0
+    # one — tuple sort would compare None < float and crash, so the
+    # tiebreak key is None-safe (None sorts first)
+    none_safe = lambda r: (r[0], r[1], r[2], r[3] is not None, r[3] or 0.0)  # noqa: E731
     got = sorted(
-        (r.k, int(r.ts.timestamp() * 1000), r.value, r.increase)
-        for r in counter_increase(df, ["k"], "ts", "v").collect()
+        (
+            (r.k, int(r.ts.timestamp() * 1000), r.value, r.increase)
+            for r in counter_increase(df, ["k"], "ts", "v").collect()
+        ),
+        key=none_safe,
     )
     by_key: dict[int, list[tuple[int, float]]] = {}
     for k, t, v in samples:
@@ -697,7 +704,7 @@ def test_counter_increase_matches_python_replay(spark, samples):
             inc = None if prev is None else (v - prev if v >= prev else v)
             expect.append((k, t, v, inc))
             prev = v
-    assert got == sorted(expect), samples
+    assert got == sorted(expect, key=none_safe), samples
 
 
 @settings(

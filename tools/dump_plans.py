@@ -96,6 +96,12 @@ SHOWCASE = [
     ("q_histogram2d", "one scan + ONE (x,y)-bucket map-side-combined agg: at most (bins+2)^2 keys shuffle at any size"),
     ("q_blocklist_filter", "term list as ONE array literal; higher-order filter per row — pure codegen, no shuffle/UDF/join"),
     ("q_rfm", "one user agg; exact quantile thresholds broadcast back; scoring is a projected CASE"),
+    ("q_ref_integrity", "FK audit: keys-only projections meet in an equi-join (parent side distinct -> broadcastable); union of four 1-row aggs"),
+    ("q_bollinger_bands", "partitioned running window over the daily-agg frame — one shuffle on the key, no single-task stage"),
+    ("q_pareto_share", "distributed global rank (range exchange) + broadcast 1-row count; conditional-sum agg, rows never shuffle twice"),
+    ("q_zipf_slope", "vocab-frame TakeOrderedAndProject trim -> distributed rank over <=100 rows -> closed-form OLS agg"),
+    ("q_l_diversity", "one (quasi, distinct-sensitive) agg -> one group-frame re-agg; single scan"),
+    ("q_brier_score", "ONE map-side-combined global agg of squared-error sufficient stats"),
 ]
 
 INTERESTING = re.compile(
