@@ -2670,3 +2670,74 @@ def test_time_weighted_avg_matches_replay(spark, obs):
         assert r.twavg is None
     else:
         assert r.twavg == math.floor(ws / span * 1e6 + 0.5) / 1e6
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(-2, 2, allow_nan=False, width=32), min_size=8, max_size=8),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_lsh_candidate_estimate_upper_bounds_join_property(spark, vecs):
+    # The budget guard's safety contract for ANY vector set: the
+    # linear-cost bucket bound is >= the distinct candidate pairs the
+    # banded join materializes (a pair colliding in b bands counts b
+    # times in the bound, once in the join).
+    from python_mapreduce_spark.llm.similarity import (
+        banded_lsh_candidate_pairs,
+        lsh_candidate_estimate,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(bands=4, rows_per_band=2, dim=8, seed=11)
+    est = lsh_candidate_estimate(emb, "vec_id", "embedding", **kw)
+    actual = banded_lsh_candidate_pairs(emb, "vec_id", "embedding", **kw).count()
+    assert est >= actual
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    masses=st.lists(st.integers(0, 50), min_size=1, max_size=12),
+)
+def test_gini_and_pareto_match_python_replay(spark, masses):
+    from python_mapreduce_spark.operators.aggregates import (
+        gini_concentration,
+        pareto_share,
+    )
+
+    rows = [(i, float(m)) for i, m in enumerate(masses)]
+    df = spark.createDataFrame(rows, "g int, x double")
+
+    [gr] = gini_concentration(df, ["g"], "x").collect()
+    xs = sorted(masses)
+    n, tot = len(xs), float(sum(xs))
+    assert gr.n_groups == n
+    if tot > 0:
+        expect = 2.0 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * tot) - (
+            n + 1
+        ) / n
+        assert abs(gr.gini - expect) < 1e-6
+        assert -1e-9 <= gr.gini < 1.0
+    else:
+        assert gr.gini is None
+
+    [pr] = pareto_share(df, "g", "x", fractions=(0.5,)).collect()
+    if tot > 0:
+        import math
+
+        cut = math.ceil(n * 0.5)
+        top = sorted(masses, reverse=True)[:cut]
+        assert abs(pr.share_top_50 - sum(top) / tot) < 1e-6
+    else:
+        assert pr.share_top_50 is None
