@@ -430,10 +430,14 @@ def q_dedup_embedding_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The production entry point: llm.dedup.embedding_dedup estimates
     # corpus-matrix size (rows x dim x 8) against a broadcast budget and
     # picks matmul under it, banded LSH over it — so callers at any
-    # scale get a safe plan by default. At benchmark SFs the corpus is
-    # far under budget, so this exercises the probe + matmul arm against
-    # the same all-pairs oracle; the LSH arm and the dispatch boundary
-    # are pinned in tests/test_llm_ops.py.
+    # scale get a safe plan by default. Since r7 the LSH arm also
+    # carries the candidate-budget guard (lsh_candidate_estimate; raise
+    # or precluster re-route past max(20M, 200n) candidates), so a
+    # random-background corpus can't start an unbounded verify. At
+    # benchmark SFs the corpus is far under budget, so this exercises
+    # the probe + matmul arm against the same all-pairs oracle; the LSH
+    # arm, the dispatch boundary and the budget guard are pinned in
+    # tests/test_llm_ops.py.
     from python_mapreduce_spark.llm.dedup import embedding_dedup  # noqa: PLC0415
 
     return embedding_dedup(
