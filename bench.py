@@ -183,6 +183,7 @@ HEADLINE = [
     "q_tfidf_terms",
     "q_dedup_embedding_precluster",
     "q_dedup_embedding_precluster_eval",
+    "q_heaps_law",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

@@ -324,6 +324,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_tfidf_terms",
     "q_dedup_embedding_precluster",
     "q_dedup_embedding_precluster_eval",
+    "q_heaps_law",
 )
 
 

@@ -47,6 +47,7 @@ from python_mapreduce_spark.llm.text import (
     quality_score,
     repetition_stats,
     text_stats,
+    heaps_law,
     tfidf_top_terms,
     tfidf_topk,
     token_counts,
@@ -3701,6 +3702,54 @@ FROM p
 """
 
 
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Vocabulary-growth fit (llm/text.py::heaps_law) — q_zipf_slope's
+    # companion authenticity probe: D(N) ~ K * N^beta over 10 doc-rank
+    # prefix buckets. Cumulative distinct decomposes into first-bucket
+    # min per term + ONE multi-weight distributed running sum; no
+    # single-task window anywhere.
+    return heaps_law(table(spark, sf_dir, "documents"), "doc_id", "text", buckets=10)
+
+
+SQL_HEAPS_LAW = f"""
+WITH d AS (
+  SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) - 1 AS r FROM documents
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+tok AS (
+  SELECT CAST(floor(r * 10.0 / nn.n) AS BIGINT) AS bucket,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS term
+  FROM d CROSS JOIN nn
+),
+tb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS toks FROM tok GROUP BY bucket),
+vb AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS newterms
+  FROM (SELECT min(bucket) AS bucket FROM tok GROUP BY term) GROUP BY bucket
+),
+cum AS (
+  SELECT coalesce(tb.bucket, vb.bucket) AS bucket,
+         sum(coalesce(toks, 0)) OVER w AS ncum,
+         sum(coalesce(newterms, 0)) OVER w AS dcum
+  FROM tb FULL JOIN vb ON tb.bucket = vb.bucket
+  WINDOW w AS (ORDER BY coalesce(tb.bucket, vb.bucket)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pts AS (
+  SELECT ln(CAST(ncum AS DOUBLE)) AS x, ln(CAST(dcum AS DOUBLE)) AS y
+  FROM cum WHERE ncum > 0 AND dcum > 0
+),
+a AS (
+  SELECT 1 AS grp, CAST(count(*) AS BIGINT) AS n_points,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts GROUP BY grp
+)
+SELECT n_points,
+       {sql_dround("(sxy - sx * sy / n_points) / (sxx - sx * sx / n_points)", 4)} AS beta,
+       {sql_dround("(sy - ((sxy - sx * sy / n_points) / (sxx - sx * sx / n_points)) * sx) / n_points", 4)} AS intercept
+FROM a
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_dedup_savings": Query(
         q_dedup_savings, SQL_DEDUP_SAVINGS, "effective dataset size after quality-aware dedup"
@@ -3892,6 +3941,7 @@ QUERIES: dict[str, Query] = {
     "q_pareto_share": Query(q_pareto_share, SQL_PARETO_SHARE, "top-1/10/20% Lorenz mass shares over documents"),
     "q_zipf_slope": Query(q_zipf_slope, SQL_ZIPF_SLOPE, "Zipf OLS slope over the top-100 term frequencies"),
     "q_tfidf_terms": Query(q_tfidf_terms, SQL_TFIDF_TERMS, "top-5 tf-idf characteristic terms per source"),
+    "q_heaps_law": Query(q_heaps_law, SQL_HEAPS_LAW, "Heaps vocabulary-growth fit over doc-rank prefix buckets"),
     "q_dedup_embedding_precluster": Query(q_dedup_embedding_precluster, None, "IVF pre-cluster cosine dedup pairs (bounded fallback; eval-twin gated)"),
     "q_dedup_embedding_precluster_eval": Query(q_dedup_embedding_precluster_eval, SQL_DEDUP_EMBEDDING_PRECLUSTER_EVAL, "precision/recall gate for the precluster dedup vs exact all-pairs"),
 }

@@ -1699,3 +1699,31 @@ def test_tfidf_top_terms_group_level_df(spark):
     assert got[("g1", 2)].term == "y" and got[("g1", 2)].score == 0.0
     assert got[("g2", 1)].term == "z"
     assert got[("g2", 2)].term == "y"
+
+
+def test_heaps_law_fit_extremes(spark):
+    from python_mapreduce_spark.llm.text import heaps_law
+
+    # every doc introduces ONLY new words -> D(N) = N exactly: beta 1,
+    # intercept 0 (ln K = 0). Words must be letter-only: the shared
+    # tokenizer extracts [a-z]+ runs, so digits would split/merge them.
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    mk = lambda j: f"q{alpha[j // 26]}{alpha[j % 26]}"  # noqa: E731
+    fresh = spark.createDataFrame(
+        [(i, f"{mk(3 * i)} {mk(3 * i + 1)} {mk(3 * i + 2)}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    r = heaps_law(fresh, "doc_id", "text", buckets=8).collect()[0]
+    assert r.beta == 1.0 and r.intercept == 0.0
+
+    # every doc identical -> vocabulary saturates in bucket 0: beta 0,
+    # intercept = ln(vocab size) = ln 3
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(40)], "doc_id long, text string"
+    )
+    r2 = heaps_law(same, "doc_id", "text", buckets=8).collect()[0]
+    assert r2.beta == 0.0
+    assert abs(r2.intercept - 1.0986) < 1e-4
+
+    # empty corpus -> zero rows
+    assert heaps_law(same.filter("1=0"), "doc_id", "text").count() == 0
