@@ -184,6 +184,7 @@ HEADLINE = [
     "q_dedup_embedding_precluster",
     "q_dedup_embedding_precluster_eval",
     "q_heaps_law",
+    "q_table_checksum",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

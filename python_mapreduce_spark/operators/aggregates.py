@@ -2447,3 +2447,62 @@ def brier_score(
         dround(ref, 6).alias("brier_ref"),
         F.when(ref > 0, dround(F.lit(1.0) - F.col("__brier") / ref, 6)).alias("skill"),
     )
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Order-invariant content digest of a table (or of each group) —
+    the replication/migration audit primitive: run it on both sides of
+    a copy and diff one tiny result instead of 100 TB of rows. The
+    reference has no equivalent; its closest habit is eyeballing row
+    counts after a re-run (runner.py's per-job prints), which misses
+    any same-cardinality corruption.
+
+    Each row is canonicalized column-by-column (md5 of the value's
+    string form; NULL becomes the sentinel ``'N'``, which cannot
+    collide with a 32-char hex digest), the fixed-width tokens are
+    '|'-joined and digested again, and the row digest's first/second
+    8-hex-char words are summed as DECIMAL(38,0). Summation is
+    commutative, so the digest is invariant to row order, partitioning
+    and parallelism, while any single-cell change moves both words
+    with overwhelming probability. Emits per group:
+    (group keys..., n_rows, checksum_hi, checksum_lo).
+
+    Scale shape: ONE map-side-combined hash agg over a single scan —
+    only (group keys, 3 numbers) per partition cross the shuffle; with
+    no ``group_by`` the combine collapses to a 1-row global agg.
+    DECIMAL(38,0) keeps the sums exact to ~1e25 rows (2^32 per row),
+    so no modular wraparound is needed at any realistic scale.
+
+    Cross-engine caveat (same discipline as the decimal-string
+    percentiles elsewhere): md5 runs over ``CAST(col AS STRING)``, so
+    callers comparing Spark to another engine must project columns to
+    types whose string forms are identical on both sides first (cast
+    DOUBLE to DECIMAL, TIMESTAMP to DATE or a formatted string) —
+    raw-double formatting is engine-specific.
+    """
+    if not cols:
+        raise ValueError("table_checksum needs at least one column")
+    tokens = [
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("N")) for c in cols
+    ]
+    row_digest = F.md5(F.concat_ws("|", *tokens))
+    hi = F.conv(F.substring(row_digest, 1, 8), 16, 10).cast("decimal(38,0)")
+    lo = F.conv(F.substring(row_digest, 9, 8), 16, 10).cast("decimal(38,0)")
+    base = df.select(*group_by, hi.alias("__hi"), lo.alias("__lo"))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.sum("__hi"), F.lit(0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("checksum_hi"),
+        F.coalesce(F.sum("__lo"), F.lit(0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("checksum_lo"),
+    ]
+    if group_by:
+        return base.groupBy(*group_by).agg(*aggs)
+    return base.agg(*aggs)

@@ -325,6 +325,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_embedding_precluster",
     "q_dedup_embedding_precluster_eval",
     "q_heaps_law",
+    "q_table_checksum",
 )
 
 

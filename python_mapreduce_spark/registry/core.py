@@ -3108,6 +3108,54 @@ FROM b
 """
 
 
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Order-invariant replication audit (operators/aggregates.py::
+    # table_checksum): per-priority content digest of orders — run the
+    # same digest on both sides of a 100 TB copy and diff rows-count +
+    # two DECIMAL words per group instead of the data. Columns are
+    # projected to types whose string forms are engine-identical first
+    # (DOUBLE -> DECIMAL(18,2), TIMESTAMP -> DATE); the digest itself
+    # is md5-per-column -> md5-per-row -> two 8-hex-word sums, ONE
+    # map-side-combined agg.
+    from python_mapreduce_spark.operators.aggregates import table_checksum  # noqa: PLC0415
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    return table_checksum(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "price", "odate"],
+        group_by=["o_orderpriority"],
+    )
+
+
+SQL_TABLE_CHECKSUM = """
+WITH canon AS (
+  SELECT o_orderpriority,
+         md5(concat_ws('|',
+           coalesce(md5(CAST(o_orderkey AS VARCHAR)), 'N'),
+           coalesce(md5(CAST(o_custkey AS VARCHAR)), 'N'),
+           coalesce(md5(o_orderstatus), 'N'),
+           coalesce(md5(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)), 'N'),
+           coalesce(md5(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)), 'N')
+         )) AS rd
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(coalesce(sum(CAST(('0x' || substr(rd, 1, 8)) AS BIGINT)), 0)
+            AS DECIMAL(38,0)) AS checksum_hi,
+       CAST(coalesce(sum(CAST(('0x' || substr(rd, 9, 8)) AS BIGINT)), 0)
+            AS DECIMAL(38,0)) AS checksum_lo
+FROM canon GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q01_pricing_summary": Query(q_pricing_summary, SQL_PRICING_SUMMARY, "TPC-H Q1-style flagship"),
     "q_pivot": Query(q_pivot, SQL_PIVOT, "pivot to columns"),
@@ -3200,4 +3248,5 @@ QUERIES: dict[str, Query] = {
     "q_ref_integrity": Query(q_ref_integrity, SQL_REF_INTEGRITY, "whole-schema FK orphan audit (one row per edge)"),
     "q_brier_score": Query(q_brier_score, SQL_BRIER_SCORE, "Brier score + Murphy skill vs climatology"),
     "q_bollinger_bands": Query(q_bollinger_bands, SQL_BOLLINGER_BANDS, "rolling mean +- 2 sigma bands with outlier verdict"),
+    "q_table_checksum": Query(q_table_checksum, SQL_TABLE_CHECKSUM, "order-invariant per-group table content digest (replication audit)"),
 }

@@ -1844,3 +1844,59 @@ def test_bollinger_bands_warmup_and_outlier(spark):
     assert r8.ma == 8.0
     assert abs(r8.upper - (8.0 + 2 * 294 ** 0.5)) < 1e-5
     assert r8.outlier is True
+
+
+def test_table_checksum_order_and_partition_invariant(spark):
+    from python_mapreduce_spark.operators.aggregates import table_checksum
+
+    rows = [(1, "a", 1.5), (2, "b", None), (3, None, 2.5), (4, "a", 0.0)]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    cols = ["id", "s", "v"]
+    base = table_checksum(df, cols).collect()[0]
+    # shuffled row order + different partitioning -> identical digest
+    perm = spark.createDataFrame(list(reversed(rows)), df.schema).repartition(7)
+    again = table_checksum(perm, cols).collect()[0]
+    assert (base.n_rows, base.checksum_hi, base.checksum_lo) == (
+        again.n_rows,
+        again.checksum_hi,
+        again.checksum_lo,
+    )
+    assert base.n_rows == 4 and base.checksum_hi > 0
+
+
+def test_table_checksum_detects_single_cell_change_and_null_vs_literal(spark):
+    from python_mapreduce_spark.operators.aggregates import table_checksum
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+    b = spark.createDataFrame([(1, "x"), (2, "z")], "id long, s string")
+    ca, cb = (table_checksum(d, ["id", "s"]).collect()[0] for d in (a, b))
+    assert ca.n_rows == cb.n_rows
+    assert (ca.checksum_hi, ca.checksum_lo) != (cb.checksum_hi, cb.checksum_lo)
+    # NULL is distinct from any real string, including the 'N' sentinel
+    n1 = spark.createDataFrame([(1, None)], "id long, s string")
+    n2 = spark.createDataFrame([(1, "N")], "id long, s string")
+    c1, c2 = (table_checksum(d, ["id", "s"]).collect()[0] for d in (n1, n2))
+    assert (c1.checksum_hi, c1.checksum_lo) != (c2.checksum_hi, c2.checksum_lo)
+
+
+def test_table_checksum_empty_and_grouped(spark):
+    from pyspark.sql import functions as F
+
+    from python_mapreduce_spark.operators.aggregates import table_checksum
+
+    empty = spark.createDataFrame([], "id long, s string")
+    g = table_checksum(empty, ["id", "s"]).collect()[0]
+    assert g.n_rows == 0 and g.checksum_hi == 0 and g.checksum_lo == 0
+    # grouped digests: union of groups == whole-table digest (sum law)
+    df = spark.createDataFrame(
+        [(1, "a", "g1"), (2, "b", "g1"), (3, "c", "g2")], "id long, s string, grp string"
+    )
+    per = table_checksum(df, ["id", "s"], group_by=["grp"]).collect()
+    assert {r.grp: r.n_rows for r in per} == {"g1": 2, "g2": 1}
+    tot = table_checksum(df, ["id", "s"]).collect()[0]
+    assert sum(r.checksum_hi for r in per) == tot.checksum_hi
+    assert sum(r.checksum_lo for r in per) == tot.checksum_lo
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        table_checksum(df, [])
