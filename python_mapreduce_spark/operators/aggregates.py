@@ -2451,7 +2451,7 @@ def brier_score(
 
 def table_checksum(
     df: DataFrame,
-    cols: Sequence[str],
+    cols: Sequence[str] | None = None,
     *,
     group_by: Sequence[str] = (),
 ) -> DataFrame:
@@ -2484,7 +2484,12 @@ def table_checksum(
     types whose string forms are identical on both sides first (cast
     DOUBLE to DECIMAL, TIMESTAMP to DATE or a formatted string) —
     raw-double formatting is engine-specific.
+
+    ``cols`` defaults to every non-group column in schema order, so the
+    whole-table audit is just ``table_checksum(df)``.
     """
+    if cols is None:
+        cols = [c for c in df.columns if c not in set(group_by)]
     if not cols:
         raise ValueError("table_checksum needs at least one column")
     tokens = [

@@ -1893,6 +1893,13 @@ def test_table_checksum_empty_and_grouped(spark):
     )
     per = table_checksum(df, ["id", "s"], group_by=["grp"]).collect()
     assert {r.grp: r.n_rows for r in per} == {"g1": 2, "g2": 1}
+    # cols default: every non-group column, schema order
+    dflt = {r.grp: r for r in table_checksum(df, group_by=["grp"]).collect()}
+    assert all(
+        (dflt[r.grp].checksum_hi, dflt[r.grp].checksum_lo)
+        == (r.checksum_hi, r.checksum_lo)
+        for r in per
+    )
     tot = table_checksum(df, ["id", "s"]).collect()[0]
     assert sum(r.checksum_hi for r in per) == tot.checksum_hi
     assert sum(r.checksum_lo for r in per) == tot.checksum_lo

@@ -102,6 +102,7 @@ SHOWCASE = [
     ("q_zipf_slope", "vocab-frame TakeOrderedAndProject trim -> distributed rank over <=100 rows -> closed-form OLS agg"),
     ("q_l_diversity", "one (quasi, distinct-sensitive) agg -> one group-frame re-agg; single scan"),
     ("q_brier_score", "ONE map-side-combined global agg of squared-error sufficient stats"),
+    ("q_table_checksum", "replication-audit digest: md5 words summed in ONE partial+final hash agg — (group, 3 numbers) per partition cross the exchange"),
 ]
 
 INTERESTING = re.compile(
