@@ -516,6 +516,130 @@ def diff_tables(
     return j.select(*out_keys, status.alias("status"))
 
 
+def replication_audit(
+    a: DataFrame,
+    b: DataFrame,
+    key: str | Sequence[str],
+    compare_cols: Sequence[str],
+    *,
+    group_by: str | Sequence[str],
+) -> DataFrame:
+    """Two-phase replication audit — the 100 TB way to answer "is the
+    copy identical, and if not, where": phase 1 digests BOTH sides per
+    group with :func:`~python_mapreduce_spark.operators.aggregates.
+    table_checksum` (one map-side-combined agg per side; only (group,
+    3 numbers) rows meet in a tiny join), phase 2 row-diffs ONLY the
+    groups whose digests disagree (a broadcast semi join on the — by
+    construction tiny — divergent-group list screens both scans; when
+    ``group_by`` is the physical partition column, Catalyst prunes
+    phase 2 to the divergent partitions and matching data is never
+    re-read). Running :func:`diff_tables` on both full tables instead
+    would shuffle 2x the data on the key for what is usually a 100%%
+    match.
+
+    Emits one row per group:
+    (group..., verdict, n_rows_a, n_rows_b, n_row_only_a, n_row_only_b,
+    n_row_changed, n_row_same) where verdict is ``match`` /
+    ``mismatch`` / ``only_a`` / ``only_b``. Row-level counts for
+    ``mismatch`` groups come from the phase-2 diff keyed on
+    (group cols + key) — a row that moved groups therefore shows as
+    only_a in its old group and only_b in its new one, which is how a
+    partition-level audit should see it; ``only_a``/``only_b`` group
+    counts come straight from the digests (no second scan). Same
+    caveats as the digest: project columns to engine-identical string
+    forms first when auditing across engines, and ``key`` must be
+    unique per side within a group (diff_tables' snapshot contract).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from python_mapreduce_spark.operators.aggregates import table_checksum  # noqa: PLC0415
+
+    gb = [group_by] if isinstance(group_by, str) else list(group_by)
+    keys = [key] if isinstance(key, str) else list(key)
+    digest_cols = [*keys, *compare_cols]
+    da = table_checksum(a.select(*gb, *digest_cols), digest_cols, group_by=gb)
+    db = table_checksum(b.select(*gb, *digest_cols), digest_cols, group_by=gb)
+    pb = db.select(
+        *[F.col(g).alias(f"__b_{g}") for g in gb],
+        F.col("n_rows").alias("__b_n"),
+        F.col("checksum_hi").alias("__b_hi"),
+        F.col("checksum_lo").alias("__b_lo"),
+    )
+    cond = reduce(
+        lambda acc, g: acc & da[g].eqNullSafe(pb[f"__b_{g}"]),
+        gb[1:],
+        da[gb[0]].eqNullSafe(pb[f"__b_{gb[0]}"]),
+    )
+    j = da.join(pb, cond, "full_outer")
+    verdict = (
+        F.when(F.col("__b_n").isNull(), "only_a")
+        .when(F.col("n_rows").isNull(), "only_b")
+        .when(
+            (F.col("n_rows") == F.col("__b_n"))
+            & (F.col("checksum_hi") == F.col("__b_hi"))
+            & (F.col("checksum_lo") == F.col("__b_lo")),
+            "match",
+        )
+        .otherwise("mismatch")
+    )
+    groups = j.select(
+        *[F.coalesce(F.col(g), F.col(f"__b_{g}")).alias(g) for g in gb],
+        verdict.alias("verdict"),
+        F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows_a"),
+        F.coalesce(F.col("__b_n"), F.lit(0)).alias("n_rows_b"),
+    )
+    # One row per group: materialize once so the digest scans aren't
+    # replayed for each of the two consumers below (divergent list +
+    # final output), and the broadcast ships a settled tiny frame.
+    groups = groups.localCheckpoint()
+    # Phase 2: row-level diff restricted to mismatching groups. The
+    # divergent list is tiny relative to the data — broadcast it so the
+    # semi join screens both scans without a shuffle.
+    div = F.broadcast(groups.filter(F.col("verdict") == "mismatch").select(*gb))
+    fa = a.join(div, [a[g].eqNullSafe(div[g]) for g in gb], "semi")
+    fb = b.join(div, [b[g].eqNullSafe(div[g]) for g in gb], "semi")
+    diff = diff_tables(
+        fa.select(*gb, *digest_cols),
+        fb.select(*gb, *digest_cols),
+        [*gb, *keys],
+        compare_cols,
+    )
+    counts = diff.groupBy(*gb).agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("status") == s, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias(f"n_row_{s}")
+            for s in ("only_a", "only_b", "changed", "same")
+        ]
+    )
+    out = groups.join(
+        counts,
+        [groups[g].eqNullSafe(counts[g]) for g in gb],
+        "left",
+    ).select(
+        *[groups[g] for g in gb],
+        "verdict",
+        "n_rows_a",
+        "n_rows_b",
+        # only_a/only_b groups never reach phase 2: their row counts ARE
+        # the digest counts. match groups are all-same by definition.
+        F.when(F.col("verdict") == "only_a", F.col("n_rows_a"))
+        .otherwise(F.coalesce(F.col("n_row_only_a"), F.lit(0)))
+        .cast("long")
+        .alias("n_row_only_a"),
+        F.when(F.col("verdict") == "only_b", F.col("n_rows_b"))
+        .otherwise(F.coalesce(F.col("n_row_only_b"), F.lit(0)))
+        .cast("long")
+        .alias("n_row_only_b"),
+        F.coalesce(F.col("n_row_changed"), F.lit(0)).cast("long").alias("n_row_changed"),
+        F.when(F.col("verdict") == "match", F.col("n_rows_a"))
+        .otherwise(F.coalesce(F.col("n_row_same"), F.lit(0)))
+        .cast("long")
+        .alias("n_row_same"),
+    )
+    return out
+
+
 def domain_cap(
     df: DataFrame,
     domain_col: str,

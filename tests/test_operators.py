@@ -1907,3 +1907,57 @@ def test_table_checksum_empty_and_grouped(spark):
 
     with _pytest.raises(ValueError):
         table_checksum(df, [])
+
+
+def test_replication_audit_verdicts_and_drilldown(spark):
+    from python_mapreduce_spark.operators.relational import replication_audit
+
+    a = spark.createDataFrame(
+        [
+            ("g1", 1, "x"), ("g1", 2, "y"),          # identical in b
+            ("g2", 3, "p"), ("g2", 4, "q"),          # one row changed in b
+            ("g3", 5, "r"),                           # group missing from b
+            ("g4", 6, "s"), ("g4", 7, "t"),          # one row dropped in b
+        ],
+        "grp string, id long, v string",
+    )
+    b = spark.createDataFrame(
+        [
+            ("g1", 1, "x"), ("g1", 2, "y"),
+            ("g2", 3, "p"), ("g2", 4, "CHANGED"),
+            ("g4", 6, "s"),
+            ("g5", 8, "u"),                           # group only in b
+        ],
+        "grp string, id long, v string",
+    )
+    got = {r.grp: r for r in replication_audit(a, b, "id", ["v"], group_by="grp").collect()}
+    assert got["g1"].verdict == "match"
+    assert (got["g1"].n_rows_a, got["g1"].n_row_same, got["g1"].n_row_changed) == (2, 2, 0)
+    assert got["g2"].verdict == "mismatch"
+    assert (got["g2"].n_row_changed, got["g2"].n_row_same) == (1, 1)
+    assert got["g3"].verdict == "only_a"
+    assert (got["g3"].n_rows_b, got["g3"].n_row_only_a) == (0, 1)
+    assert got["g4"].verdict == "mismatch"
+    assert (got["g4"].n_row_only_a, got["g4"].n_row_only_b, got["g4"].n_row_same) == (1, 0, 1)
+    assert got["g5"].verdict == "only_b"
+    assert (got["g5"].n_rows_a, got["g5"].n_row_only_b) == (0, 1)
+
+
+def test_replication_audit_null_group_and_group_mover(spark):
+    from python_mapreduce_spark.operators.relational import replication_audit
+
+    # NULL group keys are buckets, not join-killers; a row that moved
+    # groups is only_a in the old group and only_b in the new one.
+    a = spark.createDataFrame(
+        [(None, 1, "x"), ("gA", 2, "y")], "grp string, id long, v string"
+    )
+    b = spark.createDataFrame(
+        [(None, 1, "x"), ("gB", 2, "y")], "grp string, id long, v string"
+    )
+    got = {r.grp: r for r in replication_audit(a, b, "id", ["v"], group_by="grp").collect()}
+    assert got[None].verdict == "match"
+    assert got["gA"].verdict == "only_a" and got["gA"].n_row_only_a == 1
+    assert got["gB"].verdict == "only_b" and got["gB"].n_row_only_b == 1
+    # identical tables -> all match regardless of partitioning
+    same = replication_audit(a.repartition(5), a, "id", ["v"], group_by="grp")
+    assert {r.verdict for r in same.collect()} == {"match"}
