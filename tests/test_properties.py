@@ -2741,3 +2741,75 @@ def test_gini_and_pareto_match_python_replay(spark, masses):
         assert abs(pr.share_top_50 - sum(top) / tot) < 1e-6
     else:
         assert pr.share_top_50 is None
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows_a=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3", None]),
+            st.integers(0, 15),
+            st.sampled_from(["x", "y", None]),
+        ),
+        max_size=16,
+        unique_by=lambda r: r[1],
+    ),
+    rows_b=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3", None]),
+            st.integers(0, 15),
+            st.sampled_from(["x", "y", None]),
+        ),
+        max_size=16,
+        unique_by=lambda r: r[1],
+    ),
+)
+def test_replication_audit_matches_python_replay(spark, rows_a, rows_b):
+    # Two-phase digest+drilldown audit (operators/relational.py::
+    # replication_audit) must agree with a brute-force per-group replay
+    # on arbitrary shapes: NULL groups, NULL values, empty sides,
+    # group movers (ids are unique per side — the snapshot contract).
+    from python_mapreduce_spark.operators.relational import replication_audit
+
+    schema = "grp string, id long, v string"
+    a = spark.createDataFrame(rows_a, schema)
+    b = spark.createDataFrame(rows_b, schema)
+    got = {
+        r.grp: r
+        for r in replication_audit(a, b, "id", ["v"], group_by="grp").collect()
+    }
+
+    by_ga = {}
+    for g, i, v in rows_a:
+        by_ga.setdefault(g, {})[i] = v
+    by_gb = {}
+    for g, i, v in rows_b:
+        by_gb.setdefault(g, {})[i] = v
+    assert set(got) == set(by_ga) | set(by_gb)
+    for g in set(by_ga) | set(by_gb):
+        da, db = by_ga.get(g, {}), by_gb.get(g, {})
+        r = got[g]
+        assert (r.n_rows_a, r.n_rows_b) == (len(da), len(db))
+        only_a = len(set(da) - set(db))
+        only_b = len(set(db) - set(da))
+        changed = sum(1 for i in set(da) & set(db) if da[i] != db[i])
+        same = sum(1 for i in set(da) & set(db) if da[i] == db[i])
+        if not db:
+            expect = "only_a"
+        elif not da:
+            expect = "only_b"
+        elif only_a or only_b or changed:
+            expect = "mismatch"
+        else:
+            expect = "match"
+        assert r.verdict == expect, (g, r)
+        assert (r.n_row_only_a, r.n_row_only_b, r.n_row_changed, r.n_row_same) == (
+            only_a,
+            only_b,
+            changed,
+            same,
+        ), (g, r)
