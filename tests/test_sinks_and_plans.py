@@ -166,3 +166,28 @@ def test_crossdoc_coverage_explodes_corpus_once(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" not in plan, plan
     assert "explode" not in plan.lower()
+
+
+def test_replication_audit_plans_broadcast_screen_and_partial_digest(spark, sf_dir):
+    from python_mapreduce_spark.operators.relational import replication_audit
+    from python_mapreduce_spark.plans.explain import formatted_plan
+    from python_mapreduce_spark.registry.core import q_table_checksum
+
+    # The digest is a map-side-combined agg: only (group, 3 numbers)
+    # per partition may cross the exchange.
+    plan = formatted_plan(q_table_checksum(spark, sf_dir))
+    assert "partial_sum" in plan and "Exchange" in plan
+
+    a = spark.createDataFrame(
+        [("g", 1, "x"), ("h", 2, "y")], "grp string, id long, v string"
+    )
+    b = spark.createDataFrame(
+        [("g", 1, "x"), ("h", 2, "z")], "grp string, id long, v string"
+    )
+    p2 = formatted_plan(replication_audit(a, b, "id", ["v"], group_by="grp"))
+    # Phase 2's divergent-group screen must be a broadcast hash join —
+    # never a shuffle of the big sides against a tiny list, and the
+    # null-safe group equality must not degrade to a nested loop.
+    assert "BroadcastHashJoin" in p2
+    assert "CartesianProduct" not in p2
+    assert "BroadcastNestedLoop" not in p2
