@@ -352,9 +352,12 @@ def q_dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # df cap = the standard stop-shingle guard (see q_dedup_jaccard); at
     # every driver-checked SF max shingle df < 100 (sf0.1 measured 0 hot
-    # shingles) so the pair set — and the oracle — are unchanged, while
-    # the postings join stays bounded on saturated corpora (bench_scale
-    # r6 measured uncapped pairs growing x58.8 on the 10x synthetic).
+    # shingles) so the pair set is unchanged there, while the postings
+    # join stays bounded on saturated corpora (bench_scale r6 measured
+    # uncapped pairs growing x58.8 on the 10x synthetic). The oracle
+    # replays the cap (posts0 -> HAVING df <= 100 -> recomputed sizes),
+    # so the twin also agrees on saturated inputs — the CONST-TEXT
+    # robustness replica pins this.
     pairs = ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.95, max_shingle_df=100
     )
@@ -377,8 +380,12 @@ def q_dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SIMHASH_EVAL = f"""
 WITH {_SQL_SHINGLES},
-posts AS (SELECT id, unnest(shingles) AS shingle FROM sets WHERE len(shingles) > 0),
-sizes AS (SELECT id, CAST(len(shingles) AS BIGINT) AS sz FROM sets WHERE len(shingles) > 0),
+posts0 AS (SELECT id, unnest(shingles) AS shingle FROM sets WHERE len(shingles) > 0),
+posts AS (
+  SELECT id, shingle FROM posts0
+  WHERE shingle IN (SELECT shingle FROM posts0 GROUP BY shingle HAVING count(*) <= 100)
+),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM posts GROUP BY id),
 inter AS (
   SELECT a.id AS id1, b.id AS id2, count(*) AS inter
   FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.id < b.id
@@ -3241,7 +3248,10 @@ def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # df cap: identical pair set at every driver-checked SF (max df
     # < 100 there), bounded postings join on saturated corpora — see
-    # q_dedup_jaccard's comment and containment_pairs' cost law.
+    # q_dedup_jaccard's comment and containment_pairs' cost law. The
+    # oracle replays the cap, so the twin agrees even when every
+    # shingle saturates (CONST-TEXT replica: empty edge set -> zero
+    # rows from the grouped agg on BOTH engines).
     edges = ngram_jaccard_pairs(
         docs, "doc_id", "text", threshold=0.8, max_shingle_df=100
     )
@@ -3250,8 +3260,12 @@ def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TRIANGLE_STATS = f"""
 WITH {{shingles}},
-posts AS (SELECT id, unnest(shingles) AS shingle FROM sets WHERE len(shingles) > 0),
-sizes AS (SELECT id, CAST(len(shingles) AS BIGINT) AS sz FROM sets WHERE len(shingles) > 0),
+posts0 AS (SELECT id, unnest(shingles) AS shingle FROM sets WHERE len(shingles) > 0),
+posts AS (
+  SELECT id, shingle FROM posts0
+  WHERE shingle IN (SELECT shingle FROM posts0 GROUP BY shingle HAVING count(*) <= 100)
+),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM posts GROUP BY id),
 inter AS (
   SELECT a.id AS id1, b.id AS id2, count(*) AS i
   FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.id < b.id

@@ -8,6 +8,12 @@ the testdata and run the oracle gate over them.
     lang every 19th: pins the engine-wide NULL-text-is-empty-document
     rule end-to-end (tokenize/explode drops, sizeOfNull, NULL payloads
     in the multimodal decode kernels, '' -vs- NULL dedup merging).
+  * CONST-TEXT replica — every document the SAME sentence: the
+    all-collide worst case. Every MinHash signature is identical (one
+    LSH bucket holds the whole corpus), every shingle's df saturates
+    (the df caps must screen, not explode), every similarity tie is
+    exact (the total-order tiebreak rules must hold on both engines),
+    and vocabulary growth degenerates to the beta=0 extreme.
 
 Both campaigns found real bugs when first run (see ROUND4_RESPONSES.md:
 6 numpy crash sites, the sizeOfNull token-count corruption, the
@@ -67,6 +73,27 @@ def build_nulltext(dst: str) -> None:
             shutil.copy(os.path.join(SRC, f), os.path.join(dst, f))
 
 
+#: One sentence, enough distinct tokens that per-doc stats stay
+#: non-degenerate while the corpus-level dedup signals fully collide.
+CONST_TEXT = "the quick brown fox jumps over the lazy dog and then runs home again"
+
+
+def build_consttext(dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for f in os.listdir(SRC):
+        if not f.endswith(".parquet"):
+            continue
+        if f == "documents.parquet":
+            con.execute(
+                f"""COPY (SELECT doc_id, '{CONST_TEXT}' AS text, lang,
+                           source, CAST(length('{CONST_TEXT}') AS BIGINT) AS n_chars
+                    FROM '{SRC}/{f}') TO '{dst}/{f}' (FORMAT PARQUET)"""
+            )
+        else:
+            shutil.copy(os.path.join(SRC, f), os.path.join(dst, f))
+
+
 def run_gate(sf_dir: str, queries: list[str]) -> int:
     cmd = [sys.executable, "tools/check_oracle.py", sf_dir, *queries]
     return subprocess.call(cmd)
@@ -93,8 +120,12 @@ def main() -> int:
     rc1 = run_gate(empty, empty_qs)
     print(f"== NULL-TEXT replica ({len(queries)} queries) ==", flush=True)
     rc2 = run_gate(nulltext, queries)
-    print(f"empty rc={rc1} nulltext rc={rc2}")
-    return 1 if (rc1 or rc2) else 0
+    print(f"== CONST-TEXT replica ({len(queries)} queries) ==", flush=True)
+    consttext = os.path.join(work, "consttext")
+    build_consttext(consttext)
+    rc3 = run_gate(consttext, queries)
+    print(f"empty rc={rc1} nulltext rc={rc2} consttext rc={rc3}")
+    return 1 if (rc1 or rc2 or rc3) else 0
 
 
 if __name__ == "__main__":
