@@ -1,0 +1,137 @@
+"""Z-order clustering: multi-column data skipping, code semantics, edges.
+
+The pruning assertions read real parquet footers (pyarrow) and measure
+the fraction of row groups a 10%-range predicate would have to scan —
+the exact mechanism an engine's min/max skipping uses at 100 TB.
+Measured on this corpus: z-order ~0.40/0.29 overlap on x/y vs 0.13/1.0
+for an x-only sort; thresholds below leave slack for seed drift.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from python_mapreduce_spark.operators.zorder import zorder_code, zorder_write
+
+
+def _corpus(spark, n=40000):
+    return (
+        spark.range(n)
+        .withColumn("x", (F.xxhash64("id", F.lit(1)) % 10000 + 10000) % 10000)
+        .withColumn("y", (F.xxhash64("id", F.lit(2)) % 10000 + 10000) % 10000)
+        .withColumn("payload", F.md5(F.col("id").cast("string")))
+    )
+
+
+def _rg_ranges(path: str, col: str) -> list[tuple]:
+    out = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for ci in range(rgm.num_columns):
+                c = rgm.column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    out.append((c.statistics.min, c.statistics.max))
+    return out
+
+
+def _mean_slice_overlap(path: str, col: str) -> float:
+    """Mean fraction of row groups intersecting each decile range."""
+    rngs = _rg_ranges(path, col)
+    assert rngs, f"no footer stats for {col}"
+    fracs = []
+    for q in range(10):
+        lo, hi = q * 1000, q * 1000 + 999
+        hit = sum(1 for a, b in rngs if not (b < lo or a > hi))
+        fracs.append(hit / len(rngs))
+    return sum(fracs) / len(fracs)
+
+
+def test_zorder_skips_on_both_columns(spark, tmp_path):
+    df = _corpus(spark)
+    zdir = str(tmp_path / "z")
+    xdir = str(tmp_path / "xsort")
+    zorder_write(df, zdir, ["x", "y"], bits=6, num_files=32)
+    (
+        df.repartitionByRange(32, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(xdir)
+    )
+    # Single-column sort: perfect on x, useless on y.
+    assert _mean_slice_overlap(xdir, "x") < 0.3
+    assert _mean_slice_overlap(xdir, "y") > 0.95
+    # Z-order: substantial skipping on BOTH columns at once.
+    assert _mean_slice_overlap(zdir, "x") < 0.6
+    assert _mean_slice_overlap(zdir, "y") < 0.6
+    # Layout change is content-neutral.
+    back = spark.read.parquet(zdir)
+    assert back.count() == df.count()
+    agg = lambda d: d.agg(  # noqa: E731
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.count_distinct("payload").alias("p"),
+    ).first()
+    assert agg(back) == agg(df)
+
+
+def test_zorder_code_single_column_is_quantile_rank(spark):
+    df = spark.range(1000).withColumn("v", F.col("id").cast("double"))
+    coded = zorder_code(df, ["v"], bits=4, code_col="zc")
+    rows = coded.orderBy("v").select("zc").collect()
+    codes = [r.zc for r in rows]
+    assert codes == sorted(codes)  # monotone in the value
+    assert 0 <= min(codes) and max(codes) <= 15  # fits 4 bits
+    assert len(set(codes)) >= 14  # ~16 near-equal quantile buckets
+
+
+def test_zorder_code_nulls_and_constants(spark):
+    df = spark.createDataFrame(
+        [(None, 5.0), (1.0, 5.0), (2.0, 5.0), (None, 5.0)],
+        "a double, c double",
+    )
+    coded = zorder_code(df, ["a", "c"], bits=4, code_col="zc")
+    got = {r.a: r.zc for r in coded.collect()}
+    # A constant column adds the same (discriminating-nothing) offset to
+    # every row; NULLs rank below every value on the varying column.
+    assert got[None] < got[1.0] < got[2.0]
+    # An all-NULL column has no splits at all and contributes zero bits.
+    df2 = spark.createDataFrame(
+        [(1.0, None), (2.0, None)], "a double, b double"
+    )
+    solo = zorder_code(df2, ["a"], bits=4, code_col="zc").collect()
+    both = zorder_code(df2, ["a", "b"], bits=4, code_col="zc").collect()
+    # Interleaving a zero-bucket column spreads a's bits to even
+    # positions: code_both = sum over bits of a_bit(i) << 2i.
+    def spread(v: int) -> int:
+        return sum(((v >> i) & 1) << (2 * i) for i in range(4))
+
+    assert {(r.a, spread(r.zc)) for r in solo} == {
+        (r.a, r.zc) for r in both
+    }
+
+
+def test_zorder_code_rejects_strings_and_wide_bits(spark):
+    df = spark.createDataFrame([("a", 1.0)], "s string, v double")
+    with pytest.raises(TypeError, match="numeric surrogate"):
+        zorder_code(df, ["s"], bits=4)
+    with pytest.raises(ValueError, match="fit a long"):
+        zorder_code(df, ["v", "v"], bits=32)
+    with pytest.raises(ValueError, match="at least one column"):
+        zorder_code(df, [])
+
+
+def test_zorder_code_accepts_dates(spark):
+    df = spark.sql(
+        "SELECT sequence(DATE'2024-01-01', DATE'2024-12-31') AS ds"
+    ).select(F.explode("ds").alias("d"))
+    coded = zorder_code(df, ["d"], bits=4, code_col="zc")
+    rows = coded.orderBy("d").select("zc").collect()
+    codes = [r.zc for r in rows]
+    assert codes == sorted(codes)
+    assert len(set(codes)) >= 14
