@@ -367,8 +367,13 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_SESSION = """
 WITH flagged AS (
   SELECT user_id, ts,
+         -- Spark's session_window merges an event landing EXACTLY at
+         -- the previous session's end (diff == gap extends; only
+         -- diff > gap opens a session) — verified empirically and
+         -- caught by the skew replica's hour-truncated timestamps,
+         -- where equality is common; microsecond data never hits it.
          CASE WHEN lag(ts, 1) OVER w IS NULL
-                OR date_diff('millisecond', lag(ts, 1) OVER w, ts) >= 3600000
+                OR date_diff('millisecond', lag(ts, 1) OVER w, ts) > 3600000
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

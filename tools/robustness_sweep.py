@@ -1,5 +1,5 @@
-"""Degenerate-input robustness sweep: build two adversarial replicas of
-the testdata and run the oracle gate over them.
+"""Degenerate-input robustness sweep: build adversarial replicas of
+the testdata and run the oracle gate over each.
 
   * EMPTY replica — every table with its real schema and ZERO rows:
     catches driver-side numpy crashes (vstack of nothing), sum-vs-count
@@ -14,8 +14,12 @@ the testdata and run the oracle gate over them.
     (the df caps must screen, not explode), every similarity tie is
     exact (the total-order tiebreak rules must hold on both engines),
     and vocabulary growth degenerates to the beta=0 extreme.
+  * SKEW replica — hot keys, timestamp ties, duplicate vectors (see
+    ``build_skew``): every per-key window, group, join, and argmax
+    path runs against one giant key and exact ties, so any tiebreak
+    that is not a TOTAL order diverges between the engines.
 
-Both campaigns found real bugs when first run (see ROUND4_RESPONSES.md:
+These campaigns found real bugs when first run (see ROUND4_RESPONSES.md:
 6 numpy crash sites, the sizeOfNull token-count corruption, the
 table_profile NULL n_nulls, the NULL-payload decode crash); this script
 makes them a one-command regression gate.
@@ -94,6 +98,75 @@ def build_consttext(dst: str) -> None:
             shutil.copy(os.path.join(SRC, f), os.path.join(dst, f))
 
 
+def build_skew(dst: str) -> None:
+    """EXTREME-SKEW replica: hot keys + timestamp ties + duplicate vectors.
+
+    * events: 80% of rows collapse onto the smallest user_id AND ts
+      truncates to the hour — one user owns 807 of 1000 events and 344
+      (user_id, ts) pairs duplicate, so every per-user window order is
+      tie-heavy (row_number/lag/sessionize must hold a TOTAL order on
+      both engines, not rely on (user, ts) uniqueness).
+    * orders: 80% of o_custkey collapse onto the smallest customer —
+      the per-customer group/join paths see one giant key.
+    * documents: ~96% of sources collapse onto the modal source (mod 23
+      — deliberately coprime to the generator's doc_id%20 source rule,
+      so a sliver of every other source survives) — domain mix/cap/
+      quota rules run against one dominant domain.
+    * embeddings: every even vec_id takes the min vec_id's VECTOR
+      (labels kept) — cosine ties are exact everywhere, so argmax /
+      nearest-centroid / dedup-survivor tiebreaks must be total.
+    """
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for f in os.listdir(SRC):
+        if not f.endswith(".parquet"):
+            continue
+        src = f"{SRC}/{f}"
+        if f == "events.parquet":
+            con.execute(
+                f"""COPY (SELECT event_id, date_trunc('hour', ts) AS ts,
+                           CASE WHEN user_id % 5 != 0
+                                THEN (SELECT min(user_id) FROM '{src}')
+                                ELSE user_id END AS user_id,
+                           event_type, value, props
+                    FROM '{src}') TO '{dst}/{f}' (FORMAT PARQUET)"""
+            )
+        elif f == "orders.parquet":
+            con.execute(
+                f"""COPY (SELECT o_orderkey,
+                           CASE WHEN o_custkey % 5 != 0
+                                THEN (SELECT min(o_custkey) FROM '{src}')
+                                ELSE o_custkey END AS o_custkey,
+                           o_orderstatus, o_totalprice, o_orderdate,
+                           o_orderpriority
+                    FROM '{src}') TO '{dst}/{f}' (FORMAT PARQUET)"""
+            )
+        elif f == "documents.parquet":
+            con.execute(
+                f"""COPY (SELECT doc_id, text, lang,
+                           CASE WHEN doc_id % 23 != 0
+                                THEN (SELECT source FROM '{src}'
+                                      GROUP BY source
+                                      ORDER BY count(*) DESC, source
+                                      LIMIT 1)
+                                ELSE source END AS source,
+                           n_chars
+                    FROM '{src}') TO '{dst}/{f}' (FORMAT PARQUET)"""
+            )
+        elif f == "embeddings.parquet":
+            con.execute(
+                f"""COPY (SELECT vec_id,
+                           CASE WHEN vec_id % 2 = 0
+                                THEN (SELECT embedding FROM '{src}'
+                                      ORDER BY vec_id LIMIT 1)
+                                ELSE embedding END AS embedding,
+                           label
+                    FROM '{src}') TO '{dst}/{f}' (FORMAT PARQUET)"""
+            )
+        else:
+            shutil.copy(os.path.join(SRC, f), os.path.join(dst, f))
+
+
 def run_gate(sf_dir: str, queries: list[str]) -> int:
     cmd = [sys.executable, "tools/check_oracle.py", sf_dir, *queries]
     return subprocess.call(cmd)
@@ -124,8 +197,14 @@ def main() -> int:
     consttext = os.path.join(work, "consttext")
     build_consttext(consttext)
     rc3 = run_gate(consttext, queries)
-    print(f"empty rc={rc1} nulltext rc={rc2} consttext rc={rc3}")
-    return 1 if (rc1 or rc2 or rc3) else 0
+    print(f"== SKEW replica ({len(queries)} queries) ==", flush=True)
+    skew = os.path.join(work, "skew")
+    build_skew(skew)
+    rc4 = run_gate(skew, queries)
+    print(
+        f"empty rc={rc1} nulltext rc={rc2} consttext rc={rc3} skew rc={rc4}"
+    )
+    return 1 if (rc1 or rc2 or rc3 or rc4) else 0
 
 
 if __name__ == "__main__":
