@@ -1478,3 +1478,62 @@ def triangle_stats(
             ),
         ).alias("clustering"),
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "id1",
+    dst: str = "id2",
+    *,
+    max_iter: int = 100,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    every node with degree < k until none remains; what survives is the
+    maximal subgraph where every node keeps >= k neighbors. On a
+    near-dup graph the k-core is the "template club" — boilerplate
+    families where every page resembles many others — which ranks
+    removal candidates far better than raw degree (a hub touching k
+    leaves dies in round one; a dense clique survives every round).
+
+    Per round: one symmetric-degree agg (map-side combined) + one
+    semi-join screen of the edge list against surviving nodes, edges
+    localCheckpoint'ed so round N never replays round N-1's plan
+    (same iterative-loop discipline as connected_components /
+    pagerank_fixed). Converges in O(peeling depth) <= O(max degree)
+    rounds; each round strictly shrinks the edge set or stops, and an
+    empty survivor set short-circuits. Deterministic throughout — no
+    tie rules needed, peeling order cannot change the fixpoint.
+
+    Returns (node, degree) for the k-core members with their WITHIN-CORE
+    degree (>= k by construction). Raises past ``max_iter`` (a depth
+    bound for pathological chains, not a data-size bound).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("a")
+        n_nodes = deg.count()
+        n_keep = keep.count()
+        if n_keep == 0:
+            return deg.filter(F.lit(False)).select(
+                F.col("a").alias("node"), "degree"
+            )
+        if n_keep == n_nodes:
+            return deg.select(F.col("a").alias("node"), "degree")
+        sym = (
+            sym.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"kcore did not converge in {max_iter} rounds")

@@ -2511,3 +2511,124 @@ def table_checksum(
     if group_by:
         return base.groupBy(*group_by).agg(*aggs)
     return base.agg(*aggs)
+
+
+def anova_oneway(df: DataFrame, group_col: str, value_col) -> DataFrame:
+    """One-way ANOVA F statistic: does a numeric metric differ across
+    groups more than within them ("did quality scores shift by source",
+    "do latencies differ by region"). Emits ONE row: group count k,
+    total n, between/within sums of squares and mean squares, and F =
+    MSB / MSW. Rows with a NULL group or NULL value are excluded.
+    Degenerate frames — fewer than 2 groups, or n <= k (no within
+    degrees of freedom), or zero within-variance — yield f_stat NULL
+    instead of a division blow-up; the SS columns still report.
+
+    Scale shape: sufficient statistics only — ONE map-side-combined
+    (group) agg producing (n_g, sum_g, sumsq_g), then a second agg over
+    the k-row frame; the data is scanned once and nothing row-sized
+    shuffles twice. SSW uses the numerically-stable per-group form
+    ``sumsq_g - sum_g^2 / n_g`` summed over groups and SSB the grand
+    decomposition; both round to 1e-6 for cross-engine hashing.
+    """
+    y = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    base = df.select(F.col(group_col).alias("g"), y.alias("__y")).filter(
+        F.col("g").isNotNull() & F.col("__y").isNotNull()
+    )
+    per_group = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("__y").alias("sum_g"),
+        F.sum(F.col("__y") * F.col("__y")).alias("sumsq_g"),
+    )
+    tot = per_group.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("sum_g").alias("__sum"),
+        F.sum("sumsq_g").alias("__sumsq"),
+        F.sum(
+            F.col("sumsq_g") - F.col("sum_g") * F.col("sum_g") / F.col("n_g")
+        ).alias("__ssw"),
+    )
+    sst = F.col("__sumsq") - F.col("__sum") * F.col("__sum") / F.col("n")
+    ssb = sst - F.col("__ssw")
+    msb = ssb / (F.col("k_groups") - F.lit(1)).cast("double")
+    msw = F.col("__ssw") / (F.col("n") - F.col("k_groups")).cast("double")
+    f_ok = (
+        (F.col("k_groups") >= 2)
+        & (F.col("n") > F.col("k_groups"))
+        & (F.col("__ssw") > 0)
+    )
+    return tot.select(
+        "k_groups",
+        "n",
+        dround(ssb, 6).alias("ss_between"),
+        dround(F.col("__ssw"), 6).alias("ss_within"),
+        dround(F.when(F.col("k_groups") >= 2, msb), 6).alias("ms_between"),
+        dround(F.when(F.col("n") > F.col("k_groups"), msw), 6).alias(
+            "ms_within"
+        ),
+        dround(F.when(f_ok, msb / msw), 6).alias("f_stat"),
+    )
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, plus
+    the entropies and the normalized score MI / sqrt(H_a * H_b) — the
+    "are these two labels redundant / is this feature leaking that
+    field" audit a curation pipeline runs before training on derived
+    columns. Rows where either side is NULL are excluded (MI is over
+    the joint distribution of observed pairs). Emits ONE row:
+    n, mi_nats, h_a, h_b, nmi (NULL when either entropy is zero — a
+    constant column carries no information to normalize by).
+
+    Scale shape: ONE map-side-combined (a, b) count agg — cardinality
+    bounded by the label-pair space, not the row count — then entropy
+    terms fold over that tiny frame via two re-aggregations joined back
+    cross-free (each is a 1-row broadcast). ln-based, rounded to 1e-6;
+    the oracle replays the identical sum-over-joint formula.
+    """
+    base = df.select(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    joint = base.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("n_ab")
+    )
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    # Whole-frame windows over the label-pair-sized joint frame are
+    # cheap; the grand total joins back as a broadcast 1-row frame
+    # (never a SinglePartition window — house hygiene rule).
+    total = joint.agg(F.sum("n_ab").alias("n"))
+    terms = (
+        joint.withColumn("n_a", F.sum("n_ab").over(wa))
+        .withColumn("n_b", F.sum("n_ab").over(wb))
+        .crossJoin(F.broadcast(total))
+    )
+    p_ab = F.col("n_ab") / F.col("n")
+    p_a = F.col("n_a") / F.col("n")
+    p_b = F.col("n_b") / F.col("n")
+    # Marginal entropies from the JOINT frame without a distinct pass:
+    # weighting each joint row by n_ab / n_a makes the row sum collapse
+    # to the per-distinct-a sum exactly (sum_b n_ab = n_a).
+    out = terms.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(p_ab * F.log(p_ab / (p_a * p_b))).alias("__mi"),
+        (-F.sum((F.col("n_ab") / F.col("n_a")) * p_a * F.log(p_a))).alias(
+            "__ha"
+        ),
+        (-F.sum((F.col("n_ab") / F.col("n_b")) * p_b * F.log(p_b))).alias(
+            "__hb"
+        ),
+    )
+    nmi_ok = (F.col("__ha") > 0) & (F.col("__hb") > 0)
+    return out.select(
+        "n",
+        dround(F.col("__mi"), 6).alias("mi_nats"),
+        dround(F.col("__ha"), 6).alias("h_a"),
+        dround(F.col("__hb"), 6).alias("h_b"),
+        dround(
+            F.when(nmi_ok, F.col("__mi") / F.sqrt(F.col("__ha") * F.col("__hb"))),
+            6,
+        ).alias("nmi"),
+    )

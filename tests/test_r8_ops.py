@@ -1,0 +1,217 @@
+"""Round-8 pre-staged operators: ANOVA, mutual information, CUSUM,
+k-core. Each is checked against a brute-force Python replay — the same
+discipline as test_properties.py — before it earns a registry slot and
+a DuckDB oracle next round.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from python_mapreduce_spark.llm.dedup import kcore
+from python_mapreduce_spark.operators.aggregates import (
+    anova_oneway,
+    mutual_information,
+)
+from python_mapreduce_spark.operators.windows import cusum_changepoints
+
+
+# ---------------------------------------------------------------- ANOVA
+
+
+def _anova_replay(groups: dict[str, list[float]]):
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    grand = sum(sum(v) for v in groups.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in groups.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in groups.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    return ssb, ssw, f
+
+
+def test_anova_matches_replay(spark):
+    rng = random.Random(7)
+    groups = {
+        "a": [rng.gauss(10, 2) for _ in range(40)],
+        "b": [rng.gauss(11, 2) for _ in range(35)],
+        "c": [rng.gauss(10.5, 2) for _ in range(50)],
+    }
+    rows = [(g, x) for g, xs in groups.items() for x in xs]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = anova_oneway(df, "g", "x").first()
+    ssb, ssw, f = _anova_replay(groups)
+    assert got.k_groups == 3 and got.n == 125
+    assert abs(got.ss_between - ssb) < 1e-4
+    assert abs(got.ss_within - ssw) < 1e-4
+    assert abs(got.f_stat - f) < 1e-4
+
+
+def test_anova_degenerate_and_nulls(spark):
+    # One group only: no between-variance to test; NULLs drop.
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), (None, 9.0), ("a", None)],
+        "g string, x double",
+    )
+    got = anova_oneway(df, "g", "x").first()
+    assert got.k_groups == 1 and got.n == 3
+    assert got.f_stat is None
+    # Zero within-variance (constant values per group): F undefined.
+    df2 = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)],
+        "g string, x double",
+    )
+    assert anova_oneway(df2, "g", "x").first().f_stat is None
+
+
+# ------------------------------------------------- mutual information
+
+
+def _mi_replay(pairs: list[tuple[str, str]]):
+    from collections import Counter
+
+    n = len(pairs)
+    jo, ma, mb = Counter(pairs), Counter(), Counter()
+    for a, b in pairs:
+        ma[a] += 1
+        mb[b] += 1
+    mi = sum(
+        (c / n) * math.log((c / n) / ((ma[a] / n) * (mb[b] / n)))
+        for (a, b), c in jo.items()
+    )
+    ha = -sum((c / n) * math.log(c / n) for c in ma.values())
+    hb = -sum((c / n) * math.log(c / n) for c in mb.values())
+    return mi, ha, hb
+
+
+def test_mutual_information_matches_replay(spark):
+    rng = random.Random(11)
+    pairs = []
+    for _ in range(500):
+        a = rng.choice("xyz")
+        # correlated: b follows a 70% of the time
+        b = a.upper() if rng.random() < 0.7 else rng.choice("XYZ")
+        pairs.append((a, b))
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = mutual_information(df, "a", "b").first()
+    mi, ha, hb = _mi_replay(pairs)
+    assert got.n == 500
+    assert abs(got.mi_nats - mi) < 1e-4
+    assert abs(got.h_a - ha) < 1e-4
+    assert abs(got.h_b - hb) < 1e-4
+    assert abs(got.nmi - mi / math.sqrt(ha * hb)) < 1e-4
+
+
+def test_mutual_information_extremes(spark):
+    # Identical columns: MI == H, NMI == 1. Constant column: NMI NULL.
+    rows = [(c, c) for c in "aabbbcccc"]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = mutual_information(df, "a", "b").first()
+    assert abs(got.mi_nats - got.h_a) < 1e-6
+    assert abs(got.nmi - 1.0) < 1e-6
+    df2 = spark.createDataFrame([("a", "k"), ("b", "k")], "a string, b string")
+    got2 = mutual_information(df2, "a", "b").first()
+    assert got2.h_b == 0.0 and got2.nmi is None
+    # Independent-ish: MI near zero but never negative beyond rounding.
+    assert got2.mi_nats is not None and got2.mi_nats >= -1e-9
+
+
+# --------------------------------------------------------------- CUSUM
+
+
+def _cusum_replay(xs: list[float | None], target: float, k: float, h: float):
+    sp = sn = 0.0
+    out = []
+    for x in xs:
+        d = 0.0 if x is None else x - target
+        sp = max(0.0, sp + d - k)
+        sn = max(0.0, sn - d - k)
+        out.append((sp, sn, sp > h or sn > h))
+    return out
+
+
+def test_cusum_matches_recurrence_replay(spark):
+    rng = random.Random(3)
+    xs = [rng.gauss(0, 1) for _ in range(60)] + [
+        rng.gauss(2.5, 1) for _ in range(40)
+    ]
+    xs[10] = None  # NULL carries no evidence but keeps its row
+    rows = [("k1", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "key string, i long, x double")
+    got = (
+        cusum_changepoints(
+            df, ["key"], [F.col("i")], "x", target=0.0, allowance=0.5,
+            threshold=5.0,
+        )
+        .orderBy("i")
+        .collect()
+    )
+    want = _cusum_replay(xs, 0.0, 0.5, 5.0)
+    for row, (sp, sn, alarm) in zip(got, want):
+        assert abs(row.cusum_pos - sp) < 1e-4, row.i
+        assert abs(row.cusum_neg - sn) < 1e-4, row.i
+        assert row.alarm == alarm, row.i
+    # The injected level shift must actually fire the positive side.
+    assert any(r.alarm and r.i >= 60 for r in got)
+    assert not any(r.alarm and r.i < 40 for r in got)
+
+
+def test_cusum_default_target_is_per_key_mean(spark):
+    rows = [("a", i, float(i % 5)) for i in range(20)] + [
+        ("b", i, 100.0 + (i % 3)) for i in range(15)
+    ]
+    df = spark.createDataFrame(rows, "key string, i long, x double")
+    got = cusum_changepoints(df, ["key"], [F.col("i")], "x").collect()
+    # Each key is judged against its OWN mean: flat series, no alarms,
+    # despite the 100-point level difference between the keys.
+    assert not any(r.alarm for r in got)
+    assert len(got) == 35
+
+
+# -------------------------------------------------------------- k-core
+
+
+def _kcore_replay(edge_list: list[tuple[int, int]], k: int):
+    adj: dict[int, set[int]] = {}
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+            changed = True
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+def test_kcore_triangle_with_pendant(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id1 long, id2 long"
+    )
+    got = {r.node: r.degree for r in kcore(edges, 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}  # pendant 4 peeled, triangle stays
+    assert kcore(edges, 3).count() == 0  # no 3-core in a triangle+tail
+
+
+def test_kcore_matches_replay_on_random_graphs(spark):
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        edge_list = list(
+            {
+                tuple(sorted((rng.randrange(30), rng.randrange(30))))
+                for _ in range(70)
+            }
+        )
+        edges = spark.createDataFrame(edge_list, "id1 long, id2 long")
+        for k in (2, 3):
+            got = {r.node: r.degree for r in kcore(edges, k).collect()}
+            assert got == _kcore_replay(edge_list, k), (seed, k)
