@@ -2632,3 +2632,128 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             6,
         ).alias("nmi"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    segment_col: str,
+    value_col,
+    *,
+    a: str,
+    b: str,
+) -> DataFrame:
+    """Welch's two-sample t test between segments ``a`` and ``b`` of a
+    numeric metric — the unequal-variance companion to
+    :func:`ab_test_proportions` for continuous outcomes (latency,
+    spend, tokens per document). Emits ONE row: per-side n and mean,
+    the mean difference, the Welch t statistic, and the
+    Welch-Satterthwaite degrees of freedom. NULL segment/value rows are
+    excluded; either side with n < 2, or both sides with zero variance,
+    yields t NULL (dof NULL with it) instead of dividing by zero.
+
+    Scale shape: sufficient statistics via ONE map-side-combined agg of
+    conditional sums — no per-side scan, no shuffle beyond the single
+    1-row reduction. Sample variance uses ``(sumsq - sum^2/n)/(n-1)``;
+    everything rounds to 1e-6 so the oracle hashes identically.
+    """
+    y = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    s = F.col(segment_col)
+    base = df.select(s.alias("__s"), y.alias("__y")).filter(
+        F.col("__s").isNotNull() & F.col("__y").isNotNull()
+    )
+
+    def side(tag: str, val: str):
+        m = F.when(F.col("__s") == val, F.col("__y"))
+        return [
+            F.count(m).cast("long").alias(f"n_{tag}"),
+            F.sum(m).alias(f"__sum_{tag}"),
+            F.sum(m * m).alias(f"__sumsq_{tag}"),
+        ]
+
+    t = base.agg(*side("a", a), *side("b", b))
+    mean_a = F.col("__sum_a") / F.col("n_a")
+    mean_b = F.col("__sum_b") / F.col("n_b")
+    var_a = (F.col("__sumsq_a") - F.col("__sum_a") * F.col("__sum_a") / F.col("n_a")) / (
+        F.col("n_a") - F.lit(1)
+    )
+    var_b = (F.col("__sumsq_b") - F.col("__sum_b") * F.col("__sum_b") / F.col("n_b")) / (
+        F.col("n_b") - F.lit(1)
+    )
+    se2_a = var_a / F.col("n_a")
+    se2_b = var_b / F.col("n_b")
+    ok = (
+        (F.col("n_a") >= 2)
+        & (F.col("n_b") >= 2)
+        & ((se2_a + se2_b) > 0)
+    )
+    t_stat = F.when(ok, (mean_a - mean_b) / F.sqrt(se2_a + se2_b))
+    dof = F.when(
+        ok,
+        (se2_a + se2_b) * (se2_a + se2_b)
+        / (
+            se2_a * se2_a / (F.col("n_a") - F.lit(1))
+            + se2_b * se2_b / (F.col("n_b") - F.lit(1))
+        ),
+    )
+    return t.select(
+        "n_a",
+        "n_b",
+        dround(F.when(F.col("n_a") > 0, mean_a), 6).alias("mean_a"),
+        dround(F.when(F.col("n_b") > 0, mean_b), 6).alias("mean_b"),
+        dround(
+            F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), mean_a - mean_b), 6
+        ).alias("mean_diff"),
+        dround(t_stat, 6).alias("t_stat"),
+        dround(dof, 6).alias("dof"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    value_col,
+    *,
+    cutoff: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier scores: modified z = 0.6745 * (x - med)
+    / MAD, where med is the group's exact median and MAD the exact
+    median absolute deviation — the outlier rule that a handful of
+    extreme values cannot drag (unlike mean/stddev z-scores, where the
+    outliers inflate their own yardstick). |z| > ``cutoff`` (Iglewicz &
+    Hoaglin's 3.5 default) flags the row. NULL values pass through with
+    z NULL / outlier false; a zero-MAD group (>= half the group is one
+    value) has no robust scale, so every row gets z NULL / outlier
+    false rather than an infinity.
+
+    Scale shape: two exact-median group aggs (Spark's median and
+    DuckDB's both interpolate even counts, so the oracle matches bit
+    for bit after 1e-6 rounding) with the medians equi-joined back on
+    the keys — per-group state is two scalars, never a collected list;
+    rows shuffle on the keys twice, each with map-side-combinable agg
+    siblings. Emits (keys..., id, value, robust_z, outlier).
+    """
+    ks = list(keys)
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    base = df.select(*ks, F.col(id_col).alias("id"), v.alias("value"))
+    med = base.groupBy(*ks).agg(F.median("value").alias("__med"))
+    j = base.join(med, ks)
+    mad = j.groupBy(*ks).agg(
+        F.median(F.abs(F.col("value") - F.col("__med"))).alias("__mad")
+    )
+    j2 = j.join(mad, ks)
+    z = F.when(
+        F.col("value").isNotNull() & (F.col("__mad") > 0),
+        F.lit(0.6745) * (F.col("value") - F.col("__med")) / F.col("__mad"),
+    )
+    return j2.select(
+        *ks,
+        "id",
+        "value",
+        dround(z, 6).alias("robust_z"),
+        F.coalesce(F.abs(z) > cutoff, F.lit(False)).alias("outlier"),
+    )

@@ -24,6 +24,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -529,4 +530,102 @@ def er_match_score(
         *sims,
         dround(score, 6).alias("score"),
         (dround(score, 6) >= F.lit(float(threshold))).alias("matched"),
+    )
+
+
+def fellegi_sunter_weights(
+    pairs: DataFrame,
+    records: DataFrame,
+    id_col: str,
+    fields: Sequence[str],
+    *,
+    m: float | dict[str, float] = 0.95,
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record-linkage weights over blocked
+    candidate pairs — the classical alternative to
+    :func:`er_match_score`'s ad-hoc weighted similarity: each field's
+    agreement contributes log2(m/u) and each disagreement
+    log2((1-m)/(1-u)), so agreeing on a RARE value (low u) counts for
+    far more than agreeing on a common one. ``m`` (P(agree | same
+    entity), per field or one value for all) encodes data quality —
+    keep the default unless a labeled sample says otherwise; ``u``
+    (P(agree | different entities)) is ESTIMATED from the data as the
+    random-agreement probability sum_v (c_v / n)^2 over each field's
+    non-null value distribution — the standard frequency-based
+    estimate, computed with one tiny agg per field.
+
+    A field NULL on either side contributes 0 (no evidence — the FS
+    treatment of missing comparisons, deliberately different from
+    er_match_score's both-NULL-agrees rule, which scores payload
+    similarity rather than identity evidence). Emits (id_a, id_b,
+    n_agree, n_compared, fs_weight), weight rounded to 1e-6. Probability
+    clamps at [1e-9, 1 - 1e-9] keep degenerate fields (constant value:
+    u -> 1) finite; a constant field then contributes ~0 on agreement,
+    which is exactly right — everyone agrees on it.
+
+    Scale shape: per-field u is one map-side-combined value-count agg
+    reduced to ONE scalar (k bounded driver scalars total, never a
+    value list); scoring is then two id-keyed equi-joins (candidates
+    are O(n*w) from blocking, never all-pairs) and a pure-literal
+    projection — no UDF, log2 is a built-in in Spark AND DuckDB so an
+    oracle replays it exactly. ``records`` must be unique per id (use
+    er_match_score's on_duplicate_ids='dedupe' contract upstream if
+    not).
+    """
+    fs = list(fields)
+    if not fs:
+        raise ValueError("fields must be non-empty")
+    m_by = {f: (m[f] if isinstance(m, dict) else float(m)) for f in fs}
+    eps = 1e-9
+
+    def clamp(p: float) -> float:
+        return min(max(p, eps), 1.0 - eps)
+
+    u_by: dict[str, float] = {}
+    for f in fs:
+        vc = (
+            records.filter(F.col(f).isNotNull())
+            .groupBy(f)
+            .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        )
+        row = vc.agg(
+            (F.sum(F.col("c") * F.col("c")) / (F.sum("c") * F.sum("c"))).alias("u")
+        ).first()
+        u_by[f] = clamp(row.u if row.u is not None else 0.5)
+
+    left = records.select(
+        F.col(id_col).alias("__ida"),
+        *[F.col(f).alias(f"__a_{f}") for f in fs],
+    )
+    right = records.select(
+        F.col(id_col).alias("__idb"),
+        *[F.col(f).alias(f"__b_{f}") for f in fs],
+    )
+    p = (
+        pairs.select(F.col("id_a"), F.col("id_b"))
+        .join(left, F.col("id_a") == F.col("__ida"))
+        .join(right, F.col("id_b") == F.col("__idb"))
+    )
+    weight = F.lit(0.0)
+    agree_cnt = F.lit(0)
+    comp_cnt = F.lit(0)
+    log2 = math.log(2.0)
+    for f in fs:
+        mm, uu = clamp(m_by[f]), u_by[f]
+        w_agree = math.log(mm / uu) / log2
+        w_disagree = math.log((1.0 - mm) / (1.0 - uu)) / log2
+        a_, b_ = F.col(f"__a_{f}"), F.col(f"__b_{f}")
+        present = a_.isNotNull() & b_.isNotNull()
+        agrees = present & (a_ == b_)
+        weight = weight + F.when(agrees, F.lit(w_agree)).when(
+            present, F.lit(w_disagree)
+        ).otherwise(F.lit(0.0))
+        agree_cnt = agree_cnt + agrees.cast("int")
+        comp_cnt = comp_cnt + present.cast("int")
+    return p.select(
+        "id_a",
+        "id_b",
+        agree_cnt.alias("n_agree"),
+        comp_cnt.alias("n_compared"),
+        dround(weight, 6).alias("fs_weight"),
     )

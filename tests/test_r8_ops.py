@@ -215,3 +215,158 @@ def test_kcore_matches_replay_on_random_graphs(spark):
         for k in (2, 3):
             got = {r.node: r.degree for r in kcore(edges, k).collect()}
             assert got == _kcore_replay(edge_list, k), (seed, k)
+
+
+# ----------------------------------------------------------- Welch t
+
+
+def _welch_replay(xa: list[float], xb: list[float]):
+    na, nb = len(xa), len(xb)
+    ma, mb = sum(xa) / na, sum(xb) / nb
+    va = sum((x - ma) ** 2 for x in xa) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in xb) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    dof = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    return t, dof
+
+
+def test_welch_matches_replay(spark):
+    from python_mapreduce_spark.operators.aggregates import welch_ttest
+
+    rng = random.Random(5)
+    xa = [rng.gauss(10, 1) for _ in range(30)]
+    xb = [rng.gauss(10.8, 3) for _ in range(55)]
+    rows = (
+        [("a", x) for x in xa]
+        + [("b", x) for x in xb]
+        + [("c", 99.0), (None, 1.0), ("a", None)]  # ignored
+    )
+    df = spark.createDataFrame(rows, "seg string, x double")
+    got = welch_ttest(df, "seg", "x", a="a", b="b").first()
+    t, dof = _welch_replay(xa, xb)
+    assert got.n_a == 30 and got.n_b == 55
+    assert abs(got.t_stat - t) < 1e-4
+    assert abs(got.dof - dof) < 1e-4
+
+
+def test_welch_degenerate(spark):
+    from python_mapreduce_spark.operators.aggregates import welch_ttest
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("b", 3.0)], "seg string, x double"
+    )
+    got = welch_ttest(df, "seg", "x", a="a", b="b").first()
+    assert got.n_a == 1 and got.t_stat is None and got.dof is None
+    # Both sides constant: zero pooled SE, no t.
+    df2 = spark.createDataFrame(
+        [("a", 5.0)] * 3 + [("b", 7.0)] * 3, "seg string, x double"
+    )
+    got2 = welch_ttest(df2, "seg", "x", a="a", b="b").first()
+    assert got2.t_stat is None and got2.mean_diff == -2.0
+
+
+# ------------------------------------------------------- MAD outliers
+
+
+def test_mad_outliers_matches_replay(spark):
+    from python_mapreduce_spark.operators.aggregates import mad_outliers
+    import statistics
+
+    rng = random.Random(13)
+    vals = [rng.gauss(50, 5) for _ in range(99)] + [500.0]
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = {r.id: r for r in mad_outliers(df, ["g"], "id", "v").collect()}
+    med = statistics.median(vals)
+    mad = statistics.median(abs(v - med) for v in vals)
+    for i, v in enumerate(vals):
+        z = 0.6745 * (v - med) / mad
+        assert abs(got[i].robust_z - z) < 1e-4
+        assert got[i].outlier == (abs(z) > 3.5)
+    assert got[99].outlier  # the planted 500 flags
+    # Crucially: the planted outlier does NOT drag the yardstick the
+    # way stddev-z would (mean/std z of 500 here is ~9.7 but z of a
+    # normal point stays ~0-2 under MAD).
+    inlier_flags = [got[i].outlier for i in range(99)]
+    assert sum(inlier_flags) <= 3
+
+
+def test_mad_outliers_zero_mad_and_nulls(spark):
+    from python_mapreduce_spark.operators.aggregates import mad_outliers
+
+    df = spark.createDataFrame(
+        [("g", 1, 5.0), ("g", 2, 5.0), ("g", 3, 5.0), ("g", 4, 9.0),
+         ("g", 5, None)],
+        "g string, id long, v double",
+    )
+    got = {r.id: r for r in mad_outliers(df, ["g"], "id", "v").collect()}
+    # Median 5, MAD 0 -> no robust scale; all z NULL, no flags.
+    assert all(got[i].robust_z is None for i in (1, 2, 3, 4))
+    assert not any(got[i].outlier for i in (1, 2, 3, 4))
+    assert got[5].robust_z is None and got[5].outlier is False
+
+
+# --------------------------------------------------- Fellegi-Sunter
+
+
+def test_fellegi_sunter_matches_replay(spark):
+    from python_mapreduce_spark.operators.joins import fellegi_sunter_weights
+
+    records = [
+        (1, "ann", "york", "a@x.com"),
+        (2, "ann", "york", "b@x.com"),
+        (3, "bob", "york", None),
+        (4, "cat", "rome", "c@x.com"),
+        (5, "cat", "rome", "c@x.com"),
+        (6, "dan", "york", "d@x.com"),
+    ]
+    rdf = spark.createDataFrame(records, "id long, name string, city string, email string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (4, 5), (1, 3), (3, 6)], "id_a long, id_b long"
+    )
+    got = {
+        (r.id_a, r.id_b): r
+        for r in fellegi_sunter_weights(
+            pairs, rdf, "id", ["name", "city", "email"], m=0.9
+        ).collect()
+    }
+
+    # Python replay of the u estimate and the weight sum.
+    def u_of(vals):
+        vals = [v for v in vals if v is not None]
+        n = len(vals)
+        from collections import Counter
+
+        return sum((c / n) ** 2 for c in Counter(vals).values())
+
+    cols = list(zip(*records))
+    us = [u_of(cols[1]), u_of(cols[2]), u_of(cols[3])]
+    eps = 1e-9
+
+    def w(pair_vals):
+        total, agree, comp = 0.0, 0, 0
+        for (va, vb), u in zip(pair_vals, us):
+            u = min(max(u, eps), 1 - eps)
+            if va is None or vb is None:
+                continue
+            comp += 1
+            if va == vb:
+                agree += 1
+                total += math.log2(0.9 / u)
+            else:
+                total += math.log2(0.1 / (1 - u))
+        return total, agree, comp
+
+    by_id = {r[0]: r for r in records}
+    for ia, ib in [(1, 2), (4, 5), (1, 3), (3, 6)]:
+        ra, rb = by_id[ia], by_id[ib]
+        total, agree, comp = w(list(zip(ra[1:], rb[1:])))
+        row = got[(ia, ib)]
+        assert abs(row.fs_weight - total) < 1e-4, (ia, ib)
+        assert row.n_agree == agree and row.n_compared == comp
+    # Rare-value agreement (cat/rome/email triple) outweighs the
+    # common-value agreement pair (ann/york, emails differ).
+    assert got[(4, 5)].fs_weight > got[(1, 2)].fs_weight
+    # Missing email contributes nothing: pair (1,3) compares 2 fields.
+    assert got[(1, 3)].n_compared == 2
