@@ -82,3 +82,68 @@ def stateful_running_max(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_cusum(
+    stream: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    target: float,
+    allowance: float = 0.0,
+    threshold: float = 4.0,
+) -> DataFrame:
+    """Streaming CUSUM drift monitor: the online companion to the batch
+    ``operators.windows.cusum_changepoints`` — per-key one-sided
+    cumulative sums carried ACROSS micro-batches in
+    applyInPandasWithState state, so a slow level shift in a metric
+    fires an alarm mid-stream instead of at the next batch audit.
+    ``target``/``allowance``/``threshold`` mean exactly what they mean
+    in the batch operator; state per key is three scalars (s+, s-, rows
+    seen) regardless of stream length.
+
+    Rows inside each micro-batch are processed in (ts, value) order and
+    batches arrive in file order under the incremental harness, so the
+    fold is deterministic end-to-end for a fixed file layout; NULL
+    values advance the row count but carry no evidence (batch-operator
+    rule). Emits one row per key per batch: the post-batch sums, the
+    alarm flag, and rows_seen ('update' semantics — the LAST row per
+    key is the final verdict, which is what the batch replay checks).
+    """
+
+    def update(
+        key_tuple: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        sp, sn, seen = state.get if state.exists else (0.0, 0.0, 0)
+        rows = 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
+            for x in pdf[value_col]:
+                d = 0.0 if pd.isna(x) else float(x) - target
+                sp = max(0.0, sp + d - allowance)
+                sn = max(0.0, sn - d - allowance)
+                rows += 1
+        if rows:
+            seen += rows
+            state.update((sp, sn, seen))
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]],
+                    "cusum_pos": [sp],
+                    "cusum_neg": [sn],
+                    "alarm": [sp > threshold or sn > threshold],
+                    "rows_seen": [seen],
+                }
+            )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key} string, cusum_pos double, cusum_neg double, "
+            "alarm boolean, rows_seen long"
+        ),
+        stateStructType="cusum_pos double, cusum_neg double, rows_seen long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2813,3 +2813,51 @@ def test_replication_audit_matches_python_replay(spark, rows_a, rows_b):
             changed,
             same,
         ), (g, r)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    xs=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(min_value=-50, max_value=50, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    allowance=st.floats(min_value=0, max_value=3, allow_nan=False),
+    target=st.floats(min_value=-5, max_value=5, allow_nan=False),
+)
+def test_cusum_prefix_form_equals_sequential_recurrence(
+    spark, xs, allowance, target
+):
+    # cusum_changepoints computes S+ = P - min(0, running_min(P)) with
+    # two window frames; the definition is the sequential recurrence
+    # S+_i = max(0, S+_{i-1} + d_i). The closed form must equal the
+    # fold for ANY series, allowance, and target — including NULLs
+    # (zero evidence) and all-negative deviations (sums pinned at 0).
+    from python_mapreduce_spark.operators.windows import cusum_changepoints
+
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)], "key string, i long, x double"
+    )
+    got = (
+        cusum_changepoints(
+            df, ["key"], [F.col("i")], "x",
+            target=target, allowance=allowance, threshold=4.0,
+        )
+        .orderBy("i")
+        .collect()
+    )
+    sp = sn = 0.0
+    for row, x in zip(got, xs):
+        d = 0.0 if x is None else x - target
+        sp = max(0.0, sp + d - allowance)
+        sn = max(0.0, sn - d - allowance)
+        assert abs(row.cusum_pos - sp) < 1e-6
+        assert abs(row.cusum_neg - sn) < 1e-6
+        assert row.alarm == (row.cusum_pos > 4.0 or row.cusum_neg > 4.0)

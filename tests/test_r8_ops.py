@@ -370,3 +370,54 @@ def test_fellegi_sunter_matches_replay(spark):
     assert got[(4, 5)].fs_weight > got[(1, 2)].fs_weight
     # Missing email contributes nothing: pair (1,3) compares 2 fields.
     assert got[(1, 3)].n_compared == 2
+
+
+# ----------------------------------------------- streaming CUSUM
+
+
+def test_stateful_cusum_matches_batch_recurrence(spark, tmp_path):
+    from python_mapreduce_spark.streaming.incremental import (
+        file_stream,
+        run_stream_to_memory,
+    )
+    from python_mapreduce_spark.streaming.windows import stateful_cusum
+
+    rng = random.Random(21)
+    series = {
+        "m1": [rng.gauss(0, 1) for _ in range(40)]
+        + [rng.gauss(3, 1) for _ in range(20)],  # shifts -> must alarm
+        "m2": [rng.gauss(0, 1) for _ in range(60)],  # stable -> must not
+    }
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    # Two micro-batches per key, split mid-series, landed in ts order.
+    half = 30
+    for part, sl in (("p1", slice(0, half)), ("p2", slice(half, None))):
+        rows = [
+            (k, i, x)
+            for k, xs in series.items()
+            for i, x in list(enumerate(xs))[sl]
+        ]
+        spark.createDataFrame(
+            rows, "key string, ts long, x double"
+        ).coalesce(1).write.mode("append").parquet(str(in_dir / part))
+
+    stream = file_stream(spark, str(in_dir) + "/*", max_files_per_trigger=1)
+    out = run_stream_to_memory(
+        stateful_cusum(
+            stream, "key", "ts", "x", target=0.0, allowance=0.5, threshold=5.0
+        ),
+        output_mode="update",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    ).toPandas()
+
+    # One update row per key per micro-batch that carried its rows.
+    assert set(out["key"]) == {"m1", "m2"}
+    final = out.sort_values("rows_seen").groupby("key").last()
+    for k, xs in series.items():
+        want = _cusum_replay(xs, 0.0, 0.5, 5.0)[-1]
+        assert abs(final.loc[k, "cusum_pos"] - want[0]) < 1e-9, k
+        assert abs(final.loc[k, "cusum_neg"] - want[1]) < 1e-9, k
+    assert final.loc["m1", "alarm"]
+    assert not final.loc["m2", "alarm"]
+    assert int(final.loc["m1", "rows_seen"]) == 60
