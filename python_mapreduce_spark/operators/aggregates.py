@@ -2519,6 +2519,7 @@ def anova_oneway(df: DataFrame, group_col: str, value_col) -> DataFrame:
     "do latencies differ by region"). Emits ONE row: group count k,
     total n, between/within sums of squares and mean squares, and F =
     MSB / MSW. Rows with a NULL group or NULL value are excluded.
+    Values quantize to CENTS on entry (the dsum money contract).
     Degenerate frames — fewer than 2 groups, or n <= k (no within
     degrees of freedom), or zero within-variance — yield f_stat NULL
     instead of a division blow-up; the SS columns still report.
@@ -2526,31 +2527,55 @@ def anova_oneway(df: DataFrame, group_col: str, value_col) -> DataFrame:
     Scale shape: sufficient statistics only — ONE map-side-combined
     (group) agg producing (n_g, sum_g, sumsq_g), then a second agg over
     the k-row frame; the data is scanned once and nothing row-sized
-    shuffles twice. SSW uses the numerically-stable per-group form
-    ``sumsq_g - sum_g^2 / n_g`` summed over groups and SSB the grand
-    decomposition; both round to 1e-6 for cross-engine hashing.
+    shuffles twice. Determinism: sums run over INTEGER-CENT
+    DECIMAL(19,0) values — exact, associative, and (the subtle part)
+    convertible to double in ONE correctly-rounded step by BOTH
+    engines. A fractional-scale decimal with raw digits past 2^53
+    would instead go int128 -> double -> /10^scale in DuckDB (two
+    roundings) vs one BigDecimal rounding in Spark, and the ulp drift
+    flips floor-based rounding of the big SS magnitudes (observed live
+    on the order-money corpus). From identical doubles every
+    downstream expression is fixed-shape IEEE, so the per-group SSW
+    terms quantize identically before their DECIMAL sum — bit-identical
+    at any partitioning, replayable exactly by an ANSI oracle. SS/MS
+    quantize at CENT scale: Spark's floor() lands in a signed long, so
+    1e-6 rounding of big SS would overflow past |x| ~ 9.2e12.
     """
     y = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
         "double"
     )
-    base = df.select(F.col(group_col).alias("g"), y.alias("__y")).filter(
-        F.col("g").isNotNull() & F.col("__y").isNotNull()
+    yc = F.floor(y * F.lit(100.0) + F.lit(0.5)).cast("decimal(19,0)")
+    base = df.select(F.col(group_col).alias("g"), yc.alias("__yc")).filter(
+        F.col("g").isNotNull() & F.col("__yc").isNotNull()
     )
     per_group = base.groupBy("g").agg(
         F.count(F.lit(1)).cast("long").alias("n_g"),
-        F.sum("__y").alias("sum_g"),
-        F.sum(F.col("__y") * F.col("__y")).alias("sumsq_g"),
+        F.sum("__yc").alias("sum_c"),
+        F.sum((F.col("__yc") * F.col("__yc")).cast("decimal(38,0)")).alias(
+            "sumsq_c"
+        ),
+    )
+    # cents^2 -> units^2 happens in double AFTER the exact-int casts.
+    ssw_term = dround(
+        (
+            F.col("sumsq_c").cast("double")
+            - F.col("sum_c").cast("double")
+            * F.col("sum_c").cast("double")
+            / F.col("n_g")
+        )
+        / F.lit(10000.0),
+        2,
     )
     tot = per_group.agg(
         F.count(F.lit(1)).cast("long").alias("k_groups"),
         F.sum("n_g").cast("long").alias("n"),
-        F.sum("sum_g").alias("__sum"),
-        F.sum("sumsq_g").alias("__sumsq"),
-        F.sum(
-            F.col("sumsq_g") - F.col("sum_g") * F.col("sum_g") / F.col("n_g")
-        ).alias("__ssw"),
+        F.sum("sum_c").cast("double").alias("__sum_c"),
+        F.sum("sumsq_c").cast("double").alias("__sumsq_c"),
+        F.sum(ssw_term.cast("decimal(38,2)")).cast("double").alias("__ssw"),
     )
-    sst = F.col("__sumsq") - F.col("__sum") * F.col("__sum") / F.col("n")
+    sst = (
+        F.col("__sumsq_c") - F.col("__sum_c") * F.col("__sum_c") / F.col("n")
+    ) / F.lit(10000.0)
     ssb = sst - F.col("__ssw")
     msb = ssb / (F.col("k_groups") - F.lit(1)).cast("double")
     msw = F.col("__ssw") / (F.col("n") - F.col("k_groups")).cast("double")
@@ -2562,75 +2587,13 @@ def anova_oneway(df: DataFrame, group_col: str, value_col) -> DataFrame:
     return tot.select(
         "k_groups",
         "n",
-        dround(ssb, 6).alias("ss_between"),
-        dround(F.col("__ssw"), 6).alias("ss_within"),
-        dround(F.when(F.col("k_groups") >= 2, msb), 6).alias("ms_between"),
-        dround(F.when(F.col("n") > F.col("k_groups"), msw), 6).alias(
+        dround(ssb, 2).alias("ss_between"),
+        dround(F.col("__ssw"), 2).alias("ss_within"),
+        dround(F.when(F.col("k_groups") >= 2, msb), 2).alias("ms_between"),
+        dround(F.when(F.col("n") > F.col("k_groups"), msw), 2).alias(
             "ms_within"
         ),
         dround(F.when(f_ok, msb / msw), 6).alias("f_stat"),
-    )
-
-
-def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
-    """Mutual information (nats) between two categorical columns, plus
-    the entropies and the normalized score MI / sqrt(H_a * H_b) — the
-    "are these two labels redundant / is this feature leaking that
-    field" audit a curation pipeline runs before training on derived
-    columns. Rows where either side is NULL are excluded (MI is over
-    the joint distribution of observed pairs). Emits ONE row:
-    n, mi_nats, h_a, h_b, nmi (NULL when either entropy is zero — a
-    constant column carries no information to normalize by).
-
-    Scale shape: ONE map-side-combined (a, b) count agg — cardinality
-    bounded by the label-pair space, not the row count — then entropy
-    terms fold over that tiny frame via two re-aggregations joined back
-    cross-free (each is a 1-row broadcast). ln-based, rounded to 1e-6;
-    the oracle replays the identical sum-over-joint formula.
-    """
-    base = df.select(
-        F.col(col_a).alias("a"), F.col(col_b).alias("b")
-    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-    joint = base.groupBy("a", "b").agg(
-        F.count(F.lit(1)).cast("double").alias("n_ab")
-    )
-    wa = Window.partitionBy("a")
-    wb = Window.partitionBy("b")
-    # Whole-frame windows over the label-pair-sized joint frame are
-    # cheap; the grand total joins back as a broadcast 1-row frame
-    # (never a SinglePartition window — house hygiene rule).
-    total = joint.agg(F.sum("n_ab").alias("n"))
-    terms = (
-        joint.withColumn("n_a", F.sum("n_ab").over(wa))
-        .withColumn("n_b", F.sum("n_ab").over(wb))
-        .crossJoin(F.broadcast(total))
-    )
-    p_ab = F.col("n_ab") / F.col("n")
-    p_a = F.col("n_a") / F.col("n")
-    p_b = F.col("n_b") / F.col("n")
-    # Marginal entropies from the JOINT frame without a distinct pass:
-    # weighting each joint row by n_ab / n_a makes the row sum collapse
-    # to the per-distinct-a sum exactly (sum_b n_ab = n_a).
-    out = terms.agg(
-        F.max("n").cast("long").alias("n"),
-        F.sum(p_ab * F.log(p_ab / (p_a * p_b))).alias("__mi"),
-        (-F.sum((F.col("n_ab") / F.col("n_a")) * p_a * F.log(p_a))).alias(
-            "__ha"
-        ),
-        (-F.sum((F.col("n_ab") / F.col("n_b")) * p_b * F.log(p_b))).alias(
-            "__hb"
-        ),
-    )
-    nmi_ok = (F.col("__ha") > 0) & (F.col("__hb") > 0)
-    return out.select(
-        "n",
-        dround(F.col("__mi"), 6).alias("mi_nats"),
-        dround(F.col("__ha"), 6).alias("h_a"),
-        dround(F.col("__hb"), 6).alias("h_b"),
-        dround(
-            F.when(nmi_ok, F.col("__mi") / F.sqrt(F.col("__ha") * F.col("__hb"))),
-            6,
-        ).alias("nmi"),
     )
 
 
@@ -2651,16 +2614,24 @@ def welch_ttest(
     excluded; either side with n < 2, or both sides with zero variance,
     yields t NULL (dof NULL with it) instead of dividing by zero.
 
+    Values quantize to CENTS on entry (the dsum money contract).
+
     Scale shape: sufficient statistics via ONE map-side-combined agg of
     conditional sums — no per-side scan, no shuffle beyond the single
-    1-row reduction. Sample variance uses ``(sumsq - sum^2/n)/(n-1)``;
-    everything rounds to 1e-6 so the oracle hashes identically.
+    1-row reduction. Determinism: sums run over INTEGER-CENT
+    DECIMAL(19,0) values (exact, associative, and convertible to double
+    in ONE correctly-rounded step by both Spark and an ANSI oracle —
+    see anova_oneway's docstring for why fractional-scale decimals
+    double-round in DuckDB); the closed-form t/dof divisions happen
+    once in a fixed IEEE shape, rounded to 1e-6 for cross-engine
+    hashing. Sample variance uses ``(sumsq - sum^2/n)/(n-1)``.
     """
     y = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
         "double"
     )
+    yc = F.floor(y * F.lit(100.0) + F.lit(0.5)).cast("decimal(19,0)")
     s = F.col(segment_col)
-    base = df.select(s.alias("__s"), y.alias("__y")).filter(
+    base = df.select(s.alias("__s"), yc.alias("__y")).filter(
         F.col("__s").isNotNull() & F.col("__y").isNotNull()
     )
 
@@ -2668,8 +2639,11 @@ def welch_ttest(
         m = F.when(F.col("__s") == val, F.col("__y"))
         return [
             F.count(m).cast("long").alias(f"n_{tag}"),
-            F.sum(m).alias(f"__sum_{tag}"),
-            F.sum(m * m).alias(f"__sumsq_{tag}"),
+            (F.sum(m).cast("double") / F.lit(100.0)).alias(f"__sum_{tag}"),
+            (
+                F.sum((m * m).cast("decimal(38,0)")).cast("double")
+                / F.lit(10000.0)
+            ).alias(f"__sumsq_{tag}"),
         ]
 
     t = base.agg(*side("a", a), *side("b", b))

@@ -1,0 +1,365 @@
+"""Round-8 STAGED registry entries — written and oracle-verified in
+round 7, deliberately NOT wired into ``all_queries()`` yet.
+
+The round-7 rotation plan capped new registry additions at 12 (VERDICT
+r6 item 2) so the driver's staleness-refresh contract stays feasible;
+these entries are the NEXT batch, fully built — Spark query + DuckDB
+oracle + staging test (``tests/test_r8_staged_oracles.py`` runs the
+exact check_oracle comparison over them at sf0.001) — so round 8
+registers them by importing ``QUERIES`` from this module into
+``registry/__init__.all_queries()`` and appending the names behind the
+staleness block.
+
+Operators covered: one-way ANOVA, Welch t-test, MAD robust outliers,
+batch CUSUM change-points, Fellegi-Sunter linkage weights, and the
+streaming CUSUM monitor (oracle = the batch prefix form replayed in
+SQL). Mutual information is NOT here: the engine already ships it as
+q_mutual_info (registry/core.py) — a duplicate operator added this
+round was caught shadowing it and removed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_mapreduce_spark.functions.scalar import dround, sql_dround
+from python_mapreduce_spark.registry import Query
+from python_mapreduce_spark.registry._util import table
+
+
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One-way ANOVA (operators/aggregates.py::anova_oneway): does mean
+    # order value differ across the 5 order priorities? DECIMAL
+    # sufficient statistics + quantized cross-group SSW sum keep the
+    # statistic bit-identical at any parallelism.
+    from python_mapreduce_spark.operators.aggregates import anova_oneway  # noqa: PLC0415
+
+    return anova_oneway(
+        table(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
+_SSW_TERM = (
+    "(CAST(sumsq_c AS DOUBLE)"
+    " - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE) / n_g) / 10000.0"
+)
+
+SQL_ANOVA = f"""
+WITH base AS (
+  -- integer CENTS: scale-0 decimals convert to double in ONE
+  -- correctly-rounded step in both engines (fractional-scale decimals
+  -- with raw digits past 2^53 double-round in DuckDB and drift ulps
+  -- from Spark); DECIMAL(19,0) so the square fits width 38.
+  SELECT o_orderpriority AS g,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS DECIMAL(19,0)) AS yc
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+),
+pg AS (
+  SELECT g, COUNT(*) AS n_g, SUM(yc) AS sum_c,
+         SUM(CAST(yc * yc AS DECIMAL(38,0))) AS sumsq_c
+  FROM base GROUP BY g
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(sum_c) AS DOUBLE) AS s,
+         CAST(SUM(sumsq_c) AS DOUBLE) AS ss,
+         CAST(SUM(CAST({sql_dround(_SSW_TERM, 2)} AS DECIMAL(38,2)))
+              AS DOUBLE) AS ssw
+  FROM pg
+)
+SELECT k_groups, n,
+       {sql_dround('(ss - s * s / n) / 10000.0 - ssw', 2)} AS ss_between,
+       {sql_dround('ssw', 2)} AS ss_within,
+       CASE WHEN k_groups >= 2 THEN
+         {sql_dround('((ss - s * s / n) / 10000.0 - ssw) / (k_groups - 1)', 2)}
+       END AS ms_between,
+       CASE WHEN n > k_groups THEN
+         {sql_dround('ssw / (n - k_groups)', 2)}
+       END AS ms_within,
+       CASE WHEN k_groups >= 2 AND n > k_groups AND ssw > 0 THEN
+         {sql_dround('(((ss - s * s / n) / 10000.0 - ssw) / (k_groups - 1)) / (ssw / (n - k_groups))', 6)}
+       END AS f_stat
+FROM tot
+"""
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Welch t between finished ('F') and open ('O') order values
+    # (operators/aggregates.py::welch_ttest) — DECIMAL conditional
+    # sufficient statistics in one agg.
+    from python_mapreduce_spark.operators.aggregates import welch_ttest  # noqa: PLC0415
+
+    return welch_ttest(
+        table(spark, sf_dir, "orders"), "o_orderstatus", "o_totalprice",
+        a="F", b="O",
+    )
+
+
+_W_OK = "n_a >= 2 AND n_b >= 2 AND (va + vb) > 0"
+
+SQL_WELCH_TTEST = f"""
+WITH base AS (
+  -- integer cents, same single-rounding argument as SQL_ANOVA
+  SELECT o_orderstatus AS s,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS DECIMAL(19,0)) AS yc
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+),
+agg AS (
+  SELECT CAST(COUNT(CASE WHEN s = 'F' THEN 1 END) AS BIGINT) AS n_a,
+         CAST(COUNT(CASE WHEN s = 'O' THEN 1 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN s = 'F' THEN yc END) AS DOUBLE) / 100.0 AS sa,
+         CAST(SUM(CASE WHEN s = 'O' THEN yc END) AS DOUBLE) / 100.0 AS sb,
+         CAST(SUM(CASE WHEN s = 'F' THEN CAST(yc * yc AS DECIMAL(38,0)) END)
+              AS DOUBLE) / 10000.0 AS qa,
+         CAST(SUM(CASE WHEN s = 'O' THEN CAST(yc * yc AS DECIMAL(38,0)) END)
+              AS DOUBLE) / 10000.0 AS qb
+  FROM base
+),
+v AS (
+  SELECT n_a, n_b, sa, sb,
+         (qa - sa * sa / n_a) / (n_a - 1) / n_a AS va,
+         (qb - sb * sb / n_b) / (n_b - 1) / n_b AS vb
+  FROM agg
+)
+SELECT n_a, n_b,
+       CASE WHEN n_a > 0 THEN {sql_dround('sa / n_a', 6)} END AS mean_a,
+       CASE WHEN n_b > 0 THEN {sql_dround('sb / n_b', 6)} END AS mean_b,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         {sql_dround('sa / n_a - sb / n_b', 6)}
+       END AS mean_diff,
+       CASE WHEN {_W_OK} THEN
+         {sql_dround('(sa / n_a - sb / n_b) / sqrt(va + vb)', 6)}
+       END AS t_stat,
+       CASE WHEN {_W_OK} THEN
+         {sql_dround('(va + vb) * (va + vb) / (va * va / (n_a - 1) + vb * vb / (n_b - 1))', 6)}
+       END AS dof
+FROM v
+"""
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-source robust z of document length (operators/aggregates.py::
+    # mad_outliers): exact median + exact MAD, the yardstick the
+    # outliers themselves cannot drag.
+    from python_mapreduce_spark.operators.aggregates import mad_outliers  # noqa: PLC0415
+
+    return mad_outliers(
+        table(spark, sf_dir, "documents"), ["source"], "doc_id", "n_chars"
+    )
+
+
+SQL_MAD_OUTLIERS = f"""
+WITH base AS (
+  SELECT source, doc_id AS id, CAST(n_chars AS DOUBLE) AS value
+  FROM documents
+),
+med AS (SELECT source, median(value) AS m FROM base GROUP BY source),
+j AS (SELECT base.source, id, value, m FROM base JOIN med USING (source)),
+mad AS (
+  SELECT source, median(abs(value - m)) AS d FROM j GROUP BY source
+)
+SELECT j.source, id, value,
+       CASE WHEN value IS NOT NULL AND d > 0 THEN
+         {sql_dround('0.6745 * (value - m) / d', 6)}
+       END AS robust_z,
+       COALESCE(
+         CASE WHEN value IS NOT NULL AND d > 0 THEN
+           abs({sql_dround('0.6745 * (value - m) / d', 6)}) > 3.5
+         END, false) AS outlier
+FROM j JOIN mad USING (source)
+"""
+
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Batch CUSUM drift audit per event type (operators/windows.py::
+    # cusum_changepoints): explicit target (the gauge's design center),
+    # ordered by (ts, event_id) — a total order even on the skew
+    # replica's hour-truncated timestamps.
+    from python_mapreduce_spark.operators.windows import cusum_changepoints  # noqa: PLC0415
+
+    e = table(spark, sf_dir, "events")
+    out = cusum_changepoints(
+        e, ["event_type"], [F.col("ts"), F.col("event_id")], "value",
+        target=50.0, allowance=5.0, threshold=300.0,
+    )
+    return out.select(
+        "event_type", "event_id", "cusum_pos", "cusum_neg", "alarm"
+    )
+
+
+SQL_CUSUM = f"""
+WITH p AS (
+  SELECT event_type, event_id,
+         SUM(COALESCE(value - 50.0, 0.0) - 5.0) OVER w AS p_pos,
+         SUM(-COALESCE(value - 50.0, 0.0) - 5.0) OVER w AS p_neg,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT event_type, event_id,
+         p_pos - LEAST(0.0, MIN(p_pos) OVER w2) AS s_pos,
+         p_neg - LEAST(0.0, MIN(p_neg) OVER w2) AS s_neg
+  FROM p
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, event_id,
+       {sql_dround('s_pos', 6)} AS cusum_pos,
+       {sql_dround('s_neg', 6)} AS cusum_neg,
+       ({sql_dround('s_pos', 6)} > 300.0 OR {sql_dround('s_neg', 6)} > 300.0)
+         AS alarm
+FROM s
+"""
+
+
+def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FS linkage weights (operators/joins.py::fellegi_sunter_weights)
+    # over the SAME sorted-neighborhood blocking as q_er_match, so the
+    # two scoring models are directly comparable pair for pair.
+    from python_mapreduce_spark.operators.joins import (  # noqa: PLC0415
+        fellegi_sunter_weights,
+        sorted_neighborhood_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = sorted_neighborhood_pairs(
+        docs, "doc_id", ["lang", "n_chars"], window=2
+    )
+    return fellegi_sunter_weights(
+        pairs, docs, "doc_id", ["lang", "source", "n_chars"], m=0.9
+    )
+
+
+def _sql_fs() -> str:
+    clamp = lambda e: f"LEAST(GREATEST({e}, 1e-9), 1.0 - 1e-9)"  # noqa: E731
+    u_of = lambda col: clamp(  # noqa: E731
+        f"(SELECT SUM(CAST(c AS DOUBLE) * c) / (SUM(CAST(c AS DOUBLE)) * SUM(c))"
+        f" FROM (SELECT COUNT(*) AS c FROM documents"
+        f" WHERE {col} IS NOT NULL GROUP BY {col}))"
+    )
+    fields = ["lang", "source", "n_chars"]
+    us = {f: u_of(f) for f in fields}
+    terms, agrees, comps = [], [], []
+    for f in fields:
+        a_, b_ = f"ra.{f}", f"rb.{f}"
+        present = f"({a_} IS NOT NULL AND {b_} IS NOT NULL)"
+        agree = f"({present} AND {a_} = {b_})"
+        terms.append(
+            f"CASE WHEN {agree} THEN log2(0.9 / u_{f})"
+            f" WHEN {present} THEN log2(0.1 / (1.0 - u_{f}))"
+            f" ELSE 0.0 END"
+        )
+        agrees.append(f"CASE WHEN {agree} THEN 1 ELSE 0 END")
+        comps.append(f"CASE WHEN {present} THEN 1 ELSE 0 END")
+    u_sel = ", ".join(f"{us[f]} AS u_{f}" for f in fields)
+    return f"""
+WITH u AS (SELECT {u_sel}),
+rk AS (
+  SELECT doc_id, row_number() OVER (
+      ORDER BY lang NULLS FIRST, n_chars NULLS FIRST, doc_id) AS rn
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn <= a.rn + 2
+)
+SELECT id_a, id_b,
+       CAST({' + '.join(agrees)} AS INT) AS n_agree,
+       CAST({' + '.join(comps)} AS INT) AS n_compared,
+       {sql_dround(' + '.join(f'({t})' for t in terms), 6)} AS fs_weight
+FROM pairs
+JOIN documents ra ON pairs.id_a = ra.doc_id
+JOIN documents rb ON pairs.id_b = rb.doc_id
+CROSS JOIN u
+"""
+
+
+SQL_FELLEGI_SUNTER = _sql_fs()
+
+
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming CUSUM monitor (streaming/windows.py::stateful_cusum):
+    # per-event-type state folded across micro-batches; the final
+    # update row per key must equal the batch prefix-form fold, which
+    # is exactly what the oracle computes.
+    from python_mapreduce_spark.registry.streaming import _events_stream  # noqa: PLC0415
+    from python_mapreduce_spark.session import tune  # noqa: PLC0415
+    from python_mapreduce_spark.streaming.incremental import (  # noqa: PLC0415
+        normalize_event_ts,
+        run_stream_to_memory,
+    )
+    from python_mapreduce_spark.streaming.windows import stateful_cusum  # noqa: PLC0415
+
+    tune(spark)
+    stream = normalize_event_ts(
+        _events_stream(spark, sf_dir, max_files_per_trigger=1)
+    )
+    updates = stateful_cusum(
+        stream, "event_type", ["ts", "event_id"], "value",
+        target=50.0, allowance=5.0, threshold=300.0,
+    )
+    out = run_stream_to_memory(updates, output_mode="update")
+    last = out.groupBy("event_type").agg(
+        F.max(
+            F.struct("rows_seen", "cusum_pos", "cusum_neg", "alarm")
+        ).alias("__s")
+    )
+    return last.select(
+        "event_type",
+        F.col("__s.rows_seen").alias("rows_seen"),
+        dround("__s.cusum_pos", 6).alias("cusum_pos"),
+        dround("__s.cusum_neg", 6).alias("cusum_neg"),
+        F.col("__s.alarm").alias("alarm"),
+    )
+
+
+SQL_STREAM_CUSUM = f"""
+WITH p AS (
+  SELECT event_type,
+         SUM(COALESCE(value - 50.0, 0.0) - 5.0) OVER w AS p_pos,
+         SUM(-COALESCE(value - 50.0, 0.0) - 5.0) OVER w AS p_neg,
+         row_number() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_rows
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT event_type, rn, n_rows,
+         p_pos - LEAST(0.0, MIN(p_pos) OVER w2) AS s_pos,
+         p_neg - LEAST(0.0, MIN(p_neg) OVER w2) AS s_neg
+  FROM p
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       CAST(n_rows AS BIGINT) AS rows_seen,
+       {sql_dround('s_pos', 6)} AS cusum_pos,
+       {sql_dround('s_neg', 6)} AS cusum_neg,
+       (s_pos > 300.0 OR s_neg > 300.0) AS alarm
+FROM s WHERE rn = n_rows
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "q_anova": Query(q_anova, SQL_ANOVA, "one-way ANOVA F across order priorities"),
+    "q_welch_ttest": Query(
+        q_welch_ttest, SQL_WELCH_TTEST, "Welch t between order-status segments"
+    ),
+    "q_mad_outliers": Query(
+        q_mad_outliers, SQL_MAD_OUTLIERS, "per-source robust z via exact median/MAD"
+    ),
+    "q_cusum": Query(q_cusum, SQL_CUSUM, "CUSUM change-point sums per event type"),
+    "q_fellegi_sunter": Query(
+        q_fellegi_sunter, SQL_FELLEGI_SUNTER, "FS linkage weights over blocked pairs"
+    ),
+    "q_stream_cusum": Query(
+        q_stream_cusum, SQL_STREAM_CUSUM, "streaming CUSUM monitor vs batch fold"
+    ),
+}

@@ -87,7 +87,7 @@ def stateful_running_max(
 def stateful_cusum(
     stream: DataFrame,
     key: str,
-    ts_col: str,
+    order_cols: Sequence[str],
     value_col: str,
     *,
     target: float,
@@ -103,9 +103,10 @@ def stateful_cusum(
     in the batch operator; state per key is three scalars (s+, s-, rows
     seen) regardless of stream length.
 
-    Rows inside each micro-batch are processed in (ts, value) order and
-    batches arrive in file order under the incremental harness, so the
-    fold is deterministic end-to-end for a fixed file layout; NULL
+    Rows inside each micro-batch are processed in ``order_cols`` order
+    (pass a TOTAL order — ts plus a unique tiebreak) and batches arrive
+    in file order under the incremental harness, so the fold is
+    deterministic end-to-end for a fixed file layout; NULL
     values advance the row count but carry no evidence (batch-operator
     rule). Emits one row per key per batch: the post-batch sums, the
     alarm flag, and rows_seen ('update' semantics — the LAST row per
@@ -118,7 +119,7 @@ def stateful_cusum(
         sp, sn, seen = state.get if state.exists else (0.0, 0.0, 0)
         rows = 0
         for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
+            pdf = pdf.sort_values(list(order_cols), kind="mergesort")
             for x in pdf[value_col]:
                 d = 0.0 if pd.isna(x) else float(x) - target
                 sp = max(0.0, sp + d - allowance)
