@@ -363,3 +363,80 @@ QUERIES: dict[str, Query] = {
         q_stream_cusum, SQL_STREAM_CUSUM, "streaming CUSUM monitor vs batch fold"
     ),
 }
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-core of the exact near-dup graph (llm/dedup.py::kcore): the
+    # "template club" — nodes keeping >= 2 near-dup neighbors after
+    # iterative peeling. Same df-capped edge builder as
+    # q_triangle_stats/q_hits so the three structure probes compare on
+    # one graph. The library peels to the TRUE fixpoint (raising past
+    # max_iter); the oracle unrolls 10 peeling rounds — near-dup
+    # graphs are shallow (clique-ish), and a corpus needing >10 rounds
+    # would surface as a loud hash mismatch, never a silent pass
+    # (rounds m..10 are idempotent once the fixpoint is reached).
+    from python_mapreduce_spark.llm.dedup import kcore, ngram_jaccard_pairs  # noqa: PLC0415
+
+    docs = table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.8, max_shingle_df=100
+    )
+    return kcore(edges, 2)
+
+
+def _sql_kcore(k: int = 2, rounds: int = 10) -> str:
+    from python_mapreduce_spark.registry.llm import _SQL_SHINGLES  # noqa: PLC0415
+
+    parts = [
+        f"""WITH {_SQL_SHINGLES.strip()},
+posts0 AS (SELECT id, unnest(shingles) AS shingle FROM sets WHERE len(shingles) > 0),
+posts AS (
+  SELECT id, shingle FROM posts0
+  WHERE shingle IN (SELECT shingle FROM posts0 GROUP BY shingle HAVING count(*) <= 100)
+),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM posts GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS i
+  FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+e0 AS MATERIALIZED (
+  SELECT id1 AS a, id2 AS b FROM (
+    SELECT id1, id2,
+           floor(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) * 10000.0 + 0.5) / 10000.0
+             AS jaccard
+    FROM inter JOIN sizes sa ON id1 = sa.id JOIN sizes sb ON id2 = sb.id
+  ) WHERE jaccard >= 0.8
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+keep{r} AS MATERIALIZED (
+  SELECT v FROM (
+    SELECT v, count(*) AS d FROM (
+      SELECT a AS v FROM e{r} UNION ALL SELECT b FROM e{r}
+    ) GROUP BY v
+  ) WHERE d >= {k}
+),
+e{r + 1} AS MATERIALIZED (
+  SELECT a, b FROM e{r}
+  WHERE a IN (SELECT v FROM keep{r}) AND b IN (SELECT v FROM keep{r})
+)"""
+        )
+    parts.append(
+        f"""
+SELECT v AS node, d AS degree FROM (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+  ) GROUP BY v
+) WHERE d >= {k}"""
+    )
+    return "".join(parts)
+
+
+SQL_KCORE = _sql_kcore()
+
+QUERIES["q_kcore"] = Query(
+    q_kcore, SQL_KCORE, "2-core of the near-dup graph via 10 unrolled peels"
+)
