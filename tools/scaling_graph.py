@@ -14,6 +14,10 @@ Two plans whose 100 TB story rests on a bounded join:
     ~R^2. (A harness variant with BOTH sides growing ~R measures the
     band-collision background at ~R^2 by construction — that shape is
     why the operator contract pins the eval side as benchmark-sized.)
+  * ``kcore`` — iterative 2-core peeling on the same scale-path dup
+    graph: per round one degree agg + one semi-join screen, depth =
+    peeling depth (shallow on dup graphs) -> wall-clock gated ~linear
+    in edges.
   * ``triangle_stats`` — degree-ordered triangle counting on the
     SCALE-PATH dup graph (``minhash_dedup_pairs`` over a corpus with a
     constant injected near-dup fraction, the scaling_dedup corpus).
@@ -39,6 +43,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from python_mapreduce_spark.llm.dedup import (  # noqa: E402
     band_keys,
     fuzzy_decontamination,
+    kcore,
     minhash_dedup_pairs,
     minhash_signatures,
 )
@@ -122,6 +127,13 @@ def measure(spark, sf_dir: str) -> dict:
     ).collect()[0]["w"] or 0
     t_tri = time.time() - t0
 
+    # k-core peeling on the same dup graph: per round one degree agg +
+    # one semi-join screen; depth is the peeling depth (shallow on
+    # dup graphs), so wall-clock should track edges ~linearly.
+    t0 = time.time()
+    n_core = kcore(edges, 2).count()
+    t_kcore = time.time() - t0
+
     return {
         "docs": n,
         "decontam_candidates": max(cand, 1),
@@ -131,6 +143,8 @@ def measure(spark, sf_dir: str) -> dict:
         "t_decontam_cand": round(t_cand, 2),
         "t_decontam": round(t_decontam, 2),
         "t_triangle_side": round(t_tri, 2),
+        "t_kcore": round(t_kcore, 2),
+        "kcore_nodes": n_core,
     }
 
 
@@ -151,8 +165,9 @@ def main() -> int:
             "t_decontam_cand",
             "t_decontam",
             "t_triangle_side",
+            "t_kcore",
         ),
-        info_keys=("decontam_flagged",),
+        info_keys=("decontam_flagged", "kcore_nodes"),
     )
 
 
