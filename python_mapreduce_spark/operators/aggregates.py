@@ -2731,3 +2731,89 @@ def mad_outliers(
         dround(z, 6).alias("robust_z"),
         F.coalesce(F.abs(z) > cutoff, F.lit(False)).alias("outlier"),
     )
+
+
+def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cramér's V association between two categorical columns — the
+    chi-square companion to :func:`mutual_information` (V is bounded
+    [0, 1] and comparable ACROSS tables of different shapes, which raw
+    chi2 and MI are not). Emits ONE row: n, r, c, chi2, v, and the
+    Bergsma bias-corrected v_corrected (the one to report: plain V
+    inflates on small n / many categories). NULL counts as its own
+    category on both sides (the q_mutual_info house rule). V needs at
+    least a 2x2 table — min(r, c) < 2 yields NULL v/v_corrected; the
+    corrected denominator can also degenerate on tiny n (NULL again
+    rather than a divide blow-up). Empty input emits one all-NULL
+    metrics row (grand aggregate semantics), identical in the oracle.
+
+    Scale shape: ONE (a, b) hash agg scans the data (map-side
+    combined); marginals and shape counts re-aggregate from the
+    class^2-sized joint frame and broadcast back — one data scan.
+    Determinism: observed/expected cell terms are doubles built from
+    exact integer counts (single correctly-rounded int->double
+    conversions, identical in both engines), each cell's
+    (O-E)^2/E quantizes to 1e-6 into a DECIMAL(38,6) sum, and the
+    final square roots are fixed IEEE expressions rounded to 1e-6.
+    """
+    joint = (
+        df.groupBy(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n_ab"))
+        .localCheckpoint(eager=False)  # feeds marginals, shape, terms
+    )
+    tot = joint.agg(F.sum("__n_ab").cast("double").alias("__n"))
+    ma = joint.groupBy("__a").agg(F.sum("__n_ab").cast("long").alias("__na"))
+    mb = joint.groupBy("__b").agg(F.sum("__n_ab").cast("long").alias("__nb"))
+    shape = (
+        ma.agg(F.count(F.lit(1)).cast("long").alias("r"))
+        .crossJoin(
+            F.broadcast(mb.agg(F.count(F.lit(1)).cast("long").alias("c")))
+        )
+    )
+    ma2 = ma.withColumnRenamed("__a", "__a2")
+    mb2 = mb.withColumnRenamed("__b", "__b2")
+    cells = (
+        joint.join(F.broadcast(ma2), F.col("__a").eqNullSafe(F.col("__a2")))
+        .join(F.broadcast(mb2), F.col("__b").eqNullSafe(F.col("__b2")))
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("__na") * F.col("__nb") / F.col("__n")
+    term = dround((F.col("__n_ab") - e) * (F.col("__n_ab") - e) / e, 6)
+    # The joint frame holds only OBSERVED cells, but chi2 needs every
+    # zero cell's (0-E)^2/E = E too. Sum of E over ALL r*c cells is
+    # exactly n, so the missing mass is n - sum(E over observed) —
+    # no zero-cell enumeration required.
+    agg = cells.agg(
+        F.max("__n").cast("long").alias("n"),
+        F.sum(term.cast("decimal(38,6)")).cast("double").alias("__chi2o"),
+        F.sum(dround(e, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("__e_obs"),
+    )
+    out = agg.crossJoin(F.broadcast(shape))
+    nn = F.col("n").cast("double")
+    chi2_full = F.col("__chi2o") + (nn - F.col("__e_obs"))
+    phi2 = chi2_full / nn
+    kmin = F.least(F.col("r"), F.col("c")).cast("double")
+    v = F.when(kmin >= 2, F.sqrt(phi2 / (kmin - F.lit(1.0))))
+    # Bergsma-Wicher correction: shrink phi2 and the table shape for
+    # the positive bias of plain V on finite samples.
+    rr = F.col("r").cast("double")
+    cc = F.col("c").cast("double")
+    phi2c = F.greatest(
+        F.lit(0.0),
+        phi2 - (rr - 1.0) * (cc - 1.0) / (nn - F.lit(1.0)),
+    )
+    rc = rr - (rr - 1.0) * (rr - 1.0) / (nn - F.lit(1.0))
+    ccv = cc - (cc - 1.0) * (cc - 1.0) / (nn - F.lit(1.0))
+    kminc = F.least(rc, ccv) - F.lit(1.0)
+    vc = F.when(
+        (kmin >= 2) & (nn > 1) & (kminc > 0), F.sqrt(phi2c / kminc)
+    )
+    return out.select(
+        "n",
+        "r",
+        "c",
+        dround(chi2_full, 6).alias("chi2"),
+        dround(v, 6).alias("v"),
+        dround(vc, 6).alias("v_corrected"),
+    )

@@ -440,3 +440,65 @@ SQL_KCORE = _sql_kcore()
 QUERIES["q_kcore"] = Query(
     q_kcore, SQL_KCORE, "2-core of the near-dup graph via 10 unrolled peels"
 )
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cramér's V between document language and source (operators/
+    # aggregates.py::cramers_v) — the bounded-[0,1] association score
+    # that complements q_mutual_info and q_chi2_terms; NULL is its own
+    # category (house MI rule), bias-corrected per Bergsma.
+    from python_mapreduce_spark.operators.aggregates import cramers_v  # noqa: PLC0415
+
+    return cramers_v(table(spark, sf_dir, "documents"), "lang", "source")
+
+
+SQL_CRAMERS_V = f"""
+WITH joint AS (
+  SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM documents GROUP BY lang, source
+),
+tot AS (SELECT CAST(SUM(n_ab) AS DOUBLE) AS n FROM joint),
+shape AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM (SELECT a FROM joint GROUP BY a)) AS r,
+         (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM (SELECT b FROM joint GROUP BY b)) AS c
+),
+cells AS (
+  SELECT n_ab,
+         SUM(n_ab) OVER (PARTITION BY a) AS na,
+         SUM(n_ab) OVER (PARTITION BY b) AS nb,
+         (SELECT n FROM tot) AS n
+  FROM joint
+),
+agg AS (
+  -- observed-cell sum + the zero cells' mass via sum(E over all) = n
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(SUM(CAST({sql_dround('(n_ab - na * nb / n) * (n_ab - na * nb / n) / (na * nb / n)', 6)}
+                       AS DECIMAL(38,6))) AS DOUBLE) AS chi2o,
+         CAST(SUM(CAST({sql_dround('na * nb / n', 6)} AS DECIMAL(38,6)))
+              AS DOUBLE) AS e_obs
+  FROM cells
+),
+s AS (
+  SELECT n, r, c, chi2o + (n - e_obs) AS chi2,
+         (chi2o + (n - e_obs)) / n AS phi2,
+         CAST(LEAST(r, c) AS DOUBLE) AS kmin,
+         GREATEST(0.0, (chi2o + (n - e_obs)) / n
+                       - (r - 1.0) * (c - 1.0) / (n - 1.0)) AS phi2c,
+         LEAST(r - (r - 1.0) * (r - 1.0) / (n - 1.0),
+               c - (c - 1.0) * (c - 1.0) / (n - 1.0)) - 1.0 AS kminc
+  FROM agg CROSS JOIN shape
+)
+SELECT n, r, c,
+       {sql_dround('chi2', 6)} AS chi2,
+       CASE WHEN kmin >= 2 THEN {sql_dround('sqrt(phi2 / (kmin - 1.0))', 6)} END AS v,
+       CASE WHEN kmin >= 2 AND n > 1 AND kminc > 0 THEN
+         {sql_dround('sqrt(phi2c / kminc)', 6)}
+       END AS v_corrected
+FROM s
+"""
+
+QUERIES["q_cramers_v"] = Query(
+    q_cramers_v, SQL_CRAMERS_V, "bias-corrected Cramér's V lang vs source"
+)

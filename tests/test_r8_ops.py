@@ -379,3 +379,62 @@ def test_stateful_cusum_matches_batch_recurrence(spark, tmp_path):
     assert final.loc["m1", "alarm"]
     assert not final.loc["m2", "alarm"]
     assert int(final.loc["m1", "rows_seen"]) == 60
+
+
+# ------------------------------------------------------- Cramér's V
+
+
+def test_cramers_v_matches_replay(spark):
+    from collections import Counter
+
+    from python_mapreduce_spark.operators.aggregates import cramers_v
+
+    rng = random.Random(17)
+    pairs = []
+    for _ in range(400):
+        a = rng.choice("wxyz")
+        b = a.upper() if rng.random() < 0.6 else rng.choice("WXYZ")
+        pairs.append((a, b))
+    pairs += [(None, "W")] * 7  # NULL is its own category
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = cramers_v(df, "a", "b").first()
+
+    n = len(pairs)
+    jo, ma, mb = Counter(pairs), Counter(), Counter()
+    for a, b in pairs:
+        ma[a] += 1
+        mb[b] += 1
+    chi2 = sum(
+        (jo.get((a, b), 0) - ma[a] * mb[b] / n) ** 2 / (ma[a] * mb[b] / n)
+        for a in ma
+        for b in mb
+    )
+    r, c = len(ma), len(mb)
+    v = math.sqrt(chi2 / n / (min(r, c) - 1))
+    phi2c = max(0.0, chi2 / n - (r - 1) * (c - 1) / (n - 1))
+    kminc = min(r - (r - 1) ** 2 / (n - 1), c - (c - 1) ** 2 / (n - 1)) - 1
+    vc = math.sqrt(phi2c / kminc)
+    assert got.n == n and got.r == 5 and got.c == 4
+    # Full-table chi2: zero cells contribute their E mass.
+    assert abs(got.chi2 - chi2) < 0.01
+    assert abs(got.v - v) < 1e-4
+    assert abs(got.v_corrected - vc) < 1e-4
+
+
+def test_cramers_v_extremes(spark):
+    from python_mapreduce_spark.operators.aggregates import cramers_v
+
+    # Perfect association: V == 1 (uncorrected).
+    rows = [(c, c.upper()) for c in "aabbbcccc" * 20]
+    got = cramers_v(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).first()
+    assert abs(got.v - 1.0) < 1e-6
+    assert got.v_corrected is not None and got.v_corrected <= 1.0 + 1e-9
+    # One-category side: no association to measure.
+    got2 = cramers_v(
+        spark.createDataFrame([("a", "k"), ("b", "k")], "a string, b string"),
+        "a",
+        "b",
+    ).first()
+    assert got2.v is None and got2.v_corrected is None
