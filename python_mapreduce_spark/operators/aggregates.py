@@ -2817,3 +2817,67 @@ def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         dround(v, 6).alias("v"),
         dround(vc, 6).alias("v_corrected"),
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col,
+    *,
+    trim: float = 0.1,
+) -> DataFrame:
+    """Exact per-group trimmed mean: drop the ``floor(n * trim)``
+    lowest AND highest values, average the middle — the robust center
+    that reports what winsorize clamps (winsorize_by_group keeps n and
+    caps tails; this excludes them, the usual "mean without the
+    whales" readout). Values quantize to CENTS on entry (the dsum
+    money contract); NULL values are excluded; ``trim`` in [0, 0.5).
+    Emits (keys..., n, n_used, mean, trimmed_mean), means rounded to
+    1e-6; a fully-trimmed group (n_used 0) reports NULL trimmed_mean.
+
+    Ties need no tiebreak column: ranking is by value alone, and when
+    equal values straddle the cut the kept MULTISET is identical
+    whichever duplicates the row_number happens to cut — the statistic
+    is well-defined even though the rank assignment is not.
+
+    Scale shape: one shuffle on the keys feeds a per-key window
+    (row_number + count — never a single-task window), then one
+    map-side-combined DECIMAL agg; integer-cent sums keep the result
+    bit-identical at any parallelism and in the oracle.
+    """
+    if not 0 <= trim < 0.5:
+        raise ValueError(f"trim must be in [0, 0.5): {trim}")
+    ks = list(keys)
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    yc = F.floor(v * F.lit(100.0) + F.lit(0.5)).cast("decimal(19,0)")
+    base = df.select(*ks, yc.alias("__yc")).filter(F.col("__yc").isNotNull())
+    w = Window.partitionBy(*ks).orderBy(F.col("__yc"))
+    wc = Window.partitionBy(*ks)
+    ranked = base.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(wc)
+    )
+    k_cut = F.floor(F.col("__n") * F.lit(float(trim))).cast("long")
+    kept = (F.col("__rn") > k_cut) & (F.col("__rn") <= F.col("__n") - k_cut)
+    agg = ranked.groupBy(*ks).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.sum(F.col("__yc")).cast("double").alias("__sum_all"),
+        F.sum(F.when(kept, F.lit(1))).cast("long").alias("n_used"),
+        F.sum(F.when(kept, F.col("__yc"))).cast("double").alias("__sum_kept"),
+    )
+    return agg.select(
+        *ks,
+        "n",
+        F.coalesce(F.col("n_used"), F.lit(0)).alias("n_used"),
+        dround(F.col("__sum_all") / F.lit(100.0) / F.col("n"), 6).alias(
+            "mean"
+        ),
+        dround(
+            F.when(
+                F.col("n_used") > 0,
+                F.col("__sum_kept") / F.lit(100.0) / F.col("n_used"),
+            ),
+            6,
+        ).alias("trimmed_mean"),
+    )

@@ -502,3 +502,53 @@ FROM s
 QUERIES["q_cramers_v"] = Query(
     q_cramers_v, SQL_CRAMERS_V, "bias-corrected Cramér's V lang vs source"
 )
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 10%-trimmed mean order value per priority (operators/
+    # aggregates.py::trimmed_mean) — the robust center alongside
+    # q_winsorize (which caps) and q_mad_outliers (which flags);
+    # integer-cent sums, rank-based exact cut.
+    from python_mapreduce_spark.operators.aggregates import trimmed_mean  # noqa: PLC0415
+
+    return trimmed_mean(
+        table(spark, sf_dir, "orders"), ["o_orderpriority"], "o_totalprice",
+        trim=0.1,
+    )
+
+
+SQL_TRIMMED_MEAN = f"""
+WITH base AS (
+  SELECT o_orderpriority AS g,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS DECIMAL(19,0)) AS yc
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+ranked AS (
+  SELECT g, yc,
+         row_number() OVER (PARTITION BY g ORDER BY yc) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM base
+),
+agg AS (
+  SELECT g AS o_orderpriority,
+         CAST(MAX(n) AS BIGINT) AS n,
+         CAST(SUM(yc) AS DOUBLE) AS sum_all,
+         CAST(COUNT(CASE WHEN rn > floor(n * 0.1)
+                          AND rn <= n - floor(n * 0.1) THEN 1 END) AS BIGINT)
+           AS n_used,
+         CAST(SUM(CASE WHEN rn > floor(n * 0.1)
+                        AND rn <= n - floor(n * 0.1) THEN yc END) AS DOUBLE)
+           AS sum_kept
+  FROM ranked GROUP BY g
+)
+SELECT o_orderpriority, n, n_used,
+       {sql_dround('sum_all / 100.0 / n', 6)} AS mean,
+       CASE WHEN n_used > 0 THEN
+         {sql_dround('sum_kept / 100.0 / n_used', 6)}
+       END AS trimmed_mean
+FROM agg
+"""
+
+QUERIES["q_trimmed_mean"] = Query(
+    q_trimmed_mean, SQL_TRIMMED_MEAN, "exact 10%-trimmed mean per priority"
+)

@@ -438,3 +438,48 @@ def test_cramers_v_extremes(spark):
         "b",
     ).first()
     assert got2.v is None and got2.v_corrected is None
+
+
+# ----------------------------------------------------- trimmed mean
+
+
+def test_trimmed_mean_matches_replay(spark):
+    from python_mapreduce_spark.operators.aggregates import trimmed_mean
+
+    rng = random.Random(29)
+    vals = [round(rng.gauss(50, 10), 2) for _ in range(97)] + [9999.0] * 3
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, v double"
+    )
+    got = trimmed_mean(df, ["g"], "v", trim=0.1).first()
+    s = sorted(vals)
+    k = int(len(s) * 0.1)
+    kept = s[k : len(s) - k]
+    assert got.n == 100 and got.n_used == len(kept)
+    assert abs(got.trimmed_mean - sum(kept) / len(kept)) < 1e-6
+    assert abs(got.mean - sum(vals) / len(vals)) < 1e-6
+    # The whales moved the mean but not the trimmed mean.
+    assert got.mean > 300 and 45 < got.trimmed_mean < 55
+
+
+def test_trimmed_mean_edges(spark):
+    from python_mapreduce_spark.operators.aggregates import trimmed_mean
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="trim"):
+        trimmed_mean(
+            spark.createDataFrame([("g", 1.0)], "g string, v double"),
+            ["g"], "v", trim=0.5,
+        )
+    # trim=0 is the plain mean; tiny group with trim cutting everything
+    # except the middle; NULLs excluded from n.
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", None)],
+        "g string, v double",
+    )
+    got = trimmed_mean(df, ["g"], "v", trim=0.34).first()
+    assert got.n == 3 and got.n_used == 1
+    assert got.trimmed_mean == 2.0
+    got0 = trimmed_mean(df, ["g"], "v", trim=0.0).first()
+    assert got0.n_used == 3 and abs(got0.trimmed_mean - 2.0) < 1e-9
