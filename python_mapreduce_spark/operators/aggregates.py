@@ -2881,3 +2881,118 @@ def trimmed_mean(
             6,
         ).alias("trimmed_mean"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    segment_col: str,
+    value_col,
+    *,
+    a: str,
+    b: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between segments ``a`` and ``b`` of
+    a numeric metric — the nonparametric companion to
+    :func:`welch_ttest` (no normality assumption; robust to heavy
+    tails, ordinal data, and outliers that drag a mean-based t). Emits
+    ONE row: per-side n, U for each side, the mean/stddev of U under
+    H0, and the tie-corrected normal-approximation z with a 0.5
+    continuity correction toward the mean. NULL segment/value rows are
+    excluded; an empty side yields NULL statistics, and a fully-tied
+    sample (sigma = 0) yields z NULL instead of a division blow-up.
+    Beyond the reference surface (SURVEY.md §2.2 north-star
+    extensions); reference parity point: bsautrey-style jobs compute
+    rank statistics with a single sorted reducer, which this replaces
+    with a distributed rank-free formulation.
+
+    Scale shape: NO per-row ranks anywhere. Values quantize to integer
+    cents (ties become exact), aggregate to per-DISTINCT-VALUE side
+    counts (map-side combinable; the surviving frame is
+    value-cardinality-sized), then ONE distributed running-count pass
+    (:func:`~python_mapreduce_spark.operators.windows.global_running_sum`
+    — range exchange + per-partition window + broadcast offsets, no
+    single-task window) yields each tie-group's average rank in closed
+    form: avg_rank = cum_below + (t+1)/2. The rank sum follows as
+    sum(n_a_v * avg_rank_v) without ever ranking a row — the same
+    distinct-value running-sum skeleton as :func:`ks_statistic`.
+
+    Determinism: everything before the final 1-row select is INTEGER
+    arithmetic in DECIMAL(38,0) — the doubled rank sum
+    2*R_a = sum(n_a_v * (2*cum_below + t + 1)) stays integral (no .5
+    drift), and the tie term sum(t^3 - t) is exact far past long range.
+    The closed-form z computes once in a fixed IEEE shape from those
+    exact integers and rounds to 1e-6 — bit-identical at any
+    partitioning, replayable exactly by an ANSI oracle.
+    """
+    from python_mapreduce_spark.operators.windows import global_running_sum  # noqa: PLC0415 - avoid module cycle
+
+    y = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    yc = F.floor(y * F.lit(100.0) + F.lit(0.5)).cast("long")
+    s = F.col(segment_col)
+    base = df.select(s.alias("__s"), yc.alias("__yc")).filter(
+        F.col("__s").isin(a, b) & F.col("__yc").isNotNull()
+    )
+    counts = base.groupBy("__yc").agg(
+        F.sum(F.when(F.col("__s") == a, 1).otherwise(0))
+        .cast("long")
+        .alias("__na"),
+        F.count(F.lit(1)).cast("long").alias("__t"),
+    )
+    cum = global_running_sum(
+        counts, ["__yc"], "__t", out="__cum", num_partitions=num_partitions
+    )
+    r2_term = (
+        F.col("__na").cast("decimal(38,0)")
+        * (
+            F.lit(2) * (F.col("__cum") - F.col("__t"))
+            + F.col("__t")
+            + F.lit(1)
+        )
+    )
+    tie_term = (
+        F.col("__t").cast("decimal(38,0)") * F.col("__t") * F.col("__t")
+        - F.col("__t")
+    )
+    # groupBy a literal (not a global agg): with ZERO qualifying rows
+    # the statistic does not exist and the grouped agg emits zero rows,
+    # matching the oracle's GROUP BY (ks_statistic precedent).
+    agg = (
+        cum.groupBy(F.lit(1).alias("__g"))
+        .agg(
+            F.sum("__na").cast("long").alias("n_a"),
+            (F.sum("__t") - F.sum("__na")).cast("long").alias("n_b"),
+            F.sum(r2_term).cast("double").alias("__r2a"),
+            F.sum(tie_term).cast("double").alias("__ties"),
+        )
+        .drop("__g")
+    )
+    na_d = F.col("n_a").cast("double")
+    nb_d = F.col("n_b").cast("double")
+    n_d = na_d + nb_d
+    u_a = (F.col("__r2a") - na_d * (na_d + F.lit(1.0))) / F.lit(2.0)
+    u_b = na_d * nb_d - u_a
+    mu = na_d * nb_d / F.lit(2.0)
+    sigma2 = (
+        na_d
+        * nb_d
+        / F.lit(12.0)
+        * ((n_d + F.lit(1.0)) - F.col("__ties") / (n_d * (n_d - F.lit(1.0))))
+    )
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    ok = both & (F.col("n_a") + F.col("n_b") > 1)
+    z = F.when(
+        ok & (sigma2 > 0),
+        (u_a - mu - F.lit(0.5) * F.signum(u_a - mu)) / F.sqrt(sigma2),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        dround(F.when(both, u_a), 1).alias("u_a"),
+        dround(F.when(both, u_b), 1).alias("u_b"),
+        dround(F.when(both, mu), 1).alias("mu_u"),
+        dround(F.when(ok & (sigma2 > 0), F.sqrt(sigma2)), 6).alias("sigma_u"),
+        dround(z, 6).alias("z"),
+    )

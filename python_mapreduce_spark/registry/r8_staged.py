@@ -552,3 +552,79 @@ FROM agg
 QUERIES["q_trimmed_mean"] = Query(
     q_trimmed_mean, SQL_TRIMMED_MEAN, "exact 10%-trimmed mean per priority"
 )
+
+
+def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mann-Whitney U rank-sum test (operators/aggregates.py::
+    # mann_whitney_u): click vs purchase event-value distributions —
+    # the nonparametric twin of q_welch_ttest over the same corpus the
+    # KS test drifts on. No per-row ranks: per-distinct-value counts +
+    # ONE distributed running sum give each tie group's average rank in
+    # closed form; the oracle replays the identical integer arithmetic
+    # with a plain window.
+    from python_mapreduce_spark.operators.aggregates import mann_whitney_u  # noqa: PLC0415
+
+    return mann_whitney_u(
+        table(spark, sf_dir, "events"), "event_type", "value",
+        a="click", b="purchase",
+    )
+
+
+SQL_MANNWHITNEY = f"""
+WITH base AS (
+  SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS in_a,
+         CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS yc
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+pv AS (
+  SELECT yc, CAST(SUM(in_a) AS BIGINT) AS na_v,
+         CAST(COUNT(*) AS BIGINT) AS t_v
+  FROM base GROUP BY yc
+),
+cumv AS (
+  SELECT 1 AS g, na_v, t_v, SUM(t_v) OVER (ORDER BY yc) AS cum FROM pv
+),
+agg AS (
+  -- doubled rank sum 2*R_a stays integral in DECIMAL(38,0); the tie
+  -- term t^3 - t likewise (exact far past BIGINT at corpus scale).
+  SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+         CAST(SUM(t_v) - SUM(na_v) AS BIGINT) AS n_b,
+         CAST(SUM(CAST(na_v AS DECIMAL(38,0)) * (2 * (cum - t_v) + t_v + 1))
+              AS DOUBLE) AS r2a,
+         CAST(SUM(CAST(t_v AS DECIMAL(38,0)) * t_v * t_v - t_v) AS DOUBLE)
+           AS ties
+  FROM cumv GROUP BY g
+),
+s AS (
+  SELECT n_a, n_b, r2a, ties,
+         CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+         CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nd
+  FROM agg
+),
+f AS (
+  SELECT n_a, n_b, nad, nbd,
+         (r2a - nad * (nad + 1.0)) / 2.0 AS u_a,
+         nad * nbd - (r2a - nad * (nad + 1.0)) / 2.0 AS u_b,
+         nad * nbd / 2.0 AS mu,
+         nad * nbd / 12.0 * ((nd + 1.0) - ties / (nd * (nd - 1.0))) AS sigma2
+  FROM s
+)
+SELECT n_a, n_b,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN {sql_dround('u_a', 1)} END AS u_a,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN {sql_dround('u_b', 1)} END AS u_b,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN {sql_dround('mu', 1)} END AS mu_u,
+       CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1 AND sigma2 > 0 THEN
+         {sql_dround('sqrt(sigma2)', 6)}
+       END AS sigma_u,
+       CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1 AND sigma2 > 0 THEN
+         {sql_dround('(u_a - mu - 0.5 * sign(u_a - mu)) / sqrt(sigma2)', 6)}
+       END AS z
+FROM f
+"""
+
+QUERIES["q_mannwhitney"] = Query(
+    q_mannwhitney,
+    SQL_MANNWHITNEY,
+    "tie-corrected Mann-Whitney U z, click vs purchase values",
+)

@@ -483,3 +483,77 @@ def test_trimmed_mean_edges(spark):
     assert got.trimmed_mean == 2.0
     got0 = trimmed_mean(df, ["g"], "v", trim=0.0).first()
     assert got0.n_used == 3 and abs(got0.trimmed_mean - 2.0) < 1e-9
+
+
+# ----------------------------------------------------- Mann-Whitney U
+
+
+def _mw_replay(xa: list[float], xb: list[float]):
+    allv = sorted([(v, "a") for v in xa] + [(v, "b") for v in xb])
+    n = len(allv)
+    ranks: dict[int, float] = {}
+    i = 0
+    r_a = 0.0
+    tie_sum = 0.0
+    while i < n:
+        j = i
+        while j < n and allv[j][0] == allv[i][0]:
+            j += 1
+        t = j - i
+        avg = (i + 1 + j) / 2.0
+        r_a += avg * sum(1 for k in range(i, j) if allv[k][1] == "a")
+        tie_sum += t**3 - t
+        i = j
+    na, nb = len(xa), len(xb)
+    u_a = r_a - na * (na + 1) / 2.0
+    u_b = na * nb - u_a
+    mu = na * nb / 2.0
+    sigma2 = na * nb / 12.0 * ((n + 1) - tie_sum / (n * (n - 1)))
+    z = None
+    if sigma2 > 0:
+        z = (u_a - mu - 0.5 * math.copysign(1.0, u_a - mu) * (u_a != mu)) / math.sqrt(sigma2)
+    return u_a, u_b, mu, sigma2, z
+
+
+def test_mannwhitney_matches_replay(spark):
+    from python_mapreduce_spark.operators.aggregates import mann_whitney_u
+
+    rng = random.Random(13)
+    # 1-decimal values force heavy ties (the avg-rank path must engage).
+    xa = [round(rng.gauss(10, 2), 1) for _ in range(60)]
+    xb = [round(rng.gauss(11, 2), 1) for _ in range(45)]
+    rows = [("a", v) for v in xa] + [("b", v) for v in xb] + [
+        ("c", 999.0),          # other segment: excluded
+        ("a", None),           # NULL value: excluded
+        (None, 5.0),           # NULL segment: excluded
+    ]
+    df = spark.createDataFrame(rows, "s string, x double")
+    got = mann_whitney_u(df, "s", "x", a="a", b="b").first()
+    u_a, u_b, mu, sigma2, z = _mw_replay(xa, xb)
+    assert got.n_a == 60 and got.n_b == 45
+    assert abs(got.u_a - u_a) < 1e-6
+    assert abs(got.u_b - u_b) < 1e-6
+    assert abs(got.mu_u - mu) < 1e-6
+    assert abs(got.sigma_u - math.sqrt(sigma2)) < 1e-5
+    assert abs(got.z - z) < 1e-5
+
+
+def test_mannwhitney_degenerate(spark):
+    from python_mapreduce_spark.operators.aggregates import mann_whitney_u
+
+    # Empty side b: U/z undefined, counts still report.
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "s string, x double")
+    got = mann_whitney_u(df, "s", "x", a="a", b="b").first()
+    assert got.n_a == 2 and got.n_b == 0
+    assert got.u_a is None and got.z is None
+    # Fully tied sample: sigma = 0 -> z NULL, U still reported.
+    df2 = spark.createDataFrame(
+        [("a", 5.0)] * 3 + [("b", 5.0)] * 4, "s string, x double"
+    )
+    got2 = mann_whitney_u(df2, "s", "x", a="a", b="b").first()
+    assert got2.n_a == 3 and got2.n_b == 4
+    assert abs(got2.u_a - 6.0) < 1e-9  # all ranks tied at (n+1)/2
+    assert got2.sigma_u is None and got2.z is None
+    # Zero qualifying rows: the statistic does not exist -> zero rows.
+    df3 = spark.createDataFrame([("c", 1.0)], "s string, x double")
+    assert mann_whitney_u(df3, "s", "x", a="a", b="b").count() == 0
