@@ -2996,3 +2996,94 @@ def mann_whitney_u(
         dround(F.when(ok & (sigma2 > 0), F.sqrt(sigma2)), 6).alias("sigma_u"),
         dround(z, 6).alias("z"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col,
+    y_col,
+    *,
+    x_scale: float = 100.0,
+    y_scale: float = 100.0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns — the
+    rank-based companion to :func:`correlation_matrix` (monotone
+    association that a heavy tail or a single outlier cannot drag, and
+    the right statistic when either variable is ordinal). Ties get
+    average ranks (the standard rho-with-ties definition: Pearson on
+    the average-ranked data). Emits ONE row: n, spearman_rho, and the
+    t statistic rho * sqrt((n-2) / (1-rho^2)) with NULL guards (n < 2,
+    a constant column, or |rho| = 1). Rows with a NULL on either side
+    are excluded. Beyond the reference surface (SURVEY.md §2.2
+    north-star extensions).
+
+    Scale shape: NO per-row ranking pass. Each column quantizes to an
+    integer grid (``floor(x * scale + 0.5)`` — cents by default, pass
+    scale 1.0 for already-integral data), aggregates to per-DISTINCT-
+    VALUE counts, and takes ONE distributed running-count pass
+    (:func:`~python_mapreduce_spark.operators.windows.global_running_sum`)
+    per column; each tie group's DOUBLED average rank is then the
+    closed form 2*cum - t + 1 (an integer — no .5 drift), equi-joined
+    back to the rows on the quantized value. Two value-cardinality
+    running sums + two row-to-distinct joins + one global agg — no
+    single-task window anywhere, same skeleton as
+    :func:`mann_whitney_u` / :func:`ks_statistic`.
+
+    Determinism: doubled ranks keep everything integral; the five
+    sufficient sums (S_x, S_y, S_xx, S_yy, S_xy) accumulate in
+    DECIMAL(38,0) (products cast to decimal BEFORE multiplying — long
+    overflows at 4N^2 past ~1.5e9 rows). rho is scale-invariant, so
+    the doubling cancels; the closed form computes once in a fixed
+    IEEE shape from exact integers and rounds to 1e-6.
+    """
+    from python_mapreduce_spark.operators.windows import global_running_sum  # noqa: PLC0415 - avoid module cycle
+
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("double")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
+    xq = F.floor(x * F.lit(float(x_scale)) + F.lit(0.5)).cast("long")
+    yq = F.floor(y * F.lit(float(y_scale)) + F.lit(0.5)).cast("long")
+    base = df.select(xq.alias("__x"), yq.alias("__y")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+
+    def doubled_ranks(col: str, out: str) -> DataFrame:
+        counts = base.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("__t"))
+        cum = global_running_sum(
+            counts, [col], "__t", out="__cum", num_partitions=num_partitions
+        )
+        return cum.select(
+            col,
+            (F.lit(2) * F.col("__cum") - F.col("__t") + F.lit(1)).alias(out),
+        )
+
+    ranked = base.join(doubled_ranks("__x", "__r2x"), "__x").join(
+        doubled_ranks("__y", "__r2y"), "__y"
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = (
+        ranked.groupBy(F.lit(1).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(d("__r2x")).cast("double").alias("__sx"),
+            F.sum(d("__r2y")).cast("double").alias("__sy"),
+            F.sum(d("__r2x") * F.col("__r2x")).cast("double").alias("__sxx"),
+            F.sum(d("__r2y") * F.col("__r2y")).cast("double").alias("__syy"),
+            F.sum(d("__r2x") * F.col("__r2y")).cast("double").alias("__sxy"),
+        )
+        .drop("__g")
+    )
+    n_d = F.col("n").cast("double")
+    cov = n_d * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = n_d * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n_d * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    rho = F.when((F.col("n") >= 2) & (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    t_ok = rho.isNotNull() & (F.col("n") > 2) & (F.abs(rho) < 1.0)
+    t_stat = F.when(
+        t_ok, rho * F.sqrt((n_d - F.lit(2.0)) / (F.lit(1.0) - rho * rho))
+    )
+    return agg.select(
+        "n",
+        dround(rho, 6).alias("spearman_rho"),
+        dround(t_stat, 6).alias("t_stat"),
+    )

@@ -628,3 +628,74 @@ QUERIES["q_mannwhitney"] = Query(
     SQL_MANNWHITNEY,
     "tie-corrected Mann-Whitney U z, click vs purchase values",
 )
+
+
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spearman rank correlation (operators/aggregates.py::
+    # spearman_corr): is order value drifting monotonically over time?
+    # Rank-based — the heavy price tail that would dominate Pearson
+    # (q_corr_matrix) cannot drag it. Ranks come rank-free from two
+    # distinct-value running sums; day-grid dates (scale 1.0) tie
+    # heavily, so the average-rank path carries real weight.
+    from python_mapreduce_spark.operators.aggregates import spearman_corr  # noqa: PLC0415
+
+    o = table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+    )
+    return spearman_corr(
+        o.filter(F.col("o_orderdate").isNotNull()),
+        "o_totalprice",
+        day,
+        y_scale=1.0,
+    )
+
+
+SQL_SPEARMAN = f"""
+WITH base AS (
+  SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS x,
+         CAST(floor(CAST(date_diff('day', DATE '1970-01-01',
+                                   CAST(o_orderdate AS DATE)) AS DOUBLE)
+                    * 1.0 + 0.5) AS BIGINT) AS y
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+),
+px AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS t FROM base GROUP BY x),
+cx AS (SELECT x, 2 * SUM(t) OVER (ORDER BY x) - t + 1 AS r2x FROM px),
+py AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS t FROM base GROUP BY y),
+cy AS (SELECT y, 2 * SUM(t) OVER (ORDER BY y) - t + 1 AS r2y FROM py),
+r AS (
+  SELECT r2x, r2y FROM base JOIN cx USING (x) JOIN cy USING (y)
+),
+agg AS (
+  SELECT 1 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(r2x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(r2y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(r2x AS DECIMAL(38,0)) * r2x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(r2y AS DECIMAL(38,0)) * r2y) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(r2x AS DECIMAL(38,0)) * r2y) AS DOUBLE) AS sxy
+  FROM r GROUP BY g
+),
+f AS (
+  SELECT n,
+         CASE WHEN n >= 2
+               AND CAST(n AS DOUBLE) * sxx - sx * sx > 0
+               AND CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                  * (CAST(n AS DOUBLE) * syy - sy * sy))
+         END AS rho
+  FROM agg
+)
+SELECT n, {sql_dround('rho', 6)} AS spearman_rho,
+       CASE WHEN rho IS NOT NULL AND n > 2 AND abs(rho) < 1.0 THEN
+         {sql_dround('rho * sqrt((CAST(n AS DOUBLE) - 2.0) / (1.0 - rho * rho))', 6)}
+       END AS t_stat
+FROM f
+"""
+
+QUERIES["q_spearman"] = Query(
+    q_spearman,
+    SQL_SPEARMAN,
+    "rank-free Spearman rho, order value vs order date",
+)

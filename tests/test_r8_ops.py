@@ -557,3 +557,67 @@ def test_mannwhitney_degenerate(spark):
     # Zero qualifying rows: the statistic does not exist -> zero rows.
     df3 = spark.createDataFrame([("c", 1.0)], "s string, x double")
     assert mann_whitney_u(df3, "s", "x", a="a", b="b").count() == 0
+
+
+# ------------------------------------------------------- Spearman rho
+
+
+def _spearman_replay(xs: list[float], ys: list[float]):
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(vals):
+            j = i
+            while j < len(vals) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            avg = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                ranks[order[k]] = avg
+            i = j
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    vx = sum((a - mx) ** 2 for a in rx)
+    vy = sum((b - my) ** 2 for b in ry)
+    return cov / math.sqrt(vx * vy)
+
+
+def test_spearman_matches_replay(spark):
+    from python_mapreduce_spark.operators.aggregates import spearman_corr
+
+    rng = random.Random(29)
+    # Monotone-ish with noise, 1-decimal grid for heavy ties.
+    xs = [round(rng.uniform(0, 50), 1) for _ in range(120)]
+    ys = [round(x * 0.3 + rng.gauss(0, 4), 1) for x in xs]
+    rows = list(zip(xs, ys)) + [(None, 1.0), (2.0, None)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = spearman_corr(df, "x", "y", x_scale=10.0, y_scale=10.0).first()
+    rho = _spearman_replay(xs, ys)
+    assert got.n == 120
+    assert abs(got.spearman_rho - rho) < 1e-5
+    t = rho * math.sqrt((120 - 2) / (1 - rho * rho))
+    assert abs(got.t_stat - t) < 1e-4
+
+
+def test_spearman_degenerate(spark):
+    from python_mapreduce_spark.operators.aggregates import spearman_corr
+
+    # Constant x: no rank variance -> rho NULL.
+    df = spark.createDataFrame(
+        [(1.0, float(i)) for i in range(5)], "x double, y double"
+    )
+    got = spearman_corr(df, "x", "y").first()
+    assert got.n == 5 and got.spearman_rho is None and got.t_stat is None
+    # Perfect monotone: rho = 1, t undefined -> NULL.
+    df2 = spark.createDataFrame(
+        [(float(i), float(i * 2)) for i in range(6)], "x double, y double"
+    )
+    got2 = spearman_corr(df2, "x", "y").first()
+    assert abs(got2.spearman_rho - 1.0) < 1e-9 and got2.t_stat is None
+    # All rows NULL on one side: statistic does not exist -> zero rows.
+    df3 = spark.createDataFrame([(None, 1.0)], "x double, y double")
+    assert spearman_corr(df3, "x", "y").count() == 0
