@@ -3087,3 +3087,99 @@ def spearman_corr(
         dround(rho, 6).alias("spearman_rho"),
         dround(t_stat, 6).alias("t_stat"),
     )
+
+
+def brown_forsythe(df: DataFrame, group_col: str, value_col) -> DataFrame:
+    """Brown-Forsythe test (Levene with MEDIAN centers): do groups
+    differ in SPREAD, not center — the variance-homogeneity check that
+    validates :func:`anova_oneway`'s equal-variance assumption, robust
+    to non-normality because the center is each group's median (the
+    1974 Brown-Forsythe recommendation over Levene's mean). The
+    statistic is the one-way ANOVA F computed on the absolute
+    deviations z_ij = |y_ij - median_j|. Emits ONE row: k_groups, n,
+    df1 = k-1, df2 = n-k, and f_stat (NULL on the same degenerate
+    frames as ANOVA: < 2 groups, no within-df, zero within-variance).
+    Beyond the reference surface (SURVEY.md §2.2 north-star
+    extensions).
+
+    Scale shape: one exact-median group agg (per-group state is one
+    scalar), an equi-join of the k medians back to the rows, then the
+    :func:`anova_oneway` sufficient-statistics plan on the transformed
+    column — two map-side-combinable aggs and one broadcast-sized join
+    beyond a single scan; nothing row-sized shuffles twice.
+
+    Determinism: values quantize to integer CENTS before the median,
+    so each median is an integer or an exact .5 midpoint ((a+b)/2 of
+    longs is IEEE-exact) and the DOUBLED absolute deviations
+    2*|yc - med| are exact HALF-CENT integers in both engines — the
+    deviations enter the sufficient statistics with zero float
+    ambiguity. The per-group SSW terms convert to DOLLAR^2 scale
+    (/200^2) BEFORE the cross-group quantize-then-DECIMAL-sum: at the
+    half-cent grid the SS magnitudes reach ~1e18 and dround's floor()
+    lands in a signed LONG on Spark — it wraps where DuckDB's
+    double-typed floor does not (observed live at sf0.01: F off by
+    1e4). Dollar^2 keeps floor(x*100+0.5) inside long range up to
+    ~1e16 total SS (same envelope as anova_oneway). F is
+    scale-invariant; df are exact integers.
+    """
+    y = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    yc = F.floor(y * F.lit(100.0) + F.lit(0.5)).cast("long")
+    base = df.select(F.col(group_col).alias("__g"), yc.alias("__yc")).filter(
+        F.col("__g").isNotNull() & F.col("__yc").isNotNull()
+    )
+    med = base.groupBy("__g").agg(F.median("__yc").alias("__med"))
+    z2 = F.abs(
+        F.col("__yc").cast("double") * F.lit(2.0)
+        - F.col("__med") * F.lit(2.0)
+    )
+    zc = z2.cast("decimal(19,0)")
+    joined = base.join(med, "__g").select("__g", zc.alias("__zc"))
+    per_group = joined.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("__zc").alias("sum_c"),
+        F.sum((F.col("__zc") * F.col("__zc")).cast("decimal(38,0)")).alias(
+            "sumsq_c"
+        ),
+    )
+    # half-cent^2 -> dollar^2 happens in double AFTER the exact casts.
+    ssw_term = dround(
+        (
+            F.col("sumsq_c").cast("double")
+            - F.col("sum_c").cast("double")
+            * F.col("sum_c").cast("double")
+            / F.col("n_g")
+        )
+        / F.lit(40000.0),
+        2,
+    )
+    tot = per_group.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("sum_c").cast("double").alias("__s"),
+        F.sum("sumsq_c").cast("double").alias("__ss"),
+        F.sum(ssw_term.cast("decimal(38,2)")).cast("double").alias("__ssw"),
+    )
+    sst = (
+        F.col("__ss") - F.col("__s") * F.col("__s") / F.col("n")
+    ) / F.lit(40000.0)
+    ssb = sst - F.col("__ssw")
+    f_ok = (
+        (F.col("k_groups") >= 2)
+        & (F.col("n") > F.col("k_groups"))
+        & (F.col("__ssw") > 0)
+    )
+    msb = ssb / (F.col("k_groups") - F.lit(1)).cast("double")
+    msw = F.col("__ssw") / (F.col("n") - F.col("k_groups")).cast("double")
+    return tot.select(
+        "k_groups",
+        "n",
+        F.when(F.col("k_groups") >= 2, F.col("k_groups") - 1)
+        .cast("long")
+        .alias("df1"),
+        F.when(F.col("n") > F.col("k_groups"), F.col("n") - F.col("k_groups"))
+        .cast("long")
+        .alias("df2"),
+        dround(F.when(f_ok, msb / msw), 6).alias("f_stat"),
+    )

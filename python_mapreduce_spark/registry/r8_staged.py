@@ -699,3 +699,73 @@ QUERIES["q_spearman"] = Query(
     SQL_SPEARMAN,
     "rank-free Spearman rho, order value vs order date",
 )
+
+
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Brown-Forsythe spread test (operators/aggregates.py::
+    # brown_forsythe): does order-value DISPERSION differ across the 5
+    # priorities? The variance-homogeneity assumption check for
+    # q_anova, median-centered so the price tail cannot fake a spread
+    # difference. The oracle replays median -> doubled |deviation| ->
+    # the exact ANOVA CTE on the transformed grid.
+    from python_mapreduce_spark.operators.aggregates import brown_forsythe  # noqa: PLC0415
+
+    return brown_forsythe(
+        table(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
+_BF_SSW_TERM = (
+    "(CAST(sumsq_c AS DOUBLE)"
+    " - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE) / n_g) / 40000.0"
+)
+
+SQL_BROWN_FORSYTHE = f"""
+WITH raw AS (
+  SELECT o_orderpriority AS g,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+           AS yc
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+),
+med AS (SELECT g, median(yc) AS med FROM raw GROUP BY g),
+-- doubled |deviation from group median|: exact HALF-CENT integers
+-- (median of longs is an integer or .5 midpoint, IEEE-exact either
+-- way); SSW terms convert to DOLLAR^2 (/200^2) before the quantized
+-- cross-group sum so dround's floor stays inside Spark's long range
+z AS (
+  SELECT raw.g,
+         CAST(abs(CAST(yc AS DOUBLE) * 2.0 - med * 2.0)
+              AS DECIMAL(19,0)) AS zc
+  FROM raw JOIN med USING (g)
+),
+pg AS (
+  SELECT g, COUNT(*) AS n_g, SUM(zc) AS sum_c,
+         SUM(CAST(zc * zc AS DECIMAL(38,0))) AS sumsq_c
+  FROM z GROUP BY g
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(sum_c) AS DOUBLE) AS s,
+         CAST(SUM(sumsq_c) AS DOUBLE) AS ss,
+         CAST(SUM(CAST({sql_dround(_BF_SSW_TERM, 2)} AS DECIMAL(38,2)))
+              AS DOUBLE) AS ssw
+  FROM pg
+)
+SELECT k_groups, n,
+       CASE WHEN k_groups >= 2 THEN k_groups - 1 END AS df1,
+       CASE WHEN n > k_groups THEN n - k_groups END AS df2,
+       CASE WHEN k_groups >= 2 AND n > k_groups AND ssw > 0 THEN
+         {sql_dround(
+             '(((ss - s * s / n) / 40000.0 - ssw) / (k_groups - 1))'
+             ' / (ssw / (n - k_groups))', 6)}
+       END AS f_stat
+FROM tot
+"""
+
+QUERIES["q_brown_forsythe"] = Query(
+    q_brown_forsythe,
+    SQL_BROWN_FORSYTHE,
+    "Brown-Forsythe spread test, order value by priority",
+)

@@ -621,3 +621,82 @@ def test_spearman_degenerate(spark):
     # All rows NULL on one side: statistic does not exist -> zero rows.
     df3 = spark.createDataFrame([(None, 1.0)], "x double, y double")
     assert spearman_corr(df3, "x", "y").count() == 0
+
+
+# -------------------------------------------------- Brown-Forsythe
+
+
+def _bf_replay(groups: dict[str, list[float]]):
+    # Statistic on |y - group median|, medians interpolated like both
+    # engines; plain-float ANOVA is fine for a tolerance check.
+    def med(v):
+        s = sorted(v)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
+
+    z = {g: [abs(x - med(v)) for x in v] for g, v in groups.items()}
+    k = len(z)
+    n = sum(len(v) for v in z.values())
+    grand = sum(sum(v) for v in z.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in z.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in z.values()
+    )
+    return (ssb / (k - 1)) / (ssw / (n - k))
+
+
+def test_brown_forsythe_matches_replay(spark):
+    from python_mapreduce_spark.operators.aggregates import brown_forsythe
+
+    rng = random.Random(41)
+    groups = {
+        "a": [round(rng.gauss(10, 1), 2) for _ in range(50)],
+        "b": [round(rng.gauss(10, 3), 2) for _ in range(40)],  # wider
+        "c": [round(rng.gauss(10, 1), 2) for _ in range(45)],
+    }
+    rows = [(g, x) for g, xs in groups.items() for x in xs]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = brown_forsythe(df, "g", "x").first()
+    f = _bf_replay(groups)
+    assert got.k_groups == 3 and got.n == 135
+    assert got.df1 == 2 and got.df2 == 132
+    # SSW terms quantize at dollar^2 scale (1e-2): relative tolerance.
+    assert abs(got.f_stat - f) / f < 1e-3
+
+
+def test_brown_forsythe_large_magnitudes(spark):
+    # Money-sized values (~$250k): at the half-cent grid the SS reach
+    # ~1e14 per group — this is the regime where quantizing at the
+    # wrong scale wrapped Spark's long-typed floor (caught at sf0.01).
+    from python_mapreduce_spark.operators.aggregates import brown_forsythe
+
+    rng = random.Random(43)
+    groups = {
+        "a": [round(rng.uniform(1e5, 4e5), 2) for _ in range(300)],
+        "b": [round(rng.uniform(1.5e5, 3.5e5), 2) for _ in range(300)],
+    }
+    rows = [(g, x) for g, xs in groups.items() for x in xs]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = brown_forsythe(df, "g", "x").first()
+    f = _bf_replay(groups)
+    assert got.f_stat is not None and got.f_stat >= 0
+    assert abs(got.f_stat - f) / max(f, 1e-9) < 1e-3
+
+
+def test_brown_forsythe_degenerate(spark):
+    from python_mapreduce_spark.operators.aggregates import brown_forsythe
+
+    # One group: F undefined, counts still report.
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0)], "g string, x double"
+    )
+    got = brown_forsythe(df, "g", "x").first()
+    assert got.k_groups == 1 and got.n == 3
+    assert got.df1 is None and got.f_stat is None
+    # Two single-constant groups: zero within-spread -> F NULL.
+    df2 = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 9.0), ("b", 9.0)],
+        "g string, x double",
+    )
+    got2 = brown_forsythe(df2, "g", "x").first()
+    assert got2.k_groups == 2 and got2.f_stat is None
