@@ -3183,3 +3183,82 @@ def brown_forsythe(df: DataFrame, group_col: str, value_col) -> DataFrame:
         .alias("df2"),
         dround(F.when(f_ok, msb / msw), 6).alias("f_stat"),
     )
+
+
+def jarque_bera(df: DataFrame, group_col: str, value_col) -> DataFrame:
+    """Per-group Jarque-Bera normality test: JB = n/6 * (S^2 +
+    (K-3)^2/4) from population skewness S and kurtosis K — the
+    moment-based shape check that closes the distribution-test family
+    (:func:`ks_statistic` two-sample shift, :func:`mann_whitney_u`
+    location, :func:`brown_forsythe` spread, JB shape-vs-Gaussian).
+    Emits one row per group: n, mean, stddev (population), skewness,
+    kurt_excess (K-3), jb. NULL group/value rows are excluded; n < 2
+    or zero variance yields NULL shape statistics (the mean still
+    reports for n >= 1). Beyond the reference surface (SURVEY.md §2.2
+    north-star extensions).
+
+    Scale shape: ONE map-side-combined group agg of the four raw power
+    sums (sum y..y^4) — sufficient statistics only, a single scan, and
+    per-group state of four decimals; the closed-form moments compute
+    on the k-row frame.
+
+    Determinism: values quantize to integer CENTS, and all four power
+    sums accumulate EXACTLY in DECIMAL(38,0) (products cast to decimal
+    before multiplying). S and K are scale-invariant, so the moments
+    compute directly on the cent grid in one fixed IEEE shape from
+    identical exact integers — bit-identical at any partitioning.
+    Envelope: the 4th-power sum overflows DECIMAL(38) when
+    n * (100*|v|_max)^4 > 1e38 — e.g. |v| <= ~330 holds to ~8e19 rows,
+    |v| <= ~$10k to ~1e13 rows; pick the money-scale inputs
+    accordingly (same class of bound as anova_oneway's long-floor
+    note).
+    """
+    y = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    yc = F.floor(y * F.lit(100.0) + F.lit(0.5)).cast("decimal(19,0)")
+    base = df.select(F.col(group_col).alias("g"), yc.alias("__yc")).filter(
+        F.col("g").isNotNull() & F.col("__yc").isNotNull()
+    )
+    p = F.col("__yc")
+    agg = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(p).cast("double").alias("__s1"),
+        F.sum((p * p).cast("decimal(38,0)")).cast("double").alias("__s2"),
+        F.sum((p * p * p).cast("decimal(38,0)")).cast("double").alias("__s3"),
+        F.sum((p * p * p * p).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("__s4"),
+    )
+    n_d = F.col("n").cast("double")
+    m1 = F.col("__s1") / n_d
+    m2 = F.col("__s2") / n_d - m1 * m1
+    m3 = (
+        F.col("__s3") / n_d
+        - F.lit(3.0) * m1 * (F.col("__s2") / n_d)
+        + F.lit(2.0) * m1 * m1 * m1
+    )
+    m4 = (
+        F.col("__s4") / n_d
+        - F.lit(4.0) * m1 * (F.col("__s3") / n_d)
+        + F.lit(6.0) * m1 * m1 * (F.col("__s2") / n_d)
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    )
+    ok = (F.col("n") >= 2) & (m2 > 0)
+    skew = F.when(ok, m3 / F.sqrt(m2 * m2 * m2))
+    kexc = F.when(ok, m4 / (m2 * m2) - F.lit(3.0))
+    jb = F.when(
+        ok,
+        n_d
+        / F.lit(6.0)
+        * (skew * skew + kexc * kexc / F.lit(4.0)),
+    )
+    return agg.select(
+        "g",
+        "n",
+        dround(m1 / F.lit(100.0), 6).alias("mean"),
+        dround(F.when(ok, F.sqrt(m2) / F.lit(100.0)), 6).alias("stddev"),
+        dround(skew, 6).alias("skewness"),
+        dround(kexc, 6).alias("kurt_excess"),
+        dround(jb, 6).alias("jb"),
+    )

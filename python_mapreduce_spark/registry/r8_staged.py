@@ -769,3 +769,69 @@ QUERIES["q_brown_forsythe"] = Query(
     SQL_BROWN_FORSYTHE,
     "Brown-Forsythe spread test, order value by priority",
 )
+
+
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Jarque-Bera normality per event type (operators/aggregates.py::
+    # jarque_bera): are per-type event values Gaussian? Closes the
+    # distribution-test family (KS shift / MW location / BF spread /
+    # JB shape). Bounded event values keep the exact 4th-power DECIMAL
+    # sums far inside the documented overflow envelope.
+    from python_mapreduce_spark.operators.aggregates import jarque_bera  # noqa: PLC0415
+
+    return jarque_bera(table(spark, sf_dir, "events"), "event_type", "value")
+
+
+SQL_JARQUE_BERA = f"""
+WITH base AS (
+  SELECT event_type AS g,
+         CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS DECIMAL(19,0))
+           AS yc
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+agg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(yc) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(yc * yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(yc * yc * yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS s4
+  FROM base GROUP BY g
+),
+m AS (
+  SELECT g, n, s1 / CAST(n AS DOUBLE) AS m1,
+         s2 / CAST(n AS DOUBLE) AS r2,
+         s3 / CAST(n AS DOUBLE) AS r3,
+         s4 / CAST(n AS DOUBLE) AS r4
+  FROM agg
+),
+c AS (
+  SELECT g, n, m1,
+         r2 - m1 * m1 AS m2,
+         r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+         r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+            - 3.0 * m1 * m1 * m1 * m1 AS m4
+  FROM m
+),
+s AS (
+  SELECT g, n, m1, m2,
+         CASE WHEN n >= 2 AND m2 > 0 THEN m3 / sqrt(m2 * m2 * m2) END AS sk,
+         CASE WHEN n >= 2 AND m2 > 0 THEN m4 / (m2 * m2) - 3.0 END AS ke
+  FROM c
+)
+SELECT g, n,
+       {sql_dround('m1 / 100.0', 6)} AS mean,
+       CASE WHEN n >= 2 AND m2 > 0 THEN {sql_dround('sqrt(m2) / 100.0', 6)}
+       END AS stddev,
+       {sql_dround('sk', 6)} AS skewness,
+       {sql_dround('ke', 6)} AS kurt_excess,
+       CASE WHEN sk IS NOT NULL THEN
+         {sql_dround('CAST(n AS DOUBLE) / 6.0 * (sk * sk + ke * ke / 4.0)', 6)}
+       END AS jb
+FROM s
+"""
+
+QUERIES["q_jarque_bera"] = Query(
+    q_jarque_bera,
+    SQL_JARQUE_BERA,
+    "Jarque-Bera normality per event type from exact power sums",
+)

@@ -700,3 +700,61 @@ def test_brown_forsythe_degenerate(spark):
     )
     got2 = brown_forsythe(df2, "g", "x").first()
     assert got2.k_groups == 2 and got2.f_stat is None
+
+
+# ---------------------------------------------------- Jarque-Bera
+
+
+def _jb_replay(vals: list[float]):
+    n = len(vals)
+    m1 = sum(vals) / n
+    m2 = sum((v - m1) ** 2 for v in vals) / n
+    m3 = sum((v - m1) ** 3 for v in vals) / n
+    m4 = sum((v - m1) ** 4 for v in vals) / n
+    s = m3 / m2**1.5
+    k = m4 / m2**2 - 3.0
+    return m1, math.sqrt(m2), s, k, n / 6.0 * (s * s + k * k / 4.0)
+
+
+def test_jarque_bera_matches_replay(spark):
+    from python_mapreduce_spark.operators.aggregates import jarque_bera
+
+    rng = random.Random(47)
+    groups = {
+        "gauss": [round(rng.gauss(20, 3), 2) for _ in range(200)],
+        "heavy": [round(rng.expovariate(0.1), 2) for _ in range(150)],
+    }
+    rows = [(g, x) for g, xs in groups.items() for x in xs] + [
+        ("gauss", None),
+        (None, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {r.g: r for r in jarque_bera(df, "g", "x").collect()}
+    assert set(got) == {"gauss", "heavy"}
+    for g, xs in groups.items():
+        m, sd, s, k, jb = _jb_replay(xs)
+        r = got[g]
+        assert r.n == len(xs)
+        assert abs(r.mean - m) < 1e-5
+        assert abs(r.stddev - sd) < 1e-5
+        assert abs(r.skewness - s) < 1e-4
+        assert abs(r.kurt_excess - k) < 1e-4
+        assert abs(r.jb - jb) / max(jb, 1e-9) < 1e-3
+    # The exponential group must read as decisively non-normal.
+    assert got["heavy"].jb > 50 > got["gauss"].jb
+
+
+def test_jarque_bera_degenerate(spark):
+    from python_mapreduce_spark.operators.aggregates import jarque_bera
+
+    df = spark.createDataFrame(
+        [("one", 4.0), ("const", 2.0), ("const", 2.0), ("const", 2.0)],
+        "g string, x double",
+    )
+    got = {r.g: r for r in jarque_bera(df, "g", "x").collect()}
+    # Single row: mean reports, shape stats NULL.
+    assert got["one"].n == 1 and got["one"].mean == 4.0
+    assert got["one"].skewness is None and got["one"].jb is None
+    # Zero variance: shape stats NULL, stddev NULL.
+    assert got["const"].n == 3 and got["const"].stddev is None
+    assert got["const"].jb is None
