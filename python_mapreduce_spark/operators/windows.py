@@ -788,3 +788,141 @@ def cusum_changepoints(
         )
         .drop("__p_pos", "__p_neg")
     )
+
+
+def forecast_backtest(
+    df: DataFrame,
+    keys: Sequence[str],
+    period_col,
+    value_col,
+    *,
+    horizon: int = 12,
+    baseline_lag: int = 1,
+) -> DataFrame:
+    """Forecast-accuracy backtest for the naive family: score the
+    "same value ``horizon`` periods ago" forecast (seasonal-naive —
+    e.g. horizon 12 on monthly data = year-over-year) against actuals,
+    per key — the forecasting counterpart of the classification-eval
+    family (classification_report / pr_curve / brier_score). Emits one
+    row per key: n_periods, n_eval (periods where the forecast
+    exists), and the standard backtest metrics — mae, bias (mean
+    signed error), rmse, wape (sum|e| / sum|a|), smape (mean
+    2|e|/(|a|+|f|), 0 where both sides are 0), and mase (MAE relative
+    to the in-sample ``baseline_lag``-step naive MAE; < 1 beats the
+    baseline). Degenerate guards: no evaluable periods -> NULL
+    metrics; an all-zero actuals span -> wape NULL; a zero-error
+    baseline -> mase NULL. Beyond the reference surface (SURVEY.md
+    §2.2 north-star extensions).
+
+    Scale shape: the series roll-up is one (keys, period) hash agg
+    (map-side combined); the forecast and the baseline each come from
+    a CALENDAR/INDEX self-equi-join of that period-sized frame on
+    (keys, period - k) — the seasonal_residual pattern, no window at
+    all, so a GAP in the series yields NULL forecasts for the periods
+    it would misalign instead of silently comparing the wrong periods
+    (a positional lag would slide across gaps; pre-fill with
+    resample_locf if gap-bridging is wanted). Everything after the
+    joins is one per-key agg of sufficient statistics.
+
+    Determinism: actuals quantize to integer CENTS in the roll-up, so
+    every error is an exact integer; |e|, e, e^2 sums ride DECIMAL and
+    the ratio metrics compute once in fixed IEEE shape. The per-row
+    sMAPE terms are the one non-integral sum — each term quantizes to
+    1e-8 and accumulates in DECIMAL(38,8), order-independent at any
+    partitioning.
+    """
+    from python_mapreduce_spark.functions.scalar import dround  # noqa: PLC0415 - avoid module cycle
+
+    ks = list(keys)
+    p = (
+        F.col(period_col) if isinstance(period_col, str) else period_col
+    ).cast("long")
+    y = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    yc = F.floor(y * F.lit(100.0) + F.lit(0.5)).cast("long")
+    series = (
+        df.select(*ks, p.alias("p"), yc.alias("__yc"))
+        .filter(F.col("p").isNotNull() & F.col("__yc").isNotNull())
+        .groupBy(*ks, "p")
+        .agg(F.sum("__yc").cast("long").alias("a"))
+        .localCheckpoint(eager=False)  # feeds three sides of the joins
+    )
+    fc = series.select(
+        *ks, (F.col("p") + F.lit(int(horizon))).alias("p"), F.col("a").alias("__f")
+    )
+    bl = series.select(
+        *ks,
+        (F.col("p") + F.lit(int(baseline_lag))).alias("p"),
+        F.col("a").alias("__b"),
+    )
+    j = series.join(fc, [*ks, "p"], "left").join(bl, [*ks, "p"], "left")
+    a_d = F.col("a").cast("double")
+    f_d = F.col("__f").cast("double")
+    e = F.col("a") - F.col("__f")
+    e_d = a_d - f_d
+    has_f = F.col("__f").isNotNull()
+    smape_term = F.when(
+        has_f,
+        dround(
+            F.when(
+                (F.abs(a_d) + F.abs(f_d)) > 0,
+                F.lit(2.0) * F.abs(e_d) / (F.abs(a_d) + F.abs(f_d)),
+            ).otherwise(F.lit(0.0)),
+            8,
+        ),
+    ).cast("decimal(38,8)")
+    eb = F.col("a") - F.col("__b")
+    agg = j.groupBy(*ks).agg(
+        F.count(F.lit(1)).cast("long").alias("n_periods"),
+        F.count(F.when(has_f, F.lit(1))).cast("long").alias("n_eval"),
+        F.sum(F.when(has_f, F.abs(e)).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("__sae"),
+        F.sum(F.when(has_f, e).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("__se"),
+        F.sum(
+            F.when(has_f, (e.cast("decimal(19,0)") * e).cast("decimal(38,0)"))
+        )
+        .cast("double")
+        .alias("__see"),
+        F.sum(F.when(has_f, F.abs(F.col("a"))).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("__saa"),
+        F.sum(smape_term).cast("double").alias("__ssm"),
+        F.count(F.when(F.col("__b").isNotNull(), F.lit(1)))
+        .cast("long")
+        .alias("__nb"),
+        F.sum(F.when(F.col("__b").isNotNull(), F.abs(eb)).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("__sab"),
+    )
+    n_ev = F.col("n_eval").cast("double")
+    some = F.col("n_eval") > 0
+    mae = F.col("__sae") / n_ev / F.lit(100.0)
+    base_mae = F.col("__sab") / F.col("__nb").cast("double") / F.lit(100.0)
+    return agg.select(
+        *ks,
+        "n_periods",
+        "n_eval",
+        dround(F.when(some, mae), 6).alias("mae"),
+        dround(F.when(some, F.col("__se") / n_ev / F.lit(100.0)), 6).alias(
+            "bias"
+        ),
+        dround(
+            F.when(some, F.sqrt(F.col("__see") / n_ev) / F.lit(100.0)), 6
+        ).alias("rmse"),
+        dround(
+            F.when(some & (F.col("__saa") > 0), F.col("__sae") / F.col("__saa")),
+            6,
+        ).alias("wape"),
+        dround(F.when(some, F.col("__ssm") / n_ev), 6).alias("smape"),
+        dround(
+            F.when(
+                some & (F.col("__nb") > 0) & (F.col("__sab") > 0),
+                mae / base_mae,
+            ),
+            6,
+        ).alias("mase"),
+    )

@@ -835,3 +835,93 @@ QUERIES["q_jarque_bera"] = Query(
     SQL_JARQUE_BERA,
     "Jarque-Bera normality per event type from exact power sums",
 )
+
+
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Seasonal-naive forecast backtest (operators/windows.py::
+    # forecast_backtest): score the year-over-year monthly-revenue
+    # forecast per order priority against actuals — MAE/bias/RMSE/
+    # WAPE/sMAPE and MASE vs the 1-month naive. The forecast is an
+    # INDEX self-join (p - 12), not a positional lag, so series gaps
+    # yield NULL forecasts instead of misaligned comparisons.
+    from python_mapreduce_spark.operators.windows import forecast_backtest  # noqa: PLC0415
+
+    o = table(spark, sf_dir, "orders")
+    period = F.year("o_orderdate") * F.lit(12) + F.month("o_orderdate")
+    return forecast_backtest(
+        o, ["o_orderpriority"], period, "o_totalprice",
+        horizon=12, baseline_lag=1,
+    )
+
+
+SQL_FORECAST_BACKTEST = f"""
+WITH series AS (
+  SELECT o_orderpriority AS g,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS p,
+         CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS a
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT s.g, s.p, s.a, f.a AS f, b.a AS b
+  FROM series s
+  LEFT JOIN series f ON f.g = s.g AND f.p = s.p - 12
+  LEFT JOIN series b ON b.g = s.g AND b.p = s.p - 1
+),
+agg AS (
+  SELECT g,
+         CAST(COUNT(*) AS BIGINT) AS n_periods,
+         CAST(COUNT(CASE WHEN f IS NOT NULL THEN 1 END) AS BIGINT) AS n_eval,
+         CAST(SUM(CAST(CASE WHEN f IS NOT NULL THEN abs(a - f) END
+                       AS DECIMAL(38,0))) AS DOUBLE) AS sae,
+         CAST(SUM(CAST(CASE WHEN f IS NOT NULL THEN a - f END
+                       AS DECIMAL(38,0))) AS DOUBLE) AS se,
+         CAST(SUM(CASE WHEN f IS NOT NULL THEN
+                    CAST(CAST(a - f AS DECIMAL(19,0)) * (a - f)
+                         AS DECIMAL(38,0)) END) AS DOUBLE) AS see,
+         CAST(SUM(CAST(CASE WHEN f IS NOT NULL THEN abs(a) END
+                       AS DECIMAL(38,0))) AS DOUBLE) AS saa,
+         CAST(SUM(CAST(CASE WHEN f IS NOT NULL THEN
+                    CASE WHEN abs(CAST(a AS DOUBLE)) + abs(CAST(f AS DOUBLE)) > 0
+                         THEN {sql_dround(
+                             '2.0 * abs(CAST(a AS DOUBLE) - CAST(f AS DOUBLE))'
+                             ' / (abs(CAST(a AS DOUBLE)) + abs(CAST(f AS DOUBLE)))',
+                             8)}
+                         ELSE 0.0 END
+                  END AS DECIMAL(38,8))) AS DOUBLE) AS ssm,
+         CAST(COUNT(CASE WHEN b IS NOT NULL THEN 1 END) AS BIGINT) AS nb,
+         CAST(SUM(CAST(CASE WHEN b IS NOT NULL THEN abs(a - b) END
+                       AS DECIMAL(38,0))) AS DOUBLE) AS sab
+  FROM j GROUP BY g
+)
+SELECT g AS o_orderpriority, n_periods, n_eval,
+       CASE WHEN n_eval > 0 THEN
+         {sql_dround('sae / CAST(n_eval AS DOUBLE) / 100.0', 6)}
+       END AS mae,
+       CASE WHEN n_eval > 0 THEN
+         {sql_dround('se / CAST(n_eval AS DOUBLE) / 100.0', 6)}
+       END AS bias,
+       CASE WHEN n_eval > 0 THEN
+         {sql_dround('sqrt(see / CAST(n_eval AS DOUBLE)) / 100.0', 6)}
+       END AS rmse,
+       CASE WHEN n_eval > 0 AND saa > 0 THEN
+         {sql_dround('sae / saa', 6)}
+       END AS wape,
+       CASE WHEN n_eval > 0 THEN
+         {sql_dround('ssm / CAST(n_eval AS DOUBLE)', 6)}
+       END AS smape,
+       CASE WHEN n_eval > 0 AND nb > 0 AND sab > 0 THEN
+         {sql_dround(
+             '(sae / CAST(n_eval AS DOUBLE) / 100.0)'
+             ' / (sab / CAST(nb AS DOUBLE) / 100.0)', 6)}
+       END AS mase
+FROM agg
+"""
+
+QUERIES["q_forecast_backtest"] = Query(
+    q_forecast_backtest,
+    SQL_FORECAST_BACKTEST,
+    "seasonal-naive monthly-revenue backtest: MAE/RMSE/WAPE/sMAPE/MASE",
+)

@@ -758,3 +758,78 @@ def test_jarque_bera_degenerate(spark):
     # Zero variance: shape stats NULL, stddev NULL.
     assert got["const"].n == 3 and got["const"].stddev is None
     assert got["const"].jb is None
+
+
+# ---------------------------------------------- forecast backtest
+
+
+def test_forecast_backtest_matches_replay(spark):
+    from python_mapreduce_spark.operators.windows import forecast_backtest
+
+    rng = random.Random(53)
+    # Seasonal series with period 4 + noise; horizon 4 = seasonal naive.
+    season = [100.0, 150.0, 80.0, 120.0]
+    actual = {
+        p: round(season[p % 4] * (1 + 0.02 * (p // 4)) + rng.uniform(-5, 5), 2)
+        for p in range(24)
+    }
+    rows = [("k", p, v) for p, v in actual.items()]
+    df = spark.createDataFrame(rows, "g string, p long, x double")
+    got = forecast_backtest(
+        df, ["g"], "p", "x", horizon=4, baseline_lag=1
+    ).first()
+    # cent-quantized replay (the operator's exact contract)
+    q = lambda v: math.floor(v * 100.0 + 0.5)  # noqa: E731
+    ev = [(q(actual[p]), q(actual[p - 4])) for p in range(4, 24)]
+    errs = [a - f for a, f in ev]
+    mae = sum(abs(e) for e in errs) / len(ev) / 100.0
+    bias = sum(errs) / len(ev) / 100.0
+    rmse = math.sqrt(sum(e * e for e in errs) / len(ev)) / 100.0
+    wape = sum(abs(e) for e in errs) / sum(abs(a) for a, _ in ev)
+    smape = sum(2 * abs(a - f) / (abs(a) + abs(f)) for a, f in ev) / len(ev)
+    base = [
+        abs(q(actual[p]) - q(actual[p - 1])) for p in range(1, 24)
+    ]
+    mase = mae / (sum(base) / len(base) / 100.0)
+    assert got.n_periods == 24 and got.n_eval == 20
+    assert abs(got.mae - mae) < 1e-6
+    assert abs(got.bias - bias) < 1e-6
+    assert abs(got.rmse - rmse) < 1e-6
+    assert abs(got.wape - wape) < 1e-6
+    assert abs(got.smape - smape) < 1e-6
+    assert abs(got.mase - mase) < 1e-6
+    # Seasonal naive must beat the 1-step naive on a seasonal series.
+    assert got.mase < 1.0
+
+
+def test_forecast_backtest_gap_yields_null_not_misalignment(spark):
+    from python_mapreduce_spark.operators.windows import forecast_backtest
+
+    # Periods 0,1,2,4 (3 missing): with horizon 2, period 4's forecast
+    # is period 2 (exists), period 2's is period 0 (exists), but a
+    # POSITIONAL lag-2 would have compared period 4 against period 1.
+    rows = [("k", 0, 10.0), ("k", 1, 20.0), ("k", 2, 30.0), ("k", 4, 50.0)]
+    df = spark.createDataFrame(rows, "g string, p long, x double")
+    got = forecast_backtest(df, ["g"], "p", "x", horizon=2).first()
+    assert got.n_periods == 4
+    assert got.n_eval == 2  # p=2 (vs p=0) and p=4 (vs p=2)
+    # errors: |30-10|=20, |50-30|=20 -> mae 20
+    assert abs(got.mae - 20.0) < 1e-9
+
+
+def test_forecast_backtest_degenerate(spark):
+    from python_mapreduce_spark.operators.windows import forecast_backtest
+
+    # Too-short series: no forecastable period -> NULL metrics.
+    df = spark.createDataFrame(
+        [("k", 0, 5.0), ("k", 1, 6.0)], "g string, p long, x double"
+    )
+    got = forecast_backtest(df, ["g"], "p", "x", horizon=12).first()
+    assert got.n_periods == 2 and got.n_eval == 0
+    assert got.mae is None and got.mase is None
+    # All-zero actuals in the eval span: wape NULL, smape defined (0).
+    df2 = spark.createDataFrame(
+        [("k", p, 0.0) for p in range(6)], "g string, p long, x double"
+    )
+    got2 = forecast_backtest(df2, ["g"], "p", "x", horizon=1).first()
+    assert got2.wape is None and got2.smape == 0.0 and got2.mae == 0.0
