@@ -3262,3 +3262,84 @@ def jarque_bera(df: DataFrame, group_col: str, value_col) -> DataFrame:
         dround(kexc, 6).alias("kurt_excess"),
         dround(jb, 6).alias("jb"),
     )
+
+
+def concentration_report(
+    df: DataFrame,
+    market_keys: Sequence[str],
+    player_col: str,
+    weight_col,
+    *,
+    top_k: int = 4,
+) -> DataFrame:
+    """Market-concentration report per market: Herfindahl-Hirschman
+    index HHI = sum(share_i^2), its normalized form
+    (HHI - 1/n) / (1 - 1/n), the effective number of players 1/HHI,
+    and the CR_k concentration ratio (top-``top_k`` players' combined
+    share) — the antitrust-style companion to
+    :func:`gini_concentration` (Gini measures inequality of the whole
+    distribution; HHI/CR_k weight the head, which is what domain-mix
+    and vendor-risk audits act on). Emits one row per market:
+    (market_keys..., n_players, total, hhi, hhi_norm, effective_n,
+    cr{top_k}). Zero-total markets report counts with NULL indices;
+    single-player markets have hhi 1 and hhi_norm NULL (undefined at
+    n = 1). Beyond the reference surface (SURVEY.md §2.2 north-star
+    extensions).
+
+    Scale shape: one (market, player) hash agg (map-side combined,
+    integer-cent weights), then ONE per-market pass that is both the
+    sufficient-statistic agg (n, sum w, sum w^2 in DECIMAL(38,0)) and
+    the CR_k cut — a row_number window partitioned BY MARKET over the
+    player-sized frame (players per market is the bounded fan-in of a
+    rollup, orders of magnitude below row count; no global window
+    anywhere). Shares never materialize per player: HHI = sum(w^2) /
+    W^2 from exact integers.
+
+    Determinism: weights quantize to integer cents in the first agg;
+    sum and sum-of-squares ride DECIMAL(38,0); the CR_k tiebreak is
+    (w DESC, player ASC) — total because players are distinct after
+    the roll-up. All ratios compute once in fixed IEEE shape, rounded
+    to 1e-6.
+    """
+    mk = list(market_keys)
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+        "double"
+    )
+    wc = F.floor(w * F.lit(100.0) + F.lit(0.5)).cast("long")
+    per = (
+        df.select(*mk, F.col(player_col).alias("__p"), wc.alias("__wc"))
+        .filter(F.col("__p").isNotNull() & F.col("__wc").isNotNull())
+        .groupBy(*mk, "__p")
+        .agg(F.sum("__wc").cast("long").alias("__w"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(*mk).orderBy(F.col("__w").desc(), F.col("__p").asc())
+    )
+    ranked = per.withColumn("__rn", rn)
+    d = F.col("__w").cast("decimal(38,0)")
+    agg = ranked.groupBy(*mk).agg(
+        F.count(F.lit(1)).cast("long").alias("n_players"),
+        F.sum("__w").cast("double").alias("__tot"),
+        F.sum(d * F.col("__w")).cast("double").alias("__sq"),
+        F.sum(F.when(F.col("__rn") <= top_k, F.col("__w")))
+        .cast("double")
+        .alias("__topk"),
+    )
+    pos = F.col("__tot") > 0
+    hhi = F.col("__sq") / (F.col("__tot") * F.col("__tot"))
+    n_d = F.col("n_players").cast("double")
+    hhi_norm = F.when(
+        pos & (F.col("n_players") > 1),
+        (hhi - F.lit(1.0) / n_d) / (F.lit(1.0) - F.lit(1.0) / n_d),
+    )
+    return agg.select(
+        *mk,
+        "n_players",
+        dround(F.col("__tot") / F.lit(100.0), 2).alias("total"),
+        dround(F.when(pos, hhi), 6).alias("hhi"),
+        dround(hhi_norm, 6).alias("hhi_norm"),
+        dround(F.when(pos, F.lit(1.0) / hhi), 6).alias("effective_n"),
+        dround(F.when(pos, F.col("__topk") / F.col("__tot")), 6).alias(
+            f"cr{int(top_k)}"
+        ),
+    )

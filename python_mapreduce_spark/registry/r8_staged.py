@@ -925,3 +925,75 @@ QUERIES["q_forecast_backtest"] = Query(
     SQL_FORECAST_BACKTEST,
     "seasonal-naive monthly-revenue backtest: MAE/RMSE/WAPE/sMAPE/MASE",
 )
+
+
+def q_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Revenue concentration per region (operators/aggregates.py::
+    # concentration_report): HHI / normalized HHI / effective-N / CR4
+    # of nation revenue shares — the head-weighted companion to
+    # q_gini_domains, over the orders->customer->nation->region join
+    # chain (dims broadcast; the one real shuffle is orders-customer).
+    from python_mapreduce_spark.operators.aggregates import concentration_report  # noqa: PLC0415
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    joined = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return concentration_report(joined, ["r_name"], "n_name", "o_totalprice")
+
+
+SQL_MARKET_CONCENTRATION = f"""
+WITH base AS (
+  SELECT r_name,
+         n_name AS p,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+           AS wc
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE n_name IS NOT NULL AND o_totalprice IS NOT NULL
+),
+per AS (
+  SELECT r_name, p, CAST(SUM(wc) AS BIGINT) AS w
+  FROM base GROUP BY r_name, p
+),
+ranked AS (
+  SELECT r_name, p, w,
+         row_number() OVER (PARTITION BY r_name ORDER BY w DESC, p ASC)
+           AS rn
+  FROM per
+),
+agg AS (
+  SELECT r_name,
+         CAST(COUNT(*) AS BIGINT) AS n_players,
+         CAST(SUM(w) AS DOUBLE) AS tot,
+         CAST(SUM(CAST(w AS DECIMAL(38,0)) * w) AS DOUBLE) AS sq,
+         CAST(SUM(CASE WHEN rn <= 4 THEN w END) AS DOUBLE) AS topk
+  FROM ranked GROUP BY r_name
+)
+SELECT r_name, n_players,
+       {sql_dround('tot / 100.0', 2)} AS total,
+       CASE WHEN tot > 0 THEN {sql_dround('sq / (tot * tot)', 6)} END AS hhi,
+       CASE WHEN tot > 0 AND n_players > 1 THEN
+         {sql_dround(
+             '(sq / (tot * tot) - 1.0 / CAST(n_players AS DOUBLE))'
+             ' / (1.0 - 1.0 / CAST(n_players AS DOUBLE))', 6)}
+       END AS hhi_norm,
+       CASE WHEN tot > 0 THEN
+         {sql_dround('1.0 / (sq / (tot * tot))', 6)}
+       END AS effective_n,
+       CASE WHEN tot > 0 THEN {sql_dround('topk / tot', 6)} END AS cr4
+FROM agg
+"""
+
+QUERIES["q_market_concentration"] = Query(
+    q_market_concentration,
+    SQL_MARKET_CONCENTRATION,
+    "HHI / effective-N / CR4 of nation revenue shares per region",
+)

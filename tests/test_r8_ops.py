@@ -833,3 +833,49 @@ def test_forecast_backtest_degenerate(spark):
     )
     got2 = forecast_backtest(df2, ["g"], "p", "x", horizon=1).first()
     assert got2.wape is None and got2.smape == 0.0 and got2.mae == 0.0
+
+
+# ------------------------------------------- concentration report
+
+
+def test_concentration_matches_replay(spark):
+    from python_mapreduce_spark.operators.aggregates import concentration_report
+
+    weights = {"a": 50.0, "b": 30.0, "c": 10.0, "d": 6.0, "e": 4.0}
+    rows = [("m1", p, w) for p, w in weights.items()]
+    # m1's weights arrive split across rows (the roll-up must sum).
+    rows += [("m1", "a", 0.0)]
+    df = spark.createDataFrame(rows, "mkt string, p string, w double")
+    got = concentration_report(df, ["mkt"], "p", "w").first()
+    tot = sum(weights.values())
+    shares = [w / tot for w in weights.values()]
+    hhi = sum(s * s for s in shares)
+    n = len(weights)
+    assert got.n_players == n and abs(got.total - tot) < 1e-9
+    assert abs(got.hhi - hhi) < 1e-6
+    assert abs(got.hhi_norm - (hhi - 1 / n) / (1 - 1 / n)) < 1e-6
+    assert abs(got.effective_n - 1 / hhi) < 1e-5
+    assert abs(got.cr4 - (50 + 30 + 10 + 6) / tot) < 1e-6
+
+
+def test_concentration_edge_cases(spark):
+    from python_mapreduce_spark.operators.aggregates import concentration_report
+
+    df = spark.createDataFrame(
+        [("mono", "only", 9.0), ("zero", "x", 0.0), ("zero", "y", 0.0)],
+        "mkt string, p string, w double",
+    )
+    got = {r.mkt: r for r in concentration_report(df, ["mkt"], "p", "w").collect()}
+    # Monopoly: hhi 1, effective_n 1, cr4 1, hhi_norm undefined at n=1.
+    m = got["mono"]
+    assert m.n_players == 1 and m.hhi == 1.0 and m.effective_n == 1.0
+    assert m.cr4 == 1.0 and m.hhi_norm is None
+    # Zero-total market: counts report, indices NULL.
+    z = got["zero"]
+    assert z.n_players == 2 and z.total == 0.0 and z.hhi is None
+    # CR_k ties broken by (w DESC, player ASC): deterministic cut.
+    df2 = spark.createDataFrame(
+        [("m", c, 10.0) for c in "abcdef"], "mkt string, p string, w double"
+    )
+    r2 = concentration_report(df2, ["mkt"], "p", "w", top_k=4).first()
+    assert abs(r2.cr4 - 4.0 / 6.0) < 1e-6
