@@ -926,3 +926,99 @@ def forecast_backtest(
             6,
         ).alias("mase"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    period_col,
+    value_col,
+    *,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation function of a period-rolled series: for each
+    lag 1..``max_lag``, r_k = sum((y_t - ybar)(y_{t+k} - ybar)) /
+    sum((y_t - ybar)^2) — the seasonality/persistence diagnostic that
+    tells you WHICH horizon :func:`forecast_backtest` should score
+    (a weekly cycle shows as a peak at lag 7). Emits one row per lag:
+    (lag, n_pairs, acf), NULL acf when the series has no variance or
+    fewer than 2 periods. Beyond the reference surface (SURVEY.md
+    §2.2 north-star extensions).
+
+    Scale shape: the series first rolls up to one row per period
+    (map-side-combined hash agg, integer cents) — every later stage is
+    period-cardinality-sized, not data-sized. The lag pairing is ONE
+    equi shuffle join: the left side explodes each period row into
+    ``max_lag`` (period + k) probes, so no range join, no window, and
+    no per-lag scan; pairs where the lagged period is MISSING simply
+    drop (calendar join, not positional — a gap cannot misalign the
+    series). The mean is a 1-row broadcast.
+
+    Determinism: period totals are exact integer cents, so the mean is
+    one exact division; every deviation product converts to DOLLAR^2,
+    quantizes to 1e-2, and accumulates in DECIMAL(38,2) —
+    order-independent at any partitioning. Envelope: dround's
+    long-typed floor bounds |deviation product| <= ~9.2e16 dollar^2
+    (deviations up to ~$3e8 per period) — pre-scale the value for
+    series hotter than that.
+    """
+    from python_mapreduce_spark.functions.scalar import dround  # noqa: PLC0415 - avoid module cycle
+
+    p = (
+        F.col(period_col) if isinstance(period_col, str) else period_col
+    ).cast("long")
+    y = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    yc = F.floor(y * F.lit(100.0) + F.lit(0.5)).cast("long")
+    series = (
+        df.select(p.alias("p"), yc.alias("__yc"))
+        .filter(F.col("p").isNotNull() & F.col("__yc").isNotNull())
+        .groupBy("p")
+        .agg(F.sum("__yc").cast("long").alias("y"))
+        .localCheckpoint(eager=False)  # mean pass + both join sides
+    )
+    stats = series.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("y").cast("double").alias("__s"),
+    )
+    mean = F.col("__s") / F.col("__n").cast("double")
+    centered = series.crossJoin(F.broadcast(stats)).select(
+        "p",
+        "y",
+        (F.col("y").cast("double") - mean).alias("__d"),
+        "__n",
+    )
+    den_term = dround(
+        F.col("__d") * F.col("__d") / F.lit(10000.0), 2
+    ).cast("decimal(38,2)")
+    den = centered.groupBy(F.lit(1).alias("__g")).agg(
+        F.max("__n").alias("__n"),
+        F.sum(den_term).cast("double").alias("__den"),
+    )
+    lags = F.explode(
+        F.array([F.lit(i) for i in range(1, int(max_lag) + 1)])
+    ).alias("lag")
+    probes = centered.select(
+        F.col("__d").alias("__d1"), F.col("p"), lags
+    ).withColumn("__p2", F.col("p") + F.col("lag"))
+    paired = probes.join(
+        centered.select(F.col("p").alias("__p2"), F.col("__d").alias("__d2")),
+        "__p2",
+    )
+    num_term = dround(
+        F.col("__d1") * F.col("__d2") / F.lit(10000.0), 2
+    ).cast("decimal(38,2)")
+    nums = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(num_term).cast("double").alias("__num"),
+    )
+    out = nums.crossJoin(F.broadcast(den))
+    acf = F.when(
+        (F.col("__n") >= 2) & (F.col("__den") > 0),
+        F.col("__num") / F.col("__den"),
+    )
+    return out.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        dround(acf, 6).alias("acf"),
+    )

@@ -997,3 +997,68 @@ QUERIES["q_market_concentration"] = Query(
     SQL_MARKET_CONCENTRATION,
     "HHI / effective-N / CR4 of nation revenue shares per region",
 )
+
+
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ACF of daily order revenue at lags 1..7 (operators/windows.py::
+    # autocorrelation): the seasonality diagnostic for the forecast
+    # family — pairing is one exploded equi-join on (day + lag) over
+    # the day-rolled frame, never a range join or window.
+    from python_mapreduce_spark.operators.windows import autocorrelation  # noqa: PLC0415
+
+    o = table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    return autocorrelation(o, day, "o_totalprice", max_lag=7)
+
+
+SQL_AUTOCORR = f"""
+WITH series AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS p,
+         CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS y
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS DOUBLE) AS s
+  FROM series
+),
+centered AS (
+  SELECT p, CAST(y AS DOUBLE) - s / CAST(n AS DOUBLE) AS d, n
+  FROM series CROSS JOIN stats
+),
+den AS (
+  SELECT MAX(n) AS n,
+         CAST(SUM(CAST({sql_dround('d * d / 10000.0', 2)} AS DECIMAL(38,2)))
+              AS DOUBLE) AS den
+  FROM centered
+),
+probes AS (
+  SELECT c.d AS d1, c.p, l.lag, c.p + l.lag AS p2
+  FROM centered c
+  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+),
+paired AS (
+  SELECT pr.lag, pr.d1, c2.d AS d2
+  FROM probes pr JOIN centered c2 ON c2.p = pr.p2
+),
+nums AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CAST({sql_dround('d1 * d2 / 10000.0', 2)} AS DECIMAL(38,2)))
+              AS DOUBLE) AS num
+  FROM paired GROUP BY lag
+)
+SELECT CAST(nums.lag AS BIGINT) AS lag, n_pairs,
+       CASE WHEN den.n >= 2 AND den.den > 0 THEN
+         {sql_dround('num / den.den', 6)}
+       END AS acf
+FROM nums CROSS JOIN den
+"""
+
+QUERIES["q_autocorr"] = Query(
+    q_autocorr,
+    SQL_AUTOCORR,
+    "daily-revenue autocorrelation at lags 1-7 via exploded equi-join",
+)

@@ -879,3 +879,53 @@ def test_concentration_edge_cases(spark):
     )
     r2 = concentration_report(df2, ["mkt"], "p", "w", top_k=4).first()
     assert abs(r2.cr4 - 4.0 / 6.0) < 1e-6
+
+
+# --------------------------------------------------- autocorrelation
+
+
+def test_autocorrelation_matches_replay(spark):
+    from python_mapreduce_spark.operators.windows import autocorrelation
+
+    rng = random.Random(59)
+    # Period-4 cycle: ACF must peak at lag 4, dip at lag 2.
+    ys = [
+        round(100 + 30 * math.sin(math.pi / 2 * t) + rng.uniform(-3, 3), 2)
+        for t in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(t, v) for t, v in enumerate(ys)], "p long, x double"
+    )
+    got = {r.lag: r for r in autocorrelation(df, "p", "x", max_lag=5).collect()}
+    cents = [math.floor(v * 100.0 + 0.5) for v in ys]
+    mean = sum(cents) / len(cents)
+    den = sum((c - mean) ** 2 for c in cents)
+    for k in range(1, 6):
+        num = sum(
+            (cents[t] - mean) * (cents[t + k] - mean)
+            for t in range(len(cents) - k)
+        )
+        assert got[k].n_pairs == len(cents) - k
+        assert abs(got[k].acf - num / den) < 1e-4, k
+    assert got[4].acf > 0.5 > got[2].acf  # the cycle signature
+
+
+def test_autocorrelation_gaps_and_degenerate(spark):
+    from python_mapreduce_spark.operators.windows import autocorrelation
+
+    # Gap at p=2: lag-1 pairs only (0,1) and (3,4) — the calendar join
+    # must NOT pair across the gap (positional lag would).
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (3, 4.0), (4, 5.0)], "p long, x double"
+    )
+    got = {r.lag: r for r in autocorrelation(df, "p", "x", max_lag=2).collect()}
+    assert got[1].n_pairs == 2
+    # lag 2: only (1,3) exists — 0->2, 3->5, 4->6 all hit the gap/edge.
+    assert got[2].n_pairs == 1
+    # Constant series: zero variance -> acf NULL, pairs still counted.
+    df2 = spark.createDataFrame([(p, 5.0) for p in range(6)], "p long, x double")
+    got2 = autocorrelation(df2, "p", "x", max_lag=1).collect()
+    assert got2[0].n_pairs == 5 and got2[0].acf is None
+    # Empty input: no rows at all.
+    df3 = spark.createDataFrame([], "p long, x double")
+    assert autocorrelation(df3, "p", "x").count() == 0
