@@ -64,3 +64,19 @@ def tokenize(col: Column | str, pattern: str = "[a-z]+") -> Column:
         F.regexp_extract_all(F.lower(c), F.lit(pattern), F.lit(0)),
         F.array().cast("array<string>"),
     )
+
+
+def normal_sf_approx(z: Column) -> Column:
+    """Upper-tail normal survival approximation for z >= 0:
+    P(Z > z) ~= exp(-0.717*z - 0.416*z^2) (Lin 1989, accurate to ~1%
+    relative in the screening range) — the erf-free p-value both
+    engines can evaluate with the same elementary ops. A SCREENING
+    p-value: quantize it (dround 8) before any cross-engine comparison
+    or step-up test, since exp() is the one transcendental in the
+    expression (same determinism class as the entropy queries' log)."""
+    return F.exp(F.lit(-0.717) * z - F.lit(0.416) * z * z)
+
+
+def sql_normal_sf_approx(expr: str) -> str:
+    """The ANSI-SQL twin of :func:`normal_sf_approx`."""
+    return f"exp(-0.717 * ({expr}) - 0.416 * ({expr}) * ({expr}))"

@@ -3343,3 +3343,77 @@ def concentration_report(
             f"cr{int(top_k)}"
         ),
     )
+
+
+def bh_fdr(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    p_col: str,
+    *,
+    alpha: float = 0.05,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a set of hypotheses: given
+    one p-value per key, find the step-up cutoff k* = max{i : p_(i) <=
+    i*alpha/m} and reject exactly the k* smallest p-values — the
+    multiple-testing guard that belongs after ANY per-segment test
+    fan-out (:func:`welch_ttest` / :func:`mann_whitney_u` /
+    :func:`ab_test_proportions` per source, nation, experiment arm...)
+    so that screening 10,000 segments at alpha=.05 doesn't hand back
+    ~500 false discoveries. Emits one row per hypothesis: (keys...,
+    p_value, p_rank, m, bh_critical = rank*alpha/m, rejected). NULL
+    p-values are excluded (they are untested hypotheses, not
+    evidence). Beyond the reference surface (SURVEY.md §2.2 north-star
+    extensions).
+
+    Scale shape: the p-value ORDER is the whole computation, so the
+    plan is one distributed global rank
+    (:func:`~python_mapreduce_spark.operators.windows.global_row_number`
+    — range exchange + per-partition numbering + broadcast offsets, no
+    single-task window), one 1-row reduction for m, one for k*
+    (max flagged rank), each broadcast back. Works unchanged at one
+    hypothesis per customer (millions of rows).
+
+    Determinism: ranking ties on equal p break by the key columns
+    (total order — module contract); the step-up comparison
+    p <= rank*alpha/m computes in one fixed IEEE shape on both
+    engines. Quantize the INPUT p-values (dround 8) if they come from
+    a transcendental approximation, so the comparison sees identical
+    doubles everywhere.
+    """
+    ks = list(key_cols)
+    base = df.select(*ks, F.col(p_col).cast("double").alias("__p")).filter(
+        F.col("__p").isNotNull()
+    )
+    from python_mapreduce_spark.operators.windows import global_row_number  # noqa: PLC0415 - avoid module cycle
+
+    ranked = global_row_number(
+        base, ["__p", *ks], out="p_rank", num_partitions=num_partitions
+    )
+    m_row = ranked.groupBy(F.lit(1).alias("__g")).agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    ).drop("__g")
+    withm = ranked.crossJoin(F.broadcast(m_row))
+    crit = (
+        F.col("p_rank").cast("double")
+        * F.lit(float(alpha))
+        / F.col("m").cast("double")
+    )
+    flagged = withm.withColumn("__crit", crit).withColumn(
+        "__flag", F.col("__p") <= F.col("__crit")
+    )
+    kstar = flagged.groupBy(F.lit(1).alias("__g")).agg(
+        F.coalesce(
+            F.max(F.when(F.col("__flag"), F.col("p_rank"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("__kstar")
+    ).drop("__g")
+    return flagged.crossJoin(F.broadcast(kstar)).select(
+        *ks,
+        F.col("__p").alias("p_value"),
+        "p_rank",
+        "m",
+        dround(F.col("__crit"), 8).alias("bh_critical"),
+        (F.col("p_rank") <= F.col("__kstar")).alias("rejected"),
+    )

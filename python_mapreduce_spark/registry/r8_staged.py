@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_mapreduce_spark.functions.scalar import dround, sql_dround
+from python_mapreduce_spark.functions.scalar import (
+    dround,
+    sql_dround,
+    sql_normal_sf_approx,
+)
 from python_mapreduce_spark.registry import Query
 from python_mapreduce_spark.registry._util import table
 
@@ -1061,4 +1065,106 @@ QUERIES["q_autocorr"] = Query(
     q_autocorr,
     SQL_AUTOCORR,
     "daily-revenue autocorrelation at lags 1-7 via exploded equi-join",
+)
+
+
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benjamini-Hochberg FDR over per-source language-share screens
+    # (operators/aggregates.py::bh_fdr): each source's English share is
+    # z-tested against the corpus rate, p-values come from the erf-free
+    # Lin tail approximation QUANTIZED to 1e-8 on both engines, and the
+    # step-up cutoff rejects with FDR <= 0.05 — the multiple-testing
+    # guard for any per-segment test fan-out. NULL sources are excluded
+    # (NULL rank tiebreaks order differently across engines).
+    from python_mapreduce_spark.functions.scalar import dround, normal_sf_approx  # noqa: PLC0415
+    from python_mapreduce_spark.operators.aggregates import bh_fdr  # noqa: PLC0415
+
+    d = table(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("k_s"),
+    )
+    tot = per.agg(
+        F.sum("n_s").cast("double").alias("__n"),
+        F.sum("k_s").cast("double").alias("__k"),
+    )
+    w = per.crossJoin(F.broadcast(tot))
+    p0 = F.col("__k") / F.col("__n")
+    nsd = F.col("n_s").cast("double")
+    z = F.when(
+        (F.col("n_s") > 0) & (F.col("__k") > 0) & (F.col("__k") < F.col("__n")),
+        (F.col("k_s").cast("double") / nsd - p0)
+        / F.sqrt(p0 * (F.lit(1.0) - p0) / nsd),
+    )
+    pv = dround(
+        F.when(
+            z.isNotNull(),
+            F.least(
+                F.lit(1.0), F.lit(2.0) * normal_sf_approx(F.abs(z))
+            ),
+        ),
+        8,
+    )
+    hyp = w.select("source", pv.alias("pv"))
+    return bh_fdr(hyp, ["source"], "pv", alpha=0.05)
+
+
+SQL_BH_FDR = f"""
+WITH docs AS (
+  SELECT source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+  FROM documents WHERE source IS NOT NULL
+),
+per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+         CAST(SUM(is_en) AS BIGINT) AS k_s
+  FROM docs GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_s) AS DOUBLE) AS n, CAST(SUM(k_s) AS DOUBLE) AS k
+  FROM per
+),
+zt AS (
+  SELECT source,
+         CASE WHEN n_s > 0 AND k > 0 AND k < n THEN
+           (CAST(k_s AS DOUBLE) / CAST(n_s AS DOUBLE) - k / n)
+           / sqrt((k / n) * (1.0 - k / n) / CAST(n_s AS DOUBLE))
+         END AS z
+  FROM per CROSS JOIN tot
+),
+p AS (
+  SELECT source,
+         CASE WHEN z IS NOT NULL THEN
+           {sql_dround('least(1.0, 2.0 * ' + sql_normal_sf_approx('abs(z)') + ')', 8)}
+         END AS pv
+  FROM zt
+),
+ranked AS (
+  SELECT source, pv,
+         row_number() OVER (ORDER BY pv, source) AS p_rank,
+         COUNT(*) OVER () AS m
+  FROM p WHERE pv IS NOT NULL
+),
+flagged AS (
+  SELECT source, pv, p_rank, m,
+         CAST(p_rank AS DOUBLE) * 0.05 / CAST(m AS DOUBLE) AS crit,
+         pv <= CAST(p_rank AS DOUBLE) * 0.05 / CAST(m AS DOUBLE) AS flag
+  FROM ranked
+),
+kstar AS (
+  SELECT coalesce(MAX(CASE WHEN flag THEN p_rank END), 0) AS ks
+  FROM flagged
+)
+SELECT source, pv AS p_value, CAST(p_rank AS BIGINT) AS p_rank,
+       CAST(m AS BIGINT) AS m,
+       {sql_dround('crit', 8)} AS bh_critical,
+       p_rank <= ks AS rejected
+FROM flagged CROSS JOIN kstar
+"""
+
+QUERIES["q_bh_fdr"] = Query(
+    q_bh_fdr,
+    SQL_BH_FDR,
+    "BH step-up FDR over per-source language-share z screens",
 )

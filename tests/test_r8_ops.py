@@ -929,3 +929,64 @@ def test_autocorrelation_gaps_and_degenerate(spark):
     # Empty input: no rows at all.
     df3 = spark.createDataFrame([], "p long, x double")
     assert autocorrelation(df3, "p", "x").count() == 0
+
+
+# -------------------------------------------------------- BH FDR
+
+
+def _bh_replay(ps: list[float], alpha: float):
+    order = sorted(range(len(ps)), key=lambda i: ps[i])
+    m = len(ps)
+    kstar = 0
+    for rank, i in enumerate(order, start=1):
+        if ps[i] <= rank * alpha / m:
+            kstar = rank
+    rejected = [False] * m
+    for rank, i in enumerate(order, start=1):
+        if rank <= kstar:
+            rejected[i] = True
+    return rejected
+
+
+def test_bh_fdr_matches_replay(spark):
+    from python_mapreduce_spark.operators.aggregates import bh_fdr
+
+    rng = random.Random(61)
+    # A mix of strong signals, weak signals, and nulls-under-H0 —
+    # including the classic BH quirk where a later rank rescues an
+    # earlier p that fails its own critical value.
+    ps = (
+        [round(rng.uniform(0, 0.002), 6) for _ in range(5)]
+        + [0.012, 0.013, 0.014]
+        + [round(rng.uniform(0.2, 1.0), 6) for _ in range(12)]
+    )
+    rows = [(f"h{i:02d}", p) for i, p in enumerate(ps)]
+    df = spark.createDataFrame(rows, "h string, p double")
+    got = {r.h: r for r in bh_fdr(df, ["h"], "p", alpha=0.05).collect()}
+    want = _bh_replay(ps, 0.05)
+    assert len(got) == 20
+    for i, rej in enumerate(want):
+        assert got[f"h{i:02d}"].rejected == rej, (i, ps[i])
+    assert got["h00"].m == 20
+    # Ranks are a permutation of 1..m.
+    assert sorted(r.p_rank for r in got.values()) == list(range(1, 21))
+
+
+def test_bh_fdr_degenerate(spark):
+    from python_mapreduce_spark.operators.aggregates import bh_fdr
+
+    # No p below any critical value: nothing rejected.
+    df = spark.createDataFrame(
+        [("a", 0.9), ("b", 0.8), ("c", None)], "h string, p double"
+    )
+    got = bh_fdr(df, ["h"], "p").collect()
+    assert len(got) == 2  # NULL p excluded
+    assert not any(r.rejected for r in got)
+    # All tiny: everything rejected.
+    df2 = spark.createDataFrame(
+        [(f"h{i}", 1e-6) for i in range(4)], "h string, p double"
+    )
+    assert all(r.rejected for r in bh_fdr(df2, ["h"], "p").collect())
+    # Empty input: zero rows.
+    df3 = spark.createDataFrame([], "h string, p double")
+    assert bh_fdr(df3, ["h"], "p").count() == 0
