@@ -10,12 +10,26 @@ registers them by importing ``QUERIES`` from this module into
 ``registry/__init__.all_queries()`` and appending the names behind the
 staleness block.
 
-Operators covered: one-way ANOVA, Welch t-test, MAD robust outliers,
-batch CUSUM change-points, Fellegi-Sunter linkage weights, and the
-streaming CUSUM monitor (oracle = the batch prefix form replayed in
-SQL). Mutual information is NOT here: the engine already ships it as
-q_mutual_info (registry/core.py) — a duplicate operator added this
-round was caught shadowing it and removed.
+Operators covered, batch 1: one-way ANOVA, Welch t-test, MAD robust
+outliers, batch CUSUM change-points, Fellegi-Sunter linkage weights,
+the streaming CUSUM monitor (oracle = the batch prefix form replayed
+in SQL), k-core (10-round unrolled peeling oracle), bias-corrected
+Cramér's V, and the exact trimmed mean. Mutual information is NOT
+here: the engine already ships it as q_mutual_info (registry/core.py)
+— a duplicate operator added this round was caught shadowing it and
+removed.
+
+Batch 2 (continuation session — same evidence bar: hash-green at
+sf0.001/0.01/0.1 AND on all four degenerate replicas via
+tools/check_staged.py, replay pytests in tests/test_r8_ops.py, plan
+audit in tests/test_r8_staged_plans.py): Mann-Whitney U and Spearman
+rho (both RANK-FREE — per-distinct-value counts + distributed running
+sums), Brown-Forsythe spread test, Jarque-Bera normality, the
+seasonal-naive forecast backtest (MAE/bias/RMSE/WAPE/sMAPE/MASE),
+market concentration (HHI/effective-N/CR4), the autocorrelation
+function, and Benjamini-Hochberg FDR control. If the round-8 rotation
+math cannot absorb all 17 registrations at once, split: register
+batch 1 (9) in round 8 and batch 2 (8) in round 9 — see R8_WIRING.md.
 """
 
 from __future__ import annotations
