@@ -3417,3 +3417,89 @@ def bh_fdr(
         dround(F.col("__crit"), 8).alias("bh_critical"),
         (F.col("p_rank") <= F.col("__kstar")).alias("rejected"),
     )
+
+
+def partial_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+) -> DataFrame:
+    """First-order partial correlation r_xy.z = (r_xy - r_xz * r_yz) /
+    sqrt((1 - r_xz^2) * (1 - r_yz^2)) — the confounder control that
+    answers "are x and y still related once z is held fixed", the step
+    :func:`correlation_matrix` profiling naturally leads to (a strong
+    pairwise corr often just reflects a shared driver). Rows are
+    LISTWISE complete (all three columns non-NULL), so the three
+    underlying correlations share one n and the formula is coherent.
+    Emits ONE row: n, r_xy, r_xz, r_yz, partial_r, and the t statistic
+    partial_r * sqrt((n-3) / (1-partial_r^2)) with NULL guards (n < 4,
+    any zero variance, |r| = 1 on a controlling edge). Beyond the
+    reference surface (SURVEY.md §2.2 north-star extensions).
+
+    Scale shape: ONE map-side-combined global aggregate of the nine
+    sufficient sums over a single scan — no shuffle beyond the 1-row
+    reduction. Determinism: the correlation_matrix recipe — inputs
+    round to 1e-4, every sum and product accumulates in
+    DECIMAL(38,8), and the closed form computes once in fixed IEEE
+    shape, rounded to 1e-6.
+    """
+    trip = [
+        ("x", F.col(x_col)),
+        ("y", F.col(y_col)),
+        ("z", F.col(z_col)),
+    ]
+    complete = df.filter(
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(z_col).isNotNull()
+    )
+    vals = {t: dround(c.cast("double"), 4) for t, c in trip}
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for t, _ in trip:
+        aggs.append(
+            F.sum(vals[t].cast("decimal(38,8)")).cast("double").alias(f"__s{t}")
+        )
+    for a, b in (("x", "y"), ("x", "z"), ("y", "z")):
+        aggs.append(
+            F.sum(dround(vals[a] * vals[b], 8).cast("decimal(38,8)"))
+            .cast("double")
+            .alias(f"__s{a}{b}")
+        )
+    for t, _ in trip:
+        aggs.append(
+            F.sum(dround(vals[t] * vals[t], 8).cast("decimal(38,8)"))
+            .cast("double")
+            .alias(f"__s{t}{t}")
+        )
+    # groupBy a literal: zero complete rows -> zero output rows (the
+    # statistic does not exist), matching the oracle's GROUP BY.
+    wide = complete.groupBy(F.lit(1).alias("__g")).agg(*aggs).drop("__g")
+    n = F.col("n").cast("double")
+
+    def r(a: str, b: str):
+        cov = n * F.col(f"__s{a}{b}") - F.col(f"__s{a}") * F.col(f"__s{b}")
+        va = n * F.col(f"__s{a}{a}") - F.col(f"__s{a}") * F.col(f"__s{a}")
+        vb = n * F.col(f"__s{b}{b}") - F.col(f"__s{b}") * F.col(f"__s{b}")
+        return F.when(
+            (F.col("n") >= 2) & (va > 0) & (vb > 0), cov / F.sqrt(va * vb)
+        )
+
+    rxy, rxz, ryz = r("x", "y"), r("x", "z"), r("y", "z")
+    denom = (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+    pr = F.when(
+        rxy.isNotNull() & rxz.isNotNull() & ryz.isNotNull() & (denom > 0),
+        (rxy - rxz * ryz) / F.sqrt(denom),
+    )
+    t_stat = F.when(
+        pr.isNotNull() & (F.col("n") > 3) & (F.abs(pr) < 1.0),
+        pr * F.sqrt((n - F.lit(3.0)) / (F.lit(1.0) - pr * pr)),
+    )
+    return wide.select(
+        "n",
+        dround(rxy, 6).alias("r_xy"),
+        dround(rxz, 6).alias("r_xz"),
+        dround(ryz, 6).alias("r_yz"),
+        dround(pr, 6).alias("partial_r"),
+        dround(t_stat, 6).alias("t_stat"),
+    )

@@ -1182,3 +1182,90 @@ QUERIES["q_bh_fdr"] = Query(
     SQL_BH_FDR,
     "BH step-up FDR over per-source language-share z screens",
 )
+
+
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Partial correlation (operators/aggregates.py::
+    # partial_correlation): is quantity still related to extended
+    # price once the discount is held fixed? The confounder-control
+    # step after q_corr_matrix profiling, from one 9-sum global agg.
+    from python_mapreduce_spark.operators.aggregates import partial_correlation  # noqa: PLC0415
+
+    return partial_correlation(
+        table(spark, sf_dir, "lineitem"),
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+
+
+_PC_R = {
+    pair: (
+        f"CASE WHEN n >= 2 AND CAST(n AS DOUBLE) * s{a}{a} - s{a} * s{a} > 0"
+        f" AND CAST(n AS DOUBLE) * s{b}{b} - s{b} * s{b} > 0 THEN"
+        f" (CAST(n AS DOUBLE) * s{a}{b} - s{a} * s{b})"
+        f" / sqrt((CAST(n AS DOUBLE) * s{a}{a} - s{a} * s{a})"
+        f" * (CAST(n AS DOUBLE) * s{b}{b} - s{b} * s{b})) END"
+    )
+    for pair, (a, b) in {
+        "rxy": ("x", "y"),
+        "rxz": ("x", "z"),
+        "ryz": ("y", "z"),
+    }.items()
+}
+
+SQL_PARTIAL_CORR = f"""
+WITH complete AS (
+  SELECT {sql_dround('CAST(l_quantity AS DOUBLE)', 4)} AS x,
+         {sql_dround('CAST(l_extendedprice AS DOUBLE)', 4)} AS y,
+         {sql_dround('CAST(l_discount AS DOUBLE)', 4)} AS z
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL
+),
+wide AS (
+  SELECT 1 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(z AS DECIMAL(38,8))) AS DOUBLE) AS sz,
+         CAST(SUM(CAST({sql_dround('x * y', 8)} AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST({sql_dround('x * z', 8)} AS DECIMAL(38,8))) AS DOUBLE) AS sxz,
+         CAST(SUM(CAST({sql_dround('y * z', 8)} AS DECIMAL(38,8))) AS DOUBLE) AS syz,
+         CAST(SUM(CAST({sql_dround('x * x', 8)} AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST({sql_dround('y * y', 8)} AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST({sql_dround('z * z', 8)} AS DECIMAL(38,8))) AS DOUBLE) AS szz
+  FROM complete GROUP BY g
+),
+r AS (
+  SELECT n,
+         {_PC_R['rxy']} AS rxy,
+         {_PC_R['rxz']} AS rxz,
+         {_PC_R['ryz']} AS ryz
+  FROM wide
+),
+p AS (
+  SELECT n, rxy, rxz, ryz,
+         CASE WHEN rxy IS NOT NULL AND rxz IS NOT NULL AND ryz IS NOT NULL
+               AND (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0 THEN
+           (rxy - rxz * ryz)
+           / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+         END AS pr
+  FROM r
+)
+SELECT n,
+       {sql_dround('rxy', 6)} AS r_xy,
+       {sql_dround('rxz', 6)} AS r_xz,
+       {sql_dround('ryz', 6)} AS r_yz,
+       {sql_dround('pr', 6)} AS partial_r,
+       CASE WHEN pr IS NOT NULL AND n > 3 AND abs(pr) < 1.0 THEN
+         {sql_dround(
+             'pr * sqrt((CAST(n AS DOUBLE) - 3.0) / (1.0 - pr * pr))', 6)}
+       END AS t_stat
+FROM p
+"""
+
+QUERIES["q_partial_corr"] = Query(
+    q_partial_corr,
+    SQL_PARTIAL_CORR,
+    "partial corr of quantity vs price controlling discount",
+)

@@ -990,3 +990,53 @@ def test_bh_fdr_degenerate(spark):
     # Empty input: zero rows.
     df3 = spark.createDataFrame([], "h string, p double")
     assert bh_fdr(df3, ["h"], "p").count() == 0
+
+
+# ------------------------------------------------ partial correlation
+
+
+def test_partial_corr_matches_replay(spark):
+    from python_mapreduce_spark.operators.aggregates import partial_correlation
+
+    rng = random.Random(67)
+    # x and y share the driver z: strong pairwise corr, weak partial.
+    zs = [round(rng.gauss(0, 1), 4) for _ in range(300)]
+    xs = [round(z * 2 + rng.gauss(0, 0.5), 4) for z in zs]
+    ys = [round(z * 3 + rng.gauss(0, 0.5), 4) for z in zs]
+    rows = list(zip(xs, ys, zs)) + [(None, 1.0, 1.0), (1.0, None, 1.0)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = partial_correlation(df, "x", "y", "z").first()
+
+    def corr(a, b):
+        n = len(a)
+        ma, mb = sum(a) / n, sum(b) / n
+        cov = sum((u - ma) * (v - mb) for u, v in zip(a, b))
+        va = sum((u - ma) ** 2 for u in a)
+        vb = sum((v - mb) ** 2 for v in b)
+        return cov / math.sqrt(va * vb)
+
+    rxy, rxz, ryz = corr(xs, ys), corr(xs, zs), corr(ys, zs)
+    pr = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
+    assert got.n == 300
+    assert abs(got.r_xy - rxy) < 1e-4
+    assert abs(got.partial_r - pr) < 1e-3
+    # The shared driver explains most of the pairwise correlation.
+    assert got.r_xy > 0.9 and abs(got.partial_r) < 0.5
+
+
+def test_partial_corr_degenerate(spark):
+    from python_mapreduce_spark.operators.aggregates import partial_correlation
+
+    # Constant z: controlling edge undefined -> partial NULL, r_xy fine.
+    df = spark.createDataFrame(
+        [(float(i), float(2 * i + (i % 2)), 1.0) for i in range(10)],
+        "x double, y double, z double",
+    )
+    got = partial_correlation(df, "x", "y", "z").first()
+    assert got.r_xy is not None and got.r_xz is None
+    assert got.partial_r is None and got.t_stat is None
+    # Zero complete rows -> zero output rows.
+    df2 = spark.createDataFrame(
+        [(1.0, 2.0, None)], "x double, y double, z double"
+    )
+    assert partial_correlation(df2, "x", "y", "z").count() == 0
