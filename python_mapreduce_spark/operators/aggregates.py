@@ -3503,3 +3503,96 @@ def partial_correlation(
         dround(pr, 6).alias("partial_r"),
         dround(t_stat, 6).alias("t_stat"),
     )
+
+
+def ols_influence(
+    df: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    cooks_cutoff: float | None = None,
+) -> DataFrame:
+    """Regression influence audit for the per-group simple OLS fit
+    (:func:`group_ols`): for every observation, leverage h = 1/n +
+    (x - xbar)^2 / Sxx, the standardized residual r = e / sqrt(MSE *
+    (1 - h)), and Cook's distance D = r^2/2 * h/(1 - h) — then emit
+    ONLY the observations with D above the cutoff (default the classic
+    4/n rule). This is the "which points are writing the trend line"
+    check a fitted slope should always ship with: a segment whose
+    growth rate rests on one influential month is a data-quality
+    finding, not a trend. Groups where influence is undefined — n <= 2
+    (no residual df), zero x-variance, or a perfect fit (MSE = 0,
+    nothing can distort it) — flag nothing. Beyond the reference
+    surface (SURVEY.md §2.2 north-star extensions).
+
+    Scale shape: one map-side-combined group agg of the six OLS
+    sufficient sums, equi-joined back to the rows (k-group frame, one
+    shuffle each side), then pure per-row codegen arithmetic and a
+    selective filter — output is influential points only, never the
+    input row count.
+
+    Determinism: the correlation_matrix recipe — inputs round to 1e-4
+    and the sums accumulate in DECIMAL(38,8); every per-row statistic
+    computes in one fixed IEEE shape from identical doubles, rounded
+    to 1e-6. Keep |x*y| under ~9e9 (dround-8's long-floor bound) —
+    rebase indices and rescale money-sized y (e.g. to millions)
+    before calling, as q_ols_influence does.
+    """
+    ks = list(keys)
+    x = dround(F.col(x_col).cast("double"), 4)
+    y = dround(F.col(y_col).cast("double"), 4)
+    base = df.select(
+        *ks, F.col(id_col).alias("id"), x.alias("__x"), y.alias("__y")
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    stats = base.groupBy(*ks).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("__x").cast("decimal(38,8)")).cast("double").alias("__sx"),
+        F.sum(F.col("__y").cast("decimal(38,8)")).cast("double").alias("__sy"),
+        F.sum(dround(F.col("__x") * F.col("__y"), 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("__sxy"),
+        F.sum(dround(F.col("__x") * F.col("__x"), 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("__sxx"),
+        F.sum(dround(F.col("__y") * F.col("__y"), 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("__syy"),
+    )
+    n_d = F.col("__n").cast("double")
+    sxx_c = F.col("__sxx") - F.col("__sx") * F.col("__sx") / n_d
+    slope = (F.col("__sxy") - F.col("__sx") * F.col("__sy") / n_d) / sxx_c
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / n_d
+    sse = (
+        F.col("__syy")
+        - intercept * F.col("__sy")
+        - slope * F.col("__sxy")
+    )
+    mse = sse / (n_d - F.lit(2.0))
+    j = base.join(stats, ks)
+    h = F.lit(1.0) / n_d + (
+        (F.col("__x") - F.col("__sx") / n_d)
+        * (F.col("__x") - F.col("__sx") / n_d)
+    ) / sxx_c
+    e = F.col("__y") - (intercept + slope * F.col("__x"))
+    ok = (F.col("__n") > 2) & (sxx_c > 0) & (mse > 0) & (h < 1.0)
+    sr = e / F.sqrt(mse * (F.lit(1.0) - h))
+    cooks = sr * sr / F.lit(2.0) * (h / (F.lit(1.0) - h))
+    cutoff = (
+        F.lit(float(cooks_cutoff))
+        if cooks_cutoff is not None
+        else F.lit(4.0) / n_d
+    )
+    return (
+        j.filter(ok & (cooks > cutoff))
+        .select(
+            *ks,
+            "id",
+            F.col("__x").alias("x"),
+            F.col("__y").alias("y"),
+            dround(h, 6).alias("leverage"),
+            dround(sr, 6).alias("std_resid"),
+            dround(cooks, 6).alias("cooks_d"),
+        )
+    )

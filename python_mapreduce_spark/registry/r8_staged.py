@@ -1269,3 +1269,112 @@ QUERIES["q_partial_corr"] = Query(
     SQL_PARTIAL_CORR,
     "partial corr of quantity vs price controlling discount",
 )
+
+
+def q_ols_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Regression influence audit (operators/aggregates.py::
+    # ols_influence): which months are WRITING each priority's monthly
+    # revenue trend line? Cook's D > 4/n over the per-priority OLS of
+    # monthly revenue (rescaled to $M and a rebased month index — the
+    # dround-8 long-floor envelope) — the data-quality check a fitted
+    # slope (q_group_ols) should ship with.
+    from python_mapreduce_spark.operators.aggregates import ols_influence  # noqa: PLC0415
+
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(
+        F.col("o_totalprice").cast("double") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    series = (
+        o.filter(
+            F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+        )
+        .groupBy(
+            "o_orderpriority",
+            (
+                (F.year("o_orderdate") - F.lit(1995)) * F.lit(12)
+                + F.month("o_orderdate")
+            )
+            .cast("long")
+            .alias("midx"),
+        )
+        .agg((F.sum(cents).cast("double") / F.lit(1e8)).alias("ym"))
+    )
+    return ols_influence(series, ["o_orderpriority"], "midx", "midx", "ym")
+
+
+SQL_OLS_INFLUENCE = f"""
+WITH series AS (
+  SELECT o_orderpriority AS g,
+         CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate)
+              AS BIGINT) AS midx,
+         CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5)
+                       AS BIGINT)) AS DOUBLE) / 100000000.0 AS ym
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT g, midx AS id,
+         {sql_dround('CAST(midx AS DOUBLE)', 4)} AS x,
+         {sql_dround('ym', 4)} AS y
+  FROM series
+),
+stats AS (
+  SELECT g AS sg, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST({sql_dround('x * y', 8)} AS DECIMAL(38,8)))
+              AS DOUBLE) AS sxy,
+         CAST(SUM(CAST({sql_dround('x * x', 8)} AS DECIMAL(38,8)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST({sql_dround('y * y', 8)} AS DECIMAL(38,8)))
+              AS DOUBLE) AS syy
+  FROM base GROUP BY g
+),
+fit AS (
+  SELECT sg, n, sx, sy, sxy, sxx, syy,
+         sxx - sx * sx / CAST(n AS DOUBLE) AS sxxc,
+         (sxy - sx * sy / CAST(n AS DOUBLE))
+           / (sxx - sx * sx / CAST(n AS DOUBLE)) AS slope
+  FROM stats
+),
+fit2 AS (
+  SELECT *, (sy - slope * sx) / CAST(n AS DOUBLE) AS icpt FROM fit
+),
+fit3 AS (
+  SELECT *,
+         (syy - icpt * sy - slope * sxy) / (CAST(n AS DOUBLE) - 2.0) AS mse
+  FROM fit2
+),
+perrow AS (
+  SELECT b.g, b.id, b.x, b.y, f.n, f.sxxc, f.mse,
+         1.0 / CAST(f.n AS DOUBLE)
+           + (b.x - f.sx / CAST(f.n AS DOUBLE))
+           * (b.x - f.sx / CAST(f.n AS DOUBLE)) / f.sxxc AS h,
+         b.y - (f.icpt + f.slope * b.x) AS e
+  FROM base b JOIN fit3 f ON b.g = f.sg
+),
+calc AS (
+  SELECT g, id, x, y, n, sxxc, mse, h,
+         e / sqrt(mse * (1.0 - h)) AS sr
+  FROM perrow
+),
+flagged AS (
+  SELECT g, id, x, y, n, sxxc, mse, h, sr,
+         sr * sr / 2.0 * (h / (1.0 - h)) AS cooks
+  FROM calc
+)
+SELECT g AS o_orderpriority, id, x, y,
+       {sql_dround('h', 6)} AS leverage,
+       {sql_dround('sr', 6)} AS std_resid,
+       {sql_dround('cooks', 6)} AS cooks_d
+FROM flagged
+WHERE n > 2 AND sxxc > 0 AND mse > 0 AND h < 1.0
+  AND cooks > 4.0 / CAST(n AS DOUBLE)
+"""
+
+QUERIES["q_ols_influence"] = Query(
+    q_ols_influence,
+    SQL_OLS_INFLUENCE,
+    "Cook's D influence audit of per-priority revenue trends",
+)

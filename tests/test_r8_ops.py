@@ -1040,3 +1040,66 @@ def test_partial_corr_degenerate(spark):
         [(1.0, 2.0, None)], "x double, y double, z double"
     )
     assert partial_correlation(df2, "x", "y", "z").count() == 0
+
+
+# ---------------------------------------------------- OLS influence
+
+
+def _ols_influence_replay(pts: list[tuple[float, float]]):
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    xbar = sx / n
+    sxx_c = sum((p[0] - xbar) ** 2 for p in pts)
+    slope = sum((p[0] - xbar) * (p[1] - sy / n) for p in pts) / sxx_c
+    icpt = sy / n - slope * xbar
+    sse = sum((p[1] - icpt - slope * p[0]) ** 2 for p in pts)
+    mse = sse / (n - 2)
+    out = {}
+    for x, y in pts:
+        h = 1 / n + (x - xbar) ** 2 / sxx_c
+        sr = (y - icpt - slope * x) / math.sqrt(mse * (1 - h))
+        out[x] = (h, sr, sr * sr / 2 * (h / (1 - h)))
+    return out
+
+
+def test_ols_influence_matches_replay(spark):
+    from python_mapreduce_spark.operators.aggregates import ols_influence
+
+    rng = random.Random(71)
+    pts = [(float(i), round(2.0 * i + 5 + rng.gauss(0, 0.5), 4)) for i in range(30)]
+    pts[17] = (17.0, pts[17][1] + 12.0)  # one gross outlier mid-series
+    rows = [("k", int(x), x, y) for x, y in pts]
+    df = spark.createDataFrame(rows, "g string, id long, x double, y double")
+    got = {r.id: r for r in ols_influence(df, ["g"], "id", "x", "y").collect()}
+    want = _ols_influence_replay(pts)
+    flagged = {int(x) for x, (h, sr, d) in want.items() if d > 4.0 / len(pts)}
+    assert set(got) == flagged and 17 in flagged
+    for i in flagged:
+        h, sr, d = want[float(i)]
+        assert abs(got[i].leverage - h) < 1e-5
+        assert abs(got[i].std_resid - sr) < 1e-3
+        assert abs(got[i].cooks_d - d) < 1e-3
+
+
+def test_ols_influence_degenerate(spark):
+    from python_mapreduce_spark.operators.aggregates import ols_influence
+
+    # Perfect fit: MSE = 0 -> nothing can distort, nothing flagged.
+    df = spark.createDataFrame(
+        [("k", i, float(i), 3.0 * i + 1) for i in range(10)],
+        "g string, id long, x double, y double",
+    )
+    assert ols_influence(df, ["g"], "id", "x", "y").count() == 0
+    # n = 2: no residual df -> nothing flagged.
+    df2 = spark.createDataFrame(
+        [("k", 0, 0.0, 1.0), ("k", 1, 1.0, 9.0)],
+        "g string, id long, x double, y double",
+    )
+    assert ols_influence(df2, ["g"], "id", "x", "y").count() == 0
+    # Constant x: no fit at all.
+    df3 = spark.createDataFrame(
+        [("k", i, 5.0, float(i)) for i in range(6)],
+        "g string, id long, x double, y double",
+    )
+    assert ols_influence(df3, ["g"], "id", "x", "y").count() == 0
