@@ -2861,3 +2861,118 @@ def test_cusum_prefix_form_equals_sequential_recurrence(
         assert abs(row.cusum_pos - sp) < 1e-6
         assert abs(row.cusum_neg - sn) < 1e-6
         assert row.alarm == (row.cusum_pos > 4.0 or row.cusum_neg > 4.0)
+
+
+# ---------------------------------------------------------------------------
+# Rank-free rank statistics (round-7 continuation staging): the
+# distinct-value running-sum formulation must agree with a brute-force
+# sort-and-average-ranks replay on ARBITRARY tie shapes — all-distinct,
+# all-tied, and everything between (integer grids force heavy ties).
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    xa=st.lists(st.integers(0, 8), min_size=1, max_size=25),
+    xb=st.lists(st.integers(0, 8), min_size=1, max_size=25),
+)
+def test_mannwhitney_u_matches_bruteforce_on_any_tie_shape(spark, xa, xb):
+    from python_mapreduce_spark.operators.aggregates import mann_whitney_u
+
+    rows = [("a", float(v)) for v in xa] + [("b", float(v)) for v in xb]
+    df = spark.createDataFrame(rows, "s string, x double")
+    got = mann_whitney_u(df, "s", "x", a="a", b="b").first()
+
+    allv = sorted([(v, 0) for v in xa] + [(v, 1) for v in xb])
+    r_a = 0.0
+    i = 0
+    while i < len(allv):
+        j = i
+        while j < len(allv) and allv[j][0] == allv[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        r_a += avg * sum(1 for t in range(i, j) if allv[t][1] == 0)
+        i = j
+    u_a = r_a - len(xa) * (len(xa) + 1) / 2.0
+    assert got.n_a == len(xa) and got.n_b == len(xb)
+    assert abs(got.u_a - u_a) < 1e-9
+    assert abs(got.u_b - (len(xa) * len(xb) - u_a)) < 1e-9
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_spearman_matches_scipy_style_avg_rank_replay(spark, pts):
+    from python_mapreduce_spark.operators.aggregates import spearman_corr
+
+    xs = [float(x) for x, _ in pts]
+    ys = [float(y) for _, y in pts]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    got = spearman_corr(df, "x", "y", x_scale=1.0, y_scale=1.0).first()
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(vals):
+            j = i
+            while j < len(vals) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            for t in range(i, j):
+                ranks[order[t]] = (i + 1 + j) / 2.0
+            i = j
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    vx = sum((a - mx) ** 2 for a in rx)
+    vy = sum((b - my) ** 2 for b in ry)
+    if vx <= 0 or vy <= 0:
+        assert got.spearman_rho is None
+    else:
+        cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        assert abs(got.spearman_rho - cov / (vx * vy) ** 0.5) < 1e-5
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ps=st.lists(
+        st.floats(0.0, 1.0, allow_nan=False, width=32),
+        min_size=1,
+        max_size=30,
+    ),
+    alpha=st.sampled_from([0.01, 0.05, 0.2]),
+)
+def test_bh_fdr_rejection_set_matches_step_up_definition(spark, ps, alpha):
+    from python_mapreduce_spark.operators.aggregates import bh_fdr
+
+    ps = [round(p, 6) for p in ps]
+    rows = [(f"h{i:03d}", p) for i, p in enumerate(ps)]
+    df = spark.createDataFrame(rows, "h string, p double")
+    got = {r.h: r.rejected for r in bh_fdr(df, ["h"], "p", alpha=alpha).collect()}
+
+    m = len(ps)
+    order = sorted(range(m), key=lambda i: (ps[i], f"h{i:03d}"))
+    kstar = 0
+    for rank, i in enumerate(order, start=1):
+        if ps[i] <= rank * alpha / m:
+            kstar = rank
+    for rank, i in enumerate(order, start=1):
+        assert got[f"h{i:03d}"] == (rank <= kstar), (rank, ps[i], alpha)
