@@ -1554,3 +1554,95 @@ def heaps_law(
         dround(beta, 4).alias("beta"),
         dround((F.col("__sy") - beta * F.col("__sx")) / n, 4).alias("intercept"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval scoring: rank the corpus against a fixed query
+    with the Lucene-style non-negative Okapi BM25 — idf(t) =
+    ln(1 + (N - df + 0.5)/(df + 0.5)), contribution = idf * tf*(k1+1) /
+    (tf + k1*(1 - b + b*dl/avgdl)) — the ranking function behind every
+    practical keyword-retrieval baseline, completing the retrieval
+    stack next to :func:`tfidf_topk` (doc keywords) and the dense ANN
+    path (llm/similarity.py); the lexical half a hybrid retriever
+    needs. Emits the top-``k`` docs as an unordered set (the driver
+    hash is order-insensitive): (id, matched_terms, dl, score); ties
+    at the cut break by (score DESC, id ASC) — a total order, so the
+    SET is deterministic. Docs matching no query term never appear;
+    NULL text = the empty document (house rule) and can never match.
+    Beyond the reference surface (SURVEY.md §2.2 north-star
+    extensions).
+
+    Scale shape: term frequencies aggregate keyed by (doc, term) and
+    doc lengths by doc (both map-side-combined, one tokenize pass —
+    the tf frame is lazily localCheckpoint'ed because tf, dl, AND df
+    all consume it); the query-term filter cuts the tf frame to
+    |query| terms BEFORE any join, df for those terms is a |query|-row
+    broadcast, avgdl a 1-row broadcast, and the final cut is
+    orderBy+limit (TakeOrderedAndProject — no full sort, no window).
+
+    Determinism: tf, dl, df, N are exact integers; avgdl and each
+    per-term contribution compute in one fixed IEEE shape from them,
+    identical on both engines — but the PER-DOC sum of contributions
+    would be partition-order-dependent as a raw double sum, so each
+    contribution quantizes to 1e-6 and accumulates in DECIMAL(38,6)
+    (the sMAPE-term pattern); the order-by key is that exact decimal
+    score and the emitted score rounds to 1e-4.
+    """
+    qt = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    tf = tf.localCheckpoint(eager=False)
+    dl = tf.groupBy("id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("__nd"),
+        F.sum("dl").cast("double").alias("__tok"),
+    )
+    n_docs = df.select(F.count(F.lit(1)).cast("long").alias("__n"))
+    qtf = tf.filter(F.col("term").isin(qt))
+    dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    j = (
+        qtf.join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(n_docs))
+    )
+    avgdl = F.col("__tok") / F.col("__nd").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    contrib = idf * tf_d * F.lit(float(k1) + 1.0) / (
+        tf_d
+        + F.lit(float(k1))
+        * (
+            F.lit(1.0 - float(b))
+            + F.lit(float(b)) * F.col("dl").cast("double") / avgdl
+        )
+    )
+    scored = j.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("matched_terms"),
+        F.max("dl").alias("dl"),
+        F.sum(dround(contrib, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("__score"),
+    )
+    return (
+        scored.orderBy(F.col("__score").desc(), F.col("id").asc())
+        .limit(int(k))
+        .select("id", "matched_terms", "dl", dround(F.col("__score"), 4).alias("score"))
+    )

@@ -1381,3 +1381,76 @@ QUERIES["q_ols_influence"] = Query(
     SQL_OLS_INFLUENCE,
     "Cook's D influence audit of per-priority revenue trends",
 )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BM25 retrieval (llm/text.py::bm25_topk): top-10 docs for the
+    # query {merge, window, stream} under Lucene-style Okapi BM25 —
+    # the lexical half of a hybrid retriever, next to TF-IDF keywords
+    # and the dense ANN path. Per-term contributions quantize to 1e-6
+    # into a DECIMAL sum so the per-doc score (and thus the top-k SET)
+    # is partition-order-independent; the cut is orderBy+limit
+    # (TakeOrderedAndProject), no window.
+    from python_mapreduce_spark.llm.text import bm25_topk  # noqa: PLC0415
+
+    return bm25_topk(
+        table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        ["merge", "window", "stream"],
+        k=10,
+    )
+
+
+SQL_BM25_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'))
+           AS term
+  FROM documents
+),
+tf AS (
+  SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+),
+dl AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS DOUBLE) AS tok
+  FROM dl
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+qtf AS (SELECT * FROM tf WHERE term IN ('merge', 'window', 'stream')),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY 1
+),
+j AS (
+  SELECT q.id, q.tf, d.df, l.dl, s.nd, s.tok, nn.n
+  FROM qtf q
+  JOIN dfreq d USING (term)
+  JOIN dl l ON q.id = l.id
+  CROSS JOIN stats s CROSS JOIN nn
+),
+contrib AS (
+  SELECT id, dl,
+         {sql_dround(
+             'ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))'
+             ' * CAST(tf AS DOUBLE) * 2.2'
+             ' / (CAST(tf AS DOUBLE) + 1.2 * (0.25'
+             ' + 0.75 * CAST(dl AS DOUBLE) / (tok / CAST(nd AS DOUBLE))))',
+             6)} AS c
+  FROM j
+),
+scored AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS matched_terms,
+         CAST(MAX(dl) AS BIGINT) AS dl,
+         CAST(SUM(CAST(c AS DECIMAL(38,6))) AS DOUBLE) AS score_raw
+  FROM contrib GROUP BY id
+)
+SELECT id, matched_terms, dl, {sql_dround('score_raw', 4)} AS score
+FROM scored ORDER BY score_raw DESC, id ASC LIMIT 10
+"""
+
+QUERIES["q_bm25_topk"] = Query(
+    q_bm25_topk,
+    SQL_BM25_TOPK,
+    "Okapi BM25 top-10 for {merge, window, stream}",
+)

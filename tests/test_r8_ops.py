@@ -1103,3 +1103,71 @@ def test_ols_influence_degenerate(spark):
         "g string, id long, x double, y double",
     )
     assert ols_influence(df3, ["g"], "id", "x", "y").count() == 0
+
+
+# ------------------------------------------------------------ BM25
+
+
+def _bm25_replay(docs: dict[int, str], query: list[str], k1=1.2, b=0.75):
+    import re
+
+    toks = {i: re.findall(r"[a-z]+", (t or "").lower()) for i, t in docs.items()}
+    dl = {i: len(ts) for i, ts in toks.items() if ts}
+    n = len(docs)
+    avgdl = sum(dl.values()) / len(dl)
+    df = {
+        q: sum(1 for ts in toks.values() if q in ts) for q in query
+    }
+    scores = {}
+    for i, ts in toks.items():
+        s, m = 0.0, 0
+        for q in query:
+            tf = ts.count(q)
+            if tf == 0:
+                continue
+            m += 1
+            idf = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl[i] / avgdl))
+        if m:
+            scores[i] = (s, m)
+    return scores
+
+
+def test_bm25_matches_replay(spark):
+    from python_mapreduce_spark.llm.text import bm25_topk
+
+    rng = random.Random(73)
+    vocab = ["alpha", "beta", "gamma", "delta", "merge", "stream"]
+    docs = {
+        i: " ".join(rng.choices(vocab, k=rng.randint(3, 25)))
+        for i in range(40)
+    }
+    docs[40] = None  # NULL text: the empty document, never matches
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    got = {
+        r.id: r for r in bm25_topk(df, "doc_id", "text", ["merge", "stream"], k=8).collect()
+    }
+    want = _bm25_replay(docs, ["merge", "stream"])
+    top = sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))[:8]
+    assert set(got) == {i for i, _ in top}
+    for i, (s, m) in top:
+        assert abs(got[i].score - s) < 1e-3, i
+        assert got[i].matched_terms == m
+
+
+def test_bm25_edges(spark):
+    from python_mapreduce_spark.llm.text import bm25_topk
+
+    # No doc contains any query term: empty result.
+    df = spark.createDataFrame(
+        [(1, "aaa bbb"), (2, "ccc")], "doc_id long, text string"
+    )
+    assert bm25_topk(df, "doc_id", "text", ["zzz"], k=5).count() == 0
+    # Exact ties (identical docs): the k-cut keeps the smallest ids.
+    df2 = spark.createDataFrame(
+        [(i, "merge merge base") for i in range(6)], "doc_id long, text string"
+    )
+    got = bm25_topk(df2, "doc_id", "text", ["merge"], k=3).collect()
+    assert sorted(r.id for r in got) == [0, 1, 2]
