@@ -3596,3 +3596,100 @@ def ols_influence(
             dround(cooks, 6).alias("cooks_d"),
         )
     )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    *,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit — the third privacy release gate after
+    :func:`k_anonymity_audit` (group size) and :func:`l_diversity_audit`
+    (distinct sensitive values): a group can be large AND diverse yet
+    still leak if its sensitive-value DISTRIBUTION deviates from the
+    table's (e.g. a group that is 95% one diagnosis against a 10%
+    base rate). For categorical sensitive attributes the
+    ground-distance-free EMD is the total variation distance
+    TVD_g = 0.5 * sum_c |p_gc - q_c|; the gate requires max_g TVD <=
+    ``t``. Emits ONE row: (n_rows, n_groups, max_tvd,
+    n_groups_above_t, n_rows_above_t, rows_above_t_share, t_close).
+    NULL quasi-values are buckets and a NULL sensitive value is its
+    OWN category (it is distribution mass, unlike l-diversity's
+    distinct count which ignores it — both rules documented there).
+    Empty input emits ZERO rows (the grouped-agg convention).
+
+    Scale shape: one (quasi..., sensitive) hash agg, one sensitive-
+    keyed global category frame BROADCAST onto it (sensitive
+    cardinality is category-sized by definition), one per-group
+    re-agg, one final 1-row re-agg — single scan, nothing row-sized
+    twice. The absent-category mass needs no anti-join:
+    sum_absent q_c = 1 - sum_present q_c, so
+    TVD = 0.5 * (sum_present |p - q| + (1 - sum_present q)).
+
+    Determinism: p and q divide exact longs; the per-category terms
+    quantize to 1e-8 into DECIMAL(38,8) sums (category order is
+    partition-dependent), and the closed form computes once in fixed
+    IEEE shape, rounded 1e-6.
+    """
+    qs = list(quasi_cols)
+    if not qs:
+        raise ValueError("t_closeness_audit needs at least one quasi-identifier column")
+    cell = df.groupBy(*qs, F.col(sensitive_col).alias("__s")).agg(
+        F.count(F.lit(1)).cast("long").alias("__nc")
+    )
+    glob = cell.groupBy(F.col("__s").alias("__s2")).agg(
+        F.sum("__nc").cast("long").alias("__ng")
+    )
+    tot = glob.agg(F.sum("__ng").cast("long").alias("__tot"))
+    # NULL-SAFE joins throughout: a NULL sensitive value is a category
+    # and NULL quasi-values are buckets — a plain equi-join would drop
+    # exactly those rows (NULL != NULL) and silently understate TVD.
+    j = (
+        cell.join(F.broadcast(glob), F.col("__s").eqNullSafe(F.col("__s2")))
+        .drop("__s2")
+        .crossJoin(F.broadcast(tot))
+    )
+    gsize = cell.groupBy(*[F.col(c).alias(f"__q_{c}") for c in qs]).agg(
+        F.sum("__nc").cast("long").alias("__n")
+    )
+    cond = None
+    for c in qs:
+        e = F.col(c).eqNullSafe(F.col(f"__q_{c}"))
+        cond = e if cond is None else (cond & e)
+    j = j.join(gsize, cond).drop(*[f"__q_{c}" for c in qs])
+    p = F.col("__nc").cast("double") / F.col("__n").cast("double")
+    q = F.col("__ng").cast("double") / F.col("__tot").cast("double")
+    per_group = j.groupBy(*qs).agg(
+        F.max("__n").alias("__n"),
+        F.sum(dround(F.abs(p - q), 8).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("__s1"),
+        F.sum(dround(q, 8).cast("decimal(38,8)")).cast("double").alias("__sq"),
+    )
+    tvd = F.lit(0.5) * (
+        F.col("__s1") + (F.lit(1.0) - F.col("__sq"))
+    )
+    flagged = per_group.withColumn("__tvd", tvd).withColumn(
+        "__above", F.col("__tvd") > F.lit(float(t))
+    )
+    return flagged.groupBy(F.lit(1).alias("__g")).agg(
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.max("__tvd").alias("__max_tvd"),
+        F.sum(F.col("__above").cast("long")).cast("long").alias("n_groups_above_t"),
+        F.sum(F.when(F.col("__above"), F.col("__n")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_above_t"),
+    ).select(
+        "n_rows",
+        "n_groups",
+        dround(F.col("__max_tvd"), 6).alias("max_tvd"),
+        "n_groups_above_t",
+        "n_rows_above_t",
+        dround(
+            F.col("n_rows_above_t") / F.col("n_rows").cast("double"), 6
+        ).alias("rows_above_t_share"),
+        (F.col("n_groups_above_t") == 0).alias("t_close"),
+    )

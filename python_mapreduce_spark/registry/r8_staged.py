@@ -1454,3 +1454,79 @@ QUERIES["q_bm25_topk"] = Query(
     SQL_BM25_TOPK,
     "Okapi BM25 top-10 for {merge, window, stream}",
 )
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # t-closeness release gate (operators/aggregates.py::
+    # t_closeness_audit), completing the privacy family after
+    # q_k_anonymity (size) and q_l_diversity (distinct values): within
+    # each (priority, order-year) cell, does the ORDER-STATUS
+    # distribution stay within TVD 0.05 of the table's? NULL-safe
+    # joins keep NULL buckets/categories in the distribution.
+    from python_mapreduce_spark.operators.aggregates import t_closeness_audit  # noqa: PLC0415
+
+    o = table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("long")
+    )
+    return t_closeness_audit(
+        o, ["o_orderpriority", "o_year"], "o_orderstatus", t=0.05
+    )
+
+
+_TC_P = "abs(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE) - CAST(ng AS DOUBLE) / CAST(ntot AS DOUBLE))"
+
+SQL_T_CLOSENESS = f"""
+WITH cell AS (
+  SELECT o_orderpriority AS q1, CAST(year(o_orderdate) AS BIGINT) AS q2,
+         o_orderstatus AS s, CAST(COUNT(*) AS BIGINT) AS nc
+  FROM orders GROUP BY 1, 2, 3
+),
+gdist AS (SELECT s, CAST(SUM(nc) AS BIGINT) AS ng FROM cell GROUP BY s),
+tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS ntot FROM gdist),
+gsize AS (
+  SELECT q1, q2, CAST(SUM(nc) AS BIGINT) AS n FROM cell GROUP BY 1, 2
+),
+j AS (
+  SELECT c.q1, c.q2, c.nc, g.ng, t.ntot, z.n
+  FROM cell c
+  JOIN gdist g ON c.s IS NOT DISTINCT FROM g.s
+  CROSS JOIN tot t
+  JOIN gsize z ON c.q1 IS NOT DISTINCT FROM z.q1
+              AND c.q2 IS NOT DISTINCT FROM z.q2
+),
+pg AS (
+  SELECT q1, q2, MAX(n) AS n,
+         CAST(SUM(CAST({sql_dround(_TC_P, 8)} AS DECIMAL(38,8)))
+              AS DOUBLE) AS s1,
+         CAST(SUM(CAST({sql_dround(
+             'CAST(ng AS DOUBLE) / CAST(ntot AS DOUBLE)', 8)}
+              AS DECIMAL(38,8))) AS DOUBLE) AS sq
+  FROM j GROUP BY 1, 2
+),
+f AS (
+  SELECT 1 AS g, n, 0.5 * (s1 + (1.0 - sq)) AS tvd FROM pg
+),
+agg AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         MAX(tvd) AS max_tvd,
+         CAST(SUM(CASE WHEN tvd > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_groups_above_t,
+         CAST(SUM(CASE WHEN tvd > 0.05 THEN n ELSE 0 END) AS BIGINT)
+           AS n_rows_above_t
+  FROM f GROUP BY g
+)
+SELECT n_rows, n_groups,
+       {sql_dround('max_tvd', 6)} AS max_tvd,
+       n_groups_above_t, n_rows_above_t,
+       {sql_dround('n_rows_above_t / CAST(n_rows AS DOUBLE)', 6)}
+         AS rows_above_t_share,
+       n_groups_above_t = 0 AS t_close
+FROM agg
+"""
+
+QUERIES["q_t_closeness"] = Query(
+    q_t_closeness,
+    SQL_T_CLOSENESS,
+    "t-closeness TVD gate on status distributions per priority-year",
+)

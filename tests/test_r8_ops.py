@@ -1171,3 +1171,63 @@ def test_bm25_edges(spark):
     )
     got = bm25_topk(df2, "doc_id", "text", ["merge"], k=3).collect()
     assert sorted(r.id for r in got) == [0, 1, 2]
+
+
+# ---------------------------------------------------- t-closeness
+
+
+def _tvd_replay(rows: list[tuple[str, str]]):
+    from collections import Counter
+
+    total = Counter(s for _, s in rows)
+    n = len(rows)
+    out = {}
+    for g in {g for g, _ in rows}:
+        grp = Counter(s for gg, s in rows if gg == g)
+        ng = sum(grp.values())
+        cats = set(total) | set(grp)
+        out[g] = 0.5 * sum(
+            abs(grp.get(c, 0) / ng - total[c] / n) for c in cats
+        )
+    return out
+
+
+def test_t_closeness_matches_replay(spark):
+    from python_mapreduce_spark.operators.aggregates import t_closeness_audit
+
+    rng = random.Random(79)
+    rows = [
+        ("bal", rng.choice(["x", "y", "z"])) for _ in range(200)
+    ] + [("skewed", "x")] * 80 + [("skewed", "y")] * 5
+    df = spark.createDataFrame(rows, "g string, s string")
+    got = t_closeness_audit(df, ["g"], "s", t=0.25).first()
+    want = _tvd_replay(rows)
+    assert got.n_rows == 285 and got.n_groups == 2
+    assert abs(got.max_tvd - max(want.values())) < 1e-6
+    # The skewed group must be the violator (the skew also drags the
+    # GLOBAL distribution, so the balanced group sits near ~0.18 —
+    # the gate separates them at 0.25).
+    assert want["skewed"] > 0.25 > want["bal"]
+    assert got.n_groups_above_t == 1 and got.n_rows_above_t == 85
+    assert not got.t_close
+
+
+def test_t_closeness_nulls_are_distribution_mass(spark):
+    from python_mapreduce_spark.operators.aggregates import t_closeness_audit
+
+    # Group "a" is all-NULL sensitive, group "b" all 'v': each deviates
+    # from the 50/50 global by TVD 0.5 — NULLs must count as a category
+    # (a plain equi-join would drop them and report TVD 0 for "a").
+    rows = [("a", None)] * 4 + [("b", "v")] * 4
+    df = spark.createDataFrame(rows, "g string, s string")
+    got = t_closeness_audit(df, ["g"], "s", t=0.2).first()
+    assert got.n_rows == 8 and got.n_groups == 2
+    assert abs(got.max_tvd - 0.5) < 1e-9
+    assert got.n_groups_above_t == 2 and not got.t_close
+    # NULL quasi-values are buckets too.
+    rows2 = [(None, "x")] * 3 + [("g1", "x")] * 3
+    df2 = spark.createDataFrame(rows2, "g string, s string")
+    got2 = t_closeness_audit(df2, ["g"], "s", t=0.2).first()
+    assert got2.n_groups == 2 and got2.n_rows == 6
+    # Identical distributions everywhere: gate passes at any t.
+    assert got2.max_tvd == 0.0 and got2.t_close
