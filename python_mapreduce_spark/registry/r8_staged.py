@@ -28,11 +28,12 @@ sums), Brown-Forsythe spread test, Jarque-Bera normality, the
 seasonal-naive forecast backtest (MAE/bias/RMSE/WAPE/sMAPE/MASE),
 market concentration (HHI/effective-N/CR4), the autocorrelation
 function, Benjamini-Hochberg FDR control, first-order partial
-correlation (confounder control), and the OLS influence audit
-(leverage / standardized residual / Cook's D). If the round-8
-rotation math cannot absorb all 19 registrations at once, split:
-register batch 1 (9) in round 8 and batch 2 (10) in round 9 — see
-R8_WIRING.md.
+correlation (confounder control), the OLS influence audit (leverage /
+standardized residual / Cook's D), Okapi BM25 retrieval scoring (the
+lexical half of hybrid search), and the t-closeness TVD release gate
+(completing k-anonymity / l-diversity). If the round-8 rotation math
+cannot absorb all 21 registrations at once, split: register batch 1
+(9) in round 8 and batch 2 (12) in round 9 — see R8_WIRING.md.
 """
 
 from __future__ import annotations
