@@ -3693,3 +3693,100 @@ def t_closeness_audit(
         ).alias("rows_above_t_share"),
         (F.col("n_groups_above_t") == 0).alias("t_close"),
     )
+
+
+def theil_decomposition(df: DataFrame, group_col: str, value_col) -> DataFrame:
+    """Theil T inequality index with its exact within/between-group
+    decomposition — the property Gini (:func:`gini_concentration`)
+    famously lacks: T = T_within + T_between, so "how much of the
+    inequality lives INSIDE groups vs BETWEEN their means" is a
+    well-posed question. T = (1/n) sum (x/mu) ln(x/mu);
+    T_between = sum_g s_g ln(mu_g/mu) (s_g = group g's value share);
+    T_within = sum_g s_g T_g. Emits ONE row: n, n_excluded (Theil
+    needs POSITIVE values — zero/negative rows are excluded and
+    counted), n_groups, theil_total, theil_within, theil_between,
+    between_share (= between/total, NULL when total is ~0). The
+    decomposition identity holds to the 1e-8 term-quantization
+    (asserted in tests at 1e-5). NULL group is its own bucket. Beyond
+    the reference surface (SURVEY.md §2.2 north-star extensions).
+
+    Scale shape: one (group) agg of exact integer-cent sums, its
+    group-cardinality frame joined back to the rows together with the
+    broadcast 1-row global; ONE per-row pass computes both entropy
+    terms; one group re-agg and one k-row final agg. Single scan,
+    nothing row-sized shuffles twice.
+
+    Determinism: the entropy-query discipline — means divide exact
+    DECIMAL cent sums; each transcendental term (ln is the only
+    non-arithmetic op, same class as the entropy/log queries)
+    quantizes to 1e-8 and accumulates in DECIMAL(38,8) at BOTH the
+    per-row and the per-group level, so no double sum is ever
+    partition-order-dependent.
+    """
+    y = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    yc = F.floor(y * F.lit(100.0) + F.lit(0.5)).cast("long")
+    labeled = df.select(F.col(group_col).alias("__grp"), yc.alias("__yc")).filter(
+        F.col("__yc").isNotNull()
+    )
+    base = labeled.filter(F.col("__yc") > 0)
+    n_excl = labeled.filter(F.col("__yc") <= 0).groupBy(
+        F.lit(1).alias("__g")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__nx"))
+    gstat = base.groupBy(F.col("__grp").alias("__grp2")).agg(
+        F.count(F.lit(1)).cast("long").alias("__ng"),
+        F.sum(F.col("__yc").cast("decimal(38,0)")).cast("double").alias("__sg"),
+    )
+    tstat = gstat.agg(
+        F.sum("__ng").cast("long").alias("__n"),
+        F.sum(F.col("__sg").cast("decimal(38,2)")).cast("double").alias("__s"),
+    )
+    rows = base.join(
+        F.broadcast(gstat), F.col("__grp").eqNullSafe(F.col("__grp2"))
+    ).crossJoin(F.broadcast(tstat))
+    mu = F.col("__s") / F.col("__n").cast("double")
+    mu_g = F.col("__sg") / F.col("__ng").cast("double")
+    x = F.col("__yc").cast("double")
+    t_tot = dround((x / mu) * F.log(x / mu), 8).cast("decimal(38,8)")
+    t_grp = dround((x / mu_g) * F.log(x / mu_g), 8).cast("decimal(38,8)")
+    per_group = rows.groupBy("__grp2").agg(
+        F.max("__ng").alias("__ng"),
+        F.max("__sg").alias("__sg"),
+        F.max("__n").alias("__n"),
+        F.max("__s").alias("__s"),
+        F.sum(t_tot).cast("double").alias("__tt"),
+        F.sum(t_grp).cast("double").alias("__tg"),
+    )
+    s_g = F.col("__sg") / F.col("__s")
+    t_g = F.col("__tg") / F.col("__ng").cast("double")
+    mu2 = F.col("__s") / F.col("__n").cast("double")
+    mu_g2 = F.col("__sg") / F.col("__ng").cast("double")
+    within_term = dround(s_g * t_g, 8).cast("decimal(38,8)")
+    between_term = dround(s_g * F.log(mu_g2 / mu2), 8).cast("decimal(38,8)")
+    total_term = dround(F.col("__tt") / F.col("__n").cast("double"), 8).cast(
+        "decimal(38,8)"
+    )
+    final = per_group.groupBy(F.lit(1).alias("__g")).agg(
+        F.max("__n").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(total_term).cast("double").alias("__total"),
+        F.sum(within_term).cast("double").alias("__within"),
+        F.sum(between_term).cast("double").alias("__between"),
+    )
+    out = final.join(F.broadcast(n_excl), "__g", "left").drop("__g")
+    return out.select(
+        "n",
+        F.coalesce(F.col("__nx"), F.lit(0)).cast("long").alias("n_excluded"),
+        "n_groups",
+        dround(F.col("__total"), 6).alias("theil_total"),
+        dround(F.col("__within"), 6).alias("theil_within"),
+        dround(F.col("__between"), 6).alias("theil_between"),
+        dround(
+            F.when(
+                F.col("__total") > 1e-12,
+                F.col("__between") / F.col("__total"),
+            ),
+            6,
+        ).alias("between_share"),
+    )

@@ -1531,3 +1531,84 @@ QUERIES["q_t_closeness"] = Query(
     SQL_T_CLOSENESS,
     "t-closeness TVD gate on status distributions per priority-year",
 )
+
+
+def q_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Theil T inequality with within/between decomposition (operators/
+    # aggregates.py::theil_decomposition): is order-value inequality
+    # driven inside priorities or between their means? The decomposable
+    # companion to q_gini_domains — Gini cannot split these.
+    from python_mapreduce_spark.operators.aggregates import theil_decomposition  # noqa: PLC0415
+
+    return theil_decomposition(
+        table(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
+SQL_THEIL = f"""
+WITH labeled AS (
+  SELECT o_orderpriority AS grp,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+           AS yc
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+base AS (SELECT * FROM labeled WHERE yc > 0),
+nx AS (
+  SELECT 1 AS g, CAST(COUNT(*) AS BIGINT) AS nx
+  FROM labeled WHERE yc <= 0 GROUP BY 1
+),
+gstat AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(CAST(yc AS DECIMAL(38,0))) AS DOUBLE) AS sg
+  FROM base GROUP BY grp
+),
+tstat AS (
+  SELECT CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(SUM(CAST(sg AS DECIMAL(38,2))) AS DOUBLE) AS s
+  FROM gstat
+),
+rws AS (
+  SELECT b.grp, b.yc, g.ng, g.sg, t.n, t.s
+  FROM base b
+  JOIN gstat g ON b.grp IS NOT DISTINCT FROM g.grp
+  CROSS JOIN tstat t
+),
+pg AS (
+  SELECT grp, MAX(ng) AS ng, MAX(sg) AS sg, MAX(n) AS n, MAX(s) AS s,
+         CAST(SUM(CAST({sql_dround(
+             '(CAST(yc AS DOUBLE) / (s / CAST(n AS DOUBLE)))'
+             ' * ln(CAST(yc AS DOUBLE) / (s / CAST(n AS DOUBLE)))', 8)}
+                       AS DECIMAL(38,8))) AS DOUBLE) AS tt,
+         CAST(SUM(CAST({sql_dround(
+             '(CAST(yc AS DOUBLE) / (sg / CAST(ng AS DOUBLE)))'
+             ' * ln(CAST(yc AS DOUBLE) / (sg / CAST(ng AS DOUBLE)))', 8)}
+                       AS DECIMAL(38,8))) AS DOUBLE) AS tg
+  FROM rws GROUP BY grp
+),
+fin AS (
+  SELECT 1 AS g, MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(CAST({sql_dround('tt / CAST(n AS DOUBLE)', 8)}
+                       AS DECIMAL(38,8))) AS DOUBLE) AS total,
+         CAST(SUM(CAST({sql_dround(
+             '(sg / s) * (tg / CAST(ng AS DOUBLE))', 8)}
+                       AS DECIMAL(38,8))) AS DOUBLE) AS within,
+         CAST(SUM(CAST({sql_dround(
+             '(sg / s) * ln((sg / CAST(ng AS DOUBLE))'
+             ' / (s / CAST(n AS DOUBLE)))', 8)}
+                       AS DECIMAL(38,8))) AS DOUBLE) AS between_
+  FROM pg GROUP BY g
+)
+SELECT n, CAST(coalesce(nx.nx, 0) AS BIGINT) AS n_excluded, n_groups,
+       {sql_dround('total', 6)} AS theil_total,
+       {sql_dround('within', 6)} AS theil_within,
+       {sql_dround('between_', 6)} AS theil_between,
+       CASE WHEN total > 1e-12 THEN {sql_dround('between_ / total', 6)}
+       END AS between_share
+FROM fin LEFT JOIN nx USING (g)
+"""
+
+QUERIES["q_theil"] = Query(
+    q_theil,
+    SQL_THEIL,
+    "Theil T inequality decomposed within/between priorities",
+)

@@ -1231,3 +1231,63 @@ def test_t_closeness_nulls_are_distribution_mass(spark):
     assert got2.n_groups == 2 and got2.n_rows == 6
     # Identical distributions everywhere: gate passes at any t.
     assert got2.max_tvd == 0.0 and got2.t_close
+
+
+# ---------------------------------------------------------- Theil T
+
+
+def _theil_replay(groups: dict[str, list[float]]):
+    allv = [x for xs in groups.values() for x in xs]
+    n = len(allv)
+    mu = sum(allv) / n
+    total = sum((x / mu) * math.log(x / mu) for x in allv) / n
+    s_tot = sum(allv)
+    within = between = 0.0
+    for xs in groups.values():
+        mug = sum(xs) / len(xs)
+        sg = sum(xs) / s_tot
+        tg = sum((x / mug) * math.log(x / mug) for x in xs) / len(xs)
+        within += sg * tg
+        between += sg * math.log(mug / mu)
+    return total, within, between
+
+
+def test_theil_matches_replay_and_decomposes(spark):
+    from python_mapreduce_spark.operators.aggregates import theil_decomposition
+
+    rng = random.Random(83)
+    groups = {
+        "low": [round(rng.uniform(8, 12), 2) for _ in range(60)],
+        "high": [round(rng.uniform(80, 120), 2) for _ in range(40)],
+        "spread": [round(rng.lognormvariate(3, 0.8), 2) for _ in range(50)],
+    }
+    rows = [(g, x) for g, xs in groups.items() for x in xs] + [
+        ("low", 0.0),      # non-positive: excluded, counted
+        ("low", None),     # NULL value: dropped entirely
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = theil_decomposition(df, "g", "x").first()
+    total, within, between = _theil_replay(groups)
+    assert got.n == 150 and got.n_excluded == 1 and got.n_groups == 3
+    assert abs(got.theil_total - total) < 1e-4
+    assert abs(got.theil_within - within) < 1e-4
+    assert abs(got.theil_between - between) < 1e-4
+    # The decomposition identity (to term quantization).
+    assert abs(got.theil_total - (got.theil_within + got.theil_between)) < 1e-5
+    # Group means differ 10x: between must dominate here.
+    assert got.between_share > 0.5
+
+
+def test_theil_degenerate(spark):
+    from python_mapreduce_spark.operators.aggregates import theil_decomposition
+
+    # Perfect equality: all indices 0, between_share NULL (0/0).
+    df = spark.createDataFrame(
+        [("a", 5.0)] * 3 + [("b", 5.0)] * 4, "g string, x double"
+    )
+    got = theil_decomposition(df, "g", "x").first()
+    assert got.theil_total == 0.0 and got.theil_within == 0.0
+    assert got.between_share is None
+    # All rows non-positive: the statistic does not exist -> zero rows.
+    df2 = spark.createDataFrame([("a", 0.0), ("b", -1.0)], "g string, x double")
+    assert theil_decomposition(df2, "g", "x").count() == 0
