@@ -988,3 +988,85 @@ def bollinger_bands(
         lower.alias("lower"),
         F.coalesce((v > upper) | (v < lower), F.lit(False)).alias("outlier"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col,
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimate over right-censored
+    durations — :func:`survival_curve`'s companion: Kaplan-Meier
+    answers "what fraction survives past t", Nelson-Aalen answers "how
+    much hazard has accumulated by t" (H(t) = sum over event times
+    u <= t of d_u / n_u), which is additive, better behaved in small
+    risk sets, and the quantity hazard-ratio eyeballing wants. Also
+    emits its Poisson-type variance sum(d_u / n_u^2) and the Breslow
+    survival estimate exp(-H) (always >= the KM estimate — a useful
+    cross-check between the two registry curves). One row per distinct
+    duration: (duration, n_risk, n_events, n_censored, cum_hazard,
+    hazard_var, na_survival). NULL durations/flags are excluded.
+
+    Determinism: the same integer-ladder discipline as survival_curve —
+    each hazard increment quantizes to a 1e-8-scaled long (and each
+    variance increment to a 1e-12-scaled long: d/n^2 needs the finer
+    grid), so the running accumulation is EXACT integer arithmetic at
+    any partitioning; no sentinel is needed because d_u <= n_u always
+    (d_u = n_u just adds 1.0 to the hazard — H is finite where KM's ln
+    blows up, which is exactly the estimator's appeal).
+
+    Scale shape: identical to survival_curve — one per-duration count
+    agg, ONE risk-set running sum, then BOTH the hazard and variance
+    ladders ride a single multi-weight
+    :func:`~python_mapreduce_spark.operators.windows.global_running_sum`
+    pass (they share the range exchange), never a single-task window.
+    """
+    from python_mapreduce_spark.functions.scalar import dround  # noqa: PLC0415
+    from python_mapreduce_spark.operators.windows import global_running_sum  # noqa: PLC0415
+
+    t = F.col(duration_col).cast("double")
+    e = (F.col(event_col) if isinstance(event_col, str) else event_col).cast(
+        "boolean"
+    )
+    counts = (
+        df.select(t.alias("t"), e.alias("__e"))
+        .filter(F.col("t").isNotNull() & F.col("__e").isNotNull())
+        .groupBy("t")
+        .agg(
+            F.sum(F.col("__e").cast("long")).cast("long").alias("__d"),
+            F.sum((~F.col("__e")).cast("long")).cast("long").alias("__c"),
+        )
+        .withColumn("__dc", F.col("__d") + F.col("__c"))
+    )
+    cum = global_running_sum(
+        counts, ["t"], "__dc", out="__cumdc", num_partitions=num_partitions
+    )
+    tot = cum.agg(F.sum("__dc").cast("long").alias("__ntot"))
+    r = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "__nr", F.col("__ntot") - (F.col("__cumdc") - F.col("__dc"))
+    )
+    d_d = F.col("__d").cast("double")
+    nr_d = F.col("__nr").cast("double")
+    h8 = F.floor(d_d / nr_d * F.lit(1e8) + F.lit(0.5)).cast("long")
+    v12 = F.floor(d_d / (nr_d * nr_d) * F.lit(1e12) + F.lit(0.5)).cast("long")
+    s = global_running_sum(
+        r.withColumn("__h8", h8).withColumn("__v12", v12),
+        ["t"],
+        ["__h8", "__v12"],
+        out=["__ch8", "__cv12"],
+        num_partitions=num_partitions,
+    )
+    ch = F.col("__ch8").cast("double") / F.lit(1e8)
+    return s.select(
+        F.col("t").alias("duration"),
+        F.col("__nr").cast("long").alias("n_risk"),
+        F.col("__d").alias("n_events"),
+        F.col("__c").alias("n_censored"),
+        dround(ch, 6).alias("cum_hazard"),
+        dround(F.col("__cv12").cast("double") / F.lit(1e12), 8).alias(
+            "hazard_var"
+        ),
+        dround(F.exp(-ch), 6).alias("na_survival"),
+    )

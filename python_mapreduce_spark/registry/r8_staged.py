@@ -1612,3 +1612,73 @@ QUERIES["q_theil"] = Query(
     SQL_THEIL,
     "Theil T inequality decomposed within/between priorities",
 )
+
+
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Nelson-Aalen cumulative churn hazard (operators/events.py::
+    # nelson_aalen) over the same per-user lifetimes as
+    # q_survival_curve — the additive companion curve (plus its
+    # Poisson variance and the Breslow exp(-H) cross-check against
+    # KM). Hazard/variance increments ride 1e-8/1e-12 integer ladders
+    # through one multi-weight distributed running sum.
+    from python_mapreduce_spark.operators.events import nelson_aalen  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"), F.max(F.to_date("ts")).alias("ld")
+    )
+    obs = per_user.select(
+        F.datediff("ld", "fd").cast("double").alias("dur"),
+        (F.col("ld") < F.to_date(F.lit("2024-01-25"))).alias("churned"),
+    )
+    return nelson_aalen(obs, "dur", "churned")
+
+
+SQL_NELSON_AALEN = f"""
+WITH pu AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS fd, max(CAST(ts AS DATE)) AS ld
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+),
+obs AS (
+  SELECT CAST(ld - fd AS DOUBLE) AS t,
+         CASE WHEN ld < DATE '2024-01-25' THEN 1 ELSE 0 END AS e
+  FROM pu
+),
+counts AS (
+  SELECT t, CAST(sum(e) AS BIGINT) AS d, CAST(sum(1 - e) AS BIGINT) AS c
+  FROM obs GROUP BY t
+),
+cum AS (SELECT *, sum(d + c) OVER (ORDER BY t) AS cumdc FROM counts),
+tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS ntot FROM counts),
+r AS (
+  SELECT t, d, c, ntot - (cumdc - d - c) AS nrisk
+  FROM cum CROSS JOIN tot
+),
+term AS (
+  SELECT *,
+         CAST(floor(CAST(d AS DOUBLE) / CAST(nrisk AS DOUBLE)
+                    * 100000000.0 + 0.5) AS BIGINT) AS h8,
+         CAST(floor(CAST(d AS DOUBLE)
+                    / (CAST(nrisk AS DOUBLE) * CAST(nrisk AS DOUBLE))
+                    * 1000000000000.0 + 0.5) AS BIGINT) AS v12
+  FROM r
+),
+s AS (
+  SELECT *, sum(h8) OVER (ORDER BY t) AS ch8,
+         sum(v12) OVER (ORDER BY t) AS cv12
+  FROM term
+)
+SELECT t AS duration, CAST(nrisk AS BIGINT) AS n_risk, d AS n_events,
+       c AS n_censored,
+       {sql_dround('CAST(ch8 AS DOUBLE) / 100000000.0', 6)} AS cum_hazard,
+       {sql_dround('CAST(cv12 AS DOUBLE) / 1000000000000.0', 8)} AS hazard_var,
+       {sql_dround('exp(-(CAST(ch8 AS DOUBLE) / 100000000.0))', 6)}
+         AS na_survival
+FROM s
+"""
+
+QUERIES["q_nelson_aalen"] = Query(
+    q_nelson_aalen,
+    SQL_NELSON_AALEN,
+    "Nelson-Aalen cumulative churn hazard + Breslow survival",
+)

@@ -1291,3 +1291,61 @@ def test_theil_degenerate(spark):
     # All rows non-positive: the statistic does not exist -> zero rows.
     df2 = spark.createDataFrame([("a", 0.0), ("b", -1.0)], "g string, x double")
     assert theil_decomposition(df2, "g", "x").count() == 0
+
+
+# -------------------------------------------------- Nelson-Aalen
+
+
+def _na_replay(obs: list[tuple[float, bool]]):
+    times = sorted({t for t, _ in obs})
+    n_at_risk = len(obs)
+    out = {}
+    h = v = 0.0
+    for u in times:
+        d = sum(1 for t, e in obs if t == u and e)
+        c = sum(1 for t, e in obs if t == u and not e)
+        h += d / n_at_risk
+        v += d / n_at_risk**2
+        out[u] = (n_at_risk, d, c, h, v)
+        n_at_risk -= d + c
+    return out
+
+
+def test_nelson_aalen_matches_replay(spark):
+    from python_mapreduce_spark.operators.events import nelson_aalen
+
+    rng = random.Random(89)
+    obs = [
+        (float(rng.randint(0, 12)), rng.random() < 0.7) for _ in range(120)
+    ]
+    rows = obs + [(None, True), (3.0, None)]  # excluded
+    df = spark.createDataFrame(rows, "dur double, ev boolean")
+    got = {r.duration: r for r in nelson_aalen(df, "dur", "ev").collect()}
+    want = _na_replay(obs)
+    assert set(got) == set(want)
+    for u, (nr, d, c, h, v) in want.items():
+        r = got[u]
+        assert (r.n_risk, r.n_events, r.n_censored) == (nr, d, c), u
+        assert abs(r.cum_hazard - h) < 1e-5, u
+        assert abs(r.hazard_var - v) < 1e-6, u
+        assert abs(r.na_survival - math.exp(-h)) < 1e-5, u
+    # Breslow >= Kaplan-Meier everywhere (standard inequality).
+    from python_mapreduce_spark.operators.events import survival_curve
+
+    km = {r.duration: r.survival for r in survival_curve(df, "dur", "ev").collect()}
+    for u in want:
+        assert got[u].na_survival >= km[u] - 1e-9, u
+
+
+def test_nelson_aalen_total_wipeout_is_finite(spark):
+    from python_mapreduce_spark.operators.events import nelson_aalen
+
+    # Everyone dies at the last time: d = n there, H adds exactly 1.0
+    # (finite) where KM's ln would need its -inf sentinel.
+    df = spark.createDataFrame(
+        [(1.0, True)] * 3 + [(5.0, True)] * 4, "dur double, ev boolean"
+    )
+    got = {r.duration: r for r in nelson_aalen(df, "dur", "ev").collect()}
+    assert abs(got[1.0].cum_hazard - 3 / 7) < 1e-6
+    assert abs(got[5.0].cum_hazard - (3 / 7 + 1.0)) < 1e-6
+    assert got[5.0].na_survival > 0.0  # finite, unlike KM's exact 0
