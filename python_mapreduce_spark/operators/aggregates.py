@@ -3790,3 +3790,112 @@ def theil_decomposition(df: DataFrame, group_col: str, value_col) -> DataFrame:
             6,
         ).alias("between_share"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Kruskal-Wallis rank test: do k groups differ in LOCATION,
+    assuming nothing about the distributions — the k-group
+    generalization of :func:`mann_whitney_u` and the nonparametric
+    twin of :func:`anova_oneway` (same question, rank evidence instead
+    of variance ratios; immune to the price tail that ANOVA's SS
+    chase). H = 12/(N(N+1)) * sum_g R_g^2/n_g - 3(N+1), with the
+    standard tie correction H_c = H / (1 - sum(t^3 - t)/(N^3 - N)).
+    Emits ONE row: k_groups, n, df (k-1), h_stat, h_corrected (NULL
+    when every value ties — no rank information exists). NULL
+    group/value rows are excluded. Beyond the reference surface
+    (SURVEY.md §2.2 north-star extensions).
+
+    Scale shape: the :func:`mann_whitney_u` skeleton generalized —
+    values quantize to integer cents, per-DISTINCT-VALUE totals take
+    ONE distributed running sum (range exchange + broadcast offsets),
+    and each (group, value) cell picks up its tie-group's DOUBLED
+    average rank 2*cum - t + 1 by an equi-join on the value; rank sums
+    and the tie term then reduce group-wise. No per-row ranks, no
+    single-task window, at any group count.
+
+    Determinism: doubled rank sums R2_g and the tie term are exact
+    DECIMAL(38,0) integers. The per-group H contributions are scaled
+    to R_g^2/(n_g N^2 (N+1)) — bounded by ~1, so quantizing at 1e-12
+    into DECIMAL(38,12) is order-independent without any magnitude
+    cliff (the unscaled R_g^2/n_g reaches N^3 and would overflow
+    dround's long floor past N ~ 1e4); H re-assembles from the scaled
+    sum in one fixed IEEE shape, rounded 1e-6.
+    """
+    from python_mapreduce_spark.operators.windows import global_running_sum  # noqa: PLC0415 - avoid module cycle
+
+    y = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    yc = F.floor(y * F.lit(100.0) + F.lit(0.5)).cast("long")
+    base = df.select(F.col(group_col).alias("__grp"), yc.alias("__yc")).filter(
+        F.col("__grp").isNotNull() & F.col("__yc").isNotNull()
+    )
+    pv = base.groupBy("__yc").agg(F.count(F.lit(1)).cast("long").alias("__t"))
+    cum = global_running_sum(
+        pv, ["__yc"], "__t", out="__cum", num_partitions=num_partitions
+    )
+    r2v = cum.select(
+        "__yc",
+        (F.lit(2) * F.col("__cum") - F.col("__t") + F.lit(1)).alias("__r2v"),
+    )
+    ties = cum.groupBy(F.lit(1).alias("__g")).agg(
+        F.sum(
+            F.col("__t").cast("decimal(38,0)") * F.col("__t") * F.col("__t")
+            - F.col("__t")
+        )
+        .cast("double")
+        .alias("__ties")
+    ).drop("__g")
+    gv = base.groupBy("__grp", "__yc").agg(
+        F.count(F.lit(1)).cast("long").alias("__ngv")
+    )
+    per_group = (
+        gv.join(r2v, "__yc")
+        .groupBy("__grp")
+        .agg(
+            F.sum("__ngv").cast("long").alias("__ng"),
+            F.sum(F.col("__ngv").cast("decimal(38,0)") * F.col("__r2v"))
+            .cast("double")
+            .alias("__r2g"),
+        )
+    )
+    nrow = per_group.groupBy(F.lit(1).alias("__g")).agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum("__ng").cast("long").alias("n"),
+    ).drop("__g")
+    w = per_group.crossJoin(F.broadcast(nrow))
+    n_d = F.col("n").cast("double")
+    # scaled contribution: (R2/2)^2 / n_g / (N^2 (N+1)) -- bounded ~1
+    term = dround(
+        (F.col("__r2g") / F.lit(2.0))
+        * (F.col("__r2g") / F.lit(2.0))
+        / F.col("__ng").cast("double")
+        / (n_d * n_d * (n_d + F.lit(1.0))),
+        12,
+    ).cast("decimal(38,12)")
+    agg = w.groupBy("k_groups", "n").agg(
+        F.sum(term).cast("double").alias("__sterm")
+    )
+    h = F.lit(12.0) * n_d * F.col("__sterm") - F.lit(3.0) * (
+        n_d + F.lit(1.0)
+    )
+    ok = (F.col("k_groups") >= 2) & (F.col("n") >= 2)
+    out = agg.crossJoin(F.broadcast(ties))
+    denom = F.lit(1.0) - F.col("__ties") / (
+        n_d * n_d * n_d - n_d
+    )
+    return out.select(
+        "k_groups",
+        "n",
+        F.when(F.col("k_groups") >= 2, F.col("k_groups") - 1)
+        .cast("long")
+        .alias("df"),
+        dround(F.when(ok, h), 6).alias("h_stat"),
+        dround(F.when(ok & (denom > 0), h / denom), 6).alias("h_corrected"),
+    )

@@ -1682,3 +1682,80 @@ QUERIES["q_nelson_aalen"] = Query(
     SQL_NELSON_AALEN,
     "Nelson-Aalen cumulative churn hazard + Breslow survival",
 )
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Kruskal-Wallis rank test (operators/aggregates.py::
+    # kruskal_wallis): q_anova's nonparametric twin on the identical
+    # framing (order value by priority) — rank evidence instead of
+    # variance ratios, tie-corrected; the same rank-free
+    # distinct-value running-sum skeleton as q_mannwhitney.
+    from python_mapreduce_spark.operators.aggregates import kruskal_wallis  # noqa: PLC0415
+
+    return kruskal_wallis(
+        table(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice"
+    )
+
+
+SQL_KRUSKAL_WALLIS = f"""
+WITH base AS (
+  SELECT o_orderpriority AS grp,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+           AS yc
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+),
+pv AS (SELECT yc, CAST(COUNT(*) AS BIGINT) AS t FROM base GROUP BY yc),
+cumv AS (SELECT yc, t, SUM(t) OVER (ORDER BY yc) AS cum FROM pv),
+r2v AS (SELECT yc, 2 * cum - t + 1 AS r2v FROM cumv),
+tiesq AS (
+  SELECT 1 AS g,
+         CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS DOUBLE) AS ties
+  FROM cumv GROUP BY g
+),
+gv AS (
+  SELECT grp, yc, CAST(COUNT(*) AS BIGINT) AS ngv FROM base GROUP BY 1, 2
+),
+pg AS (
+  SELECT grp, CAST(SUM(ngv) AS BIGINT) AS ng,
+         CAST(SUM(CAST(ngv AS DECIMAL(38,0)) * r2v) AS DOUBLE) AS r2g
+  FROM gv JOIN r2v USING (yc) GROUP BY grp
+),
+nrow AS (
+  SELECT 1 AS g, CAST(COUNT(*) AS BIGINT) AS k_groups,
+         CAST(SUM(ng) AS BIGINT) AS n
+  FROM pg GROUP BY g
+),
+w AS (SELECT pg.ng, pg.r2g, nrow.k_groups, nrow.n FROM pg CROSS JOIN nrow),
+agg AS (
+  SELECT k_groups, n,
+         CAST(SUM(CAST({sql_dround(
+             '(r2g / 2.0) * (r2g / 2.0) / CAST(ng AS DOUBLE)'
+             ' / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)'
+             ' * (CAST(n AS DOUBLE) + 1.0))', 12)}
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sterm
+  FROM w GROUP BY k_groups, n
+),
+f AS (
+  SELECT k_groups, n, sterm, ties,
+         12.0 * CAST(n AS DOUBLE) * sterm
+           - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+         1.0 - ties / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS denom
+  FROM agg CROSS JOIN tiesq
+)
+SELECT k_groups, n,
+       CASE WHEN k_groups >= 2 THEN k_groups - 1 END AS df,
+       CASE WHEN k_groups >= 2 AND n >= 2 THEN {sql_dround('h', 6)}
+       END AS h_stat,
+       CASE WHEN k_groups >= 2 AND n >= 2 AND denom > 0 THEN
+         {sql_dround('h / denom', 6)}
+       END AS h_corrected
+FROM f
+"""
+
+QUERIES["q_kruskal_wallis"] = Query(
+    q_kruskal_wallis,
+    SQL_KRUSKAL_WALLIS,
+    "tie-corrected Kruskal-Wallis H, order value by priority",
+)

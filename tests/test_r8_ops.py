@@ -1349,3 +1349,74 @@ def test_nelson_aalen_total_wipeout_is_finite(spark):
     assert abs(got[1.0].cum_hazard - 3 / 7) < 1e-6
     assert abs(got[5.0].cum_hazard - (3 / 7 + 1.0)) < 1e-6
     assert got[5.0].na_survival > 0.0  # finite, unlike KM's exact 0
+
+
+# ------------------------------------------------- Kruskal-Wallis
+
+
+def _kw_replay(groups: dict[str, list[float]]):
+    allv = sorted(
+        (v, g) for g, xs in groups.items() for v in xs
+    )
+    n = len(allv)
+    ranks: list[tuple[str, float]] = []
+    tie_sum = 0.0
+    i = 0
+    while i < n:
+        j = i
+        while j < n and allv[j][0] == allv[i][0]:
+            j += 1
+        t = j - i
+        tie_sum += t**3 - t
+        avg = (i + 1 + j) / 2.0
+        ranks.extend((allv[k][1], avg) for k in range(i, j))
+        i = j
+    rsum: dict[str, float] = {}
+    for g, r in ranks:
+        rsum[g] = rsum.get(g, 0.0) + r
+    h = 12.0 / (n * (n + 1)) * sum(
+        rsum[g] ** 2 / len(groups[g]) for g in groups
+    ) - 3.0 * (n + 1)
+    hc = h / (1.0 - tie_sum / (n**3 - n))
+    return h, hc
+
+
+def test_kruskal_wallis_matches_replay(spark):
+    from python_mapreduce_spark.operators.aggregates import kruskal_wallis
+
+    rng = random.Random(97)
+    # 1-decimal grid: heavy ties so the correction does real work.
+    groups = {
+        "a": [round(rng.gauss(10, 2), 1) for _ in range(50)],
+        "b": [round(rng.gauss(12, 2), 1) for _ in range(40)],
+        "c": [round(rng.gauss(10.5, 2), 1) for _ in range(45)],
+    }
+    rows = [(g, x) for g, xs in groups.items() for x in xs] + [
+        (None, 3.0),
+        ("a", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = kruskal_wallis(df, "g", "x").first()
+    h, hc = _kw_replay(groups)
+    assert got.k_groups == 3 and got.n == 135 and got.df == 2
+    assert abs(got.h_stat - h) < 1e-4
+    assert abs(got.h_corrected - hc) < 1e-4
+    assert got.h_corrected >= got.h_stat  # correction only inflates
+
+
+def test_kruskal_wallis_degenerate(spark):
+    from python_mapreduce_spark.operators.aggregates import kruskal_wallis
+
+    # All values tied: no rank information -> corrected NULL, H = 0-ish.
+    df = spark.createDataFrame(
+        [("a", 5.0)] * 3 + [("b", 5.0)] * 3, "g string, x double"
+    )
+    got = kruskal_wallis(df, "g", "x").first()
+    assert got.h_corrected is None
+    # One group: no between-group question exists -> df and H NULL.
+    df2 = spark.createDataFrame([("a", float(i)) for i in range(5)], "g string, x double")
+    got2 = kruskal_wallis(df2, "g", "x").first()
+    assert got2.k_groups == 1 and got2.df is None and got2.h_stat is None
+    # Empty input: zero rows.
+    df3 = spark.createDataFrame([], "g string, x double")
+    assert kruskal_wallis(df3, "g", "x").count() == 0
