@@ -29,11 +29,14 @@ seasonal-naive forecast backtest (MAE/bias/RMSE/WAPE/sMAPE/MASE),
 market concentration (HHI/effective-N/CR4), the autocorrelation
 function, Benjamini-Hochberg FDR control, first-order partial
 correlation (confounder control), the OLS influence audit (leverage /
-standardized residual / Cook's D), Okapi BM25 retrieval scoring (the
-lexical half of hybrid search), and the t-closeness TVD release gate
-(completing k-anonymity / l-diversity). If the round-8 rotation math
-cannot absorb all 21 registrations at once, split: register batch 1
-(9) in round 8 and batch 2 (12) in round 9 — see R8_WIRING.md.
+standardized residual / Cook's D), Okapi BM25 retrieval scoring
+(the lexical half of hybrid search), the t-closeness TVD release gate
+(completing k-anonymity / l-diversity), Theil T inequality with its
+within/between decomposition, Nelson-Aalen cumulative hazard (beside
+Kaplan-Meier), and tie-corrected Kruskal-Wallis (ANOVA's
+nonparametric twin). If the round-8 rotation math cannot absorb all
+24 registrations at once, split: register batch 1 (9) in round 8 and
+batch 2 (15) in round 9 — see R8_WIRING.md.
 """
 
 from __future__ import annotations
