@@ -1022,3 +1022,106 @@ def autocorrelation(
         "n_pairs",
         dround(acf, 6).alias("acf"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    period_col,
+    value_col,
+) -> DataFrame:
+    """Mann-Kendall trend test + Sen's slope over a period-rolled
+    series: S = sum over pairs i<j of sign(y_j - y_i) with the
+    tie-corrected normal approximation, and the Theil-Sen slope
+    estimate (median of pairwise slopes) — the standard nonparametric
+    "is this metric trending, and how fast" detector (robust to
+    outliers and steps that wreck the OLS fit :func:`~python_mapreduce_spark.operators.aggregates.group_ols`
+    scores, and the natural companion to :func:`autocorrelation` /
+    :func:`forecast_backtest` on the same rolled series). Emits ONE
+    row: n_periods, n_pairs, s_stat, var_s, z (continuity-corrected),
+    sen_slope (value units per period). Fewer than 2 periods -> zero
+    rows (no trend question exists); an all-tied series has var 0 ->
+    z NULL, sen_slope 0. Beyond the reference surface (SURVEY.md §2.2
+    north-star extensions).
+
+    Scale shape: the series first rolls up to ONE exact integer-cent
+    row per period, so the pairwise stage is quadratic in PERIODS, not
+    rows — calendar-bounded by construction (a decade of days is ~3.7k
+    periods -> ~7M pairs; document the budget when feeding finer
+    grains). The pair join is a theta self-join of that period-sized
+    frame (plans as a broadcast nested-loop with the p_j > p_i
+    predicate attached — the engine's documented theta-join shape, not
+    a bare cartesian).
+
+    Determinism: S is an EXACT integer (sign sums of exact cent
+    diffs); the tie term t(t-1)(2t+5) rides DECIMAL; Sen's slope is
+    the exact interpolated median (both engines interpolate even
+    counts identically — the mad_outliers precedent) of pair slopes
+    computed in one fixed IEEE shape from exact integers.
+    """
+    from python_mapreduce_spark.functions.scalar import dround  # noqa: PLC0415 - avoid module cycle
+
+    p = (
+        F.col(period_col) if isinstance(period_col, str) else period_col
+    ).cast("long")
+    y = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    yc = F.floor(y * F.lit(100.0) + F.lit(0.5)).cast("long")
+    series = (
+        df.select(p.alias("p"), yc.alias("__yc"))
+        .filter(F.col("p").isNotNull() & F.col("__yc").isNotNull())
+        .groupBy("p")
+        .agg(F.sum("__yc").cast("long").alias("y"))
+        .localCheckpoint(eager=False)  # both join sides + ties + count
+    )
+    a = series.select(F.col("p").alias("__p1"), F.col("y").alias("__y1"))
+    b = series.select(F.col("p").alias("__p2"), F.col("y").alias("__y2"))
+    pairs = a.join(b, F.col("__p2") > F.col("__p1"))
+    slope = (
+        (F.col("__y2") - F.col("__y1")).cast("double")
+        / (F.col("__p2") - F.col("__p1")).cast("double")
+        / F.lit(100.0)
+    )
+    pair_agg = (
+        pairs.groupBy(F.lit(1).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.signum((F.col("__y2") - F.col("__y1")).cast("double")))
+            .cast("long")
+            .alias("s_stat"),
+            F.median(slope).alias("__sen"),
+        )
+    )
+    ties = series.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("__t"))
+    tie_agg = ties.groupBy(F.lit(1).alias("__g")).agg(
+        F.count(F.lit(1)).alias("__nvals"),
+        F.sum("__t").cast("long").alias("n_periods"),
+        F.sum(
+            F.col("__t").cast("decimal(38,0)")
+            * (F.col("__t") - 1)
+            * (F.lit(2) * F.col("__t") + 5)
+        )
+        .cast("double")
+        .alias("__tsum"),
+    )
+    out = pair_agg.join(F.broadcast(tie_agg), "__g").drop("__g")
+    n_d = F.col("n_periods").cast("double")
+    var_s = (
+        n_d * (n_d - F.lit(1.0)) * (F.lit(2.0) * n_d + F.lit(5.0))
+        - F.col("__tsum")
+    ) / F.lit(18.0)
+    s_d = F.col("s_stat").cast("double")
+    z = F.when(
+        var_s > 0,
+        F.when(F.col("s_stat") > 0, (s_d - F.lit(1.0)) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (s_d + F.lit(1.0)) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0)),
+    )
+    return out.select(
+        "n_periods",
+        "n_pairs",
+        "s_stat",
+        dround(var_s, 4).alias("var_s"),
+        dround(z, 6).alias("z"),
+        dround(F.col("__sen"), 6).alias("sen_slope"),
+    )

@@ -1762,3 +1762,70 @@ QUERIES["q_kruskal_wallis"] = Query(
     SQL_KRUSKAL_WALLIS,
     "tie-corrected Kruskal-Wallis H, order value by priority",
 )
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mann-Kendall trend + Sen's slope (operators/windows.py::
+    # mann_kendall) on the daily order-revenue series — "is revenue
+    # trending, and how fast" with rank evidence (robust where OLS'
+    # q_group_ols is outlier-draggable). Pairwise stage is quadratic
+    # in DAYS (calendar-bounded), never rows; the series rolls up
+    # first.
+    from python_mapreduce_spark.operators.windows import mann_kendall  # noqa: PLC0415
+
+    o = table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    return mann_kendall(o, day, "o_totalprice")
+
+
+SQL_MANN_KENDALL = f"""
+WITH series AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS p,
+         CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS y
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+pairs AS (
+  SELECT a.p AS p1, a.y AS y1, b.p AS p2, b.y AS y2
+  FROM series a JOIN series b ON b.p > a.p
+),
+pair_agg AS (
+  SELECT 1 AS g, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(sign(CAST(y2 - y1 AS DOUBLE))) AS BIGINT) AS s_stat,
+         median(CAST(y2 - y1 AS DOUBLE) / CAST(p2 - p1 AS DOUBLE) / 100.0)
+           AS sen
+  FROM pairs GROUP BY g
+),
+tiesq AS (
+  SELECT 1 AS g, CAST(SUM(t) AS BIGINT) AS n_periods,
+         CAST(SUM(CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5))
+              AS DOUBLE) AS tsum
+  FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS t FROM series GROUP BY y)
+  GROUP BY g
+),
+f AS (
+  SELECT n_periods, n_pairs, s_stat, sen,
+         (CAST(n_periods AS DOUBLE) * (CAST(n_periods AS DOUBLE) - 1.0)
+          * (2.0 * CAST(n_periods AS DOUBLE) + 5.0) - tsum) / 18.0 AS var_s
+  FROM pair_agg JOIN tiesq USING (g)
+)
+SELECT n_periods, n_pairs, s_stat,
+       {sql_dround('var_s', 4)} AS var_s,
+       CASE WHEN var_s > 0 THEN
+         {sql_dround(
+             'CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)'
+             ' WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)'
+             ' ELSE 0.0 END', 6)}
+       END AS z,
+       {sql_dround('sen', 6)} AS sen_slope
+FROM f
+"""
+
+QUERIES["q_mann_kendall"] = Query(
+    q_mann_kendall,
+    SQL_MANN_KENDALL,
+    "Mann-Kendall trend + Sen's slope on daily revenue",
+)

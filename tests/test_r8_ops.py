@@ -1420,3 +1420,73 @@ def test_kruskal_wallis_degenerate(spark):
     # Empty input: zero rows.
     df3 = spark.createDataFrame([], "g string, x double")
     assert kruskal_wallis(df3, "g", "x").count() == 0
+
+
+# --------------------------------------------------- Mann-Kendall
+
+
+def _mk_replay(series: dict[int, float]):
+    import statistics
+
+    ps = sorted(series)
+    n = len(ps)
+    s = 0
+    slopes = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = series[ps[j]] - series[ps[i]]
+            s += (d > 0) - (d < 0)
+            slopes.append(d / (ps[j] - ps[i]))
+    from collections import Counter
+
+    ties = Counter(series.values())
+    tsum = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var = (n * (n - 1) * (2 * n + 5) - tsum) / 18.0
+    if s > 0:
+        z = (s - 1) / math.sqrt(var)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(var)
+    else:
+        z = 0.0
+    return s, var, z, statistics.median(slopes)
+
+
+def test_mann_kendall_matches_replay(spark):
+    from python_mapreduce_spark.operators.windows import mann_kendall
+
+    rng = random.Random(101)
+    # Upward drift + noise + deliberate exact ties (1-decimal grid).
+    series = {
+        p: round(10 + 0.4 * p + rng.uniform(-3, 3), 1) for p in range(40)
+    }
+    df = spark.createDataFrame(
+        list(series.items()), "p long, x double"
+    )
+    got = mann_kendall(df, "p", "x").first()
+    s, var, z, sen = _mk_replay(series)
+    assert got.n_periods == 40 and got.n_pairs == 40 * 39 // 2
+    assert got.s_stat == s
+    assert abs(got.var_s - var) < 1e-3
+    assert abs(got.z - z) < 1e-5
+    assert abs(got.sen_slope - sen) < 1e-6
+    assert got.z > 3  # the planted trend must be decisively detected
+
+
+def test_mann_kendall_degenerate(spark):
+    from python_mapreduce_spark.operators.windows import mann_kendall
+
+    # All-tied series: S = 0, var 0 -> z NULL, Sen slope 0.
+    df = spark.createDataFrame(
+        [(p, 5.0) for p in range(6)], "p long, x double"
+    )
+    got = mann_kendall(df, "p", "x").first()
+    assert got.s_stat == 0 and got.z is None and got.sen_slope == 0.0
+    # Single period: no trend question -> zero rows.
+    df2 = spark.createDataFrame([(1, 2.0)], "p long, x double")
+    assert mann_kendall(df2, "p", "x").count() == 0
+    # Perfect monotone decrease: S = -n_pairs.
+    df3 = spark.createDataFrame(
+        [(p, float(10 - p)) for p in range(5)], "p long, x double"
+    )
+    got3 = mann_kendall(df3, "p", "x").first()
+    assert got3.s_stat == -10 and got3.z < 0 and got3.sen_slope == -1.0
