@@ -33,10 +33,11 @@ standardized residual / Cook's D), Okapi BM25 retrieval scoring
 (the lexical half of hybrid search), the t-closeness TVD release gate
 (completing k-anonymity / l-diversity), Theil T inequality with its
 within/between decomposition, Nelson-Aalen cumulative hazard (beside
-Kaplan-Meier), and tie-corrected Kruskal-Wallis (ANOVA's
-nonparametric twin). If the round-8 rotation math cannot absorb all
-24 registrations at once, split: register batch 1 (9) in round 8 and
-batch 2 (15) in round 9 — see R8_WIRING.md.
+Kaplan-Meier), tie-corrected Kruskal-Wallis (ANOVA's nonparametric
+twin), and Mann-Kendall trend + Sen's slope (nonparametric trend on
+rolled series). If the round-8 rotation math cannot absorb all 25
+registrations at once, split: register batch 1 (9) in round 8 and
+batch 2 (16) in round 9 — see R8_WIRING.md.
 """
 
 from __future__ import annotations
