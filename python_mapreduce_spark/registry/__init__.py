@@ -33,68 +33,44 @@ class Query:
 
 
 # The driver verifies a prefix window of all_queries() (50 entries per
-# round), so iteration order IS correctness coverage. Round-7 rotation
-# (VERDICT r6 items 1-2, mechanical via ``tools/driver_coverage.py
-# --plan 50``): the window is the 38 never-checked queries (20 r5
-# leftovers + 18 r6 additions, in registry order) followed by the first
-# 12 staleness refreshes — q_sim_ann_ivf_recall FIRST because its IVF
-# dials became corpus-adaptive in r6 and its only driver row is r02,
-# then 11 more r02 rows (core TPC-H shapes + the join family). The tail
-# is the full staleness-ordered refresh queue (oldest driver round
-# first: 23 remaining r02 rows, 46 r03, 50 r04, 49 r05, 50 r06); new
-# round-7 queries append BEHIND the staleness block (verdict r6 item 2:
-# <=12 additions so no row is older than 3 rounds by end of r8).
+# round), so iteration order IS correctness coverage. Round-8 rotation
+# (mechanical via ``tools/driver_coverage.py --plan 50`` over
+# CORRECTNESS_r01..r07): the window head is the 21 never-checked
+# queries — the 12 round-7 additions followed by the 9 newly-registered
+# staged batch-1 entries (R8_WIRING.md split; batch 2 registers in
+# round 9) — then 29 staleness refreshes: the ENTIRE remaining 23-row
+# r02 block plus the first 6 r03 rows. The tail is the full
+# staleness-ordered refresh queue (oldest driver round first: 40 more
+# r03, then r04/r05/r06/r07 blocks). Rotation invariant (test-pinned in
+# tests/test_registry_order.py): never-checked precede the staleness
+# queue, which is ascending by last-checked round; new additions append
+# behind everything. Feasibility contract (re-based in round 8, see
+# COVERAGE.md): with a 289-query registry and a 50-slot window, the
+# steady-state worst row age is ceil(289/50) = 6 rounds — every row is
+# refreshed within 6 rounds of its last check under oldest-first
+# rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "q_auc_daily",
-    "q_markov",
-    "q_retrieval_eval",
-    "q_mutual_info",
-    "q_woe",
-    "q_nucleus",
-    "q_triangle_stats",
-    "q_jsd_drift",
-    "q_dq_audit",
-    "q_conversion_lag",
-    "q_top_paths",
-    "q_stream_incremental_jsd",
-    "q_gap_report",
-    "q_benford",
-    "q_user_churn",
-    "q_readability",
-    "q_session_stats",
-    "q_rfm",
-    "q_corr_matrix",
-    "q_code_detect",
-    "q_pr_curve",
-    "q_lift_gain",
-    "q_auc_disparity",
-    "q_blocklist_filter",
-    "q_compression_ratio",
-    "q_compression_ratio_eval",
-    "q_hits",
-    "q_sorted_neighborhood",
-    "q_histogram2d",
-    "q_survival_curve",
-    "q_stream_incremental_auc",
-    "q_k_anonymity",
-    "q_missingness",
-    "q_ab_test",
-    "q_bloom_semi_join",
-    "q_time_weighted_avg",
-    "q_ohlc_bars",
-    "q_er_match",
-    "q_sim_ann_ivf_recall",
-    "q08_market_share",
-    "q09_product_profit",
-    "q16_supplier_counts",
-    "q20_volume_suppliers",
-    "q21_sole_returner",
-    "q_join_equi",
-    "q_join_broadcast",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_outer",
-    "q_join_range",
+    "q_l_diversity",
+    "q_ref_integrity",
+    "q_brier_score",
+    "q_bollinger_bands",
+    "q_gini_domains",
+    "q_pareto_share",
+    "q_zipf_slope",
+    "q_tfidf_terms",
+    "q_dedup_embedding_precluster",
+    "q_dedup_embedding_precluster_eval",
+    "q_heaps_law",
+    "q_table_checksum",
+    "q_anova",
+    "q_welch_ttest",
+    "q_mad_outliers",
+    "q_cusum",
+    "q_stream_cusum",
+    "q_fellegi_sunter",
+    "q_kcore",
+    "q_cramers_v",
+    "q_trimmed_mean",
     "q_window_topk",
     "q_window_running",
     "q_mr_stream_reduce",
@@ -313,19 +289,56 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_classification_report",
     "q_cohens_kappa",
     "q_fuzzy_decontam",
-    # --- round-7 additions (behind the staleness block, VERDICT r6 item 2) ---
-    "q_l_diversity",
-    "q_ref_integrity",
-    "q_brier_score",
-    "q_bollinger_bands",
-    "q_gini_domains",
-    "q_pareto_share",
-    "q_zipf_slope",
-    "q_tfidf_terms",
-    "q_dedup_embedding_precluster",
-    "q_dedup_embedding_precluster_eval",
-    "q_heaps_law",
-    "q_table_checksum",
+    "q_auc_daily",
+    "q_markov",
+    "q_retrieval_eval",
+    "q_mutual_info",
+    "q_woe",
+    "q_nucleus",
+    "q_triangle_stats",
+    "q_jsd_drift",
+    "q_dq_audit",
+    "q_conversion_lag",
+    "q_top_paths",
+    "q_stream_incremental_jsd",
+    "q_gap_report",
+    "q_benford",
+    "q_user_churn",
+    "q_readability",
+    "q_session_stats",
+    "q_rfm",
+    "q_corr_matrix",
+    "q_code_detect",
+    "q_pr_curve",
+    "q_lift_gain",
+    "q_auc_disparity",
+    "q_blocklist_filter",
+    "q_compression_ratio",
+    "q_compression_ratio_eval",
+    "q_hits",
+    "q_sorted_neighborhood",
+    "q_histogram2d",
+    "q_survival_curve",
+    "q_stream_incremental_auc",
+    "q_k_anonymity",
+    "q_missingness",
+    "q_ab_test",
+    "q_bloom_semi_join",
+    "q_time_weighted_avg",
+    "q_ohlc_bars",
+    "q_er_match",
+    "q_sim_ann_ivf_recall",
+    "q08_market_share",
+    "q09_product_profit",
+    "q16_supplier_counts",
+    "q20_volume_suppliers",
+    "q21_sole_returner",
+    "q_join_equi",
+    "q_join_broadcast",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_outer",
+    "q_join_range",
 )
 
 
@@ -342,6 +355,7 @@ def all_queries() -> dict[str, Query]:
         joins,
         llm,
         mr,
+        r8_staged,
         streaming,
         tpch2,
         tpch3,
@@ -356,6 +370,13 @@ def all_queries() -> dict[str, Query]:
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
             merged[name] = q
+    # Round-8 registration of the staged batch 1 (R8_WIRING.md split:
+    # batch 2's 16 entries register in round 9 so the r02/r03 staleness
+    # blocks drain first — the 50-slot window math in COVERAGE.md).
+    for name in r8_staged.BATCH1:
+        if name in merged:
+            raise ValueError(f"duplicate query name: {name}")
+        merged[name] = r8_staged.QUERIES[name]
 
     out: dict[str, Query] = {}
     for name in DRIVER_PRIORITY:

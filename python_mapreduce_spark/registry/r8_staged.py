@@ -1830,3 +1830,22 @@ QUERIES["q_mann_kendall"] = Query(
     SQL_MANN_KENDALL,
     "Mann-Kendall trend + Sen's slope on daily revenue",
 )
+
+# Registration split (R8_WIRING.md): batch 1 registers in round 8,
+# batch 2 in round 9 — the 50-slot driver window can then consume the
+# whole 23-row r02 staleness block plus the head of the r03 block in
+# round 8. ``all_queries()`` merges only BATCH1 until round 9; the
+# staged gates (tools/check_staged.py, tests/test_r8_staged_*.py) keep
+# pinning the full module either way.
+BATCH1: tuple[str, ...] = (
+    "q_anova",
+    "q_welch_ttest",
+    "q_mad_outliers",
+    "q_cusum",
+    "q_stream_cusum",
+    "q_fellegi_sunter",
+    "q_kcore",
+    "q_cramers_v",
+    "q_trimmed_mean",
+)
+BATCH2: tuple[str, ...] = tuple(n for n in QUERIES if n not in BATCH1)
