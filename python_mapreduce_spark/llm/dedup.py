@@ -463,12 +463,56 @@ def embedding_dedup_pairs(
     )
 
 
+# Clamp bounds for the per-task BLAS sims block (chunk_rows x n float64).
+# 32 MB is the provably-safe floor for tightly-provisioned executors
+# (the r6-audited worst case); 256 MB keeps the BLAS call large enough
+# to amortize on a roomy host without re-opening the 8 GB/task cliff
+# that motivated chunking (VERDICT r7: the 32 MB constant cost x1.41 at
+# bench scale — many tiny GEMMs at small n).
+_SIMS_CHUNK_FLOOR = 32 * 1024 * 1024
+_SIMS_CHUNK_CAP = 256 * 1024 * 1024
+SIMS_CHUNK_CONF = "spark.python_mapreduce_spark.matmul.chunkBytes"
+
+
+def _sims_chunk_bytes(spark) -> int:
+    """Per-task budget for the sims block, scaled to the session.
+
+    Precedence: the ``SIMS_CHUNK_CONF`` session conf if set; else
+    ``spark.executor.pyspark.memory``/4 when the deployment caps Python
+    worker memory (a cluster that bothers to set it means it); else
+    256 MB on a local[*] master (single roomy host — the driver JVM
+    already holds 48 g here) and the 32 MB floor on any other master,
+    where executor sizing is unknown. Always clamped to
+    [32 MB, 256 MB].
+    """
+    raw = spark.conf.get(SIMS_CHUNK_CONF, None)
+    if raw is None:
+        pymem = spark.conf.get("spark.executor.pyspark.memory", None)
+        if pymem:
+            units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+            s = pymem.strip().lower().removesuffix("b")
+            mult = units.get(s[-1:], 1)
+            digits = s[:-1] if s[-1:] in units else s
+            try:
+                budget = int(float(digits)) * mult // 4
+            except ValueError:  # unparseable -> conservative floor
+                budget = _SIMS_CHUNK_FLOOR
+        elif spark.sparkContext.master.startswith("local"):
+            budget = _SIMS_CHUNK_CAP
+        else:
+            budget = _SIMS_CHUNK_FLOOR
+    else:
+        budget = int(raw)
+    return max(_SIMS_CHUNK_FLOOR, min(_SIMS_CHUNK_CAP, budget))
+
+
 def embedding_dedup_pairs_matmul(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
     *,
     threshold: float = 0.4,
+    chunk_bytes: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine dedup via broadcast matmul — the fast form when
     the corpus unit matrix fits in executor memory (n x dim float64;
@@ -494,13 +538,17 @@ def embedding_dedup_pairs_matmul(
         return emb.sparkSession.createDataFrame([], "id1 long, id2 long, cos double")
     ids = pdf["id"].to_numpy()
     mat_t = _unit_rows(pdf["v"].values).T  # dim x n
-    # Bound the per-task sims matrix at ~32 MB (4M doubles): an Arrow
-    # batch of 10k rows against a 100k-row corpus would otherwise hold a
-    # 10k x 100k float64 block (8 GB) PER TASK — the matmul regime's
-    # hidden memory cliff. Chunking keeps the BLAS call large enough to
-    # amortize and the peak footprint flat at any corpus size the
-    # broadcast budget admits.
-    rows_per_chunk = max(1, 4_000_000 // max(len(ids), 1))
+    # Bound the per-task sims matrix: an Arrow batch of 10k rows against
+    # a 100k-row corpus would otherwise hold a 10k x 100k float64 block
+    # (8 GB) PER TASK — the matmul regime's hidden memory cliff. The
+    # budget scales with the session (256 MB on local[*], 32 MB floor on
+    # unknown executors, SIMS_CHUNK_CONF to override) so a roomy host
+    # keeps its BLAS calls large while the peak footprint stays flat at
+    # any corpus size the broadcast budget admits.
+    budget = chunk_bytes if chunk_bytes is not None else _sims_chunk_bytes(
+        emb.sparkSession
+    )
+    rows_per_chunk = max(1, budget // (8 * max(len(ids), 1)))
 
     def score(batches):
         for b in batches:
@@ -527,6 +575,7 @@ def embedding_dedup_pairs_lsh(
     rows_per_band: int = 2,
     dim: int = 64,
     seed: int = 42,
+    verify_broadcast_budget_bytes: int = 512 * 1024 * 1024,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via banded-LSH candidates + exact
     verification — the corpus-scale path.
@@ -539,12 +588,67 @@ def embedding_dedup_pairs_lsh(
     tracks the true-dup count; on an adversarial corpus whose pair
     cosines sit at the random background the candidate set degrades
     toward all pairs — the cost floor is the data's, not the plan's.
+
+    Verification has two physical forms with identical semantics (same
+    ``_unit_rows`` + row-wise dot + ``_round6`` arithmetic):
+
+      * corpus unit matrix fits ``verify_broadcast_budget_bytes``
+        (n x dim x 8) — the matrix is closed over once and each Arrow
+        batch of candidate (id1, id2) pairs scores by positional lookup;
+        only 16-byte id pairs ever move. On the adversarial corpus,
+        where candidates approach all-pairs, the old per-pair vector
+        join shipped 2 x dim doubles per candidate (~2 GB at 2k vectors
+        x 2M candidates, measured 11.8 s at sf0.1 — the r7 bench
+        regression); this form cuts that to ~32 MB.
+      * beyond-broadcast corpus — candidates equi-join each side's
+        vector (two keyed shuffles) and score through the Arrow-batched
+        pair UDF; nothing is ever collected.
     """
-    from python_mapreduce_spark.llm.similarity import banded_lsh_candidate_pairs, cos_pair_udf
+    from python_mapreduce_spark.llm.similarity import (
+        _round6,
+        _unit_rows,
+        banded_lsh_candidate_pairs,
+        cos_pair_udf,
+    )
 
     cand = banded_lsh_candidate_pairs(
         emb, id_col, vec_col, bands=bands, rows_per_band=rows_per_band, dim=dim, seed=seed
     )
+
+    first = emb.select(F.size(vec_col).alias("d")).filter(F.col("d") > 0).first()
+    vdim = int(first["d"]) if first is not None else 0
+    if 0 < emb.count() * vdim * 8 <= verify_broadcast_budget_bytes:
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        pdf = (
+            emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .filter(F.col("v").isNotNull())
+            .toPandas()
+        )
+        unit = _unit_rows(pdf["v"].values)
+        pos = pd.Series(np.arange(len(pdf)), index=pdf["id"].to_numpy())
+
+        def score(batches):
+            for b in batches:
+                if b.empty:
+                    continue
+                i1 = pos.reindex(b["id1"].to_numpy()).to_numpy()
+                i2 = pos.reindex(b["id2"].to_numpy()).to_numpy()
+                ok = ~(np.isnan(i1) | np.isnan(i2))  # defensive: unknown ids
+                i1, i2 = i1[ok].astype("int64"), i2[ok].astype("int64")
+                cos = _round6((unit[i1] * unit[i2]).sum(axis=1))
+                m = cos >= threshold
+                yield pd.DataFrame(
+                    {
+                        "id1": b["id1"].to_numpy()[ok][m],
+                        "id2": b["id2"].to_numpy()[ok][m],
+                        "cos": cos[m],
+                    }
+                )
+
+        return cand.mapInPandas(score, "id1 long, id2 long, cos double")
+
     a = emb.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
     b = emb.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
     return (
@@ -627,6 +731,14 @@ def embedding_dedup_pairs_precluster(
 
     src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     tagged = src.mapInPandas(probe_assign, "id long, v array<float>, cluster int")
+    # The grouped regime keeps the FLOOR budget, not the session-scaled
+    # one: every executor slot runs a cluster group concurrently, so the
+    # aggregate sims traffic is budget x slots — measured at 100k
+    # vectors (tools/bench_scale.py --guard-only): 43 s at 32 MB vs
+    # ~55 s at 256 MB (8 GB aggregate, memory-bandwidth-bound). The
+    # broadcast-matmul regime scans once with few in-flight batches and
+    # does benefit from the larger session-scaled chunks.
+    sims_budget = _SIMS_CHUNK_FLOOR
 
     def group_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
@@ -635,7 +747,7 @@ def embedding_dedup_pairs_precluster(
             )
         ids = pdf["id"].to_numpy()
         mat_t = _unit_rows(pdf["v"].values).T
-        chunk = max(1, 4_000_000 // len(ids))  # sims block <= ~32 MB
+        chunk = max(1, sims_budget // (8 * len(ids)))
         outs = []
         for lo in range(0, len(ids), chunk):
             bi = ids[lo : lo + chunk]

@@ -195,6 +195,86 @@ def test_embedding_lsh_dedup_equals_all_pairs(emb):
     assert lsh == exact
 
 
+def test_sims_chunk_budget_scales_with_session():
+    # VERDICT r7 item 3: the matmul sims-block budget is a session-scaled
+    # dial, not a hard-coded 32 MB — 256 MB on a local master (roomy
+    # single host), the 32 MB floor on an unknown cluster master,
+    # executor.pyspark.memory/4 when the deployment caps Python workers,
+    # and SIMS_CHUNK_CONF overrides everything (clamped both ways).
+    from types import SimpleNamespace
+
+    from python_mapreduce_spark.llm.dedup import (
+        _SIMS_CHUNK_CAP,
+        _SIMS_CHUNK_FLOOR,
+        SIMS_CHUNK_CONF,
+        _sims_chunk_bytes,
+    )
+
+    def fake(confs, master="local[32]"):
+        return SimpleNamespace(
+            conf=SimpleNamespace(get=lambda k, d=None: confs.get(k, d)),
+            sparkContext=SimpleNamespace(master=master),
+        )
+
+    assert _sims_chunk_bytes(fake({})) == _SIMS_CHUNK_CAP
+    assert _sims_chunk_bytes(fake({}, master="spark://h:7077")) == _SIMS_CHUNK_FLOOR
+    assert (
+        _sims_chunk_bytes(
+            fake({"spark.executor.pyspark.memory": "512m"}, master="spark://h:7077")
+        )
+        == (512 << 20) // 4
+    )
+    # a huge pyspark.memory still clamps to the cap
+    assert (
+        _sims_chunk_bytes(
+            fake({"spark.executor.pyspark.memory": "2g"}, master="spark://h:7077")
+        )
+        == _SIMS_CHUNK_CAP
+    )
+    # tiny pyspark.memory clamps up to the floor; bogus parses to floor
+    assert (
+        _sims_chunk_bytes(
+            fake({"spark.executor.pyspark.memory": "64m"}, master="yarn")
+        )
+        == _SIMS_CHUNK_FLOOR
+    )
+    assert (
+        _sims_chunk_bytes(
+            fake({"spark.executor.pyspark.memory": "bogus"}, master="yarn")
+        )
+        == _SIMS_CHUNK_FLOOR
+    )
+    assert (
+        _sims_chunk_bytes(fake({SIMS_CHUNK_CONF: str(64 * 1024 * 1024)}))
+        == 64 * 1024 * 1024
+    )
+    assert _sims_chunk_bytes(fake({SIMS_CHUNK_CONF: "1"})) == _SIMS_CHUNK_FLOOR
+    assert (
+        _sims_chunk_bytes(fake({SIMS_CHUNK_CONF: str(1 << 60)})) == _SIMS_CHUNK_CAP
+    )
+
+
+def test_matmul_pairs_respect_explicit_chunk_bytes(emb):
+    # Identical pair sets at the floor budget and the cap budget — the
+    # chunk size is a throughput dial, never a semantics dial.
+    from python_mapreduce_spark.llm.dedup import embedding_dedup_pairs_matmul
+
+    lo = {
+        (r.id1, r.id2): r.cos
+        for r in embedding_dedup_pairs_matmul(
+            emb, "vec_id", "embedding", chunk_bytes=1
+        ).collect()
+    }
+    hi = {
+        (r.id1, r.id2): r.cos
+        for r in embedding_dedup_pairs_matmul(
+            emb, "vec_id", "embedding", chunk_bytes=1 << 30
+        ).collect()
+    }
+    assert lo, "fixture should contain qualifying pairs"
+    assert lo == hi
+
+
 def test_embedding_dedup_dispatches_by_corpus_size(emb):
     # Auto-dispatch: under the broadcast budget -> matmul (no join in
     # the plan, corpus closed over); over it -> banded LSH (equi-joins,

@@ -138,27 +138,32 @@ def reflag() -> int:
     """Re-apply flag/waiver classification to the existing
     BENCH_SCALE.json WITHOUT re-measuring — for when a measured
     super-linear regime gets root-caused and its waiver lands after the
-    run (measurements untouched; only `flagged`/`waiver`/`n_flagged`
+    run (measurements untouched; only `flagged`/`waiver`/counts
     recompute)."""
     path = os.path.join(REPO, "BENCH_SCALE.json")
     with open(path) as f:
         record = json.load(f)
-    n_flagged = 0
+    n_unexplained = 0
+    n_total = 0
     for name, row in record["queries"].items():
         if "time_ratio" not in row:
             continue
         flagged = row["time_ratio"] > 2.0 * row["corpus_ratio"]
         row["flagged"] = flagged
+        n_total += flagged
         if flagged and name in WAIVERS:
             row["waiver"] = WAIVERS[name]
         else:
             row.pop("waiver", None)
-            n_flagged += flagged
-    record["n_flagged"] = n_flagged
+            n_unexplained += flagged
+    record.pop("n_flagged", None)  # VERDICT r7 item 6: the old name read
+    # as "zero flags" when four waived flags existed — split the counts.
+    record["n_flagged_unexplained"] = n_unexplained
+    record["n_flagged_total"] = n_total
     with open(path, "w") as f:
         json.dump(record, f, indent=2)
-    print(json.dumps({"bench_scale_flagged": n_flagged}), flush=True)
-    return 1 if n_flagged else 0
+    print(json.dumps({"bench_scale_flagged_unexplained": n_unexplained}), flush=True)
+    return 1 if n_unexplained else 0
 
 
 def main() -> int:
@@ -197,7 +202,8 @@ def main() -> int:
 
     deadline = time.time() + float(os.environ.get("BENCH_SCALE_BUDGET_S", "2400"))
     out: dict[str, dict] = {}
-    n_flagged = 0
+    n_flagged = 0  # unexplained (unwaived) flags — the gating count
+    n_flagged_total = 0  # every flag, waived or not
 
     def flush_record() -> None:
         record = {
@@ -205,7 +211,8 @@ def main() -> int:
             "big": big,
             "corpus_ratios": {k: round(v, 2) for k, v in ratios.items()},
             "queries": out,
-            "n_flagged": n_flagged,
+            "n_flagged_unexplained": n_flagged,
+            "n_flagged_total": n_flagged_total,
         }
         with open(os.path.join(REPO, "BENCH_SCALE.json"), "w") as f:
             json.dump(record, f, indent=2)
@@ -223,6 +230,7 @@ def main() -> int:
         flagged = time_ratio > 2.0 * corpus_ratio
         waived = flagged and name in WAIVERS
         n_flagged += flagged and not waived
+        n_flagged_total += flagged
         out[name] = {
             "table": tbl,
             "corpus_ratio": round(corpus_ratio, 2),
@@ -249,7 +257,7 @@ def main() -> int:
     flush_record()
     print(f"guard {guard}", flush=True)
 
-    print(json.dumps({"bench_scale_flagged": n_flagged}), flush=True)
+    print(json.dumps({"bench_scale_flagged_unexplained": n_flagged}), flush=True)
     return 1 if n_flagged else 0
 
 
@@ -298,12 +306,23 @@ def guard_only() -> int:
         record = json.load(f)
     guard, bad = run_guard(spark, big)
     record["queries"]["dedup_embedding_guard"] = guard
-    record["n_flagged"] = record.get("n_flagged", 0) + bad
+    prior = record.pop("n_flagged", None)  # legacy single-count records
+    base = record.get("n_flagged_unexplained", prior or 0)
+    record["n_flagged_unexplained"] = base + bad
+    record.setdefault(
+        "n_flagged_total",
+        sum(1 for r in record["queries"].values() if r.get("flagged")),
+    )
     with open(path, "w") as f:
         json.dump(record, f, indent=2)
     print(f"guard {guard}", flush=True)
-    print(json.dumps({"bench_scale_flagged": record["n_flagged"]}), flush=True)
-    return 1 if record["n_flagged"] else 0
+    print(
+        json.dumps(
+            {"bench_scale_flagged_unexplained": record["n_flagged_unexplained"]}
+        ),
+        flush=True,
+    )
+    return 1 if record["n_flagged_unexplained"] else 0
 
 
 if __name__ == "__main__":
