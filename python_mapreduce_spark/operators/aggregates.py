@@ -3826,6 +3826,15 @@ def kruskal_wallis(
     cliff (the unscaled R_g^2/n_g reaches N^3 and would overflow
     dround's long floor past N ~ 1e4); H re-assembles from the scaled
     sum in one fixed IEEE shape, rounded 1e-6.
+
+    Accuracy envelope (ADVICE r7): re-assembling H as 12*N*sum(term)
+    amplifies each term's 1e-12 quantization by 12*N*k, so the emitted
+    6-decimal h_stat tracks the true H to ~6e-12*N*k absolute — all 6
+    printed decimals are exact up to N*k ~ 1e5 and degrade one decimal
+    per further decade. Cross-engine determinism is unaffected at ANY
+    N (both engines quantize on the identical grid before the identical
+    re-assembly); like jarque_bera's overflow note, this documents
+    where the printed digits stop being the infinite-precision ones.
     """
     from python_mapreduce_spark.operators.windows import global_running_sum  # noqa: PLC0415 - avoid module cycle
 

@@ -1644,9 +1644,12 @@ WITH pu AS (
   FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 ),
 obs AS (
+  -- ld IS NOT NULL mirrors the operator's isNotNull duration/flag
+  -- filters (ADVICE r7): a user whose every ts is NULL must not
+  -- inflate ntot or emit a NULL-duration row on the oracle side only
   SELECT CAST(ld - fd AS DOUBLE) AS t,
          CASE WHEN ld < DATE '2024-01-25' THEN 1 ELSE 0 END AS e
-  FROM pu
+  FROM pu WHERE ld IS NOT NULL
 ),
 counts AS (
   SELECT t, CAST(sum(e) AS BIGINT) AS d, CAST(sum(1 - e) AS BIGINT) AS c

@@ -1490,3 +1490,57 @@ def test_mann_kendall_degenerate(spark):
     )
     got3 = mann_kendall(df3, "p", "x").first()
     assert got3.s_stat == -10 and got3.z < 0 and got3.sen_slope == -1.0
+
+
+def test_survival_oracles_exclude_all_null_ts_users(spark, tmp_path):
+    # ADVICE r7: a user whose EVERY ts is NULL produces a NULL last-event
+    # date. The operators (survival_curve / nelson_aalen) filter NULL
+    # duration/flag rows; the oracles' obs CTE must mirror that (WHERE
+    # ld IS NOT NULL), or the oracle inflates every n_risk via ntot and
+    # emits an extra NULL-duration row only on its side.
+    import datetime as dt
+
+    import duckdb
+
+    from python_mapreduce_spark.registry.core import QUERIES as CORE_Q
+    from python_mapreduce_spark.registry.r8_staged import QUERIES as STAGED_Q
+
+    def t(day):
+        return dt.datetime(2024, 1, day, 12, 0, 0)
+
+    rows = [
+        # user 1: churned (last event before 2024-01-25), duration 9
+        (1, t(1), 1, "click", 1.0, "{}"),
+        (2, t(10), 1, "view", 1.0, "{}"),
+        # user 2: censored (last event on/after 2024-01-25), duration 24
+        (3, t(2), 2, "click", 1.0, "{}"),
+        (4, t(26), 2, "view", 1.0, "{}"),
+        # user 99: every ts NULL -> must not appear in either engine
+        (5, None, 99, "click", 1.0, "{}"),
+        (6, None, 99, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'"
+    )
+    for q in (CORE_Q["q_survival_curve"], STAGED_Q["q_nelson_aalen"]):
+        sdf = q.fn(spark, str(tmp_path)).toPandas()
+        odf = con.sql(q.sql).df()
+        assert len(sdf) == len(odf) == 2  # two durations, no NULL row
+        scols = sorted(sdf.columns)
+        assert scols == sorted(odf.columns)
+        s = sdf[scols].sort_values(scols).reset_index(drop=True)
+        o = odf[scols].sort_values(scols).reset_index(drop=True)
+        for c in scols:
+            sv, ov = s[c].astype("float64"), o[c].astype("float64")
+            assert (sv - ov).abs().max() < 1e-9, (q, c)
+        # the all-NULL-ts user is excluded: risk set starts at 2, not 3
+        assert int(s["n_risk"].max()) == 2

@@ -105,7 +105,7 @@ def measure(sf_dir: str) -> dict:
         "t_kruskal_s": round(t_kw, 1),
         "t_spearman_s": round(t_sp, 1),
         "t_bh_fdr_s": round(t_bh, 1),
-        "mw_z": mw[0].z,
+        "mw_z": mw[0].z if mw else None,
         "kw_h": kw[0].h_corrected if kw else None,
         "sp_rho": sp[0].spearman_rho if sp else None,
         "bh_rejected": sum(1 for r in bh if r.rejected),
