@@ -19,7 +19,7 @@ unit-normalized 64-dim vectors, far below the 1e-6 rounding grid.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -824,4 +824,78 @@ def retrieval_label_eval(
             F.sum("__nhits").cast("double") / (F.lit(float(k)) * F.count(F.lit(1))),
             6,
         ).alias("p_at_k"),
+    )
+
+
+def reciprocal_rank_fusion(
+    ladders: Sequence[DataFrame],
+    *,
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    weights: Sequence[float] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N
+    ranked retrieval ladders — the standard score-free hybrid-retrieval
+    combiner: fused(d) = sum_i w_i / (k_rrf + rank_i(d)), summing only
+    over ladders that ranked ``d``. Rank-based fusion needs NO score
+    calibration between systems (BM25 scores and cosine similarities
+    live on incomparable scales), which is why RRF beats naive score
+    averaging as the default hybrid combiner; ``k_rrf`` = 60 is the
+    paper's constant — it damps the head so one ladder's #1 cannot
+    drown agreement further down. Completes the retrieval story:
+    llm/text.py::bm25_topk is the lexical ladder, cosine_topk /
+    ann_topk_* the dense ones. Beyond the reference surface (SURVEY.md
+    §2.2 north-star extensions).
+
+    Each ladder frame carries (``id_col``, ``rank_col``) with 1-based
+    ranks (any other columns are ignored). Emits the fused top-``k``
+    as an unordered set with a total-order cut (fused score DESC, id
+    ASC): (id, rrf_score, n_ladders, best_rank).
+
+    Scale shape: ladders are already top-k-sized by contract (each is
+    the OUTPUT of a retrieval cut, never a corpus), so fusion is a
+    union of tiny frames + one map-side-combined agg + a
+    TakeOrderedAndProject — no window, no join, nothing driver-side.
+
+    Determinism: each contribution w/(k_rrf + rank) computes in one
+    fixed IEEE shape from integers, quantizes to 1e-8 and accumulates
+    in DECIMAL(38,8) (the bm25 pattern), so the fused score — and the
+    cut SET — is independent of union order, partitioning and
+    parallelism.
+    """
+    if weights is None:
+        weights = [1.0] * len(ladders)
+    if len(weights) != len(ladders):
+        raise ValueError("weights must match ladders")
+    parts = []
+    for df, w in zip(ladders, weights):
+        contrib = F.lit(float(w)) / (
+            F.lit(float(k_rrf)) + F.col(rank_col).cast("double")
+        )
+        parts.append(
+            df.select(
+                F.col(id_col).cast("long").alias("id"),
+                dround(contrib, 8).cast("decimal(38,8)").alias("__c"),
+                F.col(rank_col).cast("long").alias("__r"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("id").agg(
+        F.sum("__c").cast("double").alias("__score"),
+        F.count(F.lit(1)).cast("long").alias("n_ladders"),
+        F.min("__r").alias("best_rank"),
+    )
+    return (
+        fused.orderBy(F.col("__score").desc(), F.col("id").asc())
+        .limit(int(k))
+        .select(
+            "id",
+            dround(F.col("__score"), 8).alias("rrf_score"),
+            "n_ladders",
+            "best_rank",
+        )
     )

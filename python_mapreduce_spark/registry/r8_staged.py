@@ -1834,6 +1834,132 @@ QUERIES["q_mann_kendall"] = Query(
     "Mann-Kendall trend + Sen's slope on daily revenue",
 )
 
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hybrid retrieval via reciprocal-rank fusion (VERDICT r7 stretch
+    # item 7; llm/similarity.py::reciprocal_rank_fusion): the lexical
+    # BM25 top-20 for {merge, window, stream} fuses with the dense
+    # cosine top-20 around the vec_id=3 embedding — rank-based fusion
+    # needs no score calibration between the two ladders. Lexical ranks
+    # come from global_row_number over the emitted 1e-4 score (desc) +
+    # id tiebreak (the scalable rank primitive — no single-task
+    # window); dense ranks are cosine_topk's own rn. Both ladders are
+    # top-k-sized by contract, so the fusion stage touches ~40 rows at
+    # ANY corpus scale.
+    from python_mapreduce_spark.llm.similarity import (  # noqa: PLC0415
+        cosine_topk,
+        reciprocal_rank_fusion,
+    )
+    from python_mapreduce_spark.llm.text import bm25_topk  # noqa: PLC0415
+    from python_mapreduce_spark.operators.windows import (  # noqa: PLC0415
+        global_row_number,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, "doc_id", "text", ["merge", "window", "stream"], k=20)
+    lex_ranked = global_row_number(
+        lex.withColumn("__negs", -F.col("score")), ["__negs", "id"], out="rank"
+    )
+    dense = cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 3), "vec_id", "embedding", k=20
+    )
+    dense_ranked = dense.select(
+        F.col("neighbor_id").alias("id"), F.col("rn").alias("rank")
+    )
+    return reciprocal_rank_fusion([lex_ranked, dense_ranked], k=10)
+
+
+SQL_HYBRID_RETRIEVAL = f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'))
+           AS term
+  FROM documents
+),
+tf AS (
+  SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+),
+dl AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS DOUBLE) AS tok
+  FROM dl
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+qtf AS (SELECT * FROM tf WHERE term IN ('merge', 'window', 'stream')),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY 1
+),
+j AS (
+  SELECT q.id, q.tf, d.df, l.dl, s.nd, s.tok, nn.n
+  FROM qtf q
+  JOIN dfreq d USING (term)
+  JOIN dl l ON q.id = l.id
+  CROSS JOIN stats s CROSS JOIN nn
+),
+contrib AS (
+  SELECT id,
+         {sql_dround(
+             'ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))'
+             ' * CAST(tf AS DOUBLE) * 2.2'
+             ' / (CAST(tf AS DOUBLE) + 1.2 * (0.25'
+             ' + 0.75 * CAST(dl AS DOUBLE) / (tok / CAST(nd AS DOUBLE))))',
+             6)} AS c
+  FROM j
+),
+lexscored AS (
+  SELECT id, CAST(SUM(CAST(c AS DECIMAL(38,6))) AS DOUBLE) AS score_raw
+  FROM contrib GROUP BY id
+),
+lexcut AS (
+  SELECT id, {sql_dround('score_raw', 4)} AS score
+  FROM lexscored ORDER BY score_raw DESC, id ASC LIMIT 20
+),
+lexr AS (
+  SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id ASC)
+                  AS BIGINT) AS r
+  FROM lexcut
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qv AS (SELECT v FROM e WHERE vec_id = 3),
+dsc AS (
+  SELECT c.vec_id AS id,
+         floor(list_dot_product(qv.v, c.v)
+               / (sqrt(list_dot_product(qv.v, qv.v))
+                  * sqrt(list_dot_product(c.v, c.v)))
+               * 1000000.0 + 0.5) / 1000000.0 AS cos
+  FROM e c CROSS JOIN qv WHERE c.vec_id != 3
+),
+denser AS (
+  SELECT id, r FROM (
+    SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id ASC)
+                    AS BIGINT) AS r
+    FROM dsc)
+  WHERE r <= 20
+),
+u AS (
+  SELECT id, {sql_dround('1.0 / (60.0 + CAST(r AS DOUBLE))', 8)} AS c, r
+  FROM lexr
+  UNION ALL
+  SELECT id, {sql_dround('1.0 / (60.0 + CAST(r AS DOUBLE))', 8)} AS c, r
+  FROM denser
+),
+f AS (
+  SELECT id, CAST(SUM(CAST(c AS DECIMAL(38,8))) AS DOUBLE) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n_ladders,
+         CAST(MIN(r) AS BIGINT) AS best_rank
+  FROM u GROUP BY id
+)
+SELECT id, {sql_dround('s', 8)} AS rrf_score, n_ladders, best_rank
+FROM f ORDER BY s DESC, id ASC LIMIT 10
+"""
+
+QUERIES["q_hybrid_retrieval"] = Query(
+    q_hybrid_retrieval,
+    SQL_HYBRID_RETRIEVAL,
+    "RRF hybrid retrieval: BM25 lexical + dense cosine ladders",
+)
+
+
 # Registration split (R8_WIRING.md): batch 1 registers in round 8,
 # batch 2 in round 9 — the 50-slot driver window can then consume the
 # whole 23-row r02 staleness block plus the head of the r03 block in

@@ -1544,3 +1544,51 @@ def test_survival_oracles_exclude_all_null_ts_users(spark, tmp_path):
             assert (sv - ov).abs().max() < 1e-9, (q, c)
         # the all-NULL-ts user is excluded: risk set starts at 2, not 3
         assert int(s["n_risk"].max()) == 2
+
+
+def test_reciprocal_rank_fusion_matches_replay(spark):
+    from python_mapreduce_spark.llm.similarity import reciprocal_rank_fusion
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3), (40, 4)], "id long, rank long"
+    )
+    dense = spark.createDataFrame(
+        [(20, 1), (50, 2), (30, 3)], "id long, rank long"
+    )
+    got = {
+        r.id: r for r in reciprocal_rank_fusion([lex, dense], k=10).collect()
+    }
+
+    def q8(x):
+        import math
+
+        return math.floor(x * 1e8 + 0.5) / 1e8
+
+    want = {}
+    for ladder in ([(10, 1), (20, 2), (30, 3), (40, 4)], [(20, 1), (50, 2), (30, 3)]):
+        for i, r in ladder:
+            s, n, b = want.get(i, (0.0, 0, 10**9))
+            want[i] = (s + q8(1.0 / (60.0 + r)), n + 1, min(b, r))
+    assert set(got) == set(want)
+    for i, (s, n, b) in want.items():
+        assert abs(got[i].rrf_score - s) < 1e-9, i
+        assert (got[i].n_ladders, got[i].best_rank) == (n, b), i
+    # agreement wins: id 20 (ranks 2+1) and id 30 (3+3) both fuse above
+    # every single-ladder entry, including each ladder's own #1
+    order = [r.id for r in reciprocal_rank_fusion([lex, dense], k=10)
+             .orderBy("rrf_score", ascending=False).collect()]
+    assert order[0] == 20 and order[1] == 30
+
+    # weights: doubling the dense weight flips a dense-only doc above a
+    # lex-only doc with the same rank
+    w = {r.id: r.rrf_score for r in reciprocal_rank_fusion(
+        [lex, dense], weights=[1.0, 2.0], k=10).collect()}
+    assert w[50] > w[10]  # dense rank 2 at weight 2 > lex rank 1 at weight 1? no:
+    # 2/(60+2)=0.032258 vs 1/(60+1)=0.016393 — yes, strictly above
+
+    # k cut with total-order tiebreak: ids tied at the same single
+    # ladder rank cannot both survive a k=1 cut; the smaller id wins
+    tied = spark.createDataFrame([(7, 1)], "id long, rank long")
+    tied2 = spark.createDataFrame([(5, 1)], "id long, rank long")
+    cut = reciprocal_rank_fusion([tied, tied2], k=1).collect()
+    assert len(cut) == 1 and cut[0].id == 5
