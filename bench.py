@@ -185,6 +185,17 @@ HEADLINE = [
     "q_dedup_embedding_precluster_eval",
     "q_heaps_law",
     "q_table_checksum",
+    # Round-8 registrations (staged batch 1). q_stream_cusum stays out:
+    # like the stream_incremental_* family its runtime is temp-dir
+    # ingest, not engine throughput.
+    "q_anova",
+    "q_welch_ttest",
+    "q_mad_outliers",
+    "q_cusum",
+    "q_fellegi_sunter",
+    "q_kcore",
+    "q_cramers_v",
+    "q_trimmed_mean",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

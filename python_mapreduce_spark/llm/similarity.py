@@ -899,3 +899,89 @@ def reciprocal_rank_fusion(
             "best_rank",
         )
     )
+
+
+def retrieval_ndcg(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    *,
+    k: int = 5,
+    queries_in_corpus: bool = True,
+) -> DataFrame:
+    """Binary-relevance NDCG@k per query label — the rank-position-aware
+    retrieval gate beside :func:`retrieval_label_eval`'s MRR/P@k (MRR
+    only sees the FIRST hit; P@k ignores positions; NDCG@k credits
+    every hit by 1/log2(rank+1) against the best achievable ordering).
+
+    Relevance: a neighbor is relevant iff it shares the query's label
+    (NULL-safe). IDCG uses the true relevant-pool size R = corpus count
+    of the query's label (minus the query itself when
+    ``queries_in_corpus``, matching :func:`cosine_topk`'s
+    self-exclusion): ideal DCG = sum_{{i=1..min(R,k)}} 1/log2(i+1).
+    Queries with an empty relevant pool have no defined ideal and are
+    excluded from the mean but counted in ``n_queries``. Emits
+    (label, n_queries, n_evaluable, ndcg_at_k).
+
+    Scale shape: the :func:`cosine_topk` plan does the heavy lifting;
+    the eval adds a neighbor-label join on the (k x queries)-sized
+    top-k frame, one label-count agg (label-cardinality-sized,
+    broadcast), and the per-query ideal via a JVM higher-order
+    ``aggregate`` over ``sequence(1, min(R, k))`` — no Python, no
+    window. Determinism: each 1/log2(i+1) gain quantizes to 1e-8 into
+    DECIMAL(28,8) sums (both DCG and IDCG), per-query NDCG rounds to
+    1e-8 before the label mean, output to 1e-6.
+    """
+    topk = cosine_topk(corpus, queries, id_col, vec_col, k=k)
+    q_lab = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("__ql")
+    )
+    c_lab = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__cl")
+    )
+    gain = F.when(
+        F.col("__ql").eqNullSafe(F.col("__cl")),
+        dround(F.lit(1.0) / F.log2(F.col("rn").cast("double") + F.lit(1.0)), 8),
+    ).otherwise(F.lit(0.0))
+    per_q = (
+        topk.join(c_lab, "neighbor_id")
+        .join(F.broadcast(q_lab), "query_id")
+        .groupBy("query_id", "__ql")
+        .agg(
+            F.sum(gain.cast("decimal(28,8)")).cast("double").alias("__dcg")
+        )
+    )
+    relc = corpus.groupBy(F.col(label_col).alias("__ql")).agg(
+        F.count(F.lit(1)).cast("long").alias("__relc")
+    )
+    joined = per_q.join(F.broadcast(relc), ["__ql"], "left")
+    pool = F.coalesce(F.col("__relc"), F.lit(0)) - (
+        F.lit(1) if queries_in_corpus else F.lit(0)
+    )
+    m = F.least(pool, F.lit(int(k)))
+    idcg = F.when(
+        m > 0,
+        F.aggregate(
+            F.sequence(F.lit(1), m),
+            F.lit(0.0).cast("decimal(28,8)"),
+            lambda acc, i: (
+                acc
+                + dround(
+                    F.lit(1.0) / F.log2(i.cast("double") + F.lit(1.0)), 8
+                ).cast("decimal(28,8)")
+            ).cast("decimal(28,8)"),
+        ).cast("double"),
+    )
+    ndcg_q = F.when(idcg > 0, dround(F.col("__dcg") / idcg, 8))
+    scored = joined.select(F.col("__ql").alias("label"), ndcg_q.alias("__ndcg"))
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.count("__ndcg").cast("long").alias("n_evaluable"),
+        dround(
+            F.sum(F.col("__ndcg").cast("decimal(28,8)")).cast("double")
+            / F.count("__ndcg"),
+            6,
+        ).alias("ndcg_at_k"),
+    )

@@ -1960,6 +1960,90 @@ QUERIES["q_hybrid_retrieval"] = Query(
 )
 
 
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NDCG@5 per query label (llm/similarity.py::retrieval_ndcg):
+    # position-aware retrieval quality beside q_retrieval_eval's
+    # MRR/P@k — same exact cosine top-5 for the 50 query vectors,
+    # same-label = relevant, but every hit is credited 1/log2(rank+1)
+    # against the ideal ordering of the query's TRUE relevant pool
+    # (label count minus self). The oracle replays the identical
+    # rounded-cosine ranking, the 1e-8 gain quantization, and the
+    # cumulative ideal-gain ladder.
+    from python_mapreduce_spark.llm.similarity import retrieval_ndcg  # noqa: PLC0415
+
+    emb = table(spark, sf_dir, "embeddings")
+    return retrieval_ndcg(
+        emb, emb.filter(F.col("vec_id") < 50), "vec_id", "embedding", "label", k=5
+    )
+
+
+SQL_RETRIEVAL_NDCG = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, q.label AS ql,
+         c.vec_id AS neighbor_id, c.label AS cl,
+         floor(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v)))
+               * 1000000.0 + 0.5) / 1000000.0 AS cos
+  FROM e q JOIN e c ON q.vec_id < 50 AND c.vec_id != q.vec_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+    FROM scored) WHERE rn <= 5
+),
+gains AS (
+  SELECT i,
+         floor(1.0 / log2(CAST(i AS DOUBLE) + 1.0) * 100000000.0 + 0.5)
+           / 100000000.0 AS g
+  FROM generate_series(1, 5) t(i)
+),
+ideal AS (
+  SELECT i AS m,
+         CAST(SUM(CAST(g AS DECIMAL(28,8))) OVER (ORDER BY i) AS DOUBLE)
+           AS idcg
+  FROM gains
+),
+perq AS (
+  SELECT query_id, ql,
+         CAST(SUM(CASE WHEN cl IS NOT DISTINCT FROM ql
+              THEN CAST(floor(1.0 / log2(CAST(rn AS DOUBLE) + 1.0)
+                              * 100000000.0 + 0.5) / 100000000.0
+                        AS DECIMAL(28,8))
+              ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE) AS dcg
+  FROM topk GROUP BY 1, 2
+),
+relc AS (SELECT label, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+pq2 AS (
+  SELECT p.query_id, p.ql, p.dcg, least(coalesce(r.c, 0) - 1, 5) AS m
+  FROM perq p LEFT JOIN relc r ON p.ql IS NOT DISTINCT FROM r.label
+),
+pq3 AS (
+  SELECT pq2.*,
+         CASE WHEN pq2.m > 0
+              THEN floor(dcg / i.idcg * 100000000.0 + 0.5) / 100000000.0
+         END AS nq
+  FROM pq2 LEFT JOIN ideal i ON pq2.m = i.m
+)
+SELECT ql AS label, CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(count(nq) AS BIGINT) AS n_evaluable,
+       {sql_dround(
+           'CAST(SUM(CAST(nq AS DECIMAL(28,8))) AS DOUBLE) / count(nq)', 6)}
+         AS ndcg_at_k
+FROM pq3 GROUP BY 1
+"""
+
+QUERIES["q_retrieval_ndcg"] = Query(
+    q_retrieval_ndcg,
+    SQL_RETRIEVAL_NDCG,
+    "NDCG@5 per query label against the true relevant pool",
+)
+
+
 # Registration split (R8_WIRING.md): batch 1 registers in round 8,
 # batch 2 in round 9 — the 50-slot driver window can then consume the
 # whole 23-row r02 staleness block plus the head of the r03 block in

@@ -1592,3 +1592,74 @@ def test_reciprocal_rank_fusion_matches_replay(spark):
     tied2 = spark.createDataFrame([(5, 1)], "id long, rank long")
     cut = reciprocal_rank_fusion([tied, tied2], k=1).collect()
     assert len(cut) == 1 and cut[0].id == 5
+
+
+def test_retrieval_ndcg_matches_replay(spark):
+    import math
+
+    from python_mapreduce_spark.llm.similarity import retrieval_ndcg
+
+    def q8(x):
+        return math.floor(x * 1e8 + 0.5) / 1e8
+
+    # 2-D unit-ish vectors with a planted taxonomy: ids 0/1/2 label 'a'
+    # cluster near (1, 0); ids 3/4 label 'b' near (0, 1); id 5 label 'c'
+    # is a singleton (relevant pool 0 -> excluded from the mean).
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.99, 0.1], "a"),
+        (2, [0.98, 0.15], "a"),
+        (3, [0.0, 1.0], "b"),
+        (4, [0.1, 0.99], "b"),
+        (5, [-1.0, -1.0], "c"),
+    ]
+    emb = spark.createDataFrame(rows, "id long, v array<float>, label string")
+    got = {
+        r.label: r
+        for r in retrieval_ndcg(emb, emb, "id", "v", "label", k=2).collect()
+    }
+
+    # replay: exact cosine ranks, binary gains, ideal ladder
+    import numpy as np
+
+    vecs = {i: np.array(v) / np.linalg.norm(v) for i, v, _ in rows}
+    labs = {i: l for i, _, l in rows}
+    per_label = {}
+    for qid in labs:
+        sims = sorted(
+            (
+                (-math.floor(float(vecs[qid] @ vecs[c]) * 1e6 + 0.5) / 1e6, c)
+                for c in labs
+                if c != qid
+            ),
+        )[:2]
+        dcg = sum(
+            q8(1.0 / math.log2(rn + 2))
+            for rn, (_, c) in enumerate(sims)
+            if labs[c] == labs[qid]
+        )
+        pool = sum(1 for c in labs if c != qid and labs[c] == labs[qid])
+        m = min(pool, 2)
+        if m > 0:
+            idcg = sum(q8(1.0 / math.log2(i + 1)) for i in range(1, m + 1))
+            ndcg = q8(dcg / idcg)
+        else:
+            ndcg = None
+        n, ne, tot = per_label.get(labs[qid], (0, 0, 0.0))
+        per_label[labs[qid]] = (
+            n + 1,
+            ne + (ndcg is not None),
+            tot + (ndcg or 0.0),
+        )
+
+    assert set(got) == set(per_label)
+    for lab, (n, ne, tot) in per_label.items():
+        assert got[lab].n_queries == n, lab
+        assert got[lab].n_evaluable == ne, lab
+        if ne:
+            assert abs(got[lab].ndcg_at_k - tot / ne) < 1e-6, lab
+        else:
+            assert got[lab].ndcg_at_k is None, lab
+    # the planted clusters retrieve their own label first: NDCG = 1.0
+    assert got["a"].ndcg_at_k == 1.0 and got["b"].ndcg_at_k == 1.0
+    assert got["c"].n_evaluable == 0
