@@ -3908,3 +3908,119 @@ def kruskal_wallis(
         dround(F.when(ok, h), 6).alias("h_stat"),
         dround(F.when(ok & (denom > 0), h / denom), 6).alias("h_corrected"),
     )
+
+
+def _cm_bucket(key: Column, d: int, width: int) -> Column:
+    """Row d's count-min bucket for ``key``: the first 8 hex chars of
+    md5('<d>:<key>') mod width — deterministic, engine-replayable (the
+    simhash idiom: DuckDB replays it as
+    ``CAST(('0x' || substr(md5(...), 1, 8)) AS BIGINT) % width``)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(d)), key.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(int(width)))
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    *,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of a key column
+    — the mergeable FREQUENCY sketch beside the engine's cardinality
+    (HLL), quantile (KLL) and heavy-hitter (top-k) sketches. Emits the
+    sketch as (d, bucket, cnt) rows, at most ``depth * width`` of them
+    regardless of input size; NULL keys are excluded (house rule).
+
+    Merge rule: the sketch of a union is the bucket-wise SUM of the
+    sketches — union the frames and re-aggregate (pytest-pinned), which
+    is what makes per-day/per-shard sketch maintenance + rollup work.
+
+    Scale shape: each input row explodes to ``depth`` (d, bucket) pairs
+    feeding ONE map-side-combined count agg; the shuffle carries at
+    most depth*width rows per partition, so sketch size is independent
+    of corpus size — the whole point. Hashing is md5-derived (one
+    fixed-shape expression per depth row), pure Catalyst.
+    """
+    key = F.col(key_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("d"),
+                _cm_bucket(key, d, width).alias("bucket"),
+            )
+            for d in range(int(depth))
+        ]
+    )
+    return (
+        df.filter(key.isNotNull())
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    df: DataFrame,
+    key_col: str,
+    probes: Sequence[str],
+    *,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates from a count-min sketch, beside the
+    exact truth: per probe key (exact_count, cm_estimate, overcount).
+    The CM guarantee is ONE-SIDED — cm_estimate >= exact_count always
+    (collisions only ever add) — with overcount <= 2N/width at
+    confidence 1 - (1/2)^depth; emitting both sides makes the query its
+    own accuracy report (the q_hll_rollup pattern, but exactly
+    replayable: the md5 bucketing is deterministic, so the oracle
+    reproduces the ESTIMATES bit-for-bit, not a tolerance flag).
+
+    Scale shape: the sketch build above + a probes-sized (broadcast)
+    join against the depth*width-row sketch + one exact count agg
+    screened to the probe list before any shuffle.
+    """
+    spark = df.sparkSession
+    sk = count_min_sketch(df, key_col, width=width, depth=depth)
+    probe_df = spark.createDataFrame(
+        [(p,) for p in probes], f"{key_col} string"
+    )
+    key = F.col(key_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("d"),
+                _cm_bucket(key, d, width).alias("bucket"),
+            )
+            for d in range(int(depth))
+        ]
+    )
+    probe_buckets = probe_df.select(key_col, F.explode(pairs).alias("p")).select(
+        key_col, F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket")
+    )
+    est = (
+        probe_buckets.join(sk, ["d", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cm_estimate"))
+    )
+    exact = (
+        df.filter(key.isin(list(probes)))
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    )
+    return (
+        est.join(exact, [key_col], "left")
+        .select(
+            key_col,
+            F.coalesce(F.col("exact_count"), F.lit(0)).cast("long").alias("exact_count"),
+            "cm_estimate",
+            (F.col("cm_estimate") - F.coalesce(F.col("exact_count"), F.lit(0)))
+            .cast("long")
+            .alias("overcount"),
+        )
+    )

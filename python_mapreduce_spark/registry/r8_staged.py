@@ -2044,6 +2044,75 @@ QUERIES["q_retrieval_ndcg"] = Query(
 )
 
 
+_CM_PROBES = ("the", "data", "merge", "window", "stream", "zzznotaterm")
+
+
+def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-min point-frequency estimates (operators/aggregates.py::
+    # count_min_estimate): term frequencies over the document token
+    # stream through a 4x256 md5-bucketed sketch, probed for a fixed
+    # term ladder (high / mid / low / absent) beside the exact truth —
+    # the mergeable FREQUENCY sketch completing the HLL (cardinality) /
+    # KLL (quantiles) / top-k (heavy hitters) family. The md5 hashing
+    # is deterministic, so the oracle replays the ESTIMATES bit-for-bit
+    # (the simhash hex-cast idiom), not a tolerance flag; the CM
+    # one-sided guarantee (estimate >= exact, always) is pytest-pinned
+    # under hypothesis.
+    from python_mapreduce_spark.functions.scalar import tokenize  # noqa: PLC0415
+    from python_mapreduce_spark.operators.aggregates import (  # noqa: PLC0415
+        count_min_estimate,
+    )
+
+    toks = table(spark, sf_dir, "documents").select(
+        F.explode(tokenize("text")).alias("term")
+    )
+    return count_min_estimate(toks, "term", list(_CM_PROBES), width=256, depth=4)
+
+
+SQL_COUNT_MIN = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'))
+           AS term
+  FROM documents
+),
+ds AS (SELECT unnest(generate_series(0, 3)) AS d),
+sk AS (
+  SELECT d,
+         CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || term), 1, 8))
+              AS BIGINT) % 256 AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM toks CROSS JOIN ds GROUP BY 1, 2
+),
+probes(term) AS (VALUES {", ".join(f"('{p}')" for p in _CM_PROBES)}),
+pb AS (
+  SELECT p.term, ds.d,
+         CAST(('0x' || substr(md5(CAST(ds.d AS VARCHAR) || ':' || p.term),
+                              1, 8)) AS BIGINT) % 256 AS bucket
+  FROM probes p CROSS JOIN ds
+),
+est AS (
+  SELECT term, CAST(min(coalesce(cnt, 0)) AS BIGINT) AS cm_estimate
+  FROM pb LEFT JOIN sk USING (d, bucket) GROUP BY 1
+),
+ex AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS exact_count
+  FROM toks WHERE term IN ({", ".join(f"'{p}'" for p in _CM_PROBES)})
+  GROUP BY 1
+)
+SELECT est.term,
+       CAST(coalesce(ex.exact_count, 0) AS BIGINT) AS exact_count,
+       cm_estimate,
+       CAST(cm_estimate - coalesce(ex.exact_count, 0) AS BIGINT) AS overcount
+FROM est LEFT JOIN ex USING (term)
+"""
+
+QUERIES["q_count_min"] = Query(
+    q_count_min,
+    SQL_COUNT_MIN,
+    "count-min frequency estimates vs exact for a probe-term ladder",
+)
+
+
 # Registration split (R8_WIRING.md): batch 1 registers in round 8,
 # batch 2 in round 9 — the 50-slot driver window can then consume the
 # whole 23-row r02 staleness block plus the head of the r03 block in

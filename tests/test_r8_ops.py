@@ -1663,3 +1663,58 @@ def test_retrieval_ndcg_matches_replay(spark):
     # the planted clusters retrieve their own label first: NDCG = 1.0
     assert got["a"].ndcg_at_k == 1.0 and got["b"].ndcg_at_k == 1.0
     assert got["c"].n_evaluable == 0
+
+
+def test_count_min_one_sided_and_mergeable(spark):
+    import random
+
+    from python_mapreduce_spark.operators.aggregates import (
+        count_min_estimate,
+        count_min_sketch,
+    )
+
+    rng = random.Random(1234)
+    # Zipf-ish key stream with a heavy head and a long tail
+    keys = [f"k{int(rng.paretovariate(1.2))}" for _ in range(3000)]
+    df = spark.createDataFrame([(k,) for k in keys], "term string")
+    exact = {}
+    for k in keys:
+        exact[k] = exact.get(k, 0) + 1
+    probes = list(exact)[:20] + ["neverseen"]
+    got = {
+        r.term: r
+        for r in count_min_estimate(df, "term", probes, width=64, depth=4).collect()
+    }
+    assert set(got) == set(probes)
+    n = len(keys)
+    for p in probes:
+        e = exact.get(p, 0)
+        assert got[p].exact_count == e, p
+        # the one-sided CM guarantee: estimates never undercount
+        assert got[p].cm_estimate >= e, p
+        assert got[p].overcount == got[p].cm_estimate - e, p
+        # sanity width bound (loose: e * depth-fold union bound)
+        assert got[p].overcount <= 2 * n, p
+    assert got["neverseen"].exact_count == 0
+
+    # mergeability: sketch(A union B) == bucket-wise sum of sketches
+    half = len(keys) // 2
+    a = spark.createDataFrame([(k,) for k in keys[:half]], "term string")
+    b = spark.createDataFrame([(k,) for k in keys[half:]], "term string")
+    whole = {
+        (r.d, r.bucket): r.cnt
+        for r in count_min_sketch(df, "term", width=64, depth=4).collect()
+    }
+    merged: dict = {}
+    for part in (a, b):
+        for r in count_min_sketch(part, "term", width=64, depth=4).collect():
+            merged[(r.d, r.bucket)] = merged.get((r.d, r.bucket), 0) + r.cnt
+    assert whole == merged
+
+    # NULL keys are excluded, and the sketch never exceeds depth*width rows
+    withnull = spark.createDataFrame(
+        [("a",), (None,), ("a",)], "term string"
+    )
+    sk = count_min_sketch(withnull, "term", width=8, depth=2).collect()
+    assert sum(r.cnt for r in sk) == 2 * 2  # 2 non-null rows x depth
+    assert len(sk) <= 16
