@@ -34,7 +34,7 @@ SHOWCASE = [
     ("q15_top_supplier", "scalar-max view filter: same ReuseExchange pattern, no single-partition window"),
     ("q_window_cume_scalable", "distributed dense_rank + cume_dist: broadcast distinct-key ranks + global_row_number, no Window node"),
     ("q_unpivot", "melt via Expand in the scan stage, no shuffle"),
-    ("q_dedup_embedding", "banded-LSH candidates: equi-join on band keys, no nested loop"),
+    ("q_dedup_embedding", "banded-LSH candidates: equi-join on band keys, no nested loop; broadcast-matrix verify — only 16-byte id pairs cross Arrow (r8)"),
     ("q_dedup_jaccard", "postings self-join; stop-shingle cap as pre-resolved literal filter"),
     ("q_window_rank_scalable", "distributed global rank: one range exchange, no Window node"),
     ("q_join_range_bucketed", "bucket-grid range join: equi-join + residual filter"),
@@ -58,6 +58,8 @@ SHOWCASE = [
     ("q_negative_samples", "stride negatives via rank equi-join on the checkpointed shuffle frame — no crossJoin, no RNG"),
     ("q_domain_cap", "per-domain cap as Partial+Final WindowGroupLimit — map-side top-cap heap per domain, no full-domain sort"),
     ("q_quality_quota", "global cut via distributed rank (range exchange); per-group floor window WindowGroupLimit-trimmed"),
+    ("q_table_checksum", "order-invariant content digest: ONE map-side-combined hash agg; only (n, hi, lo) cross the wire"),
+    ("q_kcore", "k-core peeling: degree filter + semi-join per round on the checkpointed edge frame, no window, no collect"),
     ("q_chunk_pack", "concat-then-chunk packing: one range exchange for the running sum, then per-row span explode — no single-task window"),
     ("q_embed_covariance", "dim-pair explode + ONE map-side-combined decimal agg: wire carries dim^2/2 cells per task, corpus-size-independent"),
     ("q_equi_freq_bins", "per-group percentile thresholds broadcast back; bin assignment is a projected HOF over n_bins elements"),
