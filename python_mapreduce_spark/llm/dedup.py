@@ -1649,3 +1649,78 @@ def kcore(
             .localCheckpoint(eager=True)
         )
     raise RuntimeError(f"kcore did not converge in {max_iter} rounds")
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    rounds: int = 4,
+    src: str = "id1",
+    dst: str = "id2",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007) with a deterministic min-label tie rule — the
+    community lens on the near-dup graph beside connected components
+    (which merges everything touching), k-core (density filter),
+    triangles (local clustering) and PageRank/HITS (centrality). LPA
+    splits a component into denser sub-communities: each node
+    repeatedly adopts the label most frequent among its NEIGHBORS
+    (ties -> smallest label), so boilerplate families separate even
+    when a stray edge chains them into one component.
+
+    The classic formulation updates asynchronously in random order —
+    nondeterministic by construction. This one is the synchronous
+    variant with a total-order tie rule and a FIXED round count:
+    node labels start as node ids, every round recomputes all labels
+    from the previous round's snapshot, so the result is independent
+    of partitioning, scheduling and parallelism, and a SQL oracle can
+    unroll the exact same rounds (the kcore pattern). Near-dup graphs
+    are shallow and clique-ish — LPA converges in 1-2 rounds there;
+    ``rounds`` = 4 gives margin (extra rounds are idempotent at the
+    fixpoint; on odd structures like bipartite cores synchronous LPA
+    can 2-cycle, which the fixed round count keeps deterministic too).
+
+    Per round: ONE equi-join of the symmetric edge list onto the
+    label snapshot (keyed shuffle), one (node, label) count agg
+    (map-side combined), one argmax-by-(count desc, label asc) via a
+    min(struct) agg — no window, no collect; the label frame is
+    localCheckpoint'ed per round (the connected_components /
+    pagerank_fixed loop discipline). Cost per round ~ O(edges).
+
+    Returns one row per community: (community, n_nodes) where
+    ``community`` is the surviving label (a node id, itself the
+    deterministic min-tiebreak representative).
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        nbl = sym.join(
+            labels.select(F.col("node").alias("b"), F.col("label").alias("nbl")),
+            "b",
+        )
+        counts = nbl.groupBy("a", "nbl").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        labels = (
+            counts.groupBy("a")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("nbl").alias("l"))
+                ).alias("best")
+            )
+            .select(F.col("a").alias("node"), F.col("best.l").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

@@ -2113,6 +2113,89 @@ QUERIES["q_count_min"] = Query(
 )
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Synchronous min-tiebreak label propagation communities
+    # (llm/dedup.py::label_propagation) on the SAME df-capped near-dup
+    # graph as q_kcore / q_triangle_stats / q_hits — the fifth
+    # structure probe on one shared graph. The oracle unrolls the
+    # exact 4 synchronous rounds (the kcore unroll pattern): argmax by
+    # (count DESC, label ASC) is a total order, so communities match
+    # bit-for-bit.
+    from python_mapreduce_spark.llm.dedup import (  # noqa: PLC0415
+        label_propagation,
+        ngram_jaccard_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.8, max_shingle_df=100
+    )
+    return label_propagation(edges, rounds=4)
+
+
+def _sql_label_propagation(rounds: int = 4) -> str:
+    from python_mapreduce_spark.registry.llm import _SQL_SHINGLES  # noqa: PLC0415
+
+    parts = [
+        f"""WITH {_SQL_SHINGLES.strip()},
+posts0 AS (SELECT id, unnest(shingles) AS shingle FROM sets WHERE len(shingles) > 0),
+posts AS (
+  SELECT id, shingle FROM posts0
+  WHERE shingle IN (SELECT shingle FROM posts0 GROUP BY shingle HAVING count(*) <= 100)
+),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM posts GROUP BY id),
+inter AS (
+  SELECT a.id AS id1, b.id AS id2, count(*) AS i
+  FROM posts a JOIN posts b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+e0 AS MATERIALIZED (
+  SELECT id1 AS a, id2 AS b FROM (
+    SELECT id1, id2,
+           floor(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) * 10000.0 + 0.5) / 10000.0
+             AS jaccard
+    FROM inter JOIN sizes sa ON id1 = sa.id JOIN sizes sb ON id2 = sb.id
+  ) WHERE jaccard >= 0.8
+),
+sym AS MATERIALIZED (
+  SELECT a, b FROM (
+    SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+  ) WHERE a != b GROUP BY a, b
+),
+l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM sym)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+cnt{r} AS (
+  SELECT s.a, l.label AS nbl, CAST(count(*) AS BIGINT) AS c
+  FROM sym s JOIN l{r} l ON s.b = l.node GROUP BY 1, 2
+),
+l{r + 1} AS MATERIALIZED (
+  SELECT a AS node, nbl AS label FROM (
+    SELECT a, nbl,
+           row_number() OVER (PARTITION BY a ORDER BY c DESC, nbl) AS rn
+    FROM cnt{r}
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+FROM l{rounds} GROUP BY 1"""
+    )
+    return "".join(parts)
+
+
+SQL_LABEL_PROPAGATION = _sql_label_propagation()
+
+QUERIES["q_label_propagation"] = Query(
+    q_label_propagation,
+    SQL_LABEL_PROPAGATION,
+    "LPA communities on the near-dup graph via 4 unrolled sync rounds",
+)
+
+
 # Registration split (R8_WIRING.md): batch 1 registers in round 8,
 # batch 2 in round 9 — the 50-slot driver window can then consume the
 # whole 23-row r02 staleness block plus the head of the r03 block in

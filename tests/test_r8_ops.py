@@ -1718,3 +1718,66 @@ def test_count_min_one_sided_and_mergeable(spark):
     sk = count_min_sketch(withnull, "term", width=8, depth=2).collect()
     assert sum(r.cnt for r in sk) == 2 * 2  # 2 non-null rows x depth
     assert len(sk) <= 16
+
+
+def _lpa_replay(edges, rounds):
+    sym = set()
+    for a, b in edges:
+        if a != b:
+            sym.add((a, b))
+            sym.add((b, a))
+    nodes = {a for a, _ in sym}
+    lab = {n: n for n in nodes}
+    for _ in range(rounds):
+        new = {}
+        for n in nodes:
+            freq = {}
+            for a, b in sym:
+                if a == n:
+                    freq[lab[b]] = freq.get(lab[b], 0) + 1
+            new[n] = min(freq, key=lambda l: (-freq[l], l))
+        lab = new
+    out = {}
+    for n, l in lab.items():
+        out[l] = out.get(l, 0) + 1
+    return out
+
+
+def test_label_propagation_matches_replay(spark):
+    import random
+
+    from python_mapreduce_spark.llm.dedup import label_propagation
+
+    # two cliques bridged by one edge: LPA must keep them as separate
+    # communities where connected components would merge them
+    cliq = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+    df = spark.createDataFrame(cliq, "id1 long, id2 long")
+    got = {r.community: r.n_nodes for r in label_propagation(df, rounds=4).collect()}
+    assert got == _lpa_replay(cliq, 4)
+    assert len(got) >= 2  # the bridge did not merge the cliques
+
+    # random graph: exact agreement with the synchronous replay, and
+    # community sizes partition the node set
+    rng = random.Random(77)
+    nodes = list(range(40))
+    redges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(80)
+            )
+            if a != b
+        }
+    )
+    rdf = spark.createDataFrame(redges, "id1 long, id2 long")
+    got_r = {
+        r.community: r.n_nodes for r in label_propagation(rdf, rounds=4).collect()
+    }
+    want_r = _lpa_replay(redges, 4)
+    assert got_r == want_r
+    touched = {a for e in redges for a in e}
+    assert sum(got_r.values()) == len(touched)
+
+    # self-loops are dropped; an empty edge list yields zero communities
+    selfy = spark.createDataFrame([(5, 5)], "id1 long, id2 long")
+    assert label_propagation(selfy, rounds=2).count() == 0
