@@ -44,6 +44,7 @@ from python_mapreduce_spark.llm.dedup import (  # noqa: E402
     band_keys,
     fuzzy_decontamination,
     kcore,
+    label_propagation,
     minhash_dedup_pairs,
     minhash_signatures,
 )
@@ -134,6 +135,13 @@ def measure(spark, sf_dir: str) -> dict:
     n_core = kcore(edges, 2).count()
     t_kcore = time.time() - t0
 
+    # label propagation on the same dup graph: per round one
+    # edges-onto-labels equi-join + one count agg + min(struct) argmax
+    # -> wall-clock gated ~linear in edges (fixed 4 rounds).
+    t0 = time.time()
+    n_comm = label_propagation(edges, rounds=4).count()
+    t_lpa = time.time() - t0
+
     return {
         "docs": n,
         "decontam_candidates": max(cand, 1),
@@ -144,7 +152,9 @@ def measure(spark, sf_dir: str) -> dict:
         "t_decontam": round(t_decontam, 2),
         "t_triangle_side": round(t_tri, 2),
         "t_kcore": round(t_kcore, 2),
+        "t_lpa": round(t_lpa, 2),
         "kcore_nodes": n_core,
+        "lpa_communities": n_comm,
     }
 
 
@@ -166,8 +176,9 @@ def main() -> int:
             "t_decontam",
             "t_triangle_side",
             "t_kcore",
+            "t_lpa",
         ),
-        info_keys=("decontam_flagged", "kcore_nodes"),
+        info_keys=("decontam_flagged", "kcore_nodes", "lpa_communities"),
     )
 
 
