@@ -464,26 +464,34 @@ def embedding_dedup_pairs(
 
 
 # Clamp bounds for the per-task BLAS sims block (chunk_rows x n float64).
-# 32 MB is the provably-safe floor for tightly-provisioned executors
-# (the r6-audited worst case); 256 MB keeps the BLAS call large enough
-# to amortize on a roomy host without re-opening the 8 GB/task cliff
-# that motivated chunking (VERDICT r7: the 32 MB constant cost x1.41 at
-# bench scale — many tiny GEMMs at small n).
+# 32 MB is both the provably-safe floor for tightly-provisioned
+# executors (the r6-audited worst case) AND the measured sweet spot on
+# this 32-slot host (see _sims_chunk_bytes); 256 MB is the hard cap for
+# deployments that dial the budget up, keeping the 8 GB/task cliff that
+# motivated chunking closed at any setting.
 _SIMS_CHUNK_FLOOR = 32 * 1024 * 1024
 _SIMS_CHUNK_CAP = 256 * 1024 * 1024
 SIMS_CHUNK_CONF = "spark.python_mapreduce_spark.matmul.chunkBytes"
 
 
 def _sims_chunk_bytes(spark) -> int:
-    """Per-task budget for the sims block, scaled to the session.
+    """Per-task budget for the sims block. DEFAULT = the 32 MB floor,
+    everywhere — measured, not guessed:
 
-    Precedence: the ``SIMS_CHUNK_CONF`` session conf if set; else
-    ``spark.executor.pyspark.memory``/4 when the deployment caps Python
-    worker memory (a cluster that bothers to set it means it); else
-    256 MB on a local[*] master (single roomy host — the driver JVM
-    already holds 48 g here) and the 32 MB floor on any other master,
-    where executor sizing is unknown. Always clamped to
-    [32 MB, 256 MB].
+      * large corpora are memory-bandwidth-bound at budget x concurrent
+        slots, and bigger blocks LOSE: at 100k vectors the blocked
+        matmul ran 248 s at 32 MB vs 413 s at 256 MB, and the grouped
+        precluster regime 43 s vs ~55 s (tools/bench_scale.py, r8);
+      * at small corpora the chunk size is irrelevant — 32 MB already
+        holds more rows than an Arrow batch (4M doubles / n rows >=
+        the 100k-record batch cap for any n <= 40), so one BLAS call
+        per batch either way.
+
+    The dial remains for deployments whose slot/bandwidth ratio differs
+    (few slots, huge vector caches): the ``SIMS_CHUNK_CONF`` session
+    conf wins if set, else ``spark.executor.pyspark.memory``/4 when the
+    deployment caps Python worker memory (a cluster that bothers to set
+    it means it). Always clamped to [32 MB, 256 MB].
     """
     raw = spark.conf.get(SIMS_CHUNK_CONF, None)
     if raw is None:
@@ -497,8 +505,6 @@ def _sims_chunk_bytes(spark) -> int:
                 budget = int(float(digits)) * mult // 4
             except ValueError:  # unparseable -> conservative floor
                 budget = _SIMS_CHUNK_FLOOR
-        elif spark.sparkContext.master.startswith("local"):
-            budget = _SIMS_CHUNK_CAP
         else:
             budget = _SIMS_CHUNK_FLOOR
     else:
@@ -541,10 +547,10 @@ def embedding_dedup_pairs_matmul(
     # Bound the per-task sims matrix: an Arrow batch of 10k rows against
     # a 100k-row corpus would otherwise hold a 10k x 100k float64 block
     # (8 GB) PER TASK — the matmul regime's hidden memory cliff. The
-    # budget scales with the session (256 MB on local[*], 32 MB floor on
-    # unknown executors, SIMS_CHUNK_CONF to override) so a roomy host
-    # keeps its BLAS calls large while the peak footprint stays flat at
-    # any corpus size the broadcast budget admits.
+    # budget defaults to the measured-best 32 MB floor (SIMS_CHUNK_CONF
+    # or executor.pyspark.memory/4 to override, clamped to 256 MB — see
+    # _sims_chunk_bytes for the measurements), keeping the peak
+    # footprint flat at any corpus size the broadcast budget admits.
     budget = chunk_bytes if chunk_bytes is not None else _sims_chunk_bytes(
         emb.sparkSession
     )
@@ -731,13 +737,11 @@ def embedding_dedup_pairs_precluster(
 
     src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     tagged = src.mapInPandas(probe_assign, "id long, v array<float>, cluster int")
-    # The grouped regime keeps the FLOOR budget, not the session-scaled
-    # one: every executor slot runs a cluster group concurrently, so the
-    # aggregate sims traffic is budget x slots — measured at 100k
-    # vectors (tools/bench_scale.py --guard-only): 43 s at 32 MB vs
-    # ~55 s at 256 MB (8 GB aggregate, memory-bandwidth-bound). The
-    # broadcast-matmul regime scans once with few in-flight batches and
-    # does benefit from the larger session-scaled chunks.
+    # The floor budget: every executor slot runs a cluster group
+    # concurrently, so the aggregate sims traffic is budget x slots —
+    # measured at 100k vectors (tools/bench_scale.py --guard-only):
+    # 43 s at 32 MB vs ~55 s at 256 MB (8 GB aggregate,
+    # memory-bandwidth-bound). Same conclusion as the matmul regime.
     sims_budget = _SIMS_CHUNK_FLOOR
 
     def group_pairs(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -196,11 +196,12 @@ def test_embedding_lsh_dedup_equals_all_pairs(emb):
 
 
 def test_sims_chunk_budget_scales_with_session():
-    # VERDICT r7 item 3: the matmul sims-block budget is a session-scaled
-    # dial, not a hard-coded 32 MB — 256 MB on a local master (roomy
-    # single host), the 32 MB floor on an unknown cluster master,
-    # executor.pyspark.memory/4 when the deployment caps Python workers,
-    # and SIMS_CHUNK_CONF overrides everything (clamped both ways).
+    # VERDICT r7 item 3: the matmul sims-block budget is a dial, not a
+    # hard-coded constant. The DEFAULT is the 32 MB floor everywhere —
+    # measured best at both small n (chunk >= Arrow batch anyway) and
+    # large n (bandwidth-bound at budget x slots: 248 s vs 413 s at
+    # 100k vectors) — with executor.pyspark.memory/4 and
+    # SIMS_CHUNK_CONF as overrides (clamped both ways).
     from types import SimpleNamespace
 
     from python_mapreduce_spark.llm.dedup import (
@@ -216,7 +217,7 @@ def test_sims_chunk_budget_scales_with_session():
             sparkContext=SimpleNamespace(master=master),
         )
 
-    assert _sims_chunk_bytes(fake({})) == _SIMS_CHUNK_CAP
+    assert _sims_chunk_bytes(fake({})) == _SIMS_CHUNK_FLOOR
     assert _sims_chunk_bytes(fake({}, master="spark://h:7077")) == _SIMS_CHUNK_FLOOR
     assert (
         _sims_chunk_bytes(

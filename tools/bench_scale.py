@@ -171,6 +171,8 @@ def main() -> int:
         return reflag()
     if "--guard-only" in sys.argv[1:]:
         return guard_only()
+    if "--only" in sys.argv[1:]:
+        return only(sys.argv[sys.argv.index("--only") + 1 :])
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_synth"
 
@@ -288,6 +290,67 @@ def run_guard(spark, big: str) -> tuple[dict, int]:
     ).count()
     guard["precluster_t_s"] = round(time.time() - t0, 2)
     return guard, bad
+
+
+def only(names: list[str]) -> int:
+    """Re-measure ONLY the named HEAVY rows and merge them into the
+    existing BENCH_SCALE.json (the guard_only pattern) — for when one
+    query's implementation changes without touching the other twelve."""
+    from python_mapreduce_spark.registry import all_queries
+    from python_mapreduce_spark.session import get_spark, tune
+
+    path = os.path.join(REPO, "BENCH_SCALE.json")
+    with open(path) as f:
+        record = json.load(f)
+    small, big = record["small"], record["big"]
+    ratios = record["corpus_ratios"]
+    spark = get_spark("bench-scale-only")
+    tune(spark)
+    registry = all_queries()
+
+    def run(name: str, sf_dir: str, *, single_past: float = 60.0) -> float:
+        fn = CUSTOM_FNS.get(name) or registry[name].fn
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        best = time.time() - t0
+        if best < single_past:
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        return best
+
+    for name in names:
+        tbl = HEAVY[name]
+        t_small = run(name, small)
+        t_big = run(name, big)
+        corpus_ratio = ratios[tbl]
+        time_ratio = t_big / max(t_small, 1.0)
+        flagged = time_ratio > 2.0 * corpus_ratio
+        row = {
+            "table": tbl,
+            "corpus_ratio": round(corpus_ratio, 2),
+            "t_small_s": round(t_small, 2),
+            "t_big_s": round(t_big, 2),
+            "time_ratio": round(time_ratio, 2),
+            "flagged": flagged,
+        }
+        if flagged and name in WAIVERS:
+            row["waiver"] = WAIVERS[name]
+        record["queries"][name] = row
+        print(f"{name}: {t_small:.1f}s -> {t_big:.1f}s (x{time_ratio:.1f})", flush=True)
+    n_unexplained = sum(
+        1
+        for r in record["queries"].values()
+        if r.get("flagged") and "waiver" not in r and "time_ratio" in r
+    )
+    record["n_flagged_unexplained"] = n_unexplained
+    record["n_flagged_total"] = sum(
+        1 for r in record["queries"].values() if r.get("flagged")
+    )
+    with open(path, "w") as f:
+        json.dump(record, f, indent=2)
+    print(json.dumps({"bench_scale_flagged_unexplained": n_unexplained}), flush=True)
+    return 1 if n_unexplained else 0
 
 
 def guard_only() -> int:
