@@ -1693,7 +1693,8 @@ def label_propagation(
 
     Returns one row per community: (community, n_nodes) where
     ``community`` is the surviving label (a node id, itself the
-    deterministic min-tiebreak representative).
+    deterministic min-tiebreak representative). Beyond the reference
+    surface (SURVEY.md §2.2 north-star extensions).
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")

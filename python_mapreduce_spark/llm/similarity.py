@@ -925,6 +925,9 @@ def retrieval_ndcg(
     excluded from the mean but counted in ``n_queries``. Emits
     (label, n_queries, n_evaluable, ndcg_at_k).
 
+    Beyond the reference surface (SURVEY.md §2.2 north-star
+    extensions).
+
     Scale shape: the :func:`cosine_topk` plan does the heavy lifting;
     the eval adds a neighbor-label join on the (k x queries)-sized
     top-k frame, one label-count agg (label-cardinality-sized,

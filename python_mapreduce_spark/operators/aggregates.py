@@ -3944,7 +3944,8 @@ def count_min_sketch(
     feeding ONE map-side-combined count agg; the shuffle carries at
     most depth*width rows per partition, so sketch size is independent
     of corpus size — the whole point. Hashing is md5-derived (one
-    fixed-shape expression per depth row), pure Catalyst.
+    fixed-shape expression per depth row), pure Catalyst. Beyond the
+    reference surface (SURVEY.md §2.2 north-star extensions).
     """
     key = F.col(key_col)
     pairs = F.array(
