@@ -3130,10 +3130,22 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
         F.col("o_orderdate").cast("date").alias("odate"),
     )
+    # Driver contract (VERDICT r8): the digest words stay DECIMAL(38,0)
+    # inside the library (exact + additive for replication_audit), but
+    # the REGISTRY output emits them as STRING — Spark's toPandas hands
+    # the driver decimal.Decimal objects while DuckDB's pandas path
+    # hands it float64, and the driver's value hash is
+    # representation-sensitive (r8's one red row). STRING is exact past
+    # 2^53 where a double cast would not be.
     return table_checksum(
         o,
         ["o_orderkey", "o_custkey", "o_orderstatus", "price", "odate"],
         group_by=["o_orderpriority"],
+    ).select(
+        "o_orderpriority",
+        "n_rows",
+        F.col("checksum_hi").cast("string").alias("checksum_hi"),
+        F.col("checksum_lo").cast("string").alias("checksum_lo"),
     )
 
 
@@ -3151,10 +3163,10 @@ WITH canon AS (
 )
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(coalesce(sum(CAST(('0x' || substr(rd, 1, 8)) AS BIGINT)), 0)
-            AS DECIMAL(38,0)) AS checksum_hi,
-       CAST(coalesce(sum(CAST(('0x' || substr(rd, 9, 8)) AS BIGINT)), 0)
-            AS DECIMAL(38,0)) AS checksum_lo
+       CAST(CAST(coalesce(sum(CAST(('0x' || substr(rd, 1, 8)) AS BIGINT)), 0)
+            AS DECIMAL(38,0)) AS VARCHAR) AS checksum_hi,
+       CAST(CAST(coalesce(sum(CAST(('0x' || substr(rd, 9, 8)) AS BIGINT)), 0)
+            AS DECIMAL(38,0)) AS VARCHAR) AS checksum_lo
 FROM canon GROUP BY o_orderpriority
 """
 

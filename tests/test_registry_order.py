@@ -137,9 +137,15 @@ def test_no_duplicate_or_dangling_priority_names():
 def test_lazy_window_queries_emit_atomic_columns_only(spark):
     # The driver canonicalizer (pandas sort_values over every column)
     # crashes on array/map cells — every windowed query must emit atomic
-    # types. Lazy relational modules are checked here; llm/mr/streaming
-    # execute work at build time and are covered by tools/audit_schemas.py
-    # plus their own tests.
+    # types. Wide decimals (precision > 18) are equally banned: Spark's
+    # toPandas delivers decimal.Decimal objects where DuckDB delivers
+    # float64, and the driver's value hash is representation-sensitive
+    # (q_table_checksum, the one red driver row of round 8). Lazy
+    # relational modules are checked here; llm/mr/streaming execute work
+    # at build time and are covered by tools/audit_schemas.py plus their
+    # own tests.
+    from pyspark.sql.types import DecimalType
+
     lazy = {}
     for mod in (core, extra, tpch2, tpch3, joins, windows):
         lazy.update(mod.QUERIES)
@@ -152,6 +158,10 @@ def test_lazy_window_queries_emit_atomic_columns_only(spark):
             f.name
             for f in df.schema.fields
             if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ] + [
+            f"{f.name} (decimal p={f.dataType.precision})"
+            for f in df.schema.fields
+            if isinstance(f.dataType, DecimalType) and f.dataType.precision > 18
         ]
         if bad:
             offenders[name] = bad

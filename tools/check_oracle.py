@@ -19,7 +19,7 @@ from datetime import date, datetime
 import duckdb
 import numpy as np
 import pandas as pd
-from pyspark.sql.types import ArrayType, MapType, StructType
+from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
 sys.path.insert(0, ".")
 
@@ -69,8 +69,39 @@ def canon(df: pd.DataFrame) -> tuple[list[str], list[str], str]:
     return cols, kinds, h
 
 
+def _gating_dtype_drift(scols: list[str], skinds: list[str], okinds: list[str],
+                        sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Dtype drifts that must FAIL, not just annotate (VERDICT r8 item 2).
+
+    The driver's value hash is representation-sensitive: an object column
+    carrying decimal.Decimal on one engine vs a numeric dtype on the other
+    hashed differently remotely while the local canonicalizer masked it
+    (q_table_checksum, r8's one red row). Gate exactly that class: object
+    vs non-object drift where the object cells are Decimal. The benign
+    int64<->float64 NaN-promotion and int-width drift stay tolerated.
+    """
+    from decimal import Decimal  # noqa: PLC0415
+
+    bad = []
+    for c, sk, ok in zip(scols, skinds, okinds):
+        if sk == ok or "object" not in (sk, ok):
+            continue  # int64<->float64 NaN promotion etc. stays a note
+        obj_frame = sdf if sk == "object" else odf
+        nn = obj_frame[c].dropna()
+        if len(nn) and isinstance(nn.iloc[0], Decimal):
+            bad.append(f"{c}: {sk} vs {ok} (Decimal objects — driver-hash-unstable)")
+    return bad
+
+
 def main() -> int:
     args = sys.argv[1:]
+    flags = [a for a in args if a.startswith("-")]
+    if flags:
+        # VERDICT r8 item 3: an unrecognized flag used to become a
+        # query-name filter matching nothing -> "ALL OK" over zero
+        # comparisons. Hard-error instead.
+        print(f"ERROR: unrecognized flags {flags} (usage: check_oracle.py [sf_dir] [query ...])")
+        return 2
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = set(a for a in args if "/" not in a)
 
@@ -81,7 +112,14 @@ def main() -> int:
     spark = get_spark("check-oracle")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: unknown query name(s) {sorted(unknown)} — not in the registry")
+        return 2
+
     n_fail = 0
+    n_compared = 0
+    n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -104,6 +142,25 @@ def main() -> int:
                 print(f"FAIL  {name}: driver-unhashable complex output columns {complex_cols}")
                 n_fail += 1
                 continue
+            # House rule (VERDICT r8): no raw DecimalType above precision
+            # 18 in any registry output — Spark hands the driver
+            # decimal.Decimal objects where DuckDB hands float64/int64,
+            # and the driver's value hash is representation-sensitive
+            # (q_table_checksum went red remotely on values that matched).
+            # Precision <= 18 stays allowed: both engines deliver those
+            # via the same float64/object path the canonicalizer handles.
+            wide_dec = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, DecimalType) and f.dataType.precision > 18
+            ]
+            if wide_dec:
+                print(
+                    f"FAIL  {name}: wide-decimal output columns {wide_dec} "
+                    "(precision > 18 — cast to STRING; driver-hash-unstable)"
+                )
+                n_fail += 1
+                continue
             sdf = df.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
@@ -111,6 +168,8 @@ def main() -> int:
             continue
         t_spark = time.time() - t0
         if name not in oracles:
+            n_compared += 1
+            n_rows_only += 1
             print(f"ok?   {name}: rows-only ({len(sdf)} rows, {t_spark:.1f}s) — no oracle")
             continue
         try:
@@ -119,6 +178,7 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
+        n_compared += 1
         scols, skinds, shash = canon(sdf)
         ocols, okinds, ohash = canon(odf)
         status = []
@@ -129,7 +189,11 @@ def main() -> int:
         elif shash != ohash:
             status.append("value-hash mismatch")
         if skinds != okinds and not status:
-            status.append(f"DTYPE-ONLY {list(zip(scols, skinds, okinds))}")
+            gating = _gating_dtype_drift(scols, skinds, okinds, sdf, odf)
+            if gating:
+                status.append(f"dtype drift (gating): {gating}")
+            else:
+                status.append(f"DTYPE-ONLY {list(zip(scols, skinds, okinds))}")
         if status and not status[0].startswith("DTYPE"):
             n_fail += 1
             print(f"FAIL  {name}: {'; '.join(status)}")
@@ -140,7 +204,16 @@ def main() -> int:
         else:
             note = f" [{status[0]}]" if status else ""
             print(f"OK    {name}: {len(sdf)} rows, {t_spark:.1f}s{note}")
-    print("ALL OK" if n_fail == 0 else f"{n_fail} FAILURES")
+    if only and n_compared < len(only):
+        # A filter that silently matched fewer queries than asked would
+        # green-light a typo'd gate; unknown names already hard-error
+        # above, so this guards duplicate/overlapping filter slips.
+        print(f"ERROR: filter asked for {len(only)} queries, compared {n_compared}")
+        return 2
+    if n_fail == 0:
+        print(f"ALL OK ({n_compared} compared, {n_rows_only} rows-only)")
+    else:
+        print(f"{n_fail} FAILURES ({n_compared} compared, {n_rows_only} rows-only)")
     return 1 if n_fail else 0
 
 
