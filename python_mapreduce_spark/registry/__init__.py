@@ -33,73 +33,42 @@ class Query:
 
 
 # The driver verifies a prefix window of all_queries() (50 entries per
-# round), so iteration order IS correctness coverage. Round-8 rotation
+# round), so iteration order IS correctness coverage. Round-9 rotation
 # (mechanical via ``tools/driver_coverage.py --plan 50`` over
-# CORRECTNESS_r01..r07): the window head is the 21 never-checked
-# queries — the 12 round-7 additions followed by the 9 newly-registered
-# staged batch-1 entries (R8_WIRING.md split; batch 2 registers in
-# round 9) — then 29 staleness refreshes: the ENTIRE remaining 23-row
-# r02 block plus the first 6 r03 rows. The tail is the full
-# staleness-ordered refresh queue (oldest driver round first: 40 more
-# r03, then r04/r05/r06/r07 blocks). Rotation invariant (test-pinned in
-# tests/test_registry_order.py): never-checked precede the staleness
-# queue, which is ascending by last-checked round; new additions append
-# behind everything. Feasibility contract (re-based in round 8, see
-# COVERAGE.md): with a 289-query registry and a 50-slot window, the
-# steady-state worst row age is ceil(289/50) = 6 rounds — every row is
-# refreshed within 6 rounds of its last check under oldest-first
-# rotation.
+# CORRECTNESS_r01..r08): the window head is the 20 never-checked
+# queries — the newly-registered staged batch-2 entries (R8_WIRING.md
+# split; batch 1 went driver-green in round 8) — then 30 staleness
+# refreshes: the first 30 of the 40 remaining r03 rows. The tail is the
+# full staleness-ordered refresh queue (oldest driver round first: the
+# last 10 r03, then r04/r05/r06/r07/r08 blocks). Rotation invariant
+# (test-pinned in tests/test_registry_order.py): never-checked precede
+# the staleness queue, which is ascending by last-checked round; new
+# additions append behind everything. Feasibility contract (re-based in
+# round 8, see COVERAGE.md): with a 309-query registry and a 50-slot
+# window, the steady-state worst row age is ceil(309/50) = 7 rounds —
+# every row is refreshed within 7 rounds of its last check under
+# oldest-first rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "q_l_diversity",
-    "q_ref_integrity",
-    "q_brier_score",
-    "q_bollinger_bands",
-    "q_gini_domains",
-    "q_pareto_share",
-    "q_zipf_slope",
-    "q_tfidf_terms",
-    "q_dedup_embedding_precluster",
-    "q_dedup_embedding_precluster_eval",
-    "q_heaps_law",
-    "q_table_checksum",
-    "q_anova",
-    "q_welch_ttest",
-    "q_mad_outliers",
-    "q_cusum",
-    "q_stream_cusum",
-    "q_fellegi_sunter",
-    "q_kcore",
-    "q_cramers_v",
-    "q_trimmed_mean",
-    "q_window_topk",
-    "q_window_running",
-    "q_mr_stream_reduce",
-    "q_mr_wordcount_gz",
-    "q_mr_weighted_avg",
-    "q_mr_aux_join",
-    "q_dedup_exact",
-    "q_sim_topk",
-    "q_text_stats",
-    "q_text_langid",
-    "q_text_fingerprint",
-    "q_token_count",
-    "q_multimodal_meta",
-    "q_percentiles",
-    "q_approx_distinct",
-    "q_approx_percentile",
-    "q_scalar_array",
-    "q_scalar_map",
-    "q_collect_agg",
-    "q_sink_roundtrip",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q22_dormant_customers",
-    "q_dedup_simhash_eval",
-    "q_stream_incremental",
-    "q11_revenue_share",
-    "q15_top_supplier",
-    "q_join_range_bucketed",
-    "q_join_salted",
+    "q_mannwhitney",
+    "q_spearman",
+    "q_brown_forsythe",
+    "q_jarque_bera",
+    "q_forecast_backtest",
+    "q_market_concentration",
+    "q_autocorr",
+    "q_bh_fdr",
+    "q_partial_corr",
+    "q_ols_influence",
+    "q_bm25_topk",
+    "q_t_closeness",
+    "q_theil",
+    "q_nelson_aalen",
+    "q_kruskal_wallis",
+    "q_mann_kendall",
+    "q_hybrid_retrieval",
+    "q_retrieval_ndcg",
+    "q_count_min",
+    "q_label_propagation",
     "q_join_asof",
     "q_join_asof_fwd",
     "q03_shipping_priority",
@@ -339,6 +308,56 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_join_anti",
     "q_join_outer",
     "q_join_range",
+    "q_l_diversity",
+    "q_ref_integrity",
+    "q_brier_score",
+    "q_bollinger_bands",
+    "q_gini_domains",
+    "q_pareto_share",
+    "q_zipf_slope",
+    "q_tfidf_terms",
+    "q_dedup_embedding_precluster",
+    "q_dedup_embedding_precluster_eval",
+    "q_heaps_law",
+    "q_table_checksum",
+    "q_anova",
+    "q_welch_ttest",
+    "q_mad_outliers",
+    "q_cusum",
+    "q_stream_cusum",
+    "q_fellegi_sunter",
+    "q_kcore",
+    "q_cramers_v",
+    "q_trimmed_mean",
+    "q_window_topk",
+    "q_window_running",
+    "q_mr_stream_reduce",
+    "q_mr_wordcount_gz",
+    "q_mr_weighted_avg",
+    "q_mr_aux_join",
+    "q_dedup_exact",
+    "q_sim_topk",
+    "q_text_stats",
+    "q_text_langid",
+    "q_text_fingerprint",
+    "q_token_count",
+    "q_multimodal_meta",
+    "q_percentiles",
+    "q_approx_distinct",
+    "q_approx_percentile",
+    "q_scalar_array",
+    "q_scalar_map",
+    "q_collect_agg",
+    "q_sink_roundtrip",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
+    "q_dedup_simhash_eval",
+    "q_stream_incremental",
+    "q11_revenue_share",
+    "q15_top_supplier",
+    "q_join_range_bucketed",
+    "q_join_salted",
 )
 
 
@@ -370,13 +389,14 @@ def all_queries() -> dict[str, Query]:
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
             merged[name] = q
-    # Round-8 registration of the staged batch 1 (R8_WIRING.md split:
-    # batch 2's 16 entries register in round 9 so the r02/r03 staleness
-    # blocks drain first — the 50-slot window math in COVERAGE.md).
-    for name in r8_staged.BATCH1:
+    # Round-9 registration of staged batch 2 (R8_WIRING.md split: batch 1
+    # registered in round 8 so the r02 staleness block drained first).
+    # The whole staged module is now live: BATCH1 (9, driver-green r8) +
+    # BATCH2 (20, first driver rows in the r9 window).
+    for name, q in r8_staged.QUERIES.items():
         if name in merged:
             raise ValueError(f"duplicate query name: {name}")
-        merged[name] = r8_staged.QUERIES[name]
+        merged[name] = q
 
     out: dict[str, Query] = {}
     for name in DRIVER_PRIORITY:

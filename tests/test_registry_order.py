@@ -75,7 +75,7 @@ def test_window_queries_all_have_oracles():
 # r{AS_OF}). Bump this when rotating at the start of each round — the
 # invariant below is checked against that snapshot so the test stays
 # green when the NEXT round's CORRECTNESS file lands.
-ROTATION_AS_OF = 7
+ROTATION_AS_OF = 8
 
 
 def _driver_rounds_as_of(as_of: int) -> dict[str, int]:
