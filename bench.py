@@ -196,6 +196,30 @@ HEADLINE = [
     "q_kcore",
     "q_cramers_v",
     "q_trimmed_mean",
+    # Round-9 registrations (staged batch 2 — all batch-mode) plus the
+    # z-order layout evidence pair.
+    "q_mannwhitney",
+    "q_spearman",
+    "q_brown_forsythe",
+    "q_jarque_bera",
+    "q_kruskal_wallis",
+    "q_mann_kendall",
+    "q_bh_fdr",
+    "q_partial_corr",
+    "q_ols_influence",
+    "q_forecast_backtest",
+    "q_market_concentration",
+    "q_autocorr",
+    "q_bm25_topk",
+    "q_t_closeness",
+    "q_theil",
+    "q_nelson_aalen",
+    "q_hybrid_retrieval",
+    "q_retrieval_ndcg",
+    "q_count_min",
+    "q_label_propagation",
+    "q_zorder_code",
+    "q_zorder_layout",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

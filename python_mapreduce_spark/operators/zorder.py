@@ -33,7 +33,7 @@ degenerate to a single bucket and simply stop contributing bits.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -90,6 +90,7 @@ def zorder_code(
     bits: int = 8,
     code_col: str = "__zcode",
     rel_err: float = 0.001,
+    splits: Mapping[str, Sequence[float]] | None = None,
 ) -> DataFrame:
     """Append a Morton z-order code column interleaving ``cols``.
 
@@ -97,6 +98,14 @@ def zorder_code(
     ``bits * len(cols)`` must fit a signed long, so at most 63 total
     bits. The code is only used for range-partitioning and
     within-partition sort — its absolute value is meaningless.
+
+    ``splits`` optionally provides explicit ascending split points per
+    column (``{col: [s1, s2, ...]}``, at most ``2^bits - 1`` each),
+    skipping the approxQuantile pass for those columns — the warehouse
+    ``CLUSTER BY RANGE`` idiom for known domains, and the way to make
+    the code fully deterministic (the quantile sketch's merge order is
+    partitioning-dependent). Columns absent from the mapping still get
+    the quantile pass.
     """
     if not cols:
         raise ValueError("zorder_code needs at least one column")
@@ -107,7 +116,16 @@ def zorder_code(
         )
     buckets: list[Column] = []
     for c in cols:
-        sp = _splits(df, c, bits, rel_err)
+        if splits is not None and c in splits:
+            sp = [float(s) for s in splits[c]]
+            if sp != sorted(set(sp)):
+                raise ValueError(f"splits for {c!r} must be strictly ascending")
+            if len(sp) > (1 << bits) - 1:
+                raise ValueError(
+                    f"{len(sp)} splits for {c!r} exceed 2^{bits}-1 buckets"
+                )
+        else:
+            sp = _splits(df, c, bits, rel_err)
         if not sp:
             # All-NULL or constant-below-first-split column: one bucket.
             buckets.append(F.lit(0).cast("long"))
@@ -135,6 +153,7 @@ def zorder_write(
     num_files: int | None = None,
     mode: str = "overwrite",
     compression: str | None = None,
+    splits: Mapping[str, Sequence[float]] | None = None,
 ) -> None:
     """Write ``df`` as parquet clustered along the z-order curve of
     ``cols``: range-partition on the code (each output file owns a
@@ -142,7 +161,7 @@ def zorder_write(
     column), sort within each file so row-group stats stay tight even
     when one file holds several row groups, then drop the helper column.
     """
-    coded = zorder_code(df, cols, bits=bits, code_col="__zcode")
+    coded = zorder_code(df, cols, bits=bits, code_col="__zcode", splits=splits)
     if num_files is None:
         num_files = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions")

@@ -44,8 +44,8 @@ class Query:
 # (test-pinned in tests/test_registry_order.py): never-checked precede
 # the staleness queue, which is ascending by last-checked round; new
 # additions append behind everything. Feasibility contract (re-based in
-# round 8, see COVERAGE.md): with a 309-query registry and a 50-slot
-# window, the steady-state worst row age is ceil(309/50) = 7 rounds —
+# round 8, see COVERAGE.md): with a 311-query registry and a 50-slot
+# window, the steady-state worst row age is ceil(311/50) = 7 rounds —
 # every row is refreshed within 7 rounds of its last check under
 # oldest-first rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -358,6 +358,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q15_top_supplier",
     "q_join_range_bucketed",
     "q_join_salted",
+    # Round-9 additions (appended BEHIND the staleness queue per the
+    # rotation invariant — first driver slot once the older blocks
+    # drain): driver-checkable z-order evidence (VERDICT r8 stretch 6).
+    "q_zorder_code",
+    "q_zorder_layout",
 )
 
 

@@ -903,6 +903,156 @@ UNION ALL SELECT 'enrich', 'cascaded', -1, 0
 """
 
 
+# --- z-order clustering (data-skipping layout, operators/zorder.py) ----------
+
+# Explicit split points for the deterministic code twin: the quantile
+# pass (approxQuantile) is partitioning-dependent, so the hash-oracle
+# query pins the buckets instead — the CLUSTER BY RANGE idiom. k1 is
+# pmod(o_custkey, 1000) (scale-free across SF dirs); prices above the
+# last split saturate into the top bucket, deterministically on both
+# engines.
+_Z_BITS = 4
+_Z_K1_SPLITS = [63.0 * i for i in range(1, 16)]  # 63 .. 945 over [0, 999]
+_Z_PRICE_SPLITS = [25000.0 * i for i in range(1, 16)]  # 25k .. 375k
+
+
+def q_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The Morton z-order code itself (operators/zorder.py::zorder_code),
+    # driver-hash-verified: bucket rank = count of splits <= value (a
+    # JVM higher-order filter over a broadcast literal array — no UDF,
+    # no shuffle), then a fixed bits*k-term bit interleave in pure
+    # codegen. The oracle replays the same buckets (list_filter lambda)
+    # and the same shift/or ladder, so a single flipped bit anywhere in
+    # the curve math breaks the hash. Grouping by code keeps the output
+    # <= 2^(bits*k) = 256 rows at any scale. The reference has no
+    # layout primitive at all (reducer.py rotates unordered part
+    # files); this is the data-skipping half of the 100 TB story.
+    from python_mapreduce_spark.operators.zorder import zorder_code  # noqa: PLC0415
+
+    o = table(spark, sf_dir, "orders").select(
+        F.pmod(F.col("o_custkey"), F.lit(1000)).cast("long").alias("k1"),
+        F.col("o_totalprice").alias("price"),
+    )
+    coded = zorder_code(
+        o,
+        ["k1", "price"],
+        bits=_Z_BITS,
+        code_col="zcode",
+        splits={"k1": _Z_K1_SPLITS, "price": _Z_PRICE_SPLITS},
+    )
+    return coded.groupBy("zcode").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("k1").alias("min_k1"),
+        F.max("k1").alias("max_k1"),
+        dround(F.min("price"), 2).alias("min_price"),
+        dround(F.max("price"), 2).alias("max_price"),
+    )
+
+
+def _sql_zorder_code() -> str:
+    """Build the DuckDB twin of the fixed-split Morton code."""
+    k1_list = "[" + ", ".join(str(s) for s in _Z_K1_SPLITS) + "]"
+    pr_list = "[" + ", ".join(str(s) for s in _Z_PRICE_SPLITS) + "]"
+    terms = []
+    for i in range(_Z_BITS):
+        for j, b in enumerate(("b1", "b2")):
+            terms.append(f"((({b} >> {i}) & 1) << {i * 2 + j})")
+    interleave = " | ".join(terms)
+    return f"""
+WITH vals AS (
+  SELECT CAST(o_custkey % 1000 AS BIGINT) AS k1, o_totalprice AS price
+  FROM orders
+), buckets AS (
+  SELECT k1, price,
+         len(list_filter({k1_list}, s -> s <= CAST(k1 AS DOUBLE))) AS b1,
+         len(list_filter({pr_list}, s -> s <= CAST(price AS DOUBLE))) AS b2
+  FROM vals
+), coded AS (
+  SELECT k1, price, CAST({interleave} AS BIGINT) AS zcode FROM buckets
+)
+SELECT zcode, CAST(count(*) AS BIGINT) AS n,
+       min(k1) AS min_k1, max(k1) AS max_k1,
+       {sql_dround("min(price)", 2)} AS min_price,
+       {sql_dround("max(price)", 2)} AS max_price
+FROM coded GROUP BY zcode
+"""
+
+
+SQL_ZORDER_CODE = _sql_zorder_code()
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The physical layout half (operators/zorder.py::zorder_write),
+    # rows-only by design: the real approxQuantile pass and the range
+    # partitioner's boundary sampling are partitioning-dependent, so
+    # per-file extents are not SQL-replayable — the deterministic curve
+    # math is hash-gated by the q_zorder_code twin, and the layout
+    # QUALITY is what this row evidences. Writes orders z-ordered on
+    # (o_custkey, o_totalprice), reads the files back, and emits one
+    # row per output file: its row count and min/max extent on both
+    # clustered columns, plus the corpus-wide mean pairwise file-range
+    # overlap per column (the data-skipping figure of merit — ~1.0
+    # means every file intersects every other and footer stats skip
+    # nothing; the z-order layout lands ~0.3-0.5 on BOTH columns at
+    # once where a single-column sort gives ~1.0 on the second column).
+    # Scale shape: ONE range exchange for the write, one file-grouped
+    # agg for the extents, and the overlap join runs on the
+    # <= num_files-row extent frame (broadcast equi-join on a constant
+    # key — bounded by contract, never row-scale).
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from python_mapreduce_spark.operators.zorder import zorder_write  # noqa: PLC0415
+    from python_mapreduce_spark.sources.readers import read_parquet  # noqa: PLC0415
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="spark_zorder_"), "orders_z")
+    zorder_write(o, path, ["o_custkey", "o_totalprice"], bits=6, num_files=16)
+    back = read_parquet(spark, path, schema=o.schema)
+    per_file = back.groupBy(F.input_file_name().alias("__f")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_custkey").alias("min_custkey"),
+        F.max("o_custkey").alias("max_custkey"),
+        dround(F.min("o_totalprice"), 2).alias("min_price"),
+        dround(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    ext = per_file.withColumn("__k", F.lit(1))
+    other = ext.select(
+        F.col("__k").alias("__k2"),
+        F.col("__f").alias("__f2"),
+        F.col("min_custkey").alias("c_lo"),
+        F.col("max_custkey").alias("c_hi"),
+        F.col("min_price").alias("p_lo"),
+        F.col("max_price").alias("p_hi"),
+    )
+    pairs = ext.join(F.broadcast(other), ext["__k"] == other["__k2"]).filter(
+        F.col("__f") != F.col("__f2")
+    )
+    overlaps = pairs.agg(
+        dround(
+            F.avg(
+                (
+                    (F.col("min_custkey") <= F.col("c_hi"))
+                    & (F.col("c_lo") <= F.col("max_custkey"))
+                ).cast("double")
+            ),
+            4,
+        ).alias("mean_overlap_custkey"),
+        dround(
+            F.avg(
+                (
+                    (F.col("min_price") <= F.col("p_hi"))
+                    & (F.col("p_lo") <= F.col("max_price"))
+                ).cast("double")
+            ),
+            4,
+        ).alias("mean_overlap_price"),
+    )
+    return per_file.drop("__f").join(F.broadcast(overlaps))
+
+
 QUERIES: dict[str, Query] = {
     "q_stats_agg": Query(q_stats_agg, SQL_STATS_AGG, "stddev/var/corr/covar aggregates"),
     "q_median_agg": Query(q_median_agg, SQL_MEDIAN_AGG, "exact interpolated median"),
@@ -946,5 +1096,11 @@ QUERIES: dict[str, Query] = {
     ),
     "q_job_cascade": Query(
         q_job_cascade, SQL_JOB_CASCADE, "priority job queue with failure cascade (O27-O29)"
+    ),
+    "q_zorder_code": Query(
+        q_zorder_code, SQL_ZORDER_CODE, "Morton z-order code, fixed splits (deterministic curve math)"
+    ),
+    "q_zorder_layout": Query(
+        q_zorder_layout, None, "z-order clustered write: per-file extents + mean range overlap (rows-only; hash twin q_zorder_code)"
     ),
 }

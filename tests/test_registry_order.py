@@ -52,6 +52,7 @@ ROWS_ONLY_OK = {
     "q_sim_ann_ivf",
     "q_compression_ratio",
     "q_dedup_embedding_precluster",  # IVF centroids aren't SQL-expressible
+    "q_zorder_layout",  # file extents depend on range-partitioner sampling
 }
 
 
@@ -67,6 +68,7 @@ def test_window_queries_all_have_oracles():
         "q_sim_ann_lsh_recall",
         "q_sim_ann_ivf_recall",
         "q_compression_ratio_eval",
+        "q_zorder_code",  # the deterministic curve-math twin of q_zorder_layout
     } <= set(qs)
 
 

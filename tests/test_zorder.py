@@ -135,3 +135,31 @@ def test_zorder_code_accepts_dates(spark):
     codes = [r.zc for r in rows]
     assert codes == sorted(codes)
     assert len(set(codes)) >= 14
+
+
+def test_zorder_code_explicit_splits_exact_and_validated(spark):
+    # Caller-provided splits skip the quantile pass: the bucket rank is
+    # exactly "count of splits <= value", and the interleave is fully
+    # deterministic (the basis of the q_zorder_code hash oracle).
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (5.0, 0.0), (0.0, 5.0), (5.0, 5.0), (None, 5.0)],
+        "x double, y double",
+    )
+    coded = zorder_code(
+        df, ["x", "y"], bits=1, code_col="zc", splits={"x": [2.5], "y": [2.5]}
+    )
+    got = {(r.x, r.y): r.zc for r in coded.collect()}
+    # bit layout at bits=1, k=2: bit0 = x bucket, bit1 = y bucket
+    assert got[(0.0, 0.0)] == 0
+    assert got[(5.0, 0.0)] == 1
+    assert got[(0.0, 5.0)] == 2
+    assert got[(5.0, 5.0)] == 3
+    assert got[(None, 5.0)] == 2  # NULL ranks into bucket 0
+    with pytest.raises(ValueError, match="strictly ascending"):
+        zorder_code(df, ["x"], bits=2, splits={"x": [2.0, 1.0]})
+    with pytest.raises(ValueError, match="exceed"):
+        zorder_code(df, ["x"], bits=1, splits={"x": [1.0, 2.0]})
+    # mixed: explicit for one column, quantile pass for the other
+    mixed = zorder_code(df.na.drop(), ["x", "y"], bits=1, splits={"x": [2.5]})
+    assert mixed.columns[-1] == "__zcode"
+    assert mixed.count() == 4
