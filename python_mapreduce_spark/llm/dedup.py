@@ -1661,6 +1661,7 @@ def label_propagation(
     rounds: int = 4,
     src: str = "id1",
     dst: str = "id2",
+    return_labels: bool = False,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation (Raghavan
     et al. 2007) with a deterministic min-label tie rule — the
@@ -1693,8 +1694,11 @@ def label_propagation(
 
     Returns one row per community: (community, n_nodes) where
     ``community`` is the surviving label (a node id, itself the
-    deterministic min-tiebreak representative). Beyond the reference
-    surface (SURVEY.md §2.2 north-star extensions).
+    deterministic min-tiebreak representative) — or, with
+    ``return_labels``, the per-node assignment (node, label) so a
+    caller can checkpoint the label state itself (the incremental LPA
+    epoch snapshot). Beyond the reference surface (SURVEY.md §2.2
+    north-star extensions).
     """
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
@@ -1726,6 +1730,8 @@ def label_propagation(
             .select(F.col("a").alias("node"), F.col("best.l").alias("label"))
             .localCheckpoint(eager=True)
         )
+    if return_labels:
+        return labels
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )

@@ -197,3 +197,89 @@ def incremental_minhash_dedup(
     if not decisions:
         return pd.DataFrame(columns=["id", "is_dup"])
     return pd.concat(decisions, ignore_index=True)
+
+
+def incremental_label_propagation(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    *,
+    src: str = "id1",
+    dst: str = "id2",
+    rounds: int = 4,
+    fmt: str = "parquet",
+    schema=None,
+) -> None:
+    """Incremental community detection: the graph member of the
+    additive-state streaming family (HLL / KLL / top-k / PSI / JSD /
+    AUC / band-key dedup). The edge stream accretes file-by-file (new
+    near-dup pairs, new link deliveries); each checkpointed pass
+    ingests ONLY the new edge files — canonicalized, self-loop-free,
+    batch-deduped — into an idempotent ``edges/ingest_epoch=<epoch>/``
+    partition of ``state_dir`` (mode=overwrite: a crash-replayed batch
+    overwrites its own epoch rather than double-appending, the
+    :func:`~python_mapreduce_spark.streaming.incremental.
+    incremental_distinct_sketch` contract), then recomputes the
+    synchronous min-tiebreak label propagation
+    (:func:`~python_mapreduce_spark.llm.dedup.label_propagation`) over
+    the COMPACT edge state and checkpoints the per-node labels to
+    ``labels/`` — all inside the batch function, so the streaming
+    checkpoint commits only after both writes landed (kill at any
+    point => the pass replays and converges).
+
+    Additivity argument: the edge SET is union-additive (the per-epoch
+    partitions union to the full graph; LPA symmetrizes and dedups, so
+    an edge re-delivered in a later epoch is harmless), and the fixed-
+    round synchronous recompute is a pure function of that set — the
+    labels after epoch N therefore equal the batch LPA on the union of
+    all epochs' deltas, verbatim, which is exactly what the SQL oracle
+    replays. The raw corpus is never rescanned: deriving edges from
+    text (the expensive scan at 100 TB) happens once per file upstream;
+    the per-epoch recompute touches only (a, b) pairs — ~billions of
+    rows of 2 longs for a 100 TB corpus — and each LPA round is ONE
+    equi-join + map-side-combined count agg + min(struct) argmax over
+    that compact state. A warm-start (seeding from the previous epoch's
+    labels) would cut rounds but break the batch-equality contract;
+    this variant keeps the oracle exact.
+
+    Read the running communities back with
+    :func:`read_lpa_communities`.
+    """
+    edges_dir = os.path.join(state_dir, "edges")
+    labels_dir = os.path.join(state_dir, "labels")
+
+    def on_batch(batch: DataFrame, epoch: int) -> None:
+        from python_mapreduce_spark.llm.dedup import label_propagation  # noqa: PLC0415
+
+        delta = (
+            batch.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        delta.write.mode("overwrite").parquet(
+            os.path.join(edges_dir, f"ingest_epoch={epoch}")
+        )
+        all_edges = spark.read.parquet(edges_dir)
+        labels = label_propagation(
+            all_edges, rounds=rounds, src="a", dst="b", return_labels=True
+        ).withColumn("as_of_epoch", F.lit(epoch).cast("long"))
+        labels.write.mode("overwrite").parquet(labels_dir)
+
+    incremental_pass(
+        spark, input_dir, checkpoint_dir, on_batch, fmt=fmt, schema=schema
+    )
+
+
+def read_lpa_communities(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Running communities from the checkpointed label state of
+    :func:`incremental_label_propagation`: one row per community,
+    (community, n_nodes) — only the label snapshot is read, never the
+    edge state or any raw data."""
+    labels = spark.read.parquet(os.path.join(state_dir, "labels"))
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

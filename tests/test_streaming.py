@@ -782,3 +782,78 @@ def test_incremental_jsd_equals_batch_and_replays_idempotently(spark, tmp_path):
         len([d for d in os.listdir(state) if d.startswith("ingest_epoch=")])
         == n_epochs
     )
+
+
+def test_incremental_lpa_equals_batch_on_union_and_tolerates_redelivery(
+    spark, tmp_path
+):
+    # The incremental-LPA contract: after each pass the checkpointed
+    # labels equal the BATCH synchronous LPA on the union of all edge
+    # deltas so far (pure function of the union-additive edge set), and
+    # a re-delivered edge file changes nothing.
+    from python_mapreduce_spark.llm.dedup import label_propagation
+    from python_mapreduce_spark.streaming.dedup import (
+        incremental_label_propagation,
+        read_lpa_communities,
+    )
+
+    # two cliques bridged by one edge (LPA separates them; CC would not)
+    clique1 = [(1, 2), (2, 3), (1, 3), (1, 4), (2, 4), (3, 4)]
+    clique2 = [(10, 11), (11, 12), (10, 12), (10, 13), (11, 13), (12, 13)]
+    bridge = [(4, 10)]
+    all_edges = clique1 + clique2 + bridge
+    in_dir, ckpt, state = (
+        str(tmp_path / "in"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "state"),
+    )
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "id1 long, id2 long")
+
+    def communities(df):
+        return {
+            (r.community, r.n_nodes)
+            for r in label_propagation(df, rounds=4).collect()
+        }
+
+    # wave 1: clique1 only
+    frame(clique1).write.mode("append").parquet(in_dir)
+    incremental_label_propagation(spark, in_dir, ckpt, state)
+    got1 = {(r.community, r.n_nodes) for r in read_lpa_communities(spark, state).collect()}
+    assert got1 == communities(frame(clique1))
+
+    # wave 2: the rest -> equals batch LPA on the union
+    frame(clique2 + bridge).write.mode("append").parquet(in_dir)
+    incremental_label_propagation(spark, in_dir, ckpt, state)
+    got2 = {(r.community, r.n_nodes) for r in read_lpa_communities(spark, state).collect()}
+    assert got2 == communities(frame(all_edges))
+    assert len(got2) == 2  # the bridge did NOT merge the cliques
+
+    # pass with no new files: exactly-once, labels unchanged
+    incremental_label_propagation(spark, in_dir, ckpt, state)
+    assert {
+        (r.community, r.n_nodes) for r in read_lpa_communities(spark, state).collect()
+    } == got2
+
+    # re-delivered (duplicate) edges in a NEW file: harmless — the edge
+    # set is a set; also reversed orientation canonicalizes away
+    frame([(b, a) for a, b in clique1]).write.mode("append").parquet(in_dir)
+    incremental_label_propagation(spark, in_dir, ckpt, state)
+    assert {
+        (r.community, r.n_nodes) for r in read_lpa_communities(spark, state).collect()
+    } == got2
+
+    # epoch partitions accumulated; labels carry the as_of_epoch stamp
+    assert (
+        len(
+            [
+                d
+                for d in os.listdir(os.path.join(state, "edges"))
+                if d.startswith("ingest_epoch=")
+            ]
+        )
+        == 3  # the no-new-files pass ingested nothing
+    )
+    lab = spark.read.parquet(os.path.join(state, "labels"))
+    assert set(lab.columns) == {"node", "label", "as_of_epoch"}

@@ -37,9 +37,12 @@ from robustness_sweep import (  # noqa: E402
     build_skew,
 )
 
-from python_mapreduce_spark.registry.r8_staged import QUERIES  # noqa: E402
+from python_mapreduce_spark.registry.r8_staged import QUERIES as R8_QUERIES  # noqa: E402
+from python_mapreduce_spark.registry.r9_staged import QUERIES as R9_QUERIES  # noqa: E402
 from python_mapreduce_spark.session import get_spark  # noqa: E402
 from python_mapreduce_spark.sources.readers import TABLES  # noqa: E402
+
+QUERIES = {**R8_QUERIES, **R9_QUERIES}
 
 BUILDERS = {
     "empty": build_empty,

@@ -105,6 +105,13 @@ SHOWCASE = [
     ("q_l_diversity", "one (quasi, distinct-sensitive) agg -> one group-frame re-agg; single scan"),
     ("q_brier_score", "ONE map-side-combined global agg of squared-error sufficient stats"),
     ("q_table_checksum", "replication-audit digest: md5 words summed in ONE partial+final hash agg — (group, 3 numbers) per partition cross the exchange"),
+    ("q_zorder_code", "Morton code: HOF bucket filter over broadcast literal splits + shift/or interleave — pure codegen, no UDF, one group agg bounded at 2^(bits*k) rows"),
+    ("q_zorder_layout", "z-order write evidence: one range exchange clusters the curve; read-back per-file agg + broadcast joins on the <=num_files extent frame"),
+    ("q_bm25_topk", "BM25: one tokenize pass, query-term filter BEFORE any join, per-term DECIMAL contributions, TakeOrderedAndProject cut"),
+    ("q_hybrid_retrieval", "RRF fusion: BM25 and cosine ladders each top-k-sized by contract; fusion joins ~40 rows at any corpus scale"),
+    ("q_label_propagation", "LPA round = ONE edge-onto-labels equi-join + map-side count agg + min(struct) argmax, labels checkpointed per round"),
+    ("q_count_min", "count-min: (depth x width) bucket agg map-side-combined; estimates probe the fixed-size sketch frame"),
+    ("q_mannwhitney", "rank-free U: per-distinct-value counts + ONE range-exchange running sum — no per-row ranks, no single-task window"),
 ]
 
 INTERESTING = re.compile(
