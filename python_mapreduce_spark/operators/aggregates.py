@@ -4025,3 +4025,266 @@ def count_min_estimate(
             .alias("overcount"),
         )
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_by: Sequence[str] = (),
+    k: int = 256,
+) -> DataFrame:
+    """K-minimum-values distinct sketch: the k smallest 60-bit hash
+    values of the DISTINCT ``value_col`` values per group — one
+    (group..., h) row each, at most k rows per group.
+
+    Beside HLL (``approx_count_distinct`` / the streaming sketch state)
+    this is the set-OPERATIONS sketch: two KMV sketches union by
+    "merge and keep the k smallest", and — the thing HLL fundamentally
+    cannot do — intersect via the Jaccard fraction observed inside the
+    merged sketch (:func:`kmv_intersect_estimate`). "Distinct users in
+    segment A AND segment B" over 100 TB becomes a join of two <=k-row
+    frames.
+
+    Determinism: the hash is the first 15 hex chars of md5 (60 bits,
+    uniform on [0, 2^60)), so the sketch — and every estimate derived
+    from it — is a pure function of the value SET: identical at any
+    partitioning/parallelism and exactly replayable by an ANSI oracle
+    (``('0x' || substr(md5(v), 1, 15))::BIGINT`` in DuckDB). No
+    tolerance oracle needed; the driver hash-compares estimates
+    bit-for-bit.
+
+    Scale shape: one distinct-agg (map-side combined) narrows the data
+    to (group, h) pairs, then the k-cut is a per-group top-k window —
+    Catalyst plans a WindowGroupLimit, so each input partition forwards
+    at most k rows per group. Estimate error is ~1/sqrt(k-2) (Beyer et
+    al. 2007; Bar-Yossef et al.'s KMV): k=256 gives ~6%.
+    """
+    if k < 2:
+        raise ValueError("kmv k must be >= 2")
+    from python_mapreduce_spark.operators.windows import topk_per_group  # noqa: PLC0415
+
+    gb = list(group_by)
+    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    hashes = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*gb, h.alias("h"))
+        .distinct()
+    )
+    if not gb:
+        # Global k-cut as TakeOrderedAndProject (per-partition heaps +
+        # tiny merge) — a keyless window would funnel every distinct
+        # hash through one task.
+        return hashes.orderBy("h").limit(k)
+    return topk_per_group(hashes, gb, [F.col("h").asc()], k).drop("rn")
+
+
+#: 2^60 as an exact double — the KMV hash domain size. (k-1) * 2^60 is
+#: also exactly representable (k <= 2^53), so the estimate is ONE
+#: correctly-rounded IEEE division on both engines.
+_KMV_DOMAIN = float(1 << 60)
+
+
+def kmv_distinct_estimate(
+    sketch: DataFrame,
+    *,
+    group_by: Sequence[str] = (),
+    k: int = 256,
+) -> DataFrame:
+    """Distinct-count estimate from a :func:`kmv_sketch`: per group,
+    (k-1) / h_(k) scaled to the hash domain when the sketch is full,
+    else the EXACT count (a sketch with fewer than k hashes saw every
+    distinct value). Emits (group..., n_kmv DOUBLE, sketch_full BOOL).
+    Runs entirely on the <=k-row-per-group sketch frame."""
+    gb = list(group_by)
+    agg = (
+        sketch.groupBy(*gb).agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.max("h").alias("__hk"),
+        )
+        if gb
+        else sketch.agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.max("h").alias("__hk"),
+        )
+    )
+    full = F.col("__n") >= F.lit(k)
+    est = F.when(
+        full,
+        F.lit(float(k - 1) * _KMV_DOMAIN) / F.col("__hk").cast("double"),
+    ).otherwise(F.col("__n").cast("double"))
+    return agg.select(
+        *gb,
+        F.floor(est * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0),
+        full,
+    ).toDF(*gb, "n_kmv", "sketch_full")
+
+
+def kmv_intersect_estimate(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    *,
+    k: int = 256,
+) -> DataFrame:
+    """Set operations on two ungrouped KMV sketches: union and
+    intersection cardinality estimates, one output row
+    (n_union_kmv DOUBLE, n_intersect_kmv DOUBLE, jaccard_kmv DOUBLE).
+
+    Union sketch = k smallest of the merged hash sets (a valid KMV of
+    A ∪ B by construction). Within that union sketch, the fraction of
+    hashes present in BOTH input sketches is an unbiased Jaccard
+    estimate (each union-sketch member is a uniform random distinct
+    element of A ∪ B), so n̂_∩ = jaccard * n̂_∪ (Beyer et al. 2007).
+    Every frame here is <=k rows (broadcast joins); the raw data was
+    left behind at sketch time.
+    """
+    a = sketch_a.select("h").withColumn("__in_a", F.lit(True))
+    b = sketch_b.select("h").withColumn("__in_b", F.lit(True))
+    merged = (
+        a.join(F.broadcast(b), "h", "full_outer")
+        .select(
+            "h",
+            F.coalesce("__in_a", F.lit(False)).alias("in_a"),
+            F.coalesce("__in_b", F.lit(False)).alias("in_b"),
+        )
+    )
+    # k-cut of the <=2k-row merged frame as TakeOrderedAndProject.
+    union_sketch = merged.orderBy("h").limit(k)
+    stats = union_sketch.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.max("h").alias("__hk"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("long")).cast("long").alias("__both"),
+    )
+    full = F.col("__n") >= F.lit(k)
+    nonempty = F.col("__n") > 0
+    n_union = F.when(
+        full, F.lit(float(k - 1) * _KMV_DOMAIN) / F.col("__hk").cast("double")
+    ).otherwise(F.col("__n").cast("double"))
+    # Explicit empty-sketch guard: Spark's 0/0 double division is NULL
+    # where DuckDB's is NaN — make both sides emit NULL.
+    jac = F.when(
+        nonempty, F.col("__both").cast("double") / F.col("__n").cast("double")
+    )
+    return stats.select(
+        (F.floor(n_union * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "n_union_kmv"
+        ),
+        (F.floor(jac * n_union * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "n_intersect_kmv"
+        ),
+        (F.floor(jac * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "jaccard_kmv"
+        ),
+    )
+
+
+#: Cumulative Poisson(1) CDF thresholds scaled to the 52-bit bootstrap
+#: hash domain (floor(P(X <= j) * 2^52), j = 0..5): a uniform 52-bit
+#: integer u maps to the replicate weight w = #{thresholds <= u} — the
+#: inverse-CDF draw as pure INTEGER comparisons, identical on any
+#: engine. Weights cap at 6 (P(X > 5) ~ 6e-4; the truncation bias is
+#: far below bootstrap noise at any real row count).
+_BOOT_POISSON_CUTS = (
+    1656781714176974,
+    3313563428353948,
+    4141954285442435,
+    4418084571138597,
+    4487117142562638,
+    4500923656847446,
+)
+_BOOT_DOMAIN = 1 << 52  # 13 hex chars of md5 — exact as a double
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    *,
+    replicates: int = 40,
+    lo: float = 0.025,
+    hi: float = 0.975,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean — with NO
+    random number generator: replicate r resamples each row with
+    weight w = Poisson(1) drawn by inverse-CDF from the 52-bit integer
+    md5(id || '|' || r). The weights are a pure function of
+    (id, replicate), so the whole procedure is deterministic at any
+    partitioning, replayable exactly by an ANSI oracle, and stable
+    across reruns — the engine's seeded-md5 sampling discipline
+    (hash_split / weighted_sample / deterministic_shuffle) extended to
+    uncertainty quantification.
+
+    Emits ONE row: (n_rows BIGINT, mean_full DOUBLE, ci_lo DOUBLE,
+    ci_hi DOUBLE) — the plug-in mean plus the [lo, hi] percentile
+    bootstrap interval over ``replicates`` resampled means.
+
+    Scale shape: one scan fans each row out to ``replicates``
+    (replicate, weighted-cents) pairs — explode in the scan stage, no
+    extra shuffle — and ONE map-side-combined agg reduces them to
+    ``replicates`` rows of integer-cent DECIMAL sufficient sums (the
+    ANOVA discipline: integer-scale decimals convert to double in one
+    correctly-rounded step on both engines). The percentile over the
+    R-row means frame sorts deterministically (no order-dependent
+    float accumulation). A replicate whose total weight is 0 yields a
+    NULL mean, which the percentile ignores on both engines.
+    """
+    if replicates < 2:
+        raise ValueError("bootstrap needs >= 2 replicates")
+    vals = df.select(
+        F.col(id_col).cast("string").alias("__id"),
+        F.floor(F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5))
+        .cast("decimal(28,0)")
+        .alias("__cents"),
+    ).filter(F.col("__cents").isNotNull())
+    fanned = vals.select(
+        "__id", "__cents", F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("__r")
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("__id"), F.col("__r"))), 1, 13), 16, 10
+    ).cast("long")
+    w = sum(
+        (u >= F.lit(cut)).cast("int") for cut in _BOOT_POISSON_CUTS
+    ).cast("long")
+    rep = (
+        fanned.withColumn("__w", w)
+        .groupBy("__r")
+        .agg(
+            F.sum(F.col("__cents") * F.col("__w")).cast("decimal(38,0)").alias("__s"),
+            F.sum("__w").cast("long").alias("__n"),
+        )
+        .select(
+            F.when(
+                F.col("__n") > 0,
+                F.col("__s").cast("double") / F.col("__n").cast("double") / F.lit(100.0),
+            ).alias("__mean")
+        )
+    )
+    ci = rep.agg(
+        F.expr(
+            f"percentile(__mean, array({lo!r}D, {hi!r}D))"
+        ).alias("__ci")
+    ).select(
+        (F.floor(F.col("__ci")[0] * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "ci_lo"
+        ),
+        (F.floor(F.col("__ci")[1] * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "ci_hi"
+        ),
+    )
+    base = vals.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.floor(
+                F.sum("__cents").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(100.0)
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0),
+        ).alias("mean_full"),
+    )
+    return base.join(F.broadcast(ci))

@@ -74,10 +74,245 @@ def q_stream_incremental_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_lpa_communities(spark, state)
 
 
+# --- KMV (k-minimum-values) distinct sketch with set operations --------------
+
+_KMV_K = 64
+#: (k-1) * 2^60 — exactly representable as a double on both engines
+#: (k-1 has 6 significant bits), so the KMV estimate is ONE
+#: correctly-rounded IEEE division.
+_KMV_SCALE = f"({_KMV_K - 1}.0 * 1152921504606846976.0)"
+_KMV_SEG_A = "event_type = 'click' AND value > 150.0"
+_KMV_SEG_B = "event_type = 'purchase' AND value > 150.0"
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KMV distinct sketch (operators/aggregates.py::kmv_sketch /
+    # kmv_distinct_estimate): per event_type, the k=64 smallest 60-bit
+    # md5 hashes of the distinct user set; estimate = (k-1)/h_(k)
+    # scaled to the domain when the sketch is full, the exact count
+    # when not. Fully deterministic (pure function of the value set),
+    # so — unlike the HLL twins — the oracle replays the ESTIMATE
+    # bit-for-bit, no tolerance needed. Scale shape: one distinct agg
+    # narrows to (group, hash), then a WindowGroupLimit k-cut; the
+    # estimate runs on the <=k-row-per-group sketch frame.
+    from python_mapreduce_spark.operators.aggregates import (  # noqa: PLC0415
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "user_id", group_by=["event_type"], k=_KMV_K)
+    est = kmv_distinct_estimate(sk, group_by=["event_type"], k=_KMV_K)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "n_exact", "n_kmv", "sketch_full"
+    )
+
+
+SQL_KMV_DISTINCT = f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+sk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hashes
+  ) WHERE rn <= {_KMV_K}
+),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n, max(h) AS hk
+  FROM sk GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         floor((CASE WHEN n >= {_KMV_K}
+                     THEN {_KMV_SCALE} / CAST(hk AS DOUBLE)
+                     ELSE CAST(n AS DOUBLE) END) * 10000.0 + 0.5) / 10000.0 AS n_kmv,
+         n >= {_KMV_K} AS sketch_full
+  FROM agg
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT exact.event_type, n_exact, n_kmv, sketch_full
+FROM exact JOIN est USING (event_type)
+"""
+
+
+def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The set-OPERATION KMV can do and HLL cannot: "distinct users in
+    # segment A AND segment B" from two <=k-row sketches
+    # (operators/aggregates.py::kmv_intersect_estimate). Union sketch =
+    # k smallest of the merged hashes (TakeOrderedAndProject, no
+    # window); within it, the both-present fraction is an unbiased
+    # Jaccard estimate, and n_inter = jaccard * n_union. The raw events
+    # are scanned once per segment at sketch time; everything after is
+    # k-row frames and broadcast joins. Exact intersection rides along
+    # for the driver to verify against.
+    from python_mapreduce_spark.operators.aggregates import (  # noqa: PLC0415
+        kmv_intersect_estimate,
+        kmv_sketch,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    a = ev.filter((F.col("event_type") == "click") & (F.col("value") > 150.0))
+    b = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 150.0))
+    est = kmv_intersect_estimate(
+        kmv_sketch(a, "user_id", k=_KMV_K),
+        kmv_sketch(b, "user_id", k=_KMV_K),
+        k=_KMV_K,
+    )
+    exact = (
+        a.select("user_id")
+        .filter(F.col("user_id").isNotNull())
+        .intersect(b.select("user_id").filter(F.col("user_id").isNotNull()))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_intersect"))
+    )
+    return exact.join(F.broadcast(est))
+
+
+SQL_KMV_INTERSECT = f"""
+WITH ha AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events WHERE {_KMV_SEG_A} AND user_id IS NOT NULL
+),
+hb AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events WHERE {_KMV_SEG_B} AND user_id IS NOT NULL
+),
+ska AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+skb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+merged AS (
+  SELECT coalesce(ska.h, skb.h) AS h,
+         ska.h IS NOT NULL AS in_a, skb.h IS NOT NULL AS in_b
+  FROM ska FULL OUTER JOIN skb ON ska.h = skb.h
+),
+u AS (SELECT * FROM merged ORDER BY h LIMIT {_KMV_K}),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, max(h) AS hk,
+         CAST(coalesce(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END), 0) AS BIGINT) AS nboth
+  FROM u
+),
+est AS (
+  SELECT
+    floor((CASE WHEN n >= {_KMV_K} THEN {_KMV_SCALE} / CAST(hk AS DOUBLE)
+                ELSE CAST(n AS DOUBLE) END) * 10000.0 + 0.5) / 10000.0 AS n_union_kmv,
+    CASE WHEN n > 0 THEN
+      floor((CAST(nboth AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CASE WHEN n >= {_KMV_K} THEN {_KMV_SCALE} / CAST(hk AS DOUBLE)
+                    ELSE CAST(n AS DOUBLE) END) * 10000.0 + 0.5) / 10000.0
+    END AS n_intersect_kmv,
+    CASE WHEN n > 0 THEN
+      floor(CAST(nboth AS DOUBLE) / CAST(n AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+    END AS jaccard_kmv
+  FROM stats
+),
+exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_exact_intersect FROM (
+    SELECT user_id FROM events WHERE {_KMV_SEG_A} AND user_id IS NOT NULL
+    INTERSECT
+    SELECT user_id FROM events WHERE {_KMV_SEG_B} AND user_id IS NOT NULL
+  )
+)
+SELECT n_exact_intersect, n_union_kmv, n_intersect_kmv, jaccard_kmv FROM exact, est
+"""
+
+
+# --- deterministic Poisson-bootstrap confidence interval ---------------------
+
+_BOOT_R = 40
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RNG-free percentile bootstrap for the mean order value
+    # (operators/aggregates.py::bootstrap_mean_ci): replicate weights
+    # are Poisson(1) draws by inverse-CDF over md5(id|r) — pure integer
+    # comparisons, identical on both engines, so the oracle replays the
+    # interval EXACTLY (no tolerance). One scan fans rows to R=40
+    # (replicate, weighted-cents) pairs; ONE map-side-combined agg
+    # leaves 40 rows of integer-cent DECIMAL sums; the percentile runs
+    # over the 40-row means frame (sort-based — no order-dependent
+    # float accumulation).
+    from python_mapreduce_spark.operators.aggregates import bootstrap_mean_ci  # noqa: PLC0415
+
+    o = table(spark, sf_dir, "orders")
+    return bootstrap_mean_ci(o, "o_totalprice", "o_orderkey", replicates=_BOOT_R)
+
+
+def _sql_bootstrap_ci() -> str:
+    from python_mapreduce_spark.operators.aggregates import _BOOT_POISSON_CUTS  # noqa: PLC0415
+
+    wt = " + ".join(
+        f"(CASE WHEN u >= {cut} THEN 1 ELSE 0 END)" for cut in _BOOT_POISSON_CUTS
+    )
+    return f"""
+WITH vals AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS DECIMAL(28,0)) AS cents
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+fanned AS (
+  SELECT id, cents, r FROM vals, (SELECT unnest(range({_BOOT_R})) AS r)
+),
+weighted AS (
+  SELECT cents, r, CAST(({wt}) AS BIGINT) AS wt FROM (
+    SELECT cents, r,
+           CAST(('0x' || substr(md5(id || '|' || CAST(r AS VARCHAR)), 1, 13)) AS BIGINT) AS u
+    FROM fanned
+  )
+),
+rep AS (
+  SELECT r, CAST(sum(cents * wt) AS DECIMAL(38,0)) AS s, CAST(sum(wt) AS BIGINT) AS n
+  FROM weighted GROUP BY r
+),
+means AS (
+  SELECT CASE WHEN n > 0 THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 END AS m
+  FROM rep
+),
+ci AS (SELECT quantile_cont(m, [0.025, 0.975]) AS q FROM means),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CASE WHEN count(*) > 0 THEN
+           floor(CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0
+                 * 10000.0 + 0.5) / 10000.0
+         END AS mean_full
+  FROM vals
+)
+SELECT n_rows, mean_full,
+       floor(q[1] * 10000.0 + 0.5) / 10000.0 AS ci_lo,
+       floor(q[2] * 10000.0 + 0.5) / 10000.0 AS ci_hi
+FROM base, ci
+"""
+
+
+SQL_BOOTSTRAP_CI = _sql_bootstrap_ci()
+
+
 QUERIES: dict[str, Query] = {
     "q_stream_incremental_lpa": Query(
         q_stream_incremental_lpa,
         SQL_LABEL_PROPAGATION,
         "incremental LPA communities: per-epoch edge deltas + checkpointed labels; oracle = batch LPA on the union",
+    ),
+    "q_kmv_distinct": Query(
+        q_kmv_distinct,
+        SQL_KMV_DISTINCT,
+        "KMV distinct sketch per segment: deterministic (k-1)/h_k estimate replayed bit-for-bit",
+    ),
+    "q_kmv_intersect": Query(
+        q_kmv_intersect,
+        SQL_KMV_INTERSECT,
+        "KMV set ops: union/intersection/Jaccard estimates from two k-row sketches (what HLL cannot do)",
+    ),
+    "q_bootstrap_ci": Query(
+        q_bootstrap_ci,
+        SQL_BOOTSTRAP_CI,
+        "RNG-free Poisson-bootstrap percentile CI for the mean, exactly oracle-replayable",
     ),
 }
