@@ -294,6 +294,46 @@ FROM base, ci
 SQL_BOOTSTRAP_CI = _sql_bootstrap_ci()
 
 
+# --- incremental KMV state (streaming family) --------------------------------
+
+def q_stream_incremental_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental DISTINCT via KMV state (streaming/incremental.py::
+    # incremental_kmv_sketch): the event stream arrives in two waves
+    # split by event_id parity, so the same user lands in BOTH — the
+    # overlap a naive additive recombination would double-count. The
+    # KMV merge law (k smallest of the union of per-epoch k-mins == k
+    # smallest of the union of the sets) restores additivity, and —
+    # unlike the HLL twin, which needs a within-5% tolerance gate —
+    # the reconstructed sketch is BIT-IDENTICAL to a batch sketch over
+    # everything, so the oracle is SQL_KMV_DISTINCT verbatim.
+    from python_mapreduce_spark.session import tune  # noqa: PLC0415
+    from python_mapreduce_spark.streaming.incremental import (  # noqa: PLC0415
+        incremental_kmv_sketch,
+        read_kmv_estimate,
+    )
+
+    tune(spark)
+    events = table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="incr_kmv_")
+    in_dir, ckpt, state = (
+        os.path.join(work, "in"),
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "state"),
+    )
+    events.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(in_dir)
+    incremental_kmv_sketch(spark, in_dir, ckpt, ["event_type"], "user_id", state, k=_KMV_K)
+    events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(in_dir)
+    incremental_kmv_sketch(spark, in_dir, ckpt, ["event_type"], "user_id", state, k=_KMV_K)
+
+    est = read_kmv_estimate(spark, state, ["event_type"], k=_KMV_K)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "n_exact", "n_kmv", "sketch_full"
+    )
+
+
 QUERIES: dict[str, Query] = {
     "q_stream_incremental_lpa": Query(
         q_stream_incremental_lpa,
@@ -314,5 +354,10 @@ QUERIES: dict[str, Query] = {
         q_bootstrap_ci,
         SQL_BOOTSTRAP_CI,
         "RNG-free Poisson-bootstrap percentile CI for the mean, exactly oracle-replayable",
+    ),
+    "q_stream_incremental_kmv": Query(
+        q_stream_incremental_kmv,
+        SQL_KMV_DISTINCT,
+        "incremental distinct via KMV merge-law state: bit-identical to the batch sketch, exact-replay oracle",
     ),
 }

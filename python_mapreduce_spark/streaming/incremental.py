@@ -281,6 +281,68 @@ def read_distinct_estimate(
     )
 
 
+def incremental_kmv_sketch(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    value_col: str,
+    state_dir: str,
+    *,
+    k: int = 256,
+) -> None:
+    """Incremental distinct cardinality via KMV (k-minimum-values)
+    state — the deterministic sibling of
+    :func:`incremental_distinct_sketch`: each checkpointed pass
+    sketches ONLY its new files (the k smallest 60-bit md5 hashes of
+    the distinct values per key,
+    :func:`~python_mapreduce_spark.operators.aggregates.kmv_sketch`)
+    into an idempotent ``ingest_epoch=<epoch>/`` partition of
+    ``state_dir``.
+
+    The KMV merge law makes the state additive: the k smallest of the
+    UNION of per-epoch k-min sets equal the k smallest of the union of
+    the full value sets (any hash in the true union's k-min is
+    necessarily within its own epoch's k-min), so
+    :func:`read_kmv_estimate` reconstructs exactly the sketch a batch
+    pass over all data would build — re-counting a value seen in an
+    earlier epoch is idempotent by set union. Two advantages over the
+    HLL path: the running estimate is a PURE FUNCTION of the value set
+    (bit-replayable by an ANSI oracle — no tolerance gate), and the
+    per-key states support set operations
+    (:func:`~python_mapreduce_spark.operators.aggregates.
+    kmv_intersect_estimate`) that HLL registers cannot express. State
+    cost: at most k longs per key per epoch.
+    """
+    from python_mapreduce_spark.operators.aggregates import kmv_sketch  # noqa: PLC0415
+
+    def on_batch(batch: DataFrame, epoch: int) -> None:
+        sk = kmv_sketch(normalize_event_ts(batch), value_col, group_by=keys, k=k)
+        sk.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"ingest_epoch={epoch}")
+        )
+
+    incremental_pass(spark, input_dir, checkpoint_dir, on_batch)
+
+
+def read_kmv_estimate(
+    spark: SparkSession, state_dir: str, keys: list[str], *, k: int = 256
+) -> DataFrame:
+    """Running distinct estimate from :func:`incremental_kmv_sketch`
+    state: union the per-epoch sketch rows, keep the k smallest distinct
+    hashes per key (the KMV merge), and estimate — only fixed-size
+    sketch rows are read; the raw data is never rescanned. Identical,
+    bit-for-bit, to a batch sketch over everything ever ingested."""
+    from python_mapreduce_spark.operators.aggregates import (  # noqa: PLC0415
+        kmv_distinct_estimate,
+    )
+    from python_mapreduce_spark.operators.windows import topk_per_group  # noqa: PLC0415
+
+    state = spark.read.parquet(state_dir).select(*keys, "h").distinct()
+    merged = topk_per_group(state, keys, [F.col("h").asc()], k).drop("rn")
+    return kmv_distinct_estimate(merged, group_by=keys, k=k)
+
+
 def collect_incremental_counts(
     spark: SparkSession,
     input_dir: str,

@@ -784,6 +784,56 @@ def test_incremental_jsd_equals_batch_and_replays_idempotently(spark, tmp_path):
     )
 
 
+def test_incremental_kmv_state_is_bit_identical_to_batch_sketch(spark, tmp_path):
+    # The KMV merge law: k smallest of the union of per-epoch k-min
+    # sets == k smallest of the union of the full sets, so the
+    # reconstructed estimate is BIT-IDENTICAL to a batch sketch — no
+    # tolerance gate, unlike HLL. Overlapping waves must not
+    # double-count.
+    from python_mapreduce_spark.operators.aggregates import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+    from python_mapreduce_spark.streaming.incremental import (
+        incremental_kmv_sketch,
+        read_kmv_estimate,
+    )
+
+    rows = [("a", i) for i in range(300)] + [("b", i) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    in_dir, ckpt, state = (
+        str(tmp_path / "in"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "state"),
+    )
+    # wave 1: v < 200; wave 2: v >= 100 -> [100, 200) lands in BOTH
+    df.filter(F.col("v") < 200).write.mode("append").parquet(in_dir)
+    incremental_kmv_sketch(spark, in_dir, ckpt, ["g"], "v", state, k=64)
+    df.filter(F.col("v") >= 100).write.mode("append").parquet(in_dir)
+    incremental_kmv_sketch(spark, in_dir, ckpt, ["g"], "v", state, k=64)
+
+    got = {
+        r.g: (r.n_kmv, r.sketch_full)
+        for r in read_kmv_estimate(spark, state, ["g"], k=64).collect()
+    }
+    batch = {
+        r.g: (r.n_kmv, r.sketch_full)
+        for r in kmv_distinct_estimate(
+            kmv_sketch(df, "v", group_by=["g"], k=64), group_by=["g"], k=64
+        ).collect()
+    }
+    assert got == batch  # bit-identical, not approximately equal
+    assert got["b"] == (40.0, False)  # below-k group stays exact
+    assert got["a"][1] is True  # 300 distinct > k: estimation engaged
+    # no-new-files pass: exactly-once, state unchanged
+    incremental_kmv_sketch(spark, in_dir, ckpt, ["g"], "v", state, k=64)
+    again = {
+        r.g: (r.n_kmv, r.sketch_full)
+        for r in read_kmv_estimate(spark, state, ["g"], k=64).collect()
+    }
+    assert again == got
+
+
 def test_incremental_lpa_equals_batch_on_union_and_tolerates_redelivery(
     spark, tmp_path
 ):
