@@ -4288,3 +4288,129 @@ def bootstrap_mean_ci(
         ).alias("mean_full"),
     )
     return base.join(F.broadcast(ci))
+
+
+def bootstrap_diff_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_col: str,
+    a: str,
+    b: str,
+    *,
+    replicates: int = 40,
+    lo: float = 0.025,
+    hi: float = 0.975,
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the DIFFERENCE of
+    means between two segments (A/B uplift with uncertainty — the
+    companion to the two-proportion z-test ``ab_test_proportions``,
+    for continuous metrics where the normal approximation is the wrong
+    tool). Same RNG-free machinery as :func:`bootstrap_mean_ci`: the
+    replicate weight of a row is a Poisson(1) inverse-CDF draw from
+    md5(id || '|' || r) — deterministic, partitioning-invariant,
+    exactly oracle-replayable. Each group is resampled independently
+    (its rows carry their own ids), which is the standard two-sample
+    bootstrap.
+
+    Emits ONE row: (n_a BIGINT, n_b BIGINT, diff_full DOUBLE,
+    ci_lo DOUBLE, ci_hi DOUBLE, significant BOOLEAN) — plug-in
+    mean(a) - mean(b), the [lo, hi] percentile interval of the
+    resampled differences, and whether the interval excludes zero.
+
+    Scale shape: identical to :func:`bootstrap_mean_ci` with the agg
+    keyed on replicate only — conditional sums split the two groups
+    inside ONE map-side-combined pass, so the wire still carries
+    ``replicates`` rows of DECIMAL sufficient sums.
+    """
+    if replicates < 2:
+        raise ValueError("bootstrap needs >= 2 replicates")
+    vals = df.filter(F.col(group_col).isin(a, b)).select(
+        F.col(id_col).cast("string").alias("__id"),
+        (F.col(group_col) == a).alias("__is_a"),
+        F.floor(F.col(value_col).cast("double") * F.lit(100.0) + F.lit(0.5))
+        .cast("decimal(28,0)")
+        .alias("__cents"),
+    ).filter(F.col("__cents").isNotNull())
+    fanned = vals.select(
+        "__id",
+        "__is_a",
+        "__cents",
+        F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("__r"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("__id"), F.col("__r"))), 1, 13), 16, 10
+    ).cast("long")
+    w = sum((u >= F.lit(cut)).cast("int") for cut in _BOOT_POISSON_CUTS).cast("long")
+    zero = F.lit(0).cast("decimal(28,0)")
+    rep = (
+        fanned.withColumn("__w", w)
+        .groupBy("__r")
+        .agg(
+            F.sum(F.when(F.col("__is_a"), F.col("__cents") * F.col("__w")).otherwise(zero))
+            .cast("decimal(38,0)")
+            .alias("__sa"),
+            F.sum(F.when(F.col("__is_a"), F.col("__w")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("__na"),
+            F.sum(F.when(~F.col("__is_a"), F.col("__cents") * F.col("__w")).otherwise(zero))
+            .cast("decimal(38,0)")
+            .alias("__sb"),
+            F.sum(F.when(~F.col("__is_a"), F.col("__w")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("__nb"),
+        )
+        .select(
+            F.when(
+                (F.col("__na") > 0) & (F.col("__nb") > 0),
+                F.col("__sa").cast("double") / F.col("__na").cast("double") / F.lit(100.0)
+                - F.col("__sb").cast("double") / F.col("__nb").cast("double") / F.lit(100.0),
+            ).alias("__d")
+        )
+    )
+    ci = rep.agg(
+        F.expr(f"percentile(__d, array({lo!r}D, {hi!r}D))").alias("__ci")
+    ).select(
+        (F.floor(F.col("__ci")[0] * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "ci_lo"
+        ),
+        (F.floor(F.col("__ci")[1] * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "ci_hi"
+        ),
+    )
+    base = vals.agg(
+        F.sum(F.col("__is_a").cast("long")).cast("long").alias("n_a"),
+        F.sum((~F.col("__is_a")).cast("long")).cast("long").alias("n_b"),
+        F.when(
+            (F.sum(F.col("__is_a").cast("long")) > 0)
+            & (F.sum((~F.col("__is_a")).cast("long")) > 0),
+            F.floor(
+                (
+                    F.sum(F.when(F.col("__is_a"), F.col("__cents")).otherwise(zero)).cast(
+                        "double"
+                    )
+                    / F.sum(F.col("__is_a").cast("long")).cast("double")
+                    - F.sum(F.when(~F.col("__is_a"), F.col("__cents")).otherwise(zero)).cast(
+                        "double"
+                    )
+                    / F.sum((~F.col("__is_a")).cast("long")).cast("double")
+                )
+                / F.lit(100.0)
+                * F.lit(10000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(10000.0),
+        ).alias("diff_full"),
+    )
+    out = base.join(F.broadcast(ci))
+    return out.select(
+        "n_a",
+        "n_b",
+        "diff_full",
+        "ci_lo",
+        "ci_hi",
+        F.when(
+            F.col("ci_lo").isNotNull(),
+            (F.col("ci_lo") > 0.0) | (F.col("ci_hi") < 0.0),
+        ).alias("significant"),
+    )

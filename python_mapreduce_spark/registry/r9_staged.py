@@ -294,6 +294,90 @@ FROM base, ci
 SQL_BOOTSTRAP_CI = _sql_bootstrap_ci()
 
 
+def q_bootstrap_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-sample uplift with uncertainty (operators/aggregates.py::
+    # bootstrap_diff_ci): percentile-bootstrap CI for mean(click value)
+    # - mean(view value) — the continuous-metric companion to
+    # q_ab_test's two-proportion z. Same RNG-free discipline: Poisson
+    # weights by md5 inverse-CDF, ONE map-side-combined agg to R=40
+    # DECIMAL sufficient sums per side (conditional sums split the
+    # groups inside the same pass), sort-based percentile over the
+    # 40 resampled differences. The oracle replays the interval and
+    # the significance verdict exactly.
+    from python_mapreduce_spark.operators.aggregates import bootstrap_diff_ci  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events")
+    return bootstrap_diff_ci(
+        ev, "value", "event_id", "event_type", "click", "view", replicates=_BOOT_R
+    )
+
+
+def _sql_bootstrap_diff_ci() -> str:
+    from python_mapreduce_spark.operators.aggregates import _BOOT_POISSON_CUTS  # noqa: PLC0415
+
+    wt = " + ".join(
+        f"(CASE WHEN u >= {cut} THEN 1 ELSE 0 END)" for cut in _BOOT_POISSON_CUTS
+    )
+    return f"""
+WITH vals AS (
+  SELECT CAST(event_id AS VARCHAR) AS id,
+         event_type = 'click' AS is_a,
+         CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5) AS DECIMAL(28,0)) AS cents
+  FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+),
+fanned AS (
+  SELECT id, is_a, cents, r FROM vals, (SELECT unnest(range({_BOOT_R})) AS r)
+),
+weighted AS (
+  SELECT is_a, cents, r, CAST(({wt}) AS BIGINT) AS wt FROM (
+    SELECT is_a, cents, r,
+           CAST(('0x' || substr(md5(id || '|' || CAST(r AS VARCHAR)), 1, 13)) AS BIGINT) AS u
+    FROM fanned
+  )
+),
+rep AS (
+  SELECT r,
+         CAST(sum(CASE WHEN is_a THEN cents * wt ELSE 0 END) AS DECIMAL(38,0)) AS sa,
+         CAST(sum(CASE WHEN is_a THEN wt ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN NOT is_a THEN cents * wt ELSE 0 END) AS DECIMAL(38,0)) AS sb,
+         CAST(sum(CASE WHEN NOT is_a THEN wt ELSE 0 END) AS BIGINT) AS nb
+  FROM weighted GROUP BY r
+),
+diffs AS (
+  SELECT CASE WHEN na > 0 AND nb > 0 THEN
+           CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0
+           - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0
+         END AS d
+  FROM rep
+),
+ci AS (
+  SELECT floor(q[1] * 10000.0 + 0.5) / 10000.0 AS ci_lo,
+         floor(q[2] * 10000.0 + 0.5) / 10000.0 AS ci_hi
+  FROM (SELECT quantile_cont(d, [0.025, 0.975]) AS q FROM diffs)
+),
+base AS (
+  SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CASE WHEN sum(CASE WHEN is_a THEN 1 ELSE 0 END) > 0
+               AND sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) > 0 THEN
+           floor((CAST(sum(CASE WHEN is_a THEN cents ELSE 0 END) AS DOUBLE)
+                    / CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS DOUBLE)
+                  - CAST(sum(CASE WHEN NOT is_a THEN cents ELSE 0 END) AS DOUBLE)
+                    / CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS DOUBLE))
+                 / 100.0 * 10000.0 + 0.5) / 10000.0
+         END AS diff_full
+  FROM vals
+)
+SELECT n_a, n_b, diff_full, ci_lo, ci_hi,
+       CASE WHEN ci_lo IS NOT NULL THEN (ci_lo > 0.0 OR ci_hi < 0.0) END AS significant
+FROM base, ci
+"""
+
+
+SQL_BOOTSTRAP_DIFF_CI = _sql_bootstrap_diff_ci()
+
+
 # --- incremental KMV state (streaming family) --------------------------------
 
 def q_stream_incremental_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -359,5 +443,10 @@ QUERIES: dict[str, Query] = {
         q_stream_incremental_kmv,
         SQL_KMV_DISTINCT,
         "incremental distinct via KMV merge-law state: bit-identical to the batch sketch, exact-replay oracle",
+    ),
+    "q_bootstrap_diff_ci": Query(
+        q_bootstrap_diff_ci,
+        SQL_BOOTSTRAP_DIFF_CI,
+        "two-sample bootstrap uplift CI (mean A - mean B) with exact-replay oracle + significance verdict",
     ),
 }

@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from python_mapreduce_spark.operators.aggregates import (
+    bootstrap_diff_ci,
     bootstrap_mean_ci,
     kmv_distinct_estimate,
     kmv_intersect_estimate,
@@ -144,3 +145,39 @@ def test_bootstrap_ci_deterministic_brackets_mean_and_edge_cases(spark):
     assert e.n_rows == 0 and e.mean_full is None and e.ci_lo is None
     with pytest.raises(ValueError, match="replicates"):
         bootstrap_mean_ci(df, "x", "id", replicates=1)
+
+
+def test_bootstrap_diff_ci_verdicts_and_one_sided_groups(spark):
+    # clearly-separated segments: significant=True, CI brackets the
+    # true difference and excludes zero
+    rows = [(i, "a", 200.0 + (i % 5)) for i in range(300)] + [
+        (i + 1000, "b", 100.0 + (i % 5)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, x double")
+    r = bootstrap_diff_ci(df, "x", "id", "g", "a", "b", replicates=40).collect()[0]
+    assert (r.n_a, r.n_b) == (300, 300)
+    assert r.ci_lo <= 100.0 <= r.ci_hi  # true diff = 100
+    assert r.significant is True and r.ci_lo > 0.0
+    assert abs(r.diff_full - 100.0) < 0.01
+    # determinism under repartition
+    r2 = bootstrap_diff_ci(
+        df.repartition(9).orderBy(F.rand(3)), "x", "id", "g", "a", "b", replicates=40
+    ).collect()[0]
+    assert (r.diff_full, r.ci_lo, r.ci_hi, r.significant) == (
+        r2.diff_full,
+        r2.ci_lo,
+        r2.ci_hi,
+        r2.significant,
+    )
+    # identical segments: interval straddles zero -> not significant
+    same = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", 50.0 + (i % 11)) for i in range(400)],
+        "id long, g string, x double",
+    )
+    s = bootstrap_diff_ci(same, "x", "id", "g", "a", "b", replicates=40).collect()[0]
+    assert s.significant is False and s.ci_lo < 0.0 < s.ci_hi
+    # one group absent: NULL diff/CI/verdict, counts still report
+    only_a = df.filter(F.col("g") == "a")
+    o = bootstrap_diff_ci(only_a, "x", "id", "g", "a", "b", replicates=40).collect()[0]
+    assert o.n_a == 300 and o.n_b == 0
+    assert o.diff_full is None and o.ci_lo is None and o.significant is None
