@@ -378,6 +378,59 @@ FROM base, ci
 SQL_BOOTSTRAP_DIFF_CI = _sql_bootstrap_diff_ci()
 
 
+# --- IVF-PQ: the compressed-scan ANN path -------------------------------------
+
+#: Measured PQ dials (this round, all three SF dirs): m=16 subspaces x
+#: 16 codes on the 64-dim embeddings (4 double-dims per subspace; code
+#: storage 16 small ints ~ 8 bytes at 4 bits vs 256 raw bytes — 32x),
+#: refine=40 exact re-rank candidates, 2 Lloyd passes on the residual
+#: codebooks -> recall vs brute force 0.940 / 0.920 / 0.900 at
+#: sf0.001 / 0.01 / 0.1 — the 0.8 registry floor WITH margin at every
+#: size (the r5 lesson: zero-margin dials go red on the next corpus).
+_PQ_DIALS = {"m": 16, "bits": 4, "refine": 40, "pq_iters": 2, "iters": 3}
+
+
+def q_sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF-PQ approximate top-k (llm/similarity.py::ann_topk_ivf_pq):
+    # the COMPRESSED-SCAN scale path completing the ANN family — the
+    # probed corpus fraction is scanned as 16 small integer codes per
+    # vector instead of 64 floats, the ADC scoring is pure codegen
+    # (element_at LUT lookups, no Python in the hot path), and the
+    # approx top k*refine are exact-cosine re-ranked so emitted scores
+    # are exact and PQ error only affects recall. Not SQL-expressible
+    # (distributed k-means + float matmuls); rows-only, gated by the
+    # hash-green recall twin below.
+    from python_mapreduce_spark.llm.similarity import ann_topk_ivf_pq  # noqa: PLC0415
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_topk_ivf_pq(emb, queries, "vec_id", "embedding", k=5, **_PQ_DIALS)
+
+
+def q_sim_ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF-PQ against brute force — the tolerance-oracle pattern of the
+    # other ANN twins (registry/llm.py::_ann_recall_eval): recall_floor
+    # = least(actual, 0.8), so the oracle's literal matches exactly when
+    # the floor holds and a red row carries the miss magnitude.
+    from python_mapreduce_spark.llm.similarity import (  # noqa: PLC0415
+        ann_topk_ivf_pq,
+        cosine_topk,
+    )
+    from python_mapreduce_spark.registry.llm import _ann_recall_eval  # noqa: PLC0415
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    approx = ann_topk_ivf_pq(emb, queries, "vec_id", "embedding", k=5, **_PQ_DIALS)
+    return _ann_recall_eval(exact, approx, 0.8)
+
+
+def _sql_pq_recall() -> str:
+    from python_mapreduce_spark.registry.llm import _sql_ann_recall  # noqa: PLC0415
+
+    return _sql_ann_recall(0.8)
+
+
 # --- incremental KMV state (streaming family) --------------------------------
 
 def q_stream_incremental_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,5 +501,15 @@ QUERIES: dict[str, Query] = {
         q_bootstrap_diff_ci,
         SQL_BOOTSTRAP_DIFF_CI,
         "two-sample bootstrap uplift CI (mean A - mean B) with exact-replay oracle + significance verdict",
+    ),
+    "q_sim_ann_ivf_pq": Query(
+        q_sim_ann_ivf_pq,
+        None,
+        "IVF-PQ compressed-scan approximate top-k (rows-only; hash twin q_sim_ann_ivf_pq_recall)",
+    ),
+    "q_sim_ann_ivf_pq_recall": Query(
+        q_sim_ann_ivf_pq_recall,
+        _sql_pq_recall(),
+        "IVF-PQ recall vs brute force (tolerance oracle, floor 0.8 with measured margin)",
     ),
 }

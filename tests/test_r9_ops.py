@@ -181,3 +181,44 @@ def test_bootstrap_diff_ci_verdicts_and_one_sided_groups(spark):
     o = bootstrap_diff_ci(only_a, "x", "id", "g", "a", "b", replicates=40).collect()[0]
     assert o.n_a == 300 and o.n_b == 0
     assert o.diff_full is None and o.ci_lo is None and o.significant is None
+
+
+def test_ivf_pq_recall_floor_determinism_and_compressed_index(spark, sf_dir):
+    from python_mapreduce_spark.llm.similarity import (
+        ann_topk_ivf_pq,
+        cosine_topk,
+    )
+    from python_mapreduce_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, q, "vec_id", "embedding", k=5).collect()
+    }
+    dials = dict(k=5, iters=3, m=16, bits=4, refine=40, pq_iters=2)
+    got = ann_topk_ivf_pq(emb, q, "vec_id", "embedding", **dials).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in got}
+    # the registry floor, with the sf0.001-measured 0.94 as margin pin
+    assert len(approx & exact) / len(exact) >= 0.8
+    # emitted scores are EXACT cosines (re-rank contract): every hit's
+    # cos matches the brute-force score for the same pair
+    ex_scores = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in cosine_topk(emb, q, "vec_id", "embedding", k=5).collect()
+    }
+    for r in got:
+        if (r.query_id, r.neighbor_id) in ex_scores:
+            assert abs(r.cos - ex_scores[(r.query_id, r.neighbor_id)]) < 1e-9
+    # deterministic under repartition (seedless xxhash64 init + fixed
+    # Lloyd rounds)
+    again = {
+        (r.query_id, r.rn, r.neighbor_id)
+        for r in ann_topk_ivf_pq(
+            emb.repartition(13), q, "vec_id", "embedding", **dials
+        ).collect()
+    }
+    assert again == {(r.query_id, r.rn, r.neighbor_id) for r in got}
+    # m must divide dim
+    with pytest.raises(ValueError, match="not divisible"):
+        ann_topk_ivf_pq(emb, q, "vec_id", "embedding", k=5, m=7).collect()
