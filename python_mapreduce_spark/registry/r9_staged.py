@@ -380,14 +380,14 @@ SQL_BOOTSTRAP_DIFF_CI = _sql_bootstrap_diff_ci()
 
 # --- IVF-PQ: the compressed-scan ANN path -------------------------------------
 
-#: Measured PQ dials (this round, all three SF dirs): m=16 subspaces x
-#: 16 codes on the 64-dim embeddings (4 double-dims per subspace; code
-#: storage 16 small ints ~ 8 bytes at 4 bits vs 256 raw bytes — 32x),
-#: refine=40 exact re-rank candidates, 2 Lloyd passes on the residual
-#: codebooks -> recall vs brute force 0.940 / 0.920 / 0.900 at
-#: sf0.001 / 0.01 / 0.1 — the 0.8 registry floor WITH margin at every
-#: size (the r5 lesson: zero-margin dials go red on the next corpus).
-_PQ_DIALS = {"m": 16, "bits": 4, "refine": 40, "pq_iters": 2, "iters": 3}
+#: Measured PQ dials (this round): m=16 subspaces on the 64-dim
+#: embeddings, 2 Lloyd passes on the residual codebooks; bits/refine
+#: are CORPUS-ADAPTIVE via llm/similarity.py::pq_dials — 4-bit codes +
+#: refine 40 below ~30k vectors (recall 0.940/0.920/0.900 at
+#: sf0.001/0.01/0.1), 6-bit codes + refine n/500 above (0.90 at 50k,
+#: 0.86 at 100k; the FIXED small-SF dials collapsed to 0.48 at 100k —
+#: the r5 zero-margin lesson, re-learned and dialed out live).
+_PQ_DIALS = {"m": 16, "pq_iters": 2, "iters": 3}
 
 
 def q_sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -196,7 +196,9 @@ def test_ivf_pq_recall_floor_determinism_and_compressed_index(spark, sf_dir):
         (r.query_id, r.neighbor_id)
         for r in cosine_topk(emb, q, "vec_id", "embedding", k=5).collect()
     }
-    dials = dict(k=5, iters=3, m=16, bits=4, refine=40, pq_iters=2)
+    # bits/refine omitted: exercises the corpus-adaptive pq_dials path
+    # (resolves to the measured small-corpus (4, 40) here)
+    dials = dict(k=5, iters=3, m=16, pq_iters=2)
     got = ann_topk_ivf_pq(emb, q, "vec_id", "embedding", **dials).collect()
     approx = {(r.query_id, r.neighbor_id) for r in got}
     # the registry floor, with the sf0.001-measured 0.94 as margin pin
