@@ -72,11 +72,26 @@ def measure(spark, sf_dir: str) -> dict:
     ).count()
     t_lsh = time.time() - t0
 
+    # IVF-PQ end-to-end (train + encode + ADC + refine) on the corpus-
+    # adaptive dials. Training passes dominate at these sizes (the
+    # index is built per call here; production builds once and
+    # amortizes), so the gated claim is near-LINEAR total cost — the
+    # quadratic failure modes (ADC degenerating to all-pairs, refine
+    # joining raw vectors corpus-wide) would breach the 2R gate.
+    from python_mapreduce_spark.llm.similarity import ann_topk_ivf_pq  # noqa: PLC0415
+
+    t0 = time.time()
+    ann_topk_ivf_pq(
+        emb, queries, "vec_id", "embedding", k=5, iters=3, m=16, pq_iters=2
+    ).count()
+    t_pq = time.time() - t0
+
     return {
         "vectors": n,
         "lsh_candidates": cand,
         "t_bruteforce": round(t_brute, 2),
         "t_lsh_multiprobe": round(t_lsh, 2),
+        "t_ivf_pq": round(t_pq, 2),
     }
 
 
@@ -90,7 +105,7 @@ def main() -> int:
         dirs,
         lambda d: measure(spark, d),
         "vectors",
-        ("lsh_candidates", "t_bruteforce", "t_lsh_multiprobe"),
+        ("lsh_candidates", "t_bruteforce", "t_lsh_multiprobe", "t_ivf_pq"),
     )
 
 
