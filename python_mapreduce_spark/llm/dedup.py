@@ -74,6 +74,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via postings self-join.
 
@@ -90,6 +91,23 @@ def ngram_jaccard_pairs(
     The hot set has at most |postings|/cap members and Zipfian corpora
     put it in the hundreds, so it broadcasts; the df computation itself
     is a map-side-combined count per shingle, never a row shuffle.
+
+    ``prefix_filter`` enables the PPJoin-family prefix filter
+    (Chaudhuri/Ganti/Kaushik 2006; Xiao et al. 2008): order each
+    document's shingles by a global canonical rarity order (document
+    frequency ascending, shingle ascending) and self-join ONLY the
+    first ``p = s - ceil(t*s) + 1`` shingles of each side — the prefix
+    principle guarantees any pair with Jaccard >= t shares at least
+    one token inside BOTH prefixes, so the filter is LOSSLESS: the
+    output is identical, pair for pair and score for score (the pytest
+    pins set equality; the registry oracle is unchanged). Candidates
+    then pay exact verification via two candidate-bounded equi-joins
+    against the full postings. At t = 0.8 the join touches ~20% of
+    each posting list — and the RAREST 20%, so the quadratic
+    df-squared term collapses far below the raw co-shingle join. Cost
+    added: one df join + one per-doc window (partitioned by doc,
+    WindowGroupLimit-style trim); the df frame is already computed
+    when ``max_shingle_df`` is set.
     """
     sets_ = shingle_sets(df, id_col, text_col, n).filter(F.size("shingles") > 0)
     posts = sets_.select("id", F.explode("shingles").alias("shingle"))
@@ -123,12 +141,57 @@ def ngram_jaccard_pairs(
         sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     else:
         sizes = sets_.select("id", F.size("shingles").cast("long").alias("sz"))
-    a, b = posts.alias("a"), posts.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if prefix_filter:
+        from pyspark.sql.window import Window as _W  # noqa: PLC0415
+
+        # canonical global order = (df asc, shingle asc); per-doc prefix
+        # length p = s - ceil(t*s) + 1 over the KEPT shingle universe
+        dfreq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        ranked = posts.join(dfreq, "shingle").withColumn(
+            "__rn",
+            F.row_number().over(
+                _W.partitionBy("id").orderBy(F.col("__df").asc(), F.col("shingle").asc())
+            ),
+        )
+        plen = (
+            F.col("sz")
+            - F.ceil(F.lit(float(threshold)) * F.col("sz")).cast("long")
+            + F.lit(1)
+        )
+        prefix = (
+            ranked.join(sizes, "id")
+            .filter(F.col("__rn") <= plen)
+            .select("id", "shingle")
+        )
+        pa, pb = prefix.alias("pa"), prefix.alias("pb")
+        cand = (
+            pa.join(
+                pb,
+                (F.col("pa.shingle") == F.col("pb.shingle"))
+                & (F.col("pa.id") < F.col("pb.id")),
+            )
+            .select(F.col("pa.id").alias("id1"), F.col("pb.id").alias("id2"))
+            .distinct()
+        )
+        # exact verification, candidate-bounded: expand id1's full
+        # posting list, then a composite (id2, shingle) equi-join
+        # screens to the true intersection — never |A| x |B| per pair
+        inter = (
+            cand.join(posts.withColumnRenamed("id", "id1"), "id1")
+            .join(posts.withColumnRenamed("id", "id2"), ["id2", "shingle"])
+            .groupBy("id1", "id2")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        a, b = posts.alias("a"), posts.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     return (
         inter.join(sa, F.col("id1") == F.col("sa.id"))

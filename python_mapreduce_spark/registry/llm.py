@@ -181,7 +181,7 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drops nothing and the result equals the exact pair set.
     return ngram_jaccard_pairs(
         table(spark, sf_dir, "documents"), "doc_id", "text",
-        n=3, threshold=0.8, max_shingle_df=100,
+        n=3, threshold=0.8, max_shingle_df=100, prefix_filter=True,
     )
 
 
@@ -359,7 +359,8 @@ def q_dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the twin also agrees on saturated inputs — the CONST-TEXT
     # robustness replica pins this.
     pairs = ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.95, max_shingle_df=100
+        docs, "doc_id", "text", n=3, threshold=0.95, max_shingle_df=100,
+        prefix_filter=True,
     )
     fps = simhash(docs, "doc_id", "text")
     f1 = fps.select(F.col("id").alias("id1"), F.col("simhash64").alias("h1"))
@@ -3253,7 +3254,8 @@ def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle saturates (CONST-TEXT replica: empty edge set -> zero
     # rows from the grouped agg on BOTH engines).
     edges = ngram_jaccard_pairs(
-        docs, "doc_id", "text", threshold=0.8, max_shingle_df=100
+        docs, "doc_id", "text", threshold=0.8, max_shingle_df=100,
+        prefix_filter=True,
     )
     return triangle_stats(edges)
 

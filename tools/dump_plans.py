@@ -35,7 +35,7 @@ SHOWCASE = [
     ("q_window_cume_scalable", "distributed dense_rank + cume_dist: broadcast distinct-key ranks + global_row_number, no Window node"),
     ("q_unpivot", "melt via Expand in the scan stage, no shuffle"),
     ("q_dedup_embedding", "banded-LSH candidates: equi-join on band keys, no nested loop; broadcast-matrix verify — only 16-byte id pairs cross Arrow (r8)"),
-    ("q_dedup_jaccard", "postings self-join; stop-shingle cap as pre-resolved literal filter"),
+    ("q_dedup_jaccard", "PPJoin prefix filter: rarity-ordered per-doc prefixes self-join (lossless for the threshold), candidate-bounded composite-key verify; stop-shingle cap as pre-resolved literal filter"),
     ("q_window_rank_scalable", "distributed global rank: one range exchange, no Window node"),
     ("q_join_range_bucketed", "bucket-grid range join: equi-join + residual filter"),
     ("q_text_contamination", "eval n-gram set broadcast; corpus scanned once, shuffled only on doc id for the count"),
