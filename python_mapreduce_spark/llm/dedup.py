@@ -66,6 +66,74 @@ def exact_dedup(
     )
 
 
+
+def _prefix_verified_inter(posts, sizes, threshold: float, *, both_prefix: bool):
+    """Shared PPJoin machinery: rarity-ordered per-doc prefixes generate
+    candidates, then candidate-bounded composite-key equi-joins against
+    the FULL postings compute exact intersection counts.
+
+    ``both_prefix=True`` is the symmetric Jaccard form (prefix x prefix,
+    id1 < id2 — lossless for J >= t). ``both_prefix=False`` is the
+    asymmetric containment form (prefix x full postings, canonicalized
+    pairs): any pair with inter >= t * min(|A|, |B|) has an
+    intersection token inside the SMALLER side's prefix, and that side
+    appears as the prefix role in one orientation of the join — so the
+    one-sided filter is lossless for max-direction containment >= t.
+    """
+    from pyspark.sql.window import Window as _W  # noqa: PLC0415
+
+    dfreq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = posts.join(dfreq, "shingle").withColumn(
+        "__rn",
+        F.row_number().over(
+            _W.partitionBy("id").orderBy(F.col("__df").asc(), F.col("shingle").asc())
+        ),
+    )
+    plen = (
+        F.col("sz")
+        - F.ceil(F.lit(float(threshold)) * F.col("sz")).cast("long")
+        + F.lit(1)
+    )
+    prefix = (
+        ranked.join(sizes, "id").filter(F.col("__rn") <= plen).select("id", "shingle")
+    )
+    pa = prefix.alias("pa")
+    if both_prefix:
+        pb = prefix.alias("pb")
+        cand = (
+            pa.join(
+                pb,
+                (F.col("pa.shingle") == F.col("pb.shingle"))
+                & (F.col("pa.id") < F.col("pb.id")),
+            )
+            .select(F.col("pa.id").alias("id1"), F.col("pb.id").alias("id2"))
+            .distinct()
+        )
+    else:
+        pb = posts.alias("pb")
+        cand = (
+            pa.join(
+                pb,
+                (F.col("pa.shingle") == F.col("pb.shingle"))
+                & (F.col("pa.id") != F.col("pb.id")),
+            )
+            .select(
+                F.least(F.col("pa.id"), F.col("pb.id")).alias("id1"),
+                F.greatest(F.col("pa.id"), F.col("pb.id")).alias("id2"),
+            )
+            .distinct()
+        )
+    # exact verification, candidate-bounded: expand id1's full posting
+    # list, then a composite (id2, shingle) equi-join screens to the
+    # true intersection — never |A| x |B| per pair
+    return (
+        cand.join(posts.withColumnRenamed("id", "id1"), "id1")
+        .join(posts.withColumnRenamed("id", "id2"), ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -142,46 +210,7 @@ def ngram_jaccard_pairs(
     else:
         sizes = sets_.select("id", F.size("shingles").cast("long").alias("sz"))
     if prefix_filter:
-        from pyspark.sql.window import Window as _W  # noqa: PLC0415
-
-        # canonical global order = (df asc, shingle asc); per-doc prefix
-        # length p = s - ceil(t*s) + 1 over the KEPT shingle universe
-        dfreq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        ranked = posts.join(dfreq, "shingle").withColumn(
-            "__rn",
-            F.row_number().over(
-                _W.partitionBy("id").orderBy(F.col("__df").asc(), F.col("shingle").asc())
-            ),
-        )
-        plen = (
-            F.col("sz")
-            - F.ceil(F.lit(float(threshold)) * F.col("sz")).cast("long")
-            + F.lit(1)
-        )
-        prefix = (
-            ranked.join(sizes, "id")
-            .filter(F.col("__rn") <= plen)
-            .select("id", "shingle")
-        )
-        pa, pb = prefix.alias("pa"), prefix.alias("pb")
-        cand = (
-            pa.join(
-                pb,
-                (F.col("pa.shingle") == F.col("pb.shingle"))
-                & (F.col("pa.id") < F.col("pb.id")),
-            )
-            .select(F.col("pa.id").alias("id1"), F.col("pb.id").alias("id2"))
-            .distinct()
-        )
-        # exact verification, candidate-bounded: expand id1's full
-        # posting list, then a composite (id2, shingle) equi-join
-        # screens to the true intersection — never |A| x |B| per pair
-        inter = (
-            cand.join(posts.withColumnRenamed("id", "id1"), "id1")
-            .join(posts.withColumnRenamed("id", "id2"), ["id2", "shingle"])
-            .groupBy("id1", "id2")
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
+        inter = _prefix_verified_inter(posts, sizes, threshold, both_prefix=True)
     else:
         a, b = posts.alias("a"), posts.alias("b")
         inter = (
@@ -1317,6 +1346,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.6,
     max_shingle_df: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Asymmetric n-gram CONTAINMENT pairs: for each ordered document
     pair, ``|shingles(src) ∩ shingles(dst)| / |shingles(src)|`` — the
@@ -1334,6 +1364,17 @@ def containment_pairs(
     containment stays a true ratio over the reduced universe). The
     undirected intersection count is computed ONCE per pair (id1 < id2)
     and fanned into both directions by a projection, not a second join.
+
+    ``prefix_filter`` applies the one-sided PPJoin filter (prefix x
+    full postings — lossless for max-direction containment >= t, see
+    :func:`_prefix_verified_inter`). MEASURED CAVEAT: unlike the
+    Jaccard join at t = 0.8 (where surviving candidates are rare and
+    the verify re-join is negligible), containment at t = 0.6 keeps
+    ~40% of postings in the prefix and its candidates stay plentiful,
+    so the candidate-bounded verify re-join EXCEEDS the generation
+    saving on these corpora (sf0.1: 5.1 s base vs 13.1 s prefix).
+    The flag is the right tool only when the threshold is high enough
+    that candidates are rare; the registry keeps the direct join.
 
     Cost law (measured, tools/bench_scale.py r6): candidate pairs are
     sum over kept shingles of df*(df-1)/2, hard-bounded by
@@ -1366,12 +1407,23 @@ def containment_pairs(
         sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     else:
         sizes = sets_.select("id", F.size("shingles").cast("long").alias("sz"))
-    a, b = posts.alias("a"), posts.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if prefix_filter:
+        # one-sided PPJoin (prefix x full postings): lossless for
+        # max-direction containment >= t because the intersection of a
+        # qualifying pair must hit the SMALLER side's prefix — see
+        # _prefix_verified_inter. Join cost drops to
+        # sum(prefix_df x df) from sum(df^2).
+        inter = _prefix_verified_inter(posts, sizes, threshold, both_prefix=False)
+    else:
+        a, b = posts.alias("a"), posts.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
     both = (
         inter.join(sa, F.col("id1") == F.col("sa.id"))

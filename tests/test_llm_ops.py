@@ -1842,3 +1842,31 @@ def test_prefix_filter_is_lossless_and_prunes_candidates(spark, sf_dir):
         ).count()
         == 0
     )
+
+
+def test_containment_prefix_filter_is_lossless(spark, sf_dir):
+    # One-sided PPJoin (prefix x full postings): lossless for
+    # max-direction containment >= t — the intersection of a qualifying
+    # pair must hit the SMALLER side's prefix. (Kept as an option, not
+    # the registry default: at t=0.6 candidates stay plentiful and the
+    # verify re-join costs more than the generation saving — measured
+    # 5.1s vs 13.1s at sf0.1.)
+    from python_mapreduce_spark.llm.dedup import containment_pairs
+    from python_mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for t in (0.6, 0.9):
+        base = {
+            (r.src_id, r.dst_id, r.containment)
+            for r in containment_pairs(
+                docs, "doc_id", "text", threshold=t, max_shingle_df=100
+            ).collect()
+        }
+        pref = {
+            (r.src_id, r.dst_id, r.containment)
+            for r in containment_pairs(
+                docs, "doc_id", "text", threshold=t, max_shingle_df=100,
+                prefix_filter=True,
+            ).collect()
+        }
+        assert base == pref
