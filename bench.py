@@ -220,6 +220,15 @@ HEADLINE = [
     "q_label_propagation",
     "q_zorder_code",
     "q_zorder_layout",
+    # Round-10 registrations (staged round 9). The two
+    # stream_incremental_* members stay out per the family convention
+    # (runtime is temp-dir ingest, not engine throughput).
+    "q_kmv_distinct",
+    "q_kmv_intersect",
+    "q_bootstrap_ci",
+    "q_bootstrap_diff_ci",
+    "q_sim_ann_ivf_pq",
+    "q_sim_ann_ivf_pq_recall",
 ]
 
 #: Tiny-SF warmup dir: pays per-plan JIT/codegen once so sf0.1 timings

@@ -33,72 +33,35 @@ class Query:
 
 
 # The driver verifies a prefix window of all_queries() (50 entries per
-# round), so iteration order IS correctness coverage. Round-9 rotation
-# (mechanical via ``tools/driver_coverage.py --plan 50`` over
-# CORRECTNESS_r01..r08): the window head is the 20 never-checked
-# queries — the newly-registered staged batch-2 entries (R8_WIRING.md
-# split; batch 1 went driver-green in round 8) — then 30 staleness
-# refreshes: the first 30 of the 40 remaining r03 rows. The tail is the
-# full staleness-ordered refresh queue (oldest driver round first: the
-# last 10 r03, then r04/r05/r06/r07/r08 blocks). Rotation invariant
-# (test-pinned in tests/test_registry_order.py): never-checked precede
-# the staleness queue, which is ascending by last-checked round; new
-# additions append behind everything. Feasibility contract (re-based in
-# round 8, see COVERAGE.md): with a 311-query registry and a 50-slot
-# window, the steady-state worst row age is ceil(311/50) = 7 rounds —
-# every row is refreshed within 7 rounds of its last check under
-# oldest-first rotation.
+# round), so iteration order IS correctness coverage. Round-10 rotation
+# (mechanical via ``tools/driver_coverage.py --plan-full`` over
+# CORRECTNESS_r01..r09): the window head is the one RED row
+# (q_table_checksum — fixed in 3f4ff15, red on the driver's books
+# since r8; red rows jump the staleness queue, VERDICT r9 item 1),
+# then the 10 never-checked queries (the r9 z-order pair + the 8
+# newly-registered r9_staged entries), then 39 staleness refreshes
+# (all 10 remaining r03 rows + 29 of the 50 r04 rows). The tail is the
+# full staleness-ordered refresh queue (oldest driver round first).
+# Rotation invariant (test-pinned in tests/test_registry_order.py):
+# red rows first, then never-checked, then the staleness queue
+# ascending by last-checked round; new additions append behind
+# everything. Feasibility contract (re-based in round 10, see
+# COVERAGE.md): with a 319-query registry and a 50-slot window, the
+# steady-state worst row age is ceil(319/50) = 7 rounds — every row is
+# refreshed within 7 rounds of its last check under oldest-first
+# rotation.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    "q_mannwhitney",
-    "q_spearman",
-    "q_brown_forsythe",
-    "q_jarque_bera",
-    "q_forecast_backtest",
-    "q_market_concentration",
-    "q_autocorr",
-    "q_bh_fdr",
-    "q_partial_corr",
-    "q_ols_influence",
-    "q_bm25_topk",
-    "q_t_closeness",
-    "q_theil",
-    "q_nelson_aalen",
-    "q_kruskal_wallis",
-    "q_mann_kendall",
-    "q_hybrid_retrieval",
-    "q_retrieval_ndcg",
-    "q_count_min",
-    "q_label_propagation",
-    "q_join_asof",
-    "q_join_asof_fwd",
-    "q03_shipping_priority",
-    "q05_region_revenue",
-    "q_window_lag",
-    "q_window_moving_avg",
-    "q_window_range_frame",
-    "q_window_rank_scalable",
-    "q_window_cume_scalable",
-    "q_sessionize",
-    "q_mr_udtf_tokens",
-    "q_mr_udaf_wavg",
-    "q_dedup_jaccard",
-    "q_dedup_minhash",
-    "q_dedup_clusters",
-    "q_dedup_embedding",
-    "q_dedup_embedding_matmul",
-    "q_dedup_embedding_auto",
-    "q_sim_ann_lsh",
-    "q_sim_ann_ivf",
-    "q_text_quality",
-    "q_token_count_bpe",
-    "q_pipeline_prepare",
-    "q_doc_chunking",
-    "q_multimodal_features",
-    "q_multimodal_frames",
-    "q_stream_stream_join",
-    "q_stream_dedup_watermark",
-    "q_stream_tumbling",
-    "q_stream_sliding",
+    "q_table_checksum",
+    "q_zorder_code",
+    "q_zorder_layout",
+    "q_stream_incremental_lpa",
+    "q_kmv_distinct",
+    "q_kmv_intersect",
+    "q_bootstrap_ci",
+    "q_stream_incremental_kmv",
+    "q_bootstrap_diff_ci",
+    "q_sim_ann_ivf_pq",
+    "q_sim_ann_ivf_pq_recall",
     "q_stream_session_window",
     "q_stream_stateful_max",
     "q01_pricing_summary",
@@ -319,7 +282,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_embedding_precluster",
     "q_dedup_embedding_precluster_eval",
     "q_heaps_law",
-    "q_table_checksum",
     "q_anova",
     "q_welch_ttest",
     "q_mad_outliers",
@@ -358,11 +320,56 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q15_top_supplier",
     "q_join_range_bucketed",
     "q_join_salted",
-    # Round-9 additions (appended BEHIND the staleness queue per the
-    # rotation invariant — first driver slot once the older blocks
-    # drain): driver-checkable z-order evidence (VERDICT r8 stretch 6).
-    "q_zorder_code",
-    "q_zorder_layout",
+    "q_mannwhitney",
+    "q_spearman",
+    "q_brown_forsythe",
+    "q_jarque_bera",
+    "q_forecast_backtest",
+    "q_market_concentration",
+    "q_autocorr",
+    "q_bh_fdr",
+    "q_partial_corr",
+    "q_ols_influence",
+    "q_bm25_topk",
+    "q_t_closeness",
+    "q_theil",
+    "q_nelson_aalen",
+    "q_kruskal_wallis",
+    "q_mann_kendall",
+    "q_hybrid_retrieval",
+    "q_retrieval_ndcg",
+    "q_count_min",
+    "q_label_propagation",
+    "q_join_asof",
+    "q_join_asof_fwd",
+    "q03_shipping_priority",
+    "q05_region_revenue",
+    "q_window_lag",
+    "q_window_moving_avg",
+    "q_window_range_frame",
+    "q_window_rank_scalable",
+    "q_window_cume_scalable",
+    "q_sessionize",
+    "q_mr_udtf_tokens",
+    "q_mr_udaf_wavg",
+    "q_dedup_jaccard",
+    "q_dedup_minhash",
+    "q_dedup_clusters",
+    "q_dedup_embedding",
+    "q_dedup_embedding_matmul",
+    "q_dedup_embedding_auto",
+    "q_sim_ann_lsh",
+    "q_sim_ann_ivf",
+    "q_text_quality",
+    "q_token_count_bpe",
+    "q_pipeline_prepare",
+    "q_doc_chunking",
+    "q_multimodal_features",
+    "q_multimodal_frames",
+    "q_stream_stream_join",
+    "q_stream_dedup_watermark",
+    "q_stream_tumbling",
+    "q_stream_sliding",
 )
 
 
@@ -380,6 +387,7 @@ def all_queries() -> dict[str, Query]:
         llm,
         mr,
         r8_staged,
+        r9_staged,
         streaming,
         tpch2,
         tpch3,
@@ -398,10 +406,14 @@ def all_queries() -> dict[str, Query]:
     # registered in round 8 so the r02 staleness block drained first).
     # The whole staged module is now live: BATCH1 (9, driver-green r8) +
     # BATCH2 (20, first driver rows in the r9 window).
-    for name, q in r8_staged.QUERIES.items():
-        if name in merged:
-            raise ValueError(f"duplicate query name: {name}")
-        merged[name] = q
+    # Round-10 registration of the r9 staged batch (R9_WIRING.md):
+    # incremental LPA/KMV, KMV sketches, bootstrap CIs, IVF-PQ pair —
+    # 8 entries, registry 311 -> 319.
+    for staged in (r8_staged, r9_staged):
+        for name, q in staged.QUERIES.items():
+            if name in merged:
+                raise ValueError(f"duplicate query name: {name}")
+            merged[name] = q
 
     out: dict[str, Query] = {}
     for name in DRIVER_PRIORITY:

@@ -50,6 +50,7 @@ ROWS_ONLY_OK = {
     "q_dedup_simhash",
     "q_sim_ann_lsh",
     "q_sim_ann_ivf",
+    "q_sim_ann_ivf_pq",  # approximate result set; hash-green recall twin
     "q_compression_ratio",
     "q_dedup_embedding_precluster",  # IVF centroids aren't SQL-expressible
     "q_zorder_layout",  # file extents depend on range-partitioner sampling
@@ -67,63 +68,84 @@ def test_window_queries_all_have_oracles():
         "q_dedup_simhash_eval",
         "q_sim_ann_lsh_recall",
         "q_sim_ann_ivf_recall",
+        "q_sim_ann_ivf_pq_recall",
         "q_compression_ratio_eval",
         "q_zorder_code",  # the deterministic curve-math twin of q_zorder_layout
     } <= set(qs)
 
 
 # The driver round the current DRIVER_PRIORITY rotation was computed
-# against (``tools/driver_coverage.py --plan 50`` over CORRECTNESS_r01..
+# against (``tools/driver_coverage.py --plan-full`` over CORRECTNESS_r01..
 # r{AS_OF}). Bump this when rotating at the start of each round — the
 # invariant below is checked against that snapshot so the test stays
 # green when the NEXT round's CORRECTNESS file lands.
-ROTATION_AS_OF = 8
+ROTATION_AS_OF = 9
 
 
-def _driver_rounds_as_of(as_of: int) -> dict[str, int]:
-    """name -> latest driver round with a row, using files <= as_of."""
+def _driver_rows_as_of(as_of: int) -> dict[str, tuple[int, dict]]:
+    """name -> (latest driver round with a row, that row), files <= as_of."""
     import glob
     import json
     import os
     import re
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    rounds: dict[str, int] = {}
+    rows: dict[str, tuple[int, dict]] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)\.json$", path)
         if not m or int(m.group(1)) > as_of:
             continue
+        rnd = int(m.group(1))
         with open(path) as f:
             data = json.load(f)
-        for name in data:
-            rounds[name] = max(rounds.get(name, 0), int(m.group(1)))
-    return rounds
+        for name, row in data.items():
+            if isinstance(row, dict) and (name not in rows or rnd >= rows[name][0]):
+                rows[name] = (rnd, row)
+    return rows
 
 
-def test_rotation_invariant_never_before_stale_before_new():
-    """The driver-coverage contract (VERDICT r6 stretch item 8).
+def _row_green(row: dict) -> bool:
+    if row.get("err") == "no_oracle":
+        return isinstance(row.get("spark_rows"), int) and row["spark_rows"] >= 0
+    return (
+        not row.get("err")
+        and row.get("hash_match") is True
+        and bool(row.get("rows_match") and row.get("schema_match"))
+    )
 
-    DRIVER_PRIORITY must be three blocks, as of the rotation snapshot:
-    [never-checked] + [checked, ascending by latest driver round] +
-    [new additions appended behind the staleness block]. Concretely:
-    (a) the checked subsequence's rounds are non-decreasing, and (b)
-    unchecked names form a prefix and/or suffix — never sandwiched
-    between checked names. A hand-edit that moves a stale row ahead of
-    a never-checked one (or scrambles the staleness queue) fails here.
+
+def test_rotation_invariant_red_before_never_before_stale():
+    """The driver-coverage contract (VERDICT r6 stretch 8 + r9 item 1).
+
+    DRIVER_PRIORITY must be four blocks, as of the rotation snapshot:
+    [RED rows] + [never-checked] + [checked, ascending by latest driver
+    round] + [new additions appended behind the staleness block]. Red
+    rows jump the queue — a fixed-but-red query must be re-observed by
+    the driver next round, not wait out its staleness position.
+    Concretely: (a) every red row precedes every non-red checked row,
+    (b) the non-red checked subsequence's rounds are non-decreasing,
+    and (c) unchecked names sit only between the red block and the
+    staleness block, or at the tail — never sandwiched inside the
+    staleness block.
     """
-    rounds = _driver_rounds_as_of(ROTATION_AS_OF)
-    checked = [(i, rounds[n]) for i, n in enumerate(DRIVER_PRIORITY) if n in rounds]
-    # (a) staleness queue ascending by last-checked round
-    rs = [r for _, r in checked]
+    rows = _driver_rows_as_of(ROTATION_AS_OF)
+    red = {n for n, (_, row) in rows.items() if not _row_green(row)}
+    # (a) red rows first among checked entries
+    checked_idx = [i for i, n in enumerate(DRIVER_PRIORITY) if n in rows]
+    red_idx = [i for i in checked_idx if DRIVER_PRIORITY[i] in red]
+    nonred_idx = [i for i in checked_idx if DRIVER_PRIORITY[i] not in red]
+    if red_idx and nonred_idx:
+        assert max(red_idx) < min(nonred_idx), "red rows must head the rotation"
+    # (b) staleness queue ascending by last-checked round
+    rs = [rows[DRIVER_PRIORITY[i]][0] for i in nonred_idx]
     assert rs == sorted(rs), "staleness block not sorted by last-checked round"
-    # (b) unchecked names only at the head (never block) or tail (new block)
-    if checked:
-        first_checked = checked[0][0]
-        last_checked = checked[-1][0]
+    # (c) unchecked names never sandwiched inside the staleness block
+    if nonred_idx:
+        first_stale, last_stale = nonred_idx[0], nonred_idx[-1]
         sandwiched = [
             n
             for i, n in enumerate(DRIVER_PRIORITY)
-            if n not in rounds and first_checked < i < last_checked
+            if n not in rows and first_stale < i < last_stale
         ]
         assert not sandwiched, (
             f"unchecked queries interleaved with the staleness block: {sandwiched}"

@@ -11,9 +11,13 @@ else 0 — NEVER rows are a rotation concern, not a failure.
 
 Usage:  python tools/driver_coverage.py [--never-only] [--plan N]
 
-``--plan N`` additionally prints a suggested DRIVER_PRIORITY head: the
-NEVER queries (in current registry order) padded to N with the stalest
-checked queries — making each round's rotation mechanical.
+``--plan N`` additionally prints a suggested DRIVER_PRIORITY head:
+RED queries first (a red driver row defeats the whole gate's purpose —
+it must be rechecked next round, not wait out the staleness queue;
+VERDICT r9 item 1), then the NEVER queries (in current registry
+order), padded to N with the stalest checked queries — making each
+round's rotation mechanical. ``--plan-full`` prints the complete
+reordered DRIVER_PRIORITY (red + never + staleness-ascending).
 """
 
 from __future__ import annotations
@@ -67,7 +71,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--never-only", action="store_true")
     ap.add_argument("--plan", type=int, default=0, metavar="N")
+    ap.add_argument("--plan-full", action="store_true")
     args = ap.parse_args()
+    if args.plan_full:
+        args.plan = args.plan or 10**9
 
     from python_mapreduce_spark.registry import all_queries
 
@@ -103,11 +110,14 @@ def main() -> int:
     )
 
     if args.plan:
+        # Red rows jump the queue (VERDICT r9): a fixed-but-red query at
+        # staleness position ~270 would otherwise wait ~6 rounds for the
+        # driver to re-observe the fix.
         stale = sorted(
-            (n for n in names if n in rows),
+            (n for n in names if n in rows and n not in red),
             key=lambda n: (rows[n][0], names.index(n)),
         )
-        head = (never + stale)[: args.plan]
+        head = (red + never + stale)[: args.plan]
         print(f"# suggested DRIVER_PRIORITY head ({args.plan} slots):")
         for n in head:
             print(f'    "{n}",')
