@@ -90,7 +90,7 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (partition-column encoding, compression, schema drift) breaks the
     # hash match.
     import os  # noqa: PLC0415
-    import tempfile  # noqa: PLC0415
+    from python_mapreduce_spark.scratch import scratch_dir  # noqa: PLC0415
 
     from python_mapreduce_spark.sources.readers import read_parquet  # noqa: PLC0415
     from python_mapreduce_spark.sources.sinks import write_parquet  # noqa: PLC0415
@@ -98,7 +98,7 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="spark_sink_rt_"), "orders")
+    path = os.path.join(scratch_dir("spark_sink_rt"), "orders")
     write_parquet(o, path, partition_by=["o_orderstatus"])
     # Explicit schema on the read-back: skips footer sampling (the
     # at-scale default) and keeps the roundtrip well-defined even when
@@ -128,13 +128,13 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # merged read that dropped rows, mixed up columns, or fabricated
     # values breaks the hash.
     import os  # noqa: PLC0415
-    import tempfile  # noqa: PLC0415
+    from python_mapreduce_spark.scratch import scratch_dir  # noqa: PLC0415
 
     from python_mapreduce_spark.sources.readers import read_parquet  # noqa: PLC0415
     from python_mapreduce_spark.sources.sinks import write_parquet  # noqa: PLC0415
 
     d = table(spark, sf_dir, "documents")
-    base = tempfile.mkdtemp(prefix="spark_schema_evo_")
+    base = scratch_dir("spark_schema_evo")
     gen1, gen2 = os.path.join(base, "gen1"), os.path.join(base, "gen2")
     write_parquet(d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars"), gen1)
     write_parquet(
@@ -757,7 +757,7 @@ def q_visible_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contract-small (dimension table, same as the mr aux demo).
     import json  # noqa: PLC0415
     import os  # noqa: PLC0415
-    import tempfile  # noqa: PLC0415
+    from python_mapreduce_spark.scratch import scratch_dir  # noqa: PLC0415
 
     from python_mapreduce_spark.sources.readers import (  # noqa: PLC0415
         read_jsonl,
@@ -774,7 +774,7 @@ def q_visible_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in rows:
                 f.write(json.dumps({"k": r.n_nationkey, "region": r.n_regionkey}) + "\n")
 
-    base = tempfile.mkdtemp(prefix="spark_vis_")
+    base = scratch_dir("spark_vis")
     landed = os.path.join(base, "landed")
     os.makedirs(landed)
     for k in (0, 1, 2):
@@ -811,7 +811,7 @@ def q_corrupt_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # breaks all three outputs.
     import json  # noqa: PLC0415
     import os  # noqa: PLC0415
-    import tempfile  # noqa: PLC0415
+    from python_mapreduce_spark.scratch import scratch_dir  # noqa: PLC0415
 
     from python_mapreduce_spark.sources.readers import read_jsonl  # noqa: PLC0415
 
@@ -821,7 +821,7 @@ def q_corrupt_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice")
         .collect()
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="spark_corrupt_"), "orders.jsonl")
+    path = os.path.join(scratch_dir("spark_corrupt"), "orders.jsonl")
     with open(path, "w") as f:
         for r in rows:
             if r.o_orderkey % 10 == 0:
@@ -1000,7 +1000,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # <= num_files-row extent frame (broadcast equi-join on a constant
     # key — bounded by contract, never row-scale).
     import os  # noqa: PLC0415
-    import tempfile  # noqa: PLC0415
+    from python_mapreduce_spark.scratch import scratch_dir  # noqa: PLC0415
 
     from python_mapreduce_spark.operators.zorder import zorder_write  # noqa: PLC0415
     from python_mapreduce_spark.sources.readers import read_parquet  # noqa: PLC0415
@@ -1008,7 +1008,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="spark_zorder_"), "orders_z")
+    path = os.path.join(scratch_dir("spark_zorder"), "orders_z")
     zorder_write(o, path, ["o_custkey", "o_totalprice"], bits=6, num_files=16)
     back = read_parquet(spark, path, schema=o.schema)
     per_file = back.groupBy(F.input_file_name().alias("__f")).agg(

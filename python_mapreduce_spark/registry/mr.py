@@ -143,7 +143,7 @@ def q_mr_wordcount_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the user map function. Fixture derived from documents.text per
     # FIXTURES.md B.1; same oracle as the parquet wordcount because the
     # token multiset survives the round-trip.
-    import tempfile
+    from python_mapreduce_spark.scratch import scratch_dir  # noqa: PLC0415
 
     from python_mapreduce_spark.sources.readers import read_text
     from python_mapreduce_spark.sources.sinks import write_text
@@ -151,7 +151,7 @@ def q_mr_wordcount_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_mapreduce_spark.session import tune
 
     tune(spark)
-    out_dir = tempfile.mkdtemp(prefix="wc_gz_")
+    out_dir = scratch_dir("wc_gz")
     docs = table(spark, sf_dir, "documents").select("text")
     write_text(docs, out_dir, compression="gzip")
     lines = read_text(spark, out_dir)

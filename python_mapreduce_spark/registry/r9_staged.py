@@ -23,7 +23,7 @@ unroll verbatim on the union of epochs.
 from __future__ import annotations
 
 import os
-import tempfile
+from python_mapreduce_spark.scratch import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,7 +58,7 @@ def q_stream_incremental_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", threshold=0.8, max_shingle_df=100,
         prefix_filter=True,
     ).select("id1", "id2")
-    work = tempfile.mkdtemp(prefix="incr_lpa_")
+    work = scratch_dir("incr_lpa")
     in_dir, ckpt, state = (
         os.path.join(work, "in"),
         os.path.join(work, "ckpt"),
@@ -452,7 +452,7 @@ def q_stream_incremental_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     events = table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="incr_kmv_")
+    work = scratch_dir("incr_kmv")
     in_dir, ckpt, state = (
         os.path.join(work, "in"),
         os.path.join(work, "ckpt"),

@@ -11,7 +11,7 @@ windows, and a custom applyInPandasWithState operator.
 from __future__ import annotations
 
 import os
-import tempfile
+from python_mapreduce_spark.scratch import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -128,7 +128,7 @@ def q_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     events = table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="incr_")
+    work = scratch_dir("incr")
     in_dir, ckpt, out_dir = (
         os.path.join(work, "in"),
         os.path.join(work, "ckpt"),
@@ -177,7 +177,7 @@ def q_stream_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     events = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    work = tempfile.mkdtemp(prefix="incr_topk_")
+    work = scratch_dir("incr_topk")
     in_dir, ckpt, state = (
         os.path.join(work, "in"),
         os.path.join(work, "ckpt"),
@@ -226,7 +226,7 @@ def q_stream_incremental_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     events = table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="incr_kll_")
+    work = scratch_dir("incr_kll")
     in_dir, ckpt, state = (
         os.path.join(work, "in"),
         os.path.join(work, "ckpt"),
@@ -283,7 +283,7 @@ def q_stream_incremental_contamination(spark: SparkSession, sf_dir: str) -> Data
     docs = table(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 25 == 0)
     corpus = docs.filter(F.col("doc_id") % 25 != 0)
-    work = tempfile.mkdtemp(prefix="incr_contam_")
+    work = scratch_dir("incr_contam")
     in_dir, ckpt, out_dir = (
         os.path.join(work, "in"),
         os.path.join(work, "ckpt"),
@@ -313,7 +313,7 @@ def q_stream_incremental_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     events = table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="incr_hll_")
+    work = scratch_dir("incr_hll")
     in_dir, ckpt, state = (
         os.path.join(work, "in"),
         os.path.join(work, "ckpt"),
@@ -544,7 +544,7 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     split = docs.count() // 2
-    work = tempfile.mkdtemp(prefix="incr_dedup_")
+    work = scratch_dir("incr_dedup")
     in_dir, state, ckpt, out_dir = (
         os.path.join(work, "in"),
         os.path.join(work, "state"),
@@ -638,7 +638,7 @@ def q_stream_incremental_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )  # pinned yardstick: consumed by the ref histogram AND both ingest passes
 
-    work = tempfile.mkdtemp(prefix="incr_psi_")
+    work = scratch_dir("incr_psi")
     in_dir, ckpt, state = (
         os.path.join(work, "in"),
         os.path.join(work, "ckpt"),
@@ -692,7 +692,7 @@ def q_stream_incremental_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = ev.filter(F.col("ts") < "2024-01-15").select("event_type")
     cur = ev.filter(F.col("ts") >= "2024-01-15")
 
-    work = tempfile.mkdtemp(prefix="incr_jsd_")
+    work = scratch_dir("incr_jsd")
     in_dir, ckpt, state = (
         os.path.join(work, "in"),
         os.path.join(work, "ckpt"),
@@ -734,7 +734,7 @@ def q_stream_incremental_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isin("click", "purchase")
     )
 
-    work = tempfile.mkdtemp(prefix="incr_auc_")
+    work = scratch_dir("incr_auc")
     in_dir, ckpt, state = (
         os.path.join(work, "in"),
         os.path.join(work, "ckpt"),

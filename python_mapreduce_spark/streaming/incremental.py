@@ -10,7 +10,7 @@ crash.
 from __future__ import annotations
 
 import os
-import tempfile
+from python_mapreduce_spark.scratch import scratch_dir
 import uuid
 from collections.abc import Callable
 
@@ -80,7 +80,7 @@ def run_stream_to_memory(
     """
     spark = stream_df.sparkSession
     qname = name or f"mem_{uuid.uuid4().hex[:12]}"
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = checkpoint_dir or scratch_dir("ckpt")
     q = (
         stream_df.writeStream.outputMode(output_mode)
         .format("memory")
