@@ -73,12 +73,22 @@ def _prefix_verified_inter(posts, sizes, threshold: float, *, both_prefix: bool)
     the FULL postings compute exact intersection counts.
 
     ``both_prefix=True`` is the symmetric Jaccard form (prefix x prefix,
-    id1 < id2 — lossless for J >= t). ``both_prefix=False`` is the
-    asymmetric containment form (prefix x full postings, canonicalized
-    pairs): any pair with inter >= t * min(|A|, |B|) has an
-    intersection token inside the SMALLER side's prefix, and that side
-    appears as the prefix role in one orientation of the join — so the
-    one-sided filter is lossless for max-direction containment >= t.
+    id1 < id2). ``both_prefix=False`` is the asymmetric containment
+    form (prefix x full postings, canonicalized pairs): any pair with
+    inter >= t * min(|A|, |B|) has an intersection token inside the
+    SMALLER side's prefix, and that side appears as the prefix role in
+    one orientation of the join — so the one-sided filter is lossless
+    for max-direction containment >= t.
+
+    Prefix length is derived from an EFFECTIVE threshold t - 5e-5, not
+    t: the callers' output filter passes ``dround(score, 4) >= t``,
+    which admits true scores down to t - 5e-5, and the prefix
+    principle only covers true score >= the threshold used for plen.
+    The 1e-9 slack inside the ceil also stops a float round-UP past an
+    exact integer multiple of t*sz from shrinking the prefix below the
+    lossless bound. Net: a token or two of extra prefix per doc, and
+    the prefix path's emitted pairs are identical to the direct join's
+    for every pair the output filter can pass.
     """
     from pyspark.sql.window import Window as _W  # noqa: PLC0415
 
@@ -89,9 +99,10 @@ def _prefix_verified_inter(posts, sizes, threshold: float, *, both_prefix: bool)
             _W.partitionBy("id").orderBy(F.col("__df").asc(), F.col("shingle").asc())
         ),
     )
+    eff = max(float(threshold) - 5e-5, 0.0)
     plen = (
         F.col("sz")
-        - F.ceil(F.lit(float(threshold)) * F.col("sz")).cast("long")
+        - F.ceil(F.lit(eff) * F.col("sz") - F.lit(1e-9)).cast("long")
         + F.lit(1)
     )
     prefix = (
@@ -166,16 +177,24 @@ def ngram_jaccard_pairs(
     frequency ascending, shingle ascending) and self-join ONLY the
     first ``p = s - ceil(t*s) + 1`` shingles of each side — the prefix
     principle guarantees any pair with Jaccard >= t shares at least
-    one token inside BOTH prefixes, so the filter is LOSSLESS: the
-    output is identical, pair for pair and score for score (the pytest
-    pins set equality; the registry oracle is unchanged). Candidates
-    then pay exact verification via two candidate-bounded equi-joins
-    against the full postings. At t = 0.8 the join touches ~20% of
-    each posting list — and the RAREST 20%, so the quadratic
+    one token inside BOTH prefixes, and plen is derived from an
+    epsilon-guarded effective threshold (see
+    :func:`_prefix_verified_inter`) so the guarantee extends over the
+    full dround(score, 4) >= t acceptance window: the output is
+    identical to the direct join's, pair for pair and score for score
+    (the pytest pins set equality; the registry oracle is unchanged).
+    Candidates then pay exact verification via two candidate-bounded
+    equi-joins against the full postings. At t = 0.8 the join touches
+    ~20% of each posting list — and the RAREST 20%, so the quadratic
     df-squared term collapses far below the raw co-shingle join. Cost
     added: one df join + one per-doc window (partitioned by doc,
-    WindowGroupLimit-style trim); the df frame is already computed
-    when ``max_shingle_df`` is set.
+    WindowGroupLimit-style trim). The per-shingle df aggregation runs
+    once in the final plan; when ``max_shingle_df`` is set the eager
+    hot-set probe runs its own df pass at build time — a separate
+    action whose exchange cannot be shared without caching
+    shingle-universe-sized state, so the prefix path accepts one extra
+    map-side-combined corpus pass rather than pinning table-scale
+    frames in executor memory.
     """
     sets_ = shingle_sets(df, id_col, text_col, n).filter(F.size("shingles") > 0)
     posts = sets_.select("id", F.explode("shingles").alias("shingle"))

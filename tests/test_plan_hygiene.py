@@ -16,9 +16,14 @@ silently destroy 100 TB scalability:
     (``q_window_rank_scalable`` / ``q_window_cume_scalable``) computing
     the identical answer via ``global_row_number``.
 
-Only the lazily-built relational modules are audited — llm/mr/streaming
-callables execute work (collect query vectors, run streams) at build
-time, and their Python stages are Arrow-batched by construction.
+Two parametrized sweeps cover the registry: the lazily-built
+relational modules (core/extra/tpch/joins/windows) audit for free, and
+EVERY llm-module query is audited too — eager build work (collect
+query vectors, train centroids, run iterations) executes at sf0.001
+and the final DataFrame's plan is then checked identically. Only
+mr/streaming callables are exempt (they run streams / write temp
+dirs at build time; their Python stages are Arrow-batched by
+construction and covered by their own suites).
 """
 
 from __future__ import annotations

@@ -204,10 +204,13 @@ def main() -> int:
         else:
             note = f" [{status[0]}]" if status else ""
             print(f"OK    {name}: {len(sdf)} rows, {t_spark:.1f}s{note}")
-    if only and n_compared < len(only):
+    if only and n_fail == 0 and n_compared < len(only):
         # A filter that silently matched fewer queries than asked would
         # green-light a typo'd gate; unknown names already hard-error
         # above, so this guards duplicate/overlapping filter slips.
+        # Skipped when failures exist: an errored filtered query never
+        # reaches n_compared, and the failure summary must stay the
+        # last line (exit is already nonzero).
         print(f"ERROR: filter asked for {len(only)} queries, compared {n_compared}")
         return 2
     if n_fail == 0:
