@@ -328,6 +328,21 @@ def ivf_assign(
                 new[c] = s / norm
         cents = new
 
+    assigned = assign_to_centroids(src, "id", "v", cents)
+    return assigned, cents
+
+
+def assign_to_centroids(
+    df: DataFrame, id_col: str, vec_col: str, cents: np.ndarray
+) -> DataFrame:
+    """Tag each vector with its nearest (max-cosine) centroid: the
+    assign-only half of :func:`ivf_assign`, for indexing against FROZEN
+    centroids (the incremental-ingest path — new epochs must not move
+    existing vectors' lists). One scan-stage Arrow matmul per batch;
+    the centroid matrix rides the closure as a broadcast ndarray.
+    Returns (id, v, cluster).
+    """
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     c_t = cents.T
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -336,8 +351,7 @@ def ivf_assign(
             out["cluster"] = np.argmax(_unit_rows(pdf["v"].values) @ c_t, axis=1)
             yield out
 
-    assigned = src.mapInPandas(assign, "id long, v array<float>, cluster int")
-    return assigned, cents
+    return src.mapInPandas(assign, "id long, v array<float>, cluster int")
 
 
 def ann_topk_ivf(
@@ -378,7 +392,37 @@ def ann_topk_ivf(
         nlist = auto_nlist if nlist is None else nlist
         nprobe = auto_nprobe if nprobe is None else nprobe
     assigned, cents = ivf_assign(corpus, id_col, vec_col, nlist=nlist, iters=iters)
+    return ivf_probe_topk(
+        assigned, cents, queries, id_col, vec_col, k=k, nprobe=nprobe, query_id=query_id
+    )
+
+
+def ivf_probe_topk(
+    assigned: DataFrame,
+    cents: np.ndarray,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 5,
+    nprobe: int = 6,
+    query_id: str = "query_id",
+) -> DataFrame:
+    """The probe+score stage of IVF top-k, decoupled from training so an
+    index built elsewhere (batch :func:`ann_topk_ivf`, or the
+    incremental epoch state of
+    :mod:`python_mapreduce_spark.streaming.ann`) searches through one
+    code path. ``assigned`` is (id, v, cluster); ``cents`` the frozen
+    centroid matrix. Probes are a (query x nprobe) dimension-sized
+    broadcast; scoring touches ~nprobe/nlist of the corpus; the only
+    shuffle is the final per-query top-k window.
+    """
     q_pdf = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("v")).toPandas()
+    if q_pdf.empty:
+        return assigned.sparkSession.createDataFrame(
+            [], f"{query_id} long, rn long, neighbor_id long, cos double"
+        )
+    nprobe = min(int(nprobe), cents.shape[0])
     q_unit = _unit_rows(q_pdf["v"].values)
     order = np.argsort(-(q_unit @ cents.T), axis=1, kind="stable")[:, :nprobe]
     probes = pd.DataFrame(
@@ -388,7 +432,7 @@ def ann_topk_ivf(
             "cluster": order.ravel(),
         }
     )
-    spark = corpus.sparkSession
+    spark = assigned.sparkSession
     probe_df = spark.createDataFrame(probes).withColumnRenamed("query_id", query_id)
     scored = (
         assigned.join(F.broadcast(probe_df), on="cluster")

@@ -1,0 +1,122 @@
+"""Round-10 STAGED registry entries — built and verified in round 10,
+deliberately NOT wired into ``all_queries()`` yet (the round-10
+rotation spends its addition budget on the r9 staged batch; the
+rotation invariant appends new names behind the staleness block, so
+these wait one round). Round 11 registers them by merging ``QUERIES``
+into ``registry/__init__.all_queries()`` and appending the names
+behind the staleness block.
+
+Operator covered: incremental ANN (IVF) index maintenance
+(``streaming/ann.py`` — VERDICT r9 item 5), the similarity-search
+member of the additive-state streaming family. Per-epoch vector files
+are assigned against FROZEN first-epoch centroids into idempotent
+``ingest_epoch=N`` partitions (O(delta) per pass); a list-size-skew
+trigger retrains on the union when frozen centroids go stale; raw
+vectors are immutable so every rewrite only touches derived state.
+Oracle convention = the established ANN pair: the raw top-k set is
+rows-only (centroids come from distributed float sums — not
+SQL-expressible) and the hash-green twin pins recall vs the
+brute-force ground truth, computed in the same job
+(:func:`python_mapreduce_spark.registry.llm._ann_recall_eval`
+pattern): the oracle emits the floor literal, and a red row carries
+the actual deficient recall.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_mapreduce_spark.registry import Query
+from python_mapreduce_spark.registry._util import table
+from python_mapreduce_spark.scratch import scratch_dir
+
+#: Recall floor for the incremental index (frozen first-epoch centroids
+#: over a same-distribution 3-epoch split, corpus-adaptive dials).
+#: Measured round 10 (ROUND10_RESPONSES.md): 0.960 / 0.900 / 0.920 at
+#: sf0.001 / 0.01 / 0.1 vs brute force, list skew 1.07-1.26 (no retrain
+#: fires) — the batch IVF family's 0.8 floor holds with margin even
+#: though the coarse quantizer only ever saw the first third of the
+#: corpus; under real drift the skew retrain exists to keep it that way.
+_INCR_IVF_FLOOR = 0.8
+
+
+def _build_incr_ivf_state(spark: SparkSession, sf_dir: str) -> str:
+    """Split the embeddings table into three epoch files by vec_id
+    range (same-distribution thirds: centroids freeze after the first,
+    so no retrain fires and the reconstructed index is the pytest-
+    pinned frozen-batch equivalent), ingest them in three checkpointed
+    passes, and return the state dir."""
+    from python_mapreduce_spark.streaming.ann import incremental_ivf_index  # noqa: PLC0415
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cut1, cut2 = n // 3, 2 * n // 3
+    work = scratch_dir("incr_ivf")
+    in_dir, ckpt, state = (
+        os.path.join(work, "in"),
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "state"),
+    )
+    for lo, hi in ((0, cut1), (cut1, cut2), (cut2, n)):
+        emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).write.mode("append").parquet(in_dir)
+        incremental_ivf_index(spark, in_dir, ckpt, state)
+    return state
+
+
+def q_stream_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental IVF ANN (streaming/ann.py): three epoch ingests, new
+    # vectors assigned against the frozen first-epoch centroids, top-k
+    # served from the reconstructed epoch-partitioned index through the
+    # SAME probe/score stage as batch IVF (ivf_probe_topk). Rows-only
+    # by the ANN convention; q_stream_incremental_ivf_recall is the
+    # hash-green gate.
+    from python_mapreduce_spark.streaming.ann import read_ivf_topk  # noqa: PLC0415
+
+    state = _build_incr_ivf_state(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return read_ivf_topk(spark, state, queries, "vec_id", "embedding", k=5)
+
+
+def q_stream_incremental_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Recall of the reconstructed incremental index vs the brute-force
+    # ground truth over the SAME ingested union — the tolerance-oracle
+    # pattern every ANN family member uses (the DuckDB twin emits the
+    # floor literal; a red row carries the actual deficient recall).
+    from python_mapreduce_spark.llm.similarity import cosine_topk  # noqa: PLC0415
+    from python_mapreduce_spark.registry.llm import _ann_recall_eval  # noqa: PLC0415
+    from python_mapreduce_spark.streaming.ann import read_ivf_topk  # noqa: PLC0415
+
+    state = _build_incr_ivf_state(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    approx = read_ivf_topk(spark, state, queries, "vec_id", "embedding", k=5)
+    return _ann_recall_eval(exact, approx, _INCR_IVF_FLOOR)
+
+
+def _sql_incr_ivf_recall() -> str:
+    return f"""
+SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+       CAST({_INCR_IVF_FLOOR} AS DOUBLE) AS recall_floor
+FROM embeddings WHERE vec_id < 10
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "q_stream_incremental_ivf": Query(
+        q_stream_incremental_ivf,
+        None,
+        "incremental IVF ANN index (frozen-centroid epoch ingest; rows-only, recall twin below)",
+    ),
+    "q_stream_incremental_ivf_recall": Query(
+        q_stream_incremental_ivf_recall,
+        _sql_incr_ivf_recall(),
+        "incremental IVF recall vs brute force (tolerance oracle)",
+    ),
+}

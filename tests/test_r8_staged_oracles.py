@@ -19,12 +19,13 @@ import pytest
 
 from python_mapreduce_spark.registry.r8_staged import QUERIES as R8_QUERIES
 from python_mapreduce_spark.registry.r9_staged import QUERIES as R9_QUERIES
+from python_mapreduce_spark.registry.r10_staged import QUERIES as R10_QUERIES
 from python_mapreduce_spark.sources.readers import TABLES
 
-# One standing gate over every staged module — r8's entries are all
-# registered now but stay pinned here; r9's pre-verify ahead of their
-# round-10 registration.
-QUERIES = {**R8_QUERIES, **R9_QUERIES}
+# One standing gate over every staged module — r8's and r9's entries
+# are all registered now but stay pinned here; r10's pre-verify ahead
+# of their round-11 registration.
+QUERIES = {**R8_QUERIES, **R9_QUERIES, **R10_QUERIES}
 
 
 def _cell(v) -> str:

@@ -1,12 +1,12 @@
-"""Oracle gate for STAGED registry entries (registry/r8_staged.py —
-not yet wired into ``all_queries()``), over ANY data directory.
+"""Oracle gate for STAGED registry entries (every ``registry/
+r*_staged.py`` module, registered or not), over ANY data directory.
 
 The standing pytest gate (tests/test_r8_staged_oracles.py) pins the
 staged entries at sf0.001 on every test run; this tool runs the same
 driver-exact comparison at the bigger SFs and on the degenerate
 replicas that ``tools/robustness_sweep.py`` builds for the registered
-set — so a staged entry carries the full evidence trail BEFORE round 8
-registers it.
+set — so a staged entry carries the full evidence trail BEFORE the
+round that registers it.
 
 Usage:
     python tools/check_staged.py [sf_dir] [query ...]
@@ -39,10 +39,11 @@ from robustness_sweep import (  # noqa: E402
 
 from python_mapreduce_spark.registry.r8_staged import QUERIES as R8_QUERIES  # noqa: E402
 from python_mapreduce_spark.registry.r9_staged import QUERIES as R9_QUERIES  # noqa: E402
+from python_mapreduce_spark.registry.r10_staged import QUERIES as R10_QUERIES  # noqa: E402
 from python_mapreduce_spark.session import get_spark  # noqa: E402
 from python_mapreduce_spark.sources.readers import TABLES  # noqa: E402
 
-QUERIES = {**R8_QUERIES, **R9_QUERIES}
+QUERIES = {**R8_QUERIES, **R9_QUERIES, **R10_QUERIES}
 
 BUILDERS = {
     "empty": build_empty,
