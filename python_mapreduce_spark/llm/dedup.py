@@ -67,7 +67,9 @@ def exact_dedup(
 
 
 
-def _prefix_verified_inter(posts, sizes, threshold: float, *, both_prefix: bool):
+def _prefix_verified_inter(
+    posts, sizes, threshold: float, *, both_prefix: bool, positional: bool = False
+):
     """Shared PPJoin machinery: rarity-ordered per-doc prefixes generate
     candidates, then candidate-bounded composite-key equi-joins against
     the FULL postings compute exact intersection counts.
@@ -89,6 +91,19 @@ def _prefix_verified_inter(posts, sizes, threshold: float, *, both_prefix: bool)
     lossless bound. Net: a token or two of extra prefix per doc, and
     the prefix path's emitted pairs are identical to the direct join's
     for every pair the output filter can pass.
+
+    ``positional`` (symmetric form only) adds the PPJoin positional
+    filter (Xiao et al. 2008): the globally-rarest common prefix token
+    of a candidate pair IS the first common token of the two full
+    rarity-ordered lists (any earlier common token would sit inside
+    BOTH prefixes, contradicting minimality — tokens at smaller global
+    rank occupy smaller positions on both sides), so the strong bound
+    |A ∩ B| <= 1 + min(|A| - i, |B| - j) holds for its positions
+    (i, j), and pairs whose bound cannot reach the Jaccard-equivalent
+    overlap alpha = ceil(t/(1+t) * (|A|+|B|)) are pruned BEFORE the
+    verification joins. Lossless by the same epsilon discipline (alpha
+    derives from t - 5e-5); the candidate shuffle is the same groupBy,
+    just carrying two ints.
     """
     from pyspark.sql.window import Window as _W  # noqa: PLC0415
 
@@ -106,10 +121,41 @@ def _prefix_verified_inter(posts, sizes, threshold: float, *, both_prefix: bool)
         + F.lit(1)
     )
     prefix = (
-        ranked.join(sizes, "id").filter(F.col("__rn") <= plen).select("id", "shingle")
+        ranked.join(sizes, "id")
+        .filter(F.col("__rn") <= plen)
+        .select("id", "shingle", "__rn", "sz")
     )
     pa = prefix.alias("pa")
-    if both_prefix:
+    if both_prefix and positional:
+        pb = prefix.alias("pb")
+        # i = min rn over common prefix tokens on BOTH sides is achieved
+        # by the same (globally rarest) token — see docstring — which is
+        # the true first common token, so 1 + min(szA - i, szB - j)
+        # upper-bounds the full intersection.
+        alpha = F.ceil(
+            F.lit(eff / (1.0 + eff)) * (F.col("sz1") + F.col("sz2")) - F.lit(1e-9)
+        ).cast("long")
+        cand = (
+            pa.join(
+                pb,
+                (F.col("pa.shingle") == F.col("pb.shingle"))
+                & (F.col("pa.id") < F.col("pb.id")),
+            )
+            .groupBy(F.col("pa.id").alias("id1"), F.col("pb.id").alias("id2"))
+            .agg(
+                F.min(F.col("pa.__rn")).alias("__i"),
+                F.min(F.col("pb.__rn")).alias("__j"),
+                F.first(F.col("pa.sz")).alias("sz1"),
+                F.first(F.col("pb.sz")).alias("sz2"),
+            )
+            .filter(
+                F.lit(1)
+                + F.least(F.col("sz1") - F.col("__i"), F.col("sz2") - F.col("__j"))
+                >= alpha
+            )
+            .select("id1", "id2")
+        )
+    elif both_prefix:
         pb = prefix.alias("pb")
         cand = (
             pa.join(
@@ -154,6 +200,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
     prefix_filter: bool = False,
+    positional_filter: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via postings self-join.
 
@@ -195,6 +242,12 @@ def ngram_jaccard_pairs(
     shingle-universe-sized state, so the prefix path accepts one extra
     map-side-combined corpus pass rather than pinning table-scale
     frames in executor memory.
+
+    ``positional_filter`` (requires ``prefix_filter``) additionally
+    prunes candidates whose PPJoin positional upper bound cannot reach
+    the Jaccard-equivalent overlap before verification — lossless (see
+    :func:`_prefix_verified_inter`), measured in round 10
+    (ROUND10_RESPONSES.md) and opt-in pending a win on this corpus.
     """
     sets_ = shingle_sets(df, id_col, text_col, n).filter(F.size("shingles") > 0)
     posts = sets_.select("id", F.explode("shingles").alias("shingle"))
@@ -229,7 +282,9 @@ def ngram_jaccard_pairs(
     else:
         sizes = sets_.select("id", F.size("shingles").cast("long").alias("sz"))
     if prefix_filter:
-        inter = _prefix_verified_inter(posts, sizes, threshold, both_prefix=True)
+        inter = _prefix_verified_inter(
+            posts, sizes, threshold, both_prefix=True, positional=positional_filter
+        )
     else:
         a, b = posts.alias("a"), posts.alias("b")
         inter = (
@@ -1075,6 +1130,7 @@ def pagerank_fixed(
     *,
     iterations: int = 3,
     damping: float = 0.85,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge list — the iterative
     graph-propagation pattern (importance over a citation/link/derived
@@ -1091,6 +1147,17 @@ def pagerank_fixed(
     shuffle keyed by destination + one broadcast-joined base term; the
     edge list is localCheckpoint'ed so iteration N does not replay the
     upstream plan N times.
+
+    ``checkpoint_every`` sets the rank-frame checkpoint cadence: 1
+    materializes every iteration — the conservative loop discipline;
+    N > 1 checkpoints every Nth iteration (never the last — the
+    caller's action computes the shallow tail), trading a plan at most
+    N rounds deep for fewer blocking driver round-trips. Values are
+    identical at any cadence (every score rounds to 1e-6 per step);
+    only the physical cut points move. Default 2, measured round 10
+    (tools/exp_checkpoint_cadence.py, sf0.1 best-of-3): 5.09 -> 4.42 s
+    here, 12-17% off every graph workload, decade probe flat —
+    cadence 4 adds little and doubles plan depth.
 
     Returns (node, rank) over every node appearing as src or dst.
     """
@@ -1110,7 +1177,8 @@ def pagerank_fixed(
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", dround(F.lit(base) / F.col("n"), 6).alias("rank")
     )
-    for _ in range(int(iterations)):
+    cadence = max(1, int(checkpoint_every))
+    for i in range(int(iterations)):
         contrib = (
             e.join(ranks.withColumnRenamed("node", "s"), "s")
             .join(deg, "s")
@@ -1135,8 +1203,9 @@ def pagerank_fixed(
                     6,
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        if cadence == 1 or ((i + 1) % cadence == 0 and i + 1 < int(iterations)):
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -1146,6 +1215,7 @@ def hits_scores(
     dst: str,
     *,
     iterations: int = 3,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Fixed-iteration HITS hubs-and-authorities over a directed edge
     list — the bipartite-flavored companion to :func:`pagerank_fixed`
@@ -1163,7 +1233,13 @@ def hits_scores(
     associative at any parallelism), so the unrolled-CTE oracle matches
     bit-for-bit. Per iteration: two degree-free contribution shuffles
     (in-edges then out-edges) + two one-row norm broadcasts; edges are
-    localCheckpoint'ed once, score frames per iteration.
+    localCheckpoint'ed once. ``checkpoint_every`` is the score-frame
+    checkpoint cadence in HALF-STEPS (auth and hub updates each count
+    one): 1 materializes every half-step; N > 1 checkpoints every Nth
+    half-step, never the final one — values are identical at any
+    cadence, only the physical cut points move. Default 2, measured
+    round 10 (tools/exp_checkpoint_cadence.py): 7.72 -> 6.82 s at
+    sf0.1.
     """
     if int(iterations) < 1:
         raise ValueError(f"iterations must be >= 1: {iterations}")
@@ -1176,10 +1252,13 @@ def hits_scores(
         .localCheckpoint(eager=True)
     )
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    cadence = max(1, int(checkpoint_every))
+    total_steps = 2 * int(iterations)
+    step = 0
 
     def _normalize(raw: DataFrame, score: str) -> DataFrame:
         tot = raw.agg(F.sum("__r").alias("__t"))  # 1 row, DECIMAL-exact
-        return (
+        out = (
             nodes.join(raw, "node", "left")
             .crossJoin(F.broadcast(tot))
             .select(
@@ -1190,8 +1269,10 @@ def hits_scores(
                     6,
                 ).alias(score),
             )
-            .localCheckpoint(eager=True)
         )
+        if cadence == 1 or (step % cadence == 0 and step < total_steps):
+            out = out.localCheckpoint(eager=True)
+        return out
 
     auth = None
     for _ in range(int(iterations)):
@@ -1200,12 +1281,14 @@ def hits_scores(
             .groupBy(F.col("d").alias("node"))
             .agg(F.sum(F.col("hub").cast("decimal(18,6)")).alias("__r"))
         )
+        step += 1
         auth = _normalize(raw_a, "auth")
         raw_h = (
             e.join(auth.withColumnRenamed("node", "d"), "d")
             .groupBy(F.col("s").alias("node"))
             .agg(F.sum(F.col("auth").cast("decimal(18,6)")).alias("__r"))
         )
+        step += 1
         hub = _normalize(raw_h, "hub")
     return hub.join(auth, "node")
 
@@ -1796,6 +1879,7 @@ def label_propagation(
     src: str = "id1",
     dst: str = "id2",
     return_labels: bool = False,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation (Raghavan
     et al. 2007) with a deterministic min-label tie rule — the
@@ -1823,8 +1907,11 @@ def label_propagation(
     label snapshot (keyed shuffle), one (node, label) count agg
     (map-side combined), one argmax-by-(count desc, label asc) via a
     min(struct) agg — no window, no collect; the label frame is
-    localCheckpoint'ed per round (the connected_components /
-    pagerank_fixed loop discipline). Cost per round ~ O(edges).
+    localCheckpoint'ed on the ``checkpoint_every`` cadence (N
+    checkpoints every Nth round and never the last — identical labels,
+    fewer blocking materializations; default 2, measured round 10:
+    6.12 -> 5.06 s at sf0.1, decade probe flat). Cost per round
+    ~ O(edges).
 
     Returns one row per community: (community, n_nodes) where
     ``community`` is the surviving label (a node id, itself the
@@ -1846,7 +1933,8 @@ def label_propagation(
     labels = sym.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for _ in range(rounds):
+    cadence = max(1, int(checkpoint_every))
+    for i in range(rounds):
         nbl = sym.join(
             labels.select(F.col("node").alias("b"), F.col("label").alias("nbl")),
             "b",
@@ -1862,8 +1950,9 @@ def label_propagation(
                 ).alias("best")
             )
             .select(F.col("a").alias("node"), F.col("best.l").alias("label"))
-            .localCheckpoint(eager=True)
         )
+        if cadence == 1 or ((i + 1) % cadence == 0 and i + 1 < rounds):
+            labels = labels.localCheckpoint(eager=True)
     if return_labels:
         return labels
     return labels.groupBy(F.col("label").alias("community")).agg(

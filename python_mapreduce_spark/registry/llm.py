@@ -181,7 +181,7 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drops nothing and the result equals the exact pair set.
     return ngram_jaccard_pairs(
         table(spark, sf_dir, "documents"), "doc_id", "text",
-        n=3, threshold=0.8, max_shingle_df=100, prefix_filter=True,
+        n=3, threshold=0.8, max_shingle_df=100, prefix_filter=True, positional_filter=True,
     )
 
 
@@ -360,7 +360,7 @@ def q_dedup_simhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # robustness replica pins this.
     pairs = ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.95, max_shingle_df=100,
-        prefix_filter=True,
+        prefix_filter=True, positional_filter=True,
     )
     fps = simhash(docs, "doc_id", "text")
     f1 = fps.select(F.col("id").alias("id1"), F.col("simhash64").alias("h1"))
@@ -3255,7 +3255,7 @@ def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows from the grouped agg on BOTH engines).
     edges = ngram_jaccard_pairs(
         docs, "doc_id", "text", threshold=0.8, max_shingle_df=100,
-        prefix_filter=True,
+        prefix_filter=True, positional_filter=True,
     )
     return triangle_stats(edges)
 

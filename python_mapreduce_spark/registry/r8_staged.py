@@ -406,7 +406,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     edges = ngram_jaccard_pairs(
         docs, "doc_id", "text", threshold=0.8, max_shingle_df=100,
-        prefix_filter=True,
+        prefix_filter=True, positional_filter=True,
     )
     return kcore(edges, 2)
 
@@ -2130,7 +2130,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     edges = ngram_jaccard_pairs(
         docs, "doc_id", "text", threshold=0.8, max_shingle_df=100,
-        prefix_filter=True,
+        prefix_filter=True, positional_filter=True,
     )
     return label_propagation(edges, rounds=4)
 

@@ -56,7 +56,7 @@ def q_stream_incremental_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     edges = ngram_jaccard_pairs(
         docs, "doc_id", "text", threshold=0.8, max_shingle_df=100,
-        prefix_filter=True,
+        prefix_filter=True, positional_filter=True,
     ).select("id1", "id2")
     work = scratch_dir("incr_lpa")
     in_dir, ckpt, state = (

@@ -1834,6 +1834,16 @@ def test_prefix_filter_is_lossless_and_prunes_candidates(spark, sf_dir):
             ).collect()
         }
         assert base == pref and len(base) > 0
+        # positional filter (first-common-token overlap bound): prunes
+        # candidates only — same pairs, same scores
+        pos = {
+            (r.id1, r.id2, r.jaccard)
+            for r in ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=t, max_shingle_df=100,
+                prefix_filter=True, positional_filter=True,
+            ).collect()
+        }
+        assert base == pos
     # degenerate: empty corpus -> empty both ways
     empty = docs.filter("doc_id < 0")
     assert (
