@@ -166,6 +166,44 @@ def _prefix_verified_inter(
             .select(F.col("pa.id").alias("id1"), F.col("pb.id").alias("id2"))
             .distinct()
         )
+    elif positional:
+        # One-sided positional prune. Per ORIENTATION (A = prefix role),
+        # the min-rn common token is again the true first common token:
+        # any globally-earlier common token would sit before it in A's
+        # list — hence inside A's prefix — and the pb side is the FULL
+        # posting list, so it would be a join row, contradicting
+        # minimality. Bound 1 + min(szA - i, szB - j) vs the
+        # containment-equivalent overlap ceil(t * min(szA, szB)); a
+        # pair survives if EITHER orientation's bound reaches it
+        # (canonicalize + distinct after the filter).
+        pb = ranked.join(sizes, "id").alias("pb")
+        alpha_c = F.ceil(
+            F.lit(eff) * F.least(F.col("__sza"), F.col("__szb")) - F.lit(1e-9)
+        ).cast("long")
+        cand = (
+            pa.join(
+                pb,
+                (F.col("pa.shingle") == F.col("pb.shingle"))
+                & (F.col("pa.id") != F.col("pb.id")),
+            )
+            .groupBy(F.col("pa.id").alias("__a"), F.col("pb.id").alias("__b"))
+            .agg(
+                F.min(F.col("pa.__rn")).alias("__i"),
+                F.min(F.col("pb.__rn")).alias("__j"),
+                F.first(F.col("pa.sz")).alias("__sza"),
+                F.first(F.col("pb.sz")).alias("__szb"),
+            )
+            .filter(
+                F.lit(1)
+                + F.least(F.col("__sza") - F.col("__i"), F.col("__szb") - F.col("__j"))
+                >= alpha_c
+            )
+            .select(
+                F.least(F.col("__a"), F.col("__b")).alias("id1"),
+                F.greatest(F.col("__a"), F.col("__b")).alias("id2"),
+            )
+            .distinct()
+        )
     else:
         pb = posts.alias("pb")
         cand = (
@@ -1449,6 +1487,7 @@ def containment_pairs(
     threshold: float = 0.6,
     max_shingle_df: int | None = None,
     prefix_filter: bool = False,
+    positional_filter: bool = False,
 ) -> DataFrame:
     """Asymmetric n-gram CONTAINMENT pairs: for each ordered document
     pair, ``|shingles(src) ∩ shingles(dst)| / |shingles(src)|`` — the
@@ -1469,14 +1508,18 @@ def containment_pairs(
 
     ``prefix_filter`` applies the one-sided PPJoin filter (prefix x
     full postings — lossless for max-direction containment >= t, see
-    :func:`_prefix_verified_inter`). MEASURED CAVEAT: unlike the
+    :func:`_prefix_verified_inter`); ``positional_filter`` adds the
+    per-orientation first-common-token overlap prune on top. MEASURED
+    CAVEAT (round 10, tools/exp_positional_filter.py): unlike the
     Jaccard join at t = 0.8 (where surviving candidates are rare and
     the verify re-join is negligible), containment at t = 0.6 keeps
     ~40% of postings in the prefix and its candidates stay plentiful,
     so the candidate-bounded verify re-join EXCEEDS the generation
-    saving on these corpora (sf0.1: 5.1 s base vs 13.1 s prefix).
-    The flag is the right tool only when the threshold is high enough
-    that candidates are rare; the registry keeps the direct join.
+    saving on these corpora — sf0.1 best-of-3: 3.4 s base vs 7.7 s
+    prefix vs 5.9 s prefix+positional. The positional prune narrows
+    the gap but does not flip the rule: both flags are the right tool
+    only when the threshold is high enough that candidates are rare;
+    the registry keeps the direct join.
 
     Cost law (measured, tools/bench_scale.py r6): candidate pairs are
     sum over kept shingles of df*(df-1)/2, hard-bounded by
@@ -1515,7 +1558,9 @@ def containment_pairs(
         # qualifying pair must hit the SMALLER side's prefix — see
         # _prefix_verified_inter. Join cost drops to
         # sum(prefix_df x df) from sum(df^2).
-        inter = _prefix_verified_inter(posts, sizes, threshold, both_prefix=False)
+        inter = _prefix_verified_inter(
+            posts, sizes, threshold, both_prefix=False, positional=positional_filter
+        )
     else:
         a, b = posts.alias("a"), posts.alias("b")
         inter = (

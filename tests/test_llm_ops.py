@@ -1880,3 +1880,12 @@ def test_containment_prefix_filter_is_lossless(spark, sf_dir):
             ).collect()
         }
         assert base == pref
+        # per-orientation positional prune: same pairs, same scores
+        pos = {
+            (r.src_id, r.dst_id, r.containment)
+            for r in containment_pairs(
+                docs, "doc_id", "text", threshold=t, max_shingle_df=100,
+                prefix_filter=True, positional_filter=True,
+            ).collect()
+        }
+        assert base == pos

@@ -78,6 +78,24 @@ def main() -> int:
             ).count()
             best = min(best, time.time() - t0)
         print(f"wall t=0.8 {label}: {best:.2f}s (best of {reps})")
+
+    # containment (one-sided form): can the positional prune flip the
+    # measured when-to-use rule (base 5.1 s vs prefix 13.1 s at sf0.1)?
+    from python_mapreduce_spark.llm.dedup import containment_pairs  # noqa: PLC0415
+
+    for label, kwargs in (
+        ("base", {}),
+        ("prefix", {"prefix_filter": True}),
+        ("prefix+positional", {"prefix_filter": True, "positional_filter": True}),
+    ):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            containment_pairs(
+                docs, "doc_id", "text", threshold=0.6, max_shingle_df=100, **kwargs
+            ).count()
+            best = min(best, time.time() - t0)
+        print(f"containment wall t=0.6 {label}: {best:.2f}s (best of {reps})")
     return 0
 
 
