@@ -6,7 +6,10 @@ these wait one round). Round 11 registers them by merging ``QUERIES``
 into ``registry/__init__.all_queries()`` and appending the names
 behind the staleness block.
 
-Operator covered: incremental ANN (IVF) index maintenance
+Operators covered — Ed-Join (``llm/dedup.py::edit_distance_pairs``:
+positional-q-gram prefix-filtered Levenshtein similarity join, the
+typo-class member of the near-dup family, exact DuckDB-levenshtein
+oracle) and incremental ANN (IVF) index maintenance
 (``streaming/ann.py`` — VERDICT r9 item 5), the similarity-search
 member of the additive-state streaming family. Per-epoch vector files
 are assigned against FROZEN first-epoch centroids into idempotent
@@ -108,6 +111,48 @@ FROM embeddings WHERE vec_id < 10
 """
 
 
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ed-Join (llm/dedup.py::edit_distance_pairs): all part-name pairs
+    # within Levenshtein distance 1 via positional-q-gram prefix
+    # filtering + codegen levenshtein verify — the typo-class dedup the
+    # shingle joins structurally miss. The synthetic part names draw
+    # from a tiny vocabulary, so the within-1 pair set is large
+    # (~3.9M rows over the full sf0.1 table); the query caps the corpus
+    # at a FIXED key bound (full table at sf<=0.01) and emits the
+    # per-distance aggregate with order-insensitive id-sum checksums —
+    # the oracle recomputes the truth quadratically, so a single
+    # lost or phantom pair flips a checksum. Pair-set equality with the
+    # direct join is additionally pytest-pinned (test_edit_distance.py).
+    from python_mapreduce_spark.llm.dedup import edit_distance_pairs  # noqa: PLC0415
+
+    part = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 4000)
+    pairs = edit_distance_pairs(part, "p_partkey", "p_name", max_distance=1)
+    return pairs.groupBy("distance").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("id1").cast("long").alias("sum_id1"),
+        F.sum("id2").cast("long").alias("sum_id2"),
+    )
+
+
+SQL_EDIT_DISTANCE_PAIRS = """
+WITH p AS (
+  SELECT p_partkey, coalesce(p_name, '') AS p_name FROM part
+  WHERE p_partkey < 4000
+),
+pairs AS (
+  SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+         CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+  FROM p a JOIN p b
+    ON a.p_partkey < b.p_partkey
+   AND abs(length(a.p_name) - length(b.p_name)) <= 1
+)
+SELECT distance, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(id1) AS BIGINT) AS sum_id1,
+       CAST(sum(id2) AS BIGINT) AS sum_id2
+FROM pairs WHERE distance <= 1 GROUP BY distance
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_stream_incremental_ivf": Query(
         q_stream_incremental_ivf,
@@ -118,5 +163,10 @@ QUERIES: dict[str, Query] = {
         q_stream_incremental_ivf_recall,
         _sql_incr_ivf_recall(),
         "incremental IVF recall vs brute force (tolerance oracle)",
+    ),
+    "q_edit_distance_pairs": Query(
+        q_edit_distance_pairs,
+        SQL_EDIT_DISTANCE_PAIRS,
+        "Ed-Join: positional-q-gram prefix-filtered Levenshtein pair join",
     ),
 }
