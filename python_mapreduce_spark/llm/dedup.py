@@ -1632,7 +1632,8 @@ def edit_distance_pairs(
         join.
 
     Returns (id1, id2, distance), id1 < id2, one row per within-bound
-    pair. Identical texts emit distance 0.
+    pair. Identical texts emit distance 0. Beyond the reference surface
+    (SURVEY.md §2.2 north-star extensions).
     """
     from pyspark.sql.window import Window as _W  # noqa: PLC0415
 

@@ -2,6 +2,11 @@
 member of the additive-state streaming family (HLL / KLL / top-k / PSI
 / JSD / AUC / band-key dedup / LPA / KMV).
 
+Beyond the reference surface (SURVEY.md §2.2 north-star extensions);
+the reference's closest ancestor is the hold_state incremental ledger
+(/root/reference/mapper.py:110-143), which this module's file-stream
+checkpoint generalizes to derived-index state.
+
 The production pattern: an embedding corpus accretes file-by-file
 (nightly encode runs, vendor drops), and each ingest pass must extend
 the ANN index WITHOUT re-scanning or re-assigning everything already
