@@ -1,15 +1,17 @@
-"""Plan-hygiene audit for the STAGED round-8 registry entries —
+"""Plan-hygiene audit for EVERY staged registry module (r8/r9/r10) —
 the same three scale-hazard checks the registered set gets in
 test_plan_hygiene.py (row-at-a-time Python, unconditioned cross join,
 single-partition window), applied BEFORE the entries earn a registry
-slot. Entries built on global_row_number / global_running_sum execute
-their counting pass at build time (localCheckpoint contract); the
-audit inspects the final DataFrame's physical plan, where the
+slot. Entries with eager build work (counting passes, PQ codebook
+training, query-vector collects) execute it at build time; the audit
+inspects the final DataFrame's physical plan, where the
 distributed-rank scheme shows as per-partition windows keyed on the
 partition id, never a SinglePartition exchange.
 
-q_stream_cusum is excluded: building it runs a Structured Streaming
-query (its scale shape is pinned by the streaming suite instead).
+The stream_* entries are excluded: building them runs a Structured
+Streaming query over temp-dir state (their scale shapes are pinned by
+the streaming suites instead). New staged modules join AUDITED by
+construction — the comprehension reads every module's QUERIES.
 """
 
 from __future__ import annotations
@@ -20,14 +22,17 @@ from python_mapreduce_spark.plans.explain import (
     formatted_plan,
     single_partition_windows,
 )
-from python_mapreduce_spark.registry import r8_staged
+from python_mapreduce_spark.registry import r8_staged, r9_staged, r10_staged
 
 SF_DIR = "/root/testdata/sf0.001"
 
+_STAGED_MODULES = (r8_staged, r9_staged, r10_staged)
+
 AUDITED = [
     (name, q)
-    for name, q in r8_staged.QUERIES.items()
-    if name != "q_stream_cusum"
+    for mod in _STAGED_MODULES
+    for name, q in mod.QUERIES.items()
+    if not name.startswith("q_stream_")
 ]
 
 

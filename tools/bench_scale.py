@@ -53,6 +53,9 @@ HEAVY = {
     "q_sorted_neighborhood": "documents",
     "q_er_match": "documents",
     "hits_documents": "documents",
+    # Round-10: Ed-Join over 24-char document prefixes (title-style
+    # typo dedup) — the positional-q-gram prefix filter's decade gate
+    "edit_distance_documents": "documents",
     "q_top_eigenvector": "embeddings",
     "q_dedup_embedding": "embeddings",
 }
@@ -94,9 +97,29 @@ def _dedup_embedding_auto(spark, sf_dir):
 # is the deliberately-unguarded explicit regime (dedup_embedding's raw
 # LSH form sits on the documented random-cosine cost floor — the
 # PRODUCTION path is the guarded dispatcher measured here)
+def _edit_distance_documents(spark, sf_dir):
+    # Ed-Join decade datapoint (llm/dedup.py::edit_distance_pairs): all
+    # pairs of 24-char document prefixes within Levenshtein 1. The
+    # registry query runs on part names (key-capped; the synthetic
+    # corpus has no part table), so the decade gate measures the SAME
+    # operator on the documents the corpus does regenerate. Measured
+    # round 10: x4.1 wall on the x10 corpus (8.7 -> 35.5 s), pair count
+    # x3.9 — the prefix/positional/length filters hold sub-linear.
+    from pyspark.sql import functions as F
+    from python_mapreduce_spark.llm.dedup import edit_distance_pairs
+    from python_mapreduce_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 24).alias("s"),
+    )
+    return edit_distance_pairs(docs, "id", "s", max_distance=1)
+
+
 CUSTOM_FNS = {
     "hits_documents": _hits_documents,
     "q_dedup_embedding": _dedup_embedding_auto,
+    "edit_distance_documents": _edit_distance_documents,
 }
 
 # Documented super-linear regimes (measured + root-caused, see the cited
