@@ -46,28 +46,35 @@ from python_mapreduce_spark.scratch import scratch_dir
 _INCR_IVF_FLOOR = 0.8
 
 
-def _build_incr_ivf_state(spark: SparkSession, sf_dir: str) -> str:
-    """Split the embeddings table into three epoch files by vec_id
-    range (same-distribution thirds: centroids freeze after the first,
-    so no retrain fires and the reconstructed index is the pytest-
-    pinned frozen-batch equivalent), ingest them in three checkpointed
-    passes, and return the state dir."""
+def _build_incr_ivf_state(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    epochs: int = 3,
+    retrain_skew: float | None = None,
+) -> str:
+    """Split the embeddings table into ``epochs`` epoch files by vec_id
+    range (same-distribution slices: centroids freeze after the first,
+    so under the default skew bound no retrain fires and the
+    reconstructed index is the pytest-pinned frozen-batch equivalent),
+    ingest them in checkpointed passes, and return the state dir."""
     from python_mapreduce_spark.streaming.ann import incremental_ivf_index  # noqa: PLC0415
 
     emb = table(spark, sf_dir, "embeddings")
     n = emb.count()
-    cut1, cut2 = n // 3, 2 * n // 3
+    cuts = [n * i // epochs for i in range(epochs)] + [n]
     work = scratch_dir("incr_ivf")
     in_dir, ckpt, state = (
         os.path.join(work, "in"),
         os.path.join(work, "ckpt"),
         os.path.join(work, "state"),
     )
-    for lo, hi in ((0, cut1), (cut1, cut2), (cut2, n)):
+    kwargs = {} if retrain_skew is None else {"retrain_skew": retrain_skew}
+    for lo, hi in zip(cuts, cuts[1:]):
         emb.filter(
             (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
         ).write.mode("append").parquet(in_dir)
-        incremental_ivf_index(spark, in_dir, ckpt, state)
+        incremental_ivf_index(spark, in_dir, ckpt, state, **kwargs)
     return state
 
 
@@ -108,6 +115,72 @@ def _sql_incr_ivf_recall() -> str:
 SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
        CAST({_INCR_IVF_FLOOR} AS DOUBLE) AS recall_floor
 FROM embeddings WHERE vec_id < 10
+"""
+
+
+def q_stream_incremental_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Driver-checkable evidence of the RETRAIN path (the recall twin
+    # only ever exercises frozen-centroid ingest): two epoch halves with
+    # retrain_skew=-1 force the one O(corpus) retrain at epoch 1 —
+    # structurally, not corpus-dependently, so the outcome is identical
+    # on every SF and degenerate replica. Emits the index meta plus a
+    # Spark-side consistency audit; the oracle replays the
+    # SQL-derivable facts (version = the retrain epoch, nlist = the
+    # ivf_dials sqrt rule, total_n = the distinct-id count) and pins
+    # the audit booleans TRUE — a botched rewrite (stale cvers rows,
+    # stats diverging from assignments) goes driver-red.
+    from python_mapreduce_spark.streaming.ann import read_ivf_meta  # noqa: PLC0415
+
+    state = _build_incr_ivf_state(spark, sf_dir, epochs=2, retrain_skew=-1.0)
+    if not os.path.isdir(os.path.join(state, "centroids")):
+        return spark.createDataFrame(
+            [],
+            "version long, nlist long, total_n long, retrained boolean, "
+            "stats_consistent boolean",
+        )
+    meta = read_ivf_meta(spark, state)
+    stats = spark.read.parquet(os.path.join(state, "list_stats"))
+    asg = spark.read.parquet(os.path.join(state, "assignments"))
+    vers_row = stats.agg(
+        F.countDistinct("cvers").alias("n_vers"), F.max("cvers").alias("max_vers")
+    )
+    per_list = (
+        asg.groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_asg"))
+        .join(
+            stats.groupBy("cluster").agg(F.sum("n").cast("long").alias("n_stat")),
+            "cluster",
+            "full",
+        )
+    )
+    mismatches = per_list.filter(
+        F.coalesce(F.col("n_asg"), F.lit(-1)) != F.coalesce(F.col("n_stat"), F.lit(-2))
+    ).agg(F.count(F.lit(1)).alias("n_bad"))
+    return (
+        meta.join(F.broadcast(vers_row))
+        .join(F.broadcast(mismatches))
+        .select(
+            F.col("version").cast("long").alias("version"),
+            F.col("nlist").cast("long").alias("nlist"),
+            F.col("total_n").cast("long").alias("total_n"),
+            (F.col("version") >= 1).alias("retrained"),
+            (
+                (F.col("n_vers") == 1)
+                & (F.col("max_vers") == F.col("version"))
+                & (F.col("n_bad") == 0)
+            ).alias("stats_consistent"),
+        )
+    )
+
+
+SQL_INCR_IVF_RETRAIN = """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM embeddings)
+SELECT CAST(1 AS BIGINT) AS version,
+       CAST(greatest(8, round(sqrt(c) / 20.0)) AS BIGINT) AS nlist,
+       c AS total_n,
+       TRUE AS retrained,
+       TRUE AS stats_consistent
+FROM n WHERE c > 0
 """
 
 
@@ -163,6 +236,11 @@ QUERIES: dict[str, Query] = {
         q_stream_incremental_ivf_recall,
         _sql_incr_ivf_recall(),
         "incremental IVF recall vs brute force (tolerance oracle)",
+    ),
+    "q_stream_incremental_ivf_retrain": Query(
+        q_stream_incremental_ivf_retrain,
+        SQL_INCR_IVF_RETRAIN,
+        "incremental IVF forced-retrain evidence: version bump + rewrite consistency",
     ),
     "q_edit_distance_pairs": Query(
         q_edit_distance_pairs,
