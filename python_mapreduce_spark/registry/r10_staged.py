@@ -226,6 +226,62 @@ FROM pairs WHERE distance <= 1 GROUP BY distance
 """
 
 
+def q_stream_incremental_edit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental Ed-Join dedup (streaming/dedup.py::
+    # incremental_edit_distance_dedup): part names arrive in two
+    # id-monotone waves; each checkpointed pass flags new names within
+    # Levenshtein 1 of anything already seen, via md5-ordered q-gram
+    # prefix state (a FIXED gram order keeps old and new prefixes
+    # mutually lossless as the corpus grows — df drifts, md5 does not)
+    # + exact codegen verification. Id-monotone ingest makes
+    # first-seen-wins coincide with the batch canonical-min rule, which
+    # the oracle replays quadratically. Same fixed corpus cap as
+    # q_edit_distance_pairs.
+    from python_mapreduce_spark.streaming.dedup import (  # noqa: PLC0415
+        incremental_edit_distance_dedup,
+    )
+
+    part = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 4000)
+    n = part.count()
+    cut = (
+        part.agg(F.expr("percentile_approx(p_partkey, 0.5, 2147483647)")).collect()[0][0]
+        if n
+        else 0
+    )
+    work = scratch_dir("incr_ed")
+    in_dir, state, ckpt, out_dir = (
+        os.path.join(work, "in"),
+        os.path.join(work, "state"),
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "out"),
+    )
+    src = part.select(F.col("p_partkey").alias("id"), F.col("p_name").alias("s"))
+    for cond in (F.col("id") <= cut, F.col("id") > cut):
+        src.filter(cond).write.mode("append").parquet(in_dir)
+        incremental_edit_distance_dedup(
+            spark, in_dir, state, ckpt, max_distance=1, output_dir=out_dir
+        )
+    if n == 0:
+        return spark.createDataFrame([], "id long, is_dup boolean")
+    return spark.read.parquet(out_dir).select(
+        "id", "is_dup"
+    )
+
+
+SQL_INCR_EDIT_DEDUP = """
+WITH p AS (
+  SELECT p_partkey AS id, coalesce(p_name, '') AS s FROM part
+  WHERE p_partkey < 4000
+)
+SELECT a.id, count(b.id) > 0 AS is_dup
+FROM p a LEFT JOIN p b
+  ON b.id < a.id
+ AND abs(length(a.s) - length(b.s)) <= 1
+ AND levenshtein(a.s, b.s) <= 1
+GROUP BY a.id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q_stream_incremental_ivf": Query(
         q_stream_incremental_ivf,

@@ -283,3 +283,210 @@ def read_lpa_communities(spark: SparkSession, state_dir: str) -> DataFrame:
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
+
+
+def incremental_edit_distance_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "id",
+    text_col: str = "s",
+    max_distance: int = 1,
+    q: int = 2,
+    fmt: str = "parquet",
+    schema=None,
+    output_dir: str | None = None,
+) -> pd.DataFrame:
+    """Incremental Ed-Join dedup: flag each NEW string that sits within
+    Levenshtein ``max_distance`` of anything already ingested — the
+    typo-class sibling of :func:`incremental_minhash_dedup` (same
+    ledger, same first-seen-wins rule, same replay contract), for
+    name/title/key-class columns where token-set sketches are blind.
+
+    State = the positional q-gram PREFIX of every seen string,
+    ``q*d + 1`` rows per doc (plus a ``strings/`` store for exact
+    verification). The prefix is taken under a FIXED global gram order
+    (md5(gram), position) — not document frequency: an incremental
+    prefix join is only lossless if old and new prefixes were chosen
+    under the SAME total order, and df drifts as the corpus grows. Any
+    fixed total order preserves the prefix principle (one edit destroys
+    at most ``q`` grams, so within-d pairs share a gram inside both
+    q*d+1-prefixes, at positions differing <= d); rarity ordering is
+    purely a candidate-count optimization, traded here for an
+    append-only state. (A periodic compaction could re-rank prefixes
+    under current df; out of scope.) Strings too short to own a full
+    prefix contribute every gram; strings with fewer than ``q`` chars
+    have no grams at all and their qualifying partners are provably
+    just as short, so a bounded short-string bucket (len <= q*d+q-1)
+    pairs all-to-all through a constant-key equi-join.
+
+    Exact verification (``F.levenshtein <= d``, whole-stage codegen)
+    runs on every candidate, so the filters only prune work. Decisions
+    are one row per new doc, ``(id, is_dup)``; with ``output_dir`` each
+    micro-batch writes an idempotent ``ingest_epoch=N`` partition (the
+    at-scale mode), else pandas comes back (demo/test mode). When
+    ingest order is monotone in id, first-seen-wins coincides with the
+    batch canonical-min rule (dup iff a within-d pair with any lower
+    id) — exactly SQL-expressible, which is what the registry oracle
+    replays. Beyond the reference surface (SURVEY.md §2.2 north-star
+    extensions).
+    """
+    d = int(max_distance)
+    qq = int(q)
+    if d < 0 or qq < 1:
+        raise ValueError(f"need max_distance >= 0 and q >= 1: {max_distance}, {q}")
+    plen = qq * d + 1
+    short_len = qq * d + qq - 1
+    prefix_dir = os.path.join(state_dir, "prefix")
+    strings_dir = os.path.join(state_dir, "strings")
+    decisions: list[pd.DataFrame] = []
+
+    def md5_prefix(src: DataFrame) -> DataFrame:
+        from pyspark.sql.window import Window as _W  # noqa: PLC0415
+
+        grams = src.select(
+            "id",
+            "len",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN length(s) >= {qq} THEN "
+                    f"transform(sequence(1, length(s) - {qq} + 1), "
+                    f"i -> struct(substring(s, i, {qq}) AS g, i AS pos)) "
+                    f"ELSE array() END"
+                )
+            ).alias("t"),
+        ).select("id", "len", F.col("t.g").alias("g"), F.col("t.pos").alias("pos"))
+        return (
+            grams.withColumn(
+                "__rn",
+                F.row_number().over(
+                    _W.partitionBy("id").orderBy(
+                        F.md5("g").asc(), F.col("pos").asc()
+                    )
+                ),
+            )
+            .filter(F.col("__rn") <= plen)
+            .select("id", "len", "g", "pos")
+        )
+
+    def verify(cand: DataFrame, left: DataFrame, right: DataFrame) -> DataFrame:
+        """Exact levenshtein screen; keeps (id1, id2) within d."""
+        v1 = left.select(F.col("id").alias("id1"), F.col("s").alias("__s1"))
+        v2 = right.select(F.col("id").alias("id2"), F.col("s").alias("__s2"))
+        return (
+            cand.join(v1, "id1")
+            .join(v2, "id2")
+            .filter(F.levenshtein("__s1", "__s2") <= d)
+            .select("id1", "id2")
+        )
+
+    def on_batch(batch: DataFrame, epoch: int) -> None:
+        docs = (
+            batch.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.coalesce(F.col(text_col), F.lit("")).alias("s"),
+            )
+            .withColumn("len", F.length("s"))
+            .localCheckpoint(eager=True)
+        )
+        pref_new = md5_prefix(docs).localCheckpoint(eager=True)
+        new_ids = docs.select("id").distinct()
+
+        dup_vs_old = None
+        if os.path.isdir(prefix_dir):
+            # Exclude this batch's own ids from the state side: a
+            # replayed batch may already have appended them.
+            state_pref = (
+                spark.read.parquet(prefix_dir)
+                .join(new_ids, "id", "left_anti")
+                .select(
+                    F.col("id").alias("old_id"),
+                    F.col("len").alias("old_len"),
+                    F.col("g").alias("old_g"),
+                    F.col("pos").alias("old_pos"),
+                )
+            )
+            cand_old = (
+                pref_new.join(
+                    state_pref,
+                    (F.col("g") == F.col("old_g"))
+                    & (F.abs(F.col("pos") - F.col("old_pos")) <= d)
+                    & (F.abs(F.col("len") - F.col("old_len")) <= d),
+                )
+                .select(F.col("old_id").alias("id1"), F.col("id").alias("id2"))
+                .distinct()
+            )
+            old_strings = (
+                spark.read.parquet(strings_dir)
+                .join(new_ids, "id", "left_anti")
+                .select("id", "s", "len")
+            )
+            # short residue: sub-q-gram strings pair only with strings
+            # just as short — a bounded constant-key bucket
+            sb_new = docs.filter(F.col("len") <= short_len).withColumn("__k", F.lit(1))
+            sb_old = old_strings.filter(F.col("len") <= short_len).withColumn(
+                "__k", F.lit(1)
+            )
+            cand_short_old = (
+                sb_new.alias("nb")
+                .join(sb_old.alias("ob"), F.col("nb.__k") == F.col("ob.__k"))
+                .select(F.col("ob.id").alias("id1"), F.col("nb.id").alias("id2"))
+            )
+            dup_vs_old = verify(
+                cand_old.unionByName(cand_short_old).distinct(), old_strings, docs
+            ).select(F.col("id2").alias("id"))
+
+        # within-batch: lower id wins (canonical-min rule)
+        l, r = pref_new.alias("l"), pref_new.alias("r")
+        cand_in = (
+            l.join(
+                r,
+                (F.col("l.g") == F.col("r.g"))
+                & (F.col("l.id") < F.col("r.id"))
+                & (F.abs(F.col("l.pos") - F.col("r.pos")) <= d)
+                & (F.abs(F.col("l.len") - F.col("r.len")) <= d),
+            )
+            .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+        )
+        sb = docs.filter(F.col("len") <= short_len).withColumn("__k", F.lit(1))
+        cand_short_in = (
+            sb.alias("a")
+            .join(
+                sb.alias("b"),
+                (F.col("a.__k") == F.col("b.__k")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        )
+        dup_in_batch = verify(
+            cand_in.unionByName(cand_short_in).distinct(), docs, docs
+        ).select(F.col("id2").alias("id"))
+
+        dups = (
+            dup_in_batch
+            if dup_vs_old is None
+            else dup_in_batch.unionByName(dup_vs_old)
+        )
+        dups = dups.distinct().withColumn("is_dup", F.lit(True))
+        out = (
+            docs.select("id")
+            .join(dups, "id", "left")
+            .select("id", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+        )
+        if output_dir is not None:
+            out.write.mode("overwrite").parquet(
+                os.path.join(output_dir, f"ingest_epoch={epoch}")
+            )
+        else:
+            decisions.append(out.toPandas())
+        # state append AFTER decisions: at-least-once, replay-tolerant
+        pref_new.write.mode("append").parquet(prefix_dir)
+        docs.select("id", "s", "len").write.mode("append").parquet(strings_dir)
+
+    incremental_pass(
+        spark, input_dir, checkpoint_dir, on_batch, fmt=fmt, schema=schema
+    )
+    if not decisions:
+        return pd.DataFrame(columns=["id", "is_dup"])
+    return pd.concat(decisions, ignore_index=True)

@@ -90,3 +90,69 @@ def test_edit_distance_pairs_plan_is_hazard_free(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan  # short bucket is a keyed join
     assert not single_partition_windows(df)
+
+
+def test_incremental_edit_distance_dedup_matches_batch_rule(spark, tmp_path):
+    # Two id-monotone waves: first-seen-wins == the batch canonical-min
+    # rule (dup iff a within-d pair with any lower id), which is what
+    # the registry oracle replays. Also: exactly-once on a no-new-files
+    # pass and harmless re-delivery of already-seen ids.
+    from python_mapreduce_spark.streaming.dedup import (
+        incremental_edit_distance_dedup,
+    )
+
+    rows = [
+        (1, "blue bolt"), (2, "blue bolts"), (3, "red widget"),
+        (4, "red midget"), (5, "small ring"), (6, "ab"), (7, "a"),
+        (8, ""), (9, "zzzz"), (10, "blue bolt"), (11, "grand piano"),
+        (12, "grind piano"), (13, "b"),
+    ]
+    in_dir, state, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+    )
+
+    def wave(lo, hi):
+        return spark.createDataFrame(
+            [r for r in rows if lo <= r[0] < hi], "id long, s string"
+        )
+
+    def batch_rule(upto):
+        sub = spark.createDataFrame(
+            [r for r in rows if r[0] < upto], "id long, s string"
+        )
+        a = sub.select(F.col("id").alias("ida"), F.col("s").alias("sa"))
+        b = sub.select(F.col("id").alias("idb"), F.col("s").alias("sb"))
+        dups = (
+            a.join(b, (F.col("idb") < F.col("ida")))
+            .filter(F.levenshtein("sa", "sb") <= 1)
+            .select(F.col("ida").alias("id"))
+            .distinct()
+        )
+        return {r.id for r in dups.collect()}
+
+    wave(0, 7).write.mode("append").parquet(in_dir)
+    dec1 = incremental_edit_distance_dedup(spark, in_dir, state, ckpt)
+    got1 = {int(r.id) for _, r in dec1.iterrows() if r.is_dup}
+    assert got1 == batch_rule(7)
+
+    wave(7, 99).write.mode("append").parquet(in_dir)
+    dec2 = incremental_edit_distance_dedup(spark, in_dir, state, ckpt)
+    got2 = {int(r.id) for _, r in dec2.iterrows() if r.is_dup}
+    want2 = batch_rule(99) - batch_rule(7)  # decisions only for NEW docs
+    # wave-2 docs judged against everything seen so far
+    assert got2 == {i for i in want2 if i >= 7}
+
+    # no new files: no decisions, exactly-once
+    dec3 = incremental_edit_distance_dedup(spark, in_dir, state, ckpt)
+    assert dec3.empty
+
+    # re-delivered ids in a NEW file: self-exclusion keeps them from
+    # matching their own state rows; the verbatim copy of id 1 is
+    # correctly a dup of it (distance 0)
+    spark.createDataFrame(
+        [(20, "blue bolt")], "id long, s string"
+    ).write.mode("append").parquet(in_dir)
+    dec4 = incremental_edit_distance_dedup(spark, in_dir, state, ckpt)
+    assert {int(r.id): bool(r.is_dup) for _, r in dec4.iterrows()} == {20: True}
