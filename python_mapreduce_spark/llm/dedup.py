@@ -125,6 +125,12 @@ def _prefix_verified_inter(
         .filter(F.col("__rn") <= plen)
         .select("id", "shingle", "__rn", "sz")
     )
+    if both_prefix:
+        # Both self-join sides read this frame, and Catalyst does not
+        # share subtrees: without a cut each side replays the df agg +
+        # per-doc rarity window over the full postings. One lazy local
+        # checkpoint makes the second side a cache read.
+        prefix = prefix.localCheckpoint(eager=False)
     pa = prefix.alias("pa")
     if both_prefix and positional:
         pb = prefix.alias("pb")
@@ -289,19 +295,26 @@ def ngram_jaccard_pairs(
     """
     sets_ = shingle_sets(df, id_col, text_col, n).filter(F.size("shingles") > 0)
     posts = sets_.select("id", F.explode("shingles").alias("shingle"))
+    # Materialize the postings ONCE (lazy local checkpoint). The frame
+    # is referenced throughout the plan — df agg, rarity ranking, both
+    # self-join sides, the two verification joins, the size branches —
+    # and Catalyst does not share subtrees, so without the cut every
+    # reference re-scans the corpus and re-shingles it (the measured
+    # sf0.1 plan held 20 parquet scans of `documents` for this one
+    # query). One spill-able materialization + k cache reads replaces
+    # k full corpus passes; the hot-set probe below rides the same
+    # cache. MEMORY_AND_DISK, so an oversized postings frame degrades
+    # to disk instead of OOM.
+    posts = posts.localCheckpoint(eager=False)
     if max_shingle_df is not None:
-        # The postings node is referenced FOUR times downstream (both
-        # self-join sides + both size branches) and Catalyst does not
-        # share subtrees, so a plan-side anti-join would recompute the
-        # df aggregation once per reference — four extra corpus passes
-        # at scale. Instead resolve the hot set ONCE, eagerly: it is
-        # small by construction (<= postings/cap, and Zipfian corpora
-        # put it in the hundreds), so it collects to the driver and
-        # each branch re-applies it as a literal filter on the explode
-        # output — zero extra shuffles per branch. If an adversarial
-        # corpus ever exceeds the collect guard, fall back to the
-        # plan-side broadcast anti-join (correct at any hot-set size,
-        # just not free).
+        # The hot set is resolved ONCE, eagerly: it is small by
+        # construction (<= postings/cap, and Zipfian corpora put it in
+        # the hundreds), so it collects to the driver and each branch
+        # re-applies it as a literal filter on the cached postings —
+        # zero extra shuffles per branch. If an adversarial corpus ever
+        # exceeds the collect guard, fall back to the plan-side
+        # broadcast anti-join (correct at any hot-set size, just not
+        # free).
         hot_limit = 100_000
         hot_df = (
             posts.groupBy("shingle")
@@ -318,7 +331,11 @@ def ngram_jaccard_pairs(
             )
         sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     else:
-        sizes = sets_.select("id", F.size("shingles").cast("long").alias("sz"))
+        sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # Doc-count-sized and consumed by up to three joins (prefix sizing
+    # + both ends of the final size join): one tiny materialization
+    # replaces repeated postings-wide aggregations.
+    sizes = sizes.localCheckpoint(eager=False)
     if prefix_filter:
         inter = _prefix_verified_inter(
             posts, sizes, threshold, both_prefix=True, positional=positional_filter
@@ -509,7 +526,13 @@ def minhash_dedup_pairs(
     for j >= threshold with these defaults); cost scales with candidates,
     not corpus pairs.
     """
-    sets_ = shingle_sets(df, id_col, text_col, n)
+    # Materialize the shingle pass ONCE (lazy local checkpoint): the
+    # frame feeds the signature pipeline AND both exact-verify join
+    # sides, and Catalyst does not share subtrees — uncut, each
+    # consumer re-scans the corpus and re-runs the shingle regex (the
+    # dominant per-pass cost). One spill-able materialization + two
+    # cache reads replaces three full corpus passes.
+    sets_ = shingle_sets(df, id_col, text_col, n).localCheckpoint(eager=False)
     cand = lsh_candidate_pairs(
         minhash_signatures(sets_, num_hashes=num_hashes), bands=bands, rows=rows
     )
@@ -1538,6 +1561,13 @@ def containment_pairs(
     """
     sets_ = shingle_sets(df, id_col, text_col, n).filter(F.size("shingles") > 0)
     posts = sets_.select("id", F.explode("shingles").alias("shingle"))
+    # Same single-materialization discipline as ngram_jaccard_pairs:
+    # the postings frame feeds the hot-set probe, both self-join sides
+    # and the size branches, and each un-cut reference is a fresh
+    # corpus scan + re-shingle (the measured sf0.1 plan held 16
+    # parquet scans for this query — the fwd/rev union below doubles
+    # every subtree).
+    posts = posts.localCheckpoint(eager=False)
     if max_shingle_df is not None:
         hot_limit = 100_000
         hot_df = (
@@ -1555,7 +1585,8 @@ def containment_pairs(
             )
         sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     else:
-        sizes = sets_.select("id", F.size("shingles").cast("long").alias("sz"))
+        sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sizes = sizes.localCheckpoint(eager=False)
     if prefix_filter:
         # one-sided PPJoin (prefix x full postings): lossless for
         # max-direction containment >= t because the intersection of a
@@ -1580,6 +1611,10 @@ def containment_pairs(
         inter.join(sa, F.col("id1") == F.col("sa.id"))
         .join(sb, F.col("id2") == F.col("sb.id"))
         .select("id1", "id2", "inter", F.col("sa.sz").alias("sz1"), F.col("sb.sz").alias("sz2"))
+        # Pair-count-sized and fanned into BOTH output directions: the
+        # fwd/rev union otherwise duplicates the whole intersection
+        # subtree (postings self-join included) into the plan twice.
+        .localCheckpoint(eager=False)
     )
     fwd = both.select(
         F.col("id1").alias("src_id"),
@@ -1854,8 +1889,11 @@ def fuzzy_decontamination(
     1 - (1 - 0.8^2)^32 ~ 1 - 6e-15), so the verified output matches the
     exact pair set for any realistic corpus.
     """
-    sets_c = shingle_sets(corpus, id_col, text_col, n)
-    sets_e = shingle_sets(eval_df, id_col, text_col, n)
+    # Each side's shingle pass feeds its signature pipeline AND its
+    # exact-verify join side (Catalyst shares no subtrees): one lazy
+    # materialization per side halves the corpus/eval shingle passes.
+    sets_c = shingle_sets(corpus, id_col, text_col, n).localCheckpoint(eager=False)
+    sets_e = shingle_sets(eval_df, id_col, text_col, n).localCheckpoint(eager=False)
     bc = band_keys(minhash_signatures(sets_c, num_hashes=num_hashes), bands=bands, rows=rows)
     be = band_keys(minhash_signatures(sets_e, num_hashes=num_hashes), bands=bands, rows=rows)
     cand = (

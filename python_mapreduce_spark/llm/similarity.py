@@ -173,8 +173,14 @@ def _banded_lsh_keys(
         keyed = (bits.reshape(len(bits), bands, rows_per_band) * weights).sum(axis=2)
         return pd.Series(list(keyed))
 
+    # asNondeterministic: the posexplode's implicit non-empty/non-null
+    # pre-filter otherwise gets pushed below the projection with the UDF
+    # column duplicated into it — two ArrowEvalPython passes over every
+    # vector for one logical call (the seeded hash is deterministic in
+    # fact; the marker only stops the optimizer cloning it).
     return emb.select(
-        F.col(id_col).alias("id"), band_keys(vec_col).alias("keys")
+        F.col(id_col).alias("id"),
+        band_keys.asNondeterministic()(vec_col).alias("keys"),
     ).select("id", F.posexplode("keys").alias("band", "bkey"))
 
 
@@ -240,6 +246,11 @@ def banded_lsh_candidate_pairs(
     banded = _banded_lsh_keys(
         emb, id_col, vec_col, bands=bands, rows_per_band=rows_per_band, dim=dim, seed=seed
     )
+    # Both self-join sides read this frame and Catalyst does not share
+    # subtrees: uncut, each side re-scans the corpus and re-hashes it
+    # through the banding UDF. One lazy materialization (bands*n narrow
+    # rows) makes the second side a cache read.
+    banded = banded.localCheckpoint(eager=False)
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
@@ -298,7 +309,12 @@ def ivf_assign(
     assignment is a scan-stage matmul; only the final tagged output
     carries a cluster column for the bucket join.
     """
+    # The projected corpus is consumed by the seed draw, every Lloyd
+    # pass and the final assignment (2 + iters actions), and Catalyst
+    # shares no subtrees: one lazy materialization turns the repeated
+    # parquet-scan+project into cache reads.
     src = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    src = src.localCheckpoint(eager=False)
     seed_pdf = (
         src.withColumn("h", F.xxhash64("id")).orderBy("h").limit(nlist).toPandas()
     )
@@ -645,6 +661,10 @@ def ann_topk_ivf_pq(
         bits = auto_bits if bits is None else bits
         refine = auto_refine if refine is None else refine
     assigned, cents = ivf_assign(corpus, id_col, vec_col, nlist=nlist, iters=iters)
+    # Consumed by the PQ seed draw, each Lloyd refinement and the
+    # encode pass (3+ actions); uncut, every one re-runs the whole
+    # assignment mapInPandas over the corpus.
+    assigned = assigned.localCheckpoint(eager=False)
     dim = cents.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -968,6 +988,13 @@ def top_eigenvector(cov: DataFrame, *, iters: int = 3) -> DataFrame:
     engines). ``iters`` trades accuracy for unrolled-oracle length;
     with a dominant spectral gap a handful suffices.
     """
+    # The caller's cov plan (typically the dim^2/2-explode covariance
+    # aggregation over the whole corpus) is referenced THREE times —
+    # both union sides of sym plus the trace — and Catalyst does not
+    # share subtrees, so without a cut the corpus-wide aggregation runs
+    # three times. One lazy materialization makes it a single pass; the
+    # frame itself is only dim^2/2 rows.
+    cov = cov.localCheckpoint(eager=False)
     sym = (
         cov.select("i", "j", "cov")
         .unionByName(cov.filter(F.col("i") != F.col("j")).select(
@@ -996,7 +1023,9 @@ def top_eigenvector(cov: DataFrame, *, iters: int = 3) -> DataFrame:
         )
 
     for _ in range(int(iters)):
-        w = matvec(v)
+        # w feeds the norm aggregate AND the rescale join: uncut, the
+        # matrix-vector join+agg runs twice per iteration.
+        w = matvec(v).localCheckpoint(eager=False)
         nrm = w.agg(
             F.sqrt(
                 F.sum(dround(F.col("w") * F.col("w"), 8).cast("decimal(28,8)")).cast(

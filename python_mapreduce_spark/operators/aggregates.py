@@ -3046,6 +3046,10 @@ def spearman_corr(
     base = df.select(xq.alias("__x"), yq.alias("__y")).filter(
         F.col("__x").isNotNull() & F.col("__y").isNotNull()
     )
+    # Consumed by both per-column count aggs AND the row-level rank
+    # join (3 scans uncut — Catalyst shares no subtrees); one narrow
+    # two-long-per-row materialization replaces the repeats.
+    base = base.localCheckpoint(eager=False)
 
     def doubled_ranks(col: str, out: str) -> DataFrame:
         counts = base.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("__t"))
@@ -3845,6 +3849,9 @@ def kruskal_wallis(
     base = df.select(F.col(group_col).alias("__grp"), yc.alias("__yc")).filter(
         F.col("__grp").isNotNull() & F.col("__yc").isNotNull()
     )
+    # Feeds both the value-count and (group, value)-count aggs; one
+    # narrow materialization halves the corpus scans.
+    base = base.localCheckpoint(eager=False)
     pv = base.groupBy("__yc").agg(F.count(F.lit(1)).cast("long").alias("__t"))
     cum = global_running_sum(
         pv, ["__yc"], "__t", out="__cum", num_partitions=num_partitions

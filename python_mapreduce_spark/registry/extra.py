@@ -1018,6 +1018,11 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.min("o_totalprice"), 2).alias("min_price"),
         dround(F.max("o_totalprice"), 2).alias("max_price"),
     )
+    # num_files rows, but referenced THREE times (both overlap-join
+    # sides + the output join) and Catalyst shares no subtrees: uncut,
+    # each reference re-scans the freshly-written table and re-runs the
+    # extent aggregation.
+    per_file = per_file.localCheckpoint(eager=False)
     ext = per_file.withColumn("__k", F.lit(1))
     other = ext.select(
         F.col("__k").alias("__k2"),
