@@ -1517,9 +1517,17 @@ def heaps_law(
             F.explode(tokenize(F.col("__text"))).alias("term"),
         )
     )
-    tb = tok.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("toks"))
+    # ONE tokenize pass: collapse to per-(bucket, term) instance counts
+    # first (map-side combinable), cut the vocabulary-sized frame once,
+    # and derive BOTH the token totals and the first-bucket counts from
+    # it — uncut, tb and vb each replayed the corpus-wide explode.
+    bt = tok.groupBy("bucket", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    bt = bt.localCheckpoint(eager=False)
+    tb = bt.groupBy("bucket").agg(F.sum("__cnt").cast("long").alias("toks"))
     vb = (
-        tok.groupBy("term")
+        bt.groupBy("term")
         .agg(F.min("bucket").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("newterms"))
