@@ -1125,6 +1125,11 @@ def semantic_dedup_prune(
         F.col(cluster_col).alias("cluster"),
         F.col(vec_col).alias("v"),
     )
+    # Consumed by both self-join sides AND the flag join-back (3 scans
+    # uncut — Catalyst shares no subtrees), each replaying the caller's
+    # whole upstream (centroid assignment + re-attach join in the
+    # registry query). One cut materializes it once.
+    base = base.localCheckpoint(eager=False)
     a = base.select(
         F.col("id").alias("id1"), F.col("cluster").alias("c1"), F.col("v").alias("v1")
     )

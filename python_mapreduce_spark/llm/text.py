@@ -666,6 +666,9 @@ def segment_dedup(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("pos", "seg"),
     )
+    # segs feeds the win vote, the keep join AND the per-doc counts (3
+    # replays of the tokenize+explode pass uncut); one cut runs it once.
+    segs = segs.localCheckpoint(eager=False)
     real = segs.filter(F.col("seg").isNotNull()).withColumn("gh", F.md5("seg"))
     wins = real.groupBy("gh").agg(F.min(F.struct("id", "pos")).alias("w"))
     kept = (
@@ -729,9 +732,12 @@ def bigram_lm_score(df: DataFrame, id_col: str, text_col: str, *, k: float = 0.5
             )
         ).alias("bg"),
     )
+    # bi feeds the count aggregation AND the scoring join — uncut, the
+    # tokenize+explode pass runs twice; one cut runs it once.
+    bi = bi.localCheckpoint(eager=False)
     # one corpus aggregation; everything else derives from it. Lazy
     # localCheckpoint cuts the shared lineage so the two consumers (the
-    # scoring join reads c12 and c1) do not re-run the corpus explode.
+    # scoring join reads c12 and c1) do not re-run the aggregation.
     c12 = (
         bi.groupBy("bg")
         .agg(F.count(F.lit(1)).cast("long").alias("c12"))
@@ -996,7 +1002,12 @@ def ngram_diversity(
     Catalyst plans the standard two-phase distinct-agg expansion.
     """
     gs = list(group_cols)
-    base = df.select(*gs, tokenize(F.col(text_col)).alias("toks"))
+    # base feeds one gram frame per order (max_n replays of the
+    # tokenize pass uncut); one cut tokenizes once and each order
+    # re-slices the materialized token arrays.
+    base = df.select(*gs, tokenize(F.col(text_col)).alias("toks")).localCheckpoint(
+        eager=False
+    )
     gram_frames = []
     for n in range(1, max_n + 1):
         if n == 1:
@@ -1073,7 +1084,7 @@ def chi2_terms(
     term_df = cells.groupBy("term").agg(F.sum("a").cast("long").alias("df_t"))
     label_n = df.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).cast("long").alias("n_l")
-    )
+    ).localCheckpoint(eager=False)  # feeds both the total and the join
     total = label_n.agg(F.sum("n_l").cast("long").alias("n_docs"))
     av, dfv, nl, nd = (
         F.col("a").cast("double"),
@@ -1436,10 +1447,14 @@ def tfidf_top_terms(
 
     if int(k) < 1:
         raise ValueError(f"k must be >= 1: {k}")
+    # tf feeds the group-frequency re-agg, the group-count probe AND
+    # the scoring join (3 replays of the tokenize+explode pass uncut);
+    # one cut of the (group x vocabulary)-sized frame runs it once.
     tf = (
         df.select(F.col(group_col).alias("grp"), F.explode(tokenize(F.col(text_col))).alias("term"))
         .groupBy("grp", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("n_groups_with_term")

@@ -476,9 +476,11 @@ def key_skew_report(
     never a global sort), and a one-row summary agg.
     """
     key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    # counts feeds the summary agg AND the top-n rank (2 replays of the
+    # corpus-wide key-count pass uncut); one cut runs it once.
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__cnt")).select(
         key_str.alias("__k"), "__cnt"
-    )
+    ).localCheckpoint(eager=False)
     summary = counts.agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.max("__cnt").cast("long").alias("max_per_key"),
@@ -965,9 +967,11 @@ def mix_entropy(
     :func:`psi_drift` ln scheme) and the outputs round to 1e-6.
     """
     ks = list(keys)
+    # counts feeds the totals re-agg AND the entropy join (2 corpus
+    # scans uncut); one cut of the category-sized frame scans once.
     counts = df.groupBy(*ks, F.col(cat_col).alias("__cat")).agg(
         F.count(F.lit(1)).cast("long").alias("__n")
-    )
+    ).localCheckpoint(eager=False)
     # totals derive from the count frame via a second keyed agg +
     # broadcast join (NOT a window: the count frame is category-sized,
     # but a window would still re-shuffle it; the join is map-side)
@@ -2140,10 +2144,12 @@ def ab_test_proportions(
     base = df.select(F.col(variant_col).alias("variant"), y.alias("__y")).filter(
         F.col("variant").isNotNull() & F.col("__y").isNotNull()
     )
+    # counts feeds the control row AND the treatment rows (2 replays of
+    # the corpus-wide variant agg uncut); one cut runs it once.
     counts = base.groupBy("variant").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("__y").cast("long")).cast("long").alias("conv"),
-    )
+    ).localCheckpoint(eager=False)
     ctrl = counts.filter(F.col("variant") == control).select(
         F.col("n").alias("n_control"), F.col("conv").alias("conv_control")
     )
@@ -2714,8 +2720,16 @@ def mad_outliers(
         "double"
     )
     base = df.select(*ks, F.col(id_col).alias("id"), v.alias("value"))
-    med = base.groupBy(*ks).agg(F.median("value").alias("__med"))
-    j = base.join(med, ks)
+    # med feeds the deviation join AND (via j) the output join; j feeds
+    # the MAD agg AND the output join. Uncut that is 4 corpus scans for
+    # the 2 passes the algorithm needs — one cut of the tiny per-group
+    # median frame and one of the narrow joined frame keeps it at 2.
+    med = (
+        base.groupBy(*ks)
+        .agg(F.median("value").alias("__med"))
+        .localCheckpoint(eager=False)
+    )
+    j = base.join(med, ks).localCheckpoint(eager=False)
     mad = j.groupBy(*ks).agg(
         F.median(F.abs(F.col("value") - F.col("__med"))).alias("__mad")
     )
@@ -3021,14 +3035,18 @@ def spearman_corr(
     Scale shape: NO per-row ranking pass. Each column quantizes to an
     integer grid (``floor(x * scale + 0.5)`` — cents by default, pass
     scale 1.0 for already-integral data), aggregates to per-DISTINCT-
-    VALUE counts, and takes ONE distributed running-count pass
-    (:func:`~python_mapreduce_spark.operators.windows.global_running_sum`)
-    per column; each tie group's DOUBLED average rank is then the
-    closed form 2*cum - t + 1 (an integer — no .5 drift), equi-joined
-    back to the rows on the quantized value. Two value-cardinality
-    running sums + two row-to-distinct joins + one global agg — no
-    single-task window anywhere, same skeleton as
-    :func:`mann_whitney_u` / :func:`ks_statistic`.
+    VALUE counts, and runs BOTH columns' rank ladders through ONE
+    distributed running-count pass
+    (:func:`~python_mapreduce_spark.operators.windows.global_running_sum`
+    over the side-tagged union of the two count frames — one range
+    exchange + one offset collect instead of two); each tie group's
+    DOUBLED average rank is then the closed form 2*cum - t + 1 (an
+    integer — no .5 drift), where the y-side subtracts the x-side's
+    total mass n to restart its ladder. Ranks are joined back to the
+    rows on the quantized value. One value-cardinality running sum +
+    two row-to-distinct joins + one global agg — no single-task window
+    anywhere, same skeleton as :func:`mann_whitney_u` /
+    :func:`ks_statistic`.
 
     Determinism: doubled ranks keep everything integral; the five
     sufficient sums (S_x, S_y, S_xx, S_yy, S_xy) accumulate in
@@ -3051,19 +3069,45 @@ def spearman_corr(
     # two-long-per-row materialization replaces the repeats.
     base = base.localCheckpoint(eager=False)
 
-    def doubled_ranks(col: str, out: str) -> DataFrame:
-        counts = base.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("__t"))
-        cum = global_running_sum(
-            counts, [col], "__t", out="__cum", num_partitions=num_partitions
-        )
-        return cum.select(
-            col,
-            (F.lit(2) * F.col("__cum") - F.col("__t") + F.lit(1)).alias(out),
+    def side_counts(col: str, side: int) -> DataFrame:
+        return base.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("__t")
+        ).select(
+            F.lit(side).alias("__side"), F.col(col).alias("__val"), "__t"
         )
 
-    ranked = base.join(doubled_ranks("__x", "__r2x"), "__x").join(
-        doubled_ranks("__y", "__r2y"), "__y"
+    # Both ladders in one pass: (side, value) is a total order, so the
+    # running count over the tagged union carries x's ladder (side 0)
+    # followed by y's; y's cum includes all of x's mass — exactly n —
+    # which the broadcast one-row n frame subtracts to restart it.
+    n1 = (
+        base.groupBy(F.lit(1).alias("__g"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .drop("__g")
     )
+    cum = global_running_sum(
+        side_counts("__x", 0).unionByName(side_counts("__y", 1)),
+        ["__side", "__val"],
+        "__t",
+        out="__cum",
+        num_partitions=num_partitions,
+    )
+    ranks = cum.crossJoin(F.broadcast(n1)).select(
+        "__side",
+        "__val",
+        (
+            F.lit(2) * (F.col("__cum") - F.col("__side") * F.col("__n"))
+            - F.col("__t")
+            + F.lit(1)
+        ).alias("__r2"),
+    )
+    rx = ranks.filter(F.col("__side") == 0).select(
+        F.col("__val").alias("__x"), F.col("__r2").alias("__r2x")
+    )
+    ry = ranks.filter(F.col("__side") == 1).select(
+        F.col("__val").alias("__y"), F.col("__r2").alias("__r2y")
+    )
+    ranked = base.join(rx, "__x").join(ry, "__y")
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     agg = (
         ranked.groupBy(F.lit(1).alias("__g"))
@@ -3547,9 +3591,14 @@ def ols_influence(
     ks = list(keys)
     x = dround(F.col(x_col).cast("double"), 4)
     y = dround(F.col(y_col).cast("double"), 4)
+    # base feeds the sufficient-sums agg AND the join-back (2 scans
+    # uncut — each replays the caller's upstream, e.g. q_ols_influence's
+    # corpus-wide monthly aggregation); one cut runs it once.
     base = df.select(
         *ks, F.col(id_col).alias("id"), x.alias("__x"), y.alias("__y")
-    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull()).localCheckpoint(
+        eager=False
+    )
     stats = base.groupBy(*ks).agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
         F.sum(F.col("__x").cast("decimal(38,8)")).cast("double").alias("__sx"),
@@ -3640,9 +3689,12 @@ def t_closeness_audit(
     qs = list(quasi_cols)
     if not qs:
         raise ValueError("t_closeness_audit needs at least one quasi-identifier column")
+    # cell feeds the global distribution, the per-group sizes AND the
+    # join spine (4 corpus scans uncut — Catalyst shares no subtrees);
+    # one cut of the cell-cardinality frame keeps the scan at one.
     cell = df.groupBy(*qs, F.col(sensitive_col).alias("__s")).agg(
         F.count(F.lit(1)).cast("long").alias("__nc")
-    )
+    ).localCheckpoint(eager=False)
     glob = cell.groupBy(F.col("__s").alias("__s2")).agg(
         F.sum("__nc").cast("long").alias("__ng")
     )
@@ -3731,9 +3783,13 @@ def theil_decomposition(df: DataFrame, group_col: str, value_col) -> DataFrame:
         "double"
     )
     yc = F.floor(y * F.lit(100.0) + F.lit(0.5)).cast("long")
+    # labeled feeds the exclusion count, the group stats AND the
+    # row-level entropy pass; gstat feeds the global re-agg AND the
+    # join. Uncut that is 4 corpus scans — two cuts (one narrow
+    # two-column frame, one tiny per-group frame) keep it at one.
     labeled = df.select(F.col(group_col).alias("__grp"), yc.alias("__yc")).filter(
         F.col("__yc").isNotNull()
-    )
+    ).localCheckpoint(eager=False)
     base = labeled.filter(F.col("__yc") > 0)
     n_excl = labeled.filter(F.col("__yc") <= 0).groupBy(
         F.lit(1).alias("__g")
@@ -3741,7 +3797,7 @@ def theil_decomposition(df: DataFrame, group_col: str, value_col) -> DataFrame:
     gstat = base.groupBy(F.col("__grp").alias("__grp2")).agg(
         F.count(F.lit(1)).cast("long").alias("__ng"),
         F.sum(F.col("__yc").cast("decimal(38,0)")).cast("double").alias("__sg"),
-    )
+    ).localCheckpoint(eager=False)
     tstat = gstat.agg(
         F.sum("__ng").cast("long").alias("__n"),
         F.sum(F.col("__sg").cast("decimal(38,2)")).cast("double").alias("__s"),
@@ -3989,16 +4045,21 @@ def count_min_estimate(
     replayable: the md5 bucketing is deterministic, so the oracle
     reproduces the ESTIMATES bit-for-bit, not a tolerance flag).
 
-    Scale shape: the sketch build above + a probes-sized (broadcast)
-    join against the depth*width-row sketch + one exact count agg
-    screened to the probe list before any shuffle.
+    Scale shape: ONE per-key count agg over the data feeds BOTH the
+    sketch (bucket counts are the tf-weighted re-agg of the key frame —
+    bit-identical to :func:`count_min_sketch` on the raw stream, which
+    is pytest-pinned separately) and the probe-screened exact side, so
+    the key stream is scanned once; then a probes-sized (broadcast)
+    join against the depth*width-row sketch.
     """
     spark = df.sparkSession
-    sk = count_min_sketch(df, key_col, width=width, depth=depth)
-    probe_df = spark.createDataFrame(
-        [(p,) for p in probes], f"{key_col} string"
-    )
     key = F.col(key_col)
+    tf = (
+        df.filter(key.isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .localCheckpoint(eager=False)
+    )
     pairs = F.array(
         *[
             F.struct(
@@ -4007,6 +4068,14 @@ def count_min_estimate(
             )
             for d in range(int(depth))
         ]
+    )
+    sk = (
+        tf.select(F.explode(pairs).alias("p"), "__n")
+        .groupBy(F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
+        .agg(F.sum("__n").cast("long").alias("cnt"))
+    )
+    probe_df = spark.createDataFrame(
+        [(p,) for p in probes], f"{key_col} string"
     )
     probe_buckets = probe_df.select(key_col, F.explode(pairs).alias("p")).select(
         key_col, F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket")
@@ -4017,9 +4086,9 @@ def count_min_estimate(
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cm_estimate"))
     )
     exact = (
-        df.filter(key.isin(list(probes)))
+        tf.filter(key.isin(list(probes)))
         .groupBy(key_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .agg(F.sum("__n").cast("long").alias("exact_count"))
     )
     return (
         est.join(exact, [key_col], "left")

@@ -593,10 +593,13 @@ def user_churn(
     day-over-day self-join of distinct-user sets, no COUNT(DISTINCT)
     window.
     """
+    # days feeds both fan-out arms (2 replays of the corpus-wide
+    # distinct agg uncut); one cut of the (user, day) frame runs it once.
     days = (
         df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
         .select(F.col(user_col).alias("u"), F.to_date(ts_col).alias("d"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     fan = days.select("u", F.col("d").alias("cmp"), F.lit(1).alias("cur"), F.lit(0).alias("prev")).unionByName(
         days.select("u", F.date_add("d", 1).alias("cmp"), F.lit(0).alias("cur"), F.lit(1).alias("prev"))

@@ -498,11 +498,20 @@ def er_match_score(
             .agg(F.min("__payload").alias("__payload"))
             .select(id_col, "__payload.*")
         )
-    a = records.select(
-        F.col(id_col).alias("id_a"), *[F.col(c).alias(f"__a_{c}") for c, _ in fs]
+    # Both payload sides read the same projection; uncut, each replays
+    # the upstream scan (including any wide source columns the payload
+    # derives from). One cut of the narrow (id, fields...) frame reads
+    # the records once.
+    proj = records.select(
+        F.col(id_col).alias("__id"), *[F.col(c).alias(f"__f_{c}") for c, _ in fs]
+    ).localCheckpoint(eager=False)
+    a = proj.select(
+        F.col("__id").alias("id_a"),
+        *[F.col(f"__f_{c}").alias(f"__a_{c}") for c, _ in fs],
     )
-    b = records.select(
-        F.col(id_col).alias("id_b"), *[F.col(c).alias(f"__b_{c}") for c, _ in fs]
+    b = proj.select(
+        F.col("__id").alias("id_b"),
+        *[F.col(f"__f_{c}").alias(f"__b_{c}") for c, _ in fs],
     )
     joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
     sims: list = []
@@ -581,25 +590,51 @@ def fellegi_sunter_weights(
     def clamp(p: float) -> float:
         return min(max(p, eps), 1.0 - eps)
 
-    u_by: dict[str, float] = {}
-    for f in fs:
-        vc = (
-            records.filter(F.col(f).isNotNull())
-            .groupBy(f)
-            .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    # ONE u-estimation job for all fields (melt to (field, value) rows,
+    # one count agg, one k-row collect) instead of one blocking
+    # corpus-scan job per field. Counts are exact integers in double,
+    # so the per-field sum(c^2)/(sum c)^2 is bit-identical to the
+    # per-field-job form; string-cast grouping is injective per field.
+    melted = (
+        records.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f).alias("__f"),
+                            F.col(f).cast("string").alias("__v"),
+                        )
+                        for f in fs
+                    ]
+                )
+            ).alias("__fv")
         )
-        row = vc.agg(
-            (F.sum(F.col("c") * F.col("c")) / (F.sum("c") * F.sum("c"))).alias("u")
-        ).first()
-        u_by[f] = clamp(row.u if row.u is not None else 0.5)
-
-    left = records.select(
-        F.col(id_col).alias("__ida"),
-        *[F.col(f).alias(f"__a_{f}") for f in fs],
+        .select(F.col("__fv.__f").alias("__f"), F.col("__fv.__v").alias("__v"))
+        .filter(F.col("__v").isNotNull())
     )
-    right = records.select(
-        F.col(id_col).alias("__idb"),
-        *[F.col(f).alias(f"__b_{f}") for f in fs],
+    vc = melted.groupBy("__f", "__v").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    u_rows = {
+        r["__f"]: r["u"]
+        for r in vc.groupBy("__f")
+        .agg((F.sum(F.col("c") * F.col("c")) / (F.sum("c") * F.sum("c"))).alias("u"))
+        .collect()
+    }
+    u_by: dict[str, float] = {
+        f: clamp(u_rows[f] if u_rows.get(f) is not None else 0.5) for f in fs
+    }
+
+    # Both payload sides read the same projection — project once and
+    # cut so the records scan runs once (er_match_score's shape).
+    proj = records.select(
+        F.col(id_col).alias("__id"), *[F.col(f).alias(f"__f_{f}") for f in fs]
+    ).localCheckpoint(eager=False)
+    left = proj.select(
+        F.col("__id").alias("__ida"),
+        *[F.col(f"__f_{f}").alias(f"__a_{f}") for f in fs],
+    )
+    right = proj.select(
+        F.col("__id").alias("__idb"),
+        *[F.col(f"__f_{f}").alias(f"__b_{f}") for f in fs],
     )
     p = (
         pairs.select(F.col("id_a"), F.col("id_b"))

@@ -244,7 +244,14 @@ def temperature_sample(
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    # The domains-row count frame feeds the min aggregate AND the rate
+    # table (2 scans uncut — each replays the corpus-wide counting
+    # pass); one cut of the tiny frame keeps it to one pass.
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=False)
+    )
     mn = counts.agg(F.min("__n").alias("__mn"))
     ratio = F.col("__mn").cast("double") / F.col("__n").cast("double")
     rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))

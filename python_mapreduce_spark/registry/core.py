@@ -739,7 +739,12 @@ def q_kll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # healthy and flips on any broken merge. Exact quartiles ride along
     # for the hash (same DECIMAL rendering as q_approx_percentile).
     ev = table(spark, sf_dir, "events")
-    roll = sketch_quantile_rollup(ev, "event_type", F.to_date("ts"), "value")
+    # roll feeds the rank-flag broadcast AND the output join; uncut,
+    # each consumer replays the corpus-wide sketch pass (with fresh KLL
+    # randomization). One cut of the per-type frame runs it once.
+    roll = sketch_quantile_rollup(
+        ev, "event_type", F.to_date("ts"), "value"
+    ).localCheckpoint(eager=False)
     exact = ev.groupBy("event_type").agg(
         F.expr("percentile(value, array(0.25D, 0.5D, 0.75D))").alias("__exact_q")
     )

@@ -804,7 +804,10 @@ def q_pipeline_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    survivors = d.join(keep, "doc_id")
+    # survivors feeds the quality scorer AND the re-attach join (2
+    # consumers; uncut each replays the fingerprint pass + dedup join —
+    # 4 corpus scans for one logical pass). One cut halves the scans.
+    survivors = d.join(keep, "doc_id").localCheckpoint(eager=False)
     q = quality_score(survivors, "doc_id", "text").filter(F.col("quality") >= 0.5)
     kept = survivors.join(q.select("doc_id"), "doc_id")
     return token_counts(kept, ["source"], "text").withColumnRenamed(
@@ -1513,7 +1516,11 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = temperature_sample(docs, "lang", "doc_id").groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_after")
     )
-    before = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    before = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_before"))
+        .localCheckpoint(eager=False)  # feeds the min agg AND the output join
+    )
     mn = before.agg(F.min("n_before").alias("__mn"))
     return (
         before.crossJoin(F.broadcast(mn))
@@ -2598,14 +2605,20 @@ def q_cross_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     recased = F.concat(F.upper(F.col("text")), F.lit("  "))
+    suffixed = F.concat(F.col("text"), F.lit(" novel suffix"))
+    # ONE filtered scan derives the same reference multiset the three
+    # unionAll'ed slices produced (the %14 docs legitimately appear
+    # twice): each row contributes a conditional array of its variants,
+    # exploded — 3 wide-text corpus scans -> 1.
+    empty = F.array().cast("array<string>")
+    variants = F.concat(
+        F.when(F.col("doc_id") % 7 == 0, F.array(recased)).otherwise(empty),
+        F.when(F.col("doc_id") % 14 == 0, F.array(recased)).otherwise(empty),
+        F.when(F.col("doc_id") % 11 == 0, F.array(suffixed)).otherwise(empty),
+    )
     ref = (
-        docs.filter(F.col("doc_id") % 7 == 0).select(recased.alias("text"))
-        .unionAll(docs.filter(F.col("doc_id") % 14 == 0).select(recased.alias("text")))
-        .unionAll(
-            docs.filter(F.col("doc_id") % 11 == 0).select(
-                F.concat(F.col("text"), F.lit(" novel suffix")).alias("text")
-            )
-        )
+        docs.filter((F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 11 == 0))
+        .select(F.explode(variants).alias("text"))
     )
     return cross_corpus_overlap(docs, ref, "doc_id", "text")
 

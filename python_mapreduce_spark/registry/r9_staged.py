@@ -162,17 +162,23 @@ def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = table(spark, sf_dir, "events")
-    a = ev.filter((F.col("event_type") == "click") & (F.col("value") > 150.0))
-    b = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 150.0))
+    # Each segment feeds its sketch AND the exact-intersection ride-
+    # along (4 filtered corpus scans uncut); one cut per narrow
+    # segment frame keeps it to one scan per segment.
+    a = ev.filter(
+        (F.col("event_type") == "click") & (F.col("value") > 150.0)
+    ).select("user_id").localCheckpoint(eager=False)
+    b = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 150.0)
+    ).select("user_id").localCheckpoint(eager=False)
     est = kmv_intersect_estimate(
         kmv_sketch(a, "user_id", k=_KMV_K),
         kmv_sketch(b, "user_id", k=_KMV_K),
         k=_KMV_K,
     )
     exact = (
-        a.select("user_id")
-        .filter(F.col("user_id").isNotNull())
-        .intersect(b.select("user_id").filter(F.col("user_id").isNotNull()))
+        a.filter(F.col("user_id").isNotNull())
+        .intersect(b.filter(F.col("user_id").isNotNull()))
         .agg(F.count(F.lit(1)).cast("long").alias("n_exact_intersect"))
     )
     return exact.join(F.broadcast(est))
