@@ -602,6 +602,13 @@ def connected_components(
         # frame instead of a full new-vs-old join job per round —
         # measured at sf0.1 (round 10, same-host A/B): q_dedup_clusters
         # 3.32 -> 2.90 s, q_cluster_split 4.37 -> 4.06 s.
+        # A fused single-agg variant (min over neighbors ∪ own-label
+        # rows, old label via min(when(own)) in the same pass, no
+        # join-back) was prototyped round 10 and REJECTED on
+        # measurement: q_dedup_clusters 3.34 -> 3.97 s, q_cluster_split
+        # 4.40 -> 5.65 s same-host best-of-3 — the join-back is a cheap
+        # node-sized broadcast while the fused agg loses the cheap
+        # count-combine shape (wider rows, two agg buffers).
         new = (
             labels.join(nbr_min, labels.node == nbr_min.b, "left")
             .select(
@@ -1327,6 +1334,10 @@ def hits_scores(
     step = 0
 
     def _normalize(raw: DataFrame, score: str) -> DataFrame:
+        # raw feeds BOTH the norm aggregate and the join below; Catalyst
+        # shares no subtrees, so uncut the contribution join+agg ran
+        # twice per half-step. One lazy cut halves the shuffle work.
+        raw = raw.localCheckpoint(eager=False)
         tot = raw.agg(F.sum("__r").alias("__t"))  # 1 row, DECIMAL-exact
         out = (
             nodes.join(raw, "node", "left")
@@ -1345,7 +1356,7 @@ def hits_scores(
         return out
 
     auth = None
-    for _ in range(int(iterations)):
+    for it in range(int(iterations)):
         raw_a = (
             e.join(hub.withColumnRenamed("node", "s"), "s")
             .groupBy(F.col("d").alias("node"))
@@ -1353,6 +1364,10 @@ def hits_scores(
         )
         step += 1
         auth = _normalize(raw_a, "auth")
+        if it + 1 == int(iterations):
+            # the final auth is consumed by raw_h AND the output join —
+            # cut once so its subtree is not replayed by the join side
+            auth = auth.localCheckpoint(eager=False)
         raw_h = (
             e.join(auth.withColumnRenamed("node", "d"), "d")
             .groupBy(F.col("s").alias("node"))
@@ -2060,7 +2075,13 @@ def kcore(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+        # deg feeds the convergence collect AND (via keep) BOTH
+        # semi-joins of the survivor screen — uncut, the degree shuffle
+        # ran 3x per round. One lazy cut: the collect materializes it,
+        # the semi-joins read the checkpointed blocks.
+        deg = sym.groupBy("a").agg(
+            F.count(F.lit(1)).alias("degree")
+        ).localCheckpoint(eager=False)
         keep = deg.filter(F.col("degree") >= k).select("a")
         # one driver round-trip per round, not two: both convergence
         # counts come from a single agg over the (checkpointed) sym

@@ -3936,6 +3936,9 @@ def kruskal_wallis(
             .cast("double")
             .alias("__r2g"),
         )
+        # feeds the nrow broadcast AND the main frame: uncut, the
+        # gv ⋈ r2v join+agg ran twice (Catalyst shares no subtrees)
+        .localCheckpoint(eager=False)
     )
     nrow = per_group.groupBy(F.lit(1).alias("__g")).agg(
         F.count(F.lit(1)).cast("long").alias("k_groups"),
