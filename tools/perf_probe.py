@@ -44,15 +44,28 @@ def _parse_event_log(log_dir: str) -> list[dict]:
     stages: list[dict] = []
     job_desc: dict[int, str] = {}
     stage_job: dict[int, int] = {}
-    for fname in os.listdir(log_dir):
-        path = os.path.join(log_dir, fname)
-        if not os.path.isfile(path):
-            continue
-        with open(path, errors="replace") as f:
-            for line in f:
+    paths: list[str] = []
+    for root, _dirs, files in os.walk(log_dir):
+        # Spark 4 rolling event logs live in eventlog_v2_<app>/ dirs.
+        paths.extend(os.path.join(root, f) for f in files if not f.startswith("."))
+    for path in sorted(paths):
+        if path.endswith(".zstd"):
+            import subprocess  # noqa: PLC0415
+
+            text = subprocess.run(
+                ["zstd", "-dc", path], capture_output=True, text=True, check=False
+            ).stdout
+            lines = text.splitlines()
+        else:
+            with open(path, errors="replace") as f:
+                lines = f.read().splitlines()
+        if True:
+            for line in lines:
                 try:
                     ev = json.loads(line)
                 except ValueError:
+                    continue
+                if not isinstance(ev, dict):
                     continue
                 kind = ev.get("Event")
                 if kind == "SparkListenerJobStart":
@@ -97,7 +110,12 @@ def main() -> None:
     if args.stages:
         log_dir = f"/tmp/spark-events-{os.getpid()}"
         os.makedirs(log_dir, exist_ok=True)
-        extra = {"spark.eventLog.enabled": "true", "spark.eventLog.dir": log_dir}
+        extra = {
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": log_dir,
+            # plain-text logs so the parser below can read them directly
+            "spark.eventLog.compress": "false",
+        }
     spark = get_spark("perf_probe", extra_conf=extra)
     registry = all_queries()
 
