@@ -249,8 +249,19 @@ def banded_lsh_candidate_pairs(
     # Both self-join sides read this frame and Catalyst does not share
     # subtrees: uncut, each side re-scans the corpus and re-hashes it
     # through the banding UDF. One lazy materialization (bands*n narrow
-    # rows) makes the second side a cache read.
-    banded = banded.localCheckpoint(eager=False)
+    # rows) makes the second side a cache read. The cut inherits the
+    # scan's partitioning, and a small corpus parquet is ONE split — the
+    # r10 driver regression: the entire candidate explosion (the join
+    # emits ~sum-over-buckets c^2 rows) ran in a single task (measured
+    # 4-6 s of serial JVM CPU at sf0.1). Spread the checkpointed frame
+    # across the cluster first, keyed on (id, band) — unique per row, so
+    # perfectly even, deterministic under task retry (guide §2.5; a
+    # round-robin repartition would also pay a sort-before-repartition),
+    # and the join's own exchange/broadcast decision is left to AQE,
+    # which sees the materialized size, not an UnknownPartitioning guess.
+    banded = banded.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, "id", "band"
+    ).localCheckpoint(eager=False)
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(

@@ -69,6 +69,25 @@ _BUILD_CONF: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Bigger Arrow batches amortize Python worker round-trips.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "100000",
+    # Python-worker allocator hygiene (r11, measured): numpy temporaries
+    # above ~4 MB madvise(MADV_HUGEPAGE) and glibc mmap/munmaps every
+    # buffer above 128 KB, so a stage of N concurrent pandas-UDF workers
+    # turns vectorized scoring into hugepage-fault + TLB-shootdown storms
+    # (observed 89% kernel time machine-wide; 32-proc A/B: 3.49 s -> 0.68 s
+    # per task, worker stime 3.03 s -> 0.31 s). Serve big temporaries from
+    # a reused heap instead: no hugepage madvise, mmap only above 128 MB,
+    # keep up to 128 MB of freed heap per worker (bounded retention —
+    # ~4 GB across 32 workers; size alongside executor.pyspark.memory in
+    # deployments). Env-overridable for hosts where THP pays off.
+    "spark.executorEnv.NUMPY_MADVISE_HUGEPAGE": os.environ.get(
+        "SPARK_GRAFT_NP_HUGEPAGE", "0"
+    ),
+    "spark.executorEnv.MALLOC_MMAP_THRESHOLD_": os.environ.get(
+        "SPARK_GRAFT_MALLOC_MMAP", str(128 * 1024 * 1024)
+    ),
+    "spark.executorEnv.MALLOC_TRIM_THRESHOLD_": os.environ.get(
+        "SPARK_GRAFT_MALLOC_TRIM", str(128 * 1024 * 1024)
+    ),
 }
 
 
