@@ -594,7 +594,20 @@ def fellegi_sunter_weights(
     # one count agg, one k-row collect) instead of one blocking
     # corpus-scan job per field. Counts are exact integers in double,
     # so the per-field sum(c^2)/(sum c)^2 is bit-identical to the
-    # per-field-job form; string-cast grouping is injective per field.
+    # per-field-job form; string-cast grouping is injective per field
+    # EXCEPT floating signed zero (raw grouping merges -0.0 with 0.0,
+    # their strings differ), so float fields normalize -0.0 first —
+    # pinned by tests/test_r8_ops.py::test_fellegi_sunter_typed_u.
+    from pyspark.sql.types import DoubleType, FloatType  # noqa: PLC0415
+
+    def _vstr(f: str) -> Column:
+        col = F.col(f)
+        if isinstance(records.schema[f].dataType, (DoubleType, FloatType)):
+            col = F.when(col == 0, F.lit(0).cast(records.schema[f].dataType)).otherwise(
+                col
+            )
+        return col.cast("string")
+
     melted = (
         records.select(
             F.explode(
@@ -602,7 +615,7 @@ def fellegi_sunter_weights(
                     *[
                         F.struct(
                             F.lit(f).alias("__f"),
-                            F.col(f).cast("string").alias("__v"),
+                            _vstr(f).alias("__v"),
                         )
                         for f in fs
                     ]

@@ -330,6 +330,53 @@ def test_fellegi_sunter_matches_replay(spark):
     assert got[(1, 3)].n_compared == 2
 
 
+def test_fellegi_sunter_typed_u(spark):
+    # Pins the melted (one-job) u-estimation on NON-string fields: the
+    # melt groups on cast-to-string values, which is injective per field
+    # except floating signed zero (-0.0 and 0.0 stringify differently
+    # but raw grouping — the r9 per-field-job form — merges them, as
+    # does the scoring's == comparison). The operator normalizes -0.0,
+    # so u must equal the raw-value frequency estimate exactly, NaN and
+    # NULL included.
+    from python_mapreduce_spark.operators.joins import fellegi_sunter_weights
+
+    nan = float("nan")
+    records = [
+        (1, 0.0, 7),
+        (2, -0.0, 7),
+        (3, 0.0, 9),
+        (4, 2.5, 9),
+        (5, nan, 9),
+        (6, nan, None),
+        (7, None, 7),
+    ]
+    rdf = spark.createDataFrame(records, "id long, x double, k int")
+    pairs = spark.createDataFrame([(1, 2), (3, 4), (5, 6)], "id_a long, id_b long")
+    got = {
+        (r.id_a, r.id_b): r
+        for r in fellegi_sunter_weights(pairs, rdf, "id", ["x", "k"], m=0.9).collect()
+    }
+
+    # Raw-value reference: x has non-null values {0.0: 3 (+/-0 merged),
+    # 2.5: 1, NaN: 2} over n=6; k has {7: 3, 9: 3} over n=6.
+    u_x = (3 / 6) ** 2 + (1 / 6) ** 2 + (2 / 6) ** 2
+    u_k = (3 / 6) ** 2 + (3 / 6) ** 2
+    w_agree_x = math.log2(0.9 / u_x)
+    w_agree_k = math.log2(0.9 / u_k)
+    w_dis_x = math.log2(0.1 / (1 - u_x))
+    w_dis_k = math.log2(0.1 / (1 - u_k))
+
+    # (1,2): x agrees (0.0 == -0.0 in Spark), k agrees.
+    assert got[(1, 2)].n_agree == 2
+    assert abs(got[(1, 2)].fs_weight - (w_agree_x + w_agree_k)) < 1e-4
+    # (3,4): x disagrees, k agrees.
+    assert got[(3, 4)].n_agree == 1
+    assert abs(got[(3, 4)].fs_weight - (w_dis_x + w_agree_k)) < 1e-4
+    # (5,6): x NaN == NaN agrees under Spark semantics; k NULL skipped.
+    assert got[(5, 6)].n_compared == 1
+    assert abs(got[(5, 6)].fs_weight - w_agree_x) < 1e-4
+
+
 # ----------------------------------------------- streaming CUSUM
 
 
