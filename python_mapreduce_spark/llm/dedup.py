@@ -1322,34 +1322,32 @@ def hits_scores(
         raise ValueError(f"iterations must be >= 1: {iterations}")
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
     e = e.localCheckpoint(eager=True)
-    nodes = (
-        e.select(F.col("s").alias("node"))
-        .unionByName(e.select(F.col("d").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    # SPARSE iteration (r11): scores live only on the nodes the edge
+    # structure can ever score (hub frame = out-edge sources, auth
+    # frame = in-edge targets) — membership is structural, identical
+    # every iteration. A node outside the frame has score exactly 0.0:
+    # it adds nothing to any contribution sum or L1 norm, so dropping
+    # it from the loop changes no arithmetic (rounding included). This
+    # deletes the nodes-left-join from every half-step — 2*iterations
+    # broadcast-join stage waves gone from the critical path (guide
+    # §2.4); the full node set is re-attached ONCE on output.
+    hub = e.select(F.col("s").alias("node")).distinct().withColumn("hub", F.lit(1.0))
     cadence = max(1, int(checkpoint_every))
     total_steps = 2 * int(iterations)
     step = 0
 
     def _normalize(raw: DataFrame, score: str) -> DataFrame:
-        # raw feeds BOTH the norm aggregate and the join below; Catalyst
-        # shares no subtrees, so uncut the contribution join+agg ran
-        # twice per half-step. One lazy cut halves the shuffle work.
+        # raw feeds BOTH the norm aggregate and the scored projection;
+        # Catalyst shares no subtrees, so uncut the contribution
+        # join+agg ran twice per half-step. One lazy cut halves the
+        # shuffle work.
         raw = raw.localCheckpoint(eager=False)
         tot = raw.agg(F.sum("__r").alias("__t"))  # 1 row, DECIMAL-exact
-        out = (
-            nodes.join(raw, "node", "left")
-            .crossJoin(F.broadcast(tot))
-            .select(
-                "node",
-                dround(
-                    F.coalesce(F.col("__r").cast("double"), F.lit(0.0))
-                    / F.col("__t").cast("double"),
-                    6,
-                ).alias(score),
-            )
+        out = raw.crossJoin(F.broadcast(tot)).select(
+            "node",
+            dround(
+                F.col("__r").cast("double") / F.col("__t").cast("double"), 6
+            ).alias(score),
         )
         if cadence == 1 or (step % cadence == 0 and step < total_steps):
             out = out.localCheckpoint(eager=True)
@@ -1375,7 +1373,20 @@ def hits_scores(
         )
         step += 1
         hub = _normalize(raw_h, "hub")
-    return hub.join(auth, "node")
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
+        )
+    )
 
 
 def cross_corpus_overlap(
