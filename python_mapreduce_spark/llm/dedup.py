@@ -1362,9 +1362,12 @@ def hits_scores(
         )
         step += 1
         auth = _normalize(raw_a, "auth")
-        if it + 1 == int(iterations):
+        if it + 1 == int(iterations) and cadence != 1:
             # the final auth is consumed by raw_h AND the output join —
             # cut once so its subtree is not replayed by the join side
+            # (at cadence 1 _normalize just checkpointed this exact
+            # frame eagerly; a second lazy cut would materialize a
+            # redundant copy — ADVICE r10).
             auth = auth.localCheckpoint(eager=False)
         raw_h = (
             e.join(auth.withColumnRenamed("node", "d"), "d")

@@ -60,6 +60,18 @@ _RUNTIME_CONF: dict[str, str] = {
 _BUILD_CONF: dict[str, str] = {
     # local[N] -> the driver is the only JVM; give it the machine.
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    # localCheckpoint blocks are reclaimed by ContextCleaner only after
+    # the driver JVM garbage-collects the RDD handle; with a 48g heap
+    # ordinary GC almost never runs, so checkpoint blocks from finished
+    # queries accumulate (measured r11: 100 -> 534 -> 888 MB of dead
+    # blocks over 3 bench passes of the 13 heavy queries with the
+    # default 30min periodic GC). A short periodic-GC interval caps the
+    # float at one pass's worth (re-measured: plateau, see
+    # OPTIMIZATION_r11.md). Driver-side System.gc() every 3min costs
+    # ~100ms on this heap — noise.
+    "spark.cleaner.periodicGC.interval": os.environ.get(
+        "SPARK_GRAFT_PERIODIC_GC", "3min"
+    ),
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.default.parallelism": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.ui.enabled": "false",
