@@ -1604,13 +1604,16 @@ def bm25_topk(
     Beyond the reference surface (SURVEY.md §2.2 north-star
     extensions).
 
-    Scale shape: term frequencies aggregate keyed by (doc, term) and
-    doc lengths by doc (both map-side-combined, one tokenize pass —
-    the tf frame is lazily localCheckpoint'ed because tf, dl, AND df
-    all consume it); the query-term filter cuts the tf frame to
-    |query| terms BEFORE any join, df for those terms is a |query|-row
-    broadcast, avgdl a 1-row broadcast, and the final cut is
-    orderBy+limit (TakeOrderedAndProject — no full sort, no window).
+    Scale shape: the query is a FIXED tiny term list, so nothing
+    doc x term ever needs to shuffle — one tokenize projection computes
+    each doc's length and its per-query-term counts with array
+    higher-order functions (size/filter, whole-stage codegen; no
+    explode, no (doc, term) exchange), lazily localCheckpoint'ed once
+    because corpus stats, df, AND the scoring all consume it; df for
+    the query terms is a |query|-row broadcast, avgdl a 1-row
+    broadcast, the per-doc melt touches only docs matching >= 1 term,
+    and the final cut is orderBy+limit (TakeOrderedAndProject — no
+    full sort, no window).
 
     Determinism: tf, dl, df, N are exact integers; avgdl and each
     per-term contribution compute in one fixed IEEE shape from them,
@@ -1620,25 +1623,55 @@ def bm25_topk(
     (the sMAPE-term pattern); the order-by key is that exact decimal
     score and the emitted score rounds to 1e-4.
     """
-    qt = [t.lower() for t in query_terms]
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term")
-    )
-    tf = toks.groupBy("id", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
-    tf = tf.localCheckpoint(eager=False)
-    dl = tf.groupBy("id").agg(F.sum("tf").cast("long").alias("dl"))
-    stats = dl.agg(
+    # duplicate query terms must count once (the old isin() filter had
+    # set semantics); preserve first-seen order for the melt
+    qt = list(dict.fromkeys(t.lower() for t in query_terms))
+
+    def _count_of(term: str):  # 1-arg lambda: 2 args would mean (elem, idx)
+        return F.size(F.filter("__toks", lambda x: x == F.lit(term))).cast("long")
+
+    per_doc = df.select(
+        F.col(id_col).alias("id"), tokenize(text_col).alias("__toks")
+    ).select(
+        "id",
+        F.size("__toks").cast("long").alias("dl"),
+        *[_count_of(t).alias(f"__tf_{i}") for i, t in enumerate(qt)],
+    ).filter(F.col("dl") > 0)
+    per_doc = per_doc.localCheckpoint(eager=False)
+    stats = per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("__nd"),
         F.sum("dl").cast("double").alias("__tok"),
     )
     n_docs = df.select(F.count(F.lit(1)).cast("long").alias("__n"))
-    qtf = tf.filter(F.col("term").isin(qt))
+    if qt:
+        qtf = (
+            per_doc.select(
+                "id",
+                "dl",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(t).alias("term"), F.col(f"__tf_{i}").alias("tf")
+                            )
+                            for i, t in enumerate(qt)
+                        ]
+                    )
+                ).alias("__p"),
+            )
+            .select("id", "dl", F.col("__p.term").alias("term"), F.col("__p.tf").alias("tf"))
+            .filter(F.col("tf") > 0)
+        )
+    else:  # empty query: same empty-result shape without an empty array()
+        qtf = per_doc.select(
+            "id",
+            "dl",
+            F.lit("").alias("term"),
+            F.lit(0).cast("long").alias("tf"),
+        ).filter(F.lit(False))
     dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     j = (
         qtf.join(F.broadcast(dfreq), "term")
-        .join(dl, "id")
         .crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(n_docs))
     )

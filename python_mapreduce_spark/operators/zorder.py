@@ -70,16 +70,35 @@ def _as_double(df: DataFrame, col: str) -> Column:
     )
 
 
-def _splits(df: DataFrame, col: str, bits: int, rel_err: float) -> list[float]:
-    """Deduped ascending quantile split points for one column."""
-    probe = df.select(_as_double(df, col).alias("__q")).na.drop()
+def _splits_multi(
+    df: DataFrame, cols: Sequence[str], bits: int, rel_err: float
+) -> dict[str, list[float]]:
+    """Deduped ascending quantile split points, ALL columns in ONE
+    approxQuantile job (one corpus scan instead of one per column —
+    each column's sketch is still built independently from its own
+    non-null values, so the split points are identical to the
+    per-column passes). NaN is pre-nulled because approxQuantile only
+    ignores nulls; date/timestamp surrogates can never be NaN but a
+    raw double column can."""
+    if not cols:
+        return {}
+    names = [f"__q{i}" for i in range(len(cols))]
+    probe = df.select(
+        *[
+            F.when(~F.isnan(v), v).alias(n)
+            for n, v in ((n, _as_double(df, c)) for n, c in zip(names, cols))
+        ]
+    )
     n = (1 << bits) - 1
     probs = [i / (n + 1) for i in range(1, n + 1)]
-    qs = probe.approxQuantile("__q", probs, rel_err)
-    out: list[float] = []
-    for q in qs:
-        if not out or q > out[-1]:
-            out.append(q)
+    qss = probe.approxQuantile(names, probs, rel_err)
+    out: dict[str, list[float]] = {}
+    for c, qs in zip(cols, qss):
+        dedup: list[float] = []
+        for q in qs:
+            if not dedup or q > dedup[-1]:
+                dedup.append(q)
+        out[c] = dedup
     return out
 
 
@@ -114,6 +133,12 @@ def zorder_code(
         raise ValueError(
             f"bits * len(cols) = {bits * k} must be in [1, 63] to fit a long"
         )
+    learned = _splits_multi(
+        df,
+        [c for c in cols if splits is None or c not in splits],
+        bits,
+        rel_err,
+    )
     buckets: list[Column] = []
     for c in cols:
         if splits is not None and c in splits:
@@ -125,7 +150,7 @@ def zorder_code(
                     f"{len(sp)} splits for {c!r} exceed 2^{bits}-1 buckets"
                 )
         else:
-            sp = _splits(df, c, bits, rel_err)
+            sp = learned[c]
         if not sp:
             # All-NULL or constant-below-first-split column: one bucket.
             buckets.append(F.lit(0).cast("long"))

@@ -1846,20 +1846,27 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window); dense ranks are cosine_topk's own rn. Both ladders are
     # top-k-sized by contract, so the fusion stage touches ~40 rows at
     # ANY corpus scale.
+    from pyspark.sql import Window  # noqa: PLC0415
+
     from python_mapreduce_spark.llm.similarity import (  # noqa: PLC0415
         cosine_topk,
         reciprocal_rank_fusion,
     )
     from python_mapreduce_spark.llm.text import bm25_topk  # noqa: PLC0415
-    from python_mapreduce_spark.operators.windows import (  # noqa: PLC0415
-        global_row_number,
-    )
 
     docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
     lex = bm25_topk(docs, "doc_id", "text", ["merge", "window", "stream"], k=20)
-    lex_ranked = global_row_number(
-        lex.withColumn("__negs", -F.col("score")), ["__negs", "id"], out="rank"
+    # lex is <= k rows BY CONTRACT (bm25_topk output is a top-k cut), so
+    # a plain row_number window over it is bounded at any corpus scale —
+    # the distributed global_row_number machinery (range checkpoint +
+    # offsets collect, ~3 blocking jobs) would buy nothing here. Same
+    # (score DESC, id ASC) total order, identical ranks.
+    lex_ranked = lex.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("id").asc()))
+        .cast("long"),
     )
     dense = cosine_topk(
         emb, emb.filter(F.col("vec_id") == 3), "vec_id", "embedding", k=20
