@@ -96,31 +96,49 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return stats.select(F.col(id_col), dround(score, 4).alias("quality"))
 
 
+def language_id_pred(toks_col: str | Column) -> Column:
+    """Stopword-vote language prediction over an ALREADY-TOKENIZED array
+    column, as a pure projection expression — per-language hit counts
+    are array size/filter over the fixed 21-word STOPWORDS table
+    (whole-stage codegen), the argmax is a struct ``greatest`` (max
+    hits, ties broken by the alphabetically-first language — langs are
+    iterated sorted and encoded as NEGATED indices so the struct
+    comparison's second field picks the smallest index), zero hits ->
+    'unknown'. A word in several languages' stopword lists counts for
+    each, exactly like the old vote join."""
+    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
+    langs = sorted(STOPWORDS)
+
+    def _hits(words: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    best = F.greatest(
+        *[
+            F.struct(_hits(STOPWORDS[lg]).alias("h"), F.lit(-i).alias("ni"))
+            for i, lg in enumerate(langs)
+        ]
+    )
+    lang_arr = F.array(*[F.lit(lg) for lg in langs])
+    return F.when(
+        best["h"] > 0, F.element_at(lang_arr, -best["ni"] + F.lit(1))
+    ).otherwise(F.lit("unknown"))
+
+
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-vote language ID.
 
-    Tokens join a broadcast stopword table; the per-(doc, lang) hit count
-    feeds a per-doc argmax (ties broken by language code; no hits ->
-    'unknown'). At 100 TB this is one broadcast join plus one shuffle on
-    doc id.
+    The stopword vocabulary is a FIXED tiny table, so the whole vote —
+    per-language hit counts, argmax with ties broken by language code,
+    no hits -> 'unknown' — evaluates as a single projection
+    (:func:`language_id_pred`): no explode, no join, no per-doc
+    shuffle, no window, at any corpus scale. The r10 shape (token
+    explode -> broadcast stopword join -> (doc, lang) agg -> rank-1
+    window -> left join back) spent two exchanges and four jobs
+    computing what each row can answer locally.
     """
-    spark = df.sparkSession
-    sw = spark.createDataFrame(
-        [(lang, w) for lang, words in STOPWORDS.items() for w in words],
-        "lang string, word string",
-    )
-    toks = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("word"))
-    votes = (
-        toks.join(F.broadcast(sw), "word")
-        .groupBy(id_col, "lang")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy(id_col).orderBy(F.col("hits").desc(), F.col("lang"))
-    best = votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return df.select(F.col(id_col)).join(best, id_col, "left").select(
-        F.col(id_col), F.coalesce("lang", F.lit("unknown")).alias("pred_lang")
+    base = df.select(F.col(id_col), tokenize(text_col).alias("__toks"))
+    return base.select(
+        F.col(id_col), language_id_pred("__toks").alias("pred_lang")
     )
 
 
@@ -1505,14 +1523,13 @@ def heaps_law(
     ``buckets`` prefix buckets (distributed global rank over doc id),
     then D_cum(k) = count of terms whose FIRST bucket (min over one
     term-keyed agg) is <= k and N_cum(k) = running token count — both
-    running sums over the bucket-cardinality frame via ONE
-    multi-weight :func:`~python_mapreduce_spark.operators.windows.
-    global_running_sum` (no single-task window). The corpus is scanned
-    once; the OLS fit is the same closed-form agg as the Zipf slope.
+    running sums over the bucket-cardinality frame, which is bounded at
+    ``buckets`` rows by construction, so they run as one plain window
+    over a constant-size frame. The corpus is scanned once; the OLS
+    fit is the same closed-form agg as the Zipf slope.
     """
     from python_mapreduce_spark.operators.windows import (  # noqa: PLC0415
         global_row_number,
-        global_running_sum,
     )
 
     if int(buckets) < 2:
@@ -1552,8 +1569,20 @@ def heaps_law(
         F.coalesce("toks", F.lit(0)).alias("toks"),
         F.coalesce("newterms", F.lit(0)).alias("newterms"),
     )
-    cum = global_running_sum(
-        per_bucket, ["bucket"], ["toks", "newterms"], out=["ncum", "dcum"]
+    # per_bucket is <= `buckets` rows BY CONSTRUCTION (the floor rule
+    # emits bucket ids 0..buckets-1), so the two cumulative sums run as
+    # a plain window over a constant-size frame — the distributed
+    # multi-weight running sum (eager range checkpoint + offsets
+    # collect, ~3 blocking jobs) buys nothing here. Identical integers.
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_bucket.select(
+        "bucket",
+        F.sum("toks").over(wb).cast("long").alias("ncum"),
+        F.sum("newterms").over(wb).cast("long").alias("dcum"),
     )
     xy = cum.filter((F.col("ncum") > 0) & (F.col("dcum") > 0)).select(
         F.log(F.col("ncum").cast("double")).alias("__x"),

@@ -1101,14 +1101,17 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for mixing/splitting decisions. NULL declared langs surface as
     # their own row ('<null>') so missing metadata is visible, not
     # silently dropped.
+    # language_id is a pure projection now, so the declared tag and the
+    # prediction come off the SAME scan row — the former doc_id
+    # self-join (an exchange per consumer) computed exactly this.
+    from python_mapreduce_spark.llm.text import language_id_pred, tokenize  # noqa: PLC0415
+
     docs = table(spark, sf_dir, "documents")
-    pred = language_id(docs, "doc_id", "text")
+    base = docs.select("lang", tokenize("text").alias("__toks"))
     return (
-        docs.select("doc_id", "lang")
-        .join(pred, "doc_id")
-        .groupBy(
+        base.groupBy(
             F.coalesce("lang", F.lit("<null>")).alias("lang"),
-            "pred_lang",
+            language_id_pred("__toks").alias("pred_lang"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
@@ -3392,15 +3395,15 @@ pairs AS (
 
 
 def _langid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # language_id is a pure projection now, so the declared tag and the
+    # prediction come off the SAME scan row — the former doc_id
+    # self-join (an exchange per consumer) computed exactly this.
+    from python_mapreduce_spark.llm.text import language_id_pred, tokenize  # noqa: PLC0415
+
     docs = table(spark, sf_dir, "documents")
-    pred = language_id(docs, "doc_id", "text")
-    return (
-        docs.select("doc_id", "lang")
-        .join(pred, "doc_id")
-        .select(
-            F.coalesce("lang", F.lit("<null>")).alias("l"),
-            F.col("pred_lang").alias("p"),
-        )
+    return docs.select("lang", tokenize("text").alias("__toks")).select(
+        F.coalesce("lang", F.lit("<null>")).alias("l"),
+        language_id_pred("__toks").alias("p"),
     )
 
 
